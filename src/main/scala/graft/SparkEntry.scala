@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanFns
+import graft.operators.{Analytics, Dims, PitJoin, Scd2, Staging}
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2,
+  * with a DuckDB oracle in `oracleSql` wherever the semantics are
+  * ANSI-SQL-expressible. Column names/types are aligned on both sides
+  * (aggregates rounded identically) because the driver hash-compares
+  * values after sorting columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_star")(spark, "/root/testdata/sf0.001")
+
+  // ---- staging contract used by the alignment queries --------------
+  private val stgContract = Seq(
+    "symbol" -> "string", "segment" -> "string", "acctbal" -> "double",
+    "country" -> "string", "employees" -> "bigint")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- relational / lakehouse core ---------------------------------
+    "q_filter_project" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    "q_agg_pricing" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q_stg_normalize" -> ((s, d) => {
+      T(s, d, "customer").select(
+          col("c_custkey"),
+          CleanFns.normSym(col("c_name")).as("name_norm"),
+          CleanFns.cleanLong(col("c_name")).as("cust_id_parsed"),
+          col("c_mktsegment"),
+          col("c_acctbal"),
+          when(col("c_acctbal") < 0, lit("NEGATIVE")).otherwise(lit("OK"))
+            .as("bal_flag"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal_filled"))
+        .where(col("name_norm").isNotNull && col("name_norm") =!= "")
+    }),
+
+    "q_schema_align" -> ((s, d) => {
+      val src = T(s, d, "customer").select(
+        col("c_name").as("symbol"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("acctbal"))
+      Staging.alignTo(src, stgContract)
+    }),
+
+    "q_union_countries" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val feedA = c.where(col("c_mktsegment") === "BUILDING").select(
+        col("c_name").as("symbol"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("acctbal"))
+      val feedB = c.where(col("c_mktsegment") === "AUTOMOBILE").select(
+        col("c_name").as("symbol"), col("c_mktsegment").as("segment"))
+      Staging.unionAligned(stgContract.take(3), feedA, feedB)
+    }),
+
+    "q_join_star" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val o = T(s, d, "orders")
+      val withOrders = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      Analytics.starJoin(withOrders, Seq(
+          (T(s, d, "customer"), col("o_custkey") === col("c_custkey")),
+          (T(s, d, "nation"), col("c_nationkey") === col("n_nationkey")),
+          (T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))),
+          joinType = "inner")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q_join_composite" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(T(s, d, "supplier"),
+          col("c_nationkey") === col("s_nationkey") &&
+            col("c_acctbal") > col("s_acctbal"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(avg(col("c_acctbal") - col("s_acctbal")), 4).as("avg_gap"))
+    }),
+
+    "q_semi_anti" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders")
+      val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("HAS_ORDERS").as("flag"))
+      val none = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("NO_ORDERS").as("flag"))
+      has.union(none)
+    }),
+
+    "q_dim_distinct_sk" -> ((s, d) => {
+      Dims.distinctDim(T(s, d, "orders"), Seq("o_orderpriority"), "priority_sk")
+        .select(col("o_orderpriority").as("priority_code"), col("priority_sk"))
+    }),
+
+    "q_dim_date" -> ((s, d) =>
+      Dims.dateDim(T(s, d, "orders"), col("o_orderdate"))),
+
+    "q_scd2" -> ((s, d) =>
+      Scd2.build(T(s, d, "events"), Seq("user_id"), Seq("event_type"), "ts")),
+
+    "q_pit_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val dim = Scd2.build(ev, Seq("user_id"), Seq("event_type"), "ts")
+        .withColumnRenamed("event_type", "status")
+      PitJoin(ev.select(col("event_id"), col("user_id"), col("ts")),
+          dim, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("status"), col("effective_from"))
+    }),
+
+    "q_window_analytics" -> ((s, d) => {
+      Analytics.sequenceStats(T(s, d, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("seq"), col("prev_value"),
+          round(col("running_total"), 2).as("running_total"))
+    }),
+
+    "q_pct_change" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("prev_price"),
+          round(CleanFns.pctChange(col("o_totalprice"), col("prev_price")), 6)
+            .as("pct_change"),
+          when(col("prev_price").isNull, lit(null).cast("string"))
+            .when(col("o_totalprice") > col("prev_price"), lit("UP"))
+            .when(col("o_totalprice") < col("prev_price"), lit("DOWN"))
+            .otherwise(lit("FLAT")).as("direction"))
+    }),
+
+    "q_dedup_latest" -> ((s, d) => {
+      Analytics.latestPerKey(T(s, d, "events"), Seq("user_id"),
+          col("ts"), col("event_id"))
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+    }),
+
+    "q_topk_per_group" -> ((s, d) => {
+      Analytics.topKPerGroup(T(s, d, "orders"), Seq("o_orderpriority"),
+          col("o_totalprice"), col("o_orderkey"), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("rank"))
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(broadcast(T(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    "q_pivot" -> ((s, d) => {
+      T(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 2))
+    }),
+
+    "q_time_bucket" -> ((s, d) =>
+      Analytics.timeBucket(T(s, d, "events"), "ts", "hour",
+        Seq("event_type"), "value")),
+
+    "q_sessionize" -> ((s, d) =>
+      Analytics.sessionize(T(s, d, "events"), "user_id", "ts", "value",
+        gapMillis = 1800000L))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 40""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_stg_normalize" ->
+      """SELECT c_custkey,
+        |  upper(trim(c_name)) AS name_norm,
+        |  CAST(regexp_replace(c_name, '[^0-9.-]', '', 'g') AS BIGINT) AS cust_id_parsed,
+        |  c_mktsegment, c_acctbal,
+        |  CASE WHEN c_acctbal < 0 THEN 'NEGATIVE' ELSE 'OK' END AS bal_flag,
+        |  coalesce(c_acctbal, 0.0) AS acctbal_filled
+        |FROM customer
+        |WHERE upper(trim(c_name)) IS NOT NULL AND upper(trim(c_name)) <> ''""".stripMargin,
+
+    "q_schema_align" ->
+      """SELECT c_name AS symbol, c_mktsegment AS segment,
+        |  c_acctbal AS acctbal,
+        |  CAST(NULL AS VARCHAR) AS country, CAST(NULL AS BIGINT) AS employees
+        |FROM customer""".stripMargin,
+
+    "q_union_countries" ->
+      """SELECT c_name AS symbol, c_mktsegment AS segment, c_acctbal AS acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_name, c_mktsegment, CAST(NULL AS DOUBLE)
+        |FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_join_composite" ->
+      """SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+        |  round(avg(c_acctbal - s_acctbal), 4) AS avg_gap
+        |FROM customer JOIN supplier
+        |  ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'HAS_ORDERS' AS flag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'NO_ORDERS' AS flag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_dim_distinct_sk" ->
+      """SELECT o_orderpriority AS priority_code,
+        |  dense_rank() OVER (ORDER BY o_orderpriority) AS priority_sk
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders
+        |      WHERE o_orderpriority IS NOT NULL)""".stripMargin,
+
+    "q_dim_date" ->
+      """SELECT date,
+        |  CAST(strftime(date, '%Y%m%d') AS INT) AS date_sk,
+        |  CAST(year(date) AS INT) AS year,
+        |  CAST(quarter(date) AS INT) AS quarter,
+        |  CAST(month(date) AS INT) AS month,
+        |  CAST(day(date) AS INT) AS day,
+        |  CAST(weekofyear(date) AS INT) AS week,
+        |  CAST(isodow(date) % 7 + 1 AS INT) AS dow,
+        |  (isodow(date) % 7 + 1) IN (1, 7) AS is_weekend
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date
+        |      FROM orders WHERE o_orderdate IS NOT NULL)""".stripMargin,
+
+    "q_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |grp AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        |  FROM marked),
+        |rng AS (
+        |  SELECT user_id, event_type, ver, min(ts) AS effective_from
+        |  FROM grp GROUP BY user_id, event_type, ver)
+        |SELECT user_id, event_type, effective_from,
+        |  coalesce(lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from),
+        |           TIMESTAMP '2200-01-01 00:00:00') AS effective_to,
+        |  (lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from) IS NULL)
+        |    AS is_current
+        |FROM rng""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |grp AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        |  FROM marked),
+        |rng AS (
+        |  SELECT user_id, event_type, ver, min(ts) AS effective_from
+        |  FROM grp GROUP BY user_id, event_type, ver),
+        |dim AS (
+        |  SELECT user_id, event_type AS status, effective_from,
+        |    coalesce(lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from),
+        |             TIMESTAMP '2200-01-01 00:00:00') AS effective_to
+        |  FROM rng)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  dim.status, dim.effective_from
+        |FROM events e LEFT JOIN dim
+        |  ON e.user_id = dim.user_id
+        | AND CAST(e.ts AS TIMESTAMP) >= dim.effective_from
+        | AND CAST(e.ts AS TIMESTAMP) < dim.effective_to""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS seq,
+        |  lag(o_totalprice) OVER w AS prev_value,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_pct_change" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  round(CASE WHEN lag(o_totalprice) OVER w IS NOT NULL
+        |              AND lag(o_totalprice) OVER w <> 0
+        |        THEN (o_totalprice - lag(o_totalprice) OVER w) / lag(o_totalprice) OVER w
+        |        END, 6) AS pct_change,
+        |  CASE WHEN lag(o_totalprice) OVER w IS NULL THEN NULL
+        |       WHEN o_totalprice > lag(o_totalprice) OVER w THEN 'UP'
+        |       WHEN o_totalprice < lag(o_totalprice) OVER w THEN 'DOWN'
+        |       ELSE 'FLAT' END AS direction
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_dedup_latest" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rnk AS INT) AS rank
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT n_name, round(sum(c_acctbal), 2) AS total_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
 }

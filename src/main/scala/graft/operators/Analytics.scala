@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanFns
+
+/** Serving-layer analytics operators — the query shapes the reference
+  * serves through Trino/Superset over its star schema, plus the
+  * window-analytics used inside the curated builds (lag/lead running
+  * measures, latest-per-key, top-N).
+  *
+  * All combinators are shuffle-minimal: one hash partitioning by the
+  * group/entity key per operator, dims broadcast in star joins.
+  */
+object Analytics {
+
+  /** Star join: fact ⋈ small dims, every dim broadcast — the
+    * fact_stock_daily pattern (curated/fact_stock_daily.py) where the
+    * 100 TB fact is joined to kB..MB dims without shuffling the fact. */
+  def starJoin(fact: DataFrame,
+               dims: Seq[(DataFrame, Column)],
+               joinType: String = "left"): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, cond)) =>
+      acc.join(broadcast(dim), cond, joinType)
+    }
+
+  /** Latest record per key (lakehouse upsert/compaction read pattern,
+    * and the `dropDuplicates` usage in the reference dims). Ties on
+    * `orderCol` are broken by `tieBreak` so results are deterministic. */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderCol: Column,
+                   tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCol.desc, tieBreak.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-N rows per group, deterministic via tieBreak. */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], orderCol: Column,
+                   tieBreak: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCol.desc, tieBreak.asc)
+    df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Per-entity sequence analytics: row_number, lag value, running
+    * sum — the building blocks of the reference's SCD2 and its
+    * delta_in_week/month/year measures. */
+  def sequenceStats(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                    valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("seq", row_number().over(w))
+      .withColumn("prev_value", lag(valueCol, 1).over(w))
+      .withColumn("running_total", sum(valueCol).over(running))
+  }
+
+  /** Gap-based sessionization (batch form): a new session starts when
+    * the gap to the previous event of the same entity exceeds
+    * `gapMillis`. Returns one row per session with start/end/count/sum.
+    * The streaming twin lives in graft.streaming.Speed (stateful
+    * flatMapGroupsWithState). */
+  def sessionize(df: DataFrame, key: String, ts: String, valueCol: String,
+                 gapMillis: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__ms", unix_millis(col(ts)))
+      .withColumn("__prev_ms", lag(col("__ms"), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ms").isNull ||
+          col("__ms") - col("__prev_ms") > gapMillis, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new_sess")).over(running))
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("session_value"))
+  }
+
+  /** Time-series bucketing: date_trunc + grouped measures (speed-layer
+    * serving view). */
+  def timeBucket(df: DataFrame, ts: String, unit: String,
+                 dims: Seq[String], valueCol: String): DataFrame =
+    df.groupBy((date_trunc(unit, col(ts)).as("bucket") +:
+        dims.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col(valueCol)), 2).as("total_value"),
+        round(avg(col(valueCol)), 4).as("avg_value"))
+}

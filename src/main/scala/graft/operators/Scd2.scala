@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 builder.
+  *
+  * Re-expresses the reference's dim_company SCD2
+  * (/root/reference/airflow/dags/spark_code/curated/dim_company.py:60-100):
+  * fingerprint the tracked attributes, detect changes with `lag`,
+  * number versions with a running sum of change flags, then collapse
+  * each version run to an [effective_from, effective_to) interval and
+  * flag the open one as current.
+  *
+  * Difference from the reference, on purpose: the reference closes a
+  * version at the NEXT version's start date *inclusively*
+  * (`<= effective_to` in its PIT join), which double-matches facts
+  * that land exactly on a change date. We use half-open intervals —
+  * `effective_to` = next version's `effective_from`, and PitJoin
+  * probes with `from <= t < to` — so every fact matches exactly one
+  * version.
+  *
+  * Scale: both windows partition by the entity key — the single
+  * shuffle is by entity, no global ordering anywhere. 100 TB of
+  * change feed with millions of entities spreads evenly.
+  */
+object Scd2 {
+
+  /** Open-interval sentinel for the current version. Deliberately NOT
+    * 9999-12-31: that overflows nanosecond datetime ranges in common
+    * downstream tooling (pandas/arrow ns) and corrupts silently. */
+  val MaxTs = "2200-01-01 00:00:00"
+
+  /** @param df        change feed, one row per (entity, orderCol)
+    * @param entityKey natural-key columns of the entity
+    * @param attrs     tracked attribute columns (change in any opens a
+    *                  new version)
+    * @param orderCol  event-time column (date or timestamp)
+    * @return one row per version: entityKey ++ attrs ++
+    *         (effective_from, effective_to, is_current)
+    */
+  def build(df: DataFrame, entityKey: Seq[String], attrs: Seq[String],
+            orderCol: String): DataFrame = {
+    val keyCols = entityKey.map(col)
+    val byKey = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
+    val fingerprint = sha2(concat_ws("||",
+      attrs.map(a => coalesce(col(a).cast("string"), lit(""))): _*), 256)
+
+    val versioned = df
+      .select((entityKey ++ attrs :+ orderCol).map(col): _*)
+      .where(keyCols.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull)
+      .withColumn("attr_fp", fingerprint)
+      .withColumn("prev_fp", lag(col("attr_fp"), 1).over(byKey))
+      .withColumn("chg",
+        when(col("prev_fp").isNull || col("prev_fp") =!= col("attr_fp"), 1)
+          .otherwise(0))
+      .withColumn("ver", sum(col("chg"))
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // One row per version: attrs are constant within a version, so they
+    // join the grouping key (deterministic — no first()/any_value()).
+    val ranges = versioned
+      .groupBy((entityKey ++ attrs :+ "ver").map(col): _*)
+      .agg(min(col(orderCol)).as("effective_from"))
+
+    val timeType = df.schema(orderCol).dataType
+    val byFrom = Window.partitionBy(keyCols: _*).orderBy(col("effective_from"))
+    ranges
+      .withColumn("next_from", lead(col("effective_from"), 1).over(byFrom))
+      .withColumn("effective_to",
+        coalesce(col("next_from"), lit(MaxTs).cast(timeType)))
+      .withColumn("is_current", col("next_from").isNull)
+      .drop("ver", "next_from")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink layer: lakehouse-style table maintenance over native parquet.
+  *
+  * Twin of the reference's `write_iceberg_dynamic_partition`
+  * (/root/reference/airflow/dags/utils/init_spark.py:48-115): create a
+  * partitioned table if absent, otherwise overwrite ONLY the
+  * partitions present in the incoming frame. No Iceberg jars ship in
+  * this image, so the same semantics are built on Spark's native
+  * `partitionOverwriteMode=dynamic` — which at 100 TB is exactly the
+  * behavior you want: a daily load touches one `datadate` partition,
+  * never rewrites the table.
+  */
+object LakeWriter {
+
+  /** Write `df` to `path` partitioned by `partitionCols`; existing
+    * partitions not present in `df` are left untouched. */
+  def dynamicPartitionOverwrite(df: DataFrame, path: String,
+                                partitionCols: Seq[String]): Unit = {
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"partition columns not in frame: $missing")
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Full-table overwrite (initial loads / small dims). */
+  def overwrite(df: DataFrame, path: String,
+                partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Append (raw-zone landing). */
+  def append(df: DataFrame, path: String,
+             partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+}
