@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CleanFns
-import graft.operators.{Analytics, Dims, PitJoin, Scd2, Staging}
+import graft.operators.{Analytics, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Staging, TextAnalysis}
 import graft.sources.Tables
+import graft.streaming.Speed
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2,
   * with a DuckDB oracle in `oracleSql` wherever the semantics are
@@ -203,7 +205,77 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, d) =>
       Analytics.sessionize(T(s, d, "events"), "user_id", "ts", "value",
-        gapMillis = 1800000L))
+        gapMillis = 1800000L)),
+
+    // -- LLM-training-data pipeline ----------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
+        threshold = 0.2)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(T(s, d, "documents"), "text", "doc_id",
+        maxHamming = 3)),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      // the production shape: LSH candidates -> exact Jaccard verify
+      val docs = T(s, d, "documents")
+      val cand = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.1)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.ngramJaccard(cand, docs, "text", "doc_id", shingleN = 3,
+        threshold = 0.1)
+    }),
+
+    "q_embed_cosine" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.cosinePairs(e.where(col("vec_id") < 10),
+          e.where(col("vec_id") < 50), "vec_id", "embedding")
+        .withColumn("cos_sim", CleanFns.roundRepro(col("cos_sim"), 4))
+    }),
+
+    "q_embed_cosine_topk" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_embed_lsh_ann" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.lshTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, bits = 8, dim = 64)
+    }),
+
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.decodeFeaturesStub(
+        Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
+          "source"))),
+
+    // -- streaming (speed layer) -------------------------------------
+    "q_stream_window_agg" -> ((s, d) =>
+      Speed.runToBatch(s,
+        Speed.windowedAgg(Speed.eventStream(s, d)),
+        name = "stream_window_agg", mode = OutputMode.Complete())),
+
+    "q_stream_dedup" -> ((s, d) =>
+      Speed.runToBatch(s,
+        Speed.streamingDedup(Speed.eventStream(s, d),
+            Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")),
+        name = "stream_dedup", mode = OutputMode.Append()))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -418,6 +490,98 @@ object SparkEntry {
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8) AS fp_prefix
+        |FROM documents""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |  END AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+        |    AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           t -> t IN ('the','a','an','of','and','to','is','in','it','that'))) AS INT)
+        |    END AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    floor(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10000 + 0.5) / 10000 AS punct_ratio,
+        |    floor(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10000 + 0.5) / 10000 AS digit_ratio,
+        |    floor(n_stopwords / CAST(greatest(n_tokens, 1) AS DOUBLE) * 10000 + 0.5) / 10000 AS stopword_ratio,
+        |    floor(n_chars / CAST(greatest(n_tokens, 1) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_token_len
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_tokens, n_punct, n_digits, n_stopwords,
+        |  punct_ratio, digit_ratio, stopword_ratio, avg_token_len,
+        |  floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+        |        least(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |        (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.3) * 10000 + 0.5) / 10000 AS quality_score
+        |FROM r""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is','in'))) AS INT) AS score_en,
+        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht'))) AS INT) AS score_de,
+        |    CAST(len(list_filter(t, x -> x IN ('el','la','los','de','y','es','que'))) AS INT) AS score_es,
+        |    CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','que'))) AS INT) AS score_fr
+        |  FROM toks)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr,
+        |  CASE WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+        |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |       WHEN score_es >= score_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "q_embed_cosine" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 10 AND b.vec_id < 50 AND a.vec_id <> b.vec_id""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |             b.vec_id ASC) AS INT) AS rank
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "q_stream_window_agg" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
   )
 }

@@ -43,4 +43,16 @@ object CleanFns {
   def pctChange(current: Column, previous: Column): Column =
     when(previous.isNotNull && previous =!= 0.0,
       (current - previous) / previous)
+
+  /** Reproducible rounding: floor(x*10^d + 0.5)/10^d. Unlike `round`,
+    * which rounds the shortest DECIMAL REPRESENTATION of the double
+    * (Java BigDecimal.valueOf semantics) and therefore disagrees with
+    * engines that round the binary value, this is pure double
+    * arithmetic — any engine evaluating the same formula on the same
+    * double gets the identical result. Use it when the rounded value
+    * must hash-match an external oracle. */
+  def roundRepro(c: Column, digits: Int): Column = {
+    val p = lit(math.pow(10.0, digits))
+    floor(c * p + lit(0.5)) / p
+  }
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-processing column combinators for the training-data pipeline.
+  * Pure built-in functions (codegen'd, no UDFs) so they hold up on
+  * 100 TB of documents.
+  */
+object TextFns {
+
+  /** Whitespace-collapse + trim + lowercase — the canonical form used
+    * by fingerprints and dedup. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** md5 fingerprint of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Whitespace tokenization; empty/blank text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count (empty-safe). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * stand-in for a subword tokenizer's pre-tokenization. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that appear in `vocab`. */
+  def tokenHits(c: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(vocab.map(v => v: Any): _*)))
+
+  /** Character n-gram shingles of the normalized text (for MinHash /
+    * Jaccard). Texts shorter than n yield a single whole-text shingle. */
+  def shingles(c: Column, n: Int): Column = {
+    val norm = normalizeText(c)
+    when(length(norm) < n, array(norm)).otherwise(
+      transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+  }
+
+  /** Distinct shingles (set semantics, for exact Jaccard). */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+
+  /** Word n-gram shingles (n consecutive tokens, space-joined) of the
+    * normalized text; docs with fewer than n tokens yield one shingle. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(normalizeText(c))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct word n-grams. */
+  def wordNgramSet(c: Column, n: Int): Column = array_distinct(wordNgrams(c, n))
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture (the whole point of these ops at 100 TB):
+  *  - exact dedup is a hash-groupBy — one shuffle on a 16-byte key;
+  *  - signatures (MinHash/SimHash) are computed as EXPLODE + grouped
+  *    aggregation, not per-row array lambdas: Spark's higher-order
+  *    functions run interpreted (no codegen), while HashAggregate over
+  *    exploded shingles/tokens is fully codegen'd AND gets map-side
+  *    partial aggregation — the difference is >10× on a corpus scan;
+  *  - candidate generation NEVER compares all pairs: docs are bucketed
+  *    by (band, band hash) and only same-bucket docs are joined, with
+  *    `maxBucket` capping pathological buckets (boilerplate text);
+  *  - pair-verification stages are explicitly repartitioned: their
+  *    INPUT is small (id pairs), so AQE would coalesce them onto a
+  *    couple of cores right before the work explodes quadratically.
+  */
+object Dedup {
+
+  private val NumPartitions = 32
+
+  // -- exact ----------------------------------------------------------
+
+  /** Exact dedup on normalized text: one surviving doc id per distinct
+    * fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextFns.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  // -- MinHash + LSH --------------------------------------------------
+
+  /** MinHash signature via explode + 'perms' codegen'd min-aggregates.
+    * Universal hashing (a*h + b) mod P, P = 2^31-1: every intermediate
+    * stays < 2^63, safe under ANSI overflow checking.
+    * Returns (idCol, sig: array<long> of length `perms`). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 5, perms: Int = 64): DataFrame = {
+    val P = lit(2147483647L)
+    val exploded = df
+      .select(col(idCol),
+        explode(TextFns.shingleSet(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), P))
+    val minExprs = (0 until perms).map { j =>
+      val a = lit((j * 2 + 1).toLong)
+      val b = lit(math.floorMod(j * 0x9E3779B9L + 0x85EBCA6BL, 2147483647L))
+      min(pmod(a * col("__h") + b, P)).as(s"__m$j")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col(idCol),
+        array((0 until perms).map(j => col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands,
+    * bucket by (band index, band hash), pair up within buckets, then
+    * estimate Jaccard as the fraction of matching signature positions.
+    * Only pairs with estimate >= `threshold` survive. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 5, perms: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
+    val rows = perms / bands
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, perms)
+    val banded = sigs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))
+      ).as(Seq("band", "band_hash")))
+    // cap pathological buckets (boilerplate) — at 100 TB a single hot
+    // bucket would otherwise produce a quadratic pair explosion
+    val capped = banded
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .where(col("__n") <= maxBucket).drop("__n")
+    val l = capped.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+    val r = capped.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      // id pairs are tiny here but fan into heavy per-pair work below —
+      // pin the parallelism so AQE cannot coalesce the next stage
+      .repartition(NumPartitions, col("doc_a"))
+    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / perms, 4))
+      .where(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // -- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens, via explode + 64 codegen'd
+    * sign-sum aggregates: bit b of the signature is the sign of
+    * sum_tokens(±1 per token-hash bit b). Empty docs hash to 0. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode_outer(TextFns.tokens(TextFns.normalizeText(col(textCol))))
+        .as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("__h").isNull, 0)
+        .when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$b")
+    }
+    val assembled = (0 until 64).map { b =>
+      when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit bands (a pair within
+    * hamming distance<=3 of a 64-bit hash shares at least one of 4
+    * bands by pigeonhole), verify with bit_count(xor) <= maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+    val banded = sh.select(col(idCol), col("simhash"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * lit(16))
+          .bitwiseAND(lit(0xFFFFL))))
+      .as(Seq("band", "band_val")))
+    val l = banded.select(col(idCol).as("doc_a"),
+      col("simhash").as("sh_a"), col("band"), col("band_val"))
+    val r = banded.select(col(idCol).as("doc_b"),
+      col("simhash").as("sh_b"), col("band"), col("band_val"))
+    l.join(r, Seq("band", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // -- exact n-gram Jaccard ------------------------------------------
+
+  /** Exact n-gram Jaccard for a candidate pair set (doc_a, doc_b) —
+    * the verify stage after LSH candidate generation. */
+  def ngramJaccard(cand: DataFrame, df: DataFrame, textCol: String,
+                   idCol: String, shingleN: Int = 3,
+                   threshold: Double = 0.0): DataFrame = {
+    val sets = df.select(col(idCol),
+      TextFns.wordNgramSet(col(textCol), shingleN).as("shset"))
+    cand
+      .repartition(NumPartitions, col("doc_a"))
+      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** All-pairs n-gram Jaccard within a blocking key (e.g. same source)
+    * — bounded quadratic, for modest block sizes. The pair list is
+    * formed over bare ids first (cheap), explicitly repartitioned, and
+    * only then joined back to the shingle sets. */
+  def ngramJaccardBlocked(df: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, shingleN: Int = 3,
+                          threshold: Double = 0.1): DataFrame = {
+    val ids = df.select(col(blockCol).as("block"), col(idCol))
+    val pairs = ids.select(col("block"), col(idCol).as("doc_a"))
+      .join(ids.select(col("block"), col(idCol).as("doc_b")), Seq("block"))
+      .where(col("doc_a") < col("doc_b"))
+      .repartition(NumPartitions, col("doc_a"))
+    val sets = df.select(col(idCol),
+      TextFns.wordNgramSet(col(textCol), shingleN).as("shset"))
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 4))
+      .where(col("jaccard") >= threshold)
+      .select("block", "doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): `decodeFeaturesStub` derives deterministic fake
+  * features from the bytes. The Spark-side contract — schema,
+  * batching shape, partitioning — is real: swap `stubFeatures` for a
+  * JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("source", StringType))))))
+
+  /** Wrap a textual column as a binary payload + metadata — stands in
+    * for reading real media files into the lake. */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, mime: String = "application/octet-stream"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit(mime).as("mime"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        col(sourceCol).as("source")).as("meta"))
+
+  /** ==== the decode seam ====
+    * Deterministic fake "decoder": real code would parse the payload
+    * with a codec here. Runs per-partition so a real implementation
+    * amortizes codec init across a batch of rows (mapInPandas-style
+    * batching, Scala edition). */
+  private def stubFeatures(payload: Array[Byte]): (Long, Double, Array[Float]) = {
+    if (payload == null || payload.isEmpty) (0L, 0.0, Array.fill(8)(0.0f))
+    else {
+      val n = payload.length.toLong
+      val mean = payload.map(_ & 0xFF).sum.toDouble / n
+      // 8-dim "embedding": byte histogram over 8 buckets, normalized
+      val hist = Array.fill(8)(0f)
+      payload.foreach(b => hist((b & 0xFF) / 32) += 1f)
+      (n, mean, hist.map(_ / n))
+    }
+  }
+
+  /** Batched feature extraction over the payloads. Output:
+    * (media_id, n_bytes, byte_mean, features: array<float>). */
+  def decodeFeaturesStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("byte_mean", DoubleType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition: init a real codec once here
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (n, mean, feats) = stubFeatures(payload)
+          Row(id, n, mean, feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /** "Frame sampling": slice `frameLen`-byte windows every `stride`
+    * bytes from the payload — the plumbing (posexplode fan-out,
+    * per-frame rows) is exactly what real video frame extraction
+    * produces. */
+  def sampleFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        greatest(lit(1),
+          ((length(col("payload")) - frameLen) / stride + 1).cast("int"))
+          .as("n_frames"))
+      .select(col("media_id"), posexplode(
+        transform(sequence(lit(0), col("n_frames") - 1),
+          i => col("payload").substr(i * stride + 1, lit(frameLen))))
+        .as(Seq("frame_idx", "frame")))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CleanFns, TextFns}
+
+/** Document-level text analysis for training-data curation: token
+  * counting, quality scoring, language ID, fingerprinting. All
+  * expression-only (whole-stage codegen) — embarrassingly parallel,
+  * no shuffle, scales linearly with corpus size.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "is", "in", "it", "that")
+
+  /** Marker vocabularies for the n-gram/stopword language heuristic.
+    * Order = tie-break priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"))
+
+  /** Token counts: whitespace and BPE-ish (subword pre-tokenization). */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      TextFns.tokenCount(col(textCol)).as("n_tokens_ws"),
+      TextFns.bpeishTokenCount(col(textCol)).as("n_tokens_bpe"))
+
+  /** Quality metrics + composite score: length, punctuation/digit
+    * density, stopword ratio, mean token length. */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = TextFns.tokenCount(t)
+    val nChars = length(t)
+    val punct = size(regexp_extract_all(t, lit("[.,!?;:]"), lit(0)))
+    val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+    val stops = TextFns.tokenHits(lower(t), Stopwords)
+    val safeTok = greatest(nTok, lit(1)).cast("double")
+    val safeChars = greatest(nChars, lit(1)).cast("double")
+    df.select(col(idCol),
+        nChars.as("n_chars"),
+        nTok.as("n_tokens"),
+        punct.as("n_punct"),
+        digits.as("n_digits"),
+        stops.as("n_stopwords"),
+        CleanFns.roundRepro(punct / safeChars, 4).as("punct_ratio"),
+        CleanFns.roundRepro(digits / safeChars, 4).as("digit_ratio"),
+        CleanFns.roundRepro(stops / safeTok, 4).as("stopword_ratio"),
+        CleanFns.roundRepro(nChars / safeTok, 4).as("avg_token_len"))
+      .withColumn("quality_score",
+        CleanFns.roundRepro(
+          least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4 +
+            least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - least(col("digit_ratio") * 10.0, lit(1.0))) * 0.3,
+          4))
+  }
+
+  /** Heuristic language ID: score marker-vocabulary hits per language,
+    * argmax with deterministic tie-break (LangMarkers order), "und"
+    * when nothing matches. */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = lower(col(textCol))
+    val scored = LangMarkers.foldLeft(
+      df.select(col(idCol), col(textCol))) { case (acc, (lang, vocab)) =>
+      acc.withColumn(s"score_$lang", TextFns.tokenHits(toks, vocab))
+    }
+    val langs = LangMarkers.map(_._1)
+    val allZero = langs.map(l => col(s"score_$l") === 0).reduce(_ && _)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), els) =>
+        val geRest = langs.drop(i + 1)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .foldLeft(lit(true))(_ && _)
+        when(geRest, lit(lang)).otherwise(els)
+    }
+    scored
+      .withColumn("pred_lang", when(allZero, lit("und")).otherwise(pred))
+      .drop(textCol)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * plus a 8-hex prefix usable as a shard/bucket key. */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      TextFns.fingerprint(col(textCol)).as("fp"),
+      substring(TextFns.fingerprint(col(textCol)), 1, 8).as("fp_prefix"))
+}

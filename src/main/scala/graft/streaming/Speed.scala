@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Speed layer (Structured Streaming) — the lambda architecture's
+  * streaming half. The reference lands Kafka ticks beside its batch
+  * loads; here the same event schema streams from the lake's files
+  * (no Kafka jars in this image — the transforms are source-agnostic:
+  * swap `readStream.parquet` for `readStream.format("kafka")` and
+  * nothing downstream changes).
+  */
+object Speed {
+
+  /** events physical schema (ts is TIMESTAMP(NANOS) → read as long). */
+  private val eventsRaw = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream over the events table with µs timestamps.
+    *
+    * Spark's file stream source wants a DIRECTORY to monitor; the
+    * testdata table is a single file, so it is staged (hard-copied
+    * once) into a per-sf temp directory — in production this is just
+    * the landing directory new files arrive in. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get("/tmp",
+      "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!Files.exists(dst))
+      Files.copy(Paths.get(dir, "events.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRaw)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation with a watermark — the canonical
+    * speed-layer rollup. Returns the STREAMING frame; callers attach a
+    * sink. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 day",
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup on a key set within the watermark horizon. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys)
+
+  /** Run a streaming frame to completion against the (finite) file
+    * source and return the materialized result — used by Verify/tests
+    * to oracle-check streaming semantics synchronously. */
+  def runToBatch(spark: SparkSession, streaming: DataFrame,
+                 name: String, mode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     session_value: Double)
+
+  /** Streaming twin of Analytics.sessionize: emits a session when the
+    * gap to the next event exceeds `gapMillis` (event-time driven;
+    * the open session per user stays in state). */
+  def sessionizeStream(events: DataFrame, gapMillis: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
+          // batch-per-trigger: sort this trigger's events, fold sessions
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer[SessState]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.last <= gapMillis =>
+                open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                closed += s
+                open = Some(SessState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessState(t, t, 1, e.value))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator.map(s => Session(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, math.rint(s.sum * 100) / 100))
+      }.toDF()
+  }
+}
