@@ -86,6 +86,15 @@ object Speed {
                      session_end: java.sql.Timestamp, n_events: Long,
                      session_value: Double)
 
+  /** µs-precision round trips (Timestamp.getTime alone drops micros). */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming twin of Analytics.sessionize: emits a session when the
     * gap to the next event exceeds `gapMillis` (event-time driven;
     * the open session per user stays in state). */
@@ -97,13 +106,13 @@ object Speed {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
           // batch-per-trigger: sort this trigger's events, fold sessions
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val sorted = evs.toSeq.sortBy(e => toMicros(e.ts))
           var open = state.getOption.flatMap(_.headOption)
           val closed = scala.collection.mutable.ListBuffer[SessState]()
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = toMicros(e.ts)
             open match {
-              case Some(s) if t - s.last <= gapMillis =>
+              case Some(s) if t - s.last <= gapMillis * 1000L =>
                 open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
               case Some(s) =>
                 closed += s
@@ -114,7 +123,7 @@ object Speed {
           }
           state.update(open.toList)
           closed.iterator.map(s => Session(uid,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            toTs(s.start), toTs(s.last),
             s.n, math.rint(s.sum * 100) / 100))
       }.toDF()
   }

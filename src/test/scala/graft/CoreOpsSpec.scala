@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CleanFns
+import graft.operators.{Analytics, Dims, PitJoin, Scd2, Staging}
+import graft.sources.{LakeWriter, Tables}
+
+class CoreOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CleanFns: numeric cleaning, symbol norm, pct change") {
+    val df = Seq(("  abc ", "$1,234.56", "Customer#0042"))
+      .toDF("sym", "money", "name")
+    val row = df.select(
+      CleanFns.normSym($"sym"),
+      CleanFns.cleanDouble($"money"),
+      CleanFns.cleanLong($"name"),
+      CleanFns.pctChange(lit(110.0), lit(100.0))).head()
+    assert(row.getString(0) == "ABC")
+    assert(row.getDouble(1) == 1234.56)
+    assert(row.getLong(2) == 42L)
+    assert(math.abs(row.getDouble(3) - 0.1) < 1e-12)
+  }
+
+  test("Staging.alignTo adds typed nulls and casts; union aligns") {
+    val contract = Seq("a" -> "string", "b" -> "double", "c" -> "bigint")
+    val f1 = Seq(("x", 1)).toDF("a", "b")
+    val f2 = Seq((2L, "y")).toDF("c", "a")
+    val out = Staging.unionAligned(contract, f1, f2)
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.count() == 2)
+    assert(out.schema("b").dataType.typeName == "double")
+    assert(out.where($"a" === "y").head().getLong(2) == 2L)
+  }
+
+  test("LakeWriter.dynamicPartitionOverwrite only touches incoming partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lw").toString
+    val day1 = Seq((1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02"))
+      .toDF("id", "dt")
+    LakeWriter.dynamicPartitionOverwrite(day1, dir, Seq("dt"))
+    // incremental load: only 2024-01-02 changes
+    val day2 = Seq((99, "2024-01-02")).toDF("id", "dt")
+    LakeWriter.dynamicPartitionOverwrite(day2, dir, Seq("dt"))
+    val back = spark.read.parquet(dir)
+    assert(back.where($"dt" === "2024-01-01").count() == 2) // untouched
+    assert(back.where($"dt" === "2024-01-02").as[(Int, String)]
+      .collect().map(_._1).toSeq == Seq(99)) // replaced
+  }
+
+  test("Dims.dateDim expands calendar attributes") {
+    val d = Dims.dateDim(
+      Seq("2024-01-06", "2024-01-06", "2024-01-08").toDF("x")
+        .select(to_date($"x").as("x")), $"x")
+    assert(d.count() == 2) // distinct
+    val sat = d.where($"date_sk" === 20240106).head()
+    assert(sat.getAs[Boolean]("is_weekend"))
+    assert(d.where($"date_sk" === 20240108).head()
+      .getAs[Boolean]("is_weekend") == false)
+  }
+
+  test("Scd2.build versions an entity and PitJoin matches half-open intervals") {
+    val feed = Seq(
+      (1L, "2024-01-01 00:00:00", "A"),
+      (1L, "2024-01-02 00:00:00", "A"), // no change
+      (1L, "2024-01-03 00:00:00", "B"), // version change
+      (2L, "2024-01-05 00:00:00", "X"))
+      .toDF("id", "ts", "state")
+      .withColumn("ts", to_timestamp($"ts"))
+    val dim = Scd2.build(feed, Seq("id"), Seq("state"), "ts")
+    assert(dim.count() == 3)
+    val v1 = dim.where($"id" === 1 && $"state" === "A").head()
+    assert(v1.getAs[java.sql.Timestamp]("effective_to").toString
+      .startsWith("2024-01-03"))
+    assert(!v1.getAs[Boolean]("is_current"))
+    assert(dim.where($"is_current").count() == 2)
+
+    // fact row exactly ON the change date must match the NEW version only
+    val fact = Seq((1L, "2024-01-03 00:00:00", 9.9)).toDF("id", "ts", "v")
+      .withColumn("ts", to_timestamp($"ts"))
+    val joined = PitJoin(fact, dim, Seq("id"), "ts")
+    assert(joined.count() == 1)
+    assert(joined.head().getAs[String]("state") == "B")
+  }
+
+  test("Analytics.sessionize splits on gap and aggregates") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0), // same session (10 min gap)
+      (1L, "2024-01-01 11:00:00", 3.0), // new session (50 min gap)
+      (2L, "2024-01-01 09:00:00", 4.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val s = Analytics.sessionize(ev, "user_id", "ts", "value", 1800000L)
+    assert(s.count() == 3)
+    assert(s.where($"user_id" === 1 && $"session_id" === 1).head()
+      .getAs[Long]("n_events") == 2)
+  }
+
+  test("Analytics.latestPerKey and topKPerGroup are deterministic") {
+    val df = Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c"))
+      .toDF("k", "v", "tag")
+    val latest = Analytics.latestPerKey(df, Seq("k"), $"v", $"tag")
+    assert(latest.where($"k" === 1).head().getAs[String]("tag") == "b")
+    val top1 = Analytics.topKPerGroup(df, Seq("k"), $"v", $"tag", 1)
+    assert(top1.count() == 2)
+  }
+
+  test("Tables.csv round-trips quoted multiline fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val p = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(p,
+      "id,txt\n1,\"line one\nline two\"\n2,\"with \"\"quotes\"\"\"\n")
+    val df = Tables.csv(spark, p.toString)
+    assert(df.count() == 2)
+    assert(df.where($"id" === 1).head().getAs[String]("txt")
+      .contains("line two"))
+    assert(df.where($"id" === 2).head().getAs[String]("txt") == "with \"quotes\"")
+  }
+}

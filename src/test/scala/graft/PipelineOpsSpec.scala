@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+  lazy val embeddings = Tables.load(spark, TestSpark.sfDir, "embeddings")
+
+  /** documents ∪ lightly-mutated copies (planted near-dups). */
+  lazy val planted = {
+    val mutated = docs.where($"doc_id" < 3)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" appended tail word")).as("text"),
+        $"lang", $"source", $"n_chars")
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .union(mutated)
+  }
+
+  test("Dedup.exact collapses exact copies") {
+    val withCopy = docs.select("doc_id", "text")
+      .union(docs.where($"doc_id" === 7)
+        .select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val out = Dedup.exact(withCopy, "text", "doc_id")
+    assert(out.where($"n_copies" === 2).count() == 1)
+    assert(out.where($"n_copies" === 2).head().getAs[Long]("keep_doc_id") == 7L)
+  }
+
+  test("Dedup.minhashPairs finds planted near-duplicates") {
+    val pairs = Dedup.minhashPairs(planted, "text", "doc_id",
+      threshold = 0.5).collect()
+    for (id <- 0 until 3)
+      assert(pairs.exists(r => r.getAs[Long]("doc_a") == id &&
+        r.getAs[Long]("doc_b") == id + 100000),
+        s"planted pair $id not found")
+  }
+
+  test("Dedup.simhash of identical docs is identical; near-dups close") {
+    val sh = Dedup.simhash(planted, "text", "doc_id")
+    val a = sh.where($"doc_id" === 0).head().getAs[Long]("simhash")
+    val b = sh.where($"doc_id" === 100000).head().getAs[Long]("simhash")
+    assert(java.lang.Long.bitCount(a ^ b) <= 12) // near, not equal
+  }
+
+  test("Dedup.ngramJaccard verifies LSH candidates") {
+    val cand = Seq((0L, 100000L), (0L, 1L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(cand, planted, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 100000L)) > 0.8)   // planted near-dup
+    assert(j((0L, 1L)) < 0.5)        // unrelated docs
+  }
+
+  test("Similarity.bruteForceTopK: identical vector ranks first with cos 1") {
+    val q = embeddings.where($"vec_id" === 0)
+      .select(($"vec_id" + 900000).as("vec_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(q, embeddings, "vec_id", "embedding", 3)
+    val first = top.where($"rank" === 1).head()
+    assert(first.getAs[Long]("neighbor_id") == 0L)
+    assert(first.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("Similarity.lshTopK finds the identical vector (same bucket)") {
+    val q = embeddings.where($"vec_id" === 5)
+      .select(($"vec_id" + 900000).as("vec_id"), $"embedding")
+    val top = Similarity.lshTopK(q, embeddings, "vec_id", "embedding",
+      k = 3, bits = 8, dim = 64)
+    assert(top.where($"rank" === 1).head().getAs[Long]("neighbor_id") == 5L)
+  }
+
+  test("TextAnalysis token counts and quality on known text") {
+    val df = Seq((1L, "The cat, sat; on 42 mats!"), (2L, "   "))
+      .toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(df, "text", "doc_id")
+    assert(tc.where($"doc_id" === 1).head().getAs[Int]("n_tokens_ws") == 6)
+    assert(tc.where($"doc_id" === 2).head().getAs[Int]("n_tokens_ws") == 0)
+    val q = TextAnalysis.qualityScore(df, "text", "doc_id")
+      .where($"doc_id" === 1).head()
+    assert(q.getAs[Int]("n_punct") == 3)
+    assert(q.getAs[Int]("n_digits") == 2)
+    assert(q.getAs[Int]("n_stopwords") == 1) // the ("on" is not in the list)
+  }
+
+  test("TextAnalysis.langId follows marker vocabularies") {
+    val df = Seq(
+      (1L, "der hund und die katze ist nicht da"),
+      (2L, "the cat and the dog is in a house"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "text", "doc_id")
+    assert(out.where($"doc_id" === 1).head().getAs[String]("pred_lang") == "de")
+    assert(out.where($"doc_id" === 2).head().getAs[String]("pred_lang") == "en")
+    assert(out.where($"doc_id" === 3).head().getAs[String]("pred_lang") == "und")
+  }
+
+  test("Multimodal plumbing: stub decode and frame sampling") {
+    val media = Multimodal.attachBinary(docs.limit(10), "doc_id", "text", "source")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeaturesStub(media)
+    assert(feats.count() == 10)
+    val f = feats.where($"media_id" === 1).head()
+    assert(f.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert(f.getAs[Long]("n_bytes") > 0)
+    val frames = Multimodal.sampleFrames(media.where($"media_id" === 1), 32, 16)
+    assert(frames.count() >= 1)
+    assert(frames.head().getAs[Array[Byte]]("frame").length <= 32)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.sources.Tables
+import graft.streaming.Speed
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed agg equals the batch rollup") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.windowedAgg(Speed.eventStream(spark, TestSpark.sfDir)),
+      "t_window_agg", OutputMode.Complete())
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+      .groupBy(date_trunc("day", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming dedup emits each key once") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.streamingDedup(Speed.eventStream(spark, TestSpark.sfDir),
+        Seq("user_id", "event_type")).select($"user_id", $"event_type"),
+      "t_dedup", OutputMode.Append())
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_type").distinct()
+    assert(streamed.count() == batch.count())
+  }
+
+  test("stateful sessionizeStream emits closed sessions matching batch") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.sessionizeStream(Speed.eventStream(spark, TestSpark.sfDir),
+        gapMillis = 1800000L),
+      "t_sessions", OutputMode.Append())
+    val batch = Analytics.sessionize(
+      Tables.load(spark, TestSpark.sfDir, "events"),
+      "user_id", "ts", "value", 1800000L)
+    // the open (= last) session per user stays in state; all closed
+    // sessions must match the batch result exactly
+    val closedBatch = batch.withColumn("__last",
+        max($"session_start").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")))
+      .where($"session_start" =!= $"__last")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    // session_value is compared with tolerance separately (stream and
+    // batch accumulate doubles in different orders)
+    val streamedSel = streamed.select($"user_id", $"session_start",
+      $"session_end", $"n_events")
+    assert(streamedSel.count() == closedBatch.count())
+    assert(streamedSel.except(closedBatch).isEmpty)
+    val valDiff = streamed.alias("s")
+      .join(batch.alias("b"), Seq("user_id", "session_start"))
+      .where(abs($"s.session_value" - $"b.session_value") > 0.011)
+    assert(valDiff.isEmpty)
+  }
+
+  test("driver contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("driver contract: every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+}
