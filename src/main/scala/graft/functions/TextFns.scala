@@ -35,27 +35,30 @@ object TextFns {
   def tokenHits(c: Column, vocab: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(vocab.map(v => v: Any): _*)))
 
-  /** Character n-gram shingles of the normalized text (for MinHash /
-    * Jaccard). Texts shorter than n yield a single whole-text shingle. */
-  def shingles(c: Column, n: Int): Column = {
-    val norm = normalizeText(c)
+  /** Character n-gram shingles over an ALREADY-NORMALIZED column.
+    *
+    * IMPORTANT: pass a materialized attribute (a real column), not an
+    * expression — `norm` is referenced from inside the per-element
+    * lambda, so an embedded expression subtree (e.g. the normalize
+    * regex) would be re-evaluated once per shingle instead of once per
+    * document. That exact mistake made signature builds ~30× slower. */
+  def shinglesFromNorm(norm: Column, n: Int): Column =
     when(length(norm) < n, array(norm)).otherwise(
       transform(sequence(lit(1), length(norm) - (n - 1)),
         i => norm.substr(i, lit(n))))
-  }
 
-  /** Distinct shingles (set semantics, for exact Jaccard). */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+  /** Distinct shingles (set semantics) of a normalized column. */
+  def shingleSetFromNorm(norm: Column, n: Int): Column =
+    array_distinct(shinglesFromNorm(norm, n))
 
-  /** Word n-gram shingles (n consecutive tokens, space-joined) of the
-    * normalized text; docs with fewer than n tokens yield one shingle. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(normalizeText(c))
+  /** Word n-gram shingles over a materialized token-array column;
+    * fewer than n tokens yield one whole-doc shingle. */
+  def wordNgramsFromToks(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
-  /** Distinct word n-grams. */
-  def wordNgramSet(c: Column, n: Int): Column = array_distinct(wordNgrams(c, n))
+  /** Distinct word n-grams of a token-array column. */
+  def wordNgramSetFromToks(toks: Column, n: Int): Column =
+    array_distinct(wordNgramsFromToks(toks, n))
 }

@@ -25,6 +25,14 @@ object Dedup {
 
   private val NumPartitions = 32
 
+  /** Small inputs (one parquet file) plan as a single partition —
+    * which serializes every per-document expression onto one core.
+    * Spread them; leave already-parallel inputs untouched. */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    if (df.rdd.getNumPartitions < NumPartitions)
+      df.repartition(NumPartitions, col(idCol))
+    else df
+
   // -- exact ----------------------------------------------------------
 
   /** Exact dedup on normalized text: one surviving doc id per distinct
@@ -45,9 +53,13 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 5, perms: Int = 64): DataFrame = {
     val P = lit(2147483647L)
-    val exploded = df
+    // normalize ONCE per doc (materialized column), THEN shingle — the
+    // shingle lambda must reference an attribute, not the regex subtree
+    val normed = spread(df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
+    val exploded = normed
       .select(col(idCol),
-        explode(TextFns.shingleSet(col(textCol), shingleN)).as("__sh"))
+        explode(TextFns.shingleSetFromNorm(col("__norm"), shingleN)).as("__sh"))
       .withColumn("__h", pmod(xxhash64(col("__sh")), P))
     val minExprs = (0 until perms).map { j =>
       val a = lit((j * 2 + 1).toLong)
@@ -69,7 +81,12 @@ object Dedup {
                    threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     val rows = perms / bands
+    // The signature table is referenced three times (banding + both
+    // sides of the estimate join) — materialize it once. At production
+    // scale this is the table you'd write to the lake anyway; here a
+    // MEMORY_AND_DISK persist keeps the corpus scan single-pass.
     val sigs = minhashSignatures(df, textCol, idCol, shingleN, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))
@@ -105,7 +122,7 @@ object Dedup {
     * sign-sum aggregates: bit b of the signature is the sign of
     * sum_tokens(±1 per token-hash bit b). Empty docs hash to 0. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df.select(col(idCol),
+    val exploded = spread(df, idCol).select(col(idCol),
       explode_outer(TextFns.tokens(TextFns.normalizeText(col(textCol))))
         .as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
@@ -152,8 +169,10 @@ object Dedup {
   def ngramJaccard(cand: DataFrame, df: DataFrame, textCol: String,
                    idCol: String, shingleN: Int = 3,
                    threshold: Double = 0.0): DataFrame = {
-    val sets = df.select(col(idCol),
-      TextFns.wordNgramSet(col(textCol), shingleN).as("shset"))
+    val sets = spread(df.select(col(idCol),
+        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__toks")), idCol)
+      .select(col(idCol),
+        TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
     cand
       .repartition(NumPartitions, col("doc_a"))
       .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
@@ -177,8 +196,10 @@ object Dedup {
       .join(ids.select(col("block"), col(idCol).as("doc_b")), Seq("block"))
       .where(col("doc_a") < col("doc_b"))
       .repartition(NumPartitions, col("doc_a"))
-    val sets = df.select(col(idCol),
-      TextFns.wordNgramSet(col(textCol), shingleN).as("shset"))
+    val sets = spread(df.select(col(idCol),
+        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__toks")), idCol)
+      .select(col(idCol),
+        TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
     pairs
       .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
