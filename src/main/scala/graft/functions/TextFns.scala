@@ -47,8 +47,17 @@ object TextFns {
       transform(sequence(lit(1), length(norm) - (n - 1)),
         i => norm.substr(i, lit(n))))
 
-  /** Distinct shingles (set semantics) of a normalized column. */
-  def shingleSetFromNorm(norm: Column, n: Int): Column =
+  /** Distinct shingles (set semantics) of a normalized column —
+    * native codegen'd expression (see graft.plans.CharShingles). */
+  def shingleSetFromNorm(norm: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.CharShingles(GraftColumnBridge.expression(norm), n))
+  }
+
+  /** Composed-builtins variant of shingleSetFromNorm — kept as the
+    * semantic reference for CharShingles (tests compare the two). */
+  def shingleSetFromNormComposed(norm: Column, n: Int): Column =
     array_distinct(shinglesFromNorm(norm, n))
 
   /** Word n-gram shingles over a materialized token-array column;

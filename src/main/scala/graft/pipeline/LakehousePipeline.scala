@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanFns
+import graft.operators.{Dims, PitJoin, Scd2}
+import graft.sources.{LakeWriter, Tables}
+
+/** End-to-end batch layer: raw → staged → curated star schema, the
+  * shape of the reference's Airflow DAG (ingestion group → stg group →
+  * dim group → fact), expressed as one idempotent Spark job.
+  *
+  * Zones on disk (all parquet):
+  *   {out}/stg/stg_events            partitioned by event_date (dynamic overwrite)
+  *   {out}/curated/dim_date
+  *   {out}/curated/dim_event_type
+  *   {out}/curated/dim_user_state    (SCD2 over the event feed)
+  *   {out}/curated/fact_events       partitioned by date_sk (dynamic overwrite)
+  *
+  * Incremental loads re-run the same job on new raw data: dynamic
+  * partition overwrite rewrites only the event days present in the
+  * incoming frame — yesterday's partitions are never touched, which is
+  * what makes this viable on a 100 TB fact table.
+  */
+object LakehousePipeline {
+
+  case class Result(stgRows: Long, dimDate: Long, dimEventType: Long,
+                    dimUserState: Long, factRows: Long)
+
+  /** Run the full batch layer over one sf directory. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val rawEvents = Tables.load(spark, sfDir, "events")
+
+    // ---- staging: normalize, derive partition column ---------------
+    val stg = rawEvents
+      .select(
+        col("event_id"), col("ts"), col("user_id"),
+        CleanFns.normSym(col("event_type")).as("event_type"),
+        col("value"), col("props"),
+        to_date(col("ts")).as("event_date"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    LakeWriter.dynamicPartitionOverwrite(stg, s"$outDir/stg/stg_events",
+      Seq("event_date"))
+    val stgBack = spark.read.parquet(s"$outDir/stg/stg_events")
+
+    // ---- dims ------------------------------------------------------
+    val dimDate = Dims.dateDim(stgBack, col("event_date"))
+    LakeWriter.overwrite(dimDate, s"$outDir/curated/dim_date")
+
+    val dimEventType = Dims.distinctDim(stgBack, Seq("event_type"),
+      "event_type_sk")
+    LakeWriter.overwrite(dimEventType, s"$outDir/curated/dim_event_type")
+
+    val dimUserState = Scd2.build(stgBack, Seq("user_id"),
+      Seq("event_type"), "ts")
+      .withColumnRenamed("event_type", "state")
+    LakeWriter.overwrite(dimUserState, s"$outDir/curated/dim_user_state")
+
+    // ---- fact: surrogate keys via broadcast dims + PIT join --------
+    val fact = PitJoin(stgBack, dimUserState, Seq("user_id"), "ts")
+      .join(broadcast(dimEventType), Seq("event_type"), "left")
+      .withColumn("date_sk", CleanFns.dateSk(col("event_date")))
+      .select("date_sk", "event_id", "user_id", "event_type_sk",
+        "state", "value", "ts")
+    LakeWriter.dynamicPartitionOverwrite(fact, s"$outDir/curated/fact_events",
+      Seq("date_sk"))
+
+    Result(stgBack.count(), dimDate.count(), dimEventType.count(),
+      dimUserState.count(),
+      spark.read.parquet(s"$outDir/curated/fact_events").count())
+  }
+}

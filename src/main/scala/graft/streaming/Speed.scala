@@ -63,6 +63,13 @@ object Speed {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys)
 
+  /** Stream-static enrichment: join the live stream against a
+    * (broadcast) dimension table — the speed layer serving enriched
+    * events while the batch layer rebuilds dims behind it. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Run a streaming frame to completion against the (finite) file
     * source and return the materialized result — used by Verify/tests
     * to oracle-check streaming semantics synchronously. */

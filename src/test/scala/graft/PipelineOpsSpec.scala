@@ -97,6 +97,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.where($"doc_id" === 3).head().getAs[String]("pred_lang") == "und")
   }
 
+  test("CharShingles native expression matches the composed builtins") {
+    import graft.functions.TextFns
+    val base = planted.select($"doc_id",
+      TextFns.normalizeText($"text").as("n"))
+    val native = base.select($"doc_id",
+      TextFns.shingleSetFromNorm($"n", 5).as("s"))
+    val composed = base.select($"doc_id",
+      TextFns.shingleSetFromNormComposed($"n", 5).as("s"))
+    assert(native.count() == composed.count())
+    assert(native.except(composed).isEmpty)
+    assert(composed.except(native).isEmpty)
+  }
+
   test("Multimodal plumbing: stub decode and frame sampling") {
     val media = Multimodal.attachBinary(docs.limit(10), "doc_id", "text", "source")
     assert(media.schema("payload").dataType.typeName == "binary")

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.LakehousePipeline
+import graft.sources.{Tables, Views}
+import graft.streaming.Speed
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LakehousePipeline builds all zones and is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val r1 = LakehousePipeline.run(spark, TestSpark.sfDir, out)
+    assert(r1.stgRows == 1000)
+    assert(r1.factRows == r1.stgRows)   // PIT join: exactly one version per event
+    assert(r1.dimEventType == 5)
+    assert(r1.dimUserState > 0)
+    // rerunning the same load must not duplicate anything
+    val r2 = LakehousePipeline.run(spark, TestSpark.sfDir, out)
+    assert(r2.stgRows == r1.stgRows && r2.factRows == r1.factRows)
+    // the curated zone serves SQL
+    Views.registerZone(spark, s"$out/curated")
+    val daily = spark.sql(
+      """SELECT d.date, count(*) AS n FROM fact_events f
+        |JOIN dim_date d ON f.date_sk = d.date_sk GROUP BY d.date""".stripMargin)
+    assert(daily.count() == 30)
+    assert(daily.agg(sum($"n")).head().getLong(0) == r1.factRows)
+  }
+
+  test("Views serves ad-hoc SQL over the raw zone") {
+    val top = Views.sql(spark, TestSpark.sfDir,
+      "SELECT o_orderpriority, count(*) n FROM orders GROUP BY 1")
+    assert(top.count() == 5)
+  }
+
+  test("enrichStream joins stream rows to a static dim") {
+    val dim = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"event_type").distinct()
+      .withColumn("type_tag", concat(lit("T_"), $"event_type"))
+    val enriched = Speed.runToBatch(spark,
+      Speed.enrichStream(Speed.eventStream(spark, TestSpark.sfDir), dim,
+        Seq("event_type")),
+      "t_enrich", OutputMode.Append())
+    assert(enriched.count() == 1000)
+    assert(enriched.where($"type_tag".isNull).count() == 0)
+  }
+}
