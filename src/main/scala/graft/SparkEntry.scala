@@ -207,6 +207,43 @@ object SparkEntry {
       Analytics.sessionize(T(s, d, "events"), "user_id", "ts", "value",
         gapMillis = 1800000L)),
 
+    "q_cube" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(broadcast(T(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    "q_trailing_window" -> ((s, d) => {
+      Analytics.trailingWindow(T(s, d, "orders"), Seq("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"), days = 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("epoch_day"),
+          col("o_totalprice"), col("trailing_sum"), col("trailing_n"))
+    }),
+
+    "q_distinct_agg" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q_percentiles" -> ((s, d) => {
+      T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          CleanFns.roundRepro(percentile(col("o_totalprice"), lit(0.5)), 2)
+            .as("p50_price"),
+          CleanFns.roundRepro(percentile(col("o_totalprice"), lit(0.9)), 2)
+            .as("p90_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // -- LLM-training-data pipeline ----------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(T(s, d, "documents"), "text", "doc_id")),
@@ -491,6 +528,37 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, round(sum(c_acctbal), 2) AS total_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin,
+
+    "q_trailing_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS epoch_day,
+        |  o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_sum,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing_n
+        |FROM orders""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50_price,
+        |  floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_price,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,

@@ -81,6 +81,21 @@ object Analytics {
         round(sum(col(valueCol)), 2).as("session_value"))
   }
 
+  /** Trailing N-day window aggregate (RANGE frame over epoch days) —
+    * the delta_in_week/month-style trailing measures of the reference,
+    * computed scalably: one shuffle on the entity key, peers included
+    * via the range frame. */
+  def trailingWindow(df: DataFrame, keys: Seq[String], dateCol: Column,
+                     valueCol: Column, days: Int): DataFrame = {
+    val epochDay = datediff(dateCol.cast("date"),
+      lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1), 0)
+    df.withColumn("epoch_day", epochDay)
+      .withColumn("trailing_sum", round(sum(valueCol).over(w), 2))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+  }
+
   /** Time-series bucketing: date_trunc + grouped measures (speed-layer
     * serving view). */
   def timeBucket(df: DataFrame, ts: String, unit: String,
