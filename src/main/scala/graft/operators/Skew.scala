@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salting for hot keys.
+  *
+  * AQE's skew-join handling (on by default) covers sort-merge joins at
+  * runtime; these operators cover the cases AQE does not: skewed
+  * AGGREGATION keys, and hash joins where one key dominates so badly
+  * that a single task would own it.
+  *
+  * Salting is deterministic here (hash of a caller-chosen unique
+  * column, not rand()) so results are reproducible run to run.
+  */
+object Skew {
+
+  /** Two-phase (salted) sum/count aggregation: partial-aggregate on
+    * (key, salt), then merge per key. A hot key's rows spread over
+    * `salts` tasks instead of one. avg is reconstructed from
+    * sum/count, so the result is exact. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: Column,
+                saltFrom: Column, salts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(col("__psum")).as("total"),
+        sum(col("__pcnt")).as("n"),
+        (sum(col("__psum")) / sum(col("__pcnt"))).as("avg"))
+  }
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a
+    * deterministic salt in [0, salts); the (small-ish, but above
+    * broadcast threshold) right side is replicated `salts` times so
+    * every (key, salt) bucket finds its match. Exact same rows as the
+    * plain join, but a hot key now lands on `salts` tasks. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFrom: Column, salts: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

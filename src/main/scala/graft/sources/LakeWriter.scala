@@ -37,6 +37,20 @@ object LakeWriter {
       .parquet(path)
   }
 
+  /** Bucketed + sorted table: co-locates join/aggregation keys at
+    * WRITE time so repeated large-to-large joins on `bucketCols` run
+    * with NO shuffle on either side — the 100 TB answer to a fact
+    * table that is joined on the same key every day. Requires a
+    * catalog table (bucketing metadata lives in the catalog). */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Append (raw-zone landing). */
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil): Unit = {

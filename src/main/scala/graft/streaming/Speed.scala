@@ -70,6 +70,23 @@ object Speed {
                    keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream interval join: match right events to left events of
+    * the same key within (0, `withinMillis`] after the left event —
+    * e.g. purchases within an hour of a click. Both sides need
+    * watermarks so Spark can bound the join state. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, withinMillis: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") > col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <=
+          col(s"l.$leftTs") + expr(s"INTERVAL ${withinMillis / 1000} SECONDS"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Run a streaming frame to completion against the (finite) file
     * source and return the materialized result — used by Verify/tests
     * to oracle-check streaming semantics synchronously. */
