@@ -10,9 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT, codegen, parquet reader init — otherwise
+    // whichever query runs first absorbs ~10s of one-time cost
+    try SparkEntry.queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces FULL evaluation of every output column —
+      // count() would let Catalyst prune the projections away and
+      // under-report narrow transforms
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
