@@ -301,6 +301,23 @@ object SparkEntry {
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
           "source"))),
 
+    "q_json_extract" -> ((s, d) => {
+      // semi-structured props column: '{"k": 69}'
+      T(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        when(get_json_object(col("props"), "$.k").cast("int") >= 50,
+          lit("HIGH")).otherwise(lit("LOW")).as("k_band"))
+    }),
+
+    "q_approx_distinct" -> ((s, d) => {
+      // HLL sketch per group — approximate result, rows-only check
+      // (exact distinct counts are oracle-checked in q_distinct_agg)
+      T(s, d, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          approx_count_distinct(col("props"), 0.01).as("approx_props"))
+    }),
+
     // -- streaming (speed layer) -------------------------------------
     "q_stream_window_agg" -> ((s, d) =>
       Speed.runToBatch(s,
@@ -643,6 +660,13 @@ object SparkEntry {
         |             b.vec_id ASC) AS INT) AS rank
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        |       THEN 'HIGH' ELSE 'LOW' END AS k_band
+        |FROM events""".stripMargin,
 
     "q_stream_window_agg" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,

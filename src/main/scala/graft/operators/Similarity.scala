@@ -17,18 +17,30 @@ import graft.functions.{CleanFns, VecFns}
   *    compares against corpus vectors sharing its signature bucket,
   *    touching ~|corpus| / 2^bits of the data. The scale path for
   *    large query sets.
+  *
+  * Norms are computed ONCE PER SIDE before the pair join (the naive
+  * cosine would recompute the query norm for every corpus row), and
+  * the per-pair dot product is the native VecDot expression.
   */
 object Similarity {
+
+  private def withNorm(df: DataFrame, idCol: String, idAs: String,
+                       vecCol: String, vecAs: String,
+                       normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      VecFns.norm(col(vecCol)).as(normAs))
+
+  private def pairCos: Column = VecFns.cosineFromParts(
+    VecFns.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
 
   /** Pairwise cosine for a (small, broadcast) query set × corpus. */
   def cosinePairs(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(withNorm(queries, idCol, "query_id", vecCol, "__qv", "__qn"))
+    val c = withNorm(corpus, idCol, "neighbor_id", vecCol, "__cv", "__cn")
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", VecFns.cosine(col("__qv"), col("__cv")))
-      .drop("__qv", "__cv")
+      .withColumn("cos_sim", pairCos)
+      .drop("__qv", "__cv", "__qn", "__cn")
   }
 
   /** Exact top-k neighbors per query by cosine (ties broken by id). */
@@ -47,17 +59,17 @@ object Similarity {
     * lower it for recall. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int, dim: Int): DataFrame = {
-    val sig = (df: DataFrame, id: String) => df.select(
-      col(idCol).as(id), col(vecCol).as(s"__v_$id"),
-      xxhash64(VecFns.lshSignature(col(vecCol), bits, dim)).as("bucket"))
-    val q = broadcast(sig(queries, "query_id"))
-    val c = sig(corpus, "neighbor_id")
+    val sig = (df: DataFrame, id: String, v: String, n: String) =>
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        VecFns.norm(col(vecCol)).as(n),
+        xxhash64(VecFns.lshSignature(col(vecCol), bits, dim)).as("bucket"))
+    val q = broadcast(sig(queries, "query_id", "__qv", "__qn"))
+    val c = sig(corpus, "neighbor_id", "__cv", "__cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim",
-        CleanFns.roundRepro(VecFns.cosine(col("__v_query_id"), col("__v_neighbor_id")), 4))
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -70,15 +82,15 @@ object Similarity {
                          threshold: Double, bits: Int,
                          dim: Int): DataFrame = {
     val sig = df.select(col(idCol), col(vecCol),
+      VecFns.norm(col(vecCol)).as("__n"),
       xxhash64(VecFns.lshSignature(col(vecCol), bits, dim)).as("bucket"))
     val l = sig.select(col("bucket"), col(idCol).as("doc_a"),
-      col(vecCol).as("__va"))
+      col(vecCol).as("__qv"), col("__n").as("__qn"))
     val r = sig.select(col("bucket"), col(idCol).as("doc_b"),
-      col(vecCol).as("__vb"))
+      col(vecCol).as("__cv"), col("__n").as("__cn"))
     l.join(r, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .withColumn("cos_sim",
-        CleanFns.roundRepro(VecFns.cosine(col("__va"), col("__vb")), 4))
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
       .where(col("cos_sim") >= threshold)
       .select("doc_a", "doc_b", "cos_sim")
   }

@@ -110,6 +110,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(composed.except(native).isEmpty)
   }
 
+  test("VecDot native expression matches the composed builtins") {
+    import graft.functions.VecFns
+    val pairs = embeddings.select($"vec_id", $"embedding")
+      .crossJoin(embeddings.where($"vec_id" < 3)
+        .select($"embedding".as("e2")))
+    val native = pairs.select(VecFns.dot($"embedding", $"e2").as("d"))
+    val composed = pairs.select(VecFns.dotComposed($"embedding", $"e2").as("d"))
+    // identical accumulation order and promotions -> bitwise equal
+    assert(native.except(composed).isEmpty)
+    assert(composed.except(native).isEmpty)
+  }
+
   test("Multimodal plumbing: stub decode and frame sampling") {
     val media = Multimodal.attachBinary(docs.limit(10), "doc_id", "text", "source")
     assert(media.schema("payload").dataType.typeName == "binary")
