@@ -301,6 +301,21 @@ object SparkEntry {
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
           "source"))),
 
+    "q_lookup_enrich" -> ((s, d) => {
+      // static in-memory lookup (the reference's pycountry/FX-rate
+      // pattern) broadcast onto lake data
+      val lookup = s.createDataFrame(Seq(
+        ("AFRICA", "AF", 1.0), ("AMERICA", "AM", 1.1), ("ASIA", "AS", 0.9),
+        ("EUROPE", "EU", 1.2), ("MIDDLE EAST", "ME", 0.8)))
+        .toDF("r_name", "region_code", "weight")
+      Dims.lookupEnrich(
+          T(s, d, "region").join(T(s, d, "nation"),
+            col("r_regionkey") === col("n_regionkey")),
+          lookup, Seq("r_name"))
+        .select(col("n_name"), col("r_name"), col("region_code"),
+          col("weight"))
+    }),
+
     "q_json_extract" -> ((s, d) => {
       // semi-structured props column: '{"k": 69}'
       T(s, d, "events").select(
@@ -660,6 +675,14 @@ object SparkEntry {
         |             b.vec_id ASC) AS INT) AS rank
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_lookup_enrich" ->
+      """SELECT n_name, r_name, region_code, weight
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |LEFT JOIN (VALUES ('AFRICA','AF',1.0), ('AMERICA','AM',1.1),
+        |                  ('ASIA','AS',0.9), ('EUROPE','EU',1.2),
+        |                  ('MIDDLE EAST','ME',0.8))
+        |  AS l(r_name2, region_code, weight) ON r_name = r_name2""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id,

@@ -51,6 +51,14 @@ object Dims {
         dense_rank().over(Window.orderBy(keyCols: _*)).cast("long"))
   }
 
+  /** Enrich a frame from a small in-memory lookup table (broadcast) —
+    * the reference's dim_currency pattern: static name/rate lookups
+    * (pycountry, hardcoded FX rates) joined onto the distinct codes
+    * (curated/dim_currency.py). */
+  def lookupEnrich(df: DataFrame, lookup: DataFrame, key: Seq[String],
+                   joinType: String = "left"): DataFrame =
+    df.join(broadcast(lookup), key, joinType)
+
   /** crc32-keyed variant — byte-for-byte the reference's key scheme. */
   def distinctDimCrc32(df: DataFrame, naturalKey: Seq[String],
                        skName: String): DataFrame = {

@@ -87,6 +87,24 @@ object Speed {
       .drop(col(s"r.$key"))
   }
 
+  /** Speed-layer lake sink: every micro-batch lands in the serving
+    * zone via dynamic partition overwrite — late re-deliveries of a
+    * partition overwrite it in place instead of duplicating. This is
+    * the foreachBatch bridge between the streaming half and the
+    * LakeWriter used by the batch layer. */
+  def sinkToLake(streaming: DataFrame, path: String,
+                 partitionCols: Seq[String],
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.LakeWriter.dynamicPartitionOverwrite(
+          batch.toDF(), path, partitionCols)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming frame to completion against the (finite) file
     * source and return the materialized result — used by Verify/tests
     * to oracle-check streaming semantics synchronously. */

@@ -37,6 +37,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.count() == 5)
   }
 
+  test("sinkToLake lands streaming aggregates as dynamic partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val agg = Speed.windowedAgg(Speed.eventStream(spark, TestSpark.sfDir))
+      .withColumn("day", to_date($"window_start"))
+    val q = Speed.sinkToLake(agg, s"$out/speed_agg", Seq("day"), ckpt)
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$out/speed_agg")
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+      .groupBy(date_trunc("day", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(back.select("window_start", "event_type").distinct().count() ==
+      batch.count())
+  }
+
   test("enrichStream joins stream rows to a static dim") {
     val dim = Tables.load(spark, TestSpark.sfDir, "events")
       .select($"event_type").distinct()
