@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CleanFns
-import graft.operators.{Analytics, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Staging, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Staging, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Speed
 import org.apache.spark.sql.streaming.OutputMode
@@ -300,6 +300,19 @@ object SparkEntry {
       Multimodal.decodeFeaturesStub(
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
           "source"))),
+
+    "q_asof_join" -> ((s, d) => {
+      // each click joined to the user's most recent prior purchase
+      val ev = T(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_event_id"), col("p_value"))
+    }),
 
     "q_lookup_enrich" -> ((s, d) => {
       // static in-memory lookup (the reference's pycountry/FX-rate
@@ -675,6 +688,18 @@ object SparkEntry {
         |             b.vec_id ASC) AS INT) AS rank
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+        |    event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.p_ts <= c.ts""".stripMargin,
 
     "q_lookup_enrich" ->
       """SELECT n_name, r_name, region_code, weight

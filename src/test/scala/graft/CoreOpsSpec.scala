@@ -85,6 +85,32 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(joined.head().getAs[String]("state") == "B")
   }
 
+  test("AsOfJoin matches the latest prior right row, with tolerance") {
+    import graft.operators.AsOfJoin
+    val trades = Seq((1L, "2024-01-01 10:00:30", 100.0),
+      (1L, "2024-01-01 10:05:00", 101.0),
+      (2L, "2024-01-01 09:00:00", 50.0))
+      .toDF("sym", "ts", "px").withColumn("ts", to_timestamp($"ts"))
+    val quotes = Seq((1L, "2024-01-01 10:00:00", 99.5),
+      (1L, "2024-01-01 10:00:30", 99.9), // exactly at first trade ts
+      (1L, "2024-01-01 10:04:00", 100.5))
+      .toDF("sym", "qts", "bid").withColumn("qts", to_timestamp($"qts"))
+    val j = AsOfJoin(trades, quotes, Seq("sym"), "ts", "qts")
+    val t1 = j.where($"px" === 100.0).head()
+    assert(t1.getAs[Double]("bid") == 99.9) // <= semantics: equal ts matches
+    val t2 = j.where($"px" === 101.0).head()
+    assert(t2.getAs[Double]("bid") == 100.5)
+    assert(j.where($"px" === 50.0).head().isNullAt(
+      j.columns.indexOf("bid"))) // no quotes for sym 2
+
+    // 30s tolerance: the 10:05 trade's latest quote (10:04) is too old
+    val tight = AsOfJoin(trades, quotes, Seq("sym"), "ts", "qts",
+      toleranceMillis = 30000L)
+    assert(tight.where($"px" === 100.0).head().getAs[Double]("bid") == 99.9)
+    assert(tight.where($"px" === 101.0).head().isNullAt(
+      tight.columns.indexOf("bid")))
+  }
+
   test("Analytics.sessionize splits on gap and aggregates") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
