@@ -74,4 +74,31 @@ object Scd2 {
       .withColumn("is_current", col("next_from").isNull)
       .drop("ver", "next_from")
   }
+
+  /** Incremental SCD2 maintenance: fold a new change-feed increment
+    * into an existing dimension WITHOUT touching entities that have no
+    * new rows.
+    *
+    * At 100 TB this is the difference between rewriting a billion-
+    * entity dimension nightly and rebuilding only the (typically tiny)
+    * set of entities that actually changed: untouched entities pass
+    * through with a cheap anti join; touched entities are re-derived
+    * from their existing version rows (each version IS its change
+    * point, so the history round-trips losslessly) unioned with the
+    * increment.
+    */
+  def merge(existing: DataFrame, increment: DataFrame,
+            entityKey: Seq[String], attrs: Seq[String],
+            orderCol: String): DataFrame = {
+    val touchedKeys = increment.select(entityKey.map(col): _*).distinct()
+    val untouched = existing.join(touchedKeys, entityKey, "left_anti")
+    val replayFeed = existing.join(touchedKeys, entityKey, "left_semi")
+      .select((entityKey ++ attrs).map(col) :+
+        col("effective_from").as(orderCol): _*)
+    val rebuilt = build(
+      replayFeed.unionByName(
+        increment.select((entityKey ++ attrs :+ orderCol).map(col): _*)),
+      entityKey, attrs, orderCol)
+    untouched.unionByName(rebuilt)
+  }
 }

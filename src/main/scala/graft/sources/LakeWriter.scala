@@ -51,6 +51,29 @@ object LakeWriter {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite a partitioned table so each
+    * partition holds one file (hash-repartitioning by the partition
+    * columns sends each partition's rows to a single task). Streaming
+    * sinks and frequent incremental loads accumulate small files that
+    * degrade scan planning — schedule this per zone. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              partitionCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(path)
+    val compacted =
+      if (partitionCols.isEmpty) df.coalesce(1)
+      else df.repartition(partitionCols.map(df.col): _*)
+    // rewrite through a staging dir: cannot overwrite the input in place
+    val tmp = path.stripSuffix("/") + "__compacting"
+    (if (partitionCols.isEmpty) compacted.write.mode("overwrite")
+     else compacted.write.mode("overwrite").partitionBy(partitionCols: _*))
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Append (raw-zone landing). */
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil): Unit = {

@@ -88,10 +88,15 @@ object Speed {
   }
 
   /** Speed-layer lake sink: every micro-batch lands in the serving
-    * zone via dynamic partition overwrite — late re-deliveries of a
-    * partition overwrite it in place instead of duplicating. This is
+    * zone via dynamic partition overwrite — an updated aggregate
+    * overwrites its partition in place instead of duplicating. This is
     * the foreachBatch bridge between the streaming half and the
-    * LakeWriter used by the batch layer. */
+    * LakeWriter used by the batch layer.
+    *
+    * CONTRACT: `partitionCols` must cover the aggregation key (one
+    * partition = one update unit). Update-mode batches contain only
+    * CHANGED rows; if a partition held rows of several keys, an
+    * update touching one key would wipe the others on overwrite. */
   def sinkToLake(streaming: DataFrame, path: String,
                  partitionCols: Seq[String],
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

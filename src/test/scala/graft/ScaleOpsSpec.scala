@@ -63,6 +63,73 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Scd2.merge(incremental) equals the full-history rebuild") {
+    import graft.operators.Scd2
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+    val cut = "2024-01-15 00:00:00"
+    val first = ev.where($"ts" < to_timestamp(lit(cut)))
+    val second = ev.where($"ts" >= to_timestamp(lit(cut)))
+    val full = Scd2.build(ev, Seq("user_id"), Seq("event_type"), "ts")
+    val incr = Scd2.merge(
+      Scd2.build(first, Seq("user_id"), Seq("event_type"), "ts"),
+      second, Seq("user_id"), Seq("event_type"), "ts")
+    assert(incr.count() == full.count())
+    assert(incr.except(full).isEmpty && full.except(incr).isEmpty)
+  }
+
+  test("LakeWriter.compact collapses small files per partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .withColumn("day", to_date($"ts"))
+    ev.repartition(10).write.partitionBy("day").mode("overwrite")
+      .parquet(s"$dir/t")
+    def fileCount = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val before = fileCount
+    LakeWriter.compact(spark, s"$dir/t", Seq("day"))
+    val after = fileCount
+    assert(after < before, s"$after !< $before")
+    assert(spark.read.parquet(s"$dir/t").count() == ev.count())
+  }
+
+  test("streaming agg sink resumes from checkpoint on incremental arrival") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val lake = java.nio.file.Files.createTempDirectory("graft_inc_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_inc_ck").toString
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+    def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val t = java.nio.file.Files.createTempDirectory("graft_land")
+      df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(t).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(stage, s"$tag.parquet"))
+    }
+    def aggStream = spark.readStream.schema(ev.schema).parquet(stage)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // first arrival
+    land(ev.where($"event_id" < 500), "batch1")
+    Speed.sinkToLake(aggStream, s"$lake/agg", Seq("day", "event_type"), ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$lake/agg").agg(sum($"n")).head()
+      .getLong(0) == 500)
+    // second arrival, same checkpoint: state carries over, changed
+    // (day, event_type) partitions are rewritten with full counts
+    land(ev.where($"event_id" >= 500), "batch2")
+    Speed.sinkToLake(aggStream, s"$lake/agg", Seq("day", "event_type"), ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$lake/agg")
+      .select($"day", $"event_type", $"n")
+    val want = ev.groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("stream-stream interval join: purchases within 1h of a click") {
     val ev = Speed.eventStream(spark, TestSpark.sfDir)
     val clicks = ev.where($"event_type" === "click")
