@@ -301,6 +301,13 @@ object SparkEntry {
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
           "source"))),
 
+    "q_sample_per_group" -> ((s, d) => {
+      Analytics.deterministicSample(
+          T(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("source"), col("n_chars")),
+          Seq("lang"), "doc_id", k = 5)
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // each click joined to the user's most recent prior purchase
       val ev = T(s, d, "events")
@@ -688,6 +695,12 @@ object SparkEntry {
         |             b.vec_id ASC) AS INT) AS rank
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_sample_per_group" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

@@ -81,6 +81,28 @@ object Analytics {
         round(sum(col(valueCol)), 2).as("session_value"))
   }
 
+  /** Deterministic uniform sample of k rows per group: order by a
+    * hash of the row id and keep the first k. Equivalent to reservoir
+    * sampling with uniform weights, but reproducible across runs and
+    * engines (md5 is everywhere) — the right way to downsample a
+    * training corpus per language/source without a seed dependency. */
+  def deterministicSample(df: DataFrame, keys: Seq[String], idCol: String,
+                          k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Deterministic fraction sample: keep rows whose id-hash falls in
+    * the first `percent` of the md5 space (engine-portable). */
+  def deterministicFraction(df: DataFrame, idCol: String,
+                            percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100)
+    val bound = f"${(percent * 256 / 100).min(255)}%02x"
+    df.where(substring(md5(col(idCol).cast("string")), 1, 2) < bound)
+  }
+
   /** Trailing N-day window aggregate (RANGE frame over epoch days) —
     * the delta_in_week/month-style trailing measures of the reference,
     * computed scalably: one shuffle on the entity key, peers included

@@ -108,10 +108,13 @@ object Dedup {
       .repartition(NumPartitions, col("doc_a"))
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    val matchCount = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ArrayMatchCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sig_b"))))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / perms, 4))
+      .withColumn("est_jaccard",
+        round(matchCount.cast("double") / perms, 4))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
