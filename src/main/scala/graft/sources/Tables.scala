@@ -53,6 +53,34 @@ object Tables {
     }
   }
 
+  /** CSV ingestion with quarantine routing: rows that fail the schema
+    * land in a `_corrupt_record` side-channel instead of poisoning the
+    * load — (good, quarantined) frames returned. The cache() is
+    * required: Spark refuses filters on the corrupt-record column over
+    * a streaming re-read. */
+  def csvWithQuarantine(spark: SparkSession, path: String,
+                        schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    val good = raw.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.where(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+    (good, bad)
+  }
+
+  /** Parquet read across evolving schemas (new columns appear over
+    * time in the raw zone): union of all file schemas, missing fields
+    * null-filled. */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSON lines reader with the same posture. */
   def json(spark: SparkSession, path: String,
            schema: Option[StructType] = None): DataFrame =

@@ -134,6 +134,36 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(top1.count() == 2)
   }
 
+  test("csvWithQuarantine routes malformed rows without poisoning the load") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q")
+    java.nio.file.Files.writeString(dir.resolve("t.csv"),
+      "id,price\n1,10.5\nbroken_row_no_comma\n2,xx\n3,7.25\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("price", DoubleType)))
+    val (good, bad) = Tables.csvWithQuarantine(spark,
+      dir.resolve("t.csv").toString, schema)
+    // fully-clean rows survive; both the structurally-broken row and
+    // the type-invalid one ("2,xx") are quarantined with their raw text
+    assert(good.count() == 2)
+    assert(bad.count() == 2)
+    val raws = bad.collect().map(_.getString(0)).toSet
+    assert(raws.exists(_.contains("broken_row_no_comma")))
+    assert(raws.exists(_.contains("2,xx")))
+  }
+
+  test("parquetMergeSchema unions evolving schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms").toString
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$dir/p1")
+    Seq((2L, 9.9)).toDF("id", "y").write.parquet(s"$dir/p2")
+    // single evolving dataset laid out as one directory
+    Seq((1L, "a")).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/t")
+    Seq((2L, 9.9)).toDF("id", "y").write.mode("append").parquet(s"$dir/t")
+    val df = Tables.parquetMergeSchema(spark, s"$dir/t")
+    assert(df.columns.toSet == Set("id", "x", "y"))
+    assert(df.count() == 2)
+  }
+
   test("Tables.csv round-trips quoted multiline fields") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv")
     val p = dir.resolve("t.csv")
