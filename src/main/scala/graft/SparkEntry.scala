@@ -301,6 +301,20 @@ object SparkEntry {
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
           "source"))),
 
+    "q_connected_components" -> ((s, d) => {
+      // edges: same-nation customers with near-equal balances; comp =
+      // transitive closure min-id (dup-cluster resolution shape)
+      val c = T(s, d, "customer")
+      val a = c.select(col("c_custkey").as("src"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("ab"))
+      val b = c.select(col("c_custkey").as("dst"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("bb"))
+      val edges = a.join(b, Seq("nk"))
+        .where(col("src") < col("dst") && abs(col("ab") - col("bb")) < 1.0)
+        .select("src", "dst")
+      operators.Graph.connectedComponents(edges, "src", "dst")
+    }),
+
     "q_sample_per_group" -> ((s, d) => {
       Analytics.deterministicSample(
           T(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -695,6 +709,20 @@ object SparkEntry {
         |             b.vec_id ASC) AS INT) AS rank
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_connected_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        |  WHERE edges.dst <> reach.node)
+        |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
 
     "q_sample_per_group" ->
       """SELECT doc_id, lang, source, n_chars

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the step that turns
+  * pairwise near-duplicate hits into DUP CLUSTERS so one survivor can
+  * be chosen per group (transitive closure: a~b, b~c ⇒ {a,b,c}).
+  *
+  * Iterative min-label propagation: every node starts as its own
+  * component; each round a node adopts the minimum label among itself
+  * and its neighbors; converges in O(graph diameter) rounds. Each
+  * round is one join + one aggregation — all shuffles on the node key
+  * — and `localCheckpoint` truncates the growing lineage so round N
+  * does not replay rounds 1..N-1. This is the standard DataFrame-only
+  * CC formulation that scales to billions of edges (diameter of
+  * near-dup graphs is tiny).
+  */
+object Graph {
+
+  /** @return (node, comp) for every node appearing in `edges`;
+    *         comp = minimum node id of the component. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("nbr_node"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("nbr_node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .where(col("comp") =!= col("prev")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Dup-cluster resolution: pairwise duplicate hits → one surviving
+    * id per transitive cluster. Returns (node, survivor). */
+  def dupSurvivors(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("comp", "survivor")
+}

@@ -110,6 +110,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(composed.except(native).isEmpty)
   }
 
+  test("Graph.connectedComponents resolves transitive dup clusters") {
+    import graft.operators.Graph
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (60L, 10L))
+      .toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(10L, 20L, 30L, 60L).forall(cc(_) == 10L)) // one chain
+    assert(Set(40L, 50L).forall(cc(_) == 40L))
+    val surv = Graph.dupSurvivors(edges, "a", "b")
+    assert(surv.select("survivor").distinct().count() == 2)
+  }
+
   test("VecDot native expression matches the composed builtins") {
     import graft.functions.VecFns
     val pairs = embeddings.select($"vec_id", $"embedding")
