@@ -46,12 +46,12 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          CleanFns.roundRepro(sum(col("l_quantity")), 2).as("sum_qty"),
+          CleanFns.roundRepro(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          CleanFns.roundRepro(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          CleanFns.roundRepro(avg(col("l_quantity")), 4).as("avg_qty"),
+          CleanFns.roundRepro(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -97,7 +97,7 @@ object SparkEntry {
           joinType = "inner")
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          CleanFns.roundRepro(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
@@ -110,7 +110,7 @@ object SparkEntry {
         .groupBy(col("c_nationkey").as("nationkey"))
         .agg(
           count(lit(1)).as("n_pairs"),
-          round(avg(col("c_acctbal") - col("s_acctbal")), 4).as("avg_gap"))
+          CleanFns.roundRepro(avg(col("c_acctbal") - col("s_acctbal")), 4).as("avg_gap"))
     }),
 
     "q_semi_anti" -> ((s, d) => {
@@ -149,7 +149,7 @@ object SparkEntry {
           Seq(col("o_orderdate"), col("o_orderkey")), col("o_totalprice"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("o_totalprice"), col("seq"), col("prev_value"),
-          round(col("running_total"), 2).as("running_total"))
+          CleanFns.roundRepro(col("running_total"), 2).as("running_total"))
     }),
 
     "q_pct_change" -> ((s, d) => {
@@ -159,7 +159,7 @@ object SparkEntry {
         .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("prev_price"),
-          round(CleanFns.pctChange(col("o_totalprice"), col("prev_price")), 6)
+          CleanFns.roundRepro(CleanFns.pctChange(col("o_totalprice"), col("prev_price")), 6)
             .as("pct_change"),
           when(col("prev_price").isNull, lit(null).cast("string"))
             .when(col("o_totalprice") > col("prev_price"), lit("UP"))
@@ -188,7 +188,7 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .rollup(col("n_name"))
         .agg(
-          round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+          CleanFns.roundRepro(sum(col("c_acctbal")), 2).as("total_acctbal"),
           count(lit(1)).as("n_customers"))
     }),
 
@@ -196,7 +196,7 @@ object SparkEntry {
       T(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(round(sum(col("value")), 2))
+        .agg(CleanFns.roundRepro(sum(col("value")), 2))
     }),
 
     "q_time_bucket" -> ((s, d) =>
@@ -213,7 +213,7 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .cube(col("n_name"), col("c_mktsegment"))
         .agg(
-          round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+          CleanFns.roundRepro(sum(col("c_acctbal")), 2).as("total_acctbal"),
           count(lit(1)).as("n_customers"))
     }),
 
@@ -294,6 +294,12 @@ object SparkEntry {
       val e = T(s, d, "embeddings")
       Similarity.lshTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, bits = 8, dim = 64)
+    }),
+
+    "q_dedup_embed" -> ((s, d) => {
+      // embedding-space near-duplicate pairs (bucketed; rows-only)
+      Similarity.cosineNearDupPairs(T(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, bits = 6, dim = 64)
     }),
 
     "q_multimodal_features" -> ((s, d) =>
@@ -390,11 +396,11 @@ object SparkEntry {
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |  floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -425,7 +431,7 @@ object SparkEntry {
 
     "q_join_star" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -436,7 +442,7 @@ object SparkEntry {
 
     "q_join_composite" ->
       """SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
-        |  round(avg(c_acctbal - s_acctbal), 4) AS avg_gap
+        |  floor((avg(c_acctbal - s_acctbal)) * 10000 + 0.5) / 10000 AS avg_gap
         |FROM customer JOIN supplier
         |  ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
         |GROUP BY c_nationkey""".stripMargin,
@@ -520,19 +526,19 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
         |  CAST(row_number() OVER w AS INT) AS seq,
         |  lag(o_totalprice) OVER w AS prev_value,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q_pct_change" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  lag(o_totalprice) OVER w AS prev_price,
-        |  round(CASE WHEN lag(o_totalprice) OVER w IS NOT NULL
+        |  floor((CASE WHEN lag(o_totalprice) OVER w IS NOT NULL
         |              AND lag(o_totalprice) OVER w <> 0
         |        THEN (o_totalprice - lag(o_totalprice) OVER w) / lag(o_totalprice) OVER w
-        |        END, 6) AS pct_change,
+        |        END) * 1000000 + 0.5) / 1000000 AS pct_change,
         |  CASE WHEN lag(o_totalprice) OVER w IS NULL THEN NULL
         |       WHEN o_totalprice > lag(o_totalprice) OVER w THEN 'UP'
         |       WHEN o_totalprice < lag(o_totalprice) OVER w THEN 'DOWN'
@@ -557,25 +563,25 @@ object SparkEntry {
         |WHERE rnk <= 3""".stripMargin,
 
     "q_rollup" ->
-      """SELECT n_name, round(sum(c_acctbal), 2) AS total_acctbal,
+      """SELECT n_name, floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal,
         |  count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name)""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
-        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+        |  floor((sum(CASE WHEN event_type = 'click' THEN value END)) * 100 + 0.5) / 100 AS click,
+        |  floor((sum(CASE WHEN event_type = 'view' THEN value END)) * 100 + 0.5) / 100 AS view,
+        |  floor((sum(CASE WHEN event_type = 'purchase' THEN value END)) * 100 + 0.5) / 100 AS purchase,
+        |  floor((sum(CASE WHEN event_type = 'signup' THEN value END)) * 100 + 0.5) / 100 AS signup,
+        |  floor((sum(CASE WHEN event_type = 'error' THEN value END)) * 100 + 0.5) / 100 AS error
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
 
     "q_time_bucket" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
         |  event_type, count(*) AS n,
-        |  round(sum(value), 2) AS total_value,
-        |  round(avg(value), 4) AS avg_value
+        |  floor((sum(value)) * 100 + 0.5) / 100 AS total_value,
+        |  floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
@@ -592,11 +598,11 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |  count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q_cube" ->
-      """SELECT n_name, c_mktsegment, round(sum(c_acctbal), 2) AS total_acctbal,
+      """SELECT n_name, c_mktsegment, floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal,
         |  count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin,
@@ -606,9 +612,9 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)
         |    AS epoch_day,
         |  o_totalprice,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
         |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_sum,
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS trailing_sum,
         |  count(*) OVER (PARTITION BY o_custkey
         |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing_n
@@ -759,7 +765,7 @@ object SparkEntry {
 
     "q_stream_window_agg" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_dedup" ->

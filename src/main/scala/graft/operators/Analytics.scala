@@ -78,7 +78,7 @@ object Analytics {
         min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("session_value"))
+        CleanFns.roundRepro(sum(col(valueCol)), 2).as("session_value"))
   }
 
   /** Deterministic uniform sample of k rows per group: order by a
@@ -114,7 +114,7 @@ object Analytics {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("epoch_day"))
       .rangeBetween(-(days - 1), 0)
     df.withColumn("epoch_day", epochDay)
-      .withColumn("trailing_sum", round(sum(valueCol).over(w), 2))
+      .withColumn("trailing_sum", CleanFns.roundRepro(sum(valueCol).over(w), 2))
       .withColumn("trailing_n", count(lit(1)).over(w))
   }
 
@@ -126,6 +126,6 @@ object Analytics {
         dims.map(col)): _*)
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col(valueCol)), 2).as("total_value"),
-        round(avg(col(valueCol)), 4).as("avg_value"))
+        CleanFns.roundRepro(sum(col(valueCol)), 2).as("total_value"),
+        CleanFns.roundRepro(avg(col(valueCol)), 4).as("avg_value"))
 }

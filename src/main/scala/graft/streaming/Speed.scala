@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.functions.CleanFns
+
 /** Speed layer (Structured Streaming) — the lambda architecture's
   * streaming half. The reference lands Kafka ticks beside its batch
   * loads; here the same event schema streams from the lake's files
@@ -53,7 +55,7 @@ object Speed {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), CleanFns.roundRepro(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
