@@ -99,8 +99,11 @@ object Analytics {
   def deterministicFraction(df: DataFrame, idCol: String,
                             percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100)
-    val bound = f"${(percent * 256 / 100).min(255)}%02x"
-    df.where(substring(md5(col(idCol).cast("string")), 1, 2) < bound)
+    if (percent == 100) df
+    else {
+      val bound = f"${percent * 256 / 100}%02x"
+      df.where(substring(md5(col(idCol).cast("string")), 1, 2) < bound)
+    }
   }
 
   /** Trailing N-day window aggregate (RANGE frame over epoch days) —

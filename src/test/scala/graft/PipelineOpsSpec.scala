@@ -110,6 +110,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(composed.except(native).isEmpty)
   }
 
+  test("deterministicFraction keeps everything at 100 and nothing at 0") {
+    import graft.operators.Analytics
+    val n = docs.count()
+    assert(Analytics.deterministicFraction(docs, "doc_id", 100).count() == n)
+    assert(Analytics.deterministicFraction(docs, "doc_id", 0).count() == 0)
+    val half = Analytics.deterministicFraction(docs, "doc_id", 50).count()
+    assert(half > n / 4 && half < 3 * n / 4)
+  }
+
   test("Graph.connectedComponents resolves transitive dup clusters") {
     import graft.operators.Graph
     val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (60L, 10L))
