@@ -56,8 +56,10 @@ object AsOfJoin {
             left.select(leftCols.map(col): _*).schema)).as("__l"),
         struct(rightPayload.map(col): _*).as("__r")): _*)
 
+    // xxhash64 of the right payload as final tie-break: equal-timestamp
+    // right rows otherwise resolve by shuffle order (nondeterministic)
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__is_l"))
+      .orderBy(col("__t"), col("__is_l"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.union(r)

@@ -128,7 +128,9 @@ object Dedup {
     val exploded = spread(df, idCol).select(col(idCol),
       explode_outer(TextFns.tokens(TextFns.normalizeText(col(textCol))))
         .as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      // guard on the TOKEN being null (explode_outer of an empty doc):
+      // xxhash64(null) returns the seed, never null
+      .withColumn("__h", when(col("__t").isNotNull, xxhash64(col("__t"))))
     val bitSums = (0 until 64).map { b =>
       sum(when(col("__h").isNull, 0)
         .when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1)

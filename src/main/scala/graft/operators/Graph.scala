@@ -43,6 +43,12 @@ object Graph {
       labels = next
       i += 1
     }
+    sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter (needs " +
+          "O(component diameter) rounds)")
     labels
   }
 

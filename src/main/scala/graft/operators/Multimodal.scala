@@ -45,7 +45,7 @@ object Multimodal {
     if (payload == null || payload.isEmpty) (0L, 0.0, Array.fill(8)(0.0f))
     else {
       val n = payload.length.toLong
-      val mean = payload.map(_ & 0xFF).sum.toDouble / n
+      val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / n
       // 8-dim "embedding": byte histogram over 8 buckets, normalized
       val hist = Array.fill(8)(0f)
       payload.foreach(b => hist((b & 0xFF) / 32) += 1f)

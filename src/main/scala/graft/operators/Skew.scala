@@ -24,12 +24,15 @@ object Skew {
     val keyCols = keys.map(col)
     df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
       .groupBy((keyCols :+ col("__salt")): _*)
-      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"),
+        count(valueCol).as("__pvals"))
       .groupBy(keyCols: _*)
       .agg(
         sum(col("__psum")).as("total"),
         sum(col("__pcnt")).as("n"),
-        (sum(col("__psum")) / sum(col("__pcnt"))).as("avg"))
+        // avg over NON-NULL values only, matching avg() semantics
+        when(sum(col("__pvals")) > 0,
+          sum(col("__psum")) / sum(col("__pvals"))).as("avg"))
   }
 
   /** Salted equi-join for a skewed LEFT side: left rows get a
@@ -40,6 +43,11 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFrom: Column, salts: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched right row once PER
+    // SALT REPLICA — reject rather than silently multiply rows
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase.replace("leftouter", "left_outer")),
+      s"saltedJoin cannot preserve unmatched right rows: $joinType")
     val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))

@@ -19,8 +19,12 @@ object Staging {
     * pairs. Missing columns → typed null; present → cast. */
   def alignTo(df: DataFrame, contract: Seq[(String, String)]): DataFrame = {
     val cols = contract.map { case (name, tpe) =>
-      if (df.columns.contains(name)) col(name).cast(tpe).as(name)
-      else lit(null).cast(tpe).as(name)
+      // resolve case-insensitively, like Spark's default analyzer —
+      // a feed column differing only in case must NOT be null-replaced
+      df.columns.find(_.equalsIgnoreCase(name)) match {
+        case Some(actual) => col(actual).cast(tpe).as(name)
+        case None         => lit(null).cast(tpe).as(name)
+      }
     }
     df.select(cols: _*)
   }

@@ -67,11 +67,18 @@ object LakeWriter {
     (if (partitionCols.isEmpty) compacted.write.mode("overwrite")
      else compacted.write.mode("overwrite").partitionBy(partitionCols: _*))
       .parquet(tmp)
+    // swap via rename-aside so a crash never leaves the table missing:
+    // live -> __old, staged -> live, delete __old. Recovery after a
+    // crash between the renames is the __old directory, still intact.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sessionState.newHadoopConf())
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dst, old), s"compact: could not move $dst aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compact: could not activate staged rewrite at $dst")
+    fs.delete(old, true)
   }
 
   /** Append (raw-zone landing). */
