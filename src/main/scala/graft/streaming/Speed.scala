@@ -14,7 +14,7 @@ import graft.functions.CleanFns
   * swap `readStream.parquet` for `readStream.format("kafka")` and
   * nothing downstream changes).
   */
-object Speed {
+object Speed extends Serializable {
 
   /** events physical schema (ts is TIMESTAMP(NANOS) → read as long). */
   private val eventsRaw = StructType(Seq(
@@ -158,33 +158,49 @@ object Speed {
     * the stream-equals-batch spec asserts). A production deployment
     * should add GroupStateTimeout.EventTimeTimeout + a watermark and
     * emit-on-timeout. */
-  def sessionizeStream(events: DataFrame, gapMillis: Long): DataFrame = {
+  def sessionizeStream(events: DataFrame, gapMillis: Long,
+                       flushOnTimeout: Boolean = false,
+                       watermark: String = "1 hour"): DataFrame = {
     import events.sparkSession.implicits._
-    val typed = events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+    def emit(uid: Long, s: SessState): Session = Session(uid,
+      toTs(s.start), toTs(s.last),
+      s.n, math.floor(s.sum * 100 + 0.5) / 100)
+    val src = if (flushOnTimeout) events.withWatermark("ts", watermark)
+              else events
+    val typed = src.select(col("user_id"), col("ts"), col("value")).as[Ev]
+    val timeout = if (flushOnTimeout) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessState], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, timeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[List[SessState]]) =>
-          // batch-per-trigger: sort this trigger's events, fold sessions
-          val sorted = evs.toSeq.sortBy(e => toMicros(e.ts))
-          var open = state.getOption.flatMap(_.headOption)
-          val closed = scala.collection.mutable.ListBuffer[SessState]()
-          sorted.foreach { e =>
-            val t = toMicros(e.ts)
-            open match {
-              case Some(s) if t - s.last <= gapMillis * 1000L =>
-                open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
-                closed += s
-                open = Some(SessState(t, t, 1, e.value))
-              case None =>
-                open = Some(SessState(t, t, 1, e.value))
+          if (flushOnTimeout && state.hasTimedOut) {
+            // the gap has elapsed in event time: close the open session
+            val out = state.getOption.toList.flatten.map(emit(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            // batch-per-trigger: sort this trigger's events, fold sessions
+            val sorted = evs.toSeq.sortBy(e => toMicros(e.ts))
+            var open = state.getOption.flatMap(_.headOption)
+            val closed = scala.collection.mutable.ListBuffer[SessState]()
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              open match {
+                case Some(s) if t - s.last <= gapMillis * 1000L =>
+                  open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += s
+                  open = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessState(t, t, 1, e.value))
+              }
             }
+            state.update(open.toList)
+            if (flushOnTimeout) open.foreach(s =>
+              state.setTimeoutTimestamp(s.last / 1000L + gapMillis))
+            closed.iterator.map(emit(uid, _))
           }
-          state.update(open.toList)
-          closed.iterator.map(s => Session(uid,
-            toTs(s.start), toTs(s.last),
-            s.n, math.floor(s.sum * 100 + 0.5) / 100))
       }.toDF()
   }
 }

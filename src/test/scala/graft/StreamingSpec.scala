@@ -60,6 +60,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(valDiff.isEmpty)
   }
 
+  test("sessionizeStream with timeout flush emits expired open sessions too") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.sessionizeStream(Speed.eventStream(spark, TestSpark.sfDir),
+        gapMillis = 1800000L, flushOnTimeout = true, watermark = "1 hour"),
+      "t_sessions_flush", OutputMode.Append())
+    val batch = Analytics.sessionize(
+      Tables.load(spark, TestSpark.sfDir, "events"),
+      "user_id", "ts", "value", 1800000L)
+    // every emitted session must exist in the batch result...
+    assert(streamed.select("user_id", "session_start", "session_end",
+        "n_events").except(
+      batch.select("user_id", "session_start", "session_end", "n_events"))
+      .isEmpty)
+    // ...and expired open sessions (gap elapsed before the final
+    // watermark) must now be included — strictly more than closed-only
+    val closedOnly = Speed.runToBatch(spark,
+      Speed.sessionizeStream(Speed.eventStream(spark, TestSpark.sfDir),
+        gapMillis = 1800000L),
+      "t_sessions_noflush", OutputMode.Append())
+    assert(streamed.count() > closedOnly.count(),
+      s"flush emitted ${streamed.count()} vs closed-only ${closedOnly.count()}")
+  }
+
   test("driver contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
