@@ -303,7 +303,7 @@ object SparkEntry {
     }),
 
     "q_multimodal_features" -> ((s, d) =>
-      Multimodal.decodeFeaturesStub(
+      Multimodal.decodeFeaturesFlatStub(
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
           "source"))),
 
@@ -336,7 +336,8 @@ object SparkEntry {
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"),
           col("event_id").as("p_event_id"), col("value").as("p_value"))
-      AsOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+      AsOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          tieBreak = Seq("p_event_id"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("p_event_id"), col("p_value"))
     }),

@@ -32,12 +32,19 @@ object AsOfJoin {
     *                   leftTime's name; sides are tagged internally)
     * @param toleranceMillis  if >= 0, matches older than
     *                   leftTime - tolerance are discarded (null fill)
+    * @param tieBreak   right-side columns that order equal-timestamp
+    *                   right rows; the row GREATEST under this order
+    *                   wins (e.g. a monotonic event id → latest wins).
+    *                   Empty → ties resolve by a deterministic hash of
+    *                   the right payload (stable but arbitrary; other
+    *                   engines' ASOF may disagree on tied inputs).
     * @return left columns + right's non-key columns (right time
     *         surfaced as `matched_time`)
     */
   def apply(left: DataFrame, right: DataFrame, key: Seq[String],
             leftTime: String, rightTime: String,
-            toleranceMillis: Long = -1L): DataFrame = {
+            toleranceMillis: Long = -1L,
+            tieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.filterNot(key.contains).toSeq
 
@@ -56,10 +63,14 @@ object AsOfJoin {
             left.select(leftCols.map(col): _*).schema)).as("__l"),
         struct(rightPayload.map(col): _*).as("__r")): _*)
 
-    // xxhash64 of the right payload as final tie-break: equal-timestamp
-    // right rows otherwise resolve by shuffle order (nondeterministic)
+    // final tie-break for equal-timestamp right rows (otherwise they
+    // resolve by shuffle order, i.e. nondeterministically): caller's
+    // columns if given, else a deterministic hash of the right payload
+    val tieCols: Seq[Column] =
+      if (tieBreak.nonEmpty) tieBreak.map(c => col(s"__r.$c"))
+      else Seq(xxhash64(col("__r")))
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__is_l"), xxhash64(col("__r")))
+      .orderBy(col("__t") +: col("__is_l") +: tieCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.union(r)

@@ -84,7 +84,9 @@ object Dedup {
     // The signature table is referenced three times (banding + both
     // sides of the estimate join) — materialize it once. At production
     // scale this is the table you'd write to the lake anyway; here a
-    // MEMORY_AND_DISK persist keeps the corpus scan single-pass.
+    // MEMORY_AND_DISK persist keeps the corpus scan single-pass. The
+    // persist is RELEASED before returning (see the localCheckpoint at
+    // the end) — callers never inherit a cache to manage.
     val sigs = minhashSignatures(df, textCol, idCol, shingleN, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), posexplode(
@@ -112,11 +114,18 @@ object Dedup {
       graft.plans.ArrayMatchCount(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),
         org.apache.spark.sql.GraftColumnBridge.expression(col("sig_b"))))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",
         round(matchCount.cast("double") / perms, 4))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+    // Materialize the (small) pair table eagerly, then drop the
+    // signature cache: no cached blocks outlive this call. The
+    // checkpoint's own blocks are reclaimed by the ContextCleaner when
+    // the returned frame is garbage-collected.
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   // -- SimHash --------------------------------------------------------

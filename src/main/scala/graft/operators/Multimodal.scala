@@ -75,6 +75,15 @@ object Multimodal {
       }(enc)
   }
 
+  /** Serving shape: the features array expanded to scalar columns
+    * (f0..f{dim-1}) — a flat schema is what a feature store (and the
+    * driver's pandas-based comparer, which cannot sort array columns)
+    * expects downstream. */
+  def decodeFeaturesFlatStub(media: DataFrame, dim: Int = 8): DataFrame =
+    (0 until dim).foldLeft(decodeFeaturesStub(media)) { (d, i) =>
+      d.withColumn(s"f$i", element_at(col("features"), i + 1).cast("double"))
+    }.drop("features")
+
   /** "Frame sampling": slice `frameLen`-byte windows every `stride`
     * bytes from the payload — the plumbing (posexplode fan-out,
     * per-frame rows) is exactly what real video frame extraction

@@ -70,9 +70,12 @@ object LakeWriter {
     // swap via rename-aside so a crash never leaves the table missing:
     // live -> __old, staged -> live, delete __old. Recovery after a
     // crash between the renames is the __old directory, still intact.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sessionState.newHadoopConf())
+    // The filesystem must be the TABLE's filesystem, not the default
+    // one (they differ whenever the lake lives on s3a/hdfs). Note:
+    // S3-like stores lack atomic rename — run compaction there via a
+    // catalog swap (or a format with snapshot semantics) instead.
     val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(dst, old), s"compact: could not move $dst aside")

@@ -55,9 +55,12 @@ object Tables {
 
   /** CSV ingestion with quarantine routing: rows that fail the schema
     * land in a `_corrupt_record` side-channel instead of poisoning the
-    * load — (good, quarantined) frames returned. The cache() is
-    * required: Spark refuses filters on the corrupt-record column over
-    * a streaming re-read. */
+    * load — (good, quarantined) frames returned. The read is pinned
+    * with an eager localCheckpoint (not cache()): Spark refuses
+    * filters on the corrupt-record column over a file re-read, and a
+    * checkpoint's blocks are released by the ContextCleaner once the
+    * frames are garbage-collected — a plain cache() would live in the
+    * CacheManager until someone remembered to unpersist it. */
   def csvWithQuarantine(spark: SparkSession, path: String,
                         schema: StructType): (DataFrame, DataFrame) = {
     val withCorrupt = schema.add("_corrupt_record", "string")
@@ -67,7 +70,7 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .cache()
+      .localCheckpoint()
     val good = raw.where(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val bad = raw.where(col("_corrupt_record").isNotNull)

@@ -33,8 +33,11 @@ object Speed extends Serializable {
     * the landing directory new files arrive in. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // per-process staging dir (PID-scoped) so concurrent JVMs can never
+    // observe each other's half-copied files
     val stage = Paths.get("/tmp",
-      "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_stream_" + ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(stage)
     val srcPath = Paths.get(dir, "events.parquet")
     val dst = stage.resolve("events.parquet")
@@ -42,8 +45,14 @@ object Speed extends Serializable {
       Files.size(dst) != Files.size(srcPath) ||
       Files.getLastModifiedTime(dst).compareTo(
         Files.getLastModifiedTime(srcPath)) < 0
-    if (stale)
-      Files.copy(srcPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    if (stale) {
+      // copy to a temp name, then ATOMIC_MOVE into place: the file
+      // stream source can only ever see a complete file
+      val tmp = stage.resolve("events.parquet.tmp")
+      Files.copy(srcPath, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRaw)
