@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CleanFns
-import graft.operators.{Analytics, AsOfJoin, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Staging, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Skew, Staging, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Speed
 import org.apache.spark.sql.streaming.OutputMode
@@ -244,6 +244,60 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    "q_grouping_sets" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(broadcast(T(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")),
+            Seq()),
+          col("n_name"), col("c_mktsegment"))
+        .agg(
+          CleanFns.roundRepro(sum(col("c_acctbal")), 2).as("total_acctbal"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    "q_interval_join" -> ((s, d) => {
+      // batch twin of the streaming interval join: each click left-
+      // joined to the same user's purchases within the following hour
+      val ev = T(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("ts") &&
+            col("p_ts") <= col("ts") + expr("INTERVAL 1 HOUR"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_event_id"), col("p_ts"), col("p_value"))
+    }),
+
+    "q_salted_agg" -> ((s, d) => {
+      // skew-proof two-phase aggregation — oracle-checked against the
+      // plain GROUP BY, proving the salted path is exact
+      Skew.saltedAgg(T(s, d, "lineitem"), Seq("l_returnflag"),
+          col("l_quantity"), col("l_orderkey"), salts = 16)
+        .select(col("l_returnflag"),
+          CleanFns.roundRepro(col("total"), 2).as("total_qty"),
+          col("n"),
+          CleanFns.roundRepro(col("avg"), 4).as("avg_qty"))
+    }),
+
+    "q_approx_percentile" -> ((s, d) => {
+      // sketch-based percentiles (KLL-style) — the 100 TB path where
+      // exact interpolation's global sort per group is not an option
+      T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
+            .as("p90_approx"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // -- LLM-training-data pipeline ----------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(T(s, d, "documents"), "text", "doc_id")),
@@ -294,6 +348,12 @@ object SparkEntry {
       val e = T(s, d, "embeddings")
       Similarity.lshTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, bits = 8, dim = 64)
+    }),
+
+    "q_embed_ivf_ann" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
     }),
 
     "q_dedup_embed" -> ((s, d) => {
@@ -385,7 +445,31 @@ object SparkEntry {
         Speed.streamingDedup(Speed.eventStream(s, d),
             Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type")),
-        name = "stream_dedup", mode = OutputMode.Append()))
+        name = "stream_dedup", mode = OutputMode.Append())),
+
+    "q_stream_dedup_within" -> ((s, d) =>
+      // bounded-state dedup: state evicted past the watermark horizon
+      Speed.runToBatch(s,
+        Speed.streamingDedupWithinWatermark(Speed.eventStream(s, d),
+            Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")),
+        name = "stream_dedup_within", mode = OutputMode.Append())),
+
+    "q_stream_interval_join" -> ((s, d) => {
+      // stream-stream LEFT interval join (null fill on watermark pass)
+      val ev = Speed.eventStream(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      Speed.runToBatch(s,
+        Speed.intervalJoinLeft(clicks, purchases, "user_id",
+            "ts", "p_ts", withinMillis = 3600000L),
+        name = "stream_interval_join", mode = OutputMode.Append())
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_event_id"), col("p_value"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -770,6 +854,38 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_dedup" ->
-      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    // single source file = single micro-batch, so the bounded-state
+    // dedup sees every duplicate and equals DISTINCT
+    "q_stream_dedup_within" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+        |  floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+        |    event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_ts, p.p_value
+        |FROM clicks c LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND p.p_ts > c.ts
+        | AND p.p_ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty,
+        |  count(*) AS n,
+        |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

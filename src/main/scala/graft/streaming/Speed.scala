@@ -78,6 +78,35 @@ object Speed extends Serializable {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys)
 
+  /** Production-friendly streaming dedup: state for a key is evicted
+    * once the watermark passes its event time + delay, so state size
+    * is bounded by the delay window instead of growing with every key
+    * ever seen. The guarantee weakens accordingly: duplicates arriving
+    * FARTHER apart than the delay are re-emitted. At 100 TB/day of
+    * events this is the only dedup that survives — unbounded
+    * dropDuplicates state on a billion keys/day eventually OOMs (or
+    * swamps even RocksDB compaction). */
+  def streamingDedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Large-state posture: keep streaming state in RocksDB (off-heap,
+    * spills to local disk, incremental checkpoints) instead of the
+    * default HDFS-backed store that holds every version on the JVM
+    * heap. With millions of open sessions / dedup keys per executor
+    * this is the difference between a bounded page cache and an OOM.
+    * Call BEFORE starting streaming queries; applies session-wide. */
+  def useRocksDBStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: upload only the delta per batch, not a
+    // full snapshot — keeps commit latency flat as state grows
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
+
   /** Stream-static enrichment: join the live stream against a
     * (broadcast) dimension table — the speed layer serving enriched
     * events while the batch layer rebuilds dims behind it. */
@@ -99,6 +128,27 @@ object Speed extends Serializable {
         col(s"r.$rightTs") > col(s"l.$leftTs") &&
         col(s"r.$rightTs") <=
           col(s"l.$leftTs") + expr(s"INTERVAL $withinMillis MILLISECOND"))
+      .drop(col(s"r.$key"))
+  }
+
+  /** LEFT OUTER stream-stream interval join: like `intervalJoin`, but
+    * a left event with no right match within the bound is still
+    * emitted (right columns null) once the watermark passes its
+    * interval — e.g. "every click, with its purchase if one followed
+    * within the hour". The event-time bound is what lets Spark both
+    * expire join state AND know when an unmatched left row is safe to
+    * emit; without it a streaming outer join is unbounded. */
+  def intervalJoinLeft(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, withinMillis: Long,
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") > col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <=
+          col(s"l.$leftTs") + expr(s"INTERVAL $withinMillis MILLISECOND"),
+      "leftOuter")
       .drop(col(s"r.$key"))
   }
 

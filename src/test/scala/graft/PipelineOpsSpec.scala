@@ -73,6 +73,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.where($"rank" === 1).head().getAs[Long]("neighbor_id") == 5L)
   }
 
+  test("Similarity.ivfTopK probes the right cell and beats random recall") {
+    // a query identical to a corpus vector must land in that vector's
+    // cell (it IS that vector) and rank it first with cos 1
+    val q = embeddings.where($"vec_id" === 3)
+      .select(($"vec_id" + 900000).as("vec_id"), $"embedding")
+    val top = Similarity.ivfTopK(q, embeddings, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 1)
+    val first = top.where($"rank" === 1).head()
+    assert(first.getAs[Long]("neighbor_id") == 3L)
+    assert(first.getAs[Double]("cos_sim") == 1.0)
+    // recall vs brute force over several queries: probing half the
+    // cells should recover well over half of the true top-k
+    val qs = embeddings.where($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(qs, embeddings, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 2)
+      .select($"query_id", $"neighbor_id")
+    val exact = Similarity.bruteForceTopK(qs, embeddings, "vec_id",
+      "embedding", k = 5).select($"query_id", $"neighbor_id")
+    val hit = ivf.intersect(exact).count()
+    assert(hit >= 13, s"IVF recall too low: $hit/25")
+  }
+
   test("TextAnalysis token counts and quality on known text") {
     val df = Seq((1L, "The cat, sat; on 42 mats!"), (2L, "   "))
       .toDF("doc_id", "text")

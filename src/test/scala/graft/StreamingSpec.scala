@@ -83,6 +83,73 @@ class StreamingSpec extends AnyFunSuite {
       s"flush emitted ${streamed.count()} vs closed-only ${closedOnly.count()}")
   }
 
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.streamingDedupWithinWatermark(
+        Speed.eventStream(spark, TestSpark.sfDir),
+        Seq("user_id", "event_type")).select($"user_id", $"event_type"),
+      "t_dedup_wm", OutputMode.Append())
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"user_id", $"event_type").distinct()
+    // single source file = single micro-batch: within one batch the
+    // bounded-state dedup sees every duplicate, so it equals DISTINCT
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty)
+  }
+
+  test("RocksDB state store provider runs stateful queries") {
+    Speed.useRocksDBStateStore(spark)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      val streamed = Speed.runToBatch(spark,
+        Speed.streamingDedup(Speed.eventStream(spark, TestSpark.sfDir),
+          Seq("user_id", "event_type")).select($"user_id", $"event_type"),
+        "t_dedup_rocks", OutputMode.Append())
+      val batch = Tables.load(spark, TestSpark.sfDir, "events")
+        .select($"user_id", $"event_type").distinct()
+      assert(streamed.count() == batch.count())
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("left-outer interval join emits unmatched clicks with null fill") {
+    val ev = Speed.eventStream(spark, TestSpark.sfDir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"))
+    val out = Speed.runToBatch(spark,
+      Speed.intervalJoinLeft(clicks, purchases, "user_id",
+        "click_ts", "purchase_ts", withinMillis = 3600000L),
+      "t_interval_left", OutputMode.Append())
+
+    val bev = Tables.load(spark, TestSpark.sfDir, "events")
+    val bc = bev.where($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val bp = bev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"))
+    val inner = bc.join(bp, $"user_id" === $"p_uid" &&
+      $"purchase_ts" > $"click_ts" &&
+      $"purchase_ts" <= $"click_ts" + expr("INTERVAL 3600000 MILLISECOND"))
+    // every matched pair the batch inner join finds must be present
+    assert(out.where($"purchase_id".isNotNull)
+      .select($"click_id", $"purchase_id")
+      .except(inner.select($"click_id", $"purchase_id")).isEmpty)
+    assert(out.where($"purchase_id".isNotNull).count() == inner.count())
+    // null-filled rows are exactly clicks with NO purchase in the hour
+    // (modulo trailing rows the final watermark cannot release)
+    val unmatchedStream = out.where($"purchase_id".isNull)
+      .select($"click_id")
+    val unmatchedBatch = bc.join(
+      inner.select($"click_id".as("m_id")),
+      $"click_id" === $"m_id", "left_anti").select($"click_id")
+    assert(unmatchedStream.except(unmatchedBatch).isEmpty)
+    assert(unmatchedStream.count() > 0,
+      "watermark never released any unmatched left rows")
+  }
+
   test("driver contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
