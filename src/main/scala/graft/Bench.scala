@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,13 +14,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // shuffle accounting: how many bytes each query moves is the
+    // number that predicts 100 TB behavior better than local seconds
+    val shufWrite = new AtomicLong(); val shufRead = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+
     // untimed warmup: JIT, codegen, parquet reader init — otherwise
     // whichever query runs first absorbs ~10s of one-time cost
     try SparkEntry.queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      val w0 = shufWrite.get()
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column —
       // count() would let Catalyst prune the projections away and
@@ -30,14 +51,19 @@ object Bench {
       // a failed query reports -1 so a crash can never read as a speedup
       val dt = if (failed.contains(name)) -1.0
                else (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      val mb = (shufWrite.get() - w0) / 1e6
+      shuffleMb(name) = math.round(mb * 100) / 100.0
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s  shuffle $mb%9.2f MB")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = shuffleMb.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,6 +84,105 @@ object LakeWriter {
     fs.delete(old, true)
   }
 
+  // ---- versioned (snapshot) tables ---------------------------------
+  //
+  // A minimal snapshot layer over native parquet — the shape Iceberg/
+  // Delta give you, built from two primitives:
+  //  - data files are IMMUTABLE once written (each commit writes into
+  //    a fresh data/v{N} directory, never in place);
+  //  - a commit is ONE atomic manifest rename. Readers resolve the
+  //    manifest first, so they always see a complete snapshot — a
+  //    writer crashing mid-write leaves dangling data files, never a
+  //    torn table.
+  // Time travel = reading an older manifest. On stores without atomic
+  // rename (S3), swap the rename for a conditional PUT.
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_manifests")
+
+  /** Snapshot versions present for a table, ascending. */
+  def snapshotVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.json")).map(_.drop(1).dropRight(5).toLong)
+      .sorted
+  }
+
+  /** Commit `df` as the next snapshot of `table`. `mode` "overwrite"
+    * makes the new snapshot exactly `df`; "append" makes it the
+    * previous snapshot's files plus `df`'s (no data rewrite — append
+    * commits are metadata-only on the old files). Returns the new
+    * version. */
+  def commitSnapshot(df: DataFrame, table: String,
+                     mode: String = "overwrite"): Long = {
+    require(Seq("overwrite", "append").contains(mode), s"bad mode $mode")
+    val spark = df.sparkSession
+    val tableP = new org.apache.hadoop.fs.Path(table)
+    val fs = fsOf(spark, tableP)
+    val prev = snapshotVersions(spark, table)
+    val version = prev.lastOption.getOrElse(0L) + 1
+    val dataDir = new org.apache.hadoop.fs.Path(table, s"data/v$version")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = fs.listStatus(dataDir).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    val carried =
+      if (mode == "append" && prev.nonEmpty)
+        snapshotFiles(spark, table, prev.last)
+      else Seq.empty
+    val files = carried ++ newFiles
+    val body = files.map(f => "\"" + f.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"").mkString(
+      s"""{"version":$version,"mode":"$mode","files":[""", ",", "]}")
+    val mdir = manifestDir(table)
+    fs.mkdirs(mdir)
+    val tmp = new org.apache.hadoop.fs.Path(mdir, s".v$version.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    val fin = new org.apache.hadoop.fs.Path(mdir, s"v$version.json")
+    // the atomic commit point: rename fails if a concurrent writer won
+    // the version — surface that as a conflict instead of clobbering
+    require(!fs.exists(fin) && fs.rename(tmp, fin),
+      s"snapshot conflict: version $version already committed at $table")
+    version
+  }
+
+  /** The data files of one snapshot version. */
+  def snapshotFiles(spark: SparkSession, table: String,
+                    version: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
+    val fs = fsOf(spark, p)
+    require(fs.exists(p), s"no snapshot v$version at $table")
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    // manifest JSON is machine-written with the exact shape above —
+    // extract the files array positionally
+    val arr = body.substring(body.indexOf("[") + 1, body.lastIndexOf("]"))
+    if (arr.trim.isEmpty) Seq.empty
+    else arr.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+      .replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
+  /** Read a snapshot (default: latest). Time travel = pass an older
+    * version. */
+  def readSnapshot(spark: SparkSession, table: String,
+                   version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, table)
+      require(vs.nonEmpty, s"no snapshots at $table")
+      vs.last
+    }
+    val files = snapshotFiles(spark, table, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
   /** Append (raw-zone landing). */
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil): Unit = {

@@ -63,6 +63,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("snapshot commits: atomic versions, append as metadata, time travel") {
+    val table = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val d1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val d2 = Seq((3, "c")).toDF("id", "v")
+    val d3 = Seq((9, "z")).toDF("id", "v")
+    assert(LakeWriter.commitSnapshot(d1, table) == 1L)
+    assert(LakeWriter.commitSnapshot(d2, table, mode = "append") == 2L)
+    assert(LakeWriter.commitSnapshot(d3, table) == 3L)
+    // latest = the v3 overwrite only
+    assert(LakeWriter.readSnapshot(spark, table).collect().toSet ==
+      d3.collect().toSet)
+    // append snapshot carried v1's files without rewriting them
+    assert(LakeWriter.readSnapshot(spark, table, Some(2L)).count() == 3)
+    assert(LakeWriter.snapshotFiles(spark, table, 2L)
+      .exists(_.contains("data/v1")))
+    // time travel to v1
+    assert(LakeWriter.readSnapshot(spark, table, Some(1L)).collect().toSet ==
+      d1.collect().toSet)
+    assert(LakeWriter.snapshotVersions(spark, table) == Seq(1L, 2L, 3L))
+    // a data directory left by a failed concurrent writer of the same
+    // version is a conflict (errorifexists), never a silent clobber
+    d1.write.parquet(s"$table/data/v4")
+    intercept[Exception] { LakeWriter.commitSnapshot(d1, table) }
+    // the failed commit must not have produced a manifest
+    assert(LakeWriter.snapshotVersions(spark, table) == Seq(1L, 2L, 3L))
+  }
+
   test("Scd2.merge(incremental) equals the full-history rebuild") {
     import graft.operators.Scd2
     val ev = Tables.load(spark, TestSpark.sfDir, "events")
