@@ -314,6 +314,14 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(T(s, d, "documents"), "text", "doc_id")),
 
+    "q_winnow_fingerprint" -> ((s, d) =>
+      // rolling-hash winnowing sketch, summarized per document
+      TextAnalysis.winnowingFingerprints(T(s, d, "documents"), "text",
+          "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
         threshold = 0.2)),

@@ -87,4 +87,40 @@ object TextAnalysis {
     df.select(col(idCol),
       TextFns.fingerprint(col(textCol)).as("fp"),
       substring(TextFns.fingerprint(col(textCol)), 1, 8).as("fp_prefix"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash
+    * document sketch): hash every k-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum (rightmost on
+    * ties). Any substring shared between two documents of length
+    * >= w + k - 1 is GUARANTEED to contribute a shared fingerprint —
+    * the local similarity sketch that md5-of-the-whole-doc cannot give.
+    *
+    * Shape: posexplode k-grams → one ordered window pass per document
+    * (partitioned by doc id — no global sort) → distinct selected
+    * (hash, position) pairs. Documents shorter than w grams keep their
+    * single final-window minimum. Returns (idCol, fp, fp_pos). */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 5, w: Int = 4): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = df
+      .select(col(idCol), TextFns.normalizeText(col(textCol)).as("__norm"))
+      .select(col(idCol), posexplode(
+        TextFns.shinglesFromNorm(col("__norm"), k)).as(Seq("pos", "__g")))
+      .withColumn("__h", xxhash64(col("__g")))
+    grams
+      // rightmost-minimum of the window [pos-w+1, pos]: min over the
+      // (hash, -pos) struct = smallest hash, largest pos on ties
+      .withColumn("__sel", min(struct(col("__h").as("h"),
+        (-col("pos")).as("negpos"))).over(win.rowsBetween(-(w - 1), 0)))
+      .withColumn("__n", row_number().over(win))
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      // complete windows only — except docs shorter than w grams,
+      // which keep their one (partial) final window
+      .where(col("__n") >= w || col("__n") === col("__cnt"))
+      .select(col(idCol), col("__sel.h").as("fp"),
+        (-col("__sel.negpos")).as("fp_pos"))
+      .distinct()
+  }
 }

@@ -108,6 +108,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.getAs[Int]("n_stopwords") == 1) // the ("on" is not in the list)
   }
 
+  test("winnowing fingerprints: identity, near-dup overlap, substring guarantee") {
+    val k = 5; val w = 4
+    val shared = "a long shared passage that both documents quote verbatim"
+    val data = Seq(
+      (1L, s"first document begins here. $shared. then diverges one way"),
+      (2L, s"second doc, different start. $shared. and a different end"),
+      (3L, s"first document begins here. $shared. then diverges one way"),
+      (4L, "entirely unrelated content with nothing in common at all"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(data, "text", "doc_id", k, w)
+      .cache()
+    def set(id: Long) = fp.where($"doc_id" === id)
+      .select("fp", "fp_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // identical docs → identical sketches
+    assert(set(1L) == set(3L) && set(1L).nonEmpty)
+    // docs sharing a substring >= w+k-1 chars share >= 1 fingerprint
+    val h1 = set(1L).map(_._1); val h2 = set(2L).map(_._1)
+    assert((h1 & h2).nonEmpty)
+    // ...and substantially overlap here (the shared passage dominates)
+    assert((h1 & h2).size.toDouble / (h1 | h2).size > 0.25)
+    // unrelated docs share (essentially) nothing
+    assert((set(4L).map(_._1) & h1).isEmpty)
+    // a doc shorter than w grams still yields exactly one fingerprint
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowingFingerprints(short, "text", "doc_id", k, w)
+      .count() == 1)
+    fp.unpersist()
+  }
+
   test("TextAnalysis.langId follows marker vocabularies") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),
