@@ -84,6 +84,20 @@ object LakeWriter {
     fs.delete(old, true)
   }
 
+  /** Range-clustered rewrite for DATA SKIPPING: `repartitionByRange` +
+    * `sortWithinPartitions` on `cols` gives every output file a tight,
+    * (near-)disjoint min/max range on those columns, which parquet
+    * records as file/row-group statistics. A reader's range predicate
+    * then prunes whole files before any IO — on a 100 TB fact table
+    * clustered by date/key, a narrow scan touches a handful of files.
+    * This is the single-dimension clustering a lakehouse OPTIMIZE
+    * performs; schedule it like `compact`. */
+  def clusteredWrite(df: DataFrame, path: String, cols: Seq[String],
+                     nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, cols.map(df.col): _*)
+      .sortWithinPartitions(cols.map(df.col): _*)
+      .write.mode("overwrite").parquet(path)
+
   // ---- versioned (snapshot) tables ---------------------------------
   //
   // A minimal snapshot layer over native parquet — the shape Iceberg/

@@ -90,6 +90,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(LakeWriter.snapshotVersions(spark, table) == Seq(1L, 2L, 3L))
   }
 
+  test("clusteredWrite yields files with non-overlapping key ranges") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+    LakeWriter.clusteredWrite(li, s"$out/li", Seq("l_shipdate"), nFiles = 6)
+    val files = new java.io.File(s"$out/li").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 4)
+    // per-file key ranges must tile, not overlap (touching at range
+    // boundaries is allowed: a boundary value may close one file and
+    // open the next)
+    val ranges = files.map { f =>
+      // ISO timestamp strings order lexicographically
+      val r = spark.read.parquet(f)
+        .agg(min($"l_shipdate".cast("string")),
+          max($"l_shipdate".cast("string"))).head()
+      (r.getString(0), r.getString(1))
+    }.sorted
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(lo2 >= hi, s"file ranges overlap: $hi vs $lo2")
+      case _ =>
+    }
+    // the full rewrite round-trips exactly
+    assert(spark.read.parquet(s"$out/li").count() == li.count())
+  }
+
   test("Scd2.merge(incremental) equals the full-history rebuild") {
     import graft.operators.Scd2
     val ev = Tables.load(spark, TestSpark.sfDir, "events")
