@@ -389,6 +389,15 @@ object SparkEntry {
       operators.Graph.connectedComponents(edges, "src", "dst")
     }),
 
+    "q_dedup_survivors" -> ((s, d) => {
+      // the full dedup pipeline: LSH candidates -> transitive clusters
+      // -> one survivor per cluster (what a curation job actually runs)
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        threshold = 0.2)
+      operators.Graph.dupSurvivors(pairs, "doc_a", "doc_b")
+    }),
+
     "q_sample_per_group" -> ((s, d) => {
       Analytics.deterministicSample(
           T(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -462,6 +471,14 @@ object SparkEntry {
             Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type")),
         name = "stream_dedup_within", mode = OutputMode.Append())),
+
+    "q_stream_sessionize" -> ((s, d) =>
+      // stateful flatMapGroupsWithState sessionization with event-time
+      // timeout flush (sessions closed by gap OR by watermark expiry)
+      Speed.runToBatch(s,
+        Speed.sessionizeStream(Speed.eventStream(s, d),
+          gapMillis = 1800000L, flushOnTimeout = true),
+        name = "stream_sessionize", mode = OutputMode.Append())),
 
     "q_stream_interval_join" -> ((s, d) => {
       // stream-stream LEFT interval join (null fill on watermark pass)
