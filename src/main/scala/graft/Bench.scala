@@ -34,11 +34,17 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    // a drain timeout only mis-attributes a few tasks' bytes to the
+    // next query — never abort the bench over bookkeeping
+    def drain(): Unit =
+      try org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      catch { case _: Throwable => }
+
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      val w0 = shufWrite.get()
+      drain()
+      val w0 = shufWrite.get(); val r0 = shufRead.get()
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column —
       // count() would let Catalyst prune the projections away and
@@ -51,19 +57,24 @@ object Bench {
       // a failed query reports -1 so a crash can never read as a speedup
       val dt = if (failed.contains(name)) -1.0
                else (System.nanoTime() - t0) / 1e9
-      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      val mb = (shufWrite.get() - w0) / 1e6
-      shuffleMb(name) = math.round(mb * 100) / 100.0
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s  shuffle $mb%9.2f MB")
+      drain()
+      val wMb = (shufWrite.get() - w0) / 1e6
+      val rMb = (shufRead.get() - r0) / 1e6
+      shuffleMb(name) =
+        (math.round(wMb * 100) / 100.0, math.round(rMb * 100) / 100.0)
+      System.err.println(
+        f"[bench] $name%-24s $dt%8.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = shuffleMb.map { case (k, v) => s"\"" + k + "\":" + v }
+    val shw = shuffleMb.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val shr = shuffleMb.map { case (k, (_, r)) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$sh,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

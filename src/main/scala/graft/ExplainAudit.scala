@@ -14,8 +14,15 @@ object ExplainAudit {
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("q_filter_project", "q_join_star", "q_agg_pricing",
         "q_pit_join", "q_dedup_minhash", "q_embed_cosine_topk", "q_scd2")
+    // lazy twins for queries whose production entry materializes
+    // eagerly (the audit wants the full plan, not a Scan ExistingRDD)
+    val lazyOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q_dedup_minhash" -> ((s, d) =>
+        graft.operators.Dedup.minhashPairs(
+          graft.sources.Tables.load(s, d, "documents"), "text", "doc_id",
+          threshold = 0.2, materialize = false)))
     names.foreach { n =>
-      val plan = SparkEntry.queries(n)(spark, sfDir)
+      val plan = lazyOverrides.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(

@@ -28,7 +28,7 @@ object Dedup {
   /** Small inputs (one parquet file) plan as a single partition —
     * which serializes every per-document expression onto one core.
     * Spread them; leave already-parallel inputs untouched. */
-  private def spread(df: DataFrame, idCol: String): DataFrame =
+  private[operators] def spread(df: DataFrame, idCol: String): DataFrame =
     if (df.rdd.getNumPartitions < NumPartitions)
       df.repartition(NumPartitions, col(idCol))
     else df
@@ -76,19 +76,27 @@ object Dedup {
     * bucket by (band index, band hash), pair up within buckets, then
     * estimate Jaccard as the fraction of matching signature positions.
     * Only pairs with estimate >= `threshold` survive. */
+  /** @param materialize true (default): the signature table —
+    *        referenced three times (banding + both sides of the
+    *        estimate join) — is persisted for a single corpus scan,
+    *        the (small) pair result is computed EAGERLY, and the
+    *        persist is released before returning; callers never
+    *        inherit a cache to manage, at the cost of running the job
+    *        at construction time. false: fully lazy plan (explain/
+    *        audit-friendly, composable) that recomputes the signature
+    *        scan per reference — at production scale prefer writing
+    *        the signature table to the lake instead. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 5, perms: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000,
+                   materialize: Boolean = true): DataFrame = {
     val rows = perms / bands
-    // The signature table is referenced three times (banding + both
-    // sides of the estimate join) — materialize it once. At production
-    // scale this is the table you'd write to the lake anyway; here a
-    // MEMORY_AND_DISK persist keeps the corpus scan single-pass. The
-    // persist is RELEASED before returning (see the localCheckpoint at
-    // the end) — callers never inherit a cache to manage.
-    val sigs = minhashSignatures(df, textCol, idCol, shingleN, perms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigsPlan = minhashSignatures(df, textCol, idCol, shingleN, perms)
+    val sigs =
+      if (materialize)
+        sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsPlan
     val banded = sigs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))
@@ -119,13 +127,16 @@ object Dedup {
         round(matchCount.cast("double") / perms, 4))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
-    // Materialize the (small) pair table eagerly, then drop the
-    // signature cache: no cached blocks outlive this call. The
-    // checkpoint's own blocks are reclaimed by the ContextCleaner when
-    // the returned frame is garbage-collected.
-    val out = pairs.localCheckpoint(true)
-    sigs.unpersist(blocking = false)
-    out
+    if (!materialize) pairs
+    else {
+      // Materialize the (small) pair table eagerly, then drop the
+      // signature cache: no cached blocks outlive this call. The
+      // checkpoint's own blocks are reclaimed by the ContextCleaner
+      // when the returned frame is garbage-collected.
+      val out = pairs.localCheckpoint(true)
+      sigs.unpersist(blocking = false)
+      out
+    }
   }
 
   // -- SimHash --------------------------------------------------------

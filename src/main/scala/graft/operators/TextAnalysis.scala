@@ -103,14 +103,17 @@ object TextAnalysis {
                             k: Int = 5, w: Int = 4): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    // Shuffle DOCUMENTS, not grams: repartitioning by id before the
-    // explode satisfies the window's clustering requirement already
-    // (Generate preserves its child's partitioning), so the ~n_chars
-    // gram rows per document never cross the wire — only the raw text
-    // does (measured ~12× less shuffle at sf0.1).
-    val grams = df
-      .select(col(idCol), TextFns.normalizeText(col(textCol)).as("__norm"))
-      .repartition(32, col(idCol))
+    // Shuffle DOCUMENTS, not grams: hash-repartitioning by id before
+    // the explode satisfies the window's clustering requirement
+    // already (Generate preserves its child's partitioning), so the
+    // ~n_chars gram rows per document never cross the wire — only the
+    // raw text does (measured ~12× less shuffle at sf0.1). The
+    // partition count keeps the input's parallelism (floor of 32) —
+    // a wide corpus is never coalesced.
+    val src = df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm"))
+    val grams = src
+      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
       .select(col(idCol), posexplode(
         TextFns.shinglesFromNorm(col("__norm"), k)).as(Seq("pos", "__g")))
       .withColumn("__h", xxhash64(col("__g")))

@@ -127,20 +127,34 @@ object LakeWriter {
       .sorted
   }
 
+  /** URL-encoding keeps arbitrary paths (commas, quotes, unicode)
+    * safe inside the positionally-parsed manifest. */
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   /** Commit `df` as the next snapshot of `table`. `mode` "overwrite"
     * makes the new snapshot exactly `df`; "append" makes it the
     * previous snapshot's files plus `df`'s (no data rewrite — append
     * commits are metadata-only on the old files). Returns the new
-    * version. */
+    * version.
+    *
+    * Data lands in a UNIQUELY-NAMED directory per attempt, so a
+    * crashed or conflicted commit leaves an orphan that a later
+    * vacuum can collect but can never block or corrupt future
+    * commits. The commit point is a no-overwrite manifest rename
+    * (atomic on HDFS; on S3-like stores swap for a conditional PUT). */
   def commitSnapshot(df: DataFrame, table: String,
                      mode: String = "overwrite"): Long = {
     require(Seq("overwrite", "append").contains(mode), s"bad mode $mode")
     val spark = df.sparkSession
-    val tableP = new org.apache.hadoop.fs.Path(table)
-    val fs = fsOf(spark, tableP)
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val prev = snapshotVersions(spark, table)
     val version = prev.lastOption.getOrElse(0L) + 1
-    val dataDir = new org.apache.hadoop.fs.Path(table, s"data/v$version")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
@@ -149,25 +163,40 @@ object LakeWriter {
         snapshotFiles(spark, table, prev.last)
       else Seq.empty
     val files = carried ++ newFiles
-    val body = files.map(f => "\"" + f.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","files":[""", ",", "]}")
+    // schema rides in the manifest so an empty snapshot still reads
+    // back as a typed (zero-row) frame
+    val body = files.map(f => "\"" + enc(f) + "\"").mkString(
+      s"""{"version":$version,"mode":"$mode","schema":"${enc(df.schema.json)}","files":[""",
+      ",", "]}")
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
     val tmp = new org.apache.hadoop.fs.Path(mdir, s".v$version.json.tmp")
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8")); out.close()
     val fin = new org.apache.hadoop.fs.Path(mdir, s"v$version.json")
-    // the atomic commit point: rename fails if a concurrent writer won
-    // the version — surface that as a conflict instead of clobbering
-    require(!fs.exists(fin) && fs.rename(tmp, fin),
-      s"snapshot conflict: version $version already committed at $table")
+    // commit point: FileContext rename WITHOUT overwrite — fails if a
+    // concurrent writer already committed this version (atomic on
+    // HDFS; local FS is check-then-rename best effort). The loser's
+    // data directory is an inert orphan, never a clobbered manifest.
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(fin.toUri,
+          spark.sessionState.newHadoopConf())
+        .rename(tmp, fin)
+    } catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"snapshot conflict: version $version already committed at $table " +
+          s"(this attempt's data is orphaned at $dataDir)", e)
+    }
     version
   }
 
   /** The data files of one snapshot version. */
   def snapshotFiles(spark: SparkSession, table: String,
-                    version: Long): Seq[String] = {
+                    version: Long): Seq[String] =
+    parseManifest(spark, table, version)._1
+
+  private def parseManifest(spark: SparkSession, table: String,
+                            version: Long): (Seq[String], String) = {
     val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
     val fs = fsOf(spark, p)
     require(fs.exists(p), s"no snapshot v$version at $table")
@@ -175,16 +204,20 @@ object LakeWriter {
     val body = new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     in.close()
-    // manifest JSON is machine-written with the exact shape above —
-    // extract the files array positionally
+    // manifest JSON is machine-written with the exact shape above and
+    // every string URL-encoded — positional parsing is unambiguous
+    val schema = dec(body.split("\"schema\":\"")(1).split("\"")(0))
     val arr = body.substring(body.indexOf("[") + 1, body.lastIndexOf("]"))
-    if (arr.trim.isEmpty) Seq.empty
-    else arr.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-      .replace("\\\"", "\"").replace("\\\\", "\\"))
+    val files =
+      if (arr.trim.isEmpty) Seq.empty[String]
+      else arr.split(",").toSeq
+        .map(s => dec(s.trim.stripPrefix("\"").stripSuffix("\"")))
+    (files, schema)
   }
 
   /** Read a snapshot (default: latest). Time travel = pass an older
-    * version. */
+    * version. An empty snapshot reads as a zero-row frame with the
+    * schema it was committed with. */
   def readSnapshot(spark: SparkSession, table: String,
                    version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse {
@@ -192,8 +225,11 @@ object LakeWriter {
       require(vs.nonEmpty, s"no snapshots at $table")
       vs.last
     }
-    val files = snapshotFiles(spark, table, v)
-    if (files.isEmpty) spark.emptyDataFrame
+    val (files, schemaJson) = parseManifest(spark, table, v)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
     else spark.read.parquet(files: _*)
   }
 

@@ -53,16 +53,23 @@ object Tables {
     }
   }
 
+  /** A quarantine-routed CSV load. The underlying read is persisted
+    * (Spark refuses corrupt-record filters over a bare file re-read),
+    * and the CALLER owns that cache: call `release()` once both
+    * frames have been consumed. Lineage is intact, so a lost cached
+    * block is recomputed from the files, and nothing runs until an
+    * action — unlike a checkpoint, which would be eager and
+    * unrecoverable after executor loss. */
+  final case class QuarantinedCsv(good: DataFrame, quarantined: DataFrame,
+                                  private val raw: DataFrame) {
+    def release(): Unit = raw.unpersist(blocking = false)
+  }
+
   /** CSV ingestion with quarantine routing: rows that fail the schema
     * land in a `_corrupt_record` side-channel instead of poisoning the
-    * load — (good, quarantined) frames returned. The read is pinned
-    * with an eager localCheckpoint (not cache()): Spark refuses
-    * filters on the corrupt-record column over a file re-read, and a
-    * checkpoint's blocks are released by the ContextCleaner once the
-    * frames are garbage-collected — a plain cache() would live in the
-    * CacheManager until someone remembered to unpersist it. */
+    * load. */
   def csvWithQuarantine(spark: SparkSession, path: String,
-                        schema: StructType): (DataFrame, DataFrame) = {
+                        schema: StructType): QuarantinedCsv = {
     val withCorrupt = schema.add("_corrupt_record", "string")
     val raw = spark.read
       .option("header", "true")
@@ -70,12 +77,11 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .localCheckpoint()
-    val good = raw.where(col("_corrupt_record").isNull)
-      .drop("_corrupt_record")
-    val bad = raw.where(col("_corrupt_record").isNotNull)
-      .select("_corrupt_record")
-    (good, bad)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    QuarantinedCsv(
+      raw.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.where(col("_corrupt_record").isNotNull).select("_corrupt_record"),
+      raw)
   }
 
   /** Parquet read across evolving schemas (new columns appear over

@@ -33,11 +33,14 @@ object Speed extends Serializable {
     * the landing directory new files arrive in. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    // per-process staging dir (PID-scoped) so concurrent JVMs can never
-    // observe each other's half-copied files
+    // ONE shared staging dir per source dir (bounded: repeat runs
+    // reuse the copy instead of leaking one per process). Concurrency
+    // safety comes from the write protocol, not isolation: each
+    // process copies to its own PID-suffixed temp name, then
+    // ATOMIC_MOVEs into place — a reader can only ever open a
+    // complete file (an already-open replaced file keeps its inode).
     val stage = Paths.get("/tmp",
-      "graft_stream_" + ProcessHandle.current().pid() + "_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(stage)
     val srcPath = Paths.get(dir, "events.parquet")
     val dst = stage.resolve("events.parquet")
@@ -46,9 +49,8 @@ object Speed extends Serializable {
       Files.getLastModifiedTime(dst).compareTo(
         Files.getLastModifiedTime(srcPath)) < 0
     if (stale) {
-      // copy to a temp name, then ATOMIC_MOVE into place: the file
-      // stream source can only ever see a complete file
-      val tmp = stage.resolve("events.parquet.tmp")
+      val tmp = stage.resolve(
+        s"events.parquet.${ProcessHandle.current().pid()}.tmp")
       Files.copy(srcPath, tmp, StandardCopyOption.REPLACE_EXISTING)
       Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

@@ -141,8 +141,9 @@ class CoreOpsSpec extends AnyFunSuite {
       "id,price\n1,10.5\nbroken_row_no_comma\n2,xx\n3,7.25\n")
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("price", DoubleType)))
-    val (good, bad) = Tables.csvWithQuarantine(spark,
+    val q = Tables.csvWithQuarantine(spark,
       dir.resolve("t.csv").toString, schema)
+    val (good, bad) = (q.good, q.quarantined)
     // fully-clean rows survive; both the structurally-broken row and
     // the type-invalid one ("2,xx") are quarantined with their raw text
     assert(good.count() == 2)
@@ -150,6 +151,7 @@ class CoreOpsSpec extends AnyFunSuite {
     val raws = bad.collect().map(_.getString(0)).toSet
     assert(raws.exists(_.contains("broken_row_no_comma")))
     assert(raws.exists(_.contains("2,xx")))
+    q.release()
   }
 
   test("parquetMergeSchema unions evolving schemas") {

@@ -82,12 +82,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(LakeWriter.readSnapshot(spark, table, Some(1L)).collect().toSet ==
       d1.collect().toSet)
     assert(LakeWriter.snapshotVersions(spark, table) == Seq(1L, 2L, 3L))
-    // a data directory left by a failed concurrent writer of the same
-    // version is a conflict (errorifexists), never a silent clobber
-    d1.write.parquet(s"$table/data/v4")
-    intercept[Exception] { LakeWriter.commitSnapshot(d1, table) }
-    // the failed commit must not have produced a manifest
-    assert(LakeWriter.snapshotVersions(spark, table) == Seq(1L, 2L, 3L))
+    // an orphaned data dir from a crashed writer can NEVER wedge the
+    // table: the next commit picks a fresh attempt directory
+    d1.write.parquet(s"$table/data/v4-deadbeef")
+    assert(LakeWriter.commitSnapshot(d1, table) == 4L)
+    assert(LakeWriter.readSnapshot(spark, table).count() == 2)
+    // ...and the orphan's files are not part of any snapshot
+    assert(!LakeWriter.snapshotFiles(spark, table, 4L)
+      .exists(_.contains("deadbeef")))
+    // an empty snapshot (zero data files) keeps its schema — the
+    // zero-partition frame guarantees nothing is written at all
+    val zeroPart = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d1.schema)
+    LakeWriter.commitSnapshot(zeroPart, table)
+    val empty = LakeWriter.readSnapshot(spark, table)
+    assert(empty.columns.toSeq == Seq("id", "v") && empty.count() == 0)
   }
 
   test("clusteredWrite yields files with non-overlapping key ranges") {
