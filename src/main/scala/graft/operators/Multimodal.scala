@@ -84,6 +84,31 @@ object Multimodal {
       d.withColumn(s"f$i", element_at(col("features"), i + 1).cast("double"))
     }.drop("features")
 
+  /** "Resize": shrink each payload by keeping every `factor`-th byte —
+    * the deterministic stub for an image/audio resample kernel. Runs
+    * through the same per-partition seam as the decoder (swap the
+    * decimation loop for a real resampler; schema and batching are
+    * already production-shaped). */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("n_bytes", LongType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) Array.empty[Byte]
+                  else r.getAs[Array[Byte]](1)
+          val out = Array.tabulate(p.length / factor)(i => p(i * factor))
+          Row(id, out, out.length.toLong)
+        }
+      }(enc)
+  }
+
   /** "Frame sampling": slice `frameLen`-byte windows every `stride`
     * bytes from the payload — the plumbing (posexplode fan-out,
     * per-frame rows) is exactly what real video frame extraction

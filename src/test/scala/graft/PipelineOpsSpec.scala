@@ -206,5 +206,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media.where($"media_id" === 1), 32, 16)
     assert(frames.count() >= 1)
     assert(frames.head().getAs[Array[Byte]]("frame").length <= 32)
+    // resize: every 4th byte survives, order preserved
+    val orig = media.where($"media_id" === 1).head().getAs[Array[Byte]]("payload")
+    val resized = Multimodal.resizeStub(media.where($"media_id" === 1), 4)
+      .head().getAs[Array[Byte]]("payload")
+    assert(resized.length == orig.length / 4)
+    assert(resized.take(3).toSeq == Seq(orig(0), orig(4), orig(8)).toSeq)
   }
 }
