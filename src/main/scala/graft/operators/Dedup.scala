@@ -72,6 +72,46 @@ object Dedup {
         array((0 until perms).map(j => col(s"__m$j")): _*).as("sig"))
   }
 
+  /** One-permutation MinHash (Li/Owen/Zhang's OPH with rotation
+    * densification): ONE hash per shingle — the hash space is split
+    * into `perms` buckets (bucket = h mod perms) and the minimum hash
+    * within each bucket is that signature slot; empty slots borrow
+    * from the next non-empty slot to the right (cyclic).
+    *
+    * vs the classic `minhashSignatures`: the per-shingle work drops
+    * from `perms` modular multiplies to ONE hash + ONE mod, and the
+    * grouped min runs on (doc, bucket) — still codegen'd HashAggregate
+    * with map-side partials (≤ perms rows/doc leave each mapper). At
+    * corpus scale the signature build is a full-data scan, so this is
+    * the variant to run at 100 TB; accuracy is near-identical for
+    * docs with ≥ a few hundred shingles (slot collisions, not
+    * permutations, carry the randomness). */
+  def minhashSignaturesOPH(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 5, perms: Int = 64): DataFrame = {
+    val normed = spread(df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
+    val exploded = normed
+      .select(col(idCol),
+        explode(TextFns.shingleSetFromNorm(col("__norm"), shingleN)).as("__sh"))
+      .select(col(idCol),
+        pmod(xxhash64(col("__sh")), lit(Long.MaxValue)).as("__h"))
+    val slotMins = exploded
+      .withColumn("__b", pmod(col("__h"), lit(perms.toLong)).cast("int"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(min(col("__h")).as("__m"))
+    // sparse slots -> dense signature; rotation densification scans
+    // right (cyclically) for the first filled slot — a per-document
+    // map lookup, not per-shingle work
+    slotMins.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__m"))))
+        .as("__mm"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(perms - 1)), j =>
+          coalesce((0 until perms).map(o =>
+            element_at(col("__mm"), pmod(j + lit(o), lit(perms)).cast("int"))): _*))
+          .as("sig"))
+  }
+
   /** LSH candidate pairs: split the signature into `bands` bands,
     * bucket by (band index, band hash), pair up within buckets, then
     * estimate Jaccard as the fraction of matching signature positions.

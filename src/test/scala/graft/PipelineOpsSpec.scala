@@ -41,6 +41,20 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"planted pair $id not found")
   }
 
+  test("one-permutation MinHash signatures track the classic ones") {
+    val sigs = Dedup.minhashSignaturesOPH(planted, "text", "doc_id")
+    def sig(id: Long) = sigs.where($"doc_id" === id).head()
+      .getAs[scala.collection.Seq[Long]]("sig")
+    // identical docs -> identical signatures, correct width, dense
+    assert(sig(0L).length == 64 && !sig(0L).contains(null))
+    // planted near-dups agree on most slots; unrelated docs on few
+    def agree(a: Long, b: Long) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }
+    for (id <- 0L until 3L)
+      assert(agree(id, id + 100000) > 32, s"near-dup $id agreement low")
+    assert(agree(0L, 1L) < 16, "unrelated docs should rarely agree")
+  }
+
   test("Dedup.simhash of identical docs is identical; near-dups close") {
     val sh = Dedup.simhash(planted, "text", "doc_id")
     val a = sh.where($"doc_id" === 0).head().getAs[Long]("simhash")
