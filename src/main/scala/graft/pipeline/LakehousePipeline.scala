@@ -28,8 +28,20 @@ object LakehousePipeline {
   case class Result(stgRows: Long, dimDate: Long, dimEventType: Long,
                     dimUserState: Long, factRows: Long)
 
-  /** Run the full batch layer over one sf directory. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
+  /** Run the full batch layer over one sf directory.
+    *
+    * @param versionedDims write the curated dims through snapshot
+    *        commits (LakeWriter.commitSnapshot) instead of plain
+    *        overwrites — every pipeline run becomes a time-travelable
+    *        dim version (the reference's Nessie-catalog role): audits
+    *        and reprocessing read the dim AS OF an earlier load. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          versionedDims: Boolean = false): Result = {
+    def writeDim(df: DataFrame, path: String): DataFrame =
+      if (versionedDims) {
+        LakeWriter.commitSnapshot(df, path)
+        LakeWriter.readSnapshot(spark, path)
+      } else { LakeWriter.overwrite(df, path); df }
     val rawEvents = Tables.load(spark, sfDir, "events")
 
     // ---- staging: normalize, derive partition column ---------------
@@ -45,17 +57,17 @@ object LakehousePipeline {
     val stgBack = spark.read.parquet(s"$outDir/stg/stg_events")
 
     // ---- dims ------------------------------------------------------
-    val dimDate = Dims.dateDim(stgBack, col("event_date"))
-    LakeWriter.overwrite(dimDate, s"$outDir/curated/dim_date")
+    val dimDate = writeDim(Dims.dateDim(stgBack, col("event_date")),
+      s"$outDir/curated/dim_date")
 
-    val dimEventType = Dims.distinctDim(stgBack, Seq("event_type"),
-      "event_type_sk")
-    LakeWriter.overwrite(dimEventType, s"$outDir/curated/dim_event_type")
+    val dimEventType = writeDim(
+      Dims.distinctDim(stgBack, Seq("event_type"), "event_type_sk"),
+      s"$outDir/curated/dim_event_type")
 
-    val dimUserState = Scd2.build(stgBack, Seq("user_id"),
-      Seq("event_type"), "ts")
-      .withColumnRenamed("event_type", "state")
-    LakeWriter.overwrite(dimUserState, s"$outDir/curated/dim_user_state")
+    val dimUserState = writeDim(
+      Scd2.build(stgBack, Seq("user_id"), Seq("event_type"), "ts")
+        .withColumnRenamed("event_type", "state"),
+      s"$outDir/curated/dim_user_state")
 
     // ---- fact: surrogate keys via broadcast dims + PIT join --------
     val fact = PitJoin(stgBack, dimUserState, Seq("user_id"), "ts")

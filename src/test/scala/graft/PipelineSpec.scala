@@ -31,6 +31,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(daily.agg(sum($"n")).head().getLong(0) == r1.factRows)
   }
 
+  test("versioned pipeline dims are time-travelable across runs") {
+    import graft.sources.LakeWriter
+    val out = java.nio.file.Files.createTempDirectory("graft_lakev").toString
+    val r1 = LakehousePipeline.run(spark, TestSpark.sfDir, out,
+      versionedDims = true)
+    val r2 = LakehousePipeline.run(spark, TestSpark.sfDir, out,
+      versionedDims = true)
+    assert(r1.factRows == r2.factRows)
+    val dim = s"$out/curated/dim_user_state"
+    // every run committed a dim version; both read back identically
+    // (same input), and time travel reaches the first load
+    assert(LakeWriter.snapshotVersions(spark, dim) == Seq(1L, 2L))
+    val v1 = LakeWriter.readSnapshot(spark, dim, Some(1L))
+    val v2 = LakeWriter.readSnapshot(spark, dim)
+    assert(v1.count() == v2.count() && v1.except(v2).isEmpty)
+  }
+
   test("Views serves ad-hoc SQL over the raw zone") {
     val top = Views.sql(spark, TestSpark.sfDir,
       "SELECT o_orderpriority, count(*) n FROM orders GROUP BY 1")
