@@ -215,6 +215,30 @@ object LakeWriter {
     (files, schema)
   }
 
+  /** Vacuum: drop all but the last `keepLast` snapshot versions and
+    * delete every data directory no kept manifest references —
+    * including orphans from crashed or conflicted commits. Safe order:
+    * old manifests first (the table never references deleted data),
+    * then unreferenced directories. */
+  def vacuumSnapshots(spark: SparkSession, table: String,
+                      keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least one version")
+    val vs = snapshotVersions(spark, table)
+    val kept = vs.takeRight(keepLast)
+    val referenced = kept.flatMap(v => snapshotFiles(spark, table, v)).toSet
+    val mdir = manifestDir(table)
+    val fs = fsOf(spark, mdir)
+    vs.dropRight(keepLast).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(mdir, s"v$v.json"), false)
+    }
+    val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
+      val live = fs.listStatus(d.getPath).exists(f =>
+        referenced.contains(f.getPath.toString))
+      if (!live) fs.delete(d.getPath, true)
+    }
+  }
+
   /** Read a snapshot (default: latest). Time travel = pass an older
     * version. An empty snapshot reads as a zero-row frame with the
     * schema it was committed with. */

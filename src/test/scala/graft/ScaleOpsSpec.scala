@@ -97,6 +97,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     LakeWriter.commitSnapshot(zeroPart, table)
     val empty = LakeWriter.readSnapshot(spark, table)
     assert(empty.columns.toSeq == Seq("id", "v") && empty.count() == 0)
+    // vacuum: only the latest version and its data survive — old
+    // manifests, superseded data dirs, AND the crash orphan are gone
+    LakeWriter.commitSnapshot(d3, table)   // v6, non-empty latest
+    LakeWriter.vacuumSnapshots(spark, table, keepLast = 1)
+    assert(LakeWriter.snapshotVersions(spark, table) == Seq(6L))
+    assert(LakeWriter.readSnapshot(spark, table).collect().toSet ==
+      d3.collect().toSet)
+    val dataDirs = new java.io.File(table, "data").listFiles().map(_.getName)
+    assert(dataDirs.length == 1 && dataDirs.head.startsWith("v6-"),
+      s"unexpected surviving data dirs: ${dataDirs.toSeq}")
   }
 
   test("clusteredWrite yields files with non-overlapping key ranges") {
