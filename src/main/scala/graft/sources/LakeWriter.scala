@@ -98,6 +98,38 @@ object LakeWriter {
       .sortWithinPartitions(cols.map(df.col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Two-dimension clustering: sort by the Z-ORDER key (bit
+    * interleaving of both columns — graft.plans.InterleaveBits) so
+    * every file carries tight min/max statistics on BOTH dimensions
+    * and a predicate on either one prunes files; `clusteredWrite`
+    * can only serve a single leading column.
+    *
+    * Both columns are min/max-normalized to a common 21-bit domain
+    * first — raw interleaving is dominated by whichever column has
+    * the larger magnitude (its high bits outrank ALL of the other
+    * column's varying bits), which silently degrades to single-column
+    * clustering. One cheap scalar aggregate buys the bounds. */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  nFiles: Int): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.{col, greatest, lit, max, min}
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val bits = (1 << 21) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      (((col(c).cast("double") - lo) /
+        greatest(lit(hi - lo), lit(1.0))) * bits).cast("int")
+    val z = GraftColumnBridge.column(graft.plans.InterleaveBits(
+      GraftColumnBridge.expression(scaled(colA, b.getDouble(0), b.getDouble(1))),
+      GraftColumnBridge.expression(scaled(colB, b.getDouble(2), b.getDouble(3)))))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   // ---- versioned (snapshot) tables ---------------------------------
   //
   // A minimal snapshot layer over native parquet — the shape Iceberg/

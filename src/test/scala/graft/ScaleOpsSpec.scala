@@ -63,6 +63,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order write: interleaving is order-preserving and clusters both dims") {
+    import graft.plans.InterleaveBits
+    // known bit pattern: (0,0) flips both sign bits -> top two z-bits
+    assert(InterleaveBits.interleave(0, 0) == 0xC000000000000000L)
+    assert(InterleaveBits.interleave(0, 1) - InterleaveBits.interleave(0, 0) == 1L)
+    // jointly monotone: a1<=a2 && b1<=b2 => z1 <= z2 (incl. negatives)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val (a1, b1) = (rnd.nextInt(), rnd.nextInt())
+      val (a2, b2) = (a1 + rnd.nextInt(1 << 20), b1 + rnd.nextInt(1 << 20))
+      assert(InterleaveBits.interleave(a1, b1) <=
+        InterleaveBits.interleave(a2, b2))
+    }
+    // through the engine (codegen path) matches the kernel
+    val df = Seq((3, 5), (-2, 7), (100, -4)).toDF("a", "b")
+    val got = df.select(org.apache.spark.sql.GraftColumnBridge.column(
+      InterleaveBits(
+        org.apache.spark.sql.GraftColumnBridge.expression($"a"),
+        org.apache.spark.sql.GraftColumnBridge.expression($"b"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(InterleaveBits.interleave(3, 5),
+      InterleaveBits.interleave(-2, 7), InterleaveBits.interleave(100, -4)))
+    // files cluster BOTH dims: most files span well under the global
+    // range on each column
+    val out = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    LakeWriter.zorderWrite(li, s"$out/li", "l_partkey", "l_suppkey", 8)
+    val files = new java.io.File(s"$out/li").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 6)
+    def spans(c: String) = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    def globalSpan(c: String) = {
+      val r = li.agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    for (c <- Seq("l_partkey", "l_suppkey"))
+      assert(spans(c).count(_ <= 0.6 * globalSpan(c)) >= files.length / 2,
+        s"$c: too few files with narrow span")
+    assert(spark.read.parquet(s"$out/li").count() == li.count())
+  }
+
   test("snapshot commits: atomic versions, append as metadata, time travel") {
     val table = java.nio.file.Files.createTempDirectory("graft_snap").toString
     val d1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
