@@ -194,9 +194,20 @@ object LakeWriter {
       if (mode == "append" && prev.nonEmpty)
         snapshotFiles(spark, table, prev.last)
       else Seq.empty
-    val files = carried ++ newFiles
-    // schema rides in the manifest so an empty snapshot still reads
-    // back as a typed (zero-row) frame
+    writeManifest(spark, fs, table, version, mode, df, carried ++ newFiles)
+    version
+  }
+
+  /** Write + atomically activate a manifest. The commit point is a
+    * FileContext rename WITHOUT overwrite — fails if a concurrent
+    * writer already committed this version (atomic on HDFS; local FS
+    * is check-then-rename best effort). The loser's data directory is
+    * an inert orphan, never a clobbered manifest. Schema rides in the
+    * manifest so an empty snapshot still reads back typed. */
+  private def writeManifest(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            table: String, version: Long, mode: String,
+                            df: DataFrame, files: Seq[String]): Unit = {
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
       s"""{"version":$version,"mode":"$mode","schema":"${enc(df.schema.json)}","files":[""",
       ",", "]}")
@@ -206,10 +217,6 @@ object LakeWriter {
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8")); out.close()
     val fin = new org.apache.hadoop.fs.Path(mdir, s"v$version.json")
-    // commit point: FileContext rename WITHOUT overwrite — fails if a
-    // concurrent writer already committed this version (atomic on
-    // HDFS; local FS is check-then-rename best effort). The loser's
-    // data directory is an inert orphan, never a clobbered manifest.
     try {
       org.apache.hadoop.fs.FileContext.getFileContext(fin.toUri,
           spark.sessionState.newHadoopConf())
@@ -217,9 +224,8 @@ object LakeWriter {
     } catch { case e: java.io.IOException =>
       throw new IllegalStateException(
         s"snapshot conflict: version $version already committed at $table " +
-          s"(this attempt's data is orphaned at $dataDir)", e)
+          "(this attempt's data directory is an inert orphan)", e)
     }
-    version
   }
 
   /** The data files of one snapshot version. */
@@ -245,6 +251,71 @@ object LakeWriter {
       else arr.split(",").toSeq
         .map(s => dec(s.trim.stripPrefix("\"").stripSuffix("\"")))
     (files, schema)
+  }
+
+  /** Partition-aware snapshot commit — dynamic partition overwrite
+    * WITH time travel: the new snapshot keeps every prior file whose
+    * partition `df` does not touch, and replaces the touched
+    * partitions with `df`'s files. Like `dynamicPartitionOverwrite`,
+    * a daily load writes one day's files; unlike it, yesterday's
+    * state of the overwritten partition remains readable via the
+    * previous version. Data files are laid out hive-style
+    * (`col=value/`), so partition pruning works on reads. */
+  def commitSnapshotDynamic(df: DataFrame, table: String,
+                            partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"partition columns not in frame: $missing")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val prev = snapshotVersions(spark, table)
+    val version = prev.lastOption.getOrElse(0L) + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    df.write.mode("errorifexists").partitionBy(partitionCols: _*)
+      .parquet(dataDir.toString)
+    // the files just written, nested under col=value/ dirs
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString)
+        else Seq.empty
+      }
+    val newFiles = walk(dataDir).sorted
+    // touched partitions as VALUE tuples (path fragments are compared
+    // unescaped: Spark %XX-escapes special chars in hive paths)
+    val touched = df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect().map { r =>
+        partitionCols.indices.map { i =>
+          if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.get(i).toString
+        }.mkString("\u0001")
+      }.toSet
+    def unescapePath(s: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def partitionOf(file: String): String =
+      partitionCols.map { c =>
+        val m = (java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
+          .findFirstMatchIn(file)
+        require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
+        unescapePath(m.get.group(1))
+      }.mkString("\u0001")
+    val carried =
+      if (prev.isEmpty) Seq.empty
+      else snapshotFiles(spark, table, prev.last)
+        .filterNot(f => touched.contains(partitionOf(f)))
+    writeManifest(spark, fs, table, version, "dynamic", df,
+      carried ++ newFiles)
+    version
   }
 
   /** Vacuum: drop all but the last `keepLast` snapshot versions and
@@ -286,7 +357,19 @@ object LakeWriter {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-    else spark.read.parquet(files: _*)
+    else {
+      // group by the version directory and read each group with that
+      // basePath, so hive partition columns (col=value/ dirs under the
+      // version dir) are recovered; a snapshot spans few version dirs
+      val root = "(.*/data/v\\d+-[^/]+)/".r
+      files.groupBy(f => root.findFirstMatchIn(f).map(_.group(1))
+          .getOrElse(sys.error(s"file outside a version dir: $f")))
+        .toSeq.sortBy(_._1)
+        .map { case (base, fs) =>
+          spark.read.option("basePath", base).parquet(fs: _*)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** Append (raw-zone landing). */

@@ -180,6 +180,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/li").count() == li.count())
   }
 
+  test("dynamic snapshot commit: untouched partitions carried, history intact") {
+    val table = java.nio.file.Files.createTempDirectory("graft_dsnap").toString
+    val day1 = Seq((1, "d1", "a"), (2, "d1", "b")).toDF("id", "day", "v")
+    val day2 = Seq((3, "d2", "c")).toDF("id", "day", "v")
+    // v1: full load of two days
+    assert(LakeWriter.commitSnapshotDynamic(day1.union(day2), table,
+      Seq("day")) == 1L)
+    // v2: reload ONLY day d2 with corrected data
+    val day2fix = Seq((3, "d2", "c-fixed"), (4, "d2", "d"))
+      .toDF("id", "day", "v")
+    assert(LakeWriter.commitSnapshotDynamic(day2fix, table, Seq("day")) == 2L)
+    val v2 = LakeWriter.readSnapshot(spark, table)
+    // d1 rows carried untouched; d2 fully replaced
+    assert(v2.where($"day" === "d1").count() == 2)
+    assert(v2.where($"day" === "d2").select("v").collect()
+      .map(_.getString(0)).toSet == Set("c-fixed", "d"))
+    // d1 files in v2 are the PHYSICAL v1 files (metadata carry)
+    val v1Files = LakeWriter.snapshotFiles(spark, table, 1L)
+    val v2Files = LakeWriter.snapshotFiles(spark, table, 2L)
+    assert(v2Files.filter(_.contains("day=d1")).toSet ==
+      v1Files.filter(_.contains("day=d1")).toSet)
+    // time travel: v1 still shows the original d2
+    assert(LakeWriter.readSnapshot(spark, table, Some(1L))
+      .where($"day" === "d2").select("v").collect()
+      .map(_.getString(0)).toSeq == Seq("c"))
+    // partition pruning reaches the scan of a snapshot read
+    val pruned = v2.where($"day" === "d2")
+    assert(pruned.queryExecution.executedPlan.toString.contains("day"))
+  }
+
   test("Scd2.merge(incremental) equals the full-history rebuild") {
     import graft.operators.Scd2
     val ev = Tables.load(spark, TestSpark.sfDir, "events")
