@@ -179,6 +179,64 @@ object Dedup {
     }
   }
 
+  /** Incremental near-dup detection: candidate pairs involving AT
+    * LEAST ONE document of `newDocs`, given the persisted signature
+    * table of the existing corpus (what `minhashSignatures` returns —
+    * at scale, a lake table maintained per load). Only the DELTA's
+    * text is scanned; the existing corpus participates through its
+    * signatures (perms longs/doc), so daily growth costs
+    * O(delta corpus scan + full signature-table shuffle) instead of
+    * re-scanning 100 TB. Banding, bucket caps, and the estimate match
+    * the full `minhashPairs` run exactly: the result equals the full
+    * run's pairs restricted to those touching a new doc. */
+  def minhashPairsDelta(newDocs: DataFrame, textCol: String, idCol: String,
+                        existingSigs: DataFrame, shingleN: Int = 5,
+                        perms: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    val rows = perms / bands
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, shingleN, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allSigs = existingSigs.select(col(idCol), col("sig")).union(newSigs)
+    def banded(sigs: DataFrame) = sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+      .as(Seq("band", "band_hash")))
+    // caps are computed over the COMBINED banded table (cheap: sig
+    // rows, not text) so a bucket hot across old+new stays capped
+    // exactly as the full run would cap it
+    val allBanded = banded(allSigs)
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .where(col("__n") <= maxBucket).drop("__n")
+    val newIds = newSigs.select(col(idCol).as("__new_id"))
+    val newBanded = allBanded.join(
+      broadcast(newIds), col(idCol) === col("__new_id")).drop("__new_id")
+    val cand = newBanded.select(col(idCol).as("doc_x"), col("band"), col("band_hash"))
+      .join(allBanded.select(col(idCol).as("doc_y"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .where(col("doc_x") =!= col("doc_y"))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+      .repartition(NumPartitions, col("doc_a"))
+    val sa = allSigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val sb = allSigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    val matchCount = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ArrayMatchCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sig_b"))))
+    val pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        round(matchCount.cast("double") / perms, 4))
+      .where(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val out = pairs.localCheckpoint(true)
+    newSigs.unpersist(blocking = false)
+    out
+  }
+
   // -- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens, via explode + 64 codegen'd

@@ -41,6 +41,29 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"planted pair $id not found")
   }
 
+  test("delta minhash pairs equal the full run restricted to new docs") {
+    val oldDocs = docs.select("doc_id", "text")
+    val newDocs = docs.where($"doc_id".isin(4L, 9L))
+      .select(($"doc_id" + 200000).as("doc_id"),
+        concat($"text", lit(" tiny suffix")).as("text"))
+      .union(Seq((300000L, "a brand new unique document about nothing else"))
+        .toDF("doc_id", "text"))
+    val existingSigs = Dedup.minhashSignatures(oldDocs, "text", "doc_id")
+    val delta = Dedup.minhashPairsDelta(newDocs, "text", "doc_id",
+        existingSigs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted near-dups of old docs are found without re-scanning
+    // the old corpus text
+    assert(delta.contains((4L, 200004L)) && delta.contains((9L, 200009L)))
+    // exact agreement with the full recompute, restricted to pairs
+    // that touch a new doc
+    val fullAll = Dedup.minhashPairs(oldDocs.union(newDocs), "text",
+        "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = fullAll.filter(p => p._1 >= 200000L || p._2 >= 200000L)
+    assert(delta == full, s"delta $delta vs full $full")
+  }
+
   test("one-permutation MinHash signatures track the classic ones") {
     val sigs = Dedup.minhashSignaturesOPH(planted, "text", "doc_id")
     def sig(id: Long) = sigs.where($"doc_id" === id).head()
