@@ -314,6 +314,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(T(s, d, "documents"), "text", "doc_id")),
 
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(T(s, d, "documents"), "text", "doc_id")),
+
     "q_winnow_fingerprint" -> ((s, d) =>
       // rolling-hash winnowing sketch, summarized per document
       TextAnalysis.winnowingFingerprints(T(s, d, "documents"), "text",
@@ -911,6 +914,21 @@ object SparkEntry {
         |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty,
         |  count(*) AS n,
         |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2),
+        |cbg AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(avg(ln(c_bg / CAST((SELECT count(*) FROM bg) AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS avg_logprob
+        |FROM bg JOIN cbg USING (bigram)
+        |GROUP BY doc_id""".stripMargin
   )
 }

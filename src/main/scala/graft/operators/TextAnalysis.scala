@@ -88,6 +88,33 @@ object TextAnalysis {
       TextFns.fingerprint(col(textCol)).as("fp"),
       substring(TextFns.fingerprint(col(textCol)), 1, 8).as("fp_prefix"))
 
+  /** Bigram cross-entropy quality score: counts every bigram over the
+    * corpus and scores each document by the mean log-probability of
+    * its bigrams under the corpus bigram distribution (C(bg)/N) — the
+    * n-gram frequency filter for training data. Text made of corpus-
+    * typical word sequences scores high; one-off garbage scores very
+    * low. (A CONDITIONAL self-trained MLE is the wrong metric here:
+    * a singleton bigram with a singleton prefix gets ln(1/1) = 0, so
+    * unique garbage would score as perfectly-predicted text.)
+    * One vocabulary-sized shuffle + one doc-keyed aggregate; the
+    * corpus text is scanned once. Documents with < 2 tokens carry no
+    * bigram evidence and are excluded. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+    val bg = toks.where(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
+    val cBg = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val nTotal = bg.agg(count(lit(1)).as("n_total"))
+    bg.join(cBg, "bigram").crossJoin(broadcast(nTotal))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        CleanFns.roundRepro(
+          avg(log(col("c_bg").cast("double") / col("n_total"))), 4)
+          .as("avg_logprob"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash
     * document sketch): hash every k-gram, slide a window of `w`
     * consecutive hashes, keep each window's minimum (rightmost on

@@ -175,6 +175,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     fp.unpersist()
   }
 
+  test("lmScore ranks in-distribution text above one-off garbage") {
+    val corpus = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((98L, "the quick brown fox jumps again today"),
+          (99L, "zxq vplk qwortt yuzzle brimp")) // bigrams seen once only
+    val scored = TextAnalysis.lmScore(corpus.toDF("doc_id", "text"),
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the formulaic doc shares every bigram with 40 copies -> high
+    // likelihood; the garbage doc's bigrams are singletons -> lowest
+    assert(scored(1L) > scored(98L))
+    assert(scored(98L) > scored(99L))
+  }
+
   test("TextAnalysis.langId follows marker vocabularies") {
     val df = Seq(
       (1L, "der hund und die katze ist nicht da"),
