@@ -318,6 +318,14 @@ object LakeWriter {
     version
   }
 
+  /** Snapshot-aware compaction: rewrite the LATEST snapshot into
+    * `nFiles` files and commit the rewrite as a NEW version — readers
+    * of older versions are untouched (no rename-swap window at all;
+    * reclaim superseded data with `vacuumSnapshots`). */
+  def compactSnapshot(spark: SparkSession, table: String,
+                      nFiles: Int): Long =
+    commitSnapshot(readSnapshot(spark, table).repartition(nFiles), table)
+
   /** Vacuum: drop all but the last `keepLast` snapshot versions and
     * delete every data directory no kept manifest references —
     * including orphans from crashed or conflicted commits. Safe order:

@@ -142,15 +142,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     LakeWriter.commitSnapshot(zeroPart, table)
     val empty = LakeWriter.readSnapshot(spark, table)
     assert(empty.columns.toSeq == Seq("id", "v") && empty.count() == 0)
+    // snapshot-aware compaction: a new version with fewer files, old
+    // versions untouched
+    LakeWriter.commitSnapshot(d3, table)   // v6, non-empty latest
+    val cv = LakeWriter.compactSnapshot(spark, table, nFiles = 1)
+    assert(cv == 7L)
+    assert(LakeWriter.snapshotFiles(spark, table, 7L).length == 1)
+    assert(LakeWriter.readSnapshot(spark, table).collect().toSet ==
+      d3.collect().toSet)
+    // snapshot tables serve through the SQL layer, incl. time travel
+    graft.sources.Views.registerSnapshotAsOf(spark, table, "snap_v1", 1L)
+    assert(spark.sql("SELECT count(*) FROM snap_v1").head().getLong(0) == 2L)
     // vacuum: only the latest version and its data survive — old
     // manifests, superseded data dirs, AND the crash orphan are gone
-    LakeWriter.commitSnapshot(d3, table)   // v6, non-empty latest
     LakeWriter.vacuumSnapshots(spark, table, keepLast = 1)
-    assert(LakeWriter.snapshotVersions(spark, table) == Seq(6L))
+    assert(LakeWriter.snapshotVersions(spark, table) == Seq(7L))
     assert(LakeWriter.readSnapshot(spark, table).collect().toSet ==
       d3.collect().toSet)
     val dataDirs = new java.io.File(table, "data").listFiles().map(_.getName)
-    assert(dataDirs.length == 1 && dataDirs.head.startsWith("v6-"),
+    assert(dataDirs.length == 1 && dataDirs.head.startsWith("v7-"),
       s"unexpected surviving data dirs: ${dataDirs.toSeq}")
   }
 
