@@ -401,6 +401,14 @@ object SparkEntry {
       operators.Graph.dupSurvivors(pairs, "doc_a", "doc_b")
     }),
 
+    "q_mixture_sample" -> ((s, d) =>
+      // training-data mixing: 50% en, 25% de, 10% of everything else
+      Analytics.mixtureSample(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        "lang", "doc_id", Map("en" -> 50, "de" -> 25),
+        defaultPercent = 10)),
+
     "q_sample_per_group" -> ((s, d) => {
       Analytics.deterministicSample(
           T(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -848,6 +856,12 @@ object SparkEntry {
         |FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
+
+    "q_mixture_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+        |            ELSE '19' END""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

@@ -106,6 +106,29 @@ object Analytics {
     }
   }
 
+  /** Mixture sampling: per-group keep-percentages — the training-data
+    * MIXING op (e.g. keep 50% of English, 25% of German, 10% of the
+    * rest). A pure map-side filter on the md5 of the row id: no
+    * shuffle, no seed, identical row set on every run and engine, and
+    * membership is stable under corpus growth (a kept row stays kept
+    * when weights are unchanged — incremental loads sample
+    * consistently). Groups absent from `percents` keep
+    * `defaultPercent`. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    percents: Map[String, Int],
+                    defaultPercent: Int = 100): DataFrame = {
+    def bound(p: Int): String = {
+      require(p >= 0 && p <= 100, s"bad percent $p")
+      // "zz" compares above every hex digit — keep-all sentinel
+      if (p >= 100) "zz" else f"${p * 256 / 100}%02x"
+    }
+    val boundCol = percents.toSeq.sortBy(_._1).foldRight(
+      lit(bound(defaultPercent))) { case ((g, p), els) =>
+      when(col(groupCol) === g, lit(bound(p))).otherwise(els)
+    }
+    df.where(substring(md5(col(idCol).cast("string")), 1, 2) < boundCol)
+  }
+
   /** Trailing N-day window aggregate (RANGE frame over epoch days) —
     * the delta_in_week/month-style trailing measures of the reference,
     * computed scalably: one shuffle on the entity key, peers included

@@ -212,6 +212,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(composed.except(native).isEmpty)
   }
 
+  test("mixtureSample honors per-group weights and is growth-stable") {
+    import graft.operators.Analytics
+    val base = docs.select("doc_id", "lang", "source")
+    val mixed = Analytics.mixtureSample(base, "lang", "doc_id",
+      Map("en" -> 50), defaultPercent = 10)
+    val en = base.where($"lang" === "en").count().toDouble
+    val enKept = mixed.where($"lang" === "en").count().toDouble
+    val rest = base.where($"lang" =!= "en").count().toDouble
+    val restKept = mixed.where($"lang" =!= "en").count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.15, s"en ratio ${enKept / en}")
+    assert(math.abs(restKept / rest - 0.1) < 0.08,
+      s"rest ratio ${restKept / rest}")
+    // growth stability: sampling a subset keeps exactly the subset of
+    // the full sample (same ids) — incremental loads stay consistent
+    val subset = Analytics.mixtureSample(base.where($"doc_id" < 200),
+      "lang", "doc_id", Map("en" -> 50), defaultPercent = 10)
+    assert(subset.select("doc_id").except(
+      mixed.select("doc_id")).isEmpty)
+    // percent 0 and 100 boundaries
+    assert(Analytics.mixtureSample(base, "lang", "doc_id", Map(),
+      defaultPercent = 100).count() == base.count())
+    assert(Analytics.mixtureSample(base, "lang", "doc_id", Map(),
+      defaultPercent = 0).count() == 0)
+  }
+
   test("deterministicFraction keeps everything at 100 and nothing at 0") {
     import graft.operators.Analytics
     val n = docs.count()
