@@ -314,6 +314,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(T(s, d, "documents"), "text", "doc_id")),
 
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(T(s, d, "documents"), "text", "doc_id")),
+
     "q_lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(T(s, d, "documents"), "text", "doc_id")),
 
@@ -929,6 +932,26 @@ object SparkEntry {
         |  count(*) AS n,
         |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(lower(text)), '\s+')) < 3 THEN []
+        |         ELSE list_transform(
+        |           generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+        |           i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+        |                string_split_regex(trim(lower(text)), '\s+')[i + 1] || ' ' ||
+        |                string_split_regex(trim(lower(text)), '\s+')[i + 2])
+        |    END AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INT) AS n_ngrams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+        |  floor((CASE WHEN len(grams) = 0 THEN 0.0
+        |         ELSE 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+        |         END) * 10000 + 0.5) / 10000 AS dup_ratio
+        |FROM g""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (

@@ -88,6 +88,28 @@ object TextAnalysis {
       TextFns.fingerprint(col(textCol)).as("fp"),
       substring(TextFns.fingerprint(col(textCol)), 1, 8).as("fp_prefix"))
 
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * filter): fraction of duplicated word 3-grams inside each
+    * document. Boilerplate/template text repeats its own n-grams;
+    * clean prose rarely does. Map-only per document — no shuffle, no
+    * corpus statistics. Documents with < 3 tokens have no 3-grams and
+    * report a 0 ratio. */
+  def repetition(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3): DataFrame = {
+    val toks = TextFns.tokens(TextFns.normalizeText(col(textCol)))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(TextFns.wordNgramsFromToks(toks, n))
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        size(col("__g")).as("n_ngrams"),
+        size(array_distinct(col("__g"))).as("n_distinct"),
+        CleanFns.roundRepro(
+          when(size(col("__g")) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("__g"))).cast("double") /
+                size(col("__g"))), 4).as("dup_ratio"))
+  }
+
   /** Bigram cross-entropy quality score: counts every bigram over the
     * corpus and scores each document by the mean log-probability of
     * its bigrams under the corpus bigram distribution (C(bg)/N) — the

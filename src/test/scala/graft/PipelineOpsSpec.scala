@@ -175,6 +175,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     fp.unpersist()
   }
 
+  test("repetition flags boilerplate, clears prose, handles short docs") {
+    val data = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "a perfectly normal sentence with no repeats at all"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(data, "text", "doc_id").collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) > 0.5)    // template spam: most 3-grams duplicated
+    assert(r(2L) == 0.0)   // clean prose
+    assert(r(3L) == 0.0)   // < 3 tokens -> no evidence, not NaN
+  }
+
   test("lmScore ranks in-distribution text above one-off garbage") {
     val corpus = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
       Seq((98L, "the quick brown fox jumps again today"),
