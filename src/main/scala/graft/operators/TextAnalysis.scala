@@ -91,23 +91,35 @@ object TextAnalysis {
   /** Within-document repetition metrics (the Gopher-style repetition
     * filter): fraction of duplicated word 3-grams inside each
     * document. Boilerplate/template text repeats its own n-grams;
-    * clean prose rarely does. Map-only per document — no shuffle, no
-    * corpus statistics. Documents with < 3 tokens have no 3-grams and
-    * report a 0 ratio. */
+    * clean prose rarely does. Documents with < 3 tokens have no
+    * 3-grams and report a 0 ratio.
+    *
+    * Shape: explode the n-grams once, then a codegen'd count /
+    * countDistinct aggregate — NOT array_distinct over a projected
+    * array column: CollapseProject re-inlines the (interpreted)
+    * n-gram lambda into every reference, evaluating it per output
+    * column (measured 8.7s -> ~1s at sf0.1). The pre-explode
+    * repartition by id means the gram rows themselves never shuffle
+    * (Generate preserves partitioning; the aggregate reuses it). */
   def repetition(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3): DataFrame = {
-    val toks = TextFns.tokens(TextFns.normalizeText(col(textCol)))
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(TextFns.wordNgramsFromToks(toks, n))
-    df.select(col(idCol), grams.as("__g"))
-      .select(col(idCol),
-        size(col("__g")).as("n_ngrams"),
-        size(array_distinct(col("__g"))).as("n_distinct"),
+    val src = df.select(col(idCol),
+      TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+    val grams = src
+      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .select(col(idCol), explode_outer(
+        when(size(col("__t")) < n, array(lit(null).cast("string")))
+          .otherwise(TextFns.wordNgramsFromToks(col("__t"), n))).as("__g"))
+    grams.groupBy(col(idCol))
+      .agg(
+        count(col("__g")).cast("int").as("n_ngrams"),
+        countDistinct(col("__g")).cast("int").as("n_distinct"))
+      .select(col(idCol), col("n_ngrams"), col("n_distinct"),
         CleanFns.roundRepro(
-          when(size(col("__g")) === 0, lit(0.0))
+          when(col("n_ngrams") === 0, lit(0.0))
             .otherwise(lit(1.0) -
-              size(array_distinct(col("__g"))).cast("double") /
-                size(col("__g"))), 4).as("dup_ratio"))
+              col("n_distinct").cast("double") / col("n_ngrams")), 4)
+          .as("dup_ratio"))
   }
 
   /** Bigram cross-entropy quality score: counts every bigram over the
