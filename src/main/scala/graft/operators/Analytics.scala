@@ -94,17 +94,22 @@ object Analytics {
       .where(col("__rn") <= k).drop("__rn")
   }
 
+  /** First-two-hex-digit md5 bound keeping ~`percent` of the id space
+    * ("zz" orders above every hex pair = keep-all). Shared by BOTH
+    * sampling ops so the threshold arithmetic can never drift between
+    * them. */
+  private def md5Bound(percent: Int): String = {
+    require(percent >= 0 && percent <= 100, s"bad percent $percent")
+    if (percent >= 100) "zz" else f"${percent * 256 / 100}%02x"
+  }
+
   /** Deterministic fraction sample: keep rows whose id-hash falls in
     * the first `percent` of the md5 space (engine-portable). */
   def deterministicFraction(df: DataFrame, idCol: String,
-                            percent: Int): DataFrame = {
-    require(percent >= 0 && percent <= 100)
+                            percent: Int): DataFrame =
     if (percent == 100) df
-    else {
-      val bound = f"${percent * 256 / 100}%02x"
-      df.where(substring(md5(col(idCol).cast("string")), 1, 2) < bound)
-    }
-  }
+    else df.where(
+      substring(md5(col(idCol).cast("string")), 1, 2) < md5Bound(percent))
 
   /** Mixture sampling: per-group keep-percentages — the training-data
     * MIXING op (e.g. keep 50% of English, 25% of German, 10% of the
@@ -117,14 +122,9 @@ object Analytics {
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
                     percents: Map[String, Int],
                     defaultPercent: Int = 100): DataFrame = {
-    def bound(p: Int): String = {
-      require(p >= 0 && p <= 100, s"bad percent $p")
-      // "zz" compares above every hex digit — keep-all sentinel
-      if (p >= 100) "zz" else f"${p * 256 / 100}%02x"
-    }
     val boundCol = percents.toSeq.sortBy(_._1).foldRight(
-      lit(bound(defaultPercent))) { case ((g, p), els) =>
-      when(col(groupCol) === g, lit(bound(p))).otherwise(els)
+      lit(md5Bound(defaultPercent))) { case ((g, p), els) =>
+      when(col(groupCol) === g, lit(md5Bound(p))).otherwise(els)
     }
     df.where(substring(md5(col(idCol).cast("string")), 1, 2) < boundCol)
   }

@@ -99,17 +99,18 @@ object Dedup {
       .withColumn("__b", pmod(col("__h"), lit(perms.toLong)).cast("int"))
       .groupBy(col(idCol), col("__b"))
       .agg(min(col("__h")).as("__m"))
-    // sparse slots -> dense signature; rotation densification scans
-    // right (cyclically) for the first filled slot — a per-document
-    // map lookup, not per-shingle work
+    // sparse slots -> dense signature: native O(perms) rotation
+    // densification (graft.plans.DensifySlots) — the builtin
+    // formulation (transform + perms-way coalesce of map probes) is
+    // perms^2 interpreted lookups per document
     slotMins.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__m"))))
         .as("__mm"))
       .select(col(idCol),
-        transform(sequence(lit(0), lit(perms - 1)), j =>
-          coalesce((0 until perms).map(o =>
-            element_at(col("__mm"), pmod(j + lit(o), lit(perms)).cast("int"))): _*))
-          .as("sig"))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.DensifySlots(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__mm")),
+            perms)).as("sig"))
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands,
@@ -126,47 +127,66 @@ object Dedup {
     *        audit-friendly, composable) that recomputes the signature
     *        scan per reference — at production scale prefer writing
     *        the signature table to the lake instead. */
-  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int = 5, perms: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5,
-                   maxBucket: Int = 1000,
-                   materialize: Boolean = true): DataFrame = {
-    val rows = perms / bands
-    val sigsPlan = minhashSignatures(df, textCol, idCol, shingleN, perms)
-    val sigs =
-      if (materialize)
-        sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sigsPlan
-    val banded = sigs.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows))))
-      ).as(Seq("band", "band_hash")))
-    // cap pathological buckets (boilerplate) — at 100 TB a single hot
-    // bucket would otherwise produce a quadratic pair explosion
-    val capped = banded
+  // ---- shared LSH machinery (full AND delta paths use EXACTLY these:
+  // any change applies to both, preserving the delta == restricted-
+  // full guarantee) --------------------------------------------------
+
+  /** (id, band, band_hash) rows for a signature table. */
+  private def bandSignatures(sigs: DataFrame, idCol: String, bands: Int,
+                             rows: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+      .as(Seq("band", "band_hash")))
+
+  /** Cap pathological buckets (boilerplate) — at 100 TB a single hot
+    * bucket would otherwise produce a quadratic pair explosion. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
       .withColumn("__n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_hash"))))
       .where(col("__n") <= maxBucket).drop("__n")
-    val l = capped.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
-    val r = capped.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
-    val cand = l.join(r, Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      // id pairs are tiny here but fan into heavy per-pair work below —
-      // pin the parallelism so AQE cannot coalesce the next stage
-      .repartition(NumPartitions, col("doc_a"))
+
+  /** Attach both signatures to (doc_a, doc_b) candidates, estimate
+    * Jaccard as the matching-position fraction, filter by threshold.
+    * The candidate frame is explicitly repartitioned first: id pairs
+    * are tiny but fan into heavy per-pair work — pinning the
+    * parallelism stops AQE coalescing the estimate stage. */
+  private def estimatePairs(cand: DataFrame, sigs: DataFrame, idCol: String,
+                            perms: Int, threshold: Double): DataFrame = {
+    val pinned = cand.repartition(NumPartitions, col("doc_a"))
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
     val matchCount = org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.ArrayMatchCount(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),
         org.apache.spark.sql.GraftColumnBridge.expression(col("sig_b"))))
-    val pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
+    pinned.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",
         round(matchCount.cast("double") / perms, 4))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 5, perms: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5,
+                   maxBucket: Int = 1000,
+                   materialize: Boolean = true): DataFrame = {
+    val sigsPlan = minhashSignatures(df, textCol, idCol, shingleN, perms)
+    val sigs =
+      if (materialize)
+        sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsPlan
+    val capped = capBuckets(
+      bandSignatures(sigs, idCol, bands, perms / bands), maxBucket)
+    val l = capped.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+    val r = capped.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val pairs = estimatePairs(cand, sigs, idCol, perms, threshold)
     if (!materialize) pairs
     else {
       // Materialize the (small) pair table eagerly, then drop the
@@ -194,22 +214,14 @@ object Dedup {
                         perms: Int = 64, bands: Int = 16,
                         threshold: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
-    val rows = perms / bands
     val newSigs = minhashSignatures(newDocs, textCol, idCol, shingleN, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allSigs = existingSigs.select(col(idCol), col("sig")).union(newSigs)
-    def banded(sigs: DataFrame) = sigs.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
-      .as(Seq("band", "band_hash")))
     // caps are computed over the COMBINED banded table (cheap: sig
     // rows, not text) so a bucket hot across old+new stays capped
     // exactly as the full run would cap it
-    val allBanded = banded(allSigs)
-      .withColumn("__n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .where(col("__n") <= maxBucket).drop("__n")
+    val allBanded = capBuckets(
+      bandSignatures(allSigs, idCol, bands, perms / bands), maxBucket)
     val newIds = newSigs.select(col(idCol).as("__new_id"))
     val newBanded = allBanded.join(
       broadcast(newIds), col(idCol) === col("__new_id")).drop("__new_id")
@@ -220,18 +232,7 @@ object Dedup {
       .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
         greatest(col("doc_x"), col("doc_y")).as("doc_b"))
       .distinct()
-      .repartition(NumPartitions, col("doc_a"))
-    val sa = allSigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
-    val sb = allSigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    val matchCount = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.ArrayMatchCount(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),
-        org.apache.spark.sql.GraftColumnBridge.expression(col("sig_b"))))
-    val pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard",
-        round(matchCount.cast("double") / perms, 4))
-      .where(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+    val pairs = estimatePairs(cand, allSigs, idCol, perms, threshold)
     val out = pairs.localCheckpoint(true)
     newSigs.unpersist(blocking = false)
     out

@@ -22,20 +22,14 @@ object Graph {
     *         comp = minimum node id of the component. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
       .cache()
-    // each round is several tiny jobs; on a SMALL graph their cost is
-    // pure per-partition scheduling, so run the loop narrow and
-    // restore the session's parallelism after (a large edge list
-    // keeps the full width)
-    val nEdges = sym.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    if (nEdges < 100000)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.min(prevParts.toInt, 8).toString)
+    // NOTE: the per-round jobs on a small graph are scheduler-bound;
+    // narrowing them via a session-wide shuffle-partition flip was
+    // measured (~no gain) and rejected — a global conf mutation would
+    // silently clobber concurrent queries on the same session.
     try {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -60,10 +54,7 @@ object Graph {
           s"($changed labels still changing) — raise maxIter (needs " +
           "O(component diameter) rounds)")
     labels
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      sym.unpersist()
-    }
+    } finally sym.unpersist()
   }
 
   /** Dup-cluster resolution: pairwise duplicate hits → one surviving

@@ -140,7 +140,10 @@ object TextAnalysis {
       .select(col(idCol),
         explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
     val cBg = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
-    val nTotal = bg.agg(count(lit(1)).as("n_total"))
+    // total bigram count folded from the vocabulary-sized count table,
+    // NOT a third scan of the corpus (its subplan is identical to
+    // cBg's, so the shuffle is exchange-reused as well)
+    val nTotal = cBg.agg(sum(col("c_bg")).as("n_total"))
     bg.join(cBg, "bigram").crossJoin(broadcast(nTotal))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

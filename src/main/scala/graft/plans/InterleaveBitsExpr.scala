@@ -60,6 +60,10 @@ object InterleaveBits {
       r |= ((y >>> i) & 1L) << (2 * i)
       i += 1
     }
-    r
+    // the interleaved key is an UNSIGNED ordinal (bit 63 = left's
+    // flipped sign bit); flip the long's own sign bit so it also
+    // orders correctly under SIGNED long comparison — without this,
+    // rows with negative left values sort after all others
+    r ^ Long.MinValue
   }
 }

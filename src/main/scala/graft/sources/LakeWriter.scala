@@ -116,6 +116,12 @@ object LakeWriter {
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (b.anyNull) {
+      // empty input (or all-null cluster columns): no bounds to scale
+      // by — write as-is, like clusteredWrite does on empty input
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val bits = (1 << 21) - 1
     def scaled(c: String, lo: Double, hi: Double) =
       (((col(c).cast("double") - lo) /
@@ -304,7 +310,9 @@ object LakeWriter {
     }
     def partitionOf(file: String): String =
       partitionCols.map { c =>
-        val m = (java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
+        // anchored at a path-segment start: without it, "day=" would
+        // also match inside ".../birthday=5/" and extract wrong values
+        val m = ("(?:^|/)" + java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
           .findFirstMatchIn(file)
         require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
         unescapePath(m.get.group(1))
@@ -343,10 +351,17 @@ object LakeWriter {
       fs.delete(new org.apache.hadoop.fs.Path(mdir, s"v$v.json"), false)
     }
     val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
+    // liveness must look at the version dir's files RECURSIVELY:
+    // dynamic commits nest them under hive col=value/ directories, so
+    // checking direct children only would mark every dynamic version
+    // dead and delete live (even latest-version) data
+    def anyFileReferenced(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        if (st.isDirectory) anyFileReferenced(st.getPath)
+        else referenced.contains(st.getPath.toString)
+      }
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
-      val live = fs.listStatus(d.getPath).exists(f =>
-        referenced.contains(f.getPath.toString))
-      if (!live) fs.delete(d.getPath, true)
+      if (!anyFileReferenced(d.getPath)) fs.delete(d.getPath, true)
     }
   }
 
@@ -368,13 +383,19 @@ object LakeWriter {
     else {
       // group by the version directory and read each group with that
       // basePath, so hive partition columns (col=value/ dirs under the
-      // version dir) are recovered; a snapshot spans few version dirs
+      // version dir) are recovered; a snapshot spans few version dirs.
+      // The COMMITTED schema is applied to every group: without it,
+      // partition-column type INFERENCE can drift per group (day=1 →
+      // int, day=x → string) and break the union — the manifest, not
+      // inference, owns the types.
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       val root = "(.*/data/v\\d+-[^/]+)/".r
       files.groupBy(f => root.findFirstMatchIn(f).map(_.group(1))
           .getOrElse(sys.error(s"file outside a version dir: $f")))
         .toSeq.sortBy(_._1)
         .map { case (base, fs) =>
-          spark.read.option("basePath", base).parquet(fs: _*)
+          spark.read.option("basePath", base).schema(schema).parquet(fs: _*)
         }
         .reduce(_.unionByName(_))
     }

@@ -65,16 +65,26 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("z-order write: interleaving is order-preserving and clusters both dims") {
     import graft.plans.InterleaveBits
-    // known bit pattern: (0,0) flips both sign bits -> top two z-bits
-    assert(InterleaveBits.interleave(0, 0) == 0xC000000000000000L)
+    // known bit pattern: (0,0) flips both int sign bits, then the
+    // long's own sign bit flips back for signed ordering
+    assert(InterleaveBits.interleave(0, 0) == 0x4000000000000000L)
     assert(InterleaveBits.interleave(0, 1) - InterleaveBits.interleave(0, 0) == 1L)
-    // jointly monotone: a1<=a2 && b1<=b2 => z1 <= z2 (incl. negatives)
+    // signed ordering across the zero crossings of EITHER column
+    assert(InterleaveBits.interleave(-1, 5) < InterleaveBits.interleave(0, 5))
+    assert(InterleaveBits.interleave(7, -1) < InterleaveBits.interleave(7, 0))
+    assert(InterleaveBits.interleave(Int.MinValue, Int.MinValue) <
+      InterleaveBits.interleave(Int.MaxValue, Int.MaxValue))
+    // jointly monotone: a1<=a2 && b1<=b2 => z1 <= z2 — random pairs
+    // FORCED to straddle zero regularly (not left to seed luck)
     val rnd = new scala.util.Random(7)
-    for (_ <- 1 to 2000) {
-      val (a1, b1) = (rnd.nextInt(), rnd.nextInt())
+    for (i <- 1 to 2000) {
+      val (a1, b1) =
+        if (i % 3 == 0) (-rnd.nextInt(1 << 19), -rnd.nextInt(1 << 19))
+        else (rnd.nextInt(), rnd.nextInt())
       val (a2, b2) = (a1 + rnd.nextInt(1 << 20), b1 + rnd.nextInt(1 << 20))
       assert(InterleaveBits.interleave(a1, b1) <=
-        InterleaveBits.interleave(a2, b2))
+        InterleaveBits.interleave(a2, b2),
+        s"not monotone at ($a1,$b1) vs ($a2,$b2)")
     }
     // through the engine (codegen path) matches the kernel
     val df = Seq((3, 5), (-2, 7), (100, -4)).toDF("a", "b")
@@ -218,6 +228,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     // partition pruning reaches the scan of a snapshot read
     val pruned = v2.where($"day" === "d2")
     assert(pruned.queryExecution.executedPlan.toString.contains("day"))
+    // vacuum must treat hive-NESTED version dirs as live: liveness is
+    // a recursive file check, not direct children (which are col=value
+    // directories for dynamic commits)
+    LakeWriter.vacuumSnapshots(spark, table, keepLast = 1)
+    assert(LakeWriter.snapshotVersions(spark, table) == Seq(2L))
+    val after = LakeWriter.readSnapshot(spark, table)
+    assert(after.where($"day" === "d1").count() == 2)
+    assert(after.where($"day" === "d2").count() == 2)
   }
 
   test("Scd2.merge(incremental) equals the full-history rebuild") {
