@@ -337,9 +337,13 @@ object SparkEntry {
         maxHamming = 3)),
 
     "q_ngram_jaccard" -> ((s, d) => {
-      // the production shape: LSH candidates -> exact Jaccard verify
+      // the production shape: LSH candidates -> exact Jaccard verify.
+      // materialize=false: the pair frame is consumed exactly once by
+      // the verify join, so the eager signature persist + checkpoint
+      // would be pure overhead here (one fused lazy plan instead)
       val docs = T(s, d, "documents")
-      val cand = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.1)
+      val cand = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.1,
+          materialize = false)
         .select(col("doc_a"), col("doc_b"))
       Dedup.ngramJaccard(cand, docs, "text", "doc_id", shingleN = 3,
         threshold = 0.1)

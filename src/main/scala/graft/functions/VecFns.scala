@@ -43,9 +43,48 @@ object VecFns {
       when(pmod(xxhash64(lit("hp"), i, j), lit(2)) === 0, lit(1.0))
         .otherwise(lit(-1.0)))
 
+  /** Hyperplane component (i, j) evaluated DRIVER-SIDE through the
+    * exact kernel `xxhash64(lit("hp"), i, j)` runs (seed 42, children
+    * folded left) — so the literal hyperplanes are bit-identical to
+    * the composed variant's (the parity spec asserts it). */
+  private def hpSign(i: Int, j: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val h0 = XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hp"),
+      StringType, 42L)
+    val h1 = XxHash64Function.hash(i, IntegerType, h0)
+    val h2 = XxHash64Function.hash(j, IntegerType, h1)
+    if (math.floorMod(h2, 2L) == 0L) 1.0 else -1.0
+  }
+
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Seq[Double]]()
+  private def hyperplaneConst(i: Int, dim: Int): Seq[Double] =
+    hpCache.computeIfAbsent((i, dim),
+      _ => (0 until dim).map(j => hpSign(i, j)))
+
   /** Random-hyperplane LSH signature: array of `bits` 0/1 ints, bit i
-    * = sign(v · hp_i). Hash the (whole or sliced) array for bucketing. */
+    * = sign(v · hp_i). Hash the (whole or sliced) array for bucketing.
+    *
+    * The hyperplanes are deterministic CONSTANTS, so they are generated
+    * once on the driver and shipped as literal arrays: the signature is
+    * `bits` native VecDot calls per row — fully codegen'd, zero hash
+    * recomputation. The composed-builtins twin below recomputes
+    * bits×dim xxhash64 calls per row through interpreted higher-order
+    * functions, which on a full-corpus scan (the LSH use case at
+    * 100 TB) is the whole runtime; it is kept as the semantic
+    * reference the parity test checks against. */
   def lshSignature(v: Column, bits: Int, dim: Int): Column =
+    array((0 until bits).map { i =>
+      when(dot(v, typedlit(hyperplaneConst(i, dim))) > 0, lit(1))
+        .otherwise(lit(0))
+    }: _*)
+
+  /** Composed-builtins LSH signature — semantic reference for
+    * `lshSignature` (tested bit-identical). Interpreted; do not use on
+    * hot paths. */
+  def lshSignatureComposed(v: Column, bits: Int, dim: Int): Column =
     transform(sequence(lit(0), lit(bits - 1)), i =>
       when(aggregate(zip_with(v, hyperplaneAt(i, dim),
           (x, h) => x.cast("double") * h),

@@ -27,11 +27,23 @@ object Dedup {
 
   /** Small inputs (one parquet file) plan as a single partition —
     * which serializes every per-document expression onto one core.
-    * Spread them; leave already-parallel inputs untouched. */
-  private[operators] def spread(df: DataFrame, idCol: String): DataFrame =
-    if (df.rdd.getNumPartitions < NumPartitions)
-      df.repartition(NumPartitions, col(idCol))
-    else df
+    * Spread them; leave already-parallel inputs untouched.
+    *
+    * The check reads leaf-file METADATA (`inputFiles`), not
+    * `df.rdd.getNumPartitions` — the latter forces a full physical
+    * planning pass and builds an RDD lineage on every signature build.
+    * A corpus in fewer files than cores is exactly the case that needs
+    * spreading; production tables (many files ≫ cores) skip the
+    * shuffle, and the repartition key is the doc id, so Generate
+    * preserves it and the downstream per-doc groupBy reuses this one
+    * exchange. Non-file sources (test frames) report zero files and
+    * get spread too. */
+  private[operators] def spread(df: DataFrame, idCol: String): DataFrame = {
+    val fewFiles =
+      try df.inputFiles.length < NumPartitions
+      catch { case _: Throwable => true }
+    if (fewFiles) df.repartition(NumPartitions, col(idCol)) else df
+  }
 
   // -- exact ----------------------------------------------------------
 

@@ -80,80 +80,100 @@ object Similarity {
     * cells, each query probes only its `nprobe` nearest cells, and the
     * exact cosine runs within those cells (~nprobe/nlist of the data).
     *
-    * Training is Lloyd's algorithm expressed as DataFrame ops — no
-    * driver-side loops over vectors:
+    * The centroid set is DRIVER-SMALL by construction (nlist rows), so
+    * it is collected and shipped back as literals — which makes every
+    * corpus-side stage a pure projection:
     *  - init: `nlist` corpus vectors picked by hash order (deterministic
-    *    spread sample, no rand());
-    *  - assign: corpus × broadcast(centroids), argmin by `min_by` —
-    *    a map-only stage, no shuffle;
-    *  - update: posexplode the vectors, average per (cell, dimension),
-    *    rebuild arrays — two narrow shuffles of nlist×dim rows.
+    *    spread sample, no rand()), collected;
+    *  - assign: argmax over nlist literal-centroid dot products,
+    *    computed as `greatest` over (score, -cell) structs in ONE
+    *    codegen'd projection per corpus row — ZERO corpus shuffles, no
+    *    join, no aggregation (cosine argmax == dot/||c|| argmax: the
+    *    query-side norm is a common positive factor);
+    *  - update: posexplode + per-(cell,dim) mean — map-side partial
+    *    aggregation means only nlist×dim rows per task reach the
+    *    (tiny) shuffle, and the nlist×dim means are collected.
     * `iters` is small (quantizer quality, not convergence, is the
     * goal). At 100 TB you'd train on a sample; the assign/probe path
-    * is the part that must stream the full corpus, and it does so
-    * with broadcast centroids only. */
+    * is the part that must stream the full corpus, and it now does so
+    * shuffle-free. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 2): DataFrame = {
     val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
 
-    // deterministic init: nlist vectors in xxhash64(id) order.
-    // orderBy+limit plans as TakeOrderedAndProject (distributed top-k)
-    // — no global sort; the window below runs over nlist rows only.
-    val init = cvec
+    def toDoubles(v: Any): Array[Double] = v match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    }
+
+    // deterministic init: the nlist vectors minimal in xxhash64(id)
+    // order — plans as TakeOrderedAndProject (distributed top-k, no
+    // global sort), then nlist rows land on the driver
+    var cents: Array[(Int, Array[Double])] = cvec
       .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
       .limit(nlist)
-      .select((row_number().over(
-          Window.orderBy(xxhash64(col("__id").cast("string")), col("__id")))
-          - 1).as("cell"),
-        col("__v").as("cvec"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, toDoubles(r.get(1))) }
 
-    // Lloyd iterations: argmin-assign, then per-dimension mean
-    val centroids = (0 until iters).foldLeft(init) { (cent, _) =>
-      val c = broadcast(cent.select(col("cell"),
-        col("cvec"), VecFns.norm(col("cvec")).as("cn")))
-      val assigned = cvec
-        .join(c, expr("true"))
-        .withColumn("__cos", VecFns.cosineFromParts(
-          VecFns.dot(col("__v"), col("cvec")),
-          VecFns.norm(col("__v")), col("cn")))
-        .groupBy(col("__id"), col("__v"))
-        .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"))
-      assigned
-        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"),
-          transform(col("pm"), p => p("m").cast("float")).as("cvec"))
+    // score_i = (v · c_i) / ||c_i||: same argmax as cosine (1/||v|| is
+    // a common positive factor), one native dot per centroid, and the
+    // zero-norm centroid degenerates to score 0 exactly like
+    // cosineFromParts. argmax via greatest over (score, -cell) structs
+    // — ties break to the SMALLEST cell, matching max_by semantics.
+    def scoreStructs(v: Column): Array[Column] = cents.map { case (cell, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      val inv = if (n == 0.0) 0.0 else 1.0 / n
+      struct((VecFns.dot(v, typedlit(c.toSeq)) * lit(inv)).as("s"),
+        lit(-cell).as("negc"))
     }
-    val cent = broadcast(centroids.select(col("cell"), col("cvec"),
-      VecFns.norm(col("cvec")).as("cn")))
+    def cellOf(v: Column): Column = {
+      val scored = scoreStructs(v)
+      val best =
+        if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+      -best.getField("negc")
+    }
 
-    // corpus → cell assignment (map-only: broadcast centroids)
+    // Lloyd iterations: projection-assign, tiny aggregated shuffle,
+    // collect the nlist×dim means
+    for (_ <- 0 until iters) {
+      val means = cvec
+        .select(cellOf(col("__v")).as("cell"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      // means rounded to float precision, as the previous formulation
+      // stored centroids as array<float> — keeps assignments identical
+      cents = means.groupBy(_.getInt(0)).map { case (cell, rs) =>
+        (cell,
+          rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat.toDouble).toArray)
+      }.toArray.sortBy(_._1)
+    }
+
+    // corpus → cell assignment: ONE projection over the scan
     val corpusCells = cvec
-      .join(cent, expr("true"))
-      .withColumn("__cos", VecFns.cosineFromParts(
-        VecFns.dot(col("__v"), col("cvec")),
-        VecFns.norm(col("__v")), col("cn")))
-      .groupBy(col("__id"), col("__v"))
-      .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"))
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
-        VecFns.norm(col("__v")).as("__cn"), col("cell"))
+        VecFns.norm(col("__v")).as("__cn"), cellOf(col("__v")).as("cell"))
 
-    // queries → top-nprobe cells each
+    // queries → top-nprobe cells each: sort the literal score array
+    // ascending by (-score, cell) and keep the first nprobe — no join,
+    // no window; the query side stays driver-small and broadcasts
+    val probeArr = array_sort(array(cents.map { case (cell, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      val inv = if (n == 0.0) 0.0 else 1.0 / n
+      struct((-VecFns.dot(col("__qv"), typedlit(c.toSeq)) * lit(inv)).as("negs"),
+        lit(cell).as("cell"))
+    }.toSeq: _*))
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .join(cent, expr("true"))
-        .withColumn("__cos", VecFns.cosineFromParts(
-          VecFns.dot(col("__qv"), col("cvec")),
-          VecFns.norm(col("__qv")), col("cn")))
-        .withColumn("__pr", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("__cos").desc, col("cell").asc)))
-        .where(col("__pr") <= nprobe)
-        .select(col("query_id"), col("__qv"),
-          VecFns.norm(col("__qv")).as("__qn"), col("cell")))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          VecFns.norm(col(vecCol)).as("__qn"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          explode(slice(probeArr, 1, nprobe)).as("__pc"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          col("__pc").getField("cell").as("cell")))
 
     // exact cosine only within probed cells
     val w = Window.partitionBy(col("query_id"))

@@ -110,6 +110,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.where($"rank" === 1).head().getAs[Long]("neighbor_id") == 5L)
   }
 
+  test("VecFns.lshSignature native (literal hyperplanes) == composed") {
+    import graft.functions.VecFns
+    val native = embeddings.select($"vec_id",
+      VecFns.lshSignature($"embedding", 8, 64).as("sig"))
+    val composed = embeddings.select($"vec_id",
+      VecFns.lshSignatureComposed($"embedding", 8, 64).as("sig"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
   test("Similarity.ivfTopK probes the right cell and beats random recall") {
     // a query identical to a corpus vector must land in that vector's
     // cell (it IS that vector) and rank it first with cos 1
