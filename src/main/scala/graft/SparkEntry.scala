@@ -492,15 +492,24 @@ object SparkEntry {
 
     "q_stream_sessionize" -> ((s, d) =>
       // stateful flatMapGroupsWithState sessionization with event-time
-      // timeout flush (sessions closed by gap OR by watermark expiry)
+      // timeout flush (sessions closed by gap OR by watermark expiry).
+      // The sentineled source runs the finite stream as three batches,
+      // so the watermark actually passes every real session's timeout
+      // and the result EQUALS batch q_sessionize (oracle-checked);
+      // sentinel-user sessions are excluded.
       Speed.runToBatch(s,
-        Speed.sessionizeStream(Speed.eventStream(s, d),
+        Speed.sessionizeStream(Speed.eventStreamSentineled(s, d),
           gapMillis = 1800000L, flushOnTimeout = true),
-        name = "stream_sessionize", mode = OutputMode.Append())),
+        name = "stream_sessionize", mode = OutputMode.Append())
+        .where(col("user_id") >= 0)),
 
     "q_stream_interval_join" -> ((s, d) => {
-      // stream-stream LEFT interval join (null fill on watermark pass)
-      val ev = Speed.eventStream(s, d)
+      // stream-stream LEFT interval join (null fill on watermark pass).
+      // Sentineled source: the final batch runs with the watermark past
+      // every real click's join horizon, so unmatched clicks ARE
+      // null-filled and the result equals the batch LEFT interval join
+      // (oracle-checked).
+      val ev = Speed.eventStreamSentineled(s, d)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -510,6 +519,7 @@ object SparkEntry {
         Speed.intervalJoinLeft(clicks, purchases, "user_id",
             "ts", "p_ts", withinMillis = 3600000L),
         name = "stream_interval_join", mode = OutputMode.Append())
+        .where(col("user_id") >= 0)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("p_event_id"), col("p_value"))
     })
@@ -910,6 +920,42 @@ object SparkEntry {
     "q_stream_dedup_within" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
 
+    // sentineled source flushes every watermark-gated row, so the
+    // stream result equals the batch LEFT interval join (sans p_ts,
+    // which the streaming query does not project)
+    "q_stream_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+        |    event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.p_value
+        |FROM clicks c LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND p.p_ts > c.ts
+        | AND p.p_ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // sentineled source + EventTimeTimeout flush makes the streaming
+    // sessionizer equal batch q_sessionize (its oracle, sans the
+    // session ordinal the stream does not emit)
+    "q_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT n_name, c_mktsegment,
         |  floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal,
@@ -972,4 +1018,34 @@ object SparkEntry {
         |FROM bg JOIN cbg USING (bigram)
         |GROUP BY doc_id""".stripMargin
   )
+
+  /** Oracles that can only be phrased against a COMPUTED intermediate
+    * — here the LSH candidate pair set, which plain SQL cannot
+    * reproduce. The pair generation is fully deterministic (hash
+    * arithmetic, no rand()), so Verify materializes the pairs for its
+    * sfDir and embeds them as VALUES in a recursive-CTE closure: the
+    * oracle then independently re-derives the transitive clusters and
+    * min-id survivors that `q_dedup_survivors` must produce. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val pairs = Dedup.minhashPairs(T(spark, sfDir, "documents"), "text",
+        "doc_id", threshold = 0.2)
+      .select(col("doc_a"), col("doc_b")).collect()
+    if (pairs.isEmpty) Map.empty
+    else {
+      val values = pairs
+        .map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
+      Map("q_dedup_survivors" ->
+        s"""WITH RECURSIVE e0 AS (
+           |  SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+           |  FROM (VALUES $values) v(a, b)),
+           |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |reach(node, r) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+           |  WHERE edges.dst <> reach.node)
+           |SELECT node, least(node, min(r)) AS survivor
+           |FROM reach GROUP BY node""".stripMargin)
+    }
+  }
 }

@@ -32,7 +32,7 @@ object Speed extends Serializable {
     * once) into a per-sf temp directory — in production this is just
     * the landing directory new files arrive in. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     // ONE shared staging dir per source dir (bounded: repeat runs
     // reuse the copy instead of leaking one per process). Concurrency
     // safety comes from the write protocol, not isolation: each
@@ -41,23 +41,109 @@ object Speed extends Serializable {
     // complete file (an already-open replaced file keeps its inode).
     val stage = Paths.get("/tmp",
       "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-    Files.createDirectories(stage)
-    val srcPath = Paths.get(dir, "events.parquet")
-    val dst = stage.resolve("events.parquet")
-    val stale = !Files.exists(dst) ||
-      Files.size(dst) != Files.size(srcPath) ||
-      Files.getLastModifiedTime(dst).compareTo(
-        Files.getLastModifiedTime(srcPath)) < 0
-    if (stale) {
-      val tmp = stage.resolve(
-        s"events.parquet.${ProcessHandle.current().pid()}.tmp")
-      Files.copy(srcPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    stageAtomically(stage, Paths.get(dir, "events.parquet"),
+      "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRaw)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Copy `src` into `stage/name` if absent or stale, via a
+    * PID-suffixed temp + ATOMIC_MOVE (readers only ever see complete
+    * files). Returns true if the file was (re)staged. */
+  private def stageAtomically(stage: java.nio.file.Path,
+                              src: java.nio.file.Path,
+                              name: String): Boolean = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(stage)
+    val dst = stage.resolve(name)
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst).compareTo(
+        Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      val tmp = stage.resolve(s"$name.${ProcessHandle.current().pid()}.tmp")
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stale
+  }
+
+  /** File-stream over events PLUS two far-future sentinel batches —
+    * for finite runs of operators whose last results are gated on the
+    * WATERMARK passing them (outer-join null fills, event-time session
+    * timeouts). A single-batch run never flushes those: the watermark
+    * is computed from a batch's max event time but only APPLIED while
+    * processing a subsequent batch, so the tail of the data stays in
+    * state forever and the finite result is silently short.
+    *
+    * The source is capped at one file per micro-batch, so the run is
+    * exactly three batches:
+    *  1. the real events;
+    *  2. a sentinel click+purchase pair (user_id = -1) at
+    *     max(ts) + 30 days — processing it applies the watermark
+    *     derived from ALL real events;
+    *  3. a second sentinel pair at +60 days — processed under a
+    *     watermark 30 days past every real row's horizon, which
+    *     flushes every remaining real row out of state.
+    * The sentinels themselves stay gated (the watermark never passes
+    * them), so they can only surface through operators that emit
+    * WITHOUT a watermark pass (e.g. a gap-closed session of the
+    * sentinel user): callers filter `user_id < 0` from results.
+    * In production none of this exists — the stream is infinite and
+    * later events play the sentinels' role. */
+  def eventStreamSentineled(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get("/tmp",
+      "graft_stream_sent_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val restaged = stageAtomically(stage, Paths.get(dir, "events.parquet"),
+      "a_events.parquet")
+    val haveSentinels = Files.exists(stage.resolve("b_sentinel1.parquet")) &&
+      Files.exists(stage.resolve("c_sentinel2.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (restaged || !haveSentinels) {
+      val maxNs = spark.read.schema(eventsRaw)
+        .parquet(stage.resolve("a_events.parquet").toString)
+        .agg(max(col("ts"))).head().getLong(0)
+      val dayNs = 86400L * 1000000000L
+      def writeSentinel(name: String, ns: Long, ids: (Long, Long)): Unit = {
+        import scala.jdk.CollectionConverters._
+        val rows = Seq(
+          org.apache.spark.sql.Row(ids._1, ns, -1L, "click", 0.0, null),
+          org.apache.spark.sql.Row(ids._2, ns, -1L, "purchase", 0.0, null))
+        val build = stage.resolve(s"$name.build.${ProcessHandle.current().pid()}")
+        spark.createDataFrame(rows.asJava, eventsRaw).coalesce(1)
+          .write.mode("overwrite").parquet(build.toString)
+        val part = Files.list(build).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part under $build"))
+        Files.move(part, stage.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def deleteRec(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p))
+            Files.list(p).iterator().asScala.toList.foreach(deleteRec)
+          Files.deleteIfExists(p)
+        }
+        deleteRec(build)
+      }
+      writeSentinel("b_sentinel1.parquet", maxNs + 30 * dayNs, (-1L, -2L))
+      writeSentinel("c_sentinel2.parquet", maxNs + 60 * dayNs, (-3L, -4L))
+      // the file source processes oldest-modified first: force the
+      // batch order data -> sentinel1 -> sentinel2
+      val t0 = Files.getLastModifiedTime(stage.resolve("a_events.parquet"))
+        .toMillis
+      Files.setLastModifiedTime(stage.resolve("b_sentinel1.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 10000))
+      Files.setLastModifiedTime(stage.resolve("c_sentinel2.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 20000))
+    }
+    spark.readStream
+      .schema(eventsRaw)
+      .option("maxFilesPerTrigger", 1)
       .parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
