@@ -228,7 +228,12 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     val newSigs = minhashSignatures(newDocs, textCol, idCol, shingleN, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val allSigs = existingSigs.select(col(idCol), col("sig")).union(newSigs)
+    // a RE-INGESTED doc (id present in both the signature table and
+    // the delta) must contribute ONE signature row — the fresh one —
+    // or every candidate pair it touches would be duplicated/inflated
+    val allSigs = existingSigs.select(col(idCol), col("sig"))
+      .join(broadcast(newSigs.select(col(idCol))), Seq(idCol), "left_anti")
+      .union(newSigs)
     // caps are computed over the COMBINED banded table (cheap: sig
     // rows, not text) so a bucket hot across old+new stays capped
     // exactly as the full run would cap it

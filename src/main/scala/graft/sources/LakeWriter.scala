@@ -228,9 +228,15 @@ object LakeWriter {
           spark.sessionState.newHadoopConf())
         .rename(tmp, fin)
     } catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"snapshot conflict: version $version already committed at $table " +
-          "(this attempt's data directory is an inert orphan)", e)
+      // only a rename that lost to an existing manifest is a CONFLICT;
+      // any other IO failure (disk full, permissions) is rethrown
+      // as-is — reporting it as a conflict would claim a concurrent
+      // writer committed when none did
+      if (fs.exists(fin))
+        throw new IllegalStateException(
+          s"snapshot conflict: version $version already committed at $table " +
+            "(this attempt's data directory is an inert orphan)", e)
+      else throw e
     }
   }
 
@@ -290,14 +296,13 @@ object LakeWriter {
         else Seq.empty
       }
     val newFiles = walk(dataDir).sorted
-    // touched partitions as VALUE tuples (path fragments are compared
-    // unescaped: Spark %XX-escapes special chars in hive paths)
-    val touched = df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().collect().map { r =>
-        partitionCols.indices.map { i =>
-          if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.get(i).toString
-        }.mkString("\u0001")
-      }.toSet
+    // touched partitions are derived from the files SPARK JUST WROTE,
+    // so old and new partition strings go through the identical
+    // formatter (hive path encoding). Deriving them from Row values
+    // instead diverges for timestamps (Timestamp.toString's trailing
+    // fraction vs the path format) and empty strings (written as
+    // __HIVE_DEFAULT_PARTITION__), silently carrying stale files
+    // alongside their replacements.
     def unescapePath(s: String): String = {
       val sb = new StringBuilder; var i = 0
       while (i < s.length) {
@@ -317,6 +322,7 @@ object LakeWriter {
         require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
         unescapePath(m.get.group(1))
       }.mkString("\u0001")
+    val touched = newFiles.map(partitionOf).toSet
     val carried =
       if (prev.isEmpty) Seq.empty
       else snapshotFiles(spark, table, prev.last)
@@ -343,6 +349,7 @@ object LakeWriter {
                       keepLast: Int = 1): Unit = {
     require(keepLast >= 1, "must keep at least one version")
     val vs = snapshotVersions(spark, table)
+    if (vs.isEmpty) return // nothing committed: any data dir may be in-flight
     val kept = vs.takeRight(keepLast)
     val referenced = kept.flatMap(v => snapshotFiles(spark, table, v)).toSet
     val mdir = manifestDir(table)
@@ -360,8 +367,19 @@ object LakeWriter {
         if (st.isDirectory) anyFileReferenced(st.getPath)
         else referenced.contains(st.getPath.toString)
       }
+    // retention guard: a data dir versioned PAST the newest kept
+    // manifest belongs to an IN-FLIGHT commit (data lands before the
+    // manifest rename) — deleting it would let that commit succeed
+    // pointing at vanished files. Dirs at or below the newest kept
+    // version that nothing references are superseded or lost-conflict
+    // orphans, safe to drop.
+    val latestKept = kept.last
+    def dirVersion(name: String): Option[Long] =
+      "^v(\\d+)-".r.findFirstMatchIn(name).map(_.group(1).toLong)
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
-      if (!anyFileReferenced(d.getPath)) fs.delete(d.getPath, true)
+      val inFlight = dirVersion(d.getPath.getName).forall(_ > latestKept)
+      if (!inFlight && !anyFileReferenced(d.getPath))
+        fs.delete(d.getPath, true)
     }
   }
 

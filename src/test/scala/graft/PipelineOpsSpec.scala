@@ -64,6 +64,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(delta == full, s"delta $delta vs full $full")
   }
 
+  test("delta minhash handles re-ingested ids without duplicate pairs") {
+    val oldDocs = docs.select("doc_id", "text")
+    // doc 4 RE-INGESTED with changed text, plus one genuinely new doc
+    val newDocs = docs.where($"doc_id" === 4L)
+      .select($"doc_id", concat($"text", lit(" re-ingested tail")).as("text"))
+      .union(docs.where($"doc_id" === 9L)
+        .select(($"doc_id" + 200000).as("doc_id"),
+          concat($"text", lit(" tiny suffix")).as("text")))
+    val existingSigs = Dedup.minhashSignatures(oldDocs, "text", "doc_id")
+    val delta = Dedup.minhashPairsDelta(newDocs, "text", "doc_id",
+        existingSigs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the doubled id must not duplicate/inflate candidate rows
+    assert(delta.distinct.length == delta.length, s"duplicated pairs: ${delta.toSeq}")
+    // and the re-ingested doc participates through its FRESH signature:
+    // exact agreement with a full recompute over (old - doc4) + delta
+    val full = Dedup.minhashPairs(
+        oldDocs.where($"doc_id" =!= 4L).union(newDocs), "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 == 4L || p._2 == 4L ||
+        p._1 >= 200000L || p._2 >= 200000L)
+    assert(delta.toSet == full, s"delta ${delta.toSet} vs full $full")
+  }
+
   test("one-permutation MinHash signatures track the classic ones") {
     val sigs = Dedup.minhashSignaturesOPH(planted, "text", "doc_id")
     def sig(id: Long) = sigs.where($"doc_id" === id).head()

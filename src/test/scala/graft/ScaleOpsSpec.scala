@@ -238,6 +238,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(after.where($"day" === "d2").count() == 2)
   }
 
+  test("dynamic snapshot commit matches partitions for timestamp/empty values") {
+    val table = java.nio.file.Files.createTempDirectory("graft_dsnap_ts").toString
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val v1 = Seq((1, t1, "a"), (2, t2, "b")).toDF("id", "day", "v")
+    assert(LakeWriter.commitSnapshotDynamic(v1, table, Seq("day")) == 1L)
+    // overwrite ONLY the t2 partition: the old t2 file must not be
+    // carried — Timestamp.toString ("....0") diverges from the hive
+    // path value format, so touched partitions must come from the
+    // WRITTEN PATHS, not Row values
+    val v2 = Seq((3, t2, "b-fixed")).toDF("id", "day", "v")
+    assert(LakeWriter.commitSnapshotDynamic(v2, table, Seq("day")) == 2L)
+    val snap = LakeWriter.readSnapshot(spark, table)
+    assert(snap.count() == 2, s"stale timestamp partition carried: ${snap.collect().toSeq}")
+    assert(snap.where($"id" === 2).count() == 0)
+    // empty string lands as __HIVE_DEFAULT_PARTITION__; overwriting it
+    // must replace, not duplicate
+    val table2 = java.nio.file.Files.createTempDirectory("graft_dsnap_e").toString
+    assert(LakeWriter.commitSnapshotDynamic(
+      Seq((10, "", "x")).toDF("id", "day2", "v"), table2, Seq("day2")) == 1L)
+    assert(LakeWriter.commitSnapshotDynamic(
+      Seq((11, "", "y")).toDF("id", "day2", "v"), table2, Seq("day2")) == 2L)
+    assert(LakeWriter.readSnapshot(spark, table2).count() == 1)
+  }
+
+  test("vacuum spares data dirs of in-flight (uncommitted) versions") {
+    val table = java.nio.file.Files.createTempDirectory("graft_vac_if").toString
+    val d = Seq((1, "a")).toDF("id", "v")
+    LakeWriter.commitSnapshot(d, table) // v1
+    LakeWriter.commitSnapshot(d, table) // v2
+    // an in-flight v3: data landed, manifest rename not yet happened —
+    // vacuum must NOT delete it (the commit would succeed pointing at
+    // vanished files)
+    d.write.parquet(s"$table/data/v3-inflight")
+    LakeWriter.vacuumSnapshots(spark, table, keepLast = 1)
+    val dirs = new java.io.File(table, "data").listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("v2-")), s"latest data gone: $dirs")
+    assert(dirs.contains("v3-inflight"), s"in-flight dir deleted: $dirs")
+    assert(!dirs.exists(_.startsWith("v1-")), s"superseded dir kept: $dirs")
+  }
+
   test("Scd2.merge(incremental) equals the full-history rebuild") {
     import graft.operators.Scd2
     val ev = Tables.load(spark, TestSpark.sfDir, "events")
