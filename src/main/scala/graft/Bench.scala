@@ -42,7 +42,8 @@ object Bench {
 
     val failed = scala.collection.mutable.ListBuffer[String]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def runOne(label: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       drain()
       val w0 = shufWrite.get(); val r0 = shufRead.get()
       val t0 = System.nanoTime()
@@ -51,30 +52,39 @@ object Bench {
       // under-report narrow transforms
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += label
+        System.err.println(s"[bench] $label failed: ${e.getMessage}")
       }
       // a failed query reports -1 so a crash can never read as a speedup
-      val dt = if (failed.contains(name)) -1.0
+      val dt = if (failed.contains(label)) -1.0
                else (System.nanoTime() - t0) / 1e9
       drain()
       val wMb = (shufWrite.get() - w0) / 1e6
       val rMb = (shufRead.get() - r0) / 1e6
-      shuffleMb(name) =
+      shuffleMb(label) =
         (math.round(wMb * 100) / 100.0, math.round(rMb * 100) / 100.0)
       System.err.println(
-        f"[bench] $name%-24s $dt%8.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB")
-      name -> dt
+        f"[bench] $label%-24s $dt%8.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB")
+      label -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val shw = shuffleMb.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
-    val shr = shuffleMb.map { case (k, (_, r)) => s"\"" + k + "\":" + r }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.map { case (name, fn) => runOne(name, fn) }
+
+    // large-state posture: the stateful streaming queries once more
+    // with the RocksDB state store + changelog checkpointing — the
+    // configuration a 100 TB/day deployment would run. Reported as a
+    // separate dict so `queries`/`value` stay the stable contract.
+    graft.streaming.Speed.useRocksDBStateStore(spark)
+    val rocksResults = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("q_stream_"))
+      .map(n => runOne(n + "__rocksdb", SparkEntry.queries(n)))
+
+    def json(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val shw = shuffleMb.map { case (k, (w, _)) => k -> w }
+    val shr = shuffleMb.map { case (k, (_, r)) => k -> r }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,15 +80,15 @@ object Speed extends Serializable {
     * processing a subsequent batch, so the tail of the data stays in
     * state forever and the finite result is silently short.
     *
-    * The source is capped at one file per micro-batch, so the run is
-    * exactly three batches:
-    *  1. the real events;
-    *  2. a sentinel click+purchase pair (user_id = -1) at
-    *     max(ts) + 30 days — processing it applies the watermark
-    *     derived from ALL real events;
-    *  3. a second sentinel pair at +60 days — processed under a
-    *     watermark 30 days past every real row's horizon, which
-    *     flushes every remaining real row out of state.
+    * The source takes two files per micro-batch, so the run is exactly
+    * two batches (each extra batch costs one state-store commit per
+    * partition per stateful operator):
+    *  1. the real events PLUS a sentinel click+purchase pair
+    *     (user_id = -1) at max(ts) + 30 days — so the watermark
+    *     computed from batch 1 is already 30 days past every real
+    *     row's horizon;
+    *  2. a second sentinel pair at +60 days — processed under that
+    *     watermark, which flushes every real row out of state.
     * The sentinels themselves stay gated (the watermark never passes
     * them), so they can only surface through operators that emit
     * WITHOUT a watermark pass (e.g. a gap-closed session of the
@@ -133,7 +133,7 @@ object Speed extends Serializable {
       writeSentinel("b_sentinel1.parquet", maxNs + 30 * dayNs, (-1L, -2L))
       writeSentinel("c_sentinel2.parquet", maxNs + 60 * dayNs, (-3L, -4L))
       // the file source processes oldest-modified first: force the
-      // batch order data -> sentinel1 -> sentinel2
+      // batch split (data + sentinel1) -> (sentinel2)
       val t0 = Files.getLastModifiedTime(stage.resolve("a_events.parquet"))
         .toMillis
       Files.setLastModifiedTime(stage.resolve("b_sentinel1.parquet"),
@@ -143,7 +143,7 @@ object Speed extends Serializable {
     }
     spark.readStream
       .schema(eventsRaw)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
