@@ -211,6 +211,49 @@ object Dedup {
     }
   }
 
+  /** Maintain the corpus signature table as a VERSIONED LAKE TABLE
+    * (graft.sources.LakeWriter snapshots) — the piece that makes
+    * incremental dedup an end-to-end story: each load computes
+    * signatures for the delta's text only and commits them, and
+    * `minhashPairsDelta` runs against `LakeWriter.readSnapshot`.
+    *
+    * Commit strategy follows the data:
+    *  - all-new ids (the normal daily load): an APPEND commit — the
+    *    prior corpus's signature files are carried as metadata, so the
+    *    load writes only delta-sized data;
+    *  - re-ingested ids present: an OVERWRITE commit of
+    *    (existing − re-ingested) ∪ fresh, keeping exactly one (fresh)
+    *    signature row per doc. This rewrites the signature table —
+    *    acceptable because signatures are perms longs/doc, ~1/1000 of
+    *    the corpus — while time travel keeps the pre-load state
+    *    readable.
+    * Returns the committed snapshot version. */
+  def upsertSignatureSnapshot(newDocs: DataFrame, textCol: String,
+                              idCol: String, table: String,
+                              shingleN: Int = 5, perms: Int = 64): Long = {
+    import graft.sources.LakeWriter
+    val spark = newDocs.sparkSession
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, shingleN, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (LakeWriter.snapshotVersions(spark, table).isEmpty)
+        LakeWriter.commitSnapshot(newSigs, table)
+      else {
+        val existing = LakeWriter.readSnapshot(spark, table)
+        val newIds = broadcast(newSigs.select(col(idCol)))
+        val reingested = existing.join(newIds, Seq(idCol), "left_semi")
+          .limit(1).count() > 0
+        if (!reingested)
+          LakeWriter.commitSnapshot(newSigs, table, mode = "append")
+        else
+          LakeWriter.commitSnapshot(
+            existing.join(newIds, Seq(idCol), "left_anti")
+              .union(newSigs.select(existing.columns.map(col): _*)),
+            table)
+      }
+    } finally newSigs.unpersist(blocking = false)
+  }
+
   /** Incremental near-dup detection: candidate pairs involving AT
     * LEAST ONE document of `newDocs`, given the persisted signature
     * table of the existing corpus (what `minhashSignatures` returns —

@@ -89,6 +89,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(delta.toSet == full, s"delta ${delta.toSet} vs full $full")
   }
 
+  test("signature table lives in the snapshot layer; delta pairs off the lake") {
+    import graft.sources.LakeWriter
+    val table = java.nio.file.Files.createTempDirectory("graft_sigsnap").toString
+    val oldDocs = docs.select("doc_id", "text")
+    assert(Dedup.upsertSignatureSnapshot(oldDocs, "text", "doc_id", table) == 1L)
+    // daily load, all-new ids: append commit is METADATA-ONLY on v1
+    val newDocs = docs.where($"doc_id".isin(4L, 9L))
+      .select(($"doc_id" + 200000).as("doc_id"),
+        concat($"text", lit(" tiny suffix")).as("text"))
+    assert(Dedup.upsertSignatureSnapshot(newDocs, "text", "doc_id", table) == 2L)
+    assert(LakeWriter.snapshotFiles(spark, table, 2L).exists(_.contains("/v1-")),
+      "append did not carry v1 signature files as metadata")
+    // incremental pairs straight off the LAKE table == full recompute
+    // restricted to pairs touching the delta
+    val delta = Dedup.minhashPairsDelta(newDocs, "text", "doc_id",
+        LakeWriter.readSnapshot(spark, table), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta.contains((4L, 200004L)) && delta.contains((9L, 200009L)))
+    val full = Dedup.minhashPairs(oldDocs.union(newDocs), "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 200000L || p._2 >= 200000L)
+    assert(delta == full, s"delta $delta vs full $full")
+    // re-ingestion: the same id arrives again -> overwrite commit keeps
+    // exactly one (fresh) signature row per doc; v2 still time-travels
+    val reingest = docs.where($"doc_id" === 4L)
+      .select($"doc_id", concat($"text", lit(" v2")).as("text"))
+    assert(Dedup.upsertSignatureSnapshot(reingest, "text", "doc_id", table) == 3L)
+    val snap = LakeWriter.readSnapshot(spark, table)
+    assert(snap.count() == oldDocs.count() + 2)
+    assert(snap.where($"doc_id" === 4L).count() == 1)
+    assert(LakeWriter.readSnapshot(spark, table, Some(2L)).count() ==
+      oldDocs.count() + 2)
+  }
+
   test("one-permutation MinHash signatures track the classic ones") {
     val sigs = Dedup.minhashSignaturesOPH(planted, "text", "doc_id")
     def sig(id: Long) = sigs.where($"doc_id" === id).head()
