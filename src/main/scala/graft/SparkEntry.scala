@@ -408,6 +408,17 @@ object SparkEntry {
       operators.Graph.dupSurvivors(pairs, "doc_a", "doc_b")
     }),
 
+    "q_dedup_survivors_quality" -> ((s, d) => {
+      // survivor = the highest-QUALITY doc of each dup cluster (min-id
+      // tie-break), not the smallest id — the curation-grade variant
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        threshold = 0.2)
+      val scores = TextAnalysis.qualityScore(docs, "text", "doc_id")
+      operators.Graph.dupSurvivorsBy(pairs, "doc_a", "doc_b",
+        scores, "doc_id", "quality_score")
+    }),
+
     "q_mixture_sample" -> ((s, d) =>
       // training-data mixing: 50% en, 25% de, 10% of everything else
       Analytics.mixtureSample(
@@ -1034,7 +1045,9 @@ object SparkEntry {
     else {
       val values = pairs
         .map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
-      Map("q_dedup_survivors" ->
+      // shared closure over the embedded pair set: comp = min id
+      // reachable (matching connectedComponents' min-label fixpoint)
+      val closure =
         s"""WITH RECURSIVE e0 AS (
            |  SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
            |  FROM (VALUES $values) v(a, b)),
@@ -1043,9 +1056,45 @@ object SparkEntry {
            |  SELECT src, dst FROM edges
            |  UNION
            |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
-           |  WHERE edges.dst <> reach.node)
-           |SELECT node, least(node, min(r)) AS survivor
-           |FROM reach GROUP BY node""".stripMargin)
+           |  WHERE edges.dst <> reach.node)""".stripMargin
+      Map(
+        "q_dedup_survivors" ->
+          s"""$closure
+             |SELECT node, least(node, min(r)) AS survivor
+             |FROM reach GROUP BY node""".stripMargin,
+        // quality-aware: the survivor is the comp member with the
+        // highest quality_score (q_text_quality's exact formula —
+        // identical rounding on both sides), min id on ties
+        "q_dedup_survivors_quality" ->
+          s"""$closure,
+             |comp AS (
+             |  SELECT node, least(node, min(r)) AS comp
+             |  FROM reach GROUP BY node),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS INT) AS n_chars,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+             |    END AS n_tokens,
+             |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |           t -> t IN ('the','a','an','of','and','to','is','in','it','that'))) AS INT)
+             |    END AS n_stopwords
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id,
+             |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+             |      least(floor(n_stopwords / CAST(greatest(n_tokens, 1) AS DOUBLE) * 10000 + 0.5) / 10000 * 5.0, 1.0) * 0.3 +
+             |      (1.0 - least(floor(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10000 + 0.5) / 10000 * 10.0, 1.0)) * 0.3) * 10000 + 0.5) / 10000 AS quality_score
+             |  FROM m),
+             |best AS (
+             |  SELECT c.comp AS comp, q.doc_id AS survivor,
+             |    row_number() OVER (PARTITION BY c.comp
+             |      ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn
+             |  FROM comp c JOIN q ON c.node = q.doc_id)
+             |SELECT c.node AS node, b.survivor AS survivor
+             |FROM comp c JOIN best b ON c.comp = b.comp AND b.rn = 1""".stripMargin)
     }
   }
 }

@@ -62,4 +62,32 @@ object Graph {
   def dupSurvivors(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("comp", "survivor")
+
+  /** Quality-aware dup-cluster resolution: keep the BEST-scoring doc
+    * of each transitive cluster instead of the minimum id — real
+    * curation keeps the highest-quality copy, not the numerically
+    * smallest one. Ties break on min id so the pick is deterministic.
+    * `scores` maps `idCol` → `scoreCol`; nodes missing from it rank
+    * below every scored node. Returns (node, survivor).
+    *
+    * Cost over `dupSurvivors`: one join on the node key plus one
+    * aggregation + join keyed by CLUSTER id — cluster cardinality is
+    * far below node cardinality, so both extra shuffles move only
+    * (node, comp, score) triples, never document payloads. */
+  def dupSurvivorsBy(pairs: DataFrame, aCol: String, bCol: String,
+                     scores: DataFrame, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val scored = comps.join(
+      scores.select(col(idCol).as("node"), col(scoreCol).as("__score")),
+      Seq("node"), "left")
+    // winner = min over (score DESC, node ASC), i.e. struct ordering
+    // on (-score, node) — one map-side-combining aggregate per cluster
+    val best = scored.groupBy(col("comp"))
+      .agg(min_by(col("node"),
+        struct(
+          negate(coalesce(col("__score"), lit(Double.NegativeInfinity))),
+          col("node"))).as("survivor"))
+    comps.join(best, Seq("comp")).select(col("node"), col("survivor"))
+  }
 }

@@ -98,43 +98,54 @@ object LakeWriter {
       .sortWithinPartitions(cols.map(df.col): _*)
       .write.mode("overwrite").parquet(path)
 
-  /** Two-dimension clustering: sort by the Z-ORDER key (bit
-    * interleaving of both columns — graft.plans.InterleaveBits) so
-    * every file carries tight min/max statistics on BOTH dimensions
-    * and a predicate on either one prunes files; `clusteredWrite`
-    * can only serve a single leading column.
+  /** Multi-dimension clustering: sort by the Z-ORDER key (bit
+    * interleaving of 2-4 columns — graft.plans.InterleaveBits) so
+    * every file carries tight min/max statistics on EVERY clustered
+    * dimension and a predicate on any one of them prunes files;
+    * `clusteredWrite` can only serve a single leading column.
     *
-    * Both columns are min/max-normalized to a common 21-bit domain
+    * Each column is min/max-normalized across the full int domain
     * first — raw interleaving is dominated by whichever column has
     * the larger magnitude (its high bits outrank ALL of the other
-    * column's varying bits), which silently degrades to single-column
+    * columns' varying bits), which silently degrades to single-column
     * clustering. One cheap scalar aggregate buys the bounds. */
-  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+  def zorderWrite(df: DataFrame, path: String, cols: Seq[String],
                   nFiles: Int): Unit = {
     import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.functions.{col, greatest, lit, max, min}
-    val b = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorderWrite takes 2-4 cluster columns, got ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     if (b.anyNull) {
-      // empty input (or all-null cluster columns): no bounds to scale
-      // by — write as-is, like clusteredWrite does on empty input
+      // empty input (or an all-null cluster column): no bounds to
+      // scale by — write as-is, like clusteredWrite on empty input
       df.write.mode("overwrite").parquet(path)
       return
     }
-    val bits = (1 << 21) - 1
-    def scaled(c: String, lo: Double, hi: Double) =
-      (((col(c).cast("double") - lo) /
-        greatest(lit(hi - lo), lit(1.0))) * bits).cast("int")
+    // spread [lo, hi] across the FULL signed-int range: the kernel
+    // keeps each dimension's top 64/n bits, so packing the value into
+    // the high bits preserves maximum resolution for n > 2
+    def scaled(i: Int): org.apache.spark.sql.Column = {
+      val lo = b.getDouble(2 * i); val hi = b.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0) // constant column: every row the same cell
+      else (((col(cols(i)).cast("double") - lo) / (hi - lo)) * 4294967295.0)
+        .cast("long").minus(2147483648L).cast("int")
+    }
     val z = GraftColumnBridge.column(graft.plans.InterleaveBits(
-      GraftColumnBridge.expression(scaled(colA, b.getDouble(0), b.getDouble(1))),
-      GraftColumnBridge.expression(scaled(colB, b.getDouble(2), b.getDouble(3)))))
+      cols.indices.map(i => GraftColumnBridge.expression(scaled(i)))))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-column convenience overload. */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  nFiles: Int): Unit =
+    zorderWrite(df, path, Seq(colA, colB), nFiles)
 
   // ---- versioned (snapshot) tables ---------------------------------
   //

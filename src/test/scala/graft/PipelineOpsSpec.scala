@@ -340,6 +340,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(surv.select("survivor").distinct().count() == 2)
   }
 
+  test("Graph.dupSurvivorsBy keeps the best-scoring doc per cluster") {
+    import graft.operators.Graph
+    // two planted clusters: {10,20,30,60} and {40,50}
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (60L, 10L))
+      .toDF("a", "b")
+    // 30 outranks its cluster; 40 and 50 TIE -> min id 40 must win;
+    // 60 has no score at all -> ranks below every scored node
+    val scores = Seq((10L, 0.5), (20L, 0.7), (30L, 0.9), (40L, 0.4),
+      (50L, 0.4)).toDF("id", "score")
+    val surv = Graph.dupSurvivorsBy(edges, "a", "b", scores, "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(10L, 20L, 30L, 60L).forall(surv(_) == 30L),
+      s"quality winner not chosen: $surv")
+    assert(Set(40L, 50L).forall(surv(_) == 40L), s"tie not min-id: $surv")
+    // degenerates to min-id survivors when every score is equal
+    val flat = scores.withColumn("score", lit(1.0))
+      .union(Seq((60L, 1.0)).toDF("id", "score"))
+    val minId = Graph.dupSurvivorsBy(edges, "a", "b", flat, "id", "score")
+    val classic = Graph.dupSurvivors(edges, "a", "b")
+    assert(minId.except(classic).isEmpty && classic.except(minId).isEmpty)
+  }
+
   test("VecDot native expression matches the composed builtins") {
     import graft.functions.VecFns
     val pairs = embeddings.select($"vec_id", $"embedding")

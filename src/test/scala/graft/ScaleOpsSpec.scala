@@ -89,9 +89,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     // through the engine (codegen path) matches the kernel
     val df = Seq((3, 5), (-2, 7), (100, -4)).toDF("a", "b")
     val got = df.select(org.apache.spark.sql.GraftColumnBridge.column(
-      InterleaveBits(
+      InterleaveBits(Seq(
         org.apache.spark.sql.GraftColumnBridge.expression($"a"),
-        org.apache.spark.sql.GraftColumnBridge.expression($"b"))).as("z"))
+        org.apache.spark.sql.GraftColumnBridge.expression($"b")))).as("z"))
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(InterleaveBits.interleave(3, 5),
       InterleaveBits.interleave(-2, 7), InterleaveBits.interleave(100, -4)))
@@ -116,6 +116,74 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(spans(c).count(_ <= 0.6 * globalSpan(c)) >= files.length / 2,
         s"$c: too few files with narrow span")
     assert(spark.read.parquet(s"$out/li").count() == li.count())
+  }
+
+  test("3-column z-order: monotone kernel, codegen parity, files prune on any dim") {
+    import graft.plans.InterleaveBits
+    // jointly monotone in 3 and 4 dims (top-bit truncation is monotone)
+    val rnd = new scala.util.Random(11)
+    for (i <- 1 to 2000) {
+      def step(x: Int) = // saturating: never wrap past MaxValue
+        math.min(x.toLong + rnd.nextInt(1 << 20), Int.MaxValue).toInt
+      val base = Array.fill(3)(
+        if (i % 3 == 0) -rnd.nextInt(1 << 19) else rnd.nextInt())
+      val stepped = base.map(step)
+      assert(InterleaveBits.interleave(base) <=
+        InterleaveBits.interleave(stepped),
+        s"3-dim not monotone at ${base.toSeq} vs ${stepped.toSeq}")
+      val b4 = base :+ rnd.nextInt()
+      val s4 = stepped :+ step(b4(3))
+      assert(InterleaveBits.interleave(b4) <= InterleaveBits.interleave(s4),
+        s"4-dim not monotone at ${b4.toSeq} vs ${s4.toSeq}")
+    }
+    // 2-dim arity keeps the original bit layout
+    assert(InterleaveBits.interleave(0, 0) == 0x4000000000000000L)
+    // codegen path matches the kernel at arity 3
+    val df3 = Seq((3, 5, 9), (-2, 7, -1), (100, -4, 0)).toDF("a", "b", "c")
+    val got3 = df3.select(org.apache.spark.sql.GraftColumnBridge.column(
+      InterleaveBits(Seq("a", "b", "c").map(n =>
+        org.apache.spark.sql.GraftColumnBridge.expression(col(n))))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 == Seq(InterleaveBits.interleave(3, 5, 9),
+      InterleaveBits.interleave(-2, 7, -1),
+      InterleaveBits.interleave(100, -4, 0)))
+    // a 3-column clustered write: every file narrow on EVERY dimension
+    val out = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_orderkey")
+    // a contiguous z-range pins ~log2(nFiles) leading KEY bits, handed
+    // round-robin to the dims — so narrowing ALL of n dims needs
+    // nFiles >> 2^n (true of any real table: thousands of files)
+    LakeWriter.zorderWrite(li, s"$out/li",
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), 64)
+    val files = new java.io.File(s"$out/li").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 30)
+    def spans(c: String) = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    def globalSpan(c: String) = {
+      val r = li.agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    for (c <- Seq("l_partkey", "l_suppkey", "l_orderkey"))
+      assert(spans(c).count(_ <= 0.6 * globalSpan(c)) >= files.length / 2,
+        s"$c: too few files with narrow span")
+    // ...so parquet min/max statistics SKIP row groups on a predicate
+    // over any single dimension: the scan emits fewer rows than the
+    // table holds (record-level filtering is off by default — rows
+    // out of the scan == rows of the row groups that survived stats)
+    val total = li.count()
+    val hi = li.agg(max($"l_partkey")).head().getLong(0)
+    val probe = spark.read.parquet(s"$out/li")
+      .where($"l_partkey" >= hi - 2)
+    probe.collect()
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(scanned < total / 2,
+      s"no row-group pruning: scan emitted $scanned of $total rows")
+    assert(spark.read.parquet(s"$out/li").count() == total)
   }
 
   test("snapshot commits: atomic versions, append as metadata, time travel") {
