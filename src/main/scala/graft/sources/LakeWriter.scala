@@ -220,13 +220,30 @@ object LakeWriter {
     * writer already committed this version (atomic on HDFS; local FS
     * is check-then-rename best effort). The loser's data directory is
     * an inert orphan, never a clobbered manifest. Schema rides in the
-    * manifest so an empty snapshot still reads back typed. */
+    * manifest so an empty snapshot still reads back typed.
+    *
+    * Partitioned commits also record `partcols` and a per-file
+    * partition key (`parts`, aligned with `files`) — the next dynamic
+    * commit and partition-pruned reads then work from MANIFEST
+    * metadata alone, no path parsing or listing of untouched
+    * partitions. Every string is URL-encoded, so the positional
+    * parser below stays unambiguous (brackets/quotes/commas cannot
+    * occur inside entries). */
   private def writeManifest(spark: SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             table: String, version: Long, mode: String,
-                            df: DataFrame, files: Seq[String]): Unit = {
+                            df: DataFrame, files: Seq[String],
+                            partCols: Seq[String] = Nil,
+                            parts: Seq[String] = Nil): Unit = {
+    require(parts.isEmpty || parts.length == files.length,
+      s"parts/files misaligned: ${parts.length} vs ${files.length}")
+    val partFields =
+      if (partCols.isEmpty) ""
+      else s""""partcols":"${enc(partCols.mkString(","))}",""" +
+        parts.map(p => "\"" + enc(p) + "\"")
+          .mkString("\"parts\":[", ",", "],")
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","schema":"${enc(df.schema.json)}","files":[""",
+      s"""{"version":$version,"mode":"$mode","schema":"${enc(df.schema.json)}",$partFields"files":[""",
       ",", "]}")
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)

@@ -9,10 +9,11 @@ import graft.functions.CleanFns
 
 /** Speed layer (Structured Streaming) — the lambda architecture's
   * streaming half. The reference lands Kafka ticks beside its batch
-  * loads; here the same event schema streams from the lake's files
-  * (no Kafka jars in this image — the transforms are source-agnostic:
-  * swap `readStream.parquet` for `readStream.format("kafka")` and
-  * nothing downstream changes).
+  * loads; here the same event schema streams from the lake's files by
+  * default, with a Kafka path behind `EventSource.Kafka` (connector
+  * jars are a deploy-time dependency — not shipped in this image, so
+  * that path's decode/options are unit-tested rather than run
+  * end-to-end). All transforms below are source-agnostic.
   */
 object Speed extends Serializable {
 
@@ -49,6 +50,65 @@ object Speed extends Serializable {
       .parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  // ---- source selection (file landing dir vs Kafka) ----------------
+
+  /** Where the speed layer's events come from. The downstream
+    * transforms are source-agnostic; this ADT is the one switch point.
+    * Mirrors the reference's lambda wiring (docker-compose.yaml Kafka
+    * broker + speed layer), where ticks land on a topic while batch
+    * loads land in the lake. */
+  sealed trait EventSource
+  object EventSource {
+    /** Landing directory of event files (the default here — also the
+      * production shape for lake-first ingestion). */
+    final case class Files(dir: String) extends EventSource
+    /** Kafka topic carrying JSON-encoded event records. Needs the
+      * spark-sql-kafka connector on the runtime classpath (not shipped
+      * in this image, so the `.load()` is exercised in deployments;
+      * the option plumbing and payload decode are unit-tested). */
+    final case class Kafka(bootstrapServers: String, topic: String,
+                           startingOffsets: String = "earliest",
+                           maxOffsetsPerTrigger: Option[Long] = None)
+        extends EventSource
+  }
+
+  /** Reader options for a Kafka source — pure, so tests can assert the
+    * wiring without a broker. `failOnDataLoss=true`: silently skipping
+    * expired offsets would corrupt downstream aggregates. */
+  def kafkaOptions(k: EventSource.Kafka): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> k.bootstrapServers,
+      "subscribe" -> k.topic,
+      "startingOffsets" -> k.startingOffsets,
+      "failOnDataLoss" -> "true"
+    ) ++ k.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** Decode Kafka wire records into the events frame every transform
+    * downstream expects: `value` holds one JSON event with `ts` in
+    * epoch NANOS (the producer mirrors the lake's physical schema), and
+    * the output carries the same columns + µs timestamps as
+    * `eventStream`. Malformed payloads decode to an all-null row
+    * (from_json PERMISSIVE) rather than killing the stream; route
+    * `event_id IS NULL` to a quarantine sink in production. */
+  def decodeKafkaEvents(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), eventsRaw).as("e"))
+      .select(col("e.*"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** The one entry point that hides the source switch: same schema out
+    * whether events stream from the landing directory or a topic. */
+  def eventStreamFrom(spark: SparkSession, source: EventSource): DataFrame =
+    source match {
+      case EventSource.Files(dir) => eventStream(spark, dir)
+      case k: EventSource.Kafka =>
+        decodeKafkaEvents(
+          kafkaOptions(k)
+            .foldLeft(spark.readStream.format("kafka")) {
+              case (r, (key, v)) => r.option(key, v)
+            }
+            .load())
+    }
 
   /** Copy `src` into `stage/name` if absent or stale, via a
     * PID-suffixed temp + ATOMIC_MOVE (readers only ever see complete

@@ -150,6 +150,49 @@ class StreamingSpec extends AnyFunSuite {
       "watermark never released any unmatched left rows")
   }
 
+  test("Kafka source path: option wiring and payload decode") {
+    val k = Speed.EventSource.Kafka("broker1:9092,broker2:9092", "events",
+      startingOffsets = "latest", maxOffsetsPerTrigger = Some(50000L))
+    val opts = Speed.kafkaOptions(k)
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "events")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("maxOffsetsPerTrigger") == "50000")
+    assert(opts("failOnDataLoss") == "true")
+    assert(!Speed.kafkaOptions(Speed.EventSource.Kafka("b:9092", "t"))
+      .contains("maxOffsetsPerTrigger"))
+    // decode: Kafka wire records (binary JSON value, ts in ns) come out
+    // as the SAME frame shape the file source produces
+    val ns = 1704067200L * 1000000000L + 123456789L
+    val json = s"""{"event_id":1,"ts":$ns,"user_id":7,""" +
+      s""""event_type":"click","value":1.5,"props":"{}"}"""
+    val wire = Seq(
+      (null: Array[Byte], json.getBytes("UTF-8"), "events", 0, 42L,
+        new java.sql.Timestamp(0L), 0),
+      (null: Array[Byte], "not json".getBytes("UTF-8"), "events", 0, 43L,
+        new java.sql.Timestamp(0L), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType")
+    val out = Speed.decodeKafkaEvents(wire)
+    assert(out.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val good = out.where($"event_id" === 1L).head()
+    assert(good.getLong(2) == 7L && good.getString(3) == "click" &&
+      good.getDouble(4) == 1.5)
+    // ns -> µs truncation identical to the file path (integer div 1000)
+    val ts = good.getTimestamp(1)
+    val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    assert(us == ns / 1000L, s"ts drifted: $us vs ${ns / 1000L}")
+    // malformed payload -> null row, never a stream-killing exception
+    assert(out.where($"event_id".isNull).count() == 1)
+    // the file-backed source serves the same schema through the switch
+    val fileStream = Speed.eventStreamFrom(spark,
+      Speed.EventSource.Files(TestSpark.sfDir))
+    assert(fileStream.isStreaming)
+    assert(fileStream.schema.map(f => (f.name, f.dataType)) ==
+      out.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("driver contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
