@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.CleanFns
-import graft.operators.{Analytics, AsOfJoin, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Skew, Staging, TextAnalysis}
+import graft.functions.{CleanFns, TextFns}
+import graft.operators.{Analytics, AsOfJoin, Curation, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Skew, Staging, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Speed
 import org.apache.spark.sql.streaming.OutputMode
@@ -380,10 +380,16 @@ object SparkEntry {
         "embedding", threshold = 0.3, bits = 6, dim = 64)
     }),
 
-    "q_multimodal_features" -> ((s, d) =>
-      Multimodal.decodeFeaturesFlatStub(
+    "q_multimodal_features" -> ((s, d) => {
+      // oracle-compared floats are repr-rounded on both sides
+      val f = Multimodal.decodeFeaturesFlatStub(
         Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
-          "source"))),
+          "source"))
+      (0 until 8).foldLeft(
+        f.withColumn("byte_mean", CleanFns.roundRepro(col("byte_mean"), 6))) {
+        (df, i) => df.withColumn(s"f$i", CleanFns.roundRepro(col(s"f$i"), 6))
+      }
+    }),
 
     "q_connected_components" -> ((s, d) => {
       // edges: same-nation customers with near-equal balances; comp =
@@ -533,7 +539,48 @@ object SparkEntry {
         .where(col("user_id") >= 0)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("p_event_id"), col("p_value"))
-    })
+    }),
+
+    // -- corpus curation ---------------------------------------------
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark set = every 50th doc; flag corpus docs sharing any
+      // 5-gram with it (eval-leakage guard)
+      val docs = T(s, d, "documents")
+      Curation.decontaminate(docs, docs.where(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 5, minOverlap = 1)
+    }),
+
+    "q_passage_dedup" -> ((s, d) =>
+      Curation.passageDedup(T(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 10)),
+
+    "q_pii_redact" -> ((s, d) => {
+      // the corpus has no PII — append a deterministic contact line
+      // per doc (same derivation in the oracle) so the regexes do
+      // real matching work
+      val aug = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@mail.example.com at 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"), lit(" or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Curation.piiRedact(aug, "text", "doc_id")
+    }),
+
+    "q_bloom_antijoin" -> ((s, d) => {
+      // daily-load dedup shape: docs with doc_id % 3 == 0 were already
+      // ingested (their fingerprints are the history); the whole batch
+      // re-arrives and only genuinely-new docs may pass
+      val fp = T(s, d, "documents").select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fingerprint"))
+      Curation.bloomAntiJoin(fp,
+        fp.where(col("doc_id") % 3 === 0).select("fingerprint"),
+        "fingerprint", expectedItems = 100000L)
+    }),
+
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 8, threshold = 0.3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1027,7 +1074,121 @@ object SparkEntry {
         |  floor(avg(ln(c_bg / CAST((SELECT count(*) FROM bg) AS DOUBLE)))
         |    * 10000 + 0.5) / 10000 AS avg_logprob
         |FROM bg JOIN cbg USING (bigram)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // benchmark decontamination: distinct shared 5-grams per doc vs
+    // the benchmark subset (doc_id % 50 = 0); <5-token docs have no
+    // grams (strict n-grams)
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 5 THEN []
+        |         ELSE list_transform(generate_series(1, len(t) - 4),
+        |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+        |                t[i + 3] || ' ' || t[i + 4]) END) AS grams
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |m AS (SELECT cg.doc_id, count(*) AS n FROM cg JOIN bg USING (gram) GROUP BY 1)
+        |SELECT g.doc_id, CAST(coalesce(m.n, 0) AS INT) AS n_overlap,
+        |  CAST(CASE WHEN coalesce(m.n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id""".stripMargin,
+
+    // passage dedup: 10-token chunks, global first occurrence by
+    // (doc_id, pos) survives, docs reassembled in order
+    "q_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[(i - 1) * 10 + 1 : (i - 1) * 10 + 10], ' ') AS passage
+        |  FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / 10.0) AS INT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |k AS (SELECT passage, min(doc_id * 1000000 + pos) AS kk FROM ps GROUP BY 1),
+        |kept AS (
+        |  SELECT ps.doc_id, ps.pos, ps.passage FROM ps
+        |  JOIN k ON ps.passage = k.passage
+        |        AND ps.doc_id * 1000000 + ps.pos = k.kk),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS nk,
+        |    string_agg(passage, ' ' ORDER BY pos) AS dedup_text
+        |  FROM kept GROUP BY 1),
+        |np AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS INT) AS n_passages FROM toks)
+        |SELECT np.doc_id, np.n_passages,
+        |  CAST(coalesce(reb.nk, 0) AS INT) AS n_kept,
+        |  coalesce(reb.dedup_text, '') AS dedup_text
+        |FROM np LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // PII redaction over the same deterministic augmentation the
+    // Spark query builds; counts on the original, replace in
+    // email -> phone -> ip order
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.' || CAST(doc_id % 100 AS VARCHAR) || ' or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS INT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM aug""".stripMargin,
+
+    // bloom anti-join == plain anti-join on the fingerprint (the
+    // bloom is a prefilter only; exactness is the contract)
+    "q_bloom_antijoin" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint FROM fp
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fp h
+        |  WHERE h.doc_id % 3 = 0 AND h.fingerprint = fp.fingerprint)""".stripMargin,
+
+    // multimodal stub features re-derived from the text bytes (the
+    // payload IS the utf-8 text, and the corpus is pure ASCII, so
+    // ascii(char) == byte value)
+    "q_multimodal_features" ->
+      """WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+        |ch AS (
+        |  SELECT media_id, ascii(substr(text, CAST(i AS INT), 1)) AS c
+        |  FROM b, UNNEST(generate_series(1, n)) AS u(i)
+        |  WHERE n > 0),
+        |agg AS (
+        |  SELECT media_id, count(*) AS nb,
+        |    floor((sum(c) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS bm,
+        |    floor((count(*) FILTER (c // 32 = 0)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f0,
+        |    floor((count(*) FILTER (c // 32 = 1)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f1,
+        |    floor((count(*) FILTER (c // 32 = 2)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f2,
+        |    floor((count(*) FILTER (c // 32 = 3)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f3,
+        |    floor((count(*) FILTER (c // 32 = 4)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f4,
+        |    floor((count(*) FILTER (c // 32 = 5)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f5,
+        |    floor((count(*) FILTER (c // 32 = 6)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f6,
+        |    floor((count(*) FILTER (c // 32 = 7)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f7
+        |  FROM ch GROUP BY 1)
+        |SELECT b.media_id, coalesce(agg.nb, 0) AS n_bytes,
+        |  coalesce(agg.bm, 0.0) AS byte_mean,
+        |  coalesce(f0, 0.0) AS f0, coalesce(f1, 0.0) AS f1,
+        |  coalesce(f2, 0.0) AS f2, coalesce(f3, 0.0) AS f3,
+        |  coalesce(f4, 0.0) AS f4, coalesce(f5, 0.0) AS f5,
+        |  coalesce(f6, 0.0) AS f6, coalesce(f7, 0.0) AS f7
+        |FROM b LEFT JOIN agg USING (media_id)""".stripMargin
   )
 
   /** Oracles that can only be phrased against a COMPUTED intermediate
@@ -1037,7 +1198,15 @@ object SparkEntry {
     * sfDir and embeds them as VALUES in a recursive-CTE closure: the
     * oracle then independently re-derives the transitive clusters and
     * min-id survivors that `q_dedup_survivors` must produce. */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    survivorOracles(spark, sfDir) ++ ngramJaccardOracle(spark, sfDir) ++
+      embedOracles(spark, sfDir)
+
+  private def pairValues(rows: Array[org.apache.spark.sql.Row]): String =
+    rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
+
+  private def survivorOracles(spark: SparkSession,
+                              sfDir: String): Map[String, String] = {
     val pairs = Dedup.minhashPairs(T(spark, sfDir, "documents"), "text",
         "doc_id", threshold = 0.2)
       .select(col("doc_a"), col("doc_b")).collect()
@@ -1096,5 +1265,112 @@ object SparkEntry {
              |SELECT c.node AS node, b.survivor AS survivor
              |FROM comp c JOIN best b ON c.comp = b.comp AND b.rn = 1""".stripMargin)
     }
+  }
+
+  /** q_ngram_jaccard re-derived by DuckDB from the raw text: the LSH
+    * candidate pair set (deterministic hash arithmetic) is embedded as
+    * VALUES, and the oracle independently recomputes normalization,
+    * 3-gram shingle sets, and the Jaccard itself. */
+  private def ngramJaccardOracle(spark: SparkSession,
+                                 sfDir: String): Map[String, String] = {
+    val cand = Dedup.minhashPairs(T(spark, sfDir, "documents"), "text",
+        "doc_id", threshold = 0.1)
+      .select(col("doc_a"), col("doc_b")).collect()
+    if (cand.isEmpty) Map.empty
+    else Map("q_ngram_jaccard" ->
+      s"""WITH cand(doc_a, doc_b) AS (VALUES ${pairValues(cand)}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+         |  FROM documents),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END) AS s
+         |  FROM toks)
+         |SELECT * FROM (
+         |  SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+         |    CAST(c.doc_b AS BIGINT) AS doc_b,
+         |    floor(len(list_intersect(a.s, b.s)) /
+         |      CAST(greatest(len(list_distinct(a.s || b.s)), 1) AS DOUBLE)
+         |      * 10000 + 0.5) / 10000 AS jaccard
+         |  FROM cand c
+         |  JOIN sets a ON a.doc_id = c.doc_a
+         |  JOIN sets b ON b.doc_id = c.doc_b)
+         |WHERE jaccard >= 0.1""".stripMargin)
+  }
+
+  /** Embedding-space oracles phrased against the DETERMINISTIC
+    * candidate sets the approximate operators bucket out (hyperplane /
+    * k-means hash arithmetic, no rand()): DuckDB independently
+    * recomputes cosine, thresholding, and ranking over those
+    * candidates — verifying everything but the bucketing itself. */
+  private def embedOracles(spark: SparkSession,
+                           sfDir: String): Map[String, String] = {
+    val e = T(spark, sfDir, "embeddings")
+    val cos = "floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[])," +
+      " CAST(n.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000"
+    def topkSql(cand: Array[org.apache.spark.sql.Row], k: Int): Option[String] =
+      if (cand.isEmpty) None
+      else Some(
+        s"""WITH cand(query_id, neighbor_id) AS (VALUES ${pairValues(cand)}),
+           |p AS (
+           |  SELECT CAST(c.query_id AS BIGINT) AS query_id,
+           |    CAST(c.neighbor_id AS BIGINT) AS neighbor_id, $cos AS cos_sim
+           |  FROM cand c
+           |  JOIN embeddings q ON q.vec_id = c.query_id
+           |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
+           |SELECT query_id, neighbor_id, cos_sim,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+           |FROM p QUALIFY rank <= $k""".stripMargin)
+    val lsh = topkSql(
+      Similarity.lshCandidatePairs(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", bits = 8, dim = 64).collect(), 5)
+      .map("q_embed_lsh_ann" -> _)
+    val ivf = topkSql(
+      Similarity.ivfCandidatePairs(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", nlist = 8, nprobe = 2).collect(), 5)
+      .map("q_embed_ivf_ann" -> _)
+    val nearDup = {
+      val cand = Similarity.bucketCandidatePairs(e, "vec_id", "embedding",
+        bits = 6, dim = 64).collect()
+      if (cand.isEmpty) None
+      else Some("q_dedup_embed" ->
+        s"""WITH cand(doc_a, doc_b) AS (VALUES ${pairValues(cand)})
+           |SELECT * FROM (
+           |  SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+           |    CAST(c.doc_b AS BIGINT) AS doc_b, $cos AS cos_sim
+           |  FROM cand c
+           |  JOIN embeddings q ON q.vec_id = c.doc_a
+           |  JOIN embeddings n ON n.vec_id = c.doc_b)
+           |WHERE cos_sim >= 0.3""".stripMargin)
+    }
+    val sem = {
+      val assign = Similarity.kmeansAssign(e, "vec_id", "embedding",
+        nlist = 8, iters = 2).collect()
+      if (assign.isEmpty) None
+      else {
+        val values = assign
+          .map(r => s"(${r.getLong(0)},${r.getInt(1)})").mkString(",")
+        Some("q_semdedup" ->
+          s"""WITH assign(vec_id, cell) AS (VALUES $values),
+             |e AS (
+             |  SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+             |    CAST(a.cell AS INT) AS cell,
+             |    CAST(b.embedding AS DOUBLE[]) AS v
+             |  FROM assign a JOIN embeddings b ON b.vec_id = a.vec_id),
+             |drops AS (
+             |  SELECT DISTINCT x.vec_id
+             |  FROM e x JOIN e y ON x.cell = y.cell AND y.vec_id < x.vec_id
+             |  WHERE floor(list_cosine_similarity(x.v, y.v) * 10000 + 0.5)
+             |    / 10000 >= 0.3)
+             |SELECT vec_id, cell FROM e
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin)
+      }
+    }
+    (lsh.toList ++ ivf.toList ++ nearDup.toList ++ sem.toList).toMap
   }
 }

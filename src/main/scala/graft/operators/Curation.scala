@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+import graft.functions.TextFns
+
+/** Corpus-curation operators for training-data pipelines:
+  * benchmark decontamination, passage-level dedup, PII redaction, and
+  * Bloom-prefiltered dedup against a historical corpus.
+  *
+  * Scale posture:
+  *  - decontamination broadcasts the (small) benchmark gram
+  *    vocabulary — the corpus side is one scan with a map-side
+  *    semi-join; only MATCHED gram rows reach the per-doc aggregate;
+  *  - passage dedup shuffles (passage, id, pos) once for the global
+  *    first-occurrence decision and once for reassembly — never more
+  *    than the corpus text in flight;
+  *  - PII redaction is a pure projection (codegen'd regexes), zero
+  *    shuffles;
+  *  - the Bloom anti-join replaces "shuffle the whole daily batch
+  *    against the full history" with two cheap columnar scans: rows
+  *    the filter rules out never shuffle at all, and only the
+  *    might-contain sliver (true dups + fpp of the batch) pays the
+  *    exact confirm join.
+  */
+object Curation {
+
+  private def normToks(c: Column): Column =
+    TextFns.tokens(TextFns.normalizeText(c))
+
+  /** Word n-grams that are EMPTY for docs shorter than n tokens — a
+    * doc that cannot contain a full n-gram cannot overlap a benchmark
+    * n-gram (unlike `TextFns.wordNgramsFromToks`, which degrades to a
+    * single whole-text gram for similarity use). */
+  private def strictNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Benchmark decontamination: per corpus doc, how many DISTINCT word
+    * n-grams it shares with the benchmark set, and a contaminated
+    * flag. The eval-leakage guard every training corpus needs: a doc
+    * sharing a long n-gram with a benchmark item is (part of) that
+    * item.
+    *
+    * Per-doc gram sets are deduplicated map-side (`array_distinct`
+    * before the explode), so no (doc, gram) distinct shuffle exists;
+    * the benchmark vocabulary is broadcast and the per-doc overlap
+    * count aggregates only the rows that survived the semi-join. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int = 5,
+                    minOverlap: Int = 1): DataFrame = {
+    val bGrams = benchmark
+      .select(normToks(col(textCol)).as("__t"))
+      .select(explode(strictNgrams(col("__t"), n)).as("gram"))
+      .distinct()
+    val docGrams = corpus
+      .select(col(idCol), normToks(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(array_distinct(strictNgrams(col("__t"), n))).as("gram"))
+    val matched = docGrams
+      .join(broadcast(bGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    corpus.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).cast("int").as("n_overlap"))
+      .withColumn("contaminated",
+        (col("n_overlap") >= minOverlap).cast("int"))
+  }
+
+  /** Passage-level dedup (the line-dedup of CCNet/RefinedWeb,
+    * generalized): split each doc into passages — fixed token chunks
+    * when the corpus has no natural line boundaries — drop every
+    * passage occurrence except the globally first (smallest
+    * (doc id, position)), and reassemble each doc's surviving text in
+    * order. Returns (idCol, n_passages, n_kept, dedup_text).
+    *
+    * Two shuffles total: passages keyed by their text for the
+    * first-occurrence decision (the join back reuses that same
+    * exchange), then the kept rows keyed by doc id for reassembly. */
+  def passageDedup(df: DataFrame, textCol: String, idCol: String,
+                   chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    val chunks = when(size(col("__t")) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          ceil(size(col("__t")).cast("double") / chunkTokens).cast("int") - 1),
+        i => concat_ws(" ",
+          slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)))))
+    val docs = df.select(col(idCol), normToks(col(textCol)).as("__t"))
+      .select(col(idCol), chunks.as("__ps"))
+    val p = docs.select(col(idCol),
+      posexplode(col("__ps")).as(Seq("pos", "passage")))
+    // global first occurrence per passage text: min (doc id, pos)
+    val keeper = p.groupBy(col("passage"))
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("__k"))
+    val kept = p.join(keeper, Seq("passage"))
+      .where(col(idCol) === col("__k.id") && col("pos") === col("__k.p"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+        array_sort(collect_list(struct(col("pos"), col("passage"))))
+          .as("__sorted"))
+      .select(col(idCol), col("__nk"),
+        concat_ws(" ",
+          transform(col("__sorted"), s => s.getField("passage")))
+          .as("dedup_text"))
+    docs.select(col(idCol), size(col("__ps")).as("n_passages"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_passages").cast("int"),
+        coalesce(col("__nk"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  // PII patterns (shared with the DuckDB oracle — RE2/Java-portable:
+  // no lookaround, no backreferences)
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: count and mask emails, phone numbers, and IPv4
+    * addresses. A single codegen'd projection — counts come from the
+    * original text, the redacted text replaces in email → phone → ip
+    * order (so an address inside an email is consumed by the email
+    * mask first). Zero shuffles. */
+  def piiRedact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("int").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(IpRe), lit(0)))
+        .cast("int").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("int").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
+          lit(PhoneRe), lit("[PHONE]")),
+        lit(IpRe), lit("[IP]")).as("redacted"))
+
+  /** Exact anti-join of a new batch against a historical key set, with
+    * a broadcast Bloom prefilter. The result EXACTLY equals
+    * `newDf LEFT ANTI JOIN history` — Bloom negatives are definitely
+    * absent and bypass the join entirely; possible positives (true
+    * dups + ~fpp of the batch) are re-checked by the exact join, so
+    * false positives cannot drop rows.
+    *
+    * This is the daily-load dedup at 100 TB: the filter over billions
+    * of historical fingerprints fits in memory (~1.2 GB at 1e9 keys /
+    * 1% fpp), the batch streams through it map-side twice (two
+    * columnar scans beat one full-batch shuffle), and the confirm
+    * join's stream side is the sliver that might match. The history
+    * side of the confirm join should be bucketed by the key in a real
+    * deployment so it never reshuffles either.
+    *
+    * The filter is built by Spark's own BloomFilterAggregate (the
+    * runtime-filter machinery's aggregate) — distributed build, one
+    * driver-small binary blob back. */
+  def bloomAntiJoin(newDf: DataFrame, history: DataFrame, keyCol: String,
+                    expectedItems: Long = 1000000L): DataFrame = {
+    val hashed = (c: Column) => xxhash64(c)
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(hashed(col(keyCol))), expectedItems)
+    val bfRow = history
+      .select(GraftColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) newDf // empty history: the whole batch is new
+    else {
+      val might = GraftColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bfRow.getAs[Array[Byte]](0), BinaryType),
+        GraftColumnBridge.expression(hashed(col(keyCol)))))
+      val hk = history.select(col(keyCol)).distinct()
+      newDf.where(!might)
+        .unionByName(
+          newDf.where(might).join(hk, Seq(keyCol), "left_anti"))
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{CleanFns, TextFns}
 
 /** Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
@@ -361,7 +361,9 @@ object Dedup {
       .repartition(NumPartitions, col("doc_a"))
       .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
-      .withColumn("jaccard", round(
+      // roundRepro, not round(): the result is oracle-compared, and
+      // Spark's round() disagrees with DuckDB's on repr boundaries
+      .withColumn("jaccard", CleanFns.roundRepro(
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 4))
       .where(col("jaccard") >= threshold)
@@ -387,7 +389,7 @@ object Dedup {
     pairs
       .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", CleanFns.roundRepro(
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 4))
       .where(col("jaccard") >= threshold)

@@ -41,14 +41,17 @@ object Multimodal {
     * with a codec here. Runs per-partition so a real implementation
     * amortizes codec init across a batch of rows (mapInPandas-style
     * batching, Scala edition). */
-  private def stubFeatures(payload: Array[Byte]): (Long, Double, Array[Float]) = {
-    if (payload == null || payload.isEmpty) (0L, 0.0, Array.fill(8)(0.0f))
+  private def stubFeatures(payload: Array[Byte]): (Long, Double, Array[Double]) = {
+    if (payload == null || payload.isEmpty) (0L, 0.0, Array.fill(8)(0.0))
     else {
       val n = payload.length.toLong
       val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / n
-      // 8-dim "embedding": byte histogram over 8 buckets, normalized
-      val hist = Array.fill(8)(0f)
-      payload.foreach(b => hist((b & 0xFF) / 32) += 1f)
+      // 8-dim "embedding": byte histogram over 8 buckets, normalized.
+      // Double-precision end to end: exact-int counts / n is the same
+      // IEEE value any independent reimplementation (incl. the DuckDB
+      // oracle) computes, so the features are verifiable bit-for-bit.
+      val hist = Array.fill(8)(0.0)
+      payload.foreach(b => hist((b & 0xFF) / 32) += 1.0)
       (n, mean, hist.map(_ / n))
     }
   }
@@ -61,7 +64,7 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("n_bytes", LongType),
       StructField("byte_mean", DoubleType),
-      StructField("features", ArrayType(FloatType))))
+      StructField("features", ArrayType(DoubleType))))
     val enc = Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>

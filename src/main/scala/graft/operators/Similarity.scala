@@ -54,63 +54,70 @@ object Similarity {
       .withColumn("cos_sim", CleanFns.roundRepro(col("cos_sim"), 4))
   }
 
-  /** LSH-bucketed ANN: signature match first, exact cosine within the
-    * bucket. Recall < 1 by construction; raise `bits` for precision,
-    * lower it for recall. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int, dim: Int): DataFrame = {
+  /** Bucket-joined (query, corpus) pair frame shared by `lshTopK` and
+    * its oracle's candidate dump — vectors and norms ride along. */
+  private def lshJoined(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, bits: Int,
+                        dim: Int): DataFrame = {
     val sig = (df: DataFrame, id: String, v: String, n: String) =>
       df.select(col(idCol).as(id), col(vecCol).as(v),
         VecFns.norm(col(vecCol)).as(n),
         xxhash64(VecFns.lshSignature(col(vecCol), bits, dim)).as("bucket"))
     val q = broadcast(sig(queries, "query_id", "__qv", "__qn"))
     val c = sig(corpus, "neighbor_id", "__cv", "__cn")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** LSH-bucketed ANN: signature match first, exact cosine within the
+    * bucket. Recall < 1 by construction; raise `bits` for precision,
+    * lower it for recall. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int, dim: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    lshJoined(queries, corpus, idCol, vecCol, bits, dim)
       .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
-  /** IVF (inverted-file) ANN — the other classic scale path besides
-    * LSH: a coarse k-means quantizer splits the corpus into `nlist`
-    * cells, each query probes only its `nprobe` nearest cells, and the
-    * exact cosine runs within those cells (~nprobe/nlist of the data).
-    *
-    * The centroid set is DRIVER-SMALL by construction (nlist rows), so
-    * it is collected and shipped back as literals — which makes every
+  /** The (query_id, neighbor_id) candidate pairs `lshTopK` ranks —
+    * what an independent oracle needs to re-derive the result. */
+  def lshCandidatePairs(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, bits: Int,
+                        dim: Int): DataFrame =
+    lshJoined(queries, corpus, idCol, vecCol, bits, dim)
+      .select("query_id", "neighbor_id")
+
+  // ---- IVF (k-means coarse quantizer) -------------------------------
+
+  private def toDoubles(v: Any): Array[Double] = v match {
+    case s: scala.collection.Seq[_] => s.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray
+  }
+
+  /** Deterministic Lloyd training over `cvec` = (__id, __v). The
+    * centroid set is DRIVER-SMALL by construction (nlist rows), so it
+    * is collected and shipped back as literals — which makes every
     * corpus-side stage a pure projection:
-    *  - init: `nlist` corpus vectors picked by hash order (deterministic
-    *    spread sample, no rand()), collected;
-    *  - assign: argmax over nlist literal-centroid dot products,
-    *    computed as `greatest` over (score, -cell) structs in ONE
-    *    codegen'd projection per corpus row — ZERO corpus shuffles, no
-    *    join, no aggregation (cosine argmax == dot/||c|| argmax: the
-    *    query-side norm is a common positive factor);
+    *  - init: `nlist` corpus vectors picked by hash order
+    *    (deterministic spread sample, no rand()), collected;
+    *  - assign: argmax over nlist literal-centroid dot products in ONE
+    *    codegen'd projection per corpus row — ZERO corpus shuffles;
     *  - update: posexplode + per-(cell,dim) mean — map-side partial
     *    aggregation means only nlist×dim rows per task reach the
     *    (tiny) shuffle, and the nlist×dim means are collected.
     * `iters` is small (quantizer quality, not convergence, is the
-    * goal). At 100 TB you'd train on a sample; the assign/probe path
-    * is the part that must stream the full corpus, and it now does so
+    * goal). At 100 TB you'd train on a sample; the assign path is the
+    * part that must stream the full corpus, and it does so
     * shuffle-free. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 2): DataFrame = {
-    val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-
-    def toDoubles(v: Any): Array[Double] = v match {
-      case s: scala.collection.Seq[_] => s.map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray
-    }
-
-    // deterministic init: the nlist vectors minimal in xxhash64(id)
-    // order — plans as TakeOrderedAndProject (distributed top-k, no
+  private def trainCentroids(cvec: DataFrame, nlist: Int,
+                             iters: Int): Array[(Int, Array[Double])] = {
+    // init: plans as TakeOrderedAndProject (distributed top-k, no
     // global sort), then nlist rows land on the driver
     var cents: Array[(Int, Array[Double])] = cvec
       .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
@@ -118,30 +125,9 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, toDoubles(r.get(1))) }
-
-    // score_i = (v · c_i) / ||c_i||: same argmax as cosine (1/||v|| is
-    // a common positive factor), one native dot per centroid, and the
-    // zero-norm centroid degenerates to score 0 exactly like
-    // cosineFromParts. argmax via greatest over (score, -cell) structs
-    // — ties break to the SMALLEST cell, matching max_by semantics.
-    def scoreStructs(v: Column): Array[Column] = cents.map { case (cell, c) =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      val inv = if (n == 0.0) 0.0 else 1.0 / n
-      struct((VecFns.dot(v, typedlit(c.toSeq)) * lit(inv)).as("s"),
-        lit(-cell).as("negc"))
-    }
-    def cellOf(v: Column): Column = {
-      val scored = scoreStructs(v)
-      val best =
-        if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-      -best.getField("negc")
-    }
-
-    // Lloyd iterations: projection-assign, tiny aggregated shuffle,
-    // collect the nlist×dim means
     for (_ <- 0 until iters) {
       val means = cvec
-        .select(cellOf(col("__v")).as("cell"),
+        .select(cellOf(cents, col("__v")).as("cell"),
           posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
@@ -152,12 +138,47 @@ object Similarity {
           rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat.toDouble).toArray)
       }.toArray.sortBy(_._1)
     }
+    cents
+  }
 
+  /** score_i = (v · c_i) / ||c_i||: same argmax as cosine (1/||v|| is
+    * a common positive factor), one native dot per centroid, and the
+    * zero-norm centroid degenerates to score 0 exactly like
+    * cosineFromParts. argmax via greatest over (score, -cell) structs
+    * — ties break to the SMALLEST cell, matching max_by semantics. */
+  private def cellOf(cents: Array[(Int, Array[Double])],
+                     v: Column): Column = {
+    val scored = cents.map { case (cell, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      val inv = if (n == 0.0) 0.0 else 1.0 / n
+      struct((VecFns.dot(v, typedlit(c.toSeq)) * lit(inv)).as("s"),
+        lit(-cell).as("negc"))
+    }
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    -best.getField("negc")
+  }
+
+  /** Corpus → k-means cell assignment as ONE projection over the scan
+    * (no shuffle). Returns (idCol, cell). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), nlist, iters)
+    df.select(col(idCol), cellOf(cents, col(vecCol)).as("cell"))
+  }
+
+  /** Probed (query, corpus-cell) pair frame shared by `ivfTopK` and
+    * its oracle's candidate dump. */
+  private def ivfJoined(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, nlist: Int,
+                        nprobe: Int, iters: Int): DataFrame = {
+    val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cents = trainCentroids(cvec, nlist, iters)
     // corpus → cell assignment: ONE projection over the scan
     val corpusCells = cvec
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
-        VecFns.norm(col("__v")).as("__cn"), cellOf(col("__v")).as("cell"))
-
+        VecFns.norm(col("__v")).as("__cn"), cellOf(cents, col("__v")).as("cell"))
     // queries → top-nprobe cells each: sort the literal score array
     // ascending by (-score, cell) and keep the first nprobe — no join,
     // no window; the query side stays driver-small and broadcasts
@@ -174,24 +195,42 @@ object Similarity {
           explode(slice(probeArr, 1, nprobe)).as("__pc"))
         .select(col("query_id"), col("__qv"), col("__qn"),
           col("__pc").getField("cell").as("cell")))
-
-    // exact cosine only within probed cells
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     probes.join(corpusCells, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** IVF (inverted-file) ANN — the other classic scale path besides
+    * LSH: a coarse k-means quantizer splits the corpus into `nlist`
+    * cells, each query probes only its `nprobe` nearest cells, and the
+    * exact cosine runs within those cells (~nprobe/nlist of the
+    * data). See `trainCentroids` for why no corpus stage shuffles. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    ivfJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters)
       .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
-  /** Embedding-space near-duplicate pairs: all pairs within the same
-    * LSH bucket whose cosine exceeds `threshold` (embedding-cosine
-    * near-dup dedup for training corpora). */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bits: Int,
-                         dim: Int): DataFrame = {
+  /** The (query_id, neighbor_id) candidate pairs `ivfTopK` ranks —
+    * deterministic (hash-order init, float-rounded means), so a
+    * second run reproduces the query's probe set exactly. */
+  def ivfCandidatePairs(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, nlist: Int = 16,
+                        nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivfJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters)
+      .select("query_id", "neighbor_id")
+
+  // ---- embedding near-dup / SemDeDup --------------------------------
+
+  /** Same-LSH-bucket (doc_a < doc_b) pair frame shared by
+    * `cosineNearDupPairs` and its oracle's candidate dump. */
+  private def bucketJoined(df: DataFrame, idCol: String, vecCol: String,
+                           bits: Int, dim: Int): DataFrame = {
     val sig = df.select(col(idCol), col(vecCol),
       VecFns.norm(col(vecCol)).as("__n"),
       xxhash64(VecFns.lshSignature(col(vecCol), bits, dim)).as("bucket"))
@@ -201,8 +240,52 @@ object Similarity {
       col(vecCol).as("__cv"), col("__n").as("__cn"))
     l.join(r, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
+  }
+
+  /** Embedding-space near-duplicate pairs: all pairs within the same
+    * LSH bucket whose cosine exceeds `threshold` (embedding-cosine
+    * near-dup dedup for training corpora). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int,
+                         dim: Int): DataFrame =
+    bucketJoined(df, idCol, vecCol, bits, dim)
       .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
       .where(col("cos_sim") >= threshold)
       .select("doc_a", "doc_b", "cos_sim")
+
+  /** The candidate pairs `cosineNearDupPairs` verifies (pre-cosine,
+    * pre-threshold) — for the oracle's independent re-check. */
+  def bucketCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                           bits: Int, dim: Int): DataFrame =
+    bucketJoined(df, idCol, vecCol, bits, dim).select("doc_a", "doc_b")
+
+  /** SemDeDup (semantic dedup, Abbas et al. 2023's shape): k-means
+    * cluster the embedding space, then WITHIN each cluster drop every
+    * vector that has a near-duplicate (cosine >= threshold) with a
+    * smaller id — one survivor per semantic near-dup group, and only
+    * same-cluster pairs are ever compared (the quadratic stays inside
+    * cells). Returns the KEPT rows as (idCol, cell).
+    *
+    * Cluster assignment is a shuffle-free projection (literal
+    * centroids); the within-cell pair join shuffles (id, vec) once on
+    * the cell key. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, threshold: Double = 0.5,
+               iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), nlist, iters)
+    val a = df.select(col(idCol), col(vecCol).as("__v"),
+      VecFns.norm(col(vecCol)).as("__n"),
+      cellOf(cents, col(vecCol)).as("cell"))
+    val l = a.select(col("cell"), col(idCol).as("__ida"),
+      col("__v").as("__qv"), col("__n").as("__qn"))
+    val r = a.select(col("cell"), col(idCol).as("__idb"),
+      col("__v").as("__cv"), col("__n").as("__cn"))
+    val drops = l.join(r, Seq("cell"))
+      .where(col("__idb") < col("__ida"))
+      .where(CleanFns.roundRepro(pairCos, 4) >= threshold)
+      .select(col("__ida").as(idCol)).distinct()
+    a.select(col(idCol), col("cell"))
+      .join(drops, Seq(idCol), "left_anti")
   }
 }

@@ -380,7 +380,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val feats = Multimodal.decodeFeaturesStub(media)
     assert(feats.count() == 10)
     val f = feats.where($"media_id" === 1).head()
-    assert(f.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert(f.getAs[scala.collection.Seq[Double]]("features").length == 8)
     assert(f.getAs[Long]("n_bytes") > 0)
     val frames = Multimodal.sampleFrames(media.where($"media_id" === 1), 32, 16)
     assert(frames.count() >= 1)
