@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CleanFns, TextFns}
-import graft.operators.{Analytics, AsOfJoin, Curation, Dedup, Dims, Multimodal, PitJoin, Scd2, Similarity, Skew, Staging, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Curation, Dedup, Dims, Multimodal, Packing, PitJoin, Scd2, Similarity, Skew, Staging, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Speed
 import org.apache.spark.sql.streaming.OutputMode
@@ -580,7 +580,36 @@ object SparkEntry {
 
     "q_semdedup" -> ((s, d) =>
       Similarity.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
-        nlist = 8, threshold = 0.3))
+        nlist = 8, threshold = 0.3)),
+
+    "q_filter_cascade" -> ((s, d) =>
+      // quality-filter cascade with per-doc audit: which rule dropped it
+      Curation.filterCascade(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_domain_cap" -> ((s, d) =>
+      // anti-boilerplate guard: at most 10 docs per source, longest kept
+      Curation.domainCap(
+        T(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", cap = 10, priority = Seq(col("n_chars").desc))),
+
+    "q_split_stratified" -> ((s, d) =>
+      // exact-proportion 80/10/10 split within each language stratum
+      Curation.stratifiedSplit(
+        T(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", trainPct = 80, valPct = 10)),
+
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidf(T(s, d, "documents"), "text", "doc_id", k = 3)),
+
+    "q_seq_pack" -> ((s, d) => {
+      // pack docs into 256-token training sequences across 8 shards
+      val docs = T(s, d, "documents")
+      Packing.packSequences(
+        docs.select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256, shards = 8)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1188,7 +1217,98 @@ object SparkEntry {
         |  coalesce(f2, 0.0) AS f2, coalesce(f3, 0.0) AS f3,
         |  coalesce(f4, 0.0) AS f4, coalesce(f5, 0.0) AS f5,
         |  coalesce(f6, 0.0) AS f6, coalesce(f7, 0.0) AS f7
-        |FROM b LEFT JOIN agg USING (media_id)""".stripMargin
+        |FROM b LEFT JOIN agg USING (media_id)""".stripMargin,
+
+    "q_filter_cascade" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           t -> t IN ('the','a','an','of','and','to','is','in','it','that'))) AS INT)
+        |    END AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, n_tokens,
+        |    floor(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10000 + 0.5) / 10000 AS digit_ratio,
+        |    floor(n_stopwords / CAST(greatest(n_tokens, 1) AS DOUBLE) * 10000 + 0.5) / 10000 AS stopword_ratio
+        |  FROM m),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN n_tokens < 20 THEN 'too_short'
+        |         WHEN n_chars > 400 THEN 'too_long'
+        |         WHEN digit_ratio > 0.2 THEN 'digit_heavy'
+        |         WHEN stopword_ratio < 0.03 THEN 'low_stopword'
+        |         ELSE 'pass' END AS first_fail
+        |  FROM r)
+        |SELECT doc_id, n_chars, n_tokens, digit_ratio, stopword_ratio,
+        |  first_fail, CAST(first_fail = 'pass' AS INT) AS pass
+        |FROM f""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q_split_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rn * 100 <= n * 80 THEN 'train'
+        |       WHEN rn * 100 <= n * 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, CAST(t.tf AS INT) AS tf,
+        |    CAST(d.df AS INT) AS df,
+        |    floor(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) * 10000 + 0.5) / 10000 AS tfidf
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(shard, rn, doc_id, n_tokens, seq_id, used, token_offset) AS (
+        |  SELECT shard, rn, doc_id, n_tokens, 0, n_tokens, 0
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+        |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used + d.n_tokens ELSE d.n_tokens END,
+        |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used ELSE 0 END
+        |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id, n_tokens,
+        |  CAST(token_offset AS INT) AS token_offset
+        |FROM pack""".stripMargin
   )
 
   /** Oracles that can only be phrased against a COMPUTED intermediate

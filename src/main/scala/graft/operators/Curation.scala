@@ -3,10 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
-import graft.functions.TextFns
+import graft.functions.{CleanFns, TextFns}
 
 /** Corpus-curation operators for training-data pipelines:
   * benchmark decontamination, passage-level dedup, PII redaction, and
@@ -140,6 +141,98 @@ object Curation {
           regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
           lit(PhoneRe), lit("[PHONE]")),
         lit(IpRe), lit("[IP]")).as("redacted"))
+
+  /** Default audit-cascade rules, in evaluation order. Conditions
+    * reference the metric columns [[filterCascade]] computes
+    * (`n_tokens`, `n_chars`, `digit_ratio`, `stopword_ratio`). */
+  val DefaultCascade: Seq[(String, Column)] = Seq(
+    "too_short" -> (col("n_tokens") < 20),
+    "too_long" -> (col("n_chars") > 400),
+    "digit_heavy" -> (col("digit_ratio") > 0.2),
+    "low_stopword" -> (col("stopword_ratio") < 0.03))
+
+  /** Quality-filter cascade WITH AUDIT: every document gets the name
+    * of the FIRST rule that rejected it (or 'pass'), not just a keep
+    * bit. Real curation pipelines need the per-rule attrition
+    * accounting — "how many docs did each filter cost?" is the first
+    * question asked of any new filter — and recording the first
+    * failure makes the cascade one pure projection per document
+    * instead of one pass per rule.
+    *
+    * Metrics reuse the exact q_text_quality formulas (identical
+    * rounding), so rule thresholds mean the same thing here and
+    * there. Zero shuffles; scales linearly with corpus size. */
+  def filterCascade(df: DataFrame, textCol: String, idCol: String,
+                    rules: Seq[(String, Column)] = DefaultCascade)
+      : DataFrame = {
+    require(rules.nonEmpty, "filterCascade needs at least one rule")
+    val t = col(textCol)
+    val nTok = TextFns.tokenCount(t)
+    val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+    val stops = TextFns.tokenHits(lower(t), TextAnalysis.Stopwords)
+    val metrics = df.select(col(idCol),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      CleanFns.roundRepro(
+        digits / greatest(length(t), lit(1)).cast("double"), 4)
+        .as("digit_ratio"),
+      CleanFns.roundRepro(
+        stops / greatest(nTok, lit(1)).cast("double"), 4)
+        .as("stopword_ratio"))
+    val firstFail = rules.foldRight(lit("pass")) {
+      case ((name, fails), els) => when(fails, lit(name)).otherwise(els)
+    }
+    metrics.withColumn("first_fail", firstFail)
+      .withColumn("pass", (col("first_fail") === "pass").cast("int"))
+  }
+
+  /** Per-domain document cap (the boilerplate guard of web-scale
+    * corpora: no single site may dominate the training mix): keep at
+    * most `cap` documents per domain, preferring by `priority` (e.g.
+    * longest first), deterministically tie-broken by id.
+    *
+    * One shuffle of (id, domain, priority columns) — the document
+    * text never moves; the join back to full rows is by id on the
+    * surviving sliver only, if the caller wants payloads. For a
+    * pathological single hot domain the window serializes on one
+    * task, but the state is one counter — rows stream through; a
+    * two-phase per-partition pre-cap (cap within partition, then
+    * global) bounds even that if ever needed. */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                cap: Int, priority: Seq[Column] = Nil): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(priority :+ col(idCol).asc: _*)
+    df.withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= cap)
+  }
+
+  /** Deterministic stratified train/val/test split with EXACT
+    * per-stratum proportions: within each stratum, rows are ranked by
+    * md5(id) (portable, seedless) and the first
+    * floor(n·trainPct/100) go to train, the next floor(n·(trainPct+
+    * valPct)/100) boundary to val, the rest to test. Unlike a
+    * hash-threshold split (mixtureSample's mechanism), small strata
+    * get exactly their proportions, not a binomial draw around them.
+    *
+    * One shuffle of (id, stratum); integer boundary arithmetic so any
+    * engine derives the identical assignment. */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val w = Window.partitionBy(col(stratumCol))
+    val rn = row_number().over(
+      w.orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    df.withColumn("__rn", rn)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("split",
+        when(col("__rn") * 100 <= col("__n") * trainPct, lit("train"))
+          .when(col("__rn") * 100 <= col("__n") * (trainPct + valPct),
+            lit("val"))
+          .otherwise(lit("test")))
+      .drop("__rn", "__n")
+  }
 
   /** Exact anti-join of a new batch against a historical key set, with
     * a broadcast Bloom prefilter. The result EXACTLY equals

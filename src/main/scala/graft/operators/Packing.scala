@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing: assign documents to fixed-token-budget
+  * training sequences (the "pack short docs into one context window"
+  * step every LLM pre-training pipeline runs between curation and
+  * tokenized-shard output).
+  *
+  * Semantics (deterministic, engine-reproducible): documents are
+  * sharded by `doc_id % shards`; within a shard, docs are taken in
+  * doc_id order and appended to the current sequence while they fit
+  * (`used + n_tokens <= budget`), else a new sequence starts. A doc
+  * larger than the budget occupies a sequence of its own. Every doc
+  * gets `(shard, seq_id, token_offset)` — the exact layout a
+  * downstream tokenizer/writer materializes.
+  *
+  * Scale posture: the only shuffle moves (shard, doc_id, n_tokens) —
+  * 16 bytes per document, never the text. Packing itself is a
+  * sequential running-total scan with O(1) state: a window function
+  * cannot express it (the accumulator RESETS on overflow — it is a
+  * data-dependent prefix scan, which SQL needs recursion for), and
+  * `flatMapGroups` would materialize whole shards; `mapPartitions`
+  * over shard-sorted partitions streams instead. This and the
+  * multimodal codec seam are the two places imperative
+  * per-partition logic is genuinely the right Spark tool. Shard
+  * count scales with the corpus (shards ≈ corpus_tokens /
+  * tokens_per_output_shard), keeping per-task state trivial.
+  */
+object Packing {
+
+  private[operators] case class PackIn(shard: Int, doc_id: Long,
+                                       n_tokens: Int)
+  private[operators] case class PackOut(doc_id: Long, shard: Int,
+      seq_id: Int, n_tokens: Int, token_offset: Int)
+
+  /** Pack `df` (must carry an integral id column and a token-count
+    * column) into sequences of at most `budget` tokens within
+    * `doc_id % shards` shards. Returns
+    * (doc_id, shard, seq_id, n_tokens, token_offset). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Int, shards: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int")
+          .as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("int").as("n_tokens"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[PackIn]
+      .mapPartitions { it =>
+        // several shards may hash into one partition; the sort keys
+        // them contiguously, so a shard change resets the scan state
+        var curShard = -1
+        var seq = 0
+        var used = 0
+        it.map { d =>
+          if (d.shard != curShard) {
+            curShard = d.shard; seq = 0; used = d.n_tokens
+            PackOut(d.doc_id, d.shard, 0, d.n_tokens, 0)
+          } else if (used + d.n_tokens <= budget) {
+            val off = used; used += d.n_tokens
+            PackOut(d.doc_id, d.shard, seq, d.n_tokens, off)
+          } else {
+            seq += 1; used = d.n_tokens
+            PackOut(d.doc_id, d.shard, seq, d.n_tokens, 0)
+          }
+        }
+      }
+      .toDF()
+  }
+}

@@ -152,6 +152,43 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** TF-IDF keyword extraction: the top `k` terms of each document by
+    * tf · ln((N+1)/(df+1)), ties broken alphabetically. The classic
+    * corpus-statistics feature for clustering/near-dup triage and
+    * search-side keyword indexing.
+    *
+    * Shape: one repartition by doc id BEFORE the token explode —
+    * Generate preserves partitioning, so the (id, term) term-frequency
+    * aggregate AND the final per-doc top-k window both reuse that one
+    * exchange of compact parent rows; no token-level row ever crosses
+    * the wire. Document frequency aggregates the (vocabulary-sized)
+    * tf table and is broadcast back — by Heaps' law the distinct-term
+    * table grows ~√corpus, so the broadcast holds far past the point
+    * where token-level shuffles would have died. */
+  def tfidf(df: DataFrame, textCol: String, idCol: String,
+            k: Int = 3): DataFrame = {
+    val src = df.select(col(idCol),
+      TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+    val toks = src
+      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .select(col(idCol), explode(col("__t")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", CleanFns.roundRepro(
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"), col("tfidf"), col("rank"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash
     * document sketch): hash every k-gram, slide a window of `w`
     * consecutive hashes, keep each window's minimum (rightmost on

@@ -121,4 +121,76 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.except(assign).isEmpty)
     assert(kept.count() >= 1 && kept.count() <= e.count())
   }
+
+  test("filterCascade reports the FIRST failing rule, in order") {
+    val many = ("the and of to is in it that a an " * 5).trim // 50 stopword tokens
+    val docs = Seq(
+      (1L, "tiny doc"),                           // too_short
+      (2L, many + " " + ("x" * 380)),             // long enough, >400 chars -> too_long
+      (3L, many.split(" ").take(20).mkString(" ") +
+        " 11111 22222 33333 44444 55555"),
+      // ^ 25 tokens, 95 chars of which 25 digits (ratio .263) -> digit_heavy
+      (4L, Seq.fill(25)("word").mkString(" ")),    // no stopwords -> low_stopword
+      (5L, many)                                   // passes everything
+    ).toDF("doc_id", "text")
+    val out = Curation.filterCascade(docs, "text", "doc_id")
+      .select("doc_id", "first_fail", "pass")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("too_short", 0)))
+    assert(out(2L) == (("too_long", 0)))
+    assert(out(3L) == (("digit_heavy", 0)))
+    assert(out(4L) == (("low_stopword", 0)))
+    assert(out(5L) == (("pass", 1)))
+    // a doc failing several rules reports only the FIRST (cascade order)
+    val shortAndDigits = Seq((9L, "1 2 3")).toDF("doc_id", "text")
+    assert(Curation.filterCascade(shortAndDigits, "text", "doc_id")
+      .head().getAs[String]("first_fail") == "too_short")
+  }
+
+  test("domainCap keeps at most cap docs per domain by priority, id tie-break") {
+    val docs = (1L to 9L).map(i =>
+      (i, if (i <= 6) "a.com" else "b.com", 100L - (i % 3))) // ties in len
+      .toDF("doc_id", "domain", "len")
+    val out = Curation.domainCap(docs, "domain", "doc_id", cap = 2,
+        priority = Seq(col("len").desc))
+      .select("doc_id", "domain", "rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // a.com lens: 1->99 2->98 3->100 4->99 5->98 6->100; ids 3,6 tie at
+    // 100 -> min id first. b.com: 9 (100) then 7 (99)
+    assert(out == Set((3L, "a.com", 1), (6L, "a.com", 2),
+      (9L, "b.com", 1), (7L, "b.com", 2)))
+  }
+
+  test("stratifiedSplit hits exact per-stratum proportions and is deterministic") {
+    val docs = (1L to 200L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Curation.stratifiedSplit(docs, "lang", "doc_id", 80, 10)
+    val counts = out.groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // en: 150 docs -> 120/15/15; de: 50 -> 40/5/5 (exact, not binomial)
+    assert(counts(("en", "train")) == 120 && counts(("en", "val")) == 15 &&
+      counts(("en", "test")) == 15)
+    assert(counts(("de", "train")) == 40 && counts(("de", "val")) == 5 &&
+      counts(("de", "test")) == 5)
+    // same assignment on every run and under different partitioning
+    val again = Curation.stratifiedSplit(docs.repartition(7), "lang",
+      "doc_id", 80, 10)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfidf(docs, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("term"),
+        r.getAs[Int]("rank"))).toSet
+    // every doc: its unique term (df=1) outranks 'common' (df=3)
+    assert(out == Set((1L, "alpha", 1), (1L, "common", 2),
+      (2L, "beta", 1), (2L, "common", 2),
+      (3L, "gamma", 1), (3L, "common", 2)))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+/** Greedy sequence packing vs a straightforward in-memory reference,
+  * including the edges (oversized docs, zero-token docs, exact fits)
+  * and determinism under different input partitioning.
+  */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** In-memory reference: same greedy, one shard at a time. */
+  private def reference(docs: Seq[(Long, Int)], budget: Int,
+                        shards: Int): Set[(Long, Int, Int, Int, Int)] =
+    docs.groupBy { case (id, _) => (id % shards).toInt }.flatMap {
+      case (shard, ds) =>
+        var seq = 0; var used = 0; var first = true
+        ds.sortBy(_._1).map { case (id, n) =>
+          if (first) { first = false; used = n }
+          else if (used + n <= budget) used += n
+          else { seq += 1; used = n }
+          (id, shard, seq, n, used - n)
+        }
+    }.toSet
+
+  private def run(docs: Seq[(Long, Int)], budget: Int, shards: Int,
+                  parts: Int = 4): Set[(Long, Int, Int, Int, Int)] =
+    Packing.packSequences(
+        docs.toDF("doc_id", "n_tokens").repartition(parts),
+        "doc_id", "n_tokens", budget, shards)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+      .toSet
+
+  test("packs greedily in doc_id order within each shard") {
+    val docs = Seq(1L -> 60, 3L -> 50, 5L -> 40, 7L -> 30, 9L -> 80)
+    // one shard: 60+50 fit in 128; +40 overflows -> seq 1: 40+30; 80 fits? 40+30+80>128 -> wait
+    val got = run(docs, budget = 128, shards = 1)
+    assert(got == reference(docs, 128, 1))
+    // explicit layout: seq0=[1@0, 3@60], seq1=[5@0, 7@40, 9: 40+30+80=150>128 -> seq2]
+    assert(got == Set((1L, 0, 0, 60, 0), (3L, 0, 0, 50, 60),
+      (5L, 0, 1, 40, 0), (7L, 0, 1, 30, 40), (9L, 0, 2, 80, 0)))
+  }
+
+  test("oversized and zero-token docs follow the recursion exactly") {
+    val docs = Seq(1L -> 0, 2L -> 500, 3L -> 10, 4L -> 0, 5L -> 100)
+    // budget 100: doc1 (0) opens seq0; doc2 (500) overflows -> seq1 alone;
+    // doc3 -> seq2; doc4 (0) joins seq2; doc5: 10+0+100>100 -> seq3
+    val got = run(docs, budget = 100, shards = 1)
+    assert(got == reference(docs, 100, 1))
+    assert(got == Set((1L, 0, 0, 0, 0), (2L, 0, 1, 500, 0),
+      (3L, 0, 2, 10, 0), (4L, 0, 2, 0, 10), (5L, 0, 3, 100, 0)))
+  }
+
+  test("exact fit stays in the sequence") {
+    val docs = Seq(1L -> 64, 2L -> 64, 3L -> 1)
+    val got = run(docs, budget = 128, shards = 1)
+    assert(got == Set((1L, 0, 0, 64, 0), (2L, 0, 0, 64, 64),
+      (3L, 0, 1, 1, 0)))
+  }
+
+  test("shards pack independently; result is partitioning-invariant") {
+    val docs = (1L to 97L).map(i => i -> ((i * 13 % 90) + 1).toInt)
+    val ref = reference(docs, budget = 128, shards = 5)
+    assert(run(docs, 128, 5, parts = 1) == ref)
+    assert(run(docs, 128, 5, parts = 3) == ref)
+    assert(run(docs, 128, 5, parts = 16) == ref)
+    // every sequence respects the budget (no doc exceeds it here)
+    val bySeq = ref.groupBy(t => (t._2, t._3)).values
+    assert(bySeq.forall(_.toSeq.map(_._4).sum <= 128))
+  }
+}
