@@ -20,7 +20,11 @@ object ExplainAudit {
       "q_dedup_minhash" -> ((s, d) =>
         graft.operators.Dedup.minhashPairs(
           graft.sources.Tables.load(s, d, "documents"), "text", "doc_id",
-          threshold = 0.2, materialize = false)))
+          threshold = 0.2, materialize = false)),
+      "q_tfidf" -> ((s, d) =>
+        graft.operators.TextAnalysis.tfidf(
+          graft.sources.Tables.load(s, d, "documents"), "text", "doc_id",
+          k = 3, materialize = false)))
     names.foreach { n =>
       val plan = lazyOverrides.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
         .queryExecution.explainString(

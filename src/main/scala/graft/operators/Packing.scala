@@ -45,11 +45,7 @@ object Packing {
     require(shards >= 1, s"shards must be >= 1: $shards")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(
-        pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int")
-          .as("shard"),
-        col(idCol).cast("long").as("doc_id"),
-        col(tokensCol).cast("int").as("n_tokens"))
+    prepared(df, idCol, tokensCol, shards)
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[PackIn]
@@ -73,5 +69,32 @@ object Packing {
         }
       }
       .toDF()
+  }
+
+  private def prepared(df: DataFrame, idCol: String, tokensCol: String,
+                       shards: Int): DataFrame =
+    df.select(
+      pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int")
+        .as("shard"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("int").as("n_tokens"))
+
+  /** The custom-operator variant of [[packSequences]]: plans a
+    * [[graft.plans.PackSequencesNode]] whose PHYSICAL operator
+    * declares its distribution/ordering requirements instead of
+    * hand-placing repartition+sort — a child already clustered by
+    * shard packs with no new shuffle. Identical output (the spec
+    * asserts it). Requires `GraftExtensions` on the session (the
+    * strategy must be registered, else planning fails). */
+  def packSequencesPlan(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Int, shards: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    import org.apache.spark.sql.GraftPlanBridge
+    val p = prepared(df, idCol, tokensCol, shards)
+    GraftPlanBridge.ofRows(df.sparkSession,
+      graft.plans.PackSequencesNode(budget, shards,
+        graft.plans.PackSequencesNode.freshPackAttrs(),
+        p.queryExecution.analyzed))
   }
 }

@@ -166,20 +166,29 @@ object TextAnalysis {
     * table grows ~√corpus, so the broadcast holds far past the point
     * where token-level shuffles would have died. */
   def tfidf(df: DataFrame, textCol: String, idCol: String,
-            k: Int = 3): DataFrame = {
+            k: Int = 3, materialize: Boolean = true): DataFrame = {
     val src = df.select(col(idCol),
       TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
     val toks = src
       .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
       .select(col(idCol), explode(col("__t")).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term"))
+    val tfPlan = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // materialize=true: the tf table feeds BOTH the per-doc score and
+    // the document-frequency aggregate — caching it halves the corpus
+    // scans (same lifecycle as Dedup.minhashPairs: eager small output,
+    // cache dropped before returning). false = one lazy composable
+    // plan, for audits and single-consumer composition.
+    val tf =
+      if (materialize)
+        tfPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfPlan
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", CleanFns.roundRepro(
         col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
@@ -187,6 +196,12 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf").cast("int").as("tf"),
         col("df").cast("int").as("df"), col("tfidf"), col("rank"))
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      tf.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash

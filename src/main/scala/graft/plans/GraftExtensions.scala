@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => PackSequencesStrategy)
   }
 }
 
@@ -95,6 +96,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    if (!spark.experimental.extraStrategies.contains(PackSequencesStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ PackSequencesStrategy
   }
 }
 

@@ -111,6 +111,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!q.queryExecution.optimizedPlan.toString.contains("vec_dot"))
   }
 
+  test("PackSequencesNode plans through the injected strategy; " +
+      "requirements insert the exchange") {
+    import spark.implicits._
+    val docs = (1L to 97L).map(i => i -> ((i * 13 % 90) + 1).toInt)
+      .toDF("doc_id", "n_tokens")
+    val viaPlan = graft.operators.Packing.packSequencesPlan(
+      docs, "doc_id", "n_tokens", budget = 128, shards = 5)
+    val viaDf = graft.operators.Packing.packSequences(
+      docs, "doc_id", "n_tokens", budget = 128, shards = 5)
+    val got = viaPlan.collect().map(_.toSeq).toSet
+    assert(got === viaDf.collect().map(_.toSeq).toSet)
+    val plan = viaPlan.queryExecution.executedPlan.toString
+    assert(plan.contains("PackSequences"), s"no PackSequences in:\n$plan")
+    // the shuffle was inserted by the planner FOR the declared
+    // distribution, not hand-placed by the operator
+    assert(plan.contains("ENSURE_REQUIREMENTS"),
+      "EnsureRequirements should shuffle by shard")
+  }
+
+  test("a child already clustered by shard packs with NO new shuffle") {
+    import spark.implicits._
+    val shardExpr = pmod(col("doc_id").cast("long"), lit(5L)).cast("int")
+    val docs = (1L to 97L).map(i => i -> ((i * 13 % 90) + 1).toInt)
+      .toDF("doc_id", "n_tokens")
+      .repartition(4, shardExpr) // the caller's own clustering
+    val q = graft.operators.Packing.packSequencesPlan(
+      docs, "doc_id", "n_tokens", budget = 128, shards = 5)
+    val rows = q.collect()
+    // only the caller's repartition shuffles — EnsureRequirements
+    // recognized the aliased shard clustering and added no exchange of
+    // its own (the hand-placed repartition in packSequences can never
+    // be elided like this)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ENSURE_REQUIREMENTS"),
+      s"expected only the caller's exchange:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"), s"caller's exchange in:\n$plan")
+    assert(rows.length == 97)
+    import vanilla.implicits.{localSeqToDatasetHolder => toDs}
+    val ref = graft.operators.Packing.packSequences(
+      toDs((1L to 97L).map(i => i -> ((i * 13 % 90) + 1).toInt))
+        .toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", budget = 128, shards = 5)
+    assert(rows.map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+  }
+
   test("install() retrofits a live session, idempotently") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
