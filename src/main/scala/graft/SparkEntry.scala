@@ -609,7 +609,11 @@ object SparkEntry {
         docs.select(col("doc_id"),
           TextFns.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 256, shards = 8)
-    })
+    }),
+
+    "q_corpus_stats" -> ((s, d) =>
+      // the before/after profile every curation stage reports
+      TextAnalysis.corpusStats(T(s, d, "documents"), "text", "doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1308,7 +1312,27 @@ object SparkEntry {
         |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
         |SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id, n_tokens,
         |  CAST(token_offset AS INT) AS token_offset
-        |FROM pack""".stripMargin
+        |FROM pack""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS INT) AS nc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS nt,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT term) AS vocab
+        |      FROM (SELECT unnest(t) AS term FROM m)),
+        |s AS (SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  floor(quantile_cont(nt, 0.5) * 100 + 0.5) / 100 AS p50_tokens,
+        |  floor(quantile_cont(nt, 0.9) * 100 + 0.5) / 100 AS p90_tokens,
+        |  floor(avg(nc) * 100 + 0.5) / 100 AS avg_chars
+        |  FROM m)
+        |SELECT s.n_docs, s.n_tokens, s.p50_tokens, s.p90_tokens,
+        |  s.avg_chars, v.vocab
+        |FROM s CROSS JOIN v""".stripMargin
   )
 
   /** Oracles that can only be phrased against a COMPUTED intermediate

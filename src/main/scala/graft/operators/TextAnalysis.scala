@@ -152,6 +152,30 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** One-row corpus profile: document/token counts, token-length
+    * percentiles, mean char length, vocabulary size — the numbers a
+    * curation run reports before and after every filter stage. Two
+    * cheap aggregations (doc-grain stats; distinct terms map-side
+    * partial-aggregated before the vocab count), crossJoined into one
+    * row. */
+  def corpusStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val src = df.select(col(idCol),
+      length(col(textCol)).as("__nc"),
+      TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+      .withColumn("__nt", size(col("__t")))
+    val docStats = src.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).cast("bigint").as("n_tokens"),
+      CleanFns.roundRepro(percentile(col("__nt"), lit(0.5)), 2)
+        .as("p50_tokens"),
+      CleanFns.roundRepro(percentile(col("__nt"), lit(0.9)), 2)
+        .as("p90_tokens"),
+      CleanFns.roundRepro(avg(col("__nc")), 2).as("avg_chars"))
+    val vocab = src.select(explode(col("__t")).as("term"))
+      .agg(countDistinct(col("term")).as("vocab"))
+    docStats.crossJoin(vocab)
+  }
+
   /** TF-IDF keyword extraction: the top `k` terms of each document by
     * tf · ln((N+1)/(df+1)), ties broken alphabetically. The classic
     * corpus-statistics feature for clustering/near-dup triage and

@@ -170,6 +170,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.where($"rank" === 1).head().getAs[Long]("neighbor_id") == 5L)
   }
 
+  test("Similarity.lshTopK recalls planted near-duplicates, guaranteed") {
+    // LSH's contract is NEAR-DUP recall, not arbitrary top-k on
+    // near-orthogonal noise (where sharing all `bits` hyperplane signs
+    // is rare by construction — the honest recall there is IVF's
+    // multi-probe job). A scaled copy keeps every sign
+    // (sign(0.5v·h) = sign(v·h)), so it MUST share the bucket and
+    // rank first with cos 1 — recall of planted near-dups is 5/5
+    // deterministically, not probabilistically.
+    val twins = embeddings.where($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float"))
+          .as("embedding"))
+    val corpus2 = embeddings.select($"vec_id", $"embedding")
+      .unionByName(twins)
+    val qs = embeddings.where($"vec_id" < 5)
+    val top1 = Similarity.lshTopK(qs, corpus2, "vec_id", "embedding",
+        k = 3, bits = 8, dim = 64)
+      .where($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == ((q + 1000, 1.0)), s"query $q got ${top1.get(q)}")
+    }
+  }
+
   test("VecFns.lshSignature native (literal hyperplanes) == composed") {
     import graft.functions.VecFns
     val native = embeddings.select($"vec_id",
