@@ -1344,7 +1344,8 @@ object SparkEntry {
     * min-id survivors that `q_dedup_survivors` must produce. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     survivorOracles(spark, sfDir) ++ ngramJaccardOracle(spark, sfDir) ++
-      embedOracles(spark, sfDir)
+      embedOracles(spark, sfDir) ++ simhashOracle(spark, sfDir) ++
+      minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir)
 
   private def pairValues(rows: Array[org.apache.spark.sql.Row]): String =
     rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
@@ -1444,6 +1445,116 @@ object SparkEntry {
          |  JOIN sets a ON a.doc_id = c.doc_a
          |  JOIN sets b ON b.doc_id = c.doc_b)
          |WHERE jaccard >= 0.1""".stripMargin)
+  }
+
+  /** q_dedup_simhash verified against BRUTE FORCE: the 64-bit SimHash
+    * values are embedded as VALUES and DuckDB compares ALL pairs with
+    * bit_count(xor) — independently confirming the pigeonhole claim
+    * that 16-bit banding loses no pair within hamming distance 3. */
+  private def simhashOracle(spark: SparkSession,
+                            sfDir: String): Map[String, String] = {
+    val sh = Dedup.simhash(T(spark, sfDir, "documents"), "text", "doc_id")
+      .collect()
+    if (sh.isEmpty) Map.empty
+    else {
+      val values = sh
+        .map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
+      Map("q_dedup_simhash" ->
+        s"""WITH sh AS (
+           |  SELECT CAST(id AS BIGINT) AS id, CAST(h AS BIGINT) AS h
+           |  FROM (VALUES $values) v(id, h))
+           |SELECT * FROM (
+           |  SELECT a.id AS doc_a, b.id AS doc_b,
+           |    CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+           |  FROM sh a JOIN sh b ON a.id < b.id)
+           |WHERE hamming <= 3""".stripMargin)
+    }
+  }
+
+  /** q_dedup_minhash re-derived from the embedded SIGNATURES: DuckDB
+    * independently re-runs the banding (grouping on the band SLICE
+    * itself — value-equivalent to Spark's xxhash64 bucket key absent
+    * 64-bit collisions), the hot-bucket cap, the candidate self-join,
+    * and the matching-position estimate. Only the signature build
+    * itself is taken from Spark (covered by the OPH/classic parity
+    * specs). */
+  private def minhashOracle(spark: SparkSession,
+                            sfDir: String): Map[String, String] = {
+    val sigs = Dedup.minhashSignatures(T(spark, sfDir, "documents"),
+      "text", "doc_id").collect()
+    if (sigs.isEmpty) Map.empty
+    else {
+      val values = sigs.map { r =>
+        s"(${r.getLong(0)},${r.getSeq[Long](1).mkString("[", ",", "]")})"
+      }.mkString(",")
+      Map("q_dedup_minhash" ->
+        s"""WITH sigs AS (
+           |  SELECT CAST(id AS BIGINT) AS id, CAST(l AS BIGINT[]) AS l
+           |  FROM (VALUES $values) v(id, l)),
+           |b AS (
+           |  SELECT id, band, l[band*4+1 : band*4+4] AS sl
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) t),
+           |capped AS (
+           |  SELECT id, band, sl FROM (
+           |    SELECT id, band, sl, count(*) OVER (PARTITION BY band, sl) AS n
+           |    FROM b)
+           |  WHERE n <= 1000),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS doc_a, c.id AS doc_b
+           |  FROM capped a
+           |  JOIN capped c ON a.band = c.band AND a.sl = c.sl AND a.id < c.id)
+           |SELECT * FROM (
+           |  SELECT cd.doc_a, cd.doc_b,
+           |    round(CAST(len(list_filter(generate_series(1, 64),
+           |      i -> sa.l[i] = sc.l[i])) AS DOUBLE) / 64, 4) AS est_jaccard
+           |  FROM cand cd
+           |  JOIN sigs sa ON sa.id = cd.doc_a
+           |  JOIN sigs sc ON sc.id = cd.doc_b)
+           |WHERE est_jaccard >= 0.2""".stripMargin)
+    }
+  }
+
+  /** q_winnow_fingerprint re-derived from the embedded GRAM HASHES
+    * (doc, position, xxhash64 of the k-gram): DuckDB independently
+    * re-runs the winnowing selection — rightmost window minimum,
+    * complete windows only, short-doc partial window — and the per-doc
+    * summary. Capped: the gram table is corpus-sized, so the oracle is
+    * only emitted when it fits a sane VALUES literal (the sf0.01
+    * driver gate always does). */
+  private def winnowOracle(spark: SparkSession,
+                           sfDir: String): Map[String, String] = {
+    val grams = T(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFns.normalizeText(col("text")).as("__norm"))
+      .select(col("doc_id"),
+        posexplode(TextFns.shinglesFromNorm(col("__norm"), 5))
+          .as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("__g")).as("h"))
+      .collect()
+    if (grams.isEmpty || grams.length > 2000000) Map.empty
+    else {
+      val values = grams
+        .map(r => s"(${r.getLong(0)},${r.getInt(1)},${r.getLong(2)})")
+        .mkString(",")
+      Map("q_winnow_fingerprint" ->
+        s"""WITH g AS (
+           |  SELECT CAST(id AS BIGINT) AS id, CAST(p AS INT) AS pos,
+           |    CAST(h AS BIGINT) AS h
+           |  FROM (VALUES $values) v(id, p, h)),
+           |sel AS (
+           |  SELECT id,
+           |    min({'h': h, 'negpos': -pos}) OVER (PARTITION BY id
+           |      ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s,
+           |    row_number() OVER (PARTITION BY id ORDER BY pos) AS rn,
+           |    count(*) OVER (PARTITION BY id) AS cnt
+           |  FROM g),
+           |fps AS (
+           |  SELECT DISTINCT id, s.h AS fp, -s.negpos AS fp_pos
+           |  FROM sel WHERE rn >= 4 OR rn = cnt)
+           |SELECT id AS doc_id, count(*) AS n_fp,
+           |  CAST(min(fp) AS BIGINT) AS min_fp,
+           |  CAST(max(fp) AS BIGINT) AS max_fp
+           |FROM fps GROUP BY id""".stripMargin)
+    }
   }
 
   /** Embedding-space oracles phrased against the DETERMINISTIC
