@@ -520,6 +520,27 @@ object SparkEntry {
         name = "stream_sessionize", mode = OutputMode.Append())
         .where(col("user_id") >= 0)),
 
+    "q_stream_bloom_dedup" -> ((s, d) => {
+      // HISTORY dedup as a speed-layer member: each micro-batch is
+      // Bloom-prefiltered + exact-anti-joined against a durable
+      // history table, then appended to it. The sentineled source
+      // forces TWO batches, so batch 2's sentinel keys genuinely
+      // exercise the seen-in-history drop path; a fresh per-run
+      // history dir keeps the result deterministic.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bloom_dedup_")
+      val q = Speed.streamingHistoryDedup(
+        Speed.eventStreamSentineled(s, d)
+          .select(col("user_id"), col("event_type")),
+        Seq("user_id", "event_type"),
+        tmp.resolve("history").toString,
+        tmp.resolve("ckpt").toString)
+      q.awaitTermination()
+      s.read.parquet(tmp.resolve("history").toString)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("event_type"))
+    }),
+
     "q_stream_interval_join" -> ((s, d) => {
       // stream-stream LEFT interval join (null fill on watermark pass).
       // Sentineled source: the final batch runs with the watermark past
@@ -1004,6 +1025,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    // history dedup over a finite run with an initially-empty history
+    // == plain DISTINCT (the cross-batch drop path is exercised by the
+    // sentinel keys, which the result filters out)
+    "q_stream_bloom_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
 
     // single source file = single micro-batch, so the bounded-state

@@ -323,6 +323,61 @@ object Speed extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of `streamingHistoryDedup`: distinct keys of the
+    * batch, minus every key already in the history table, appended to
+    * the history. Factored out so tests can drive batch/restart/replay
+    * sequences directly. Returns the number of keys appended. */
+  def dedupBatchAgainstHistory(batch: DataFrame, keys: Seq[String],
+                               historyDir: String): Long = {
+    val spark = batch.sparkSession
+    val withKey = (df: DataFrame) => df.withColumn("__key",
+      to_json(struct(keys.map(col): _*)))
+    val fresh = withKey(batch.select(keys.map(col): _*).distinct())
+    val p = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val kept =
+      if (fs.exists(p))
+        graft.operators.Curation.bloomAntiJoin(fresh,
+          spark.read.parquet(historyDir), "__key")
+      else fresh
+    // the kept batch is tiny relative to history; count it while it
+    // is written (single pass via the returned metrics would need a
+    // listener — a cheap count on the (small) kept frame suffices)
+    val out = kept.persist()
+    try {
+      val n = out.count()
+      if (n > 0) out.write.mode("append").parquet(historyDir)
+      n
+    } finally out.unpersist(blocking = false)
+  }
+
+  /** Streaming HISTORY dedup — the speed-layer twin of the batch
+    * daily-load dedup (`Curation.bloomAntiJoin`): each micro-batch
+    * keeps only key combinations absent from a durable history table
+    * and appends them to it.
+    *
+    * vs `dropDuplicates`/`dropDuplicatesWithinWatermark`: the "state"
+    * is a LAKE TABLE — unbounded in time, survives restarts, readable
+    * by the batch layer — instead of the state store, and the Bloom
+    * prefilter keeps the common all-new case nearly join-free (only
+    * probable hits reach the exact anti-join, so the result is still
+    * EXACT). Replay-safe: foreachBatch may re-run a batch on recovery,
+    * and a replayed batch's keys are already in history, so the append
+    * is idempotent at key granularity. */
+  def streamingHistoryDedup(stream: DataFrame, keys: Seq[String],
+                            historyDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          dedupBatchAgainstHistory(batch.toDF(), keys, historyDir): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming frame to completion against the (finite) file
     * source and return the materialized result — used by Verify/tests
     * to oracle-check streaming semantics synchronously. */

@@ -195,6 +195,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity.ivfTopK recalls planted near-duplicates, guaranteed") {
+    // cell assignment scores v·c/||c|| — scale-invariant in v's
+    // direction — so a scaled copy lands in ITS ORIGINAL's argmax
+    // cell, and the original-as-query probes that same cell first
+    // (nprobe >= 1). Twin recall is therefore deterministic, not a
+    // recall-curve property: rank 1, cosine exactly 1.
+    val twins = embeddings.where($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float"))
+          .as("embedding"))
+    val corpus2 = embeddings.select($"vec_id", $"embedding")
+      .unionByName(twins)
+    val qs = embeddings.where($"vec_id" < 5)
+    val top1 = Similarity.ivfTopK(qs, corpus2, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2)
+      .where($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == ((q + 1000, 1.0)), s"query $q got ${top1.get(q)}")
+    }
+  }
+
+  test("ANN recall@10 vs brute force is pinned (quality, not plumbing)") {
+    // everything is deterministic (hash-order init, no rand()), so
+    // recall on this corpus is a FIXED number — the floors pin the
+    // approximation quality against silent kernel regressions
+    val qs = embeddings.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val lsh = recallOf(Similarity.lshTopK(qs, embeddings, "vec_id",
+      "embedding", k = 10, bits = 4, dim = 64))
+    val ivf = recallOf(Similarity.ivfTopK(qs, embeddings, "vec_id",
+      "embedding", k = 10, nlist = 16, nprobe = 4))
+    info(f"recall@10: lsh(bits=4)=$lsh%.3f ivf(16/4)=$ivf%.3f")
+    // ivf probes 4/16 of the corpus and must beat blind 25% sampling;
+    // lsh at 4 bits touches ~1/16 per bucket — weaker by design
+    assert(ivf >= 0.35, f"ivf recall@10 regressed: $ivf%.3f")
+    assert(lsh >= 0.10, f"lsh recall@10 regressed: $lsh%.3f")
+  }
+
   test("VecFns.lshSignature native (literal hyperplanes) == composed") {
     import graft.functions.VecFns
     val native = embeddings.select($"vec_id",

@@ -193,6 +193,30 @@ class StreamingSpec extends AnyFunSuite {
       out.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("history dedup drops cross-batch and replayed keys, keeps new") {
+    import spark.implicits._
+    val hist = java.nio.file.Files
+      .createTempDirectory("graft_hist_test_").resolve("history").toString
+    val batchA = Seq((1L, "click"), (1L, "click"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    val batchB = Seq((1L, "click"), (2L, "buy"), (3L, "view"))
+      .toDF("user_id", "event_type")
+    // batch A: empty history — every distinct key kept
+    assert(Speed.dedupBatchAgainstHistory(batchA,
+      Seq("user_id", "event_type"), hist) == 2)
+    // batch B: (1,click) already in history — only the 2 new keys land
+    assert(Speed.dedupBatchAgainstHistory(batchB,
+      Seq("user_id", "event_type"), hist) == 2)
+    // replay of batch B (foreachBatch recovery): idempotent, 0 appended
+    assert(Speed.dedupBatchAgainstHistory(batchB,
+      Seq("user_id", "event_type"), hist) == 0)
+    val keys = spark.read.parquet(hist)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys == Set((1L, "click"), (2L, "view"), (2L, "buy"),
+      (3L, "view")))
+  }
+
   test("driver contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
