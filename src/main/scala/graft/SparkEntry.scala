@@ -634,7 +634,34 @@ object SparkEntry {
 
     "q_corpus_stats" -> ((s, d) =>
       // the before/after profile every curation stage reports
-      TextAnalysis.corpusStats(T(s, d, "documents"), "text", "doc_id"))
+      TextAnalysis.corpusStats(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_top_terms" -> ((s, d) =>
+      // vocabulary head: top-20 tokens by corpus frequency
+      TextAnalysis.topTerms(T(s, d, "documents"), "text", "doc_id",
+        k = 20)),
+
+    "q_dup_cluster_stats" -> ((s, d) =>
+      // the dedup run's report: how many clusters of each size
+      operators.Graph.clusterSizeStats(
+        Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
+          threshold = 0.2), "doc_a", "doc_b")),
+
+    "q_split_leakage_free" -> ((s, d) => {
+      // near-dup clusters never straddle the train/val/test boundary
+      val docs = T(s, d, "documents")
+      Curation.splitLeakageFree(docs.select(col("doc_id"), col("lang")),
+        "doc_id",
+        Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.2),
+        "doc_a", "doc_b")
+    }),
+
+    "q_dsir_score" -> ((s, d) => {
+      // importance score vs the English subset as the target domain
+      val docs = T(s, d, "documents")
+      Curation.dsirScore(docs, docs.where(col("lang") === "en"),
+        "text", "doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1341,6 +1368,38 @@ object SparkEntry {
         |  CAST(token_offset AS INT) AS token_offset
         |FROM pack""".stripMargin,
 
+    "q_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+        |FROM toks GROUP BY term
+        |ORDER BY tf DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_dsir_score" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, substr(md5(unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END)),
+        |    1, 2) AS bk
+        |  FROM documents),
+        |cc AS (SELECT bk, count(*) AS cc FROM b GROUP BY bk),
+        |ct AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en'
+        |       GROUP BY bk),
+        |tot AS (SELECT (SELECT sum(cc) FROM cc) AS tc,
+        |               (SELECT sum(ct) FROM ct) AS tt),
+        |w AS (
+        |  SELECT cc.bk,
+        |    ln((COALESCE(ct.ct, 0) + 1) / CAST(t.tt + 256 AS DOUBLE)) -
+        |    ln((cc.cc + 1) / CAST(t.tc + 256 AS DOUBLE)) AS lr
+        |  FROM cc LEFT JOIN ct USING (bk) CROSS JOIN tot t)
+        |SELECT b.doc_id, count(*) AS n_toks,
+        |  floor(avg(w.lr) * 10000 + 0.5) / 10000 AS dsir_score
+        |FROM b JOIN w ON w.bk = b.bk
+        |GROUP BY b.doc_id""".stripMargin,
+
     "q_corpus_stats" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(length(text) AS INT) AS nc,
@@ -1435,7 +1494,36 @@ object SparkEntry {
              |      ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn
              |  FROM comp c JOIN q ON c.node = q.doc_id)
              |SELECT c.node AS node, b.survivor AS survivor
-             |FROM comp c JOIN best b ON c.comp = b.comp AND b.rn = 1""".stripMargin)
+             |FROM comp c JOIN best b ON c.comp = b.comp AND b.rn = 1""".stripMargin,
+        // cluster size histogram over the same closure
+        "q_dup_cluster_stats" ->
+          s"""$closure,
+             |comp AS (
+             |  SELECT node, least(node, min(r)) AS comp
+             |  FROM reach GROUP BY node)
+             |SELECT cluster_size, count(*) AS n_clusters FROM (
+             |  SELECT comp, count(*) AS cluster_size
+             |  FROM comp GROUP BY comp)
+             |GROUP BY cluster_size""".stripMargin,
+        // leakage-free split: unit = component min-id (the doc itself
+        // outside any cluster), md5-threshold assignment on the UNIT
+        // (80 % of 256 → 0xcc, 90 % → 0xe6 — Analytics.md5Bound's rule)
+        "q_split_leakage_free" ->
+          s"""$closure,
+             |comp AS (
+             |  SELECT node, least(node, min(r)) AS comp
+             |  FROM reach GROUP BY node),
+             |u AS (
+             |  SELECT d.doc_id, d.lang,
+             |    COALESCE(c.comp, d.doc_id) AS unit
+             |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+             |SELECT doc_id, lang, unit,
+             |  CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 2) < 'cc'
+             |         THEN 'train'
+             |       WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 2) < 'e6'
+             |         THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM u""".stripMargin)
     }
   }
 

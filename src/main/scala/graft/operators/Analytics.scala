@@ -98,7 +98,7 @@ object Analytics {
     * ("zz" orders above every hex pair = keep-all). Shared by BOTH
     * sampling ops so the threshold arithmetic can never drift between
     * them. */
-  private def md5Bound(percent: Int): String = {
+  private[operators] def md5Bound(percent: Int): String = {
     require(percent >= 0 && percent <= 100, s"bad percent $percent")
     if (percent >= 100) "zz" else f"${percent * 256 / 100}%02x"
   }

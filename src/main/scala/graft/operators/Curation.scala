@@ -239,6 +239,80 @@ object Curation {
       .drop("__rn", "__n")
   }
 
+  /** Leakage-free train/val/test split: documents of the same near-dup
+    * CLUSTER always land on the same side — the pair set says "these
+    * are the same content", so a near-copy of a training doc in the
+    * test split is evaluation leakage. The split UNIT is the doc's
+    * component representative (min id over its transitive cluster;
+    * docs in no pair are their own unit), and assignment is the same
+    * seedless md5-threshold rule as `Analytics.mixtureSample`, applied
+    * to the unit id — so every cluster member shares the draw.
+    *
+    * Hash thresholds (binomial around the percentages), not exact
+    * ranks: no global count, the scoring pass is map-only after one
+    * key-hashed join with the (pair-node-sized, not corpus-sized)
+    * component labels, and assignments never move as the corpus
+    * grows. */
+  def splitLeakageFree(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String, trainPct: Int = 80,
+                       valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val comps = Graph.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol).withColumnRenamed("comp", "unit")
+    val b = substring(md5(col("unit").cast("string")), 1, 2)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("unit", coalesce(col("unit"), col(idCol)))
+      .withColumn("split",
+        when(b < lit(Analytics.md5Bound(trainPct)), lit("train"))
+          .when(b < lit(Analytics.md5Bound(trainPct + valPct)), lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * corpus doc by how much more likely its tokens are under the
+    * TARGET domain's hashed-unigram distribution than under the
+    * corpus's own — the standard cheap proxy for "select web data
+    * that looks like the high-quality target".
+    *
+    * Features are tokens hashed into 256 buckets via the first two
+    * md5 hex chars (engine-portable, so the oracle re-derives BOTH
+    * distributions independently); both distributions get add-one
+    * smoothing; a doc's score is the MEAN per-token log ratio
+    * ln(p_target(b)/p_corpus(b)), so it is length-comparable.
+    * score > 0 ⇒ doc looks more like the target than like the corpus.
+    *
+    * Scale shape: two corpus scans (distribution build + scoring) and
+    * one target scan; the 256-row weight table broadcasts, so scoring
+    * is a map-side join + one per-doc aggregation. At 100 TB, build
+    * the distributions on a sample — the scoring pass is the only
+    * stage that must see every doc. */
+  def dsirScore(corpus: DataFrame, target: DataFrame, textCol: String,
+                idCol: String): DataFrame = {
+    val B = 256
+    val tok = (df: DataFrame) => df.select(col(idCol),
+        explode(TextFns.tokens(TextFns.normalizeText(col(textCol))))
+          .as("__t"))
+      .select(col(idCol), substring(md5(col("__t")), 1, 2).as("__b"))
+    val corpusToks = tok(corpus)
+    val cc = corpusToks.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
+    val ct = tok(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val tc = cc.agg(sum(col("__cc")).as("__tc"))
+    val tt = ct.agg(sum(col("__ct")).as("__tt"))
+    val weights = cc.join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(tc)).crossJoin(broadcast(tt))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__tt") + B).cast("double")) -
+          log((col("__cc") + 1).cast("double") /
+            (col("__tc") + B).cast("double"))).as("__lr"))
+    corpusToks.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        CleanFns.roundRepro(avg(col("__lr")), 4).as("dsir_score"))
+  }
+
   /** Exact anti-join of a new batch against a historical key set, with
     * a broadcast Bloom prefilter. The result EXACTLY equals
     * `newDf LEFT ANTI JOIN history` — Bloom negatives are definitely

@@ -75,6 +75,16 @@ object Graph {
     connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("comp", "survivor")
 
+  /** Dup-cluster size distribution — (cluster_size, n_clusters) — the
+    * one-line report a dedup run publishes ("12 pairs collapsed into 4
+    * clusters of 3..."). Two tiny aggregations over the component
+    * labels; singleton docs (in no pair) are by definition absent. */
+  def clusterSizeStats(pairs: DataFrame, aCol: String,
+                       bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** Quality-aware dup-cluster resolution: keep the BEST-scoring doc
     * of each transitive cluster instead of the minimum id — real
     * curation keeps the highest-quality copy, not the numerically

@@ -152,6 +152,26 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Corpus vocabulary head: the `k` most frequent tokens with total
+    * occurrences and document frequency, ties broken alphabetically.
+    *
+    * No salting despite the guaranteed heavy hitters ("the" at corpus
+    * scale): counts are algebraic, so map-side partial aggregation
+    * already collapses each mapper's copy of a hot term to ONE row
+    * before the shuffle — the reduce side sees ≤ #mappers rows per
+    * term. doc-frequency needs (term, doc) pairs distinct, keyed on
+    * the same shuffle. The global top-k plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort). */
+  def topTerms(df: DataFrame, textCol: String, idCol: String,
+               k: Int): DataFrame =
+    df.select(col(idCol),
+        explode(TextFns.tokens(TextFns.normalizeText(col(textCol))))
+          .as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df_docs"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+
   /** One-row corpus profile: document/token counts, token-length
     * percentiles, mean char length, vocabulary size — the numbers a
     * curation run reports before and after every filter stage. Two

@@ -193,4 +193,62 @@ class CurationSpec extends AnyFunSuite {
       (2L, "beta", 1), (2L, "common", 2),
       (3L, "gamma", 1), (3L, "common", 2)))
   }
+
+  test("splitLeakageFree: no dup pair ever straddles the split") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chains {1,2,3}, {10,11}, and a far-apart pair {20,35}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 35L))
+      .toDF("doc_a", "doc_b")
+    val split = Curation.splitLeakageFree(docs, "doc_id", pairs,
+      "doc_a", "doc_b")
+    val byId = split.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("unit"), r.getAs[String]("split")))).toMap
+    // every clustered doc carries its component min-id as the unit and
+    // the whole cluster shares one assignment
+    assert(Seq(1L, 2L, 3L).map(byId(_)).distinct.size == 1)
+    assert(byId(1L)._1 == 1L)
+    assert(byId(10L) == byId(11L) && byId(10L)._1 == 10L)
+    assert(byId(20L) == byId(35L) && byId(20L)._1 == 20L)
+    // singletons split by their own id, same rule as mixtureSample
+    assert(byId(5L)._1 == 5L)
+    // all three splits are non-degenerate rule-wise: every row labeled
+    assert(split.where($"split".isin("train", "val", "test")).count() == 40)
+  }
+
+  test("dsirScore ranks target-like docs above off-target docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha beta gamma beta alpha"),
+      (3L, "zed yonder quux zed quux"),
+      (4L, "yonder zed quux quux zed")).toDF("doc_id", "text")
+    val target = corpus.where($"doc_id" <= 2)
+    val out = Curation.dsirScore(corpus, target, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dsir_score")).toMap
+    // target-vocabulary docs score ABOVE the corpus-average, the
+    // off-target docs below — and every doc got all 5 tokens counted
+    assert(out(1L) > 0 && out(2L) > 0, s"target-like should be > 0: $out")
+    assert(out(3L) < 0 && out(4L) < 0, s"off-target should be < 0: $out")
+  }
+
+  test("topTerms orders by frequency then term; df counts docs once") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b x"),
+      (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 4L, 3L), ("b", 4L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("clusterSizeStats reports the size histogram") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Graph.clusterSizeStats(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(3L -> 1L, 2L -> 2L))
+  }
 }
