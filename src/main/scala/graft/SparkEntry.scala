@@ -661,7 +661,23 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       Curation.dsirScore(docs, docs.where(col("lang") === "en"),
         "text", "doc_id")
-    })
+    }),
+
+    "q_dsir_select" -> ((s, d) => {
+      // the selection step: keep the top 25 % most target-like docs
+      val docs = T(s, d, "documents")
+      Curation.dsirSelect(docs, docs.where(col("lang") === "en"),
+        "text", "doc_id", keepPct = 25)
+    }),
+
+    "q_audio_frames" -> ((s, d) =>
+      // windowed energy + zero-crossing features through the batched
+      // decode seam; oracle-compared floats repr-rounded on both sides
+      Multimodal.audioFramesStub(
+          Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
+            "source"))
+        .withColumn("energy", CleanFns.roundRepro(col("energy"), 6))
+        .withColumn("zcr", CleanFns.roundRepro(col("zcr"), 6)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1399,6 +1415,60 @@ object SparkEntry {
         |  floor(avg(w.lr) * 10000 + 0.5) / 10000 AS dsir_score
         |FROM b JOIN w ON w.bk = b.bk
         |GROUP BY b.doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, substr(md5(unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END)),
+        |    1, 2) AS bk
+        |  FROM documents),
+        |cc AS (SELECT bk, count(*) AS cc FROM b GROUP BY bk),
+        |ct AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en'
+        |       GROUP BY bk),
+        |tot AS (SELECT (SELECT sum(cc) FROM cc) AS tc,
+        |               (SELECT sum(ct) FROM ct) AS tt),
+        |w AS (
+        |  SELECT cc.bk,
+        |    ln((COALESCE(ct.ct, 0) + 1) / CAST(t.tt + 256 AS DOUBLE)) -
+        |    ln((cc.cc + 1) / CAST(t.tc + 256 AS DOUBLE)) AS lr
+        |  FROM cc LEFT JOIN ct USING (bk) CROSS JOIN tot t),
+        |scored AS (
+        |  SELECT b.doc_id, count(*) AS n_toks,
+        |    floor(avg(w.lr) * 10000 + 0.5) / 10000 AS dsir_score
+        |  FROM b JOIN w ON w.bk = b.bk
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_toks, dsir_score FROM scored
+        |WHERE dsir_score >=
+        |  (SELECT quantile_cont(dsir_score, 0.75) FROM scored)""".stripMargin,
+
+    "q_audio_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (
+        |  SELECT media_id, text, n, CAST(f AS INT) AS frame_idx
+        |  FROM b, UNNEST(generate_series(0,
+        |    greatest((n - 32) // 16 + 1, 1) - 1)) AS u(f)),
+        |ch AS (
+        |  SELECT media_id, frame_idx, i,
+        |    ascii(substr(text, CAST(i AS INT), 1)) - 128 AS s
+        |  FROM fr, UNNEST(generate_series(frame_idx * 16 + 1,
+        |    least(frame_idx * 16 + 32, n))) AS u(i)),
+        |chl AS (
+        |  SELECT media_id, frame_idx, s,
+        |    lag(s) OVER (PARTITION BY media_id, frame_idx ORDER BY i)
+        |      AS prev
+        |  FROM ch)
+        |SELECT media_id, frame_idx, count(*) AS n_samples,
+        |  floor(sum(CAST(s AS BIGINT) * s) / CAST(count(*) AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS energy,
+        |  CASE WHEN count(*) < 2 THEN 0.0 ELSE
+        |    floor((count(*) FILTER (prev IS NOT NULL
+        |        AND (s < 0) <> (prev < 0)))
+        |      / CAST(count(*) - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS zcr
+        |FROM chl GROUP BY media_id, frame_idx""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH m AS (

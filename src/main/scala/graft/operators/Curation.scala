@@ -313,6 +313,26 @@ object Curation {
         CleanFns.roundRepro(avg(col("__lr")), 4).as("dsir_score"))
   }
 
+  /** The DSIR SELECTION step: keep the top `keepPct` percent of the
+    * corpus by importance score. Deterministic and engine-portable:
+    * the cut is the exact (interpolated) (100−keepPct)th percentile
+    * of the ROUNDED scores — computed in one aggregation pass and
+    * broadcast — so selection is a map-only filter, never a global
+    * sort/rank. Comparing rounded scores against a threshold derived
+    * from the same rounded scores keeps the boundary decision
+    * bit-identical across engines. Returns the kept scored rows. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, keepPct: Int = 25): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"bad keepPct $keepPct")
+    val scored = dsirScore(corpus, target, textCol, idCol)
+    val thr = scored.agg(
+      percentile(col("dsir_score"), lit((100 - keepPct) / 100.0))
+        .as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("dsir_score") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Exact anti-join of a new batch against a historical key set, with
     * a broadcast Bloom prefilter. The result EXACTLY equals
     * `newDf LEFT ANTI JOIN history` — Bloom negatives are definitely

@@ -112,6 +112,54 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio feature seam: treat the payload as 8-bit PCM (sample =
+    * byte − 128), cut it into `frameLen`-sample windows every `stride`
+    * samples, and emit the two classic per-frame features — mean
+    * energy and zero-crossing rate. The per-partition batching is the
+    * real contract (swap the loop for a codec/DSP call); the features
+    * are exact integer-ratio doubles, so an independent
+    * reimplementation (the DuckDB oracle) reproduces them
+    * bit-for-bit. A payload shorter than one frame yields its single
+    * partial frame; an empty payload yields no rows. */
+  def audioFramesStub(media: DataFrame, frameLen: Int = 32,
+                      stride: Int = 16): DataFrame = {
+    require(frameLen >= 1 && stride >= 1, s"bad frame/stride $frameLen/$stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("energy", DoubleType),
+      StructField("zcr", DoubleType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition: init a real decoder/DSP kernel once here
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) Array.empty[Byte]
+                  else r.getAs[Array[Byte]](1)
+          if (p.isEmpty) Iterator.empty
+          else {
+            val nFrames = math.max(1, (p.length - frameLen) / stride + 1)
+            (0 until nFrames).iterator.map { f =>
+              val start = f * stride
+              val end = math.min(start + frameLen, p.length)
+              val s = Array.tabulate(end - start)(i =>
+                (p(start + i) & 0xFF) - 128)
+              val energy =
+                s.foldLeft(0L)((a, x) => a + x.toLong * x).toDouble / s.length
+              val zcr =
+                if (s.length < 2) 0.0
+                else (1 until s.length)
+                  .count(i => (s(i) < 0) != (s(i - 1) < 0))
+                  .toDouble / (s.length - 1)
+              Row(id, f, s.length.toLong, energy, zcr)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** "Frame sampling": slice `frameLen`-byte windows every `stride`
     * bytes from the payload — the plumbing (posexplode fan-out,
     * per-frame rows) is exactly what real video frame extraction

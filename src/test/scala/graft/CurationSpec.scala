@@ -232,6 +232,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) < 0 && out(4L) < 0, s"off-target should be < 0: $out")
   }
 
+  test("dsirSelect keeps exactly the top-scoring quartile boundary") {
+    val corpus = (1L to 16L).map { i =>
+      // doc i repeats one of four vocab words; target favors 'alpha'
+      val w = Seq("alpha", "beta", "gamma", "delta")((i % 4).toInt)
+      (i, s"$w $w $w")
+    }.toDF("doc_id", "text")
+    val target = corpus.where($"text".contains("alpha"))
+    val kept = Curation.dsirSelect(corpus, target, "text", "doc_id",
+        keepPct = 25)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // exactly the alpha docs clear the 75th-percentile cut
+    assert(kept == (1L to 16L).filter(_ % 4 == 0).toSet, s"kept $kept")
+  }
+
   test("topTerms orders by frequency then term; df counts docs once") {
     import graft.operators.TextAnalysis
     val docs = Seq(

@@ -465,4 +465,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(resized.length == orig.length / 4)
     assert(resized.take(3).toSeq == Seq(orig(0), orig(4), orig(8)).toSeq)
   }
+
+  test("Multimodal.audioFramesStub: frame count, energy, zcr by hand") {
+    import spark.implicits._
+    // 48 'bytes': alternating above/below 128 → every adjacent pair
+    // crosses zero; samples are ±1 so energy is exactly 1.0
+    val payload = Array.tabulate(48)(i =>
+      (if (i % 2 == 0) 129 else 127).toByte)
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.audioFramesStub(media, frameLen = 32, stride = 16)
+      .collect().sortBy(_.getInt(1))
+    // (48-32)/16+1 = 2 frames: [0,32) and [16,48)
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(2) == 32L)
+      assert(r.getDouble(3) == 1.0)
+      assert(r.getDouble(4) == 1.0)
+    }
+    // short payload: one partial frame, zcr over its 9 samples
+    val short = Seq((2L, Array.tabulate(10)(_ => 130.toByte)))
+      .toDF("media_id", "payload")
+    val s = Multimodal.audioFramesStub(short, 32, 16).collect()
+    assert(s.length == 1 && s.head.getLong(2) == 10L &&
+      s.head.getDouble(3) == 4.0 && s.head.getDouble(4) == 0.0)
+  }
 }
