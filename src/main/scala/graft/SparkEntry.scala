@@ -632,6 +632,16 @@ object SparkEntry {
         "doc_id", "n_tokens", budget = 256, shards = 8)
     }),
 
+    "q_seq_pack_bfd" -> ((s, d) => {
+      // best-fit-decreasing packing: same layout contract as
+      // q_seq_pack, materially less padding (11/9·OPT bound)
+      val docs = T(s, d, "documents")
+      Packing.packSequencesBFD(
+        docs.select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256, shards = 8)
+    }),
+
     "q_corpus_stats" -> ((s, d) =>
       // the before/after profile every curation stage reports
       TextAnalysis.corpusStats(T(s, d, "documents"), "text", "doc_id")),
@@ -1380,6 +1390,58 @@ object SparkEntry {
         |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used + d.n_tokens ELSE d.n_tokens END,
         |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used ELSE 0 END
         |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id, n_tokens,
+        |  CAST(token_offset AS INT) AS token_offset
+        |FROM pack""".stripMargin,
+
+    // best-fit-decreasing: the recursion carries the OPEN-BIN LOAD
+    // LIST as state; "best" = fullest fitting bin, ties to the lowest
+    // bin id (list_sort on (-load, id)); the chosen struct expression
+    // is repeated per output column because the recursive term cannot
+    // alias a lateral
+    "q_seq_pack_bfd" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |        END DESC, doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, n_tokens, 0 AS seq_id,
+        |    0 AS token_offset, [{'id': 0, 'load': n_tokens}] AS bins
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
+        |           b -> b.load + d.n_tokens <= 256),
+        |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
+        |         THEN len(p.bins)
+        |         ELSE list_sort(list_transform(list_filter(p.bins,
+        |           b -> b.load + d.n_tokens <= 256),
+        |           b -> {'k': -b.load, 'id': b.id}))[1].id END AS seq_id,
+        |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
+        |           b -> b.load + d.n_tokens <= 256),
+        |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
+        |         THEN 0
+        |         ELSE -list_sort(list_transform(list_filter(p.bins,
+        |           b -> b.load + d.n_tokens <= 256),
+        |           b -> {'k': -b.load, 'id': b.id}))[1].k END AS token_offset,
+        |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
+        |           b -> b.load + d.n_tokens <= 256),
+        |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
+        |         THEN list_append(p.bins,
+        |           {'id': len(p.bins), 'load': d.n_tokens})
+        |         ELSE list_transform(p.bins, b -> CASE
+        |           WHEN b.id = list_sort(list_transform(list_filter(p.bins,
+        |             bb -> bb.load + d.n_tokens <= 256),
+        |             bb -> {'k': -bb.load, 'id': bb.id}))[1].id
+        |           THEN {'id': b.id, 'load': b.load + d.n_tokens}
+        |           ELSE b END) END AS bins
+        |  FROM pack p JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1)
         |SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id, n_tokens,
         |  CAST(token_offset AS INT) AS token_offset
         |FROM pack""".stripMargin,

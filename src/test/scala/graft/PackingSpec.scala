@@ -73,4 +73,42 @@ class PackingSpec extends AnyFunSuite {
     val bySeq = ref.groupBy(t => (t._2, t._3)).values
     assert(bySeq.forall(_.toSeq.map(_._4).sum <= 128))
   }
+
+  private def runBFD(docs: Seq[(Long, Int)], budget: Int, shards: Int,
+                     parts: Int = 4): Set[(Long, Int, Int, Int, Int)] =
+    Packing.packSequencesBFD(
+        docs.toDF("doc_id", "n_tokens").repartition(parts),
+        "doc_id", "n_tokens", budget, shards)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+      .toSet
+
+  test("BFD packs largest-first into the fullest fitting bin") {
+    // desc order: 300, 150, 120, 100, 90, 30 — hand-traced layout
+    // (oversize 300 owns bin 0; 100 joins 150 in bin 1 at the fuller
+    // of {150, 120}; 90 and 30 land in bin 2 behind 120)
+    val docs = Seq(1L -> 150, 2L -> 120, 3L -> 100, 4L -> 90,
+      5L -> 30, 6L -> 300)
+    val got = runBFD(docs, budget = 256, shards = 1)
+    assert(got == Set((6L, 0, 0, 300, 0), (1L, 0, 1, 150, 0),
+      (2L, 0, 2, 120, 0), (3L, 0, 1, 100, 150), (4L, 0, 2, 90, 120),
+      (5L, 0, 2, 30, 210)))
+    // partitioning-invariant like the greedy
+    assert(runBFD(docs, 256, 1, parts = 1) == got)
+    assert(runBFD(docs, 256, 1, parts = 16) == got)
+  }
+
+  test("BFD never uses more sequences than greedy on mixed sizes") {
+    val docs = (1L to 200L).map(i => (i, ((i * 37) % 120 + 10).toInt))
+    def nSeqs(s: Set[(Long, Int, Int, Int, Int)]) =
+      s.map(t => (t._2, t._3)).size
+    val greedy = run(docs, budget = 256, shards = 4)
+    val bfd = runBFD(docs, budget = 256, shards = 4)
+    assert(nSeqs(bfd) <= nSeqs(greedy),
+      s"bfd ${nSeqs(bfd)} vs greedy ${nSeqs(greedy)}")
+    // both respect the budget for non-oversize sequences
+    val bySeq = bfd.groupBy(t => (t._2, t._3)).values
+    assert(bySeq.forall(g => g.toSeq.map(_._4).sum <= 256))
+  }
 }
