@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CurationPipeline
+
+/** Three sequential daily loads through the curation pipeline:
+  * initial commit, exact replay (idempotence), and an incremental
+  * batch exercising every drop path (fingerprint history, quality
+  * cascade, near-dup vs the committed corpus).
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 10 distinct docs that PASS DefaultCascade (>=20 tokens, <=400
+  // chars, no digits, stopwords present) and do NOT near-dup each
+  // other: every content word is exclusive to its doc (shared shingles
+  // are only the few stopwords)
+  private val vocab = Seq("river", "meadow", "harbor", "forest",
+    "valley", "garden", "castle", "village", "island", "desert")
+  private def baseText(i: Int): String = {
+    val w = vocab(i)
+    val words = (0 until 20).map(j => s"$w${('a' + j).toChar}")
+    s"the ${words.take(10).mkString(" ")} and " +
+      s"${words.drop(10).mkString(" ")} of it"
+  }
+  private def baseDocs = (1 to 10).map(i => (i.toLong, baseText(i - 1)))
+
+  test("curation pipeline: initial load, replay, incremental load") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curation_pipe_").toString
+
+    // ---- load 1: 10 good docs + in-batch exact dup + in-batch near-dup
+    val batch1 = (baseDocs ++ Seq(
+      (100L, baseText(0)),                       // exact dup of doc 1
+      (101L, baseText(1) + " with one more word") // near-dup of doc 2
+    )).toDF("doc_id", "text")
+    val r1 = CurationPipeline.run(spark, batch1, out)
+    assert(r1.batchRows == 12)
+    assert(r1.afterExact == 11, s"in-batch exact dup not dropped: $r1")
+    assert(r1.afterQuality == 11, s"good docs failed quality: $r1")
+    assert(r1.afterNearDup == 10, s"in-batch near-dup not dropped: $r1")
+    assert(r1.corpusVersion == 1 && r1.corpusRows == 10)
+
+    // ---- replay of load 1: pure no-op (history absorbs everything)
+    val r2 = CurationPipeline.run(spark, batch1, out)
+    assert(r2.afterExact == 0, s"replay was not absorbed: $r2")
+    assert(r2.corpusVersion == 1 && r2.corpusRows == 10,
+      s"replay must not commit: $r2")
+
+    // ---- load 2: one of each drop path + one genuinely new doc
+    val batch2 = Seq(
+      (200L, baseText(2)),                        // exact dup of doc 3 → history
+      (201L, baseText(3) + " with a small change"), // near-dup of doc 4 → sigs
+      (202L, baseText(0).replace("river", "tundra")), // new content, passes
+      (203L, "tiny doc")                          // fails too_short
+    ).toDF("doc_id", "text")
+    val r3 = CurationPipeline.run(spark, batch2, out)
+    assert(r3.batchRows == 4)
+    assert(r3.afterExact == 3, s"history dup not dropped: $r3")
+    assert(r3.afterQuality == 2, s"quality gate failed: $r3")
+    assert(r3.attrition.getOrElse("too_short", 0L) == 1L, s"$r3")
+    assert(r3.afterNearDup == 1, s"corpus near-dup not dropped: $r3")
+    assert(r3.corpusVersion == 2 && r3.corpusRows == 11, s"$r3")
+
+    // the committed corpus is time-travelable: v1 still has 10 rows
+    assert(graft.sources.LakeWriter
+      .readSnapshot(spark, s"$out/corpus", Some(1L)).count() == 10)
+    // and the survivor of load 2 is the genuinely new doc
+    val v2Ids = graft.sources.LakeWriter
+      .readSnapshot(spark, s"$out/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(v2Ids == ((1L to 10L).toSet + 202L), s"$v2Ids")
+  }
+}
