@@ -296,18 +296,27 @@ object Curation {
           .as("__t"))
       .select(col(idCol), substring(md5(col("__t")), 1, 2).as("__b"))
     val corpusToks = tok(corpus)
-    val cc = corpusToks.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
-    val ct = tok(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val tc = cc.agg(sum(col("__cc")).as("__tc"))
-    val tt = ct.agg(sum(col("__ct")).as("__tt"))
-    val weights = cc.join(ct, Seq("__b"), "left")
-      .crossJoin(broadcast(tc)).crossJoin(broadcast(tt))
-      .select(col("__b"),
-        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
-            (col("__tt") + B).cast("double")) -
-          log((col("__cc") + 1).cast("double") /
-            (col("__tc") + B).cast("double"))).as("__lr"))
-    corpusToks.join(broadcast(weights), Seq("__b"))
+    // both distributions are 256 rows by construction — collect them
+    // and ship the per-bucket log ratio back as ONE literal map (the
+    // literal-centroid pattern): the scoring pass is then a pure
+    // projection + per-doc aggregate, and no totals/weights subplans
+    // re-scan the corpus (plan-audited: 5 scans → 3, no joins).
+    // Math.log here is the same JVM intrinsic Spark's log codegen
+    // calls, so the values are bit-identical to the composed form.
+    val ccRows = corpusToks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("c")).collect()
+    val ctMap = tok(target).groupBy(col("__b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tc = ccRows.map(_.getLong(1)).sum
+    val tt = ctMap.values.sum
+    val lrMap = ccRows.map { r =>
+      val b = r.getString(0)
+      b -> (math.log((ctMap.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+        math.log((r.getLong(1) + 1).toDouble / (tc + B)))
+    }.toMap
+    corpusToks
+      .select(col(idCol), element_at(typedlit(lrMap), col("__b")).as("__lr"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
         CleanFns.roundRepro(avg(col("__lr")), 4).as("dsir_score"))
