@@ -120,4 +120,26 @@ object CurationPipeline {
       Result(n0, n1, n2, n3, version, corpusRows, attrition)
     } finally exact.unpersist(blocking = false)
   }
+
+  /** The SPEED-LAYER twin: run the identical curation stages on every
+    * micro-batch of a document stream (foreachBatch), committing a
+    * corpus snapshot version per batch that lands survivors. The
+    * lambda guarantee comes free from [[run]]'s design: a replayed
+    * batch (foreachBatch re-delivery on recovery) is absorbed by the
+    * fingerprint history and commits nothing. */
+  def runStream(stream: DataFrame, outDir: String, checkpoint: String,
+                textCol: String = "text", idCol: String = "doc_id",
+                nearDupThreshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          run(batch.sparkSession, batch.toDF(), outDir, textCol, idCol,
+            nearDupThreshold): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -73,4 +73,37 @@ class CurationPipelineSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(v2Ids == ((1L to 10L).toSet + 202L), s"$v2Ids")
   }
+
+  test("streaming ingest matches the batch pipeline, one commit per batch") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curation_stream_").toString
+    val land = java.nio.file.Files
+      .createTempDirectory("graft_curation_land_")
+    // two landing files -> two micro-batches; file B repeats a doc of
+    // file A (cross-batch exact dup) and adds two new ones
+    (1 to 6).map(i => (i.toLong, baseText(i - 1)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(land.resolve("a").toString)
+    Seq((7L, baseText(6)), (8L, baseText(7)), (9L, baseText(0)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(land.resolve("b").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(land.toString + "/*")
+    val q = CurationPipeline.runStream(stream, out,
+      java.nio.file.Files.createTempDirectory("graft_cur_ckpt_").toString)
+    q.awaitTermination()
+    val ids = graft.sources.LakeWriter
+      .readSnapshot(spark, s"$out/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // doc 9 (batch-2 re-land of doc 1's content) is dropped by the
+    // fingerprint history built from batch 1; 7 and 8 survive
+    assert(ids == (1L to 8L).toSet, s"$ids")
+    // one commit per micro-batch: v1 = file a only, v2 = + file b
+    assert(graft.sources.LakeWriter
+      .snapshotVersions(spark, s"$out/corpus") == Seq(1L, 2L))
+    assert(graft.sources.LakeWriter
+      .readSnapshot(spark, s"$out/corpus", Some(1L)).count() == 6)
+  }
 }
