@@ -680,6 +680,15 @@ object SparkEntry {
         "text", "doc_id", keepPct = 25)
     }),
 
+    "q_epoch_weights" -> ((s, d) =>
+      // training-mix repetition: 4/2/1/0 epochs by quality band
+      Curation.epochWeights(T(s, d, "documents"), "text", "doc_id")),
+
+    "q_shuffle_shards" -> ((s, d) =>
+      // deterministic global shuffle into 16 ordered training shards
+      Packing.shuffleShards(
+        T(s, d, "documents").select(col("doc_id")), "doc_id")),
+
     "q_audio_frames" -> ((s, d) =>
       // windowed energy + zero-crossing features through the batched
       // decode seam; oracle-compared floats repr-rounded on both sides
@@ -1503,6 +1512,51 @@ object SparkEntry {
         |SELECT doc_id, n_toks, dsir_score FROM scored
         |WHERE dsir_score >=
         |  (SELECT quantile_cont(dsir_score, 0.75) FROM scored)""".stripMargin,
+
+    "q_epoch_weights" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           t -> t IN ('the','a','an','of','and','to','is','in','it','that'))) AS INT)
+        |    END AS n_stopwords
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+        |      least(floor(n_stopwords / CAST(greatest(n_tokens, 1) AS DOUBLE) * 10000 + 0.5) / 10000 * 5.0, 1.0) * 0.3 +
+        |      (1.0 - least(floor(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10000 + 0.5) / 10000 * 10.0, 1.0)) * 0.3) * 10000 + 0.5) / 10000 AS quality_score
+        |  FROM m),
+        |t AS (
+        |  SELECT quantile_cont(quality_score, 0.75) AS p75,
+        |    quantile_cont(quality_score, 0.5) AS p50,
+        |    quantile_cont(quality_score, 0.25) AS p25 FROM q)
+        |SELECT doc_id, quality_score,
+        |  CAST(CASE WHEN quality_score >= t.p75 THEN 4
+        |       WHEN quality_score >= t.p50 THEN 2
+        |       WHEN quality_score >= t.p25 THEN 1
+        |       ELSE 0 END AS INT) AS n_epochs
+        |FROM q CROSS JOIN t""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |    CAST(CASE WHEN ascii(substr(h, 1, 1)) <= 57
+        |         THEN ascii(substr(h, 1, 1)) - 48
+        |         ELSE ascii(substr(h, 1, 1)) - 87 END AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY h, doc_id) AS INT) AS pos
+        |FROM s""".stripMargin,
 
     "q_audio_frames" ->
       """WITH b AS (

@@ -322,6 +322,34 @@ object Curation {
         CleanFns.roundRepro(avg(col("__lr")), 4).as("dsir_score"))
   }
 
+  /** Epoch weighting — the data-REPETITION knob of a training mix
+    * (see e.g. the "multiple epochs over high-quality subsets" recipe
+    * in public LLM data ablations): each doc gets the number of
+    * training epochs of its quality BAND. Bands are cut at the exact
+    * quartile thresholds of the (rounded) quality score — computed in
+    * ONE aggregation and broadcast, so the assignment is a map-only
+    * projection, never a global rank/ntile (a single-partition window
+    * at 100 TB). Equal scores land in the same band by construction.
+    * Returns (idCol, quality_score, n_epochs); `epochs` maps the
+    * bands best→worst, and a 0 means "drop entirely". */
+  def epochWeights(df: DataFrame, textCol: String, idCol: String,
+                   epochs: Seq[Int] = Seq(4, 2, 1, 0)): DataFrame = {
+    require(epochs.length == 4, s"need 4 band weights: $epochs")
+    val scored = TextAnalysis.qualityScore(df, textCol, idCol)
+      .select(col(idCol), col("quality_score"))
+    val thr = scored.agg(
+      percentile(col("quality_score"), lit(0.75)).as("__p75"),
+      percentile(col("quality_score"), lit(0.5)).as("__p50"),
+      percentile(col("quality_score"), lit(0.25)).as("__p25"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("n_epochs",
+        when(col("quality_score") >= col("__p75"), lit(epochs(0)))
+          .when(col("quality_score") >= col("__p50"), lit(epochs(1)))
+          .when(col("quality_score") >= col("__p25"), lit(epochs(2)))
+          .otherwise(lit(epochs(3))))
+      .drop("__p75", "__p50", "__p25")
+  }
+
   /** The DSIR SELECTION step: keep the top `keepPct` percent of the
     * corpus by importance score. Deterministic and engine-portable:
     * the cut is the exact (interpolated) (100−keepPct)th percentile

@@ -121,6 +121,27 @@ object Packing {
       .toDF()
   }
 
+  /** Deterministic GLOBAL SHUFFLE into training shards: shard = the
+    * value of the first md5 hex digit of the id (16-way balanced),
+    * position within shard = rank by the full md5 (seedless, engine-
+    * portable, stable as the corpus grows within a shard refresh).
+    * This is the "shuffle the corpus once, write ordered shards"
+    * layout step every dataloader assumes; the only shuffle moves
+    * (id, hash) pairs and each shard ranks independently — no global
+    * sort. Returns (doc_id, shard, pos). */
+  def shuffleShards(df: DataFrame, idCol: String): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    // hex digit value: '0'-'9' → 0-9, 'a'-'f' → 10-15 (md5 is
+    // lowercase on both engines)
+    val c = ascii(substring(h, 1, 1))
+    val shard = when(c <= 57, c - 48).otherwise(c - 87).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"), shard.as("__shard"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select(col(idCol), col("__shard").as("shard"), col("pos"))
+  }
+
   private def prepared(df: DataFrame, idCol: String, tokensCol: String,
                        shards: Int): DataFrame =
     df.select(

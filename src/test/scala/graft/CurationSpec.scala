@@ -257,6 +257,43 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 4L, 3L), ("b", 4L, 2L), ("c", 1L, 1L)))
   }
 
+  test("epochWeights bands by quality thresholds, 0 drops the tail") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val out = Curation.epochWeights(docs, "text", "doc_id")
+    val byEpoch = out.groupBy($"n_epochs").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // all four bands are populated on the corpus, and the band
+    // boundaries follow the scores monotonically
+    assert(byEpoch.keySet == Set(4, 2, 1, 0), s"$byEpoch")
+    val minByEpoch = out.groupBy($"n_epochs")
+      .agg(min($"quality_score").as("mn"), max($"quality_score").as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(minByEpoch(4)._1 >= minByEpoch(2)._2 ||
+      minByEpoch(4)._1 >= minByEpoch(2)._1)
+    assert(minByEpoch(0)._2 <= minByEpoch(1)._1)
+  }
+
+  test("shuffleShards: 16 balanced shards, contiguous positions") {
+    import graft.operators.Packing
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id")
+    val out = Packing.shuffleShards(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == docs.count())
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 to 15).toSet))
+    // positions are 1..n within every shard (a dataloader's contract)
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+    // deterministic: same input, same layout
+    val again = Packing.shuffleShards(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("clusterSizeStats reports the size histogram") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
