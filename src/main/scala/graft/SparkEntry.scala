@@ -527,8 +527,20 @@ object SparkEntry {
       // forces TWO batches, so batch 2's sentinel keys genuinely
       // exercise the seen-in-history drop path; a fresh per-run
       // history dir keeps the result deterministic.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bloom_dedup_")
+      // ONE fixed staging dir per source dir, wiped at the start of
+      // each run: repeated Bench/Verify invocations reuse the path
+      // instead of leaking a history+checkpoint copy per call
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_bloom_dedup_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      def wipe(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
+        }
+        java.nio.file.Files.deleteIfExists(p): Unit
+      }
+      wipe(tmp)
+      java.nio.file.Files.createDirectories(tmp)
       val q = Speed.streamingHistoryDedup(
         Speed.eventStreamSentineled(s, d)
           .select(col("user_id"), col("event_type")),

@@ -14,11 +14,10 @@ import graft.sources.LakeWriter
   *
   * Stages, in order (each stage only ever sees the previous stage's
   * survivors, so the expensive steps run on the smallest frame):
-  *  1. EXACT dedup — one survivor per normalized-text fingerprint
-  *     within the batch, then a Bloom-prefiltered exact anti-join
-  *     against the fingerprint HISTORY of everything ever landed
-  *     (content is "seen" once it arrives, even if a later gate
-  *     rejects it — so re-landing yesterday's batch is a no-op).
+  *  1. EXACT dedup — one row per doc id, one survivor per
+  *     normalized-text fingerprint within the batch, then a
+  *     Bloom-prefiltered exact anti-join against the corpus's OWN
+  *     fingerprint column.
   *  2. QUALITY gate — `Curation.filterCascade`, keeping `pass` docs
   *     and recording per-rule attrition (the report every new filter
   *     is judged by).
@@ -26,16 +25,26 @@ import graft.sources.LakeWriter
   *     redacted form before anything is persisted.
   *  4. NEAR-DUP vs the corpus — incremental MinHash: only the batch's
   *     text is scanned; the existing corpus participates through its
-  *     persisted signature snapshot (`minhashPairsDelta`). A new doc
-  *     drops if it near-matches any existing doc, or an earlier
-  *     (smaller-id) doc of the same batch.
-  *  5. COMMIT — surviving docs append-commit to the corpus snapshot
-  *     (time-travelable), their signatures upsert into the signature
-  *     snapshot, and the run reports stage-by-stage counts.
+  *     `sig` column (`minhashPairsDelta`). A new doc drops if it
+  *     near-matches any corpus doc, or an earlier (smaller-id) doc of
+  *     the same batch.
+  *  5. COMMIT — survivors append-commit to the corpus snapshot WITH
+  *     their fingerprint and signature as columns.
   *
-  * Scale shape: every cross-batch structure (fingerprint history,
-  * signature table, corpus) is lake-resident and grows by delta-sized
-  * appends; no stage ever re-scans the historical corpus text.
+  * ONE durable structure, ONE commit point: fingerprints and MinHash
+  * signatures ride as corpus columns (sigs are ~1/1000 of the text),
+  * so there is no cross-table ordering to crash between. A replayed
+  * batch (foreachBatch re-delivery, double-submitted job) either runs
+  * before the commit — everything recomputes and commits exactly
+  * once — or after it, in which case stage 1 absorbs every row
+  * against the committed fingerprints and nothing commits. Content
+  * REJECTED by a gate is recomputed on re-land (it is not recorded
+  * anywhere), which costs work, never correctness.
+  *
+  * Scale shape: the corpus grows by delta-sized appends and no stage
+  * re-scans the historical corpus text — history participates only
+  * through its fingerprint column (Bloom build: one column scan) and
+  * its signature column.
   */
 object CurationPipeline {
 
@@ -47,26 +56,35 @@ object CurationPipeline {
           textCol: String = "text", idCol: String = "doc_id",
           nearDupThreshold: Double = 0.5): Result = {
     val corpusTable = s"$outDir/corpus"
-    val sigTable = s"$outDir/minhash_sigs"
-    val fpDir = s"$outDir/fingerprints"
     val n0 = batch.count()
+    val versions0 = LakeWriter.snapshotVersions(spark, corpusTable)
+    val corpus =
+      if (versions0.nonEmpty) Some(LakeWriter.readSnapshot(spark, corpusTable))
+      else None
 
-    // ---- 1. exact dedup: in-batch, then vs the fingerprint history
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    // ---- 1. exact dedup: one row per id, one id per fingerprint,
+    //         then vs the corpus's own fingerprint column
+    val idW = Window.partitionBy(col(idCol)).orderBy(col("fp"))
+    val fpW = Window.partitionBy(col("fp")).orderBy(col(idCol))
     val inBatch = batch
-      .withColumn("__fp", TextFns.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("fp", TextFns.fingerprint(col(textCol)))
+      // duplicate ids would cross-multiply every id-keyed join below
+      // and corrupt the corpus — keep one deterministic row per id
+      .withColumn("__rn", row_number().over(idW))
+      .where(col("__rn") === 1)
+      .withColumn("__rn", row_number().over(fpW))
       .where(col("__rn") === 1).drop("__rn")
-    val fpPath = new org.apache.hadoop.fs.Path(fpDir)
-    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val exact = (if (fs.exists(fpPath))
-        Curation.bloomAntiJoin(inBatch, spark.read.parquet(fpDir), "__fp")
-      else inBatch)
+    val exact = corpus
+      .map(c => Curation.bloomAntiJoin(inBatch, c.select(col("fp")), "fp"))
+      .getOrElse(inBatch)
+      // also guard on the ID: a re-used id with NEW text must not
+      // create a second corpus row for that id
+      .transform(df => corpus
+        .map(c => df.join(c.select(col(idCol)), Seq(idCol), "left_anti"))
+        .getOrElse(df))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n1 = exact.count()
-      if (n1 > 0)
-        exact.select(col("__fp")).write.mode("append").parquet(fpDir)
 
       // ---- 2. quality cascade with attrition accounting
       val audit = Curation.filterCascade(exact, textCol, idCol)
@@ -82,15 +100,16 @@ object CurationPipeline {
         .join(Curation.piiRedact(passed, textCol, idCol)
           .select(col(idCol), col("redacted").as(textCol)), Seq(idCol))
 
-      // ---- 4. near-dup vs corpus signatures + within the batch
-      val haveSigs = LakeWriter.snapshotVersions(spark, sigTable).nonEmpty
-      val pairs =
-        if (haveSigs)
+      // ---- 4. near-dup vs the corpus sig column + within the batch
+      val pairs = corpus match {
+        case Some(c) =>
           Dedup.minhashPairsDelta(clean, textCol, idCol,
-            LakeWriter.readSnapshot(spark, sigTable),
+            c.select(col(idCol), col("sig")),
             threshold = nearDupThreshold)
-        else Dedup.minhashPairs(clean, textCol, idCol,
-          threshold = nearDupThreshold)
+        case None =>
+          Dedup.minhashPairs(clean, textCol, idCol,
+            threshold = nearDupThreshold)
+      }
       val newIds = clean.select(col(idCol)).distinct()
       val dropNew = pairs
         .select(col("doc_a").as("__x"), col("doc_b").as("__d"))
@@ -98,22 +117,22 @@ object CurationPipeline {
         .join(newIds.select(col(idCol).as("__d")), Seq("__d"), "left_semi")
         .join(newIds.select(col(idCol).as("__x"))
           .withColumn("__xnew", lit(1)), Seq("__x"), "left")
-        // partner outside the batch = existing corpus doc → always
-        // drop; partner inside the batch → keep the smaller id
+        // partner outside the batch = corpus doc → always drop;
+        // partner inside the batch → keep the smaller id
         .where(col("__xnew").isNull || col("__x") < col("__d"))
         .select(col("__d").as(idCol)).distinct()
-      val kept = clean.join(dropNew, Seq(idCol), "left_anti").drop("__fp")
+      val kept = clean.join(dropNew, Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n3 = kept.count()
 
-      // ---- 5. commit: corpus append + signature upsert
-      val versions = LakeWriter.snapshotVersions(spark, corpusTable)
+      // ---- 5. the ONE commit: survivors + fingerprint + signature
       val version =
-        if (n3 == 0 && versions.nonEmpty) versions.last
+        if (n3 == 0 && versions0.nonEmpty) versions0.last
         else {
-          Dedup.upsertSignatureSnapshot(kept, textCol, idCol, sigTable)
-          LakeWriter.commitSnapshot(kept, corpusTable,
-            mode = if (versions.isEmpty) "overwrite" else "append")
+          val withSig = kept.join(
+            Dedup.minhashSignatures(kept, textCol, idCol), Seq(idCol))
+          LakeWriter.commitSnapshot(withSig, corpusTable,
+            mode = if (versions0.isEmpty) "overwrite" else "append")
         }
       val corpusRows = LakeWriter.readSnapshot(spark, corpusTable).count()
       kept.unpersist(blocking = false)
@@ -123,10 +142,10 @@ object CurationPipeline {
 
   /** The SPEED-LAYER twin: run the identical curation stages on every
     * micro-batch of a document stream (foreachBatch), committing a
-    * corpus snapshot version per batch that lands survivors. The
-    * lambda guarantee comes free from [[run]]'s design: a replayed
-    * batch (foreachBatch re-delivery on recovery) is absorbed by the
-    * fingerprint history and commits nothing. */
+    * corpus snapshot version per batch that lands survivors. Replay
+    * safety comes from [[run]]'s single commit point: a re-delivered
+    * batch that had committed is fully absorbed by the corpus
+    * fingerprints; one that had NOT commits exactly once now. */
   def runStream(stream: DataFrame, outDir: String, checkpoint: String,
                 textCol: String = "text", idCol: String = "doc_id",
                 nearDupThreshold: Double = 0.5)

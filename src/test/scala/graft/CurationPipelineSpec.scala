@@ -43,22 +43,27 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(r1.afterNearDup == 10, s"in-batch near-dup not dropped: $r1")
     assert(r1.corpusVersion == 1 && r1.corpusRows == 10)
 
-    // ---- replay of load 1: pure no-op (history absorbs everything)
+    // ---- replay of load 1: commits nothing. Every COMMITTED doc is
+    // absorbed by the corpus fingerprints at stage 1; the one
+    // REJECTED doc (101, the near-dup) is recomputed and re-rejected
+    // — rejected content costs work on re-land, never correctness
     val r2 = CurationPipeline.run(spark, batch1, out)
-    assert(r2.afterExact == 0, s"replay was not absorbed: $r2")
+    assert(r2.afterExact == 1 && r2.afterNearDup == 0,
+      s"replay not absorbed: $r2")
     assert(r2.corpusVersion == 1 && r2.corpusRows == 10,
       s"replay must not commit: $r2")
 
     // ---- load 2: one of each drop path + one genuinely new doc
     val batch2 = Seq(
-      (200L, baseText(2)),                        // exact dup of doc 3 → history
-      (201L, baseText(3) + " with a small change"), // near-dup of doc 4 → sigs
+      (200L, baseText(2)),                        // exact dup of doc 3 → corpus fp
+      (1L, baseText(4).replace("valley", "canyon")), // re-used id, new text → id guard
+      (201L, baseText(3) + " with a small change"), // near-dup of doc 4 → corpus sig
       (202L, baseText(0).replace("river", "tundra")), // new content, passes
       (203L, "tiny doc")                          // fails too_short
     ).toDF("doc_id", "text")
     val r3 = CurationPipeline.run(spark, batch2, out)
-    assert(r3.batchRows == 4)
-    assert(r3.afterExact == 3, s"history dup not dropped: $r3")
+    assert(r3.batchRows == 5)
+    assert(r3.afterExact == 3, s"fp/id dups not dropped: $r3")
     assert(r3.afterQuality == 2, s"quality gate failed: $r3")
     assert(r3.attrition.getOrElse("too_short", 0L) == 1L, s"$r3")
     assert(r3.afterNearDup == 1, s"corpus near-dup not dropped: $r3")
@@ -68,10 +73,21 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(graft.sources.LakeWriter
       .readSnapshot(spark, s"$out/corpus", Some(1L)).count() == 10)
     // and the survivor of load 2 is the genuinely new doc
-    val v2Ids = graft.sources.LakeWriter
-      .readSnapshot(spark, s"$out/corpus")
-      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val v2 = graft.sources.LakeWriter.readSnapshot(spark, s"$out/corpus")
+    val v2Ids = v2.select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(v2Ids == ((1L to 10L).toSet + 202L), s"$v2Ids")
+    // fingerprints + signatures ride as corpus columns (the one
+    // durable structure — no cross-table commit ordering to crash
+    // between)
+    assert(v2.columns.toSet == Set("doc_id", "text", "fp", "sig"))
+
+    // dup ids WITHIN a batch collapse to one deterministic row
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_curation_dupid_").toString
+    val rd = CurationPipeline.run(spark,
+      Seq((5L, baseText(5)), (5L, "tiny doc")).toDF("doc_id", "text"),
+      out2)
+    assert(rd.afterExact == 1 && rd.corpusRows <= 1, s"$rd")
   }
 
   test("streaming ingest matches the batch pipeline, one commit per batch") {
