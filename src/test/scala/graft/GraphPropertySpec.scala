@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+
+import graft.operators.{Graph, Packing}
+
+/** Property-based checks of connected components against an
+  * in-memory union-find, and of best-fit-decreasing packing's
+  * invariants — neither reference shares any code with the
+  * distributed implementation, so agreement is meaningful.
+  */
+class GraphPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    // few node ids => chains, cliques, and self-contained islands
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 25L); b <- Gen.choose(1L, 25L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents agrees with union-find on random graphs") {
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val got = Graph
+          .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val docsGen: Gen[List[(Long, Int)]] = for {
+    n <- Gen.choose(1, 60)
+    docs <- Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 10000L)
+      // include oversize (> budget 100) and zero-token docs
+      tok <- Gen.frequency(8 -> Gen.choose(1, 90), 1 -> Gen.choose(101, 150),
+        1 -> Gen.const(0))
+    } yield (id, tok))
+  } yield docs.distinctBy(_._1)
+
+  test("BFD packing invariants hold on random inputs") {
+    val prop = Prop.forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "n_tokens")
+      val out = Packing.packSequencesBFD(df, "doc_id", "n_tokens",
+          budget = 100, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4)))
+      val bySeq = out.groupBy(t => (t._2, t._3))
+      // every doc assigned exactly once, to its hash shard
+      val allDocs = out.length == docs.length &&
+        out.forall(t => t._2 == (t._1 % 3).toInt)
+      // a multi-doc sequence never exceeds the budget; offsets tile
+      // the sequence contiguously from 0
+      val seqsOk = bySeq.values.forall { rows =>
+        val sorted = rows.sortBy(_._5)
+        val contiguous = sorted.foldLeft((true, 0)) {
+          case ((ok, expect), r) => (ok && r._5 == expect, expect + r._4)
+        }._1
+        (rows.length == 1 || rows.map(_._4).sum <= 100) && contiguous
+      }
+      // (bfd <= greedy bin count is NOT asserted here: it holds on
+      // realistic mixes — the fixed-dataset spec pins it — but
+      // FFD-family per-instance anomalies make it a non-theorem)
+      allDocs && seqsOk
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
