@@ -140,6 +140,24 @@ object CurationPipeline {
     } finally exact.unpersist(blocking = false)
   }
 
+  /** Corpus MAINTENANCE — the periodic job every append-committed
+    * table needs: compact the current snapshot (daily loads leave one
+    * small file-set per batch; reads degrade with file count) and
+    * vacuum history down to `keepVersions` (the append design carries
+    * every prior version's files as live data, so old versions are
+    * the dominant storage cost). Returns the compacted version.
+    * Run OUT-OF-BAND of loads: vacuum keeps in-flight commit dirs
+    * (version > newest kept manifest) but a concurrent load whose
+    * version gets vacuumed right after committing would lose
+    * history it expected to keep. */
+  def maintain(spark: SparkSession, outDir: String, nFiles: Int = 32,
+               keepVersions: Int = 3): Long = {
+    val corpusTable = s"$outDir/corpus"
+    val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
+    LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
+    v
+  }
+
   /** The SPEED-LAYER twin: run the identical curation stages on every
     * micro-batch of a document stream (foreachBatch), committing a
     * corpus snapshot version per batch that lands survivors. Replay

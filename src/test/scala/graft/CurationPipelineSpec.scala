@@ -88,6 +88,17 @@ class CurationPipelineSpec extends AnyFunSuite {
       Seq((5L, baseText(5)), (5L, "tiny doc")).toDF("doc_id", "text"),
       out2)
     assert(rd.afterExact == 1 && rd.corpusRows <= 1, s"$rd")
+
+    // maintenance: compaction commits v3 with identical content, and
+    // vacuum keeps only the newest versions
+    val v = CurationPipeline.maintain(spark, out, nFiles = 2,
+      keepVersions = 1)
+    assert(v == 3L)
+    val after = graft.sources.LakeWriter.readSnapshot(spark, s"$out/corpus")
+    assert(after.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 10L).toSet + 202L))
+    assert(graft.sources.LakeWriter
+      .snapshotVersions(spark, s"$out/corpus") == Seq(3L))
   }
 
   test("streaming ingest matches the batch pipeline, one commit per batch") {
