@@ -101,6 +101,26 @@ class CurationPipelineSpec extends AnyFunSuite {
       .snapshotVersions(spark, s"$out/corpus") == Seq(3L))
   }
 
+  test("the curated corpus serves through Views, including AS OF") {
+    import graft.sources.Views
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curation_serve_").toString
+    CurationPipeline.run(spark,
+      (1 to 5).map(i => (i.toLong, baseText(i - 1)))
+        .toDF("doc_id", "text"), out)
+    CurationPipeline.run(spark,
+      Seq((6L, baseText(5))).toDF("doc_id", "text"), out)
+    // the curation zone registers exactly like the warehouse zone —
+    // snapshot tables serve their latest version
+    Views.registerZone(spark, out)
+    assert(spark.sql("SELECT count(*) FROM corpus").head().getLong(0) == 6)
+    assert(spark.sql(
+      "SELECT count(DISTINCT fp) FROM corpus").head().getLong(0) == 6)
+    // time travel: the pre-load-2 corpus is still queryable
+    Views.registerSnapshotAsOf(spark, s"$out/corpus", "corpus_v1", 1L)
+    assert(spark.sql("SELECT count(*) FROM corpus_v1").head().getLong(0) == 5)
+  }
+
   test("streaming ingest matches the batch pipeline, one commit per batch") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_curation_stream_").toString
