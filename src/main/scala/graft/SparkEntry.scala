@@ -692,6 +692,15 @@ object SparkEntry {
         "text", "doc_id", keepPct = 25)
     }),
 
+    "q_training_layout" -> ((s, d) => {
+      // the export layout: BFD packing + per-shard sequence shuffle
+      val docs = T(s, d, "documents")
+      Packing.trainingLayout(
+        docs.select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256, shards = 8)
+    }),
+
     "q_epoch_weights" -> ((s, d) =>
       // training-mix repetition: 4/2/1/0 epochs by quality band
       Curation.epochWeights(T(s, d, "documents"), "text", "doc_id")),
@@ -710,6 +719,57 @@ object SparkEntry {
         .withColumn("energy", CleanFns.roundRepro(col("energy"), 6))
         .withColumn("zcr", CleanFns.roundRepro(col("zcr"), 6)))
   )
+
+  /** Best-fit-decreasing packing as a DuckDB recursive CTE — shared
+    * by q_seq_pack_bfd and q_training_layout. The recursion carries
+    * the OPEN-BIN LOAD LIST as state; "best" = fullest fitting bin,
+    * ties to the lowest bin id (list_sort on (-load, id)); the chosen
+    * struct expression is repeated per output column because the
+    * recursive term cannot alias a lateral. */
+  private val BfdPackCte: String =
+    """WITH RECURSIVE ordered AS (
+      |  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+      |    END AS n_tokens,
+      |    row_number() OVER (PARTITION BY doc_id % 8
+      |      ORDER BY CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+      |        END DESC, doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT shard, rn, doc_id, n_tokens, 0 AS seq_id,
+      |    0 AS token_offset, [{'id': 0, 'load': n_tokens}] AS bins
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+      |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
+      |           b -> b.load + d.n_tokens <= 256),
+      |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
+      |         THEN len(p.bins)
+      |         ELSE list_sort(list_transform(list_filter(p.bins,
+      |           b -> b.load + d.n_tokens <= 256),
+      |           b -> {'k': -b.load, 'id': b.id}))[1].id END AS seq_id,
+      |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
+      |           b -> b.load + d.n_tokens <= 256),
+      |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
+      |         THEN 0
+      |         ELSE -list_sort(list_transform(list_filter(p.bins,
+      |           b -> b.load + d.n_tokens <= 256),
+      |           b -> {'k': -b.load, 'id': b.id}))[1].k END AS token_offset,
+      |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
+      |           b -> b.load + d.n_tokens <= 256),
+      |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
+      |         THEN list_append(p.bins,
+      |           {'id': len(p.bins), 'load': d.n_tokens})
+      |         ELSE list_transform(p.bins, b -> CASE
+      |           WHEN b.id = list_sort(list_transform(list_filter(p.bins,
+      |             bb -> bb.load + d.n_tokens <= 256),
+      |             bb -> {'k': -bb.load, 'id': bb.id}))[1].id
+      |           THEN {'id': b.id, 'load': b.load + d.n_tokens}
+      |           ELSE b END) END AS bins
+      |  FROM pack p JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1)"""
+      .stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1415,56 +1475,23 @@ object SparkEntry {
         |  CAST(token_offset AS INT) AS token_offset
         |FROM pack""".stripMargin,
 
-    // best-fit-decreasing: the recursion carries the OPEN-BIN LOAD
-    // LIST as state; "best" = fullest fitting bin, ties to the lowest
-    // bin id (list_sort on (-load, id)); the chosen struct expression
-    // is repeated per output column because the recursive term cannot
-    // alias a lateral
+    // best-fit-decreasing (shared recursive CTE below): rows + layout
     "q_seq_pack_bfd" ->
-      """WITH RECURSIVE ordered AS (
-        |  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
-        |    END AS n_tokens,
-        |    row_number() OVER (PARTITION BY doc_id % 8
-        |      ORDER BY CASE WHEN length(trim(text)) = 0 THEN 0
-        |        ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
-        |        END DESC, doc_id) AS rn
-        |  FROM documents),
-        |pack AS (
-        |  SELECT shard, rn, doc_id, n_tokens, 0 AS seq_id,
-        |    0 AS token_offset, [{'id': 0, 'load': n_tokens}] AS bins
-        |  FROM ordered WHERE rn = 1
-        |  UNION ALL
-        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
-        |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
-        |           b -> b.load + d.n_tokens <= 256),
-        |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
-        |         THEN len(p.bins)
-        |         ELSE list_sort(list_transform(list_filter(p.bins,
-        |           b -> b.load + d.n_tokens <= 256),
-        |           b -> {'k': -b.load, 'id': b.id}))[1].id END AS seq_id,
-        |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
-        |           b -> b.load + d.n_tokens <= 256),
-        |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
-        |         THEN 0
-        |         ELSE -list_sort(list_transform(list_filter(p.bins,
-        |           b -> b.load + d.n_tokens <= 256),
-        |           b -> {'k': -b.load, 'id': b.id}))[1].k END AS token_offset,
-        |    CASE WHEN list_sort(list_transform(list_filter(p.bins,
-        |           b -> b.load + d.n_tokens <= 256),
-        |           b -> {'k': -b.load, 'id': b.id}))[1] IS NULL
-        |         THEN list_append(p.bins,
-        |           {'id': len(p.bins), 'load': d.n_tokens})
-        |         ELSE list_transform(p.bins, b -> CASE
-        |           WHEN b.id = list_sort(list_transform(list_filter(p.bins,
-        |             bb -> bb.load + d.n_tokens <= 256),
-        |             bb -> {'k': -bb.load, 'id': bb.id}))[1].id
-        |           THEN {'id': b.id, 'load': b.load + d.n_tokens}
-        |           ELSE b END) END AS bins
-        |  FROM pack p JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1)
+      s"""$BfdPackCte
         |SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id, n_tokens,
         |  CAST(token_offset AS INT) AS token_offset
+        |FROM pack""".stripMargin,
+
+    // the export layout: same packing + per-shard sequence shuffle
+    // (dense_rank over the md5 of (shard, seq_id))
+    "q_training_layout" ->
+      s"""$BfdPackCte
+        |SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id, n_tokens,
+        |  CAST(token_offset AS INT) AS token_offset,
+        |  CAST(dense_rank() OVER (PARTITION BY shard
+        |    ORDER BY md5(CAST(shard AS VARCHAR) || ':' ||
+        |      CAST(CAST(seq_id AS INT) AS VARCHAR)), seq_id) AS INT)
+        |    AS seq_pos
         |FROM pack""".stripMargin,
 
     "q_top_terms" ->

@@ -142,6 +142,25 @@ object Packing {
       .select(col(idCol), col("__shard").as("shard"), col("pos"))
   }
 
+  /** The full training EXPORT layout: pack docs into sequences
+    * (best-fit-decreasing) and then SHUFFLE the sequences within each
+    * shard — dataloaders consume sequences in shard order, so the
+    * shuffle must happen at sequence grain, after packing.
+    * `seq_pos` is the sequence's shuffled rank (1-based) within its
+    * shard, from the md5 of (shard, seq_id): seedless, engine-
+    * portable, stable per layout. The rank window reuses the packing
+    * stage's shard partitioning — zero additional exchanges. */
+  def trainingLayout(df: DataFrame, idCol: String, tokensCol: String,
+                     budget: Int, shards: Int): DataFrame = {
+    val packed = packSequencesBFD(df, idCol, tokensCol, budget, shards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__sh"), col("seq_id"))
+    packed
+      .withColumn("__sh", md5(concat_ws(":", col("shard"), col("seq_id"))))
+      .withColumn("seq_pos", dense_rank().over(w).cast("int"))
+      .drop("__sh")
+  }
+
   private def prepared(df: DataFrame, idCol: String, tokensCol: String,
                        shards: Int): DataFrame =
     df.select(

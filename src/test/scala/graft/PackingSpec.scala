@@ -99,6 +99,33 @@ class PackingSpec extends AnyFunSuite {
     assert(runBFD(docs, 256, 1, parts = 16) == got)
   }
 
+  test("trainingLayout shuffles sequences within shards, packing intact") {
+    val docs = (1L to 100L).map(i => (i, ((i * 29) % 90 + 10).toInt))
+    val out = Packing.trainingLayout(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        budget = 128, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    // identical packing columns to packSequencesBFD
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet ==
+      runBFD(docs, 128, 4))
+    // one seq_pos per sequence, covering 1..nSeqs within each shard
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val posBySeq = rows.groupBy(_._3).map { case (seq, rs) =>
+        val ps = rs.map(_._6).distinct
+        assert(ps.length == 1, s"shard $shard seq $seq has positions $ps")
+        ps.head
+      }.toSeq.sorted
+      assert(posBySeq == (1 to posBySeq.length), s"shard $shard: $posBySeq")
+    }
+    // the shuffle actually permutes (md5 order != creation order)
+    val somePermuted = out.groupBy(_._2).exists { case (_, rows) =>
+      rows.exists(t => t._6 != t._3 + 1)
+    }
+    assert(somePermuted, "sequence shuffle is the identity?")
+  }
+
   test("BFD never uses more sequences than greedy on mixed sizes") {
     val docs = (1L to 200L).map(i => (i, ((i * 37) % 120 + 10).toInt))
     def nSeqs(s: Set[(Long, Int, Int, Int, Int)]) =
