@@ -286,16 +286,36 @@ object SparkEntry {
     }),
 
     "q_approx_percentile" -> ((s, d) => {
-      // sketch-based percentiles (KLL-style) — the 100 TB path where
-      // exact interpolation's global sort per group is not an option
-      T(s, d, "orders")
+      // sketch-based percentiles (KLL/GK-style) — the 100 TB path
+      // where exact interpolation's global sort per group is not an
+      // option. Oracle strategy (bounded-error): the sketch guarantee
+      // is |exact_rank(returned value) − q·n| ≤ n/accuracy, so a
+      // second map-side-combinable pass computes the returned value's
+      // rank range per group and emits ok-flags the DuckDB oracle can
+      // assert as constant 1 — the rows-only sketch becomes a
+      // hash-checkable bounded-error contract.
+      val orders = T(s, d, "orders")
+      val acc = 1000
+      val sk = orders.groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("p50a"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(acc)).as("p90a"))
+      def rankOk(q: Double, v: Column): Column = {
+        // rank of v within the group is the interval [rlow, rhigh]
+        // (ties); the sketch passes if q·n intersects it ± n/acc + 1
+        val rlow = sum(when(col("o_totalprice") < v, 1L).otherwise(0L))
+        val rhigh = sum(when(col("o_totalprice") <= v, 1L).otherwise(0L))
+        val n = count(lit(1))
+        val slack = n / lit(acc.toDouble) + lit(1.0)
+        when(lit(q) * n >= rlow - slack && lit(q) * n <= rhigh + slack,
+          lit(1)).otherwise(lit(0))
+      }
+      orders.join(broadcast(sk), Seq("o_orderpriority"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-            .as("p50_approx"),
-          percentile_approx(col("o_totalprice"), lit(0.9), lit(1000))
-            .as("p90_approx"),
-          count(lit(1)).as("n_orders"))
+          count(lit(1)).as("n_orders"),
+          rankOk(0.5, col("p50a")).as("p50_ok"),
+          rankOk(0.9, col("p90a")).as("p90_ok"))
     }),
 
     // -- LLM-training-data pipeline ----------------------------------
@@ -479,11 +499,26 @@ object SparkEntry {
     }),
 
     "q_approx_distinct" -> ((s, d) => {
-      // HLL sketch per group — approximate result, rows-only check
-      // (exact distinct counts are oracle-checked in q_distinct_agg)
+      // HLL++ sketch per group. Oracle strategy (bounded-error): the
+      // exact distinct count rides the same aggregate, and the output
+      // carries ok-flags asserting |approx − exact| ≤ 5·rsd·exact + 5
+      // (5σ of the sketch's standard error, plus absolute slack for
+      // tiny groups) — constant 1 on the DuckDB side, so the sketch's
+      // accuracy contract is hash-checked. At 100 TB only the sketch
+      // column runs; the exact twin exists for the verification gate.
+      val rsd = 0.01
+      def ok(approx: Column, exact: Column): Column =
+        when(abs(approx.cast("double") - exact) <=
+          lit(5 * rsd) * exact + lit(5.0), lit(1)).otherwise(lit(0))
       T(s, d, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          approx_count_distinct(col("props"), 0.01).as("approx_props"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd).as("au"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("props"), rsd).as("ap"),
+          countDistinct(col("props")).as("exact_props"))
+        .select(col("event_type"), col("exact_users"),
+          ok(col("au"), col("exact_users")).as("users_ok"),
+          ok(col("ap"), col("exact_props")).as("props_ok"))
     }),
 
     // -- streaming (speed layer) -------------------------------------
@@ -1014,6 +1049,19 @@ object SparkEntry {
         |  floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50_price,
         |  floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_price,
         |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // bounded-error sketch oracles: the ok-flags are computed Spark-side
+    // from the sketch's published error bound; DuckDB asserts them 1.
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  1 AS users_ok, 1 AS props_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  1 AS p50_ok, 1 AS p90_ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_dedup_exact" ->
