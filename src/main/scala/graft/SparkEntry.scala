@@ -352,6 +352,15 @@ object SparkEntry {
       Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
         threshold = 0.2)),
 
+    // identical pair semantics, skew-robust candidate stage: the
+    // bucket self-join is triangle-blocked over 8 salt groups so a
+    // boilerplate-heavy bucket's quadratic pair-space spreads over 36
+    // shuffle keys instead of one. Shares q_dedup_minhash's oracle —
+    // the output must hash-match the unsalted derivation exactly.
+    "q_dedup_minhash_salted" -> ((s, d) =>
+      Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
+        threshold = 0.2, salts = 8)),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d, "documents"), "text", "doc_id",
         maxHamming = 3)),
@@ -1875,7 +1884,7 @@ object SparkEntry {
       val values = sigs.map { r =>
         s"(${r.getLong(0)},${r.getSeq[Long](1).mkString("[", ",", "]")})"
       }.mkString(",")
-      Map("q_dedup_minhash" ->
+      val sql =
         s"""WITH sigs AS (
            |  SELECT CAST(id AS BIGINT) AS id, CAST(l AS BIGINT[]) AS l
            |  FROM (VALUES $values) v(id, l)),
@@ -1898,7 +1907,10 @@ object SparkEntry {
            |  FROM cand cd
            |  JOIN sigs sa ON sa.id = cd.doc_a
            |  JOIN sigs sc ON sc.id = cd.doc_b)
-           |WHERE est_jaccard >= 0.2""".stripMargin)
+           |WHERE est_jaccard >= 0.2""".stripMargin
+      // the salted variant must reproduce the identical pair table —
+      // one oracle text, two queries held to it
+      Map("q_dedup_minhash" -> sql, "q_dedup_minhash_salted" -> sql)
     }
   }
 

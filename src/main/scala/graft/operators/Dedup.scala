@@ -181,11 +181,46 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Within-bucket candidate pairs. salts == 1: plain bucket
+    * self-join (one shuffle key per bucket — a near-cap hot bucket's
+    * quadratic pair-space lands on ONE task). salts > 1:
+    * triangle-blocked self-join — members split into `salts`
+    * deterministic groups by id hash, and the bucket's pair-space is
+    * covered exactly once by the salts*(salts+1)/2 (p <= q) group
+    * blocks, each its own shuffle key, so per-task work drops ~salts²×
+    * for ~(salts+1)/2× more (tiny id-row) shuffle volume. Same pairs
+    * either way: block (p,q) pairs left members of group p with right
+    * members of group q; least/greatest canonicalizes orientation and
+    * the diagonal's double emission collapses in the distinct. */
+  private def candidatePairs(capped: DataFrame, idCol: String,
+                             salts: Int): DataFrame =
+    if (salts <= 1) {
+      val l = capped.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+      val r = capped.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+      l.join(r, Seq("band", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    } else {
+      val g = capped.withColumn("__g",
+        pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
+      val l = g.select(col(idCol).as("a"), col("band"), col("band_hash"),
+        col("__g").as("p"),
+        explode(sequence(col("__g"), lit(salts - 1))).as("q"))
+      val r = g.select(col(idCol).as("b"), col("band"), col("band_hash"),
+        explode(sequence(lit(0), col("__g"))).as("p"), col("__g").as("q"))
+      l.join(r, Seq("band", "band_hash", "p", "q"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"))
+        .distinct()
+    }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 5, perms: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5,
                    maxBucket: Int = 1000,
-                   materialize: Boolean = true): DataFrame = {
+                   materialize: Boolean = true,
+                   salts: Int = 1): DataFrame = {
     val sigsPlan = minhashSignatures(df, textCol, idCol, shingleN, perms)
     val sigs =
       if (materialize)
@@ -193,11 +228,7 @@ object Dedup {
       else sigsPlan
     val capped = capBuckets(
       bandSignatures(sigs, idCol, bands, perms / bands), maxBucket)
-    val l = capped.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
-    val r = capped.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
-    val cand = l.join(r, Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = candidatePairs(capped, idCol, salts)
     val pairs = estimatePairs(cand, sigs, idCol, perms, threshold)
     if (!materialize) pairs
     else {

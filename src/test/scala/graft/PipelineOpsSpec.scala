@@ -41,6 +41,35 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"planted pair $id not found")
   }
 
+  test("salted candidate stage yields exactly the unsalted pair set " +
+      "on a hot-bucket corpus") {
+    // synthetic skew: 120 near-identical boilerplate docs share (most
+    // of) their shingles, so they land in the same LSH buckets — the
+    // shape where the unsalted bucket self-join piles one bucket's
+    // quadratic pair-space onto one task
+    val boiler = (0 until 120).map { i =>
+      (700000L + i,
+        "terms of service apply to all users of this website including " +
+          s"without limitation section $i of the governing agreement")
+    }.toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").union(boiler)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))
+    val plain = Dedup.minhashPairs(corpus, "text", "doc_id",
+      threshold = 0.2).collect().map(key).toSet
+    val salted = Dedup.minhashPairs(corpus, "text", "doc_id",
+      threshold = 0.2, salts = 8).collect().map(key).toSet
+    assert(plain.nonEmpty, "hot-bucket corpus produced no pairs")
+    assert(salted == plain,
+      s"salted/unsalted diverge: only-plain=${(plain -- salted).take(5)} " +
+        s"only-salted=${(salted -- plain).take(5)}")
+    // the boilerplate block must actually be paired (not cap-dropped):
+    // 120 docs in-bucket is under the 1000 cap
+    assert(plain.count { case (a, b, _) => a >= 700000L && b >= 700000L }
+      > 1000, "expected a quadratic boilerplate pair block")
+  }
+
   test("delta minhash pairs equal the full run restricted to new docs") {
     val oldDocs = docs.select("doc_id", "text")
     val newDocs = docs.where($"doc_id".isin(4L, 9L))
