@@ -707,6 +707,34 @@ object SparkEntry {
       TextAnalysis.topTerms(T(s, d, "documents"), "text", "doc_id",
         k = 20)),
 
+    "q_corpus_delta" -> ((s, d) => {
+      // incremental corpus stats: three snapshot commits (two appends
+      // on a base load), then per-version growth derived from each
+      // commit's DELTA FILES only — the versioned-lake answer to
+      // "how did today's load change the corpus" that never re-scans
+      // history. Fixed per-sfdir staging table, wiped per run.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_corpus_delta_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      def wipe(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
+        }
+        java.nio.file.Files.deleteIfExists(p): Unit
+      }
+      wipe(tmp)
+      val table = tmp.toString
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      import graft.sources.LakeWriter
+      LakeWriter.commitSnapshot(docs.where(pmod(col("doc_id"), lit(4)) <= 1),
+        table)
+      LakeWriter.commitSnapshot(docs.where(pmod(col("doc_id"), lit(4)) === 2),
+        table, mode = "append")
+      LakeWriter.commitSnapshot(docs.where(pmod(col("doc_id"), lit(4)) === 3),
+        table, mode = "append")
+      TextAnalysis.corpusStatsDelta(s, table, "text", "doc_id")
+    }),
+
     "q_dup_cluster_stats" -> ((s, d) =>
       // the dedup run's report: how many clusters of each size
       operators.Graph.clusterSizeStats(
@@ -1681,6 +1709,27 @@ object SparkEntry {
         |      / CAST(count(*) - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000
         |  END AS zcr
         |FROM chl GROUP BY media_id, frame_idx""".stripMargin,
+
+    "q_corpus_delta" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 4 <= 1 THEN 1
+        |              WHEN doc_id % 4 = 2 THEN 2 ELSE 3 END AS version,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |    END AS nt
+        |  FROM documents),
+        |per AS (
+        |  SELECT version, CAST(count(*) AS BIGINT) AS n_docs_added,
+        |    CAST(0 AS BIGINT) AS n_docs_removed,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens_added,
+        |    CAST(0 AS BIGINT) AS n_tokens_removed
+        |  FROM m GROUP BY version)
+        |SELECT version, n_docs_added, n_docs_removed, n_tokens_added,
+        |  n_tokens_removed,
+        |  CAST(sum(n_docs_added) OVER (ORDER BY version) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens_added) OVER (ORDER BY version) AS BIGINT)
+        |    AS n_tokens
+        |FROM per""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH m AS (

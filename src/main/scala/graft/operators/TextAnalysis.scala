@@ -196,6 +196,71 @@ object TextAnalysis {
     docStats.crossJoin(vocab)
   }
 
+  /** Incremental corpus stats over a snapshot table's version history:
+    * one row per version with the docs/tokens ADDED and REMOVED by
+    * that commit and the cumulative totals — WITHOUT re-scanning
+    * history. Each data file is attributed to the one commit that
+    * introduced it (and, if an overwrite dropped it, the one that
+    * removed it), so every file is text-scanned at most twice total
+    * across the whole history — a daily append reads one day's files,
+    * not the 100 TB corpus. Expects flat (non-hive-partitioned)
+    * snapshots, the shape `LakeWriter.commitSnapshot` writes.
+    *
+    * Per-version work is a map-side-combinable agg over that
+    * version's delta files only; the cumulative pass runs over the
+    * version-count-sized summary (a window over ~10^3 rows, driver
+    * scale, not data scale). */
+  def corpusStatsDelta(spark: org.apache.spark.sql.SparkSession,
+                       table: String, textCol: String,
+                       idCol: String): DataFrame = {
+    import graft.sources.LakeWriter
+    val versions = LakeWriter.snapshotVersions(spark, table)
+    require(versions.nonEmpty, s"no snapshots at $table")
+    val filesOf = versions.map(v =>
+      v -> LakeWriter.snapshotFiles(spark, table, v).toSet).toMap
+    // delta attribution: files added by v (absent in v-1), removed by
+    // v (present in v-1, absent in v)
+    val deltas = versions.map { v =>
+      val prev = filesOf.getOrElse(v - 1, Set.empty[String])
+      val cur = filesOf(v)
+      (v, (cur -- prev).toSeq.sorted, (prev -- cur).toSeq.sorted)
+    }
+    def statsFrame(files: Seq[String], v: Long, sign: Int): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .select(lit(v).as("version"), lit(sign).as("__sign"),
+          TextFns.tokenCount(col(textCol)).as("__nt")))
+    val parts = deltas.flatMap { case (v, added, removed) =>
+      statsFrame(added, v, 1) ++ statsFrame(removed, v, -1)
+    }
+    val perVersion = parts.reduce(_ union _)
+      .groupBy(col("version"))
+      .agg(
+        sum(when(col("__sign") === 1, 1L).otherwise(0L)).as("n_docs_added"),
+        sum(when(col("__sign") === -1, 1L).otherwise(0L)).as("n_docs_removed"),
+        sum(when(col("__sign") === 1, col("__nt")).otherwise(0L))
+          .cast("bigint").as("n_tokens_added"),
+        sum(when(col("__sign") === -1, col("__nt")).otherwise(0L))
+          .cast("bigint").as("n_tokens_removed"))
+    // versions whose commit touched nothing (empty append) still get a
+    // row: outer-join the version spine so history length is honest
+    val spine = spark.createDataFrame(
+      spark.sparkContext.parallelize(versions.map(Tuple1(_)), 1)
+        .map(t => org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("version"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(perVersion, Seq("version"), "left")
+      .na.fill(0L)
+      .withColumn("n_docs",
+        sum(col("n_docs_added") - col("n_docs_removed")).over(w))
+      .withColumn("n_tokens",
+        sum(col("n_tokens_added") - col("n_tokens_removed")).over(w))
+  }
+
   /** TF-IDF keyword extraction: the top `k` terms of each document by
     * tf · ln((N+1)/(df+1)), ties broken alphabetically. The classic
     * corpus-statistics feature for clustering/near-dup triage and

@@ -347,6 +347,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!dirs.exists(_.startsWith("v1-")), s"superseded dir kept: $dirs")
   }
 
+  test("corpusStatsDelta: per-version growth incl. overwrite removals") {
+    val table = java.nio.file.Files.createTempDirectory("graft_csd").toString
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    // v1: 3 docs (2+3+1 tokens); v2 append: 2 docs (2+2); v3 OVERWRITE
+    // keeps only two docs (2+2 tokens) — removals must show up
+    LakeWriter.commitSnapshot(mk(Seq(
+      (1L, "alpha beta"), (2L, "one two three"), (3L, "solo"))), table)
+    LakeWriter.commitSnapshot(mk(Seq(
+      (4L, "four tokens? no"), (5L, "five six"))), table, mode = "append")
+    LakeWriter.commitSnapshot(mk(Seq(
+      (1L, "alpha beta"), (5L, "five six"))), table)
+    val out = graft.operators.TextAnalysis
+      .corpusStatsDelta(spark, table, "text", "doc_id")
+      .orderBy("version").collect()
+    assert(out.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(r => (r.getAs[Long]("n_docs_added"),
+      r.getAs[Long]("n_docs_removed"))).toSeq ==
+      Seq((3L, 0L), (2L, 0L), (2L, 5L)))
+    assert(out.map(r => (r.getAs[Long]("n_tokens_added"),
+      r.getAs[Long]("n_tokens_removed"))).toSeq ==
+      Seq((6L, 0L), (5L, 0L), (4L, 11L)))
+    // cumulative totals equal a fresh full scan of the live snapshot
+    assert(out.last.getAs[Long]("n_docs") == 2L)
+    assert(out.last.getAs[Long]("n_tokens") == 4L)
+  }
+
   test("Scd2.merge(incremental) equals the full-history rebuild") {
     import graft.operators.Scd2
     val ev = Tables.load(spark, TestSpark.sfDir, "events")
