@@ -21,9 +21,32 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_join_star")(spark, "/root/testdata/sf0.001")
+  /** Flagship on sf=0.001; driver smoke-checks rows>0. The engine's
+    * centerpiece end to end: the daily training-data load (exact +
+    * near-dup dedup, quality cascade, PII redaction, single-commit
+    * snapshot append) runs on the documents table, and the curated
+    * corpus is served back joined to its quality audit. The original
+    * warehouse flagship remains `queries("q_join_star")`. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Paths.get("/tmp", "graft_entry_curation")
+    def wipe(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
+      }
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    wipe(tmp)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val res = graft.pipeline.CurationPipeline.run(spark, docs, tmp.toString)
+    val audit = graft.operators.Curation.filterCascade(docs, "text", "doc_id")
+    graft.sources.LakeWriter
+      .readSnapshot(spark, s"$tmp/corpus", Some(res.corpusVersion))
+      .join(audit.select(col("doc_id"), col("first_fail")), Seq("doc_id"))
+      .withColumn("corpus_version", lit(res.corpusVersion))
+  }
 
   // ---- staging contract used by the alignment queries --------------
   private val stgContract = Seq(
