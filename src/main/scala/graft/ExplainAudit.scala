@@ -21,6 +21,10 @@ object ExplainAudit {
         graft.operators.Dedup.minhashPairs(
           graft.sources.Tables.load(s, d, "documents"), "text", "doc_id",
           threshold = 0.2, materialize = false)),
+      "q_dedup_minhash_salted" -> ((s, d) =>
+        graft.operators.Dedup.minhashPairs(
+          graft.sources.Tables.load(s, d, "documents"), "text", "doc_id",
+          threshold = 0.2, materialize = false, salts = 8)),
       "q_tfidf" -> ((s, d) =>
         graft.operators.TextAnalysis.tfidf(
           graft.sources.Tables.load(s, d, "documents"), "text", "doc_id",
