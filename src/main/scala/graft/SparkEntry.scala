@@ -388,6 +388,12 @@ object SparkEntry {
       Dedup.simhashPairs(T(s, d, "documents"), "text", "doc_id",
         maxHamming = 3)),
 
+    // skew-robust twin (triangle-blocked band self-join, 8 salts) —
+    // held to the same brute-force hamming oracle as q_dedup_simhash
+    "q_dedup_simhash_salted" -> ((s, d) =>
+      Dedup.simhashPairs(T(s, d, "documents"), "text", "doc_id",
+        maxHamming = 3, salts = 8)),
+
     "q_ngram_jaccard" -> ((s, d) => {
       // the production shape: LSH candidates -> exact Jaccard verify.
       // materialize=false: the pair frame is consumed exactly once by
@@ -1928,7 +1934,7 @@ object SparkEntry {
     else {
       val values = sh
         .map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")
-      Map("q_dedup_simhash" ->
+      val sql =
         s"""WITH sh AS (
            |  SELECT CAST(id AS BIGINT) AS id, CAST(h AS BIGINT) AS h
            |  FROM (VALUES $values) v(id, h))
@@ -1936,7 +1942,9 @@ object SparkEntry {
            |  SELECT a.id AS doc_a, b.id AS doc_b,
            |    CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
            |  FROM sh a JOIN sh b ON a.id < b.id)
-           |WHERE hamming <= 3""".stripMargin)
+           |WHERE hamming <= 3""".stripMargin
+      // the salted band join must reproduce the identical pair table
+      Map("q_dedup_simhash" -> sql, "q_dedup_simhash_salted" -> sql)
     }
   }
 

@@ -356,21 +356,47 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 16-bit bands (a pair within
     * hamming distance<=3 of a 64-bit hash shares at least one of 4
-    * bands by pigeonhole), verify with bit_count(xor) <= maxHamming. */
+    * bands by pigeonhole), verify with bit_count(xor) <= maxHamming.
+    *
+    * salts > 1 triangle-blocks the band self-join exactly like
+    * [[candidatePairs]] — a hot band value (identical boilerplate
+    * hashes, or the all-zero band of near-empty docs) spreads its
+    * quadratic pair-space over salts(salts+1)/2 shuffle keys. Hamming
+    * is symmetric, so it is computed before least/greatest
+    * canonicalizes the orientation; results are byte-identical to the
+    * unsalted join. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, salts: Int = 1): DataFrame = {
     val sh = simhash(df, textCol, idCol)
     val banded = sh.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * lit(16))
           .bitwiseAND(lit(0xFFFFL))))
       .as(Seq("band", "band_val")))
-    val l = banded.select(col(idCol).as("doc_a"),
-      col("simhash").as("sh_a"), col("band"), col("band_val"))
-    val r = banded.select(col(idCol).as("doc_b"),
-      col("simhash").as("sh_b"), col("band"), col("band_val"))
-    l.join(r, Seq("band", "band_val"))
-      .where(col("doc_a") < col("doc_b"))
+    val joined =
+      if (salts <= 1) {
+        val l = banded.select(col(idCol).as("doc_a"),
+          col("simhash").as("sh_a"), col("band"), col("band_val"))
+        val r = banded.select(col(idCol).as("doc_b"),
+          col("simhash").as("sh_b"), col("band"), col("band_val"))
+        l.join(r, Seq("band", "band_val"))
+          .where(col("doc_a") < col("doc_b"))
+      } else {
+        val g = banded.withColumn("__g",
+          pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
+        val l = g.select(col(idCol).as("a"), col("simhash").as("sh_l"),
+          col("band"), col("band_val"), col("__g").as("p"),
+          explode(sequence(col("__g"), lit(salts - 1))).as("q"))
+        val r = g.select(col(idCol).as("b"), col("simhash").as("sh_r"),
+          col("band"), col("band_val"),
+          explode(sequence(lit(0), col("__g"))).as("p"), col("__g").as("q"))
+        l.join(r, Seq("band", "band_val", "p", "q"))
+          .where(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("doc_a"),
+            greatest(col("a"), col("b")).as("doc_b"),
+            col("sh_l").as("sh_a"), col("sh_r").as("sh_b"))
+      }
+    joined
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()

@@ -70,6 +70,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       > 1000, "expected a quadratic boilerplate pair block")
   }
 
+  test("salted simhash band join yields exactly the unsalted pair set " +
+      "on a hot-band corpus") {
+    // identical boilerplate text → identical simhashes → one hot band
+    // bucket per band; plus the real corpus for background pairs
+    val boiler = (0 until 80).map { i =>
+      (800000L + i, "all rights reserved contact the site administrator " +
+        "for permissions and takedown requests")
+    }.toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").union(boiler)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))
+    val plain = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 3).collect().map(key).toSet
+    val salted = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 3, salts = 8).collect().map(key).toSet
+    assert(plain.count { case (a, b, _) => a >= 800000L && b >= 800000L }
+      == 80 * 79 / 2, "identical docs must all pair")
+    assert(salted == plain,
+      s"salted/unsalted diverge: only-plain=${(plain -- salted).take(5)} " +
+        s"only-salted=${(salted -- plain).take(5)}")
+  }
+
   test("delta minhash pairs equal the full run restricted to new docs") {
     val oldDocs = docs.select("doc_id", "text")
     val newDocs = docs.where($"doc_id".isin(4L, 9L))
