@@ -203,8 +203,11 @@ object TextAnalysis {
     * introduced it (and, if an overwrite dropped it, the one that
     * removed it), so every file is text-scanned at most twice total
     * across the whole history — a daily append reads one day's files,
-    * not the 100 TB corpus. Expects flat (non-hive-partitioned)
-    * snapshots, the shape `LakeWriter.commitSnapshot` writes.
+    * not the 100 TB corpus. Works over flat (`commitSnapshot`) AND
+    * hive-partitioned (`commitSnapshotDynamic`) snapshots: delta
+    * files are read directly (no partition discovery), which drops
+    * the partition COLUMNS — irrelevant here, since the text and id
+    * columns live in the data files.
     *
     * Per-version work is a map-side-combinable agg over that
     * version's delta files only; the cumulative pass runs over the

@@ -136,8 +136,42 @@ object CurationPipeline {
         }
       val corpusRows = LakeWriter.readSnapshot(spark, corpusTable).count()
       kept.unpersist(blocking = false)
-      Result(n0, n1, n2, n3, version, corpusRows, attrition)
+      val result = Result(n0, n1, n2, n3, version, corpusRows, attrition)
+      appendLedger(spark, s"$outDir/ledger", result)
+      result
     } finally exact.unpersist(blocking = false)
+  }
+
+  /** RUN LEDGER — the load's observability surface: one row per run()
+    * invocation (batch ordinal = ledger version), recording the
+    * attrition funnel and the corpus version the run left behind.
+    * Committed AFTER the corpus commit and deliberately advisory: a
+    * crash between the two loses a ledger row, never corpus
+    * correctness, and a replayed batch honestly appends a second row
+    * (same corpus_version, zero survivors) — the ledger records
+    * ATTEMPTS, which is what an operator debugging a load wants. The
+    * attrition map rides as a key-sorted JSON string so rows are
+    * deterministic and queryable with get_json_object. */
+  private def appendLedger(spark: SparkSession, table: String,
+                           r: Result): Unit = {
+    val attritionJson = r.attrition.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    import spark.implicits._
+    val row = Seq((r.corpusVersion, r.batchRows, r.afterExact,
+      r.afterQuality, r.afterNearDup, r.corpusRows, attritionJson))
+      .toDF("corpus_version", "batch_rows", "after_exact",
+        "after_quality", "after_near_dup", "corpus_rows", "attrition")
+    LakeWriter.commitSnapshot(row, table,
+      mode = if (LakeWriter.snapshotVersions(spark, table).isEmpty)
+        "overwrite" else "append"): Unit
+  }
+
+  /** The run ledger as a frame (empty-safe for a never-run pipeline). */
+  def ledger(spark: SparkSession, outDir: String): DataFrame = {
+    val table = s"$outDir/ledger"
+    if (LakeWriter.snapshotVersions(spark, table).isEmpty)
+      spark.emptyDataFrame
+    else LakeWriter.readSnapshot(spark, table)
   }
 
   /** Corpus MAINTENANCE — the periodic job every append-committed

@@ -81,6 +81,18 @@ class CurationPipelineSpec extends AnyFunSuite {
     // between)
     assert(v2.columns.toSet == Set("doc_id", "text", "fp", "sig"))
 
+    // run ledger: one row per ATTEMPT (incl. the absorbed replay),
+    // recording the attrition funnel and the corpus version left
+    // behind; attrition rides as key-sorted JSON
+    val led = CurationPipeline.ledger(spark, out)
+      .orderBy($"corpus_version", $"batch_rows".desc, $"after_exact".desc)
+      .collect()
+    assert(led.length == 3, s"expected 3 ledger rows, got ${led.length}")
+    assert(led.map(r => (r.getAs[Long]("corpus_version"),
+      r.getAs[Long]("after_near_dup"), r.getAs[Long]("corpus_rows")))
+      .toSeq == Seq((1L, 10L, 10L), (1L, 0L, 10L), (2L, 1L, 11L)))
+    assert(led(2).getAs[String]("attrition").contains("\"too_short\":1"))
+
     // dup ids WITHIN a batch collapse to one deterministic row
     val out2 = java.nio.file.Files
       .createTempDirectory("graft_curation_dupid_").toString

@@ -373,6 +373,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.last.getAs[Long]("n_tokens") == 4L)
   }
 
+  test("corpusStatsDelta works over partitioned (dynamic) snapshots") {
+    val table = java.nio.file.Files.createTempDirectory("graft_csdp").toString
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.toDF("doc_id", "text", "lang")
+    // v1: two partitions; v2 dynamic overwrite touches lang=en only
+    // (replaces 2 docs/5 tokens with 1 doc/2 tokens, vi untouched)
+    LakeWriter.commitSnapshotDynamic(mk(Seq(
+      (1L, "alpha beta", "en"), (2L, "one two three", "en"),
+      (3L, "xin chao", "vi"))), table, Seq("lang"))
+    LakeWriter.commitSnapshotDynamic(mk(Seq(
+      (9L, "replaced text", "en"))), table, Seq("lang"))
+    val out = graft.operators.TextAnalysis
+      .corpusStatsDelta(spark, table, "text", "doc_id")
+      .orderBy("version").collect()
+    assert(out.map(r => (r.getAs[Long]("n_docs_added"),
+      r.getAs[Long]("n_docs_removed"),
+      r.getAs[Long]("n_tokens_added"),
+      r.getAs[Long]("n_tokens_removed"))).toSeq ==
+      Seq((3L, 0L, 7L, 0L), (1L, 2L, 2L, 5L)))
+    assert(out.last.getAs[Long]("n_docs") == 2L &&
+      out.last.getAs[Long]("n_tokens") == 4L)
+  }
+
   test("Scd2.merge(incremental) equals the full-history rebuild") {
     import graft.operators.Scd2
     val ev = Tables.load(spark, TestSpark.sfDir, "events")
