@@ -164,5 +164,12 @@ class CurationPipelineSpec extends AnyFunSuite {
       .snapshotVersions(spark, s"$out/corpus") == Seq(1L, 2L))
     assert(graft.sources.LakeWriter
       .readSnapshot(spark, s"$out/corpus", Some(1L)).count() == 6)
+    // the speed layer inherits the run ledger: one attrition row per
+    // micro-batch, so streaming loads are as observable as batch ones
+    val led = CurationPipeline.ledger(spark, out)
+      .orderBy($"corpus_version").collect()
+    assert(led.map(r => (r.getAs[Long]("corpus_version"),
+      r.getAs[Long]("batch_rows"), r.getAs[Long]("after_near_dup")))
+      .toSeq == Seq((1L, 6L, 6L), (2L, 3L, 2L)), led.mkString(";"))
   }
 }
