@@ -660,6 +660,14 @@ object SparkEntry {
       Curation.passageDedup(T(s, d, "documents"), "text", "doc_id",
         chunkTokens = 10)),
 
+    // skew-robust twin: two-phase agg + join instead of the
+    // per-passage window — a viral boilerplate passage partial-
+    // aggregates in parallel instead of buffering one task's window.
+    // Same oracle as q_passage_dedup (identical output required).
+    "q_passage_dedup_robust" -> ((s, d) =>
+      Curation.passageDedup(T(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 10, skewRobust = true)),
+
     "q_pii_redact" -> ((s, d) => {
       // the corpus has no PII — append a deterministic contact line
       // per doc (same derivation in the oracle) so the regexes do
@@ -1410,6 +1418,33 @@ object SparkEntry {
     // passage dedup: 10-token chunks, global first occurrence by
     // (doc_id, pos) survives, docs reassembled in order
     "q_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[(i - 1) * 10 + 1 : (i - 1) * 10 + 10], ' ') AS passage
+        |  FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / 10.0) AS INT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |k AS (SELECT passage, min(doc_id * 1000000 + pos) AS kk FROM ps GROUP BY 1),
+        |kept AS (
+        |  SELECT ps.doc_id, ps.pos, ps.passage FROM ps
+        |  JOIN k ON ps.passage = k.passage
+        |        AND ps.doc_id * 1000000 + ps.pos = k.kk),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS nk,
+        |    string_agg(passage, ' ' ORDER BY pos) AS dedup_text
+        |  FROM kept GROUP BY 1),
+        |np AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS INT) AS n_passages FROM toks)
+        |SELECT np.doc_id, np.n_passages,
+        |  CAST(coalesce(reb.nk, 0) AS INT) AS n_kept,
+        |  coalesce(reb.dedup_text, '') AS dedup_text
+        |FROM np LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // the skew-robust twin must produce the identical table
+    "q_passage_dedup_robust" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN []

@@ -91,8 +91,19 @@ object Curation {
     * before the explode spreads the chunking work off a single input
     * file, and posexplode_outer keeps empty docs so every metric
     * derives from the same exploded frame. */
+  /** @param skewRobust false (default): first occurrence per passage
+    *        via a window over (passage) — ONE pass over the chunked
+    *        corpus, but a viral boilerplate passage lands its whole
+    *        partition in one task's window buffer (spill-correct,
+    *        slow). true: two-phase aggregation — map-side-combined
+    *        min per passage, then a join back; the hot passage's rows
+    *        partial-aggregate in parallel and the join streams
+    *        (AQE skew-splits it), at the cost of deriving the chunk
+    *        rows twice. Identical output either way — the robust twin
+    *        is held to the same oracle. */
   def passageDedup(df: DataFrame, textCol: String, idCol: String,
-                   chunkTokens: Int = 10): DataFrame = {
+                   chunkTokens: Int = 10,
+                   skewRobust: Boolean = false): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     val chunks = when(size(col("__t")) === 0, array().cast("array<string>"))
       .otherwise(transform(
@@ -107,11 +118,22 @@ object Curation {
       .select(col(idCol),
         posexplode_outer(col("__ps")).as(Seq("pos", "passage")))
     // global first occurrence per passage text: min (doc id, pos)
-    val winP = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("passage"))
     val keyStruct = struct(col(idCol).as("id"), col("pos").as("p"))
-    p.withColumn("__keep",
-        col("passage").isNotNull && keyStruct === min(keyStruct).over(winP))
+    val flagged =
+      if (!skewRobust) {
+        val winP = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("passage"))
+        p.withColumn("__keep",
+          col("passage").isNotNull && keyStruct === min(keyStruct).over(winP))
+      } else {
+        val firstOcc = p.where(col("passage").isNotNull)
+          .groupBy(col("passage")).agg(min(keyStruct).as("__mn"))
+        p.join(firstOcc, Seq("passage"), "left")
+          .withColumn("__keep",
+            col("passage").isNotNull && keyStruct === col("__mn"))
+          .drop("__mn")
+      }
+    flagged
       .groupBy(col(idCol))
       .agg(
         count(col("pos")).cast("int").as("n_passages"),

@@ -52,6 +52,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 0, "")))
   }
 
+  test("skew-robust passageDedup equals the window shape on a viral passage") {
+    val viral = "terms of service apply to every user of this site now"
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+      .union((0 until 100).map(i =>
+        (900000L + i, s"$viral unique tail number ${"x" * (i % 7 + 1)}"))
+        .toDF("doc_id", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("n_passages"),
+        r.getAs[Int]("n_kept"), r.getAs[String]("dedup_text"))
+    val plain = Curation.passageDedup(docs, "text", "doc_id",
+      chunkTokens = 10).collect().map(key).toSet
+    val robust = Curation.passageDedup(docs, "text", "doc_id",
+      chunkTokens = 10, skewRobust = true).collect().map(key).toSet
+    assert(plain == robust,
+      s"diverge: only-plain=${(plain -- robust).take(3)} " +
+        s"only-robust=${(robust -- plain).take(3)}")
+    // the viral passage must actually be shared: only its first
+    // carrier keeps it
+    assert(plain.count { case (id, _, nk, txt) =>
+      id >= 900000L && txt.startsWith(viral) } == 1)
+  }
+
   test("passageDedup is a no-op on an all-unique corpus") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(20)
     val out = Curation.passageDedup(docs, "text", "doc_id")
