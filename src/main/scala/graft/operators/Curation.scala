@@ -144,6 +144,46 @@ object Curation {
           s => s.getField("passage"))).as("dedup_text"))
   }
 
+  /** Intra-corpus span overlap — the exact-substring dedup SIGNAL
+    * (Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better", approximated suffix-array-free): per document,
+    * the fraction of its distinct word `n`-gram windows that also
+    * occur in ANOTHER document. A doc with a high ratio is largely
+    * made of text that exists elsewhere — the next candidate for
+    * dropping or passage-level surgery after exact/near dedup.
+    *
+    * Scale shape: per-doc gram sets are deduplicated map-side
+    * (`array_distinct` before the explode), grams shuffle as md5
+    * digests (16 bytes, never the gram text), the gram→doc-count
+    * aggregate partial-aggregates map-side, and only grams seen in
+    * ≥2 docs come back through the (broadcast-eligible, sliver-sized)
+    * join. Returns every doc as (idCol, n_grams, n_shared,
+    * overlap_ratio). */
+  def spanOverlap(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 8): DataFrame = {
+    val dg = df
+      .select(col(idCol), normToks(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode_outer(array_distinct(strictNgrams(col("__t"), n)))
+          .as("gram"))
+      .select(col(idCol), md5(col("gram")).as("__g"))
+    // one doc counts once per gram (sets were deduplicated map-side),
+    // so count(*) IS the doc count
+    val shared = dg.where(col("__g").isNotNull)
+      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= 2)
+      .select(col("__g"), lit(1).as("__shared"))
+    dg.join(shared, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__g")).cast("int").as("n_grams"),
+        count(col("__shared")).cast("int").as("n_shared"),
+        CleanFns.roundRepro(
+          count(col("__shared")) /
+            greatest(count(col("__g")), lit(1)).cast("double"), 4)
+          .as("overlap_ratio"))
+  }
+
   // PII patterns (shared with the DuckDB oracle — RE2/Java-portable:
   // no lookaround, no backreferences)
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -163,11 +203,17 @@ object Curation {
         .cast("int").as("n_ips"),
       size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
         .cast("int").as("n_phones"),
+      redactText(col(textCol)).as("redacted"))
+
+  /** The redaction itself as a pure column expression — callers that
+    * only need the redacted text (no per-kind counts) apply it in
+    * place rather than joining [[piiRedact]]'s frame back on the id. */
+  def redactText(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
-          lit(PhoneRe), lit("[PHONE]")),
-        lit(IpRe), lit("[IP]")).as("redacted"))
+        regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(IpRe), lit("[IP]"))
 
   /** Default audit-cascade rules, in evaluation order. Conditions
     * reference the metric columns [[filterCascade]] computes

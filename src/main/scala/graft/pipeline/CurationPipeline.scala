@@ -95,33 +95,42 @@ object CurationPipeline {
         Seq(idCol), "left_semi")
       val n2 = n1 - attrition.filter(_._1 != "pass").values.sum
 
-      // ---- 3. PII redaction (before anything persists)
-      val clean = passed.drop(textCol)
-        .join(Curation.piiRedact(passed, textCol, idCol)
-          .select(col(idCol), col("redacted").as(textCol)), Seq(idCol))
+      // ---- 3. PII redaction (before anything persists) — a pure
+      //         projection, applied in place (no self-join on the id)
+      val clean = passed.withColumn(textCol,
+        Curation.redactText(col(textCol)))
 
-      // ---- 4. near-dup vs the corpus sig column + within the batch
-      val pairs = corpus match {
-        case Some(c) =>
-          Dedup.minhashPairsDelta(clean, textCol, idCol,
-            c.select(col(idCol), col("sig")),
-            threshold = nearDupThreshold)
-        case None =>
-          Dedup.minhashPairs(clean, textCol, idCol,
-            threshold = nearDupThreshold)
-      }
-      val newIds = clean.select(col(idCol)).distinct()
-      val dropNew = pairs
-        .select(col("doc_a").as("__x"), col("doc_b").as("__d"))
-        .union(pairs.select(col("doc_b").as("__x"), col("doc_a").as("__d")))
-        .join(newIds.select(col(idCol).as("__d")), Seq("__d"), "left_semi")
-        .join(newIds.select(col(idCol).as("__x"))
-          .withColumn("__xnew", lit(1)), Seq("__x"), "left")
-        // partner outside the batch = corpus doc → always drop;
-        // partner inside the batch → keep the smaller id
-        .where(col("__xnew").isNull || col("__x") < col("__d"))
-        .select(col("__d").as(idCol)).distinct()
-      val kept = clean.join(dropNew, Seq(idCol), "left_anti")
+      // ---- 4. near-dup vs the corpus sig column + within the batch.
+      //         A threshold above 1.0 is PROVABLY the identity (a
+      //         Jaccard estimate cannot exceed 1), so skip the
+      //         signature-band-join machinery outright — callers use
+      //         that setting to run the funnel with near-dup disabled.
+      val deduped =
+        if (nearDupThreshold > 1.0) clean
+        else {
+          val pairs = corpus match {
+            case Some(c) =>
+              Dedup.minhashPairsDelta(clean, textCol, idCol,
+                c.select(col(idCol), col("sig")),
+                threshold = nearDupThreshold)
+            case None =>
+              Dedup.minhashPairs(clean, textCol, idCol,
+                threshold = nearDupThreshold)
+          }
+          val newIds = clean.select(col(idCol)).distinct()
+          val dropNew = pairs
+            .select(col("doc_a").as("__x"), col("doc_b").as("__d"))
+            .union(pairs.select(col("doc_b").as("__x"), col("doc_a").as("__d")))
+            .join(newIds.select(col(idCol).as("__d")), Seq("__d"), "left_semi")
+            .join(newIds.select(col(idCol).as("__x"))
+              .withColumn("__xnew", lit(1)), Seq("__x"), "left")
+            // partner outside the batch = corpus doc → always drop;
+            // partner inside the batch → keep the smaller id
+            .where(col("__xnew").isNull || col("__x") < col("__d"))
+            .select(col("__d").as(idCol)).distinct()
+          clean.join(dropNew, Seq(idCol), "left_anti")
+        }
+      val kept = deduped
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n3 = kept.count()
 
