@@ -826,7 +826,100 @@ object SparkEntry {
           Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
             "source"))
         .withColumn("energy", CleanFns.roundRepro(col("energy"), 6))
-        .withColumn("zcr", CleanFns.roundRepro(col("zcr"), 6)))
+        .withColumn("zcr", CleanFns.roundRepro(col("zcr"), 6))),
+
+    "q_embed_sq_topk" -> ((s, d) => {
+      // scalar-quantized (8-bit/dim) ANN: corpus compressed 4×, query
+      // full-precision — deterministic, so the oracle re-derives the
+      // IDENTICAL result from the raw table (no embedded candidates)
+      val e = T(s, d, "embeddings")
+      Similarity.sqTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+
+    "q_embed_pq_topk" -> ((s, d) => {
+      // product-quantized (m=32 sub-codes, 16 centroids each — 8×
+      // compression) ANN: codebook training is deterministic
+      // (hash-order init, float-rounded means), so the oracle
+      // re-derives the ranking from the embedded codes + codebooks
+      val e = T(s, d, "embeddings")
+      Similarity.pqTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_semantic_decon" -> ((s, d) => {
+      // embedding-space eval-leakage guard: benchmark = every 50th
+      // vector; flag corpus vectors cosine-close to ANY benchmark one
+      val e = T(s, d, "embeddings")
+      Similarity.semanticDecon(e.where(col("vec_id") % 50 =!= 0),
+        e.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+
+    "q_span_overlap" -> ((s, d) =>
+      // exact-substring dedup signal: per doc, fraction of its 8-gram
+      // windows that exist in another doc
+      Curation.spanOverlap(T(s, d, "documents"), "text", "doc_id",
+        n = 8)),
+
+    "q_lang_rebalance" -> ((s, d) =>
+      // multilingual balancing: downsample over-represented languages
+      // to the uniform share, keep-rates derived from the observed
+      // distribution (not caller-fixed like q_mixture_sample)
+      Analytics.rebalanceToUniform(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        "lang", "doc_id")),
+
+    "q_stream_curation" -> ((s, d) => {
+      // the STREAMING curation funnel, oracle-checked end to end: two
+      // deterministic micro-batches (even ids, then odd ids) run the
+      // full per-batch pipeline — exact dedup within the batch AND
+      // against the committed corpus history, quality cascade with
+      // attrition, PII redaction, snapshot commit per batch — and the
+      // output is the RUN LEDGER. The near-dup threshold is held above
+      // 1.0 (a Jaccard estimate cannot reach it), so stage 4 is the
+      // identity and the funnel stays ANSI-SQL-derivable; the near-dup
+      // math itself is oracle-checked by q_dedup_minhash and
+      // stream==batch is spec-proven.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_stream_curation_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      def wipe(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
+        }
+        java.nio.file.Files.deleteIfExists(p): Unit
+      }
+      wipe(tmp)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val in = s"$tmp/in"
+      // one staged file per micro-batch, strictly increasing mtimes:
+      // the file stream (maxFilesPerTrigger=1, oldest-first) delivers
+      // the even-id batch first
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val dir = s"$tmp/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        val part = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(in, name + ".parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+      }
+      val now = System.currentTimeMillis()
+      stage(docs.where(pmod(col("doc_id"), lit(2)) === 0), "b0",
+        now - 120000)
+      stage(docs.where(pmod(col("doc_id"), lit(2)) === 1), "b1",
+        now - 60000)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.pipeline.CurationPipeline.runStream(stream, s"$tmp/out",
+        s"$tmp/ckpt", nearDupThreshold = 1.01).awaitTermination()
+      graft.pipeline.CurationPipeline.ledger(s, s"$tmp/out")
+    })
   )
 
   /** Best-fit-decreasing packing as a DuckDB recursive CTE — shared
@@ -1813,7 +1906,170 @@ object SparkEntry {
         |  FROM m)
         |SELECT s.n_docs, s.n_tokens, s.p50_tokens, s.p90_tokens,
         |  s.avg_chars, v.vocab
-        |FROM s CROSS JOIN v""".stripMargin
+        |FROM s CROSS JOIN v""".stripMargin,
+
+    // scalar-quantized ANN: the oracle re-derives per-dim bounds, the
+    // 8-bit quantize/reconstruct round trip (identical floor
+    // arithmetic), and the top-k ranking — all from the raw table
+    "q_embed_sq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, i AS pos, v[i] AS x
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM x GROUP BY pos),
+        |r AS (
+        |  SELECT x.vec_id, list(CASE WHEN b.hi = b.lo THEN b.lo
+        |      ELSE b.lo + floor((x.x - b.lo) * 255 / (b.hi - b.lo) + 0.5)
+        |        * (b.hi - b.lo) / 255 END ORDER BY x.pos) AS recon
+        |  FROM x JOIN b USING (pos) GROUP BY x.vec_id),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
+        |      / 10000 AS cos_sim
+        |  FROM q, r WHERE q.vec_id <> r.vec_id)
+        |SELECT query_id, neighbor_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        |FROM p QUALIFY rank <= 5""".stripMargin,
+
+    // semantic decontamination: best (rounded) benchmark cosine per
+    // corpus vector, ties to the smallest benchmark id
+    "q_semantic_decon" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+        |p AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    floor(list_cosine_similarity(c.v, b.v) * 10000 + 0.5)
+        |      / 10000 AS cs
+        |  FROM c, b),
+        |m AS (
+        |  SELECT vec_id, max({'s': cs, 'negb': -bench_id}) AS best
+        |  FROM p GROUP BY vec_id)
+        |SELECT vec_id, best.s AS max_bench_sim,
+        |  CAST(-best.negb AS BIGINT) AS bench_id,
+        |  CAST(CASE WHEN best.s >= 0.4 THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM m""".stripMargin,
+
+    // span overlap: distinct 8-gram windows per doc, shared = the gram
+    // (keyed by md5, same as the engine) occurs in >= 2 docs
+    "q_span_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 8 THEN []
+        |         ELSE list_transform(generate_series(1, len(t) - 7),
+        |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+        |                t[i + 3] || ' ' || t[i + 4] || ' ' || t[i + 5] || ' ' ||
+        |                t[i + 6] || ' ' || t[i + 7]) END) AS grams
+        |  FROM toks),
+        |dg AS (
+        |  SELECT doc_id, md5(gram) AS h
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+        |sh AS (SELECT h FROM dg GROUP BY h HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT dg.doc_id, count(*) AS ng,
+        |    sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS ns
+        |  FROM dg LEFT JOIN sh USING (h) GROUP BY dg.doc_id)
+        |SELECT g.doc_id, CAST(coalesce(m.ng, 0) AS INT) AS n_grams,
+        |  CAST(coalesce(m.ns, 0) AS INT) AS n_shared,
+        |  floor(coalesce(m.ns, 0)
+        |    / CAST(greatest(coalesce(m.ng, 0), 1) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS overlap_ratio
+        |FROM g LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // streaming curation funnel: the oracle replays both micro-batches
+    // (even ids, then odd ids vs batch-1's committed corpus) through
+    // the exact-dedup + quality stages and rebuilds both ledger rows,
+    // including the key-sorted attrition JSON
+    "q_stream_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS b,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |met AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 20 THEN 'too_short'
+        |         WHEN n_chars > 400 THEN 'too_long'
+        |         WHEN digit_ratio > 0.2 THEN 'digit_heavy'
+        |         WHEN stopword_ratio < 0.03 THEN 'low_stopword'
+        |         ELSE 'pass' END AS first_fail
+        |  FROM (
+        |    SELECT doc_id, n_chars, n_tokens,
+        |      floor(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE)
+        |        * 10000 + 0.5) / 10000 AS digit_ratio,
+        |      floor(n_stopwords / CAST(greatest(n_tokens, 1) AS DOUBLE)
+        |        * 10000 + 0.5) / 10000 AS stopword_ratio
+        |    FROM (
+        |      SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |        END AS n_tokens,
+        |        CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE CAST(len(list_filter(
+        |               string_split_regex(trim(lower(text)), '\s+'),
+        |               t -> t IN ('the','a','an','of','and','to','is','in',
+        |                          'it','that'))) AS INT)
+        |        END AS n_stopwords
+        |      FROM d))),
+        |s0 AS (SELECT * FROM d WHERE b = 0
+        |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |k0 AS (SELECT s0.doc_id, s0.fp FROM s0 JOIN met USING (doc_id)
+        |       WHERE met.first_fail = 'pass'),
+        |a0 AS (SELECT met.first_fail, count(*) AS c
+        |       FROM s0 JOIN met USING (doc_id) GROUP BY 1),
+        |s1 AS (SELECT * FROM d WHERE b = 1
+        |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |s1f AS (SELECT s1.* FROM s1
+        |        WHERE s1.fp NOT IN (SELECT fp FROM k0)
+        |          AND s1.doc_id NOT IN (SELECT doc_id FROM k0)),
+        |k1 AS (SELECT s1f.doc_id FROM s1f JOIN met USING (doc_id)
+        |       WHERE met.first_fail = 'pass'),
+        |a1 AS (SELECT met.first_fail, count(*) AS c
+        |       FROM s1f JOIN met USING (doc_id) GROUP BY 1),
+        |j0 AS (SELECT '{' || string_agg(printf('"%s":%d', first_fail, c),
+        |         ',' ORDER BY first_fail) || '}' AS a FROM a0),
+        |j1 AS (SELECT '{' || string_agg(printf('"%s":%d', first_fail, c),
+        |         ',' ORDER BY first_fail) || '}' AS a FROM a1)
+        |SELECT CAST(1 AS BIGINT) AS corpus_version,
+        |  (SELECT count(*) FROM d WHERE b = 0) AS batch_rows,
+        |  (SELECT count(*) FROM s0) AS after_exact,
+        |  (SELECT count(*) FROM k0) AS after_quality,
+        |  (SELECT count(*) FROM k0) AS after_near_dup,
+        |  (SELECT count(*) FROM k0) AS corpus_rows,
+        |  (SELECT a FROM j0) AS attrition
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT count(*) FROM d WHERE b = 1),
+        |  (SELECT count(*) FROM s1f),
+        |  (SELECT count(*) FROM k1),
+        |  (SELECT count(*) FROM k1),
+        |  (SELECT count(*) FROM k0) + (SELECT count(*) FROM k1),
+        |  (SELECT a FROM j1)""".stripMargin,
+
+    // uniform rebalance: keep-all decided in integer arithmetic, the
+    // downsample bound re-derived as the same 32-bit md5 threshold
+    "q_lang_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT sum(cnt) AS total, count(*) AS g FROM c),
+        |b AS (
+        |  SELECT c.lang, c.cnt * t.g <= t.total AS keep_all,
+        |    printf('%08x', CAST(floor(CAST(t.total AS DOUBLE) / t.g / c.cnt
+        |      * 4294967296.0) AS BIGINT)) AS bound
+        |  FROM c, t)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN b USING (lang)
+        |WHERE b.keep_all
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound""".stripMargin
   )
 
   /** Oracles that can only be phrased against a COMPUTED intermediate
@@ -1825,7 +2081,8 @@ object SparkEntry {
     * min-id survivors that `q_dedup_survivors` must produce. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     survivorOracles(spark, sfDir) ++ ngramJaccardOracle(spark, sfDir) ++
-      embedOracles(spark, sfDir) ++ simhashOracle(spark, sfDir) ++
+      embedOracles(spark, sfDir) ++ pqOracle(spark, sfDir) ++
+      simhashOracle(spark, sfDir) ++
       minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir)
 
   private def pairValues(rows: Array[org.apache.spark.sql.Row]): String =
@@ -2142,5 +2399,55 @@ object SparkEntry {
       }
     }
     (lsh.toList ++ ivf.toList ++ nearDup.toList ++ sem.toList).toMap
+  }
+
+  /** q_embed_pq_topk re-ranked INDEPENDENTLY by DuckDB: the engine's
+    * deterministic PQ codes and codebooks are embedded as VALUES, and
+    * the oracle reconstructs every corpus vector from its codes
+    * (centroid lookup + concatenation — the same asymmetric-distance
+    * definition) and redoes the full-precision-query-vs-reconstruction
+    * cosine ranking from scratch. */
+  private def pqOracle(spark: SparkSession,
+                       sfDir: String): Map[String, String] = {
+    val e = T(spark, sfDir, "embeddings")
+    val (codesDf, books) =
+      Similarity.pqCodes(e, "vec_id", "embedding")
+    val codes = codesDf.collect()
+    if (codes.isEmpty) Map.empty
+    else {
+      val codeValues = codes.map { r =>
+        s"(${r.getLong(0)},[${r.getSeq[Int](1).mkString(",")}])"
+      }.mkString(",")
+      // java.lang.Double.toString round-trips, so the literal the
+      // oracle parses is bit-identical to the centroid the engine used
+      val bookValues = books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, j) =>
+          s"($s,$j,[${c.mkString(",")}])"
+        }
+      }.mkString(",")
+      Map("q_embed_pq_topk" ->
+        s"""WITH codes(vec_id, c) AS (VALUES $codeValues),
+           |books(s, j, v) AS (VALUES $bookValues),
+           |x AS (
+           |  SELECT vec_id, g.i - 1 AS s, c[g.i] AS j
+           |  FROM codes, UNNEST(generate_series(1, len(c))) AS g(i)),
+           |r AS (
+           |  SELECT x.vec_id AS neighbor_id,
+           |    flatten(list(b.v ORDER BY x.s)) AS recon
+           |  FROM x JOIN books b ON b.s = x.s AND b.j = x.j
+           |  GROUP BY x.vec_id),
+           |q AS (
+           |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id < 10),
+           |p AS (
+           |  SELECT q.query_id, CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
+           |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
+           |      / 10000 AS cos_sim
+           |  FROM q, r WHERE q.query_id <> r.neighbor_id)
+           |SELECT query_id, neighbor_id, cos_sim,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+           |FROM p QUALIFY rank <= 5""".stripMargin)
+    }
   }
 }

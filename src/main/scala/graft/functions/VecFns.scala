@@ -89,4 +89,24 @@ object VecFns {
       when(aggregate(zip_with(v, hyperplaneAt(i, dim),
           (x, h) => x.cast("double") * h),
         lit(0.0), (acc, p) => acc + p) > 0, lit(1)).otherwise(lit(0)))
+
+  /** Scalar-quantization round trip (8-bit code per dimension against
+    * per-dimension `[lo, hi]` bounds, immediately reconstructed) —
+    * native expression; see [[graft.plans.SqReconstruct]]. */
+  def sqReconstruct(v: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    GraftColumnBridge.column(graft.plans.SqReconstruct(
+      GraftColumnBridge.expression(v), lo, hi))
+
+  /** Composed-builtins twin of [[sqReconstruct]] — semantic reference
+    * (tested bit-identical). Interpreted; do not use on hot paths. */
+  def sqReconstructComposed(v: Column, lo: Seq[Double],
+                            hi: Seq[Double]): Column =
+    transform(sequence(lit(0), lit(lo.length - 1)), i => {
+      val x = element_at(v, i + 1).cast("double")
+      val l = element_at(typedlit(lo), i + 1)
+      val h = element_at(typedlit(hi), i + 1)
+      when(h === l, l).otherwise(
+        l + floor((x - l) * lit(255.0) / (h - l) + lit(0.5)) * (h - l)
+          / lit(255.0))
+    })
 }

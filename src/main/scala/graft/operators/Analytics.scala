@@ -129,6 +129,50 @@ object Analytics {
     df.where(substring(md5(col(idCol).cast("string")), 1, 2) < boundCol)
   }
 
+  /** Rebalance a skewed group distribution toward UNIFORM: any group
+    * holding more than its fair share (total/Ngroups) of rows is
+    * downsampled to it; smaller groups keep everything. The
+    * multilingual-corpus balancing op — unlike [[mixtureSample]] the
+    * keep-rates are DERIVED from the observed distribution (one
+    * tiny aggregate), not caller-fixed.
+    *
+    * Engine-portable determinism: the keep decision for an
+    * oversized group is `substr(md5(id), 1, 8) < hex(floor(frac *
+    * 2^32))` — a 32-bit hash threshold (finer than mixtureSample's
+    * 8-bit, since derived fractions aren't round percents); the
+    * keep-all branch is decided in INTEGER arithmetic
+    * (cnt * Ngroups <= total), so no float boundary can flip it.
+    * Group counts are driver-small by construction; the scoring pass
+    * is a pure map-side filter — zero shuffles. */
+  def rebalanceToUniform(df: DataFrame, groupCol: String,
+                         idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.nonEmpty, "rebalanceToUniform: empty input")
+    val total = counts.map(_._2).sum
+    val g = counts.length
+    // bound per group, or None = keep all (integer-exact decision)
+    val bounds: Seq[(String, Option[String])] = counts.toSeq.map {
+      case (grp, cnt) =>
+        grp -> (if (cnt * g <= total) None
+        else {
+          // same double-op order as the oracle SQL: total/g/cnt
+          val frac = total.toDouble / g / cnt
+          Some(f"${math.floor(frac * 4294967296.0).toLong}%08x")
+        })
+    }
+    val keep = bounds.sortBy(_._1).foldRight(lit(false)) {
+      case ((grp, bound), els) =>
+        val cond = bound match {
+          case None => lit(true)
+          case Some(b) =>
+            substring(md5(col(idCol).cast("string")), 1, 8) < lit(b)
+        }
+        when(col(groupCol) === grp, cond).otherwise(els)
+    }
+    df.where(keep)
+  }
+
   /** Trailing N-day window aggregate (RANGE frame over epoch days) —
     * the delta_in_week/month-style trailing measures of the reference,
     * computed scalably: one shuffle on the entity key, peers included

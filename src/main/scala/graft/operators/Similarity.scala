@@ -259,6 +259,227 @@ object Similarity {
                            bits: Int, dim: Int): DataFrame =
     bucketJoined(df, idCol, vecCol, bits, dim).select("doc_a", "doc_b")
 
+  // ---- scalar-quantized ANN ----------------------------------------
+
+  /** Per-dimension (lo, hi) corpus bounds — `dim` rows by
+    * construction, so they collect to the driver and ship back as
+    * literals (the literal-centroid pattern). Map-side partial
+    * aggregation means only dim×tasks rows reach the (tiny) shuffle. */
+  private def dimBounds(corpus: DataFrame, vecCol: String,
+                        dim: Int): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .collect()
+    val lo = new Array[Double](dim); val hi = new Array[Double](dim)
+    rows.foreach { r =>
+      lo(r.getInt(0)) = r.getDouble(1); hi(r.getInt(0)) = r.getDouble(2)
+    }
+    (lo, hi)
+  }
+
+  /** Scalar-quantization (SQ8) ANN: the corpus is quantized to one
+    * byte per dimension against per-dimension corpus bounds and ranked
+    * by exact cosine against the RECONSTRUCTED vectors (asymmetric
+    * distance: the query stays full-precision). The compression tier
+    * of an ANN stack — at 100 TB the corpus scan reads 4× fewer bytes
+    * than float32 while top-k quality degrades only marginally.
+    *
+    * Everything on the corpus side is a pure projection over the scan
+    * (native SqReconstruct kernel + native VecDot; the bounds are
+    * literals), so the only data movement is the top-k window's
+    * shuffle of (query_id, neighbor_id, cos) candidate rows — and
+    * because quantization is deterministic floor arithmetic, an
+    * independent engine re-derives the IDENTICAL result from the raw
+    * corpus (full-strength oracle, unlike the bucketing sketches). */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int): DataFrame = {
+    val (lo, hi) = dimBounds(corpus, vecCol, dim)
+    val recon = VecFns.sqReconstruct(col(vecCol), lo.toSeq, hi.toSeq)
+    // recon appears in both the vector and its norm; whole-stage
+    // codegen's subexpression elimination evaluates the kernel once
+    val c = corpus.select(col(idCol).as("neighbor_id"), recon.as("__cv"))
+      .select(col("neighbor_id"), col("__cv"),
+        VecFns.norm(col("__cv")).as("__cn"))
+    val q = broadcast(withNorm(queries, idCol, "query_id", vecCol,
+      "__qv", "__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  // ---- product-quantized ANN ---------------------------------------
+
+  /** Deterministic PQ codebooks: `m` subspaces of `dim/m` dimensions,
+    * `ksub` centroids each, trained by Lloyd iterations phrased as
+    * DataFrame ops. Centroids are driver-small (m×ksub×dim/m values)
+    * by construction:
+    *  - init: the same `ksub` hash-order corpus vectors seed every
+    *    subspace (one TakeOrderedAndProject job, sliced driver-side);
+    *  - assign: per subspace, argmin ||x_sub − c||² via the literal-
+    *    centroid argmax of (x·c − ||c||²/2) — ONE projection, no
+    *    corpus shuffle;
+    *  - update: per-(subspace, cell, dim) means via posexplode —
+    *    map-side partials mean only m×ksub×(dim/m) rows per task
+    *    reach the tiny shuffle.
+    * Means are float-rounded like `trainCentroids` so a re-run
+    * reproduces codes bit-identically. */
+  private[operators] def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, dim: Int, iters: Int = 1): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim not divisible by m $m")
+    // init: the same ksub hash-order corpus vectors seed every
+    // subspace (TakeOrderedAndProject — distributed top-k, no global
+    // sort), sliced driver-side
+    var books: Array[Array[Array[Double]]] = {
+      val rows = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
+        .limit(ksub).collect()
+      Array.tabulate(m)(s => rows.map(r =>
+        toDoubles(r.get(1)).slice(s * sub, (s + 1) * sub)))
+    }
+    for (_ <- 0 until iters) {
+      val cells = pqCellsCol(books, col("__v"), sub)
+      val means = corpus.select(col(vecCol).as("__v"))
+        .select(cells.as("__cells"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("s"),
+          element_at(col("__cells"), (col("pos") / sub).cast("int") + 1)
+            .as("cell"),
+          pmod(col("pos"), lit(sub)).as("p"), col("x").cast("double").as("x"))
+        .groupBy(col("s"), col("cell"), col("p"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        // float-rounded, like trainCentroids: re-runs reproduce codes
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3).toFloat.toDouble
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Per-row PQ cell assignment for all `m` subspaces as ONE array
+    * column: cell_s = argmax over ksub of (x_sub·c − ||c||²/2)
+    * (equivalent to argmin L2; ties to the smallest cell). */
+  private def pqCellsCol(books: Array[Array[Array[Double]]], v: Column,
+                         sub: Int): Column =
+    array(books.zipWithIndex.map { case (book, s) =>
+      val xs = slice(v, s * sub + 1, sub)
+      val scored = book.zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x * x).sum / 2.0
+        struct((VecFns.dot(xs, typedlit(c.toSeq)) - lit(half)).as("sc"),
+          lit(-j).as("negj"))
+      }
+      val best =
+        if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+      (-best.getField("negj")).as(s"c$s")
+    }.toSeq: _*)
+
+  /** The PQ-RECONSTRUCTED vector: codes looked up in the literal
+    * codebooks and concatenated — a pure projection (m element_at
+    * calls + flatten), no shuffle. */
+  private def pqReconCol(books: Array[Array[Array[Double]]],
+                         cells: Column): Column =
+    flatten(array(books.zipWithIndex.map { case (book, s) =>
+      element_at(typedlit(book.map(_.toSeq).toSeq),
+        element_at(cells, s + 1) + 1)
+    }.toSeq: _*))
+
+  /** Product-quantized ANN: the corpus is encoded as `m` sub-codes
+    * (one byte each at ksub ≤ 256 — 32 bytes per 64-dim vector, an 8×
+    * compression over float32) and ranked by exact cosine between the
+    * full-precision query and the RECONSTRUCTION (concatenated
+    * codebook centroids) — asymmetric distance computation. The third
+    * tier of the ANN stack: brute force (exact) / SQ8 (4×) / PQ (8×).
+    *
+    * Corpus-side everything is a projection over the scan (literal
+    * codebooks; native dot products); only the top-k window's
+    * candidate rows shuffle. Codes are deterministic (hash-order
+    * init, float-rounded means), so `pqCodes` re-runs identically and
+    * the oracle re-derives the ranking from the embedded codes +
+    * codebooks. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 32, ksub: Int = 16,
+             dim: Int = 64, iters: Int = 2): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, dim, iters)
+    val sub = dim / m
+    val recon = pqReconCol(books, pqCellsCol(books, col(vecCol), sub))
+    val c = corpus.select(col(idCol).as("neighbor_id"), recon.as("__cv"))
+      .select(col("neighbor_id"), col("__cv"),
+        VecFns.norm(col("__cv")).as("__cn"))
+    val q = broadcast(withNorm(queries, idCol, "query_id", vecCol,
+      "__qv", "__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** The (id, codes) table `pqTopK` scores, plus the codebooks — what
+    * the oracle needs to re-derive the ranking independently. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 32, ksub: Int = 16, dim: Int = 64, iters: Int = 2)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, dim, iters)
+    (corpus.select(col(idCol),
+      pqCellsCol(books, col(vecCol), dim / m).as("codes")), books)
+  }
+
+  // ---- semantic decontamination ------------------------------------
+
+  /** Semantic (embedding-space) benchmark decontamination: flag every
+    * corpus vector whose cosine against ANY benchmark vector reaches
+    * `threshold` — the eval-leakage guard n-gram decontamination
+    * misses (paraphrases share no grams but sit next to the benchmark
+    * item in embedding space).
+    *
+    * The benchmark set is driver-small by definition, so it ships as
+    * literal vectors and the whole operator is ONE projection over the
+    * corpus scan: per row, |bench| native dot products, an in-row
+    * argmax (greatest over (sim, -bench_id) structs — ties break to
+    * the smallest benchmark id), zero joins and zero shuffles. The
+    * groupBy alternative would shuffle |corpus|×|bench| pair rows.
+    * Returns every corpus row as (idCol, bench_id, max_bench_sim,
+    * contaminated). */
+  def semanticDecon(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val bench = benchmark.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), toDoubles(r.get(1))))
+      .sortBy(_._1)
+    require(bench.nonEmpty, "semanticDecon needs a non-empty benchmark")
+    val vNorm = VecFns.norm(col(vecCol))
+    // cos_i = dot(v, b_i) / (|v| * |b_i|), rounded BEFORE the argmax so
+    // the tie-break decision is engine-portable (the oracle re-ranks
+    // the same rounded values)
+    val scored = bench.map { case (bid, b) =>
+      val bn = math.sqrt(b.map(x => x * x).sum)
+      val cos = CleanFns.roundRepro(
+        VecFns.cosineFromParts(
+          VecFns.dot(col(vecCol), typedlit(b.toSeq)), vNorm, lit(bn)), 4)
+      struct(cos.as("s"), lit(-bid).as("negb"))
+    }
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    corpus.select(col(idCol),
+        best.getField("s").as("max_bench_sim"),
+        (-best.getField("negb")).as("bench_id"))
+      .withColumn("contaminated",
+        (col("max_bench_sim") >= threshold).cast("int"))
+  }
+
   /** SemDeDup (semantic dedup, Abbas et al. 2023's shape): k-means
     * cluster the embedding space, then WITHIN each cluster drop every
     * vector that has a near-duplicate (cosine >= threshold) with a

@@ -26,6 +26,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_dsir_select",      // scalar percentile threshold broadcast
     "q_embed_cosine",     // one query vector broadcast to all rows
     "q_embed_cosine_topk",
+    "q_embed_sq_topk",    // ≤10 broadcast query vectors × corpus scan
+    "q_embed_pq_topk",    // same shape over PQ-reconstructed corpus
     "q_epoch_weights",    // one-row band totals broadcast
     "q_lm_score",         // corpus-level model stats broadcast
     "q_tfidf",            // one-row N (doc count) broadcast
