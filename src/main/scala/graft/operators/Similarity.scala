@@ -330,7 +330,7 @@ object Similarity {
     *    reach the tiny shuffle.
     * Means are float-rounded like `trainCentroids` so a re-run
     * reproduces codes bit-identically. */
-  private[operators] def trainPqCodebooks(
+  private[graft] def trainPqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int, dim: Int, iters: Int = 1): Array[Array[Array[Double]]] = {
     val sub = dim / m
@@ -369,9 +369,19 @@ object Similarity {
 
   /** Per-row PQ cell assignment for all `m` subspaces as ONE array
     * column: cell_s = argmax over ksub of (x_sub·c − ||c||²/2)
-    * (equivalent to argmin L2; ties to the smallest cell). */
-  private def pqCellsCol(books: Array[Array[Array[Double]]], v: Column,
-                         sub: Int): Column =
+    * (equivalent to argmin L2; ties to the smallest cell). Native
+    * kernel ([[graft.plans.PqAssign]]): the composed twin below is
+    * m×ksub struct expressions, which Catalyst takes tens of seconds
+    * to analyze at m=32 — the same lesson as the LSH signature. */
+  private[graft] def pqCellsCol(books: Array[Array[Array[Double]]],
+                                    v: Column, sub: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.PqAssign(
+      org.apache.spark.sql.GraftColumnBridge.expression(v), books))
+
+  /** Composed-builtins twin of [[pqCellsCol]] — semantic reference,
+    * tested bit-identical. Do not use on hot paths. */
+  private[graft] def pqCellsComposed(
+      books: Array[Array[Array[Double]]], v: Column, sub: Int): Column =
     array(books.zipWithIndex.map { case (book, s) =>
       val xs = slice(v, s * sub + 1, sub)
       val scored = book.zipWithIndex.map { case (c, j) =>
@@ -384,15 +394,23 @@ object Similarity {
       (-best.getField("negj")).as(s"c$s")
     }.toSeq: _*)
 
-  /** The PQ-RECONSTRUCTED vector: codes looked up in the literal
-    * codebooks and concatenated — a pure projection (m element_at
-    * calls + flatten), no shuffle. */
-  private def pqReconCol(books: Array[Array[Array[Double]]],
-                         cells: Column): Column =
+  /** The PQ-RECONSTRUCTED vector: codes looked up in the codebooks
+    * and concatenated — a pure projection over the scan, one native
+    * expression node ([[graft.plans.PqReconstruct]]). */
+  private[graft] def pqReconCol(books: Array[Array[Array[Double]]],
+                                    cells: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.PqReconstruct(
+      org.apache.spark.sql.GraftColumnBridge.expression(cells), books))
+
+  /** Composed-builtins twin of [[pqReconCol]] — semantic reference,
+    * tested bit-identical. Do not use on hot paths. */
+  private[graft] def pqReconComposed(
+      books: Array[Array[Array[Double]]], cells: Column): Column =
     flatten(array(books.zipWithIndex.map { case (book, s) =>
       element_at(typedlit(book.map(_.toSeq).toSeq),
         element_at(cells, s + 1) + 1)
     }.toSeq: _*))
+
 
   /** Product-quantized ANN: the corpus is encoded as `m` sub-codes
     * (one byte each at ksub ≤ 256 — 32 bytes per 64-dim vector, an 8×

@@ -75,6 +75,21 @@ class QuantizeRebalanceSpec extends AnyFunSuite {
     assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
   }
 
+  test("PQ native kernels == composed twins (bit-identical)") {
+    val books = Similarity.trainPqCodebooks(embeddings, "vec_id",
+      "embedding", m = 32, ksub = 16, dim = 64, iters = 1)
+    val nat = embeddings.select($"vec_id",
+      Similarity.pqCellsCol(books, $"embedding", 2).as("c"))
+    val comp = embeddings.select($"vec_id",
+      Similarity.pqCellsComposed(books, $"embedding", 2).as("c"))
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+    val natR = nat.select($"vec_id",
+      Similarity.pqReconCol(books, $"c").as("r"))
+    val compR = nat.select($"vec_id",
+      Similarity.pqReconComposed(books, $"c").as("r"))
+    assert(natR.exceptAll(compR).isEmpty && compR.exceptAll(natR).isEmpty)
+  }
+
   test("Similarity.pqCodes: every code addresses a real centroid") {
     val (codes, books) = Similarity.pqCodes(embeddings, "vec_id",
       "embedding", m = 8, ksub = 16, dim = 64)
