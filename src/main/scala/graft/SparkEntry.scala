@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CleanFns, TextFns}
-import graft.operators.{Analytics, AsOfJoin, Curation, Dedup, Dims, Multimodal, Packing, PitJoin, Scd2, Similarity, Skew, Staging, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Curation, Dedup, Dims, Multimodal, Packing, PitJoin, Retrieval, Scd2, Similarity, Skew, Staging, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Speed
 import org.apache.spark.sql.streaming.OutputMode
@@ -846,6 +846,22 @@ object SparkEntry {
       Similarity.pqTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
     }),
+
+    "q_embed_ivfpq_ann" -> ((s, d) => {
+      // the 100 TB ANN composition: IVF bounds WHICH vectors a query
+      // touches, PQ bounds WHAT the scan reads per touched vector;
+      // ranking is asymmetric (full-precision query vs reconstruction)
+      val e = T(s, d, "embeddings")
+      Similarity.ivfPqTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_hybrid_search" -> ((s, d) =>
+      // "more like doc 0": keyword rarity-overlap rank + embedding
+      // cosine rank, fused with reciprocal-rank fusion
+      Retrieval.moreLikeThis(T(s, d, "documents"),
+        T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
+        "text", "doc_id", "embedding", queryId = 0L, k = 10)),
 
     "q_semantic_decon" -> ((s, d) => {
       // embedding-space eval-leakage guard: benchmark = every 50th
@@ -2069,7 +2085,53 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN b USING (lang)
         |WHERE b.keep_all
-        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound""".stripMargin
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound""".stripMargin,
+
+    // hybrid retrieval: both modality rankings re-derived from raw
+    // tables, fused with the same fixed two-term RRF double sum
+    // (rank sentinel 0 = outside that modality's 50-candidate pool)
+    "q_hybrid_search" ->
+      """WITH d0 AS (SELECT text FROM documents WHERE doc_id = 0),
+        |qt AS (
+        |  SELECT DISTINCT t FROM (
+        |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+        |    FROM d0)),
+        |c AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+        |    FROM c)
+        |  WHERE t IN (SELECT t FROM qt)),
+        |dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+        |kw AS (SELECT tok.doc_id, sum(nn.n - dfq.df) AS kw_score
+        |       FROM tok JOIN dfq USING (t) CROSS JOIN nn
+        |       GROUP BY tok.doc_id),
+        |kwr AS (SELECT doc_id, CAST(row_number() OVER (
+        |          ORDER BY kw_score DESC, doc_id ASC) AS INT) AS kw_rank
+        |        FROM kw QUALIFY kw_rank <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id = 0),
+        |vec AS (SELECT e.vec_id AS doc_id,
+        |          floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |            qv.v) * 10000 + 0.5) / 10000 AS cos_sim
+        |        FROM embeddings e, qv WHERE e.vec_id <> 0),
+        |vecr AS (SELECT doc_id, CAST(row_number() OVER (
+        |           ORDER BY cos_sim DESC, doc_id ASC) AS INT) AS vec_rank
+        |         FROM vec QUALIFY vec_rank <= 50),
+        |f AS (SELECT doc_id,
+        |        COALESCE(k.kw_rank, 0) AS kw_rank,
+        |        COALESCE(v.vec_rank, 0) AS vec_rank,
+        |        floor((COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), 0)
+        |          + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0))
+        |          * 1000000 + 0.5) / 1000000 AS rrf_score
+        |      FROM kwr k FULL JOIN vecr v USING (doc_id))
+        |SELECT doc_id, kw_rank, vec_rank, rrf_score,
+        |  CAST(row_number() OVER (
+        |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+        |FROM f QUALIFY rank <= 10""".stripMargin
   )
 
   /** Oracles that can only be phrased against a COMPUTED intermediate
@@ -2425,8 +2487,9 @@ object SparkEntry {
           s"($s,$j,[${c.mkString(",")}])"
         }
       }.mkString(",")
-      Map("q_embed_pq_topk" ->
-        s"""WITH codes(vec_id, c) AS (VALUES $codeValues),
+      // shared reconstruction closure: codes decoded via the codebooks
+      val reconCte =
+        s"""codes(vec_id, c) AS (VALUES $codeValues),
            |books(s, j, v) AS (VALUES $bookValues),
            |x AS (
            |  SELECT vec_id, g.i - 1 AS s, c[g.i] AS j
@@ -2438,16 +2501,39 @@ object SparkEntry {
            |  GROUP BY x.vec_id),
            |q AS (
            |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-           |  FROM embeddings WHERE vec_id < 10),
+           |  FROM embeddings WHERE vec_id < 10)""".stripMargin
+      val rankSql =
+        """SELECT query_id, neighbor_id, cos_sim,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+          |FROM p QUALIFY rank <= 5""".stripMargin
+      val pq = Map("q_embed_pq_topk" ->
+        s"""WITH $reconCte,
            |p AS (
            |  SELECT q.query_id, CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
            |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
            |      / 10000 AS cos_sim
            |  FROM q, r WHERE q.query_id <> r.neighbor_id)
-           |SELECT query_id, neighbor_id, cos_sim,
-           |  CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
-           |FROM p QUALIFY rank <= 5""".stripMargin)
+           |$rankSql""".stripMargin)
+      // IVF-PQ: the probe set is deterministic too — embed it and
+      // re-rank only the probed candidates over the reconstruction
+      val e2 = T(spark, sfDir, "embeddings")
+      val cand = Similarity.ivfPqCandidatePairs(
+        e2.where(col("vec_id") < 10), e2, "vec_id", "embedding").collect()
+      val ivfpq =
+        if (cand.isEmpty) Map.empty[String, String]
+        else Map("q_embed_ivfpq_ann" ->
+          s"""WITH cand(query_id, neighbor_id) AS (VALUES ${pairValues(cand)}),
+             |$reconCte,
+             |p AS (
+             |  SELECT q.query_id, CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
+             |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
+             |      / 10000 AS cos_sim
+             |  FROM cand c
+             |  JOIN q ON q.query_id = c.query_id
+             |  JOIN r ON r.neighbor_id = c.neighbor_id)
+             |$rankSql""".stripMargin)
+      pq ++ ivfpq
     }
   }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CleanFns, TextFns, VecFns}
+
+/** Hybrid retrieval: keyword relevance and embedding similarity fused
+  * with reciprocal-rank fusion (RRF, Cormack et al. 2009) — the
+  * "more like this" query of a corpus-exploration / RAG serving
+  * stack, and the standard way to combine lexical and dense rankings
+  * without score calibration.
+  *
+  * Cross-engine determinism is designed in:
+  *  - the keyword score is RARITY-WEIGHTED OVERLAP in pure integer
+  *    arithmetic — Σ over shared distinct terms of (N − df(term)) —
+  *    so no float-sum ordering can flip a rank (idf-style weighting
+  *    without the log: rarer term → bigger weight);
+  *  - cosine is rounded (engine-portable floor arithmetic) BEFORE
+  *    ranking;
+  *  - RRF = 1/(K+r₁) + 1/(K+r₂) is a fixed two-term IEEE-double sum —
+  *    bit-identical in any engine — and is itself rounded before the
+  *    final ordering.
+  */
+object Retrieval {
+
+  private def normToks(c: Column): Column =
+    TextFns.tokens(TextFns.normalizeText(c))
+
+  /** Top-k docs most similar to `queryId`, by RRF over a keyword
+    * ranking and an embedding-cosine ranking (each truncated to
+    * `pool` candidates; a doc missing from one modality's pool
+    * contributes 0 for that modality).
+    *
+    * Scale shape: the query doc's terms and vector are driver-small
+    * by construction and ship as literals. Keyword side: corpus
+    * tokens are filtered to the query's terms MAP-SIDE (an `isin`
+    * over a literal set), so only matching (id, term) slivers shuffle
+    * into the per-doc score; the df aggregate is at most |qTerms|
+    * rows. Vector side: one literal-vector cosine projection over the
+    * scan — zero shuffles. Each modality's pool cut is a distributed
+    * TakeOrdered (orderBy + limit), and the only unpartitioned window
+    * runs AFTER the limit, over ≤ pool rows. */
+  def moreLikeThis(docs: DataFrame, embeds: DataFrame, textCol: String,
+                   idCol: String, vecCol: String, queryId: Long,
+                   k: Int = 10, pool: Int = 50,
+                   rrfK: Int = 60): DataFrame = {
+    // ---- query artifacts (driver-small: one doc)
+    val qTerms: Seq[String] = docs.where(col(idCol) === queryId)
+      .select(explode(array_distinct(normToks(col(textCol)))).as("t"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val qVec: Seq[Double] = embeds.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+    val n = docs.where(col(idCol) =!= queryId).count()
+
+    // ---- keyword modality: integer rarity-weighted overlap
+    val tok = docs.where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        explode(array_distinct(normToks(col(textCol)))).as("t"))
+      .where(if (qTerms.isEmpty) lit(false) else col("t").isin(qTerms: _*))
+    val dfByTerm = tok.groupBy(col("t"))
+      .agg(count(lit(1)).as("df")) // sets are distinct: count == doc count
+    val kw = tok.join(broadcast(dfByTerm), Seq("t"))
+      .groupBy(col(idCol))
+      .agg(sum(lit(n) - col("df")).as("kw_score"))
+    val kwPool = kw
+      .orderBy(col("kw_score").desc, col(idCol).asc).limit(pool)
+      .withColumn("kw_rank", row_number().over(
+        Window.orderBy(col("kw_score").desc, col(idCol).asc)))
+      .select(col(idCol), col("kw_rank"))
+
+    // ---- vector modality: literal-query cosine, rounded before rank
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val vec = embeds.where(col(idCol) =!= queryId)
+      .select(col(idCol), CleanFns.roundRepro(
+        VecFns.cosineFromParts(
+          VecFns.dot(col(vecCol), typedlit(qVec)),
+          VecFns.norm(col(vecCol)), lit(qNorm)), 4).as("cos_sim"))
+    val vecPool = vec
+      .orderBy(col("cos_sim").desc, col(idCol).asc).limit(pool)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col(idCol).asc)))
+      .select(col(idCol), col("vec_rank"))
+
+    // ---- RRF fusion (fixed two-term double sum, rounded, re-ranked)
+    val rrf =
+      coalesce(lit(1.0) / (lit(rrfK) + col("kw_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))
+    kwPool.join(vecPool, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", CleanFns.roundRepro(rrf, 6))
+      .orderBy(col("rrf_score").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol).asc)))
+      // 0 = outside that modality's pool (ranks are 1-based); keeps
+      // the output free of nullable ints, which engines hash apart
+      .select(col(idCol), coalesce(col("kw_rank"), lit(0)).as("kw_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        col("rrf_score"), col("rank"))
+  }
+}

@@ -225,6 +225,78 @@ object Similarity {
     ivfJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters)
       .select("query_id", "neighbor_id")
 
+  // ---- IVF-PQ (coarse cells + compressed re-rank) --------------------
+
+  /** Probed (query, corpus-cell) pair frame where the corpus side
+    * carries its PQ RECONSTRUCTION instead of the raw vector — shared
+    * by `ivfPqTopK` and its oracle's candidate dump. */
+  private def ivfPqJoined(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, nlist: Int,
+                          nprobe: Int, iters: Int, m: Int, ksub: Int,
+                          dim: Int, pqIters: Int): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, dim,
+      pqIters)
+    val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cents = trainCentroids(cvec, nlist, iters)
+    // ONE projection over the corpus scan computes cell + codes +
+    // reconstruction; at scale (cell, codes) are precomputed columns
+    // and this scan reads ~33 bytes/vector instead of 256
+    val recon = pqReconCol(books, pqCellsCol(books, col("__v"), dim / m))
+    val corpusCells = cvec
+      .select(col("__id").as("neighbor_id"), recon.as("__cv"),
+        cellOf(cents, col("__v")).as("cell"))
+      .withColumn("__cn", VecFns.norm(col("__cv")))
+    val probeArr = array_sort(array(cents.map { case (cell, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      val inv = if (n == 0.0) 0.0 else 1.0 / n
+      struct((-VecFns.dot(col("__qv"), typedlit(c.toSeq)) * lit(inv)).as("negs"),
+        lit(cell).as("cell"))
+    }.toSeq: _*))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          VecFns.norm(col(vecCol)).as("__qn"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          explode(slice(probeArr, 1, nprobe)).as("__pc"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          col("__pc").getField("cell").as("cell")))
+    probes.join(corpusCells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** IVF-PQ ANN — the architecture a 100 TB vector corpus actually
+    * runs: an IVF coarse quantizer bounds WHICH vectors each query
+    * touches (nprobe/nlist of the corpus), and product quantization
+    * bounds WHAT the scan reads per touched vector (codes, not
+    * floats). Ranking is asymmetric — full-precision query against
+    * the PQ reconstruction. Both trainings are deterministic, so the
+    * oracle re-derives the ranking from the embedded candidates +
+    * codes + codebooks. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16,
+                nprobe: Int = 4, iters: Int = 2, m: Int = 32,
+                ksub: Int = 16, dim: Int = 64,
+                pqIters: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    ivfPqJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters,
+        m, ksub, dim, pqIters)
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** The (query_id, neighbor_id) candidate pairs `ivfPqTopK` ranks —
+    * deterministic, for the oracle's independent re-ranking. */
+  def ivfPqCandidatePairs(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          nlist: Int = 16, nprobe: Int = 4,
+                          iters: Int = 2, m: Int = 32, ksub: Int = 16,
+                          dim: Int = 64, pqIters: Int = 2): DataFrame =
+    ivfPqJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters,
+        m, ksub, dim, pqIters)
+      .select("query_id", "neighbor_id")
+
   // ---- embedding near-dup / SemDeDup --------------------------------
 
   /** Same-LSH-bucket (doc_a < doc_b) pair frame shared by

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, Similarity}
+import graft.sources.Tables
+
+/** Hybrid RRF retrieval and the IVF-PQ ANN composition. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+  lazy val embeddings = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    .withColumnRenamed("vec_id", "doc_id")
+
+  test("moreLikeThis: a planted twin of the query doc ranks first") {
+    // doc 2 shares the query's full (distinctive) vocabulary AND its
+    // exact embedding: first in both modalities, hence first fused
+    val docsP = Seq(
+      (1L, "quasar nebula pulsar magnetar blazar"),
+      (2L, "quasar nebula pulsar magnetar blazar"),
+      (3L, "quasar nebula common words here"),
+      (4L, "pulsar only plus other text"),
+      (5L, "entirely unrelated vocabulary set")).toDF("doc_id", "text")
+    val v = Seq(0.9, 0.1, -0.3, 0.5)
+    val embP = Seq(
+      (1L, v), (2L, v),
+      (3L, Seq(0.1, 0.9, 0.2, -0.4)),
+      (4L, Seq(-0.5, 0.2, 0.8, 0.1)),
+      (5L, Seq(0.3, -0.7, 0.1, 0.6))).toDF("doc_id", "embedding")
+    val out = Retrieval.moreLikeThis(docsP, embP, "text", "doc_id",
+      "embedding", queryId = 1L, k = 4)
+    val top = out.where($"rank" === 1).head()
+    assert(top.getAs[Long]("doc_id") == 2L)
+    assert(top.getAs[Int]("kw_rank") == 1 && top.getAs[Int]("vec_rank") == 1)
+    // doc 5 shares no terms: keyword sentinel 0, but it still has a
+    // vector rank, so it appears in the fused pool
+    val d5 = out.where($"doc_id" === 5L).head()
+    assert(d5.getAs[Int]("kw_rank") == 0 && d5.getAs[Int]("vec_rank") > 0)
+    val ranks = out.select($"rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.sameElements(1 to 4))
+  }
+
+  test("moreLikeThis: deterministic, and rank 0 marks a missing modality") {
+    val a = Retrieval.moreLikeThis(docs, embeddings, "text", "doc_id",
+      "embedding", queryId = 0L, k = 10)
+    val b = Retrieval.moreLikeThis(docs, embeddings, "text", "doc_id",
+      "embedding", queryId = 0L, k = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // sentinel semantics: rank 0 never coexists with a positive rrf
+    // contribution from that modality; ranks are bounded by the pool
+    val bad = a.where($"kw_rank" < 0 || $"vec_rank" < 0 ||
+      $"kw_rank" > 50 || $"vec_rank" > 50 ||
+      ($"kw_rank" === 0 && $"vec_rank" === 0)).count()
+    assert(bad == 0)
+  }
+
+  test("ivfPqTopK: k per query, deterministic, candidates from probed cells") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val qs = e.where($"vec_id" < 10)
+    val out = Similarity.ivfPqTopK(qs, e, "vec_id", "embedding", k = 5)
+    val perQuery = out.groupBy($"query_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 5))
+    val again = Similarity.ivfPqTopK(qs, e, "vec_id", "embedding", k = 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // every ranked neighbor is a member of the probe candidate set
+    val cand = Similarity.ivfPqCandidatePairs(qs, e, "vec_id", "embedding")
+    assert(out.select($"query_id", $"neighbor_id")
+      .exceptAll(cand.select($"query_id", $"neighbor_id")).isEmpty)
+    // and the PQ ranking still finds a fair share of the true top-5
+    // (IVF probes 4/16 cells; PQ adds quantization noise on top)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding",
+      k = 5).select($"query_id", $"neighbor_id")
+    val hit = out.select($"query_id", $"neighbor_id").intersect(exact).count()
+    assert(hit >= 10, s"IVF-PQ recall too low: $hit/50")
+  }
+}
