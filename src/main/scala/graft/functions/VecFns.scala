@@ -97,6 +97,18 @@ object VecFns {
     GraftColumnBridge.column(graft.plans.SqReconstruct(
       GraftColumnBridge.expression(v), lo, hi))
 
+  /** SQ8 encode to offset-binary byte codes (storage form) — native
+    * expression; see [[graft.plans.SqEncode]]. */
+  def sqEncode(v: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    GraftColumnBridge.column(graft.plans.SqEncode(
+      GraftColumnBridge.expression(v), lo, hi))
+
+  /** SQ8 decode from offset-binary byte codes back to the
+    * reconstructed vector — native; see [[graft.plans.SqDecode]]. */
+  def sqDecode(codes: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    GraftColumnBridge.column(graft.plans.SqDecode(
+      GraftColumnBridge.expression(codes), lo, hi))
+
   /** Composed-builtins twin of [[sqReconstruct]] — semantic reference
     * (tested bit-identical). Interpreted; do not use on hot paths. */
   def sqReconstructComposed(v: Column, lo: Seq[Double],

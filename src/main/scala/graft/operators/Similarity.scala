@@ -337,7 +337,7 @@ object Similarity {
     * construction, so they collect to the driver and ship back as
     * literals (the literal-centroid pattern). Map-side partial
     * aggregation means only dim×tasks rows reach the (tiny) shuffle. */
-  private def dimBounds(corpus: DataFrame, vecCol: String,
+  private[graft] def dimBounds(corpus: DataFrame, vecCol: String,
                         dim: Int): (Array[Double], Array[Double]) = {
     val rows = corpus
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))

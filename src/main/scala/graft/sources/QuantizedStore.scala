@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+import graft.operators.Similarity
+
+/** Persisted scalar-quantized embedding corpus — the STORAGE side of
+  * the SQ8 tier: instead of recomputing codes from float vectors on
+  * every query (what `sqTopK` does for its oracle-checked one-shot
+  * form), the corpus is written ONCE as one byte per dimension plus a
+  * one-row bounds sidecar, and every later scan reads 4× fewer bytes
+  * than float32 parquet. At 100 TB this is the difference between a
+  * 100 TB and a 25 TB ANN scan.
+  *
+  * Layout: `path/codes/` (idCol, codes array<byte>, offset-binary) and
+  * `path/bounds/` (one row: dim, lo[], hi[]). The decode is the
+  * native [[graft.plans.SqDecode]] kernel, so a read-and-rank plan
+  * stays one whole-stage-codegen projection over the compact scan.
+  * encode∘decode == the in-flight SqReconstruct round trip
+  * (spec-asserted), so `sqTopK` over the decoded corpus returns
+  * exactly what it returns over the raw floats. */
+object QuantizedStore {
+
+  /** Quantize and persist `corpus` (bounds derived from the corpus
+    * itself). Overwrites any previous store at `path`. */
+  def write(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+            path: String): Unit = {
+    val (lo, hi) = Similarity.dimBounds(corpus, vecCol, dim)
+    corpus.select(col(idCol),
+        VecFns.sqEncode(col(vecCol), lo.toSeq, hi.toSeq).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((dim, lo.toSeq, hi.toSeq)).toDF("dim", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+  }
+
+  /** The reconstructed corpus: (idCol, vecCol array<double>) — a pure
+    * native-decode projection over the byte-code scan. */
+  def read(spark: SparkSession, path: String, idCol: String,
+           vecCol: String): DataFrame = {
+    val b = spark.read.parquet(s"$path/bounds").head()
+    val lo = b.getSeq[Double](b.fieldIndex("lo"))
+    val hi = b.getSeq[Double](b.fieldIndex("hi"))
+    spark.read.parquet(s"$path/codes")
+      .select(col(idCol), VecFns.sqDecode(col("codes"), lo, hi).as(vecCol))
+  }
+}

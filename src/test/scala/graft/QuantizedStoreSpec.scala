@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VecFns
+import graft.operators.Similarity
+import graft.sources.{QuantizedStore, Tables}
+
+/** Persisted SQ8 corpus: the storage side of the quantized ANN tier. */
+class QuantizedStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val embeddings = Tables.load(spark, TestSpark.sfDir, "embeddings")
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("write/read round trip equals the in-flight SqReconstruct kernel") {
+    val path = tmpDir("graft_qstore")
+    QuantizedStore.write(embeddings, "vec_id", "embedding", dim = 64, path)
+    val decoded = QuantizedStore.read(spark, path, "vec_id", "embedding")
+    val (lo, hi) = Similarity.dimBounds(embeddings, "embedding", 64)
+    val expected = embeddings.select($"vec_id",
+      VecFns.sqReconstruct($"embedding", lo.toSeq, hi.toSeq).as("embedding"))
+    assert(decoded.count() == embeddings.count())
+    assert(decoded.exceptAll(expected).isEmpty &&
+      expected.exceptAll(decoded).isEmpty)
+  }
+
+  test("the code table is materially smaller than float parquet") {
+    val path = tmpDir("graft_qstore_sz")
+    QuantizedStore.write(embeddings, "vec_id", "embedding", dim = 64, path)
+    val rawPath = tmpDir("graft_qstore_raw")
+    embeddings.select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(s"$rawPath/floats")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (d.isFile) d.length
+      else Option(d.listFiles).map(_.map(f => bytes(f.getPath)).sum)
+        .getOrElse(0L)
+    }
+    val codeBytes = bytes(s"$path/codes")
+    val floatBytes = bytes(s"$rawPath/floats")
+    assert(codeBytes > 0 && floatBytes > 0)
+    assert(codeBytes < floatBytes * 6 / 10,
+      s"codes $codeBytes vs floats $floatBytes — expected < 60%")
+  }
+}
