@@ -2515,24 +2515,61 @@ object SparkEntry {
            |      / 10000 AS cos_sim
            |  FROM q, r WHERE q.query_id <> r.neighbor_id)
            |$rankSql""".stripMargin)
-      // IVF-PQ: the probe set is deterministic too — embed it and
-      // re-rank only the probed candidates over the reconstruction
+      // IVF-PQ: the probe set is deterministic too — embed it plus
+      // the residual coding (codes carry the coarse cell at the
+      // head), and re-rank only the probed candidates over the
+      // centroid + decoded-residual reconstruction
       val e2 = T(spark, sfDir, "embeddings")
       val cand = Similarity.ivfPqCandidatePairs(
         e2.where(col("vec_id") < 10), e2, "vec_id", "embedding").collect()
+      val (rCodesDf, rCents, rBooks) =
+        Similarity.residualPqCodes(e2, "vec_id", "embedding")
+      val rCodes = rCodesDf.collect()
       val ivfpq =
-        if (cand.isEmpty) Map.empty[String, String]
-        else Map("q_embed_ivfpq_ann" ->
-          s"""WITH cand(query_id, neighbor_id) AS (VALUES ${pairValues(cand)}),
-             |$reconCte,
-             |p AS (
-             |  SELECT q.query_id, CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
-             |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
-             |      / 10000 AS cos_sim
-             |  FROM cand c
-             |  JOIN q ON q.query_id = c.query_id
-             |  JOIN r ON r.neighbor_id = c.neighbor_id)
-             |$rankSql""".stripMargin)
+        if (cand.isEmpty || rCodes.isEmpty) Map.empty[String, String]
+        else {
+          val rcValues = rCodes.map { r =>
+            s"(${r.getLong(0)},[${r.getSeq[Int](1).mkString(",")}])"
+          }.mkString(",")
+          val centValues = rCents.zipWithIndex.map { case (c, cell) =>
+            s"($cell,[${c.mkString(",")}])"
+          }.mkString(",")
+          val rBookValues = rBooks.zipWithIndex.flatMap { case (book, s) =>
+            book.zipWithIndex.map { case (c, j) =>
+              s"($s,$j,[${c.mkString(",")}])"
+            }
+          }.mkString(",")
+          Map("q_embed_ivfpq_ann" ->
+            s"""WITH cand(query_id, neighbor_id) AS (VALUES ${pairValues(cand)}),
+               |rc(vec_id, c) AS (VALUES $rcValues),
+               |cents(cell, cv) AS (VALUES $centValues),
+               |rbooks(s, j, v) AS (VALUES $rBookValues),
+               |x AS (
+               |  SELECT vec_id, g.i - 2 AS s, c[g.i] AS j
+               |  FROM rc, UNNEST(generate_series(2, len(c))) AS g(i)),
+               |fine AS (
+               |  SELECT x.vec_id, flatten(list(b.v ORDER BY x.s)) AS f
+               |  FROM x JOIN rbooks b ON b.s = x.s AND b.j = x.j
+               |  GROUP BY x.vec_id),
+               |r AS (
+               |  SELECT rc.vec_id AS neighbor_id,
+               |    list_transform(generate_series(1, len(f.f)),
+               |      i -> ct.cv[i] + f.f[i]) AS recon
+               |  FROM rc
+               |  JOIN fine f ON f.vec_id = rc.vec_id
+               |  JOIN cents ct ON ct.cell = rc.c[1]),
+               |q AS (
+               |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+               |  FROM embeddings WHERE vec_id < 10),
+               |p AS (
+               |  SELECT q.query_id, CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
+               |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
+               |      / 10000 AS cos_sim
+               |  FROM cand c
+               |  JOIN q ON q.query_id = c.query_id
+               |  JOIN r ON r.neighbor_id = c.neighbor_id)
+               |$rankSql""".stripMargin)
+        }
       pq ++ ivfpq
     }
   }

@@ -228,25 +228,30 @@ object Similarity {
   // ---- IVF-PQ (coarse cells + compressed re-rank) --------------------
 
   /** Probed (query, corpus-cell) pair frame where the corpus side
-    * carries its PQ RECONSTRUCTION instead of the raw vector — shared
-    * by `ivfPqTopK` and its oracle's candidate dump. */
+    * carries its RESIDUAL-PQ reconstruction (centroid + decoded
+    * residual — the FAISS IVF-PQ coding) instead of the raw vector —
+    * shared by `ivfPqTopK` and its oracle's candidate dump. Cells are
+    * DENSE ARRAY INDICES of the trained centroid list (a Lloyd cell
+    * can die; the kernel and the probe side index the same array). */
   private def ivfPqJoined(queries: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String, nlist: Int,
                           nprobe: Int, iters: Int, m: Int, ksub: Int,
                           dim: Int, pqIters: Int): DataFrame = {
-    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, dim,
-      pqIters)
     val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val cents = trainCentroids(cvec, nlist, iters)
+    val cents = trainCentroids(cvec, nlist, iters).sortBy(_._1).map(_._2)
+    val books = trainResidualBooks(corpus, idCol, vecCol, cents, m, ksub,
+      dim, pqIters)
     // ONE projection over the corpus scan computes cell + codes +
     // reconstruction; at scale (cell, codes) are precomputed columns
     // and this scan reads ~33 bytes/vector instead of 256
-    val recon = pqReconCol(books, pqCellsCol(books, col("__v"), dim / m))
+    val rc = rpqEncodeCol(cents, books, col("__v"))
     val corpusCells = cvec
-      .select(col("__id").as("neighbor_id"), recon.as("__cv"),
-        cellOf(cents, col("__v")).as("cell"))
+      .select(col("__id").as("neighbor_id"), rc.as("__rc"))
+      .select(col("neighbor_id"),
+        element_at(col("__rc"), 1).as("cell"),
+        rpqDecodeCol(cents, books, col("__rc")).as("__cv"))
       .withColumn("__cn", VecFns.norm(col("__cv")))
-    val probeArr = array_sort(array(cents.map { case (cell, c) =>
+    val probeArr = array_sort(array(cents.zipWithIndex.map { case (c, cell) =>
       val n = math.sqrt(c.map(x => x * x).sum)
       val inv = if (n == 0.0) 0.0 else 1.0 / n
       struct((-VecFns.dot(col("__qv"), typedlit(c.toSeq)) * lit(inv)).as("negs"),
@@ -267,9 +272,12 @@ object Similarity {
     * runs: an IVF coarse quantizer bounds WHICH vectors each query
     * touches (nprobe/nlist of the corpus), and product quantization
     * bounds WHAT the scan reads per touched vector (codes, not
-    * floats). Ranking is asymmetric — full-precision query against
-    * the PQ reconstruction. Both trainings are deterministic, so the
-    * oracle re-derives the ranking from the embedded candidates +
+    * floats). Coding is RESIDUAL PQ (codes over x − centroid(x), the
+    * FAISS IVF-PQ scheme — spec-asserted to reconstruct closer than
+    * plain PQ at the same budget) and ranking is asymmetric —
+    * full-precision query against centroid + decoded residual. Both
+    * trainings are deterministic, so the oracle re-derives the
+    * ranking from the embedded candidates + cells + centroids +
     * codes + codebooks. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16,
@@ -525,6 +533,90 @@ object Similarity {
     val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, dim, iters)
     (corpus.select(col(idCol),
       pqCellsCol(books, col(vecCol), dim / m).as("codes")), books)
+  }
+
+  // ---- residual PQ (the IVF-PQ coding) -------------------------------
+
+  private[graft] def rpqEncodeCol(cents: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]],
+                           v: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ResidualPqEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), cents, books))
+
+  private[graft] def rpqDecodeCol(cents: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]],
+                           codes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ResidualPqDecode(
+        org.apache.spark.sql.GraftColumnBridge.expression(codes), cents,
+        books))
+
+  /** Deterministic residual-PQ codebooks: the same Lloyd scheme as
+    * [[trainPqCodebooks]] but over RESIDUALS x − centroid(x) against
+    * the given coarse quantizer — residuals carry far less energy, so
+    * the same code budget reconstructs with less error. Init seeds
+    * every subspace with the residuals of the same `ksub` hash-order
+    * corpus vectors; per-iteration means come from one posexplode
+    * aggregate (the residual value is rebuilt per exploded element
+    * with two literal-array lookups, no HOFs); means float-rounded so
+    * re-runs reproduce codes bit-identically. */
+  private[graft] def trainResidualBooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], m: Int, ksub: Int, dim: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim not divisible by m $m")
+    var books: Array[Array[Array[Double]]] = {
+      val rows = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
+        .limit(ksub).collect()
+      val residuals = rows.map { r =>
+        val x = toDoubles(r.get(1))
+        val cell = graft.plans.ResidualPqEncode.coarseCell(x, cents)
+        Array.tabulate(x.length)(i => x(i) - cents(cell)(i))
+      }
+      Array.tabulate(m)(s => residuals.map(_.slice(s * sub, (s + 1) * sub)))
+    }
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    for (_ <- 0 until iters) {
+      val rc = rpqEncodeCol(cents, books, col("__v"))
+      val means = corpus.select(col(vecCol).as("__v"))
+        .select(rc.as("__rc"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("s"),
+          // codes sit at positions 2.. (1-based); cell at position 1
+          element_at(col("__rc"), (col("pos") / sub).cast("int") + 2)
+            .as("code"),
+          pmod(col("pos"), lit(sub)).as("p"),
+          (col("x").cast("double") -
+            element_at(element_at(centsLit,
+              element_at(col("__rc"), 1) + 1), col("pos") + 1)).as("rx"))
+        .groupBy(col("s"), col("code"), col("p"))
+        .agg(avg(col("rx")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3).toFloat.toDouble
+      }
+      books = next
+    }
+    books
+  }
+
+  /** The (id, codes) table ([cell, code_0..code_{m-1}]) plus the
+    * coarse centroids and residual codebooks — everything the oracle
+    * needs to re-derive an IVF-PQ ranking independently. */
+  def residualPqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int = 16, iters: Int = 2, m: Int = 32,
+                      ksub: Int = 16, dim: Int = 64, pqIters: Int = 2)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cents = trainCentroids(cvec, nlist, iters).sortBy(_._1).map(_._2)
+    val books = trainResidualBooks(corpus, idCol, vecCol, cents, m, ksub,
+      dim, pqIters)
+    (corpus.select(col(idCol),
+      rpqEncodeCol(cents, books, col(vecCol)).as("codes")), cents, books)
   }
 
   // ---- semantic decontamination ------------------------------------

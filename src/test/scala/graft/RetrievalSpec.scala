@@ -57,6 +57,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("residual PQ reconstructs closer than plain PQ at the same budget") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    def meanCos(recon: org.apache.spark.sql.Column): Double =
+      e.select(graft.functions.VecFns.cosineFromParts(
+          graft.functions.VecFns.dot($"embedding", recon),
+          graft.functions.VecFns.norm($"embedding"),
+          graft.functions.VecFns.norm(recon)).as("c"))
+        .agg(avg($"c")).head().getDouble(0)
+    val (_, plainBooks) = Similarity.pqCodes(e, "vec_id", "embedding")
+    val plain = meanCos(Similarity.pqReconCol(plainBooks,
+      Similarity.pqCellsCol(plainBooks, $"embedding", 2)))
+    val (_, cents, rBooks) = Similarity.residualPqCodes(e, "vec_id",
+      "embedding")
+    val residual = meanCos(Similarity.rpqDecodeCol(cents, rBooks,
+      Similarity.rpqEncodeCol(cents, rBooks, $"embedding")))
+    assert(residual > plain,
+      f"residual $residual%.4f should beat plain $plain%.4f")
+  }
+
   test("ivfPqTopK: k per query, deterministic, candidates from probed cells") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val qs = e.where($"vec_id" < 10)
