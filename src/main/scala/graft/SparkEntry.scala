@@ -863,6 +863,16 @@ object SparkEntry {
         T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
         "text", "doc_id", "embedding", queryId = 0L, k = 10)),
 
+    "q_hybrid_batch" -> ((s, d) => {
+      // the batch shape: five query docs at once, query terms/vectors
+      // broadcast, one corpus token scan + one cosine projection
+      val docs = T(s, d, "documents")
+      Retrieval.moreLikeThisBatch(docs,
+        T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
+        docs.where(col("doc_id") < 5).select(col("doc_id")),
+        "text", "doc_id", "embedding", k = 10)
+    }),
+
     "q_semantic_decon" -> ((s, d) => {
       // embedding-space eval-leakage guard: benchmark = every 50th
       // vector; flag corpus vectors cosine-close to ANY benchmark one
@@ -2130,6 +2140,53 @@ object SparkEntry {
         |      FROM kwr k FULL JOIN vecr v USING (doc_id))
         |SELECT doc_id, kw_rank, vec_rank, rrf_score,
         |  CAST(row_number() OVER (
+        |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+        |FROM f QUALIFY rank <= 10""".stripMargin,
+
+    // batch hybrid: same contract per query_id; N/df over the FULL
+    // corpus (query docs are corpus members in the batch form)
+    "q_hybrid_batch" ->
+      """WITH qids AS (SELECT doc_id AS query_id FROM documents
+        |              WHERE doc_id < 5),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+        |    FROM documents)),
+        |qt AS (SELECT q.query_id, toks.t
+        |       FROM toks JOIN qids q ON toks.doc_id = q.query_id),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |rel AS (SELECT * FROM toks
+        |        WHERE t IN (SELECT DISTINCT t FROM qt)),
+        |dfq AS (SELECT t, count(*) AS df FROM rel GROUP BY t),
+        |kw AS (SELECT qt.query_id, rel.doc_id,
+        |         sum(nn.n - dfq.df) AS kw_score
+        |       FROM rel JOIN qt USING (t) JOIN dfq USING (t) CROSS JOIN nn
+        |       WHERE rel.doc_id <> qt.query_id
+        |       GROUP BY qt.query_id, rel.doc_id),
+        |kwr AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+        |          PARTITION BY query_id
+        |          ORDER BY kw_score DESC, doc_id ASC) AS INT) AS kw_rank
+        |        FROM kw QUALIFY kw_rank <= 50),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id < 5),
+        |vec AS (SELECT qv.query_id, e.vec_id AS doc_id,
+        |          floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |            qv.v) * 10000 + 0.5) / 10000 AS cos_sim
+        |        FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        |vecr AS (SELECT query_id, doc_id, CAST(row_number() OVER (
+        |           PARTITION BY query_id
+        |           ORDER BY cos_sim DESC, doc_id ASC) AS INT) AS vec_rank
+        |         FROM vec QUALIFY vec_rank <= 50),
+        |f AS (SELECT query_id, doc_id,
+        |        COALESCE(k.kw_rank, 0) AS kw_rank,
+        |        COALESCE(v.vec_rank, 0) AS vec_rank,
+        |        floor((COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), 0)
+        |          + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0))
+        |          * 1000000 + 0.5) / 1000000 AS rrf_score
+        |      FROM kwr k FULL JOIN vecr v USING (query_id, doc_id))
+        |SELECT query_id, doc_id, kw_rank, vec_rank, rrf_score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |FROM f QUALIFY rank <= 10""".stripMargin
   )

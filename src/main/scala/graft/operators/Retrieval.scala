@@ -28,6 +28,82 @@ object Retrieval {
   private def normToks(c: Column): Column =
     TextFns.tokens(TextFns.normalizeText(c))
 
+  /** [[moreLikeThis]] for a BATCH of query docs — the shape that
+    * scales to thousands of concurrent queries, where shipping each
+    * query's terms as literals (the single-query trick) stops
+    * working. The query set is still small relative to the corpus,
+    * so its term table and vectors BROADCAST; the corpus-side work
+    * stays one token scan + one cosine projection regardless of
+    * |queries|:
+    *  - keyword: corpus (doc, term) rows are semi-joined map-side to
+    *    the broadcast query-term vocabulary (only matching slivers
+    *    survive), fanned out per interested query by a broadcast
+    *    join, and aggregated on (query, doc) — ONE shuffle keyed by
+    *    the output;
+    *  - rarity weights: N = |docs| and df over the full corpus (query
+    *    docs are corpus members here, unlike the single-query
+    *    variant which excises its query doc);
+    *  - vector: broadcast query vectors × corpus scan (shuffle-free
+    *    cosine), then per-query rank windows — all windows are
+    *    PARTITIONED by query_id, so no single-task sort anywhere;
+    *  - fusion: identical integer-exact scores, rounded cosines, and
+    *    fixed two-term RRF as the single-query form.
+    * Returns (query_id, idCol, kw_rank, vec_rank, rrf_score, rank),
+    * top `k` per query; rank 0 = outside that modality's pool. */
+  def moreLikeThisBatch(docs: DataFrame, embeds: DataFrame,
+                        queryIds: DataFrame, textCol: String,
+                        idCol: String, vecCol: String, k: Int = 10,
+                        pool: Int = 50, rrfK: Int = 60): DataFrame = {
+    val n = docs.count()
+    val corpusToks = docs.select(col(idCol),
+      explode(array_distinct(normToks(col(textCol)))).as("t"))
+    val qToks = corpusToks.join(queryIds.select(col(idCol)), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("query_id"), col("t"))
+    // corpus rows whose term interests ANY query — map-side semi join
+    // against the broadcast query vocabulary
+    val rel = corpusToks.join(
+      broadcast(qToks.select(col("t")).distinct()), Seq("t"), "left_semi")
+    val dfByTerm = rel.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val kw = rel
+      .join(broadcast(qToks), Seq("t"))
+      .where(col(idCol) =!= col("query_id"))
+      .join(broadcast(dfByTerm), Seq("t"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(lit(n) - col("df")).as("kw_score"))
+    val kwW = Window.partitionBy(col("query_id"))
+      .orderBy(col("kw_score").desc, col(idCol).asc)
+    val kwRank = kw
+      .withColumn("kw_rank", row_number().over(kwW))
+      .where(col("kw_rank") <= pool)
+      .select(col("query_id"), col(idCol), col("kw_rank"))
+
+    val qEmb = embeds.join(queryIds.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    val vecW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val vecRank = Similarity.cosinePairs(qEmb, embeds, idCol, vecCol)
+      .withColumn("cos_sim", CleanFns.roundRepro(col("cos_sim"), 4))
+      .withColumn("vec_rank", row_number().over(vecW))
+      .where(col("vec_rank") <= pool)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("vec_rank"))
+
+    val rrf =
+      coalesce(lit(1.0) / (lit(rrfK) + col("kw_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))
+    val fusedW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    kwRank.join(vecRank, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf_score", CleanFns.roundRepro(rrf, 6))
+      .withColumn("rank", row_number().over(fusedW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        coalesce(col("kw_rank"), lit(0)).as("kw_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        col("rrf_score"), col("rank"))
+  }
+
   /** Top-k docs most similar to `queryId`, by RRF over a keyword
     * ranking and an embedding-cosine ranking (each truncated to
     * `pool` candidates; a doc missing from one modality's pool

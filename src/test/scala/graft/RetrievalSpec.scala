@@ -57,6 +57,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("moreLikeThisBatch: per-query twins rank first; k rows per query") {
+    val docsP = Seq(
+      (1L, "quasar nebula pulsar magnetar blazar"),
+      (2L, "quasar nebula pulsar magnetar blazar"),
+      (3L, "kelvin joule pascal newton tesla"),
+      (4L, "kelvin joule pascal newton tesla"),
+      (5L, "entirely unrelated vocabulary set here")).toDF("doc_id", "text")
+    val va = Seq(0.9, 0.1, -0.3, 0.5)
+    val vb = Seq(-0.2, 0.8, 0.4, -0.6)
+    val embP = Seq(
+      (1L, va), (2L, va), (3L, vb), (4L, vb),
+      (5L, Seq(0.3, -0.7, 0.1, 0.6))).toDF("doc_id", "embedding")
+    val qids = Seq(Tuple1(1L), Tuple1(3L)).toDF("doc_id")
+    val out = Retrieval.moreLikeThisBatch(docsP, embP, qids, "text",
+      "doc_id", "embedding", k = 3)
+    val tops = out.where($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("doc_id")).toMap
+    assert(tops == Map(1L -> 2L, 3L -> 4L))
+    // each query gets exactly k fused rows with dense ranks
+    val perQ = out.groupBy($"query_id").count().collect()
+      .map(r => r.getAs[Long](0) -> r.getLong(1)).toMap
+    assert(perQ == Map(1L -> 3L, 3L -> 3L))
+    // determinism
+    val again = Retrieval.moreLikeThisBatch(docsP, embP, qids, "text",
+      "doc_id", "embedding", k = 3)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("residual PQ reconstructs closer than plain PQ at the same budget") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     def meanCos(recon: org.apache.spark.sql.Column): Double =
