@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, regexp_replace}
 
 /** Sink layer: lakehouse-style table maintenance over native parquet.
   *
@@ -212,6 +213,63 @@ object LakeWriter {
         snapshotFiles(spark, table, prev.last)
       else Seq.empty
     writeManifest(spark, fs, table, version, mode, df, carried ++ newFiles)
+    version
+  }
+
+  /** MERGE (upsert by key) into a snapshot table — the Delta-style
+    * copy-on-write: every current row whose key appears in `updates`
+    * is replaced, every other row survives, and `updates` rows with
+    * unseen keys insert. The data rewrite is FILE-PRUNED: only files
+    * that actually CONTAIN a matched key are rewritten (their
+    * unmatched rows re-land alongside the updates); every untouched
+    * file is carried into the new manifest by reference, exactly like
+    * an append. A daily upsert touching one day's files rewrites one
+    * day, not the table.
+    *
+    * Matched-file detection joins only the key columns of each side
+    * (plus the input file name), so the probe shuffles key slivers,
+    * never payload. Rows in `updates` land verbatim — callers owning
+    * a one-row-per-key contract dedupe before merging, as they would
+    * for MERGE INTO. Returns the committed version. */
+  def mergeSnapshot(updates: DataFrame, table: String,
+                    keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "mergeSnapshot needs at least one key column")
+    val spark = updates.sparkSession
+    val prev = snapshotVersions(spark, table)
+    if (prev.isEmpty) return commitSnapshot(updates, table, "overwrite")
+    val files = snapshotFiles(spark, table, prev.last)
+    if (files.isEmpty) return commitSnapshot(updates, table, "overwrite")
+    // normalize scheme differences (file:///p vs file:/p vs /p) so
+    // input_file_name() output matches manifest strings
+    def norm(p: String): String = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    val cols = readSnapshot(spark, table).columns.toSeq
+    val keyExprs = keyCols.map(col)
+    val touched = spark.read.parquet(files: _*)
+      .select(keyExprs :+
+        regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")
+          .as("__file"): _*)
+      .join(updates.select(keyExprs: _*).distinct(), keyCols)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = files.partition(f => touched(norm(f)))
+    val survivors =
+      if (rewrite.isEmpty) None
+      else Some(spark.read.parquet(rewrite: _*)
+        .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti"))
+    val newData = survivors
+      .map(_.select(cols.map(col): _*)
+        .unionByName(updates.select(cols.map(col): _*)))
+      .getOrElse(updates.select(cols.map(col): _*))
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = prev.last + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    newData.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = fs.listStatus(dataDir).toSeq
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    writeManifest(spark, fs, table, version, "merge", newData,
+      carry ++ newFiles)
     version
   }
 

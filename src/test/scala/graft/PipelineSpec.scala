@@ -48,6 +48,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(v1.count() == v2.count() && v1.except(v2).isEmpty)
   }
 
+  test("mergeSnapshot rewrites only touched files, carries the rest") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_merge").toString +
+      "/tbl"
+    // v1: keys 1-10; v2 (append): keys 11-20 — disjoint file sets
+    LakeWriter.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, s"val$i")).toDF("k", "v"), t,
+      "overwrite")
+    LakeWriter.commitSnapshot(
+      (11 to 20).map(i => (i.toLong, s"val$i")).toDF("k", "v"), t,
+      "append")
+    val before = LakeWriter.snapshotFiles(spark, t, 2L)
+    // merge: update key 5 (lives in a v1 file), insert key 100
+    val v3 = LakeWriter.mergeSnapshot(
+      Seq((5L, "updated"), (100L, "brand-new")).toDF("k", "v"), t,
+      Seq("k"))
+    assert(v3 == 3L)
+    val now = LakeWriter.readSnapshot(spark, t)
+    assert(now.count() == 21)
+    assert(now.where($"k" === 5L).head().getString(1) == "updated")
+    assert(now.where($"k" === 100L).head().getString(1) == "brand-new")
+    assert(now.where($"k" === 7L).head().getString(1) == "val7")
+    assert(now.select($"k").distinct().count() == 21) // keys stay unique
+    // file-level pruning: every untouched v2 file is carried BY
+    // REFERENCE; the v1 file holding key 5 was rewritten
+    val after = LakeWriter.snapshotFiles(spark, t, 3L).toSet
+    val v2Files = before.filter(_.contains("/data/v2-"))
+    assert(v2Files.nonEmpty && v2Files.forall(after))
+    assert(before.filter(_.contains("/data/v1-")).exists(f => !after(f)))
+    // time travel: the pre-merge snapshot is untouched
+    assert(LakeWriter.readSnapshot(spark, t, Some(2L))
+      .where($"k" === 5L).head().getString(1) == "val5")
+    // merging into a fresh table degenerates to a plain overwrite
+    val t2 = java.nio.file.Files.createTempDirectory("graft_merge2")
+      .toString + "/tbl"
+    assert(LakeWriter.mergeSnapshot(
+      Seq((1L, "a")).toDF("k", "v"), t2, Seq("k")) == 1L)
+    assert(LakeWriter.readSnapshot(spark, t2).count() == 1)
+  }
+
   test("Views serves ad-hoc SQL over the raw zone") {
     val top = Views.sql(spark, TestSpark.sfDir,
       "SELECT o_orderpriority, count(*) n FROM orders GROUP BY 1")
