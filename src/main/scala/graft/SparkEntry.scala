@@ -863,6 +863,42 @@ object SparkEntry {
         T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
         "text", "doc_id", "embedding", queryId = 0L, k = 10)),
 
+    "q_funnel" -> ((s, d) => {
+      // ordered view -> click -> purchase funnel over events: stage k
+      // counts only strictly after stage k-1 was reached; one shuffle
+      // + one sort for the whole funnel, then per-stage user counts
+      val per = Analytics.funnel(T(s, d, "events"), "user_id",
+        "event_type", Seq("view", "click", "purchase"),
+        Seq(col("ts"), col("event_id")))
+      val agg = per.agg(
+        sum(col("reached_1")).as("u1"),
+        sum(col("reached_2")).as("u2"),
+        sum(col("reached_3")).as("u3")).head()
+      val (u1, u2, u3) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      import s.implicits._
+      Seq((1, "view", u1), (2, "click", u2), (3, "purchase", u3))
+        .toDF("stage", "stage_name", "users")
+        .withColumn("pct_of_top", CleanFns.roundRepro(
+          col("users") / lit(math.max(u1, 1L)).cast("double"), 4))
+    }),
+
+    "q_gap_fill" -> ((s, d) => {
+      // daily avg order price per nation, holidays/quiet days filled
+      // LOCF — the reference's stock-series semantics (a missing day
+      // reads as the last known price, flagged is_filled)
+      val base = T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(CleanFns.roundRepro(avg(col("o_totalprice")), 2)
+          .as("avg_price"))
+      Analytics.gapFillDaily(base, "nation", "day")
+        .select(col("nation"), col("day"), col("avg_price"),
+          col("is_filled"))
+    }),
+
     "q_hybrid_batch" -> ((s, d) => {
       // the batch shape: five query docs at once, query terms/vectors
       // broadcast, one corpus token scan + one cosine projection
@@ -2142,6 +2178,71 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |FROM f QUALIFY rank <= 10""".stripMargin,
+
+    // ordered funnel: the same chained running-max windows, re-derived
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS r1
+        |  FROM e),
+        |h2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND COALESCE(
+        |      max(r1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    THEN 1 ELSE 0 END AS h2
+        |  FROM w1),
+        |w2 AS (
+        |  SELECT *, max(h2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS r2
+        |  FROM h2),
+        |h3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND COALESCE(
+        |      max(r2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    THEN 1 ELSE 0 END AS h3
+        |  FROM w2),
+        |w3 AS (
+        |  SELECT *, max(h3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS r3
+        |  FROM h3),
+        |u AS (
+        |  SELECT user_id, max(r1) AS s1, max(r2) AS s2, max(r3) AS s3
+        |  FROM w3 GROUP BY user_id),
+        |t AS (SELECT CAST(sum(s1) AS BIGINT) AS u1,
+        |        CAST(sum(s2) AS BIGINT) AS u2,
+        |        CAST(sum(s3) AS BIGINT) AS u3 FROM u)
+        |SELECT 1 AS stage, 'view' AS stage_name, u1 AS users,
+        |  floor(u1 / CAST(greatest(u1, 1) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS pct_of_top FROM t
+        |UNION ALL
+        |SELECT 2, 'click', u2,
+        |  floor(u2 / CAST(greatest(u1, 1) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 FROM t
+        |UNION ALL
+        |SELECT 3, 'purchase', u3,
+        |  floor(u3 / CAST(greatest(u1, 1) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 FROM t""".stripMargin,
+
+    // gap fill: lead per nation, per-row generate_series over the gap
+    "q_gap_fill" ->
+      """WITH base AS (
+        |  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
+        |    floor(avg(o.o_totalprice) * 100 + 0.5) / 100 AS avg_price
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT *, lead(day) OVER (PARTITION BY nation ORDER BY day) AS nxt
+        |  FROM base)
+        |SELECT nation, CAST(g.d AS DATE) AS day, avg_price,
+        |  CAST(CASE WHEN CAST(g.d AS DATE) <> n.day THEN 1 ELSE 0 END AS INT)
+        |    AS is_filled
+        |FROM n, UNNEST(generate_series(CAST(day AS TIMESTAMP),
+        |  CAST(COALESCE(nxt - INTERVAL 1 DAY, day) AS TIMESTAMP),
+        |  INTERVAL 1 DAY)) AS g(d)""".stripMargin,
 
     // batch hybrid: same contract per query_id; N/df over the FULL
     // corpus (query docs are corpus members in the batch form)

@@ -173,6 +173,64 @@ object Analytics {
     df.where(keep)
   }
 
+  /** ORDERED FUNNEL analysis: per entity, how deep into the stage
+    * sequence s₁ → s₂ → … → sₙ it progressed, where stage k counts
+    * only if it happens STRICTLY AFTER stage k−1 was first reached
+    * (the product-analytics funnel; out-of-order events don't count).
+    *
+    * One pass: stage flags are CHAINED RUNNING-MAX windows over the
+    * same (entity, order) window — hit_k = event is s_k AND the
+    * running max of r_{k−1} over STRICTLY PRECEDING rows is 1;
+    * r_k = running max of hit_k. All n windows share one partitioning
+    * and sort, so the whole funnel costs ONE shuffle + ONE sort
+    * regardless of stage count, then a per-entity aggregate. Returns
+    * (entityCol, reached_1 … reached_n) — one row per entity.
+    * `orderCols` must be a TOTAL order (add a unique id after the
+    * timestamp) or ties make the strictly-before test nondeterministic. */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+             stages: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
+    val running = w.rowsBetween(Window.unboundedPreceding, 0)
+    val strictlyBefore = w.rowsBetween(Window.unboundedPreceding, -1)
+    var df = events.withColumn("__r1",
+      max(when(col(typeCol) === stages.head, 1).otherwise(0))
+        .over(running))
+    for (k <- 2 to stages.length) {
+      val hit = when(col(typeCol) === stages(k - 1) &&
+        coalesce(max(col(s"__r${k - 1}")).over(strictlyBefore),
+          lit(0)) === 1, 1).otherwise(0)
+      df = df.withColumn(s"__r$k", max(hit).over(running))
+    }
+    df.groupBy(col(entityCol))
+      .agg(max(col("__r1")).as("reached_1"),
+        (2 to stages.length).map(k =>
+          max(col(s"__r$k")).as(s"reached_$k")): _*)
+  }
+
+  /** Calendar GAP-FILL with last-observation-carried-forward — the
+    * stock-market-holiday semantics of the reference's price series
+    * (a missing day reads as the last known state, flagged). The
+    * scalable formulation generates fill rows from each observation
+    * itself: one window (lead of the next observed date per key) and
+    * a map-side `sequence` explode — NO calendar build, NO
+    * calendar×series join, one shuffle total. Each row emits its own
+    * date plus every gap date before the next observation, values
+    * carried verbatim, `is_filled` marking synthesized rows.
+    * Dates must be unique per key (aggregate first — that total order
+    * is also what makes the fill deterministic). */
+  def gapFillDaily(df: DataFrame, keyCol: String,
+                   dateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    df.withColumn("__next", lead(col(dateCol), 1).over(w))
+      .withColumn("__fill", explode(sequence(col(dateCol),
+        coalesce(date_sub(col("__next"), 1), col(dateCol)))))
+      .withColumn("is_filled",
+        (col("__fill") =!= col(dateCol)).cast("int"))
+      .drop(dateCol, "__next")
+      .withColumnRenamed("__fill", dateCol)
+  }
+
   /** Trailing N-day window aggregate (RANGE frame over epoch days) —
     * the delta_in_week/month-style trailing measures of the reference,
     * computed scalably: one shuffle on the entity key, peers included

@@ -125,6 +125,55 @@ class CoreOpsSpec extends AnyFunSuite {
       .getAs[Long]("n_events") == 2)
   }
 
+  test("Analytics.funnel counts stages only in order") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // user 2: purchase BEFORE click — depth stops at click
+      (2L, 1L, "view"), (2L, 2L, "purchase"), (2L, 3L, "click"),
+      // user 3: click without any view — depth 0
+      (3L, 1L, "click"), (3L, 2L, "purchase"),
+      // user 4: view only
+      (4L, 9L, "view"))
+      .toDF("user_id", "seq", "event_type")
+    val out = Analytics.funnel(ev, "user_id", "event_type",
+      Seq("view", "click", "purchase"), Seq($"seq"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ((1, 1, 1)))
+    assert(out(2L) == ((1, 1, 0))) // out-of-order purchase ignored
+    assert(out(3L) == ((0, 0, 0)))
+    assert(out(4L) == ((1, 0, 0)))
+    // same-row strictness: click at the same instant as the first
+    // view does NOT count (strictly-after contract via total order)
+    val tie = Seq((9L, 1L, "view"), (9L, 2L, "click")).toDF(
+      "user_id", "seq", "event_type")
+    val t = Analytics.funnel(tie, "user_id", "event_type",
+      Seq("view", "click"), Seq($"seq")).head()
+    assert(t.getInt(1) == 1 && t.getInt(2) == 1)
+  }
+
+  test("Analytics.gapFillDaily carries the last observation over gaps") {
+    import java.sql.Date
+    val df = Seq(
+      ("a", Date.valueOf("2024-01-01"), 10.0),
+      ("a", Date.valueOf("2024-01-04"), 40.0), // 2-day gap before this
+      ("a", Date.valueOf("2024-01-05"), 50.0), // adjacent: no fill
+      ("b", Date.valueOf("2024-03-01"), 7.0))  // singleton key
+      .toDF("k", "day", "price")
+    val out = Analytics.gapFillDaily(df, "k", "day")
+      .orderBy($"k", $"day").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Date]("day").toString,
+        r.getAs[Double]("price"), r.getAs[Int]("is_filled")))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 10.0, 0),
+      ("a", "2024-01-02", 10.0, 1), // carried
+      ("a", "2024-01-03", 10.0, 1), // carried
+      ("a", "2024-01-04", 40.0, 0),
+      ("a", "2024-01-05", 50.0, 0),
+      ("b", "2024-03-01", 7.0, 0)))
+  }
+
   test("Analytics.latestPerKey and topKPerGroup are deterministic") {
     val df = Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c"))
       .toDF("k", "v", "tag")
