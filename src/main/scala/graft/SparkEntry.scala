@@ -863,6 +863,22 @@ object SparkEntry {
         T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
         "text", "doc_id", "embedding", queryId = 0L, k = 10)),
 
+    "q_anomaly" -> ((s, d) => {
+      // daily revenue per nation in EXACT CENTS (integer sums are
+      // order-free, so the windowed baseline is engine-portable),
+      // z-scored against the trailing 30 days excluding the day itself
+      val base = T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      Analytics.anomalyZScore(base, "nation", "day", "cents",
+        days = 30, zCut = 3.0)
+    }),
+
     "q_funnel" -> ((s, d) => {
       // ordered view -> click -> purchase funnel over events: stage k
       // counts only strictly after stage k-1 was reached; one shuffle
@@ -2178,6 +2194,35 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |FROM f QUALIFY rank <= 10""".stripMargin,
+
+    // anomaly: identical integer sums -> identical doubles -> same z
+    "q_anomaly" ->
+      """WITH base AS (
+        |  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    count(cents) OVER tw AS n,
+        |    CAST(sum(cents) OVER tw AS DOUBLE) AS s1,
+        |    CAST(sum(cents * cents) OVER tw AS DOUBLE) AS s2
+        |  FROM (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS ep
+        |        FROM base)
+        |  WINDOW tw AS (PARTITION BY nation ORDER BY ep
+        |                RANGE BETWEEN 29 PRECEDING AND 1 PRECEDING))
+        |SELECT nation, day, cents,
+        |  CASE WHEN n >= 10 AND sqrt((s2 - s1 * s1 / n) / (n - 1)) > 0
+        |    THEN floor((cents - s1 / n)
+        |      / sqrt((s2 - s1 * s1 / n) / (n - 1)) * 10000 + 0.5) / 10000
+        |  END AS z,
+        |  CAST(CASE WHEN n >= 10 AND sqrt((s2 - s1 * s1 / n) / (n - 1)) > 0
+        |         AND abs(floor((cents - s1 / n)
+        |           / sqrt((s2 - s1 * s1 / n) / (n - 1)) * 10000 + 0.5)
+        |           / 10000) >= 3.0
+        |    THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM w""".stripMargin,
 
     // ordered funnel: the same chained running-max windows, re-derived
     "q_funnel" ->

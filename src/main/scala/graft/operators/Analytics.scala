@@ -173,6 +173,42 @@ object Analytics {
     df.where(keep)
   }
 
+  /** Trailing z-score ANOMALY detection over a per-key daily series —
+    * flag days whose value sits `zCut` standard deviations from the
+    * trailing `days`-day baseline (current day EXCLUDED from its own
+    * baseline, as an anomaly would mask itself).
+    *
+    * Engine-portable by construction: `valueCol` must be an INTEGER
+    * column (price in cents, counts) so the windowed sums are exact
+    * and order-free — mean/std/z then derive from identical integers
+    * through one fixed expression, bit-identical in any engine. The
+    * three window aggregates (n, Σx, Σx²) share one RANGE frame over
+    * epoch days: one shuffle, one sort. Days with fewer than
+    * `minBaseline` trailing observations emit z = null, flagged 0. */
+  def anomalyZScore(df: DataFrame, keyCol: String, dateCol: String,
+                    valueCol: String, days: Int = 30, zCut: Double = 3.0,
+                    minBaseline: Int = 10): DataFrame = {
+    val epoch = datediff(col(dateCol), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy(col(keyCol)).orderBy("__epoch")
+      .rangeBetween(-(days.toLong - 1), -1)
+    val x = col(valueCol).cast("double")
+    val base = df.withColumn("__epoch", epoch)
+      .withColumn("__n", count(col(valueCol)).over(w))
+      .withColumn("__s1", sum(col(valueCol)).over(w).cast("double"))
+      .withColumn("__s2",
+        sum(col(valueCol) * col(valueCol)).over(w).cast("double"))
+    val mean = col("__s1") / col("__n")
+    val variance = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+      (col("__n") - 1)
+    val std = sqrt(variance)
+    base
+      .withColumn("z", when(col("__n") >= minBaseline && std > 0,
+        CleanFns.roundRepro((x - mean) / std, 4)))
+      .withColumn("is_anomaly",
+        coalesce((abs(col("z")) >= zCut).cast("int"), lit(0)))
+      .drop("__epoch", "__n", "__s1", "__s2")
+  }
+
   /** ORDERED FUNNEL analysis: per entity, how deep into the stage
     * sequence s₁ → s₂ → … → sₙ it progressed, where stage k counts
     * only if it happens STRICTLY AFTER stage k−1 was first reached

@@ -125,6 +125,30 @@ class CoreOpsSpec extends AnyFunSuite {
       .getAs[Long]("n_events") == 2)
   }
 
+  test("Analytics.anomalyZScore flags a planted spike, warms up with nulls") {
+    import java.sql.Date
+    val rows = (1 to 20).map { i =>
+      val v = if (i == 18) 10000L else if (i % 2 == 0) 102L else 98L
+      ("a", Date.valueOf(f"2024-01-$i%02d"), v)
+    }
+    val df = rows.toDF("k", "day", "cents")
+    val out = Analytics.anomalyZScore(df, "k", "day", "cents",
+      days = 30, zCut = 3.0, minBaseline = 10)
+      .collect().map(r => r.getAs[Date]("day").toString ->
+        (Option(r.getAs[java.lang.Double]("z")),
+          r.getAs[Int]("is_anomaly"))).toMap
+    // warmup: first 10 days have < minBaseline trailing observations
+    assert(out("2024-01-05")._1.isEmpty && out("2024-01-05")._2 == 0)
+    // the spike day is flagged against its trailing baseline
+    assert(out("2024-01-18")._2 == 1)
+    assert(out("2024-01-18")._1.exists(_ > 100))
+    // normal days after warmup are scored but not flagged
+    assert(out("2024-01-15")._1.isDefined && out("2024-01-15")._2 == 0)
+    // the day AFTER the spike is judged against a baseline that now
+    // contains the spike — still not flagged (std exploded)
+    assert(out("2024-01-19")._2 == 0)
+  }
+
   test("Analytics.funnel counts stages only in order") {
     val ev = Seq(
       // user 1: full ordered funnel
