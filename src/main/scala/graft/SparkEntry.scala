@@ -863,6 +863,11 @@ object SparkEntry {
         T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
         "text", "doc_id", "embedding", queryId = 0L, k = 10)),
 
+    "q_cohort" -> ((s, d) =>
+      // the retention triangle: users bucketed by first-seen week,
+      // per-(cohort, offset) active counts + share of cohort
+      Analytics.cohortRetention(T(s, d, "events"), "user_id", "ts")),
+
     "q_anomaly" -> ((s, d) => {
       // daily revenue per nation in EXACT CENTS (integer sums are
       // order-free, so the windowed baseline is engine-portable),
@@ -2194,6 +2199,31 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
         |FROM f QUALIFY rank <= 10""".stripMargin,
+
+    // cohort retention: weeks truncate to Monday in both engines
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |fs AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM e GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS act_week
+        |  FROM e),
+        |counts AS (
+        |  SELECT fs.cohort_week,
+        |    CAST((act.act_week - fs.cohort_week) / 7 AS INT) AS week_offset,
+        |    count(DISTINCT act.user_id) AS users
+        |  FROM act JOIN fs USING (user_id)
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, users AS cohort_size FROM counts
+        |       WHERE week_offset = 0)
+        |SELECT c.cohort_week, c.week_offset, c.users,
+        |  floor(c.users / CAST(s.cohort_size AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS retention_pct
+        |FROM counts c JOIN sz s USING (cohort_week)""".stripMargin,
 
     // anomaly: identical integer sums -> identical doubles -> same z
     "q_anomaly" ->

@@ -173,6 +173,38 @@ object Analytics {
     df.where(keep)
   }
 
+  /** COHORT RETENTION over an event stream: users grouped by the week
+    * they first appeared, then for each (cohort, week-offset) the
+    * count of cohort members active that week and the share of the
+    * cohort they represent — the product-analytics retention triangle.
+    *
+    * Scale shape: first-seen is one user-keyed aggregate; weekly
+    * activity is a distinct over (user, week) — both partial-aggregate
+    * map-side, and the join back is user-keyed (the same partitioning
+    * Spark reuses). Counts are integers and the only float (the
+    * retention share) is a single rounded division — engine-portable.
+    * Weeks truncate to Monday (`date_trunc('week')`) in both Spark
+    * and DuckDB. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val week = (c: Column) => to_date(date_trunc("week", c))
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(week(min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), week(col(tsCol)).as("act_week")).distinct()
+    val counts = active.join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+    val size = counts.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("users").as("__cohort_size"))
+    counts.join(broadcast(size), Seq("cohort_week"))
+      .withColumn("retention_pct", CleanFns.roundRepro(
+        col("users") / col("__cohort_size").cast("double"), 4))
+      .drop("__cohort_size")
+  }
+
   /** Trailing z-score ANOMALY detection over a per-key daily series —
     * flag days whose value sits `zCut` standard deviations from the
     * trailing `days`-day baseline (current day EXCLUDED from its own

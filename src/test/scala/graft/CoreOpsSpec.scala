@@ -125,6 +125,29 @@ class CoreOpsSpec extends AnyFunSuite {
       .getAs[Long]("n_events") == 2)
   }
 
+  test("Analytics.cohortRetention builds the retention triangle") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // cohort of Mon 2024-01-01: users 1,2; user 1 returns in week 1,
+    // nobody in week 2, user 2 returns in week 2.
+    // cohort of Mon 2024-01-08: user 3 only, never returns.
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00")), (2L, t("2024-01-03 11:00:00")),
+      (1L, t("2024-01-09 09:00:00")),
+      (2L, t("2024-01-16 08:00:00")),
+      (3L, t("2024-01-10 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("week_offset")) ->
+        (r.getAs[Long]("users"), r.getAs[Double]("retention_pct"))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 1.0)))
+    assert(out(("2024-01-01", 1)) == ((1L, 0.5)))
+    assert(out(("2024-01-01", 2)) == ((1L, 0.5)))
+    assert(out(("2024-01-08", 0)) == ((1L, 1.0)))
+    assert(!out.contains(("2024-01-08", 1)))
+  }
+
   test("Analytics.anomalyZScore flags a planted spike, warms up with nulls") {
     import java.sql.Date
     val rows = (1 to 20).map { i =>
