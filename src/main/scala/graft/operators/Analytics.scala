@@ -197,9 +197,14 @@ object Analytics {
         (datediff(col("act_week"), col("cohort_week")) / 7)
           .cast("int").as("week_offset"))
       .agg(countDistinct(col(userCol)).as("users"))
-    val size = counts.where(col("week_offset") === 0)
-      .select(col("cohort_week"), col("users").as("__cohort_size"))
-    counts.join(broadcast(size), Seq("cohort_week"))
+    // cohort size via a window over the counts frame — joining a
+    // filtered copy of `counts` back to itself would recompute the
+    // whole aggregate subtree twice; the offset-0 row always exists
+    // (a cohort's first week contains its members' first events)
+    val sizeW = Window.partitionBy(col("cohort_week"))
+    counts
+      .withColumn("__cohort_size",
+        max(when(col("week_offset") === 0, col("users"))).over(sizeW))
       .withColumn("retention_pct", CleanFns.roundRepro(
         col("users") / col("__cohort_size").cast("double"), 4))
       .drop("__cohort_size")
