@@ -27,17 +27,23 @@ object SparkEntry {
     * snapshot append) runs on the documents table, and the curated
     * corpus is served back joined to its quality audit. The original
     * warehouse flagship remains `queries("q_join_star")`. */
+  /** Recursive temp-dir wipe shared by the self-staging queries —
+    * closes each directory stream (Files.list holds the handle open). */
+  private def wipeDir(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList.foreach(wipeDir)
+      } finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p): Unit
+  }
+
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Paths.get("/tmp", "graft_entry_curation")
-    def wipe(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
-      }
-      java.nio.file.Files.deleteIfExists(p): Unit
-    }
-    wipe(tmp)
+    wipeDir(tmp)
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val res = graft.pipeline.CurationPipeline.run(spark, docs, tmp.toString)
@@ -605,14 +611,7 @@ object SparkEntry {
       // instead of leaking a history+checkpoint copy per call
       val tmp = java.nio.file.Paths.get("/tmp",
         "graft_bloom_dedup_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      def wipe(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
-        }
-        java.nio.file.Files.deleteIfExists(p): Unit
-      }
-      wipe(tmp)
+      wipeDir(tmp)
       java.nio.file.Files.createDirectories(tmp)
       val q = Speed.streamingHistoryDedup(
         Speed.eventStreamSentineled(s, d)
@@ -752,14 +751,7 @@ object SparkEntry {
       // history. Fixed per-sfdir staging table, wiped per run.
       val tmp = java.nio.file.Paths.get("/tmp",
         "graft_corpus_delta_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      def wipe(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
-        }
-        java.nio.file.Files.deleteIfExists(p): Unit
-      }
-      wipe(tmp)
+      wipeDir(tmp)
       val table = tmp.toString
       val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
       import graft.sources.LakeWriter
@@ -895,7 +887,9 @@ object SparkEntry {
         sum(col("reached_1")).as("u1"),
         sum(col("reached_2")).as("u2"),
         sum(col("reached_3")).as("u3")).head()
-      val (u1, u2, u3) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      // empty input sums to NULL, which must read as a zero-user funnel
+      def at(i: Int): Long = if (agg.isNullAt(i)) 0L else agg.getLong(i)
+      val (u1, u2, u3) = (at(0), at(1), at(2))
       import s.implicits._
       Seq((1, "view", u1), (2, "click", u2), (3, "purchase", u3))
         .toDF("stage", "stage_name", "users")
@@ -907,14 +901,18 @@ object SparkEntry {
       // daily avg order price per nation, holidays/quiet days filled
       // LOCF — the reference's stock-series semantics (a missing day
       // reads as the last known price, flagged is_filled)
+      // average derived from EXACT integer cents (order-free sums) so
+      // no float-sum partial ordering can flip the rounding vs the
+      // oracle — the same rule q_anomaly is built on
       val base = T(s, d, "orders")
         .join(broadcast(T(s, d, "customer")
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nation"),
           to_date(col("o_orderdate")).as("day"))
-        .agg(CleanFns.roundRepro(avg(col("o_totalprice")), 2)
-          .as("avg_price"))
+        .agg(CleanFns.roundRepro(
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("double") / count(lit(1)) / 100.0, 2).as("avg_price"))
       Analytics.gapFillDaily(base, "nation", "day")
         .select(col("nation"), col("day"), col("avg_price"),
           col("is_filled"))
@@ -967,14 +965,7 @@ object SparkEntry {
       // stream==batch is spec-proven.
       val tmp = java.nio.file.Paths.get("/tmp",
         "graft_stream_curation_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      def wipe(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(p).iterator().asScala.toList.foreach(wipe)
-        }
-        java.nio.file.Files.deleteIfExists(p): Unit
-      }
-      wipe(tmp)
+      wipeDir(tmp)
       val docs = T(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
       val in = s"$tmp/in"
@@ -2241,7 +2232,7 @@ object SparkEntry {
         |  FROM (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS ep
         |        FROM base)
         |  WINDOW tw AS (PARTITION BY nation ORDER BY ep
-        |                RANGE BETWEEN 29 PRECEDING AND 1 PRECEDING))
+        |                RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING))
         |SELECT nation, day, cents,
         |  CASE WHEN n >= 10 AND sqrt((s2 - s1 * s1 / n) / (n - 1)) > 0
         |    THEN floor((cents - s1 / n)
@@ -2306,7 +2297,9 @@ object SparkEntry {
     "q_gap_fill" ->
       """WITH base AS (
         |  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
-        |    floor(avg(o.o_totalprice) * 100 + 0.5) / 100 AS avg_price
+        |    floor(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / count(*) / CAST(100 AS DOUBLE) * 100 + 0.5)
+        |      / 100 AS avg_price
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2),
         |n AS (
@@ -2753,10 +2746,13 @@ object SparkEntry {
       // head), and re-rank only the probed candidates over the
       // centroid + decoded-residual reconstruction
       val e2 = T(spark, sfDir, "embeddings")
-      val cand = Similarity.ivfPqCandidatePairs(
-        e2.where(col("vec_id") < 10), e2, "vec_id", "embedding").collect()
+      // ONE training: codes, centroids, and codebooks come from
+      // residualPqCodes, and the candidate dump reuses them
       val (rCodesDf, rCents, rBooks) =
         Similarity.residualPqCodes(e2, "vec_id", "embedding")
+      val cand = Similarity.ivfPqCandidatePairsWith(
+        e2.where(col("vec_id") < 10), e2, "vec_id", "embedding",
+        rCents, rBooks).collect()
       val rCodes = rCodesDf.collect()
       val ivfpq =
         if (cand.isEmpty || rCodes.isEmpty) Map.empty[String, String]

@@ -118,7 +118,8 @@ object VecFns {
       val l = element_at(typedlit(lo), i + 1)
       val h = element_at(typedlit(hi), i + 1)
       when(h === l, l).otherwise(
-        l + floor((x - l) * lit(255.0) / (h - l) + lit(0.5)) * (h - l)
+        l + greatest(lit(0.0), least(lit(255.0),
+          floor((x - l) * lit(255.0) / (h - l) + lit(0.5)))) * (h - l)
           / lit(255.0))
     })
 }

@@ -146,8 +146,11 @@ object Analytics {
     * is a pure map-side filter — zero shuffles. */
   def rebalanceToUniform(df: DataFrame, groupCol: String,
                          idCol: String): DataFrame = {
+    // null-group rows are dropped (they fall through the when-chain to
+    // false, matching the oracle's inner join) — and must not NPE here
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.get(0).toString -> r.getLong(1))
     require(counts.nonEmpty, "rebalanceToUniform: empty input")
     val total = counts.map(_._2).sum
     val g = counts.length
@@ -227,7 +230,7 @@ object Analytics {
                     minBaseline: Int = 10): DataFrame = {
     val epoch = datediff(col(dateCol), to_date(lit("1970-01-01")))
     val w = Window.partitionBy(col(keyCol)).orderBy("__epoch")
-      .rangeBetween(-(days.toLong - 1), -1)
+      .rangeBetween(-days.toLong, -1)
     val x = col(valueCol).cast("double")
     val base = df.withColumn("__epoch", epoch)
       .withColumn("__n", count(col(valueCol)).over(w))

@@ -33,6 +33,23 @@ object Similarity {
   private def pairCos: Column = VecFns.cosineFromParts(
     VecFns.dot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
 
+  /** The shared asymmetric top-k ranking: a prepared broadcast query
+    * frame (query_id, __qv, __qn) against a prepared corpus frame
+    * (neighbor_id, __cv, __cn) — exact cosine, rounded BEFORE the
+    * per-query rank window, ties to the smaller neighbor id. Every
+    * quantized tier and the persisted store rank through this one
+    * block, so precision/tie-break rules cannot drift apart. */
+  private[graft] def rankTopK(q: DataFrame, c: DataFrame,
+                              k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Pairwise cosine for a (small, broadcast) query set × corpus. */
   def cosinePairs(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String): DataFrame = {
@@ -241,6 +258,18 @@ object Similarity {
     val cents = trainCentroids(cvec, nlist, iters).sortBy(_._1).map(_._2)
     val books = trainResidualBooks(corpus, idCol, vecCol, cents, m, ksub,
       dim, pqIters)
+    ivfPqJoinedWith(queries, corpus, idCol, vecCol, cents, books, nprobe)
+  }
+
+  /** [[ivfPqJoined]] against PRECOMPUTED centroids + codebooks — lets
+    * an oracle builder train once and derive both the candidate set
+    * and the code table from the same training. */
+  private def ivfPqJoinedWith(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              cents: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              nprobe: Int): DataFrame = {
+    val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // ONE projection over the corpus scan computes cell + codes +
     // reconstruction; at scale (cell, codes) are precomputed columns
     // and this scan reads ~33 bytes/vector instead of 256
@@ -303,6 +332,16 @@ object Similarity {
                           dim: Int = 64, pqIters: Int = 2): DataFrame =
     ivfPqJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters,
         m, ksub, dim, pqIters)
+      .select("query_id", "neighbor_id")
+
+  /** Candidate pairs against precomputed centroids + codebooks (e.g.
+    * the pair returned by [[residualPqCodes]]) — avoids retraining. */
+  def ivfPqCandidatePairsWith(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              cents: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              nprobe: Int = 4): DataFrame =
+    ivfPqJoinedWith(queries, corpus, idCol, vecCol, cents, books, nprobe)
       .select("query_id", "neighbor_id")
 
   // ---- embedding near-dup / SemDeDup --------------------------------
@@ -383,15 +422,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), recon.as("__cv"))
       .select(col("neighbor_id"), col("__cv"),
         VecFns.norm(col("__cv")).as("__cn"))
-    val q = broadcast(withNorm(queries, idCol, "query_id", vecCol,
-      "__qv", "__qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(withNorm(queries, idCol, "query_id", vecCol, "__qv", "__qn"),
+      c, k)
   }
 
   // ---- product-quantized ANN ---------------------------------------
@@ -514,15 +546,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), recon.as("__cv"))
       .select(col("neighbor_id"), col("__cv"),
         VecFns.norm(col("__cv")).as("__cn"))
-    val q = broadcast(withNorm(queries, idCol, "query_id", vecCol,
-      "__qv", "__qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(withNorm(queries, idCol, "query_id", vecCol, "__qv", "__qn"),
+      c, k)
   }
 
   /** The (id, codes) table `pqTopK` scores, plus the codebooks — what

@@ -54,7 +54,10 @@ object SqEncode {
       val l = lo(i); val h = hi(i)
       val code =
         if (h == l) 0
-        else math.floor((x - l) * 255.0 / (h - l) + 0.5).toInt
+        // clamp: out-of-range values (frozen bounds, new data) must
+        // saturate, not wrap through the signed byte
+        else math.min(255, math.max(0,
+          math.floor((x - l) * 255.0 / (h - l) + 0.5).toInt))
       out(i) = (code - 128).toByte
       i += 1
     }

@@ -64,7 +64,15 @@ object SqReconstruct {
       val l = lo(i); val h = hi(i)
       out(i) =
         if (h == l) l
-        else l + math.floor((x - l) * 255.0 / (h - l) + 0.5) * (h - l) / 255.0
+        else {
+          // clamp: values outside [lo, hi] (an appended vector scored
+          // against frozen bounds) saturate at the lattice ends rather
+          // than extrapolating — matching what the stored byte code
+          // (SqEncode) can actually represent
+          val code = math.min(255.0,
+            math.max(0.0, math.floor((x - l) * 255.0 / (h - l) + 0.5)))
+          l + code * (h - l) / 255.0
+        }
       i += 1
     }
     new GenericArrayData(out)

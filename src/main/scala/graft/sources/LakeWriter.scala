@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, regexp_replace}
+import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
 
 /** Sink layer: lakehouse-style table maintenance over native parquet.
   *
@@ -239,19 +239,36 @@ object LakeWriter {
     if (prev.isEmpty) return commitSnapshot(updates, table, "overwrite")
     val files = snapshotFiles(spark, table, prev.last)
     if (files.isEmpty) return commitSnapshot(updates, table, "overwrite")
-    // normalize scheme differences (file:///p vs file:/p vs /p) so
-    // input_file_name() output matches manifest strings
-    def norm(p: String): String = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
     val cols = readSnapshot(spark, table).columns.toSeq
+    // silent column drops would make a MERGE lose data; demand the
+    // exact table schema (order-free) like MERGE INTO does
+    require(updates.columns.toSet == cols.toSet,
+      s"mergeSnapshot schema mismatch: table has ${cols.sorted}, " +
+        s"updates have ${updates.columns.sorted.toSeq}")
+    require(keyCols.forall(cols.contains),
+      s"key columns ${keyCols.filterNot(cols.contains)} not in table")
+    // hive-partitioned snapshots keep partition values in PATHS, not
+    // in the leaf files this probe/rewrite reads — merging here would
+    // lose those columns. Refuse loudly; partitioned upserts go
+    // through commitSnapshotDynamic on the touched partitions.
+    val leafCols = spark.read.parquet(files.head).columns.toSet
+    require(leafCols == cols.toSet,
+      s"mergeSnapshot does not support hive-partitioned snapshots " +
+        s"(partition columns ${cols.toSet -- leafCols} live in paths); " +
+        "use commitSnapshotDynamic for partition-scoped upserts")
+    // files are matched by BASENAME: parquet part files carry the
+    // write job's UUID, so basenames are unique table-wide, and the
+    // comparison is immune to scheme/percent-encoding differences
+    // between input_file_name() and manifest path strings
+    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     val keyExprs = keyCols.map(col)
     val touched = spark.read.parquet(files: _*)
       .select(keyExprs :+
-        regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")
-          .as("__file"): _*)
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
       .join(updates.select(keyExprs: _*).distinct(), keyCols)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) = files.partition(f => touched(norm(f)))
+    val (rewrite, carry) = files.partition(f => touched(base(f)))
     val survivors =
       if (rewrite.isEmpty) None
       else Some(spark.read.parquet(rewrite: _*)

@@ -47,4 +47,19 @@ object QuantizedStore {
     spark.read.parquet(s"$path/codes")
       .select(col(idCol), VecFns.sqDecode(col("codes"), lo, hi).as(vecCol))
   }
+
+  /** ANN straight off the store: rank the decoded corpus by cosine
+    * against full-precision `queries` — the read side of the 4×
+    * cheaper scan. Equals `Similarity.sqTopK` over the raw corpus
+    * (spec-asserted): decode == the in-flight round trip, so nothing
+    * is lost by going through storage. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+           idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = read(spark, path, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), VecFns.norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), VecFns.norm(col(vecCol)).as("__cn"))
+    Similarity.rankTopK(q, c, k)
+  }
 }

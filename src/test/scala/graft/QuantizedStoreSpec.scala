@@ -32,6 +32,34 @@ class QuantizedStoreSpec extends AnyFunSuite {
       expected.exceptAll(decoded).isEmpty)
   }
 
+  test("out-of-range values saturate at the lattice ends (frozen bounds)") {
+    // encode against bounds NOT covering the data — the incremental
+    // case of appending new vectors to a store with frozen bounds
+    val df = Seq(Tuple1(Seq(-5.0f)), Tuple1(Seq(9.0f)), Tuple1(Seq(0.5f)))
+      .toDF("v")
+    val lo = Seq(0.0); val hi = Seq(1.0)
+    val rt = df.select(VecFns.sqDecode(
+        VecFns.sqEncode($"v", lo, hi), lo, hi).as("r"))
+      .collect().map(_.getSeq[Double](0).head)
+    assert(rt(0) == 0.0 && rt(1) == 1.0) // clamped, not wrapped
+    // and the in-flight round trip agrees (both clamp identically)
+    val infl = df.select(VecFns.sqReconstruct($"v", lo, hi).as("r"))
+      .collect().map(_.getSeq[Double](0).head)
+    assert(rt.sameElements(infl))
+  }
+
+  test("topK off the store equals sqTopK over the raw corpus") {
+    val path = tmpDir("graft_qstore_topk")
+    QuantizedStore.write(embeddings, "vec_id", "embedding", dim = 64, path)
+    val qs = embeddings.where($"vec_id" < 10)
+    val fromStore = QuantizedStore.topK(spark, path, qs, "vec_id",
+      "embedding", k = 5)
+    val inFlight = Similarity.sqTopK(qs, embeddings, "vec_id",
+      "embedding", k = 5, dim = 64)
+    assert(fromStore.exceptAll(inFlight).isEmpty &&
+      inFlight.exceptAll(fromStore).isEmpty)
+  }
+
   test("the code table is materially smaller than float parquet") {
     val path = tmpDir("graft_qstore_sz")
     QuantizedStore.write(embeddings, "vec_id", "embedding", dim = 64, path)
