@@ -323,6 +323,31 @@ object Speed extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming UPSERT sink — the CDC apply-changes shape: every
+    * micro-batch is reduced to its latest row per key (change feeds
+    * deliver several versions of a key per batch; `tsCol` orders
+    * them, ties to the larger `tieBreak`) and MERGED into a snapshot
+    * table. Copy-on-write with file pruning comes from
+    * [[graft.sources.LakeWriter.mergeSnapshot]]: a batch touching few
+    * keys rewrites few files, and every batch that lands is one time-
+    * travelable version. Replay-safe: re-merging an already-applied
+    * batch replaces rows with identical ones (idempotent by value). */
+  def upsertToSnapshot(stream: DataFrame, table: String, keys: Seq[String],
+                       tsCol: String, tieBreak: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = graft.operators.Analytics.latestPerKey(
+          batch.toDF(), keys, col(tsCol), col(tieBreak))
+        if (!latest.isEmpty)
+          graft.sources.LakeWriter.mergeSnapshot(latest, table, keys): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One micro-batch of `streamingHistoryDedup`: distinct keys of the
     * batch, minus every key already in the history table, appended to
     * the history. Factored out so tests can drive batch/restart/replay

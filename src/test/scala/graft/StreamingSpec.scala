@@ -217,6 +217,34 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "view")))
   }
 
+  test("streaming upsert sink merges each micro-batch by key") {
+    val land = java.nio.file.Files.createTempDirectory("graft_upsert_land_")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_upsert_tbl_").toString + "/tbl"
+    // batch A: keys 1-3 at ts 10; batch B: key 2 twice (ts 20 then the
+    // winning ts 30), plus a new key 4
+    Seq((1L, 10L, "a1"), (2L, 10L, "b1"), (3L, 10L, "c1"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.parquet(land.resolve("a").toString)
+    Seq((2L, 20L, "b2"), (2L, 30L, "b3"), (4L, 10L, "d1"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.parquet(land.resolve("b").toString)
+    val stream = spark.readStream.schema("k LONG, ts LONG, v STRING")
+      .option("maxFilesPerTrigger", 1).parquet(land.toString + "/*")
+    Speed.upsertToSnapshot(stream, table, Seq("k"), "ts", "v",
+      java.nio.file.Files.createTempDirectory("graft_upsert_ck_").toString)
+      .awaitTermination()
+    val now = graft.sources.LakeWriter.readSnapshot(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // latest-per-key within batch B won (b3), key 1/3 untouched, 4 new
+    assert(now == Map(1L -> "a1", 2L -> "b3", 3L -> "c1", 4L -> "d1"))
+    // one time-travelable version per landed batch
+    assert(graft.sources.LakeWriter
+      .snapshotVersions(spark, table) == Seq(1L, 2L))
+    assert(graft.sources.LakeWriter.readSnapshot(spark, table, Some(1L))
+      .collect().map(_.getString(2)).toSet == Set("a1", "b1", "c1"))
+  }
+
   test("driver contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
