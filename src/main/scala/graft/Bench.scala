@@ -49,11 +49,22 @@ object Bench {
       try org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       catch { case _: Throwable => }
 
+    // flush dirty page cache BETWEEN queries (outside every timed
+    // window): checkpoint/snapshot-heavy queries otherwise leave
+    // async writeback that the kernel flushes DURING the next few
+    // queries' windows — BENCH_r06 showed exactly that signature
+    // (contiguous slow bursts right after the IO-heavy queries, see
+    // docs/bench/r06_outliers.md). Timing starts clean instead.
+    def syncFs(): Unit =
+      try { val p = new ProcessBuilder("sync").start(); p.waitFor() }
+      catch { case _: Throwable => }
+
     val failed = scala.collection.mutable.ListBuffer[String]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def runOne(label: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       drain()
+      syncFs()
       val w0 = shufWrite.get(); val r0 = shufRead.get()
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column —

@@ -2133,7 +2133,8 @@ object SparkEntry {
     // uniform rebalance: keep-all decided in integer arithmetic, the
     // downsample bound re-derived as the same 32-bit md5 threshold
     "q_lang_rebalance" ->
-      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
         |t AS (SELECT sum(cnt) AS total, count(*) AS g FROM c),
         |b AS (
         |  SELECT c.lang, c.cnt * t.g <= t.total AS keep_all,
@@ -2228,7 +2229,7 @@ object SparkEntry {
         |  SELECT *,
         |    count(cents) OVER tw AS n,
         |    CAST(sum(cents) OVER tw AS DOUBLE) AS s1,
-        |    CAST(sum(cents * cents) OVER tw AS DOUBLE) AS s2
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) OVER tw AS DOUBLE) AS s2
         |  FROM (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS ep
         |        FROM base)
         |  WINDOW tw AS (PARTITION BY nation ORDER BY ep

@@ -222,7 +222,11 @@ object Analytics {
     * column (price in cents, counts) so the windowed sums are exact
     * and order-free — mean/std/z then derive from identical integers
     * through one fixed expression, bit-identical in any engine. The
-    * three window aggregates (n, Σx, Σx²) share one RANGE frame over
+    * squared term is computed in decimal(38,0) — a long*long product
+    * would silently wrap at |v| ≳ 3e9 (square > Long.MAX) while other
+    * engines raise; decimal keeps Σx² exact for |v| < 1e19 with
+    * window sums to 1e38, far past any cent magnitude. The three
+    * window aggregates (n, Σx, Σx²) share one RANGE frame over
     * epoch days: one shuffle, one sort. Days with fewer than
     * `minBaseline` trailing observations emit z = null, flagged 0. */
   def anomalyZScore(df: DataFrame, keyCol: String, dateCol: String,
@@ -236,7 +240,8 @@ object Analytics {
       .withColumn("__n", count(col(valueCol)).over(w))
       .withColumn("__s1", sum(col(valueCol)).over(w).cast("double"))
       .withColumn("__s2",
-        sum(col(valueCol) * col(valueCol)).over(w).cast("double"))
+        sum(col(valueCol).cast("decimal(19,0)") *
+          col(valueCol).cast("decimal(19,0)")).over(w).cast("double"))
     val mean = col("__s1") / col("__n")
     val variance = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
       (col("__n") - 1)

@@ -560,6 +560,29 @@ object Similarity {
       pqCellsCol(books, col(vecCol), dim / m).as("codes")), books)
   }
 
+  /** OPQ-style rotation: the deterministic randomized-Hadamard
+    * orthogonal transform ([[graft.plans.HadamardRotate]]) — cosine
+    * rankings are invariant under it, but each coordinate's energy
+    * spreads across every PQ subspace. */
+  private[graft] def rotateCol(v: Column,
+      seed: Long = 0x6A09E667F3BCC908L): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.HadamardRotate(
+      org.apache.spark.sql.GraftColumnBridge.expression(v), seed))
+
+  /** PQ ANN behind an OPQ-style rotation: identical code budget to
+    * [[pqTopK]] (same m×ksub, same bytes/vector) — both sides are
+    * rotated, codebooks are trained on and codes assigned in rotated
+    * space, and the asymmetric cosine runs rotated-query vs
+    * rotated-reconstruction. Because the transform is orthogonal the
+    * ranking target is unchanged; only the quantization error moves
+    * (measured: docs/ann_recall.md). */
+  def opqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 32, ksub: Int = 16,
+              dim: Int = 64, iters: Int = 2): DataFrame =
+    pqTopK(queries.withColumn(vecCol, rotateCol(col(vecCol))),
+      corpus.withColumn(vecCol, rotateCol(col(vecCol))),
+      idCol, vecCol, k, m, ksub, dim, iters)
+
   // ---- residual PQ (the IVF-PQ coding) -------------------------------
 
   private[graft] def rpqEncodeCol(cents: Array[Array[Double]],

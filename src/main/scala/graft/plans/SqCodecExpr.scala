@@ -46,7 +46,10 @@ object SqEncode {
   /** Runtime kernel shared by interpreted and generated paths. */
   def encode(v: ArrayData, lo: Array[Double], hi: Array[Double],
              isFloat: Boolean): ArrayData = {
-    val n = math.min(v.numElements(), lo.length)
+    // a dim mismatch must fail loudly, not silently drop trailing dims
+    require(v.numElements() == lo.length,
+      s"sq_encode: vector dim ${v.numElements()} != bounds dim ${lo.length}")
+    val n = lo.length
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
@@ -95,7 +98,9 @@ object SqDecode {
   /** Runtime kernel shared by interpreted and generated paths. */
   def decode(codes: ArrayData, lo: Array[Double],
              hi: Array[Double]): ArrayData = {
-    val n = math.min(codes.numElements(), lo.length)
+    require(codes.numElements() == lo.length,
+      s"sq_decode: code dim ${codes.numElements()} != bounds dim ${lo.length}")
+    val n = lo.length
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {

@@ -56,7 +56,10 @@ object SqReconstruct {
   /** Runtime kernel shared by interpreted and generated paths. */
   def recon(v: ArrayData, lo: Array[Double], hi: Array[Double],
             isFloat: Boolean): ArrayData = {
-    val n = math.min(v.numElements(), lo.length)
+    // a dim mismatch must fail loudly, not silently drop trailing dims
+    require(v.numElements() == lo.length,
+      s"sq_reconstruct: vector dim ${v.numElements()} != bounds dim ${lo.length}")
+    val n = lo.length
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {

@@ -161,6 +161,9 @@ object LakeWriter {
   // Time travel = reading an older manifest. On stores without atomic
   // rename (S3), swap the rename for a conditional PUT.
 
+  /** Guards the manifest rename (see writeManifest). */
+  private val commitLock = new Object
+
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -183,6 +186,65 @@ object LakeWriter {
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Parquet files under `p`, recursively (hive layouts nest them). */
+  private def walk(fs: org.apache.hadoop.fs.FileSystem,
+                   p: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(fs, st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet"))
+        Seq(st.getPath.toString)
+      else Seq.empty
+    }
+
+  /** Invert hive path escaping (%XX) in a partition value segment. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The hive partition key of a data file, one value per partition
+    * column, derived from the PATH — so two files compare equal iff
+    * Spark's hive path formatter put them in the same partition. */
+  private[sources] def partitionOf(partitionCols: Seq[String],
+                                   file: String): String =
+    partitionCols.map { c =>
+      // anchored at a path-segment start: without it, "day=" would
+      // also match inside ".../birthday=5/" and extract wrong values
+      val m = ("(?:^|/)" + java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
+        .findFirstMatchIn(file)
+      require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
+      unescapePath(m.get.group(1))
+    }.mkString("")
+
+  /** Read a set of snapshot data files applying the committed schema,
+    * grouped by version directory so hive partition columns (col=value/
+    * dirs under each version dir) are recovered via basePath; a
+    * snapshot spans few version dirs. The COMMITTED schema is applied
+    * to every group: without it, partition-column type INFERENCE can
+    * drift per group (day=1 → int, day=x → string) and break the
+    * union — the manifest, not inference, owns the types. */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val root = "(.*/data/v\\d+-[^/]+)/".r
+    files.groupBy(f => root.findFirstMatchIn(f).map(_.group(1))
+        .getOrElse(sys.error(s"file outside a version dir: $f")))
+      .toSeq.sortBy(_._1)
+      .map { case (base, fs) =>
+        spark.read.option("basePath", base).schema(schema).parquet(fs: _*)
+      }
+      .reduce(_.unionByName(_))
+      // the scan APPENDS path-derived partition columns regardless of
+      // the schema's order — re-select so callers see committed order
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toSeq: _*)
+  }
 
   /** Commit `df` as the next snapshot of `table`. `mode` "overwrite"
     * makes the new snapshot exactly `df`; "append" makes it the
@@ -212,7 +274,8 @@ object LakeWriter {
       if (mode == "append" && prev.nonEmpty)
         snapshotFiles(spark, table, prev.last)
       else Seq.empty
-    writeManifest(spark, fs, table, version, mode, df, carried ++ newFiles)
+    writeManifest(spark, fs, table, version, mode, df.schema,
+      carried ++ newFiles)
     version
   }
 
@@ -226,6 +289,14 @@ object LakeWriter {
     * an append. A daily upsert touching one day's files rewrites one
     * day, not the table.
     *
+    * On a hive-partitioned snapshot (committed via
+    * `commitSnapshotDynamic`), the probe is additionally
+    * PARTITION-PRUNED when every partition column is a merge key: a
+    * matched row can then only live in a partition `updates` touches,
+    * so files of untouched partitions carry by reference without ever
+    * being opened — a daily upsert against a 100 TB table probes one
+    * day's files, not the table's.
+    *
     * Matched-file detection joins only the key columns of each side
     * (plus the input file name), so the probe shuffles key slivers,
     * never payload. Rows in `updates` land verbatim — callers owning
@@ -237,30 +308,40 @@ object LakeWriter {
     val spark = updates.sparkSession
     val prev = snapshotVersions(spark, table)
     if (prev.isEmpty) return commitSnapshot(updates, table, "overwrite")
-    val files = snapshotFiles(spark, table, prev.last)
+    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
     if (files.isEmpty) return commitSnapshot(updates, table, "overwrite")
-    val cols = readSnapshot(spark, table).columns.toSeq
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = schema.fieldNames.toSeq
     // silent column drops would make a MERGE lose data; demand the
     // exact table schema (order-free) like MERGE INTO does
     require(updates.columns.toSet == cols.toSet,
       s"mergeSnapshot schema mismatch: table has ${cols.sorted}, " +
         s"updates have ${updates.columns.sorted.toSeq}")
+    // ... and silent type drift would widen or corrupt the persisted
+    // schema across versions (int updates into a long column), so
+    // demand matching types too — nullability-free, like MERGE INTO's
+    // type check (catalogString omits nullability at every depth)
+    val tblType = schema.fields.map(f => f.name -> f.dataType.catalogString)
+      .toMap
+    val drift = updates.schema.fields
+      .filter(f => f.dataType.catalogString != tblType(f.name))
+    require(drift.isEmpty, "mergeSnapshot type mismatch: " + drift.map(f =>
+      s"${f.name}: table ${tblType(f.name)} vs updates " +
+        f.dataType.catalogString).mkString(", "))
     require(keyCols.forall(cols.contains),
       s"key columns ${keyCols.filterNot(cols.contains)} not in table")
-    // hive-partitioned snapshots keep partition values in PATHS, not
-    // in the leaf files this probe/rewrite reads — merging here would
-    // lose those columns. Refuse loudly; partitioned upserts go
-    // through commitSnapshotDynamic on the touched partitions.
+    if (partCols.nonEmpty)
+      return mergePartitioned(updates, table, keyCols, prev.last, files,
+        schema, partCols)
+    // a partitioned snapshot committed by a pre-`partcols` manifest
+    // keeps partition values in PATHS the flat probe below cannot see —
+    // refuse loudly rather than lose those columns
     val leafCols = spark.read.parquet(files.head).columns.toSet
     require(leafCols == cols.toSet,
-      s"mergeSnapshot does not support hive-partitioned snapshots " +
-        s"(partition columns ${cols.toSet -- leafCols} live in paths); " +
-        "use commitSnapshotDynamic for partition-scoped upserts")
-    // files are matched by BASENAME: parquet part files carry the
-    // write job's UUID, so basenames are unique table-wide, and the
-    // comparison is immune to scheme/percent-encoding differences
-    // between input_file_name() and manifest path strings
-    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      s"mergeSnapshot: snapshot is hive-partitioned (columns " +
+        s"${cols.toSet -- leafCols} live in paths) but its manifest " +
+        "predates partition metadata; re-commit via commitSnapshotDynamic")
     val keyExprs = keyCols.map(col)
     val touched = spark.read.parquet(files: _*)
       .select(keyExprs :+
@@ -268,7 +349,7 @@ object LakeWriter {
       .join(updates.select(keyExprs: _*).distinct(), keyCols)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) = files.partition(f => touched(base(f)))
+    val (rewrite, carry) = files.partition(f => touched(baseName(f)))
     val survivors =
       if (rewrite.isEmpty) None
       else Some(spark.read.parquet(rewrite: _*)
@@ -285,8 +366,74 @@ object LakeWriter {
     newData.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-    writeManifest(spark, fs, table, version, "merge", newData,
+    writeManifest(spark, fs, table, version, "merge", newData.schema,
       carry ++ newFiles)
+    version
+  }
+
+  /** Files are matched by BASENAME: parquet part files carry the
+    * write job's UUID, so basenames are unique table-wide, and the
+    * comparison is immune to scheme/percent-encoding differences
+    * between input_file_name() and manifest path strings. */
+  private def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** The partitioned half of `mergeSnapshot`. The updates land FIRST,
+    * hive-partitioned into their own attempt directory — their paths
+    * then yield the touched partition keys through the exact
+    * formatter that wrote the existing files (the
+    * `commitSnapshotDynamic` trick; deriving keys from Row values
+    * instead diverges on timestamps/empty strings and would silently
+    * mis-prune). */
+  private def mergePartitioned(updates: DataFrame, table: String,
+      keyCols: Seq[String], prevVersion: Long, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Long = {
+    val spark = updates.sparkSession
+    val cols = schema.fieldNames.toSeq
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = prevVersion + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val updDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-u")
+    updates.select(cols.map(col): _*).write.mode("errorifexists")
+      .partitionBy(partCols: _*).parquet(updDir.toString)
+    val updFiles = walk(fs, updDir).sorted
+    val touchedParts = updFiles.map(partitionOf(partCols, _)).toSet
+    // partition pruning is SOUND only when every partition column is a
+    // merge key: then a matched row's partition values equal the
+    // update row's, so files elsewhere cannot contain a match. With a
+    // non-key partition column, every file is a candidate.
+    val (candidates, untouched) =
+      if (partCols.forall(keyCols.contains))
+        files.partition(f => touchedParts(partitionOf(partCols, f)))
+      else (files, Seq.empty[String])
+    val keyExprs = keyCols.map(col)
+    val probed =
+      if (candidates.isEmpty) Set.empty[String]
+      else readFiles(spark, candidates, schema)
+        .select(keyExprs :+
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
+        .join(updates.select(keyExprs: _*).distinct(), keyCols)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val (rewrite, carryRest) = candidates.partition(f => probed(baseName(f)))
+    val survFiles =
+      if (rewrite.isEmpty) Seq.empty[String]
+      else {
+        val survDir =
+          new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")
+        readFiles(spark, rewrite, schema)
+          .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti")
+          .select(cols.map(col): _*)
+          .write.mode("errorifexists").partitionBy(partCols: _*)
+          .parquet(survDir.toString)
+        walk(fs, survDir).sorted
+      }
+    // the committed schema stays the TABLE's schema (not the updates
+    // frame's), so partition-column typing is stable across versions
+    writeManifest(spark, fs, table, version, "merge", schema,
+      untouched ++ carryRest ++ survFiles ++ updFiles, partCols)
     version
   }
 
@@ -297,40 +444,49 @@ object LakeWriter {
     * an inert orphan, never a clobbered manifest. Schema rides in the
     * manifest so an empty snapshot still reads back typed.
     *
-    * Partitioned commits also record `partcols` and a per-file
-    * partition key (`parts`, aligned with `files`) — the next dynamic
-    * commit and partition-pruned reads then work from MANIFEST
-    * metadata alone, no path parsing or listing of untouched
-    * partitions. Every string is URL-encoded, so the positional
-    * parser below stays unambiguous (brackets/quotes/commas cannot
-    * occur inside entries). */
+    * Partitioned commits also record `partcols` — later merges and
+    * dynamic commits then know the table's partition layout from the
+    * MANIFEST alone; per-file partition keys derive deterministically
+    * from the hive paths (`partitionOf`). Every string is URL-encoded,
+    * so the positional parser below stays unambiguous (brackets/
+    * quotes/commas cannot occur inside entries). */
   private def writeManifest(spark: SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             table: String, version: Long, mode: String,
-                            df: DataFrame, files: Seq[String],
-                            partCols: Seq[String] = Nil,
-                            parts: Seq[String] = Nil): Unit = {
-    require(parts.isEmpty || parts.length == files.length,
-      s"parts/files misaligned: ${parts.length} vs ${files.length}")
+                            schema: org.apache.spark.sql.types.StructType,
+                            files: Seq[String],
+                            partCols: Seq[String] = Nil): Unit = {
     val partFields =
       if (partCols.isEmpty) ""
-      else s""""partcols":"${enc(partCols.mkString(","))}",""" +
-        parts.map(p => "\"" + enc(p) + "\"")
-          .mkString("\"parts\":[", ",", "],")
+      else s""""partcols":"${partCols.map(enc).mkString(",")}","""
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","schema":"${enc(df.schema.json)}",$partFields"files":[""",
+      s"""{"version":$version,"mode":"$mode","schema":"${enc(schema.json)}",$partFields"files":[""",
       ",", "]}")
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
-    val tmp = new org.apache.hadoop.fs.Path(mdir, s".v$version.json.tmp")
+    // the tmp name carries its own attempt id: two writers racing to
+    // the same version must never share a tmp file, or the loser's
+    // create(overwrite) truncates the winner's in-flight manifest and
+    // a CORRUPT manifest gets committed (caught by SnapshotRaceSpec)
+    val tmp = new org.apache.hadoop.fs.Path(mdir,
+      s".v$version.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8")); out.close()
     val fin = new org.apache.hadoop.fs.Path(mdir, s"v$version.json")
     try {
-      org.apache.hadoop.fs.FileContext.getFileContext(fin.toUri,
-          spark.sessionState.newHadoopConf())
-        .rename(tmp, fin)
+      // the JVM-wide lock makes SAME-PROCESS racing writers strictly
+      // first-wins: the local-FS no-overwrite rename is check-then-
+      // rename (a TOCTOU window two threads could both pass). Cross-
+      // process atomicity is the filesystem's: real on HDFS, best
+      // effort on a local FS, a conditional PUT on object stores.
+      commitLock.synchronized {
+        org.apache.hadoop.fs.FileContext.getFileContext(fin.toUri,
+            spark.sessionState.newHadoopConf())
+          .rename(tmp, fin)
+      }
     } catch { case e: java.io.IOException =>
+      // the losing attempt's tmp manifest is dead either way
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => }
       // only a rename that lost to an existing manifest is a CONFLICT;
       // any other IO failure (disk full, permissions) is rethrown
       // as-is — reporting it as a conflict would claim a concurrent
@@ -348,8 +504,14 @@ object LakeWriter {
                     version: Long): Seq[String] =
     parseManifest(spark, table, version)._1
 
+  /** The partition columns a snapshot was committed with (empty for
+    * unpartitioned snapshots). */
+  def snapshotPartitionCols(spark: SparkSession, table: String,
+                            version: Long): Seq[String] =
+    parseManifest(spark, table, version)._3
+
   private def parseManifest(spark: SparkSession, table: String,
-                            version: Long): (Seq[String], String) = {
+      version: Long): (Seq[String], String, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
     val fs = fsOf(spark, p)
     require(fs.exists(p), s"no snapshot v$version at $table")
@@ -360,12 +522,24 @@ object LakeWriter {
     // manifest JSON is machine-written with the exact shape above and
     // every string URL-encoded — positional parsing is unambiguous
     val schema = dec(body.split("\"schema\":\"")(1).split("\"")(0))
-    val arr = body.substring(body.indexOf("[") + 1, body.lastIndexOf("]"))
+    val partCols = body.split("\"partcols\":\"") match {
+      case Array(_, rest) =>
+        val raw = rest.split("\"")(0)
+        if (raw.isEmpty) Seq.empty[String]
+        else raw.split(",").toSeq.map(dec)
+      case _ => Seq.empty[String]
+    }
+    // anchor on the literal "files" key: the array bracket is not the
+    // first '[' in the body once other fields carry arrays
+    val fKey = "\"files\":["
+    val fAt = body.indexOf(fKey)
+    require(fAt >= 0, s"malformed manifest v$version at $table")
+    val arr = body.substring(fAt + fKey.length, body.indexOf("]", fAt))
     val files =
       if (arr.trim.isEmpty) Seq.empty[String]
       else arr.split(",").toSeq
         .map(s => dec(s.trim.stripPrefix("\"").stripSuffix("\"")))
-    (files, schema)
+    (files, schema, partCols)
   }
 
   /** Partition-aware snapshot commit — dynamic partition overwrite
@@ -390,15 +564,7 @@ object LakeWriter {
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     df.write.mode("errorifexists").partitionBy(partitionCols: _*)
       .parquet(dataDir.toString)
-    // the files just written, nested under col=value/ dirs
-    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet"))
-          Seq(st.getPath.toString)
-        else Seq.empty
-      }
-    val newFiles = walk(dataDir).sorted
+    val newFiles = walk(fs, dataDir).sorted
     // touched partitions are derived from the files SPARK JUST WROTE,
     // so old and new partition strings go through the identical
     // formatter (hive path encoding). Deriving them from Row values
@@ -406,32 +572,13 @@ object LakeWriter {
     // fraction vs the path format) and empty strings (written as
     // __HIVE_DEFAULT_PARTITION__), silently carrying stale files
     // alongside their replacements.
-    def unescapePath(s: String): String = {
-      val sb = new StringBuilder; var i = 0
-      while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(s.charAt(i)); i += 1 }
-      }
-      sb.toString
-    }
-    def partitionOf(file: String): String =
-      partitionCols.map { c =>
-        // anchored at a path-segment start: without it, "day=" would
-        // also match inside ".../birthday=5/" and extract wrong values
-        val m = ("(?:^|/)" + java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
-          .findFirstMatchIn(file)
-        require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
-        unescapePath(m.get.group(1))
-      }.mkString("\u0001")
-    val touched = newFiles.map(partitionOf).toSet
+    val touched = newFiles.map(partitionOf(partitionCols, _)).toSet
     val carried =
       if (prev.isEmpty) Seq.empty
       else snapshotFiles(spark, table, prev.last)
-        .filterNot(f => touched.contains(partitionOf(f)))
-    writeManifest(spark, fs, table, version, "dynamic", df,
-      carried ++ newFiles)
+        .filterNot(f => touched.contains(partitionOf(partitionCols, f)))
+    writeManifest(spark, fs, table, version, "dynamic", df.schema,
+      carried ++ newFiles, partitionCols)
     version
   }
 
@@ -496,30 +643,13 @@ object LakeWriter {
       require(vs.nonEmpty, s"no snapshots at $table")
       vs.last
     }
-    val (files, schemaJson) = parseManifest(spark, table, v)
+    val (files, schemaJson, _) = parseManifest(spark, table, v)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    else {
-      // group by the version directory and read each group with that
-      // basePath, so hive partition columns (col=value/ dirs under the
-      // version dir) are recovered; a snapshot spans few version dirs.
-      // The COMMITTED schema is applied to every group: without it,
-      // partition-column type INFERENCE can drift per group (day=1 →
-      // int, day=x → string) and break the union — the manifest, not
-      // inference, owns the types.
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val root = "(.*/data/v\\d+-[^/]+)/".r
-      files.groupBy(f => root.findFirstMatchIn(f).map(_.group(1))
-          .getOrElse(sys.error(s"file outside a version dir: $f")))
-        .toSeq.sortBy(_._1)
-        .map { case (base, fs) =>
-          spark.read.option("basePath", base).schema(schema).parquet(fs: _*)
-        }
-        .reduce(_.unionByName(_))
-    }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else readFiles(spark, files, schema)
   }
 
   /** Append (raw-zone landing). */

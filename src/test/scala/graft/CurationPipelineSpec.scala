@@ -172,4 +172,67 @@ class CurationPipelineSpec extends AnyFunSuite {
       r.getAs[Long]("batch_rows"), r.getAs[Long]("after_near_dup")))
       .toSeq == Seq((1L, 6L, 6L), (2L, 3L, 2L)), led.mkString(";"))
   }
+
+  test("torn commit: crash between corpus commit and ledger is replay-safe") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curation_torn_").toString
+    val land = java.nio.file.Files
+      .createTempDirectory("graft_curation_tland_")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cur_tckpt_").toString
+    (1 to 4).map(i => (i.toLong, baseText(i - 1)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(land.resolve("a").toString)
+    Seq((5L, baseText(4)), (6L, baseText(5)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(land.resolve("b").toString)
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(land.toString + "/*")
+    val q1 = CurationPipeline.runStream(stream, out, ckpt)
+    q1.awaitTermination()
+    // the manager deregisters terminated queries asynchronously; a
+    // restart on the same checkpoint must wait or it is refused as a
+    // concurrent query
+    while (spark.streams.active.exists(_.id == q1.id)) Thread.sleep(20)
+    val corpus = s"$out/corpus"
+    val before = graft.sources.LakeWriter.readSnapshot(spark, corpus)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(before == (1L to 6L) &&
+      graft.sources.LakeWriter.snapshotVersions(spark, corpus) ==
+        Seq(1L, 2L))
+    // SIMULATE the crash window of micro-batch 1: the corpus snapshot
+    // committed, then the process died BEFORE the ledger append and
+    // BEFORE the checkpoint marked the batch done — on disk that is
+    // exactly: no ledger v2 manifest, no commits/1 marker. The local
+    // FS keeps .crc SIDECARS next to both; a file a crash never
+    // created has no sidecar either, so the simulation removes them
+    // as a pair
+    def rmWithCrc(p: String): Unit = {
+      val f = java.nio.file.Paths.get(p)
+      java.nio.file.Files.delete(f)
+      val crc = f.getParent.resolve("." + f.getFileName + ".crc")
+      java.nio.file.Files.deleteIfExists(crc): Unit
+    }
+    rmWithCrc(s"$out/ledger/_manifests/v2.json")
+    rmWithCrc(s"$ckpt/commits/1")
+    assert(CurationPipeline.ledger(spark, out).count() == 1)
+    // restart → batch 1 REPLAYS against a corpus already holding its
+    // docs: every doc is absorbed by the fingerprint history, the
+    // corpus commits nothing (exactly-once), the ledger records the
+    // replay ATTEMPT (documented-advisory behavior)
+    CurationPipeline.runStream(stream, out, ckpt).awaitTermination()
+    val after = graft.sources.LakeWriter.readSnapshot(spark, corpus)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, s"corpus diverged on replay: $after")
+    assert(graft.sources.LakeWriter.snapshotVersions(spark, corpus) ==
+      Seq(1L, 2L), "replay must not commit a corpus version")
+    val led = CurationPipeline.ledger(spark, out)
+      .orderBy($"corpus_version", $"after_near_dup".desc).collect()
+      .map(r => (r.getAs[Long]("corpus_version"),
+        r.getAs[Long]("batch_rows"), r.getAs[Long]("after_near_dup")))
+    assert(led.toSeq == Seq((1L, 4L, 4L), (2L, 2L, 0L)),
+      s"ledger rows: ${led.mkString(";")}")
+  }
 }

@@ -88,6 +88,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(LakeWriter.readSnapshot(spark, t2).count() == 1)
   }
 
+  test("partitioned mergeSnapshot prunes to touched partitions") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_mergep")
+      .toString + "/tbl"
+    // 3 days × 10 keys; day is a partition column AND a merge key
+    LakeWriter.commitSnapshotDynamic(
+      (1 to 30).map(i => ((i - 1) / 10 + 1, i.toLong, s"val$i"))
+        .toDF("day", "k", "v"), t, Seq("day"))
+    assert(LakeWriter.snapshotPartitionCols(spark, t, 1L) == Seq("day"))
+    val before = LakeWriter.snapshotFiles(spark, t, 1L)
+    // update one key in day 2, insert into day 2 and into a new day 4
+    val v2 = LakeWriter.mergeSnapshot(
+      Seq((2, 15L, "updated"), (2, 100L, "new-in-2"), (4, 200L, "new-day"))
+        .toDF("day", "k", "v"), t, Seq("day", "k"))
+    assert(v2 == 2L)
+    val now = LakeWriter.readSnapshot(spark, t)
+    assert(now.count() == 32)
+    assert(now.where($"k" === 15L).head().getString(2) == "updated")
+    assert(now.where($"k" === 100L).head().getString(2) == "new-in-2")
+    assert(now.where($"k" === 200L).head().getInt(0) == 4)
+    assert(now.where($"k" === 7L).head().getString(2) == "val7")
+    assert(now.select($"k").distinct().count() == 32)
+    // untouched partitions carried BY REFERENCE; day=2 rewritten
+    val after = LakeWriter.snapshotFiles(spark, t, 2L).toSet
+    val untouched = before.filter(f =>
+      f.contains("/day=1/") || f.contains("/day=3/"))
+    assert(untouched.nonEmpty && untouched.forall(after))
+    // file-level pruning WITHIN the touched partition: the file
+    // holding key 15 was rewritten; day=2 files without a matched key
+    // may carry by reference
+    assert(before.filter(_.contains("/day=2/")).exists(f => !after(f)))
+    // partition metadata survives a merge; time travel intact
+    assert(LakeWriter.snapshotPartitionCols(spark, t, 2L) == Seq("day"))
+    assert(LakeWriter.readSnapshot(spark, t, Some(1L)).count() == 30)
+    assert(LakeWriter.readSnapshot(spark, t, Some(1L))
+      .where($"k" === 15L).head().getString(2) == "val15")
+    // type drift is refused loudly (k int vs the table's bigint)
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.mergeSnapshot(Seq((2, 1, "x")).toDF("day", "k", "v"), t,
+        Seq("day", "k"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
+  test("partitioned merge never opens untouched partitions") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_mergepp")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshotDynamic(
+      Seq((1, 1L, "a"), (2, 2L, "b")).toDF("day", "k", "v"), t, Seq("day"))
+    // corrupt day=1's data file IN PLACE: if the probe or rewrite ever
+    // opened it, the merge would throw — partition pruning means it
+    // must succeed without noticing
+    val day1 = LakeWriter.snapshotFiles(spark, t, 1L)
+      .filter(_.contains("/day=1/"))
+    assert(day1.nonEmpty)
+    day1.foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.stripPrefix("file:")),
+        "not parquet".getBytes)
+    }
+    val v2 = LakeWriter.mergeSnapshot(
+      Seq((2, 2L, "b2")).toDF("day", "k", "v"), t, Seq("day", "k"))
+    assert(v2 == 2L)
+    assert(LakeWriter.readSnapshot(spark, t)
+      .where($"day" === 2).head().getString(2) == "b2")
+  }
+
   test("Views serves ad-hoc SQL over the raw zone") {
     val top = Views.sql(spark, TestSpark.sfDir,
       "SELECT o_orderpriority, count(*) n FROM orders GROUP BY 1")

@@ -90,6 +90,75 @@ class QuantizeRebalanceSpec extends AnyFunSuite {
     assert(natR.exceptAll(compR).isEmpty && compR.exceptAll(natR).isEmpty)
   }
 
+  test("HadamardRotate: exactly orthogonal, deterministic, ref-matched") {
+    val rot = embeddings.limit(50).select($"vec_id", $"embedding",
+      Similarity.rotateCol($"embedding").as("r"))
+    val rows = rot.collect()
+    // reference implementation, independently coded: signs then the
+    // dense H multiply (O(d^2), fine for a test)
+    def refRotate(x: Array[Double]): Array[Double] = {
+      val n = x.length
+      def sign(i: Int): Double = {
+        var z = 0x6A09E667F3BCC908L + 0x9E3779B97F4A7C15L * (i + 1)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0 else -1.0
+      }
+      val d = x.indices.map(i => sign(i) * x(i))
+      // H[i][j] = (-1)^popcount(i & j)
+      Array.tabulate(n) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+          s += h * d(j); j += 1
+        }
+        s / math.sqrt(n.toDouble)
+      }
+    }
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble).toArray
+      val y = r.getSeq[Double](2).toArray
+      val want = refRotate(x)
+      y.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+      // orthogonality: the norm is preserved exactly (up to fp)
+      val nx = math.sqrt(x.map(v => v * v).sum)
+      val ny = math.sqrt(y.map(v => v * v).sum)
+      assert(math.abs(nx - ny) < 1e-9, s"norm changed: $nx vs $ny")
+    }
+    // inner products (hence cosine rankings) are invariant
+    val x0 = rows(0).getSeq[Float](1).map(_.toDouble).toArray
+    val x1 = rows(1).getSeq[Float](1).map(_.toDouble).toArray
+    val y0 = rows(0).getSeq[Double](2).toArray
+    val y1 = rows(1).getSeq[Double](2).toArray
+    val dotX = x0.zip(x1).map { case (a, b) => a * b }.sum
+    val dotY = y0.zip(y1).map { case (a, b) => a * b }.sum
+    assert(math.abs(dotX - dotY) < 1e-9)
+    // deterministic: a second evaluation is bit-identical
+    val again = embeddings.limit(50).select($"vec_id",
+      Similarity.rotateCol($"embedding").as("r"))
+    assert(rot.select($"vec_id", $"r").exceptAll(again).isEmpty)
+  }
+
+  test("rotation is ranking-invariant: rotated brute force == raw") {
+    val qs = embeddings.where($"vec_id" < 5)
+    def rotated(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", Similarity.rotateCol($"embedding"))
+    val raw = Similarity.bruteForceTopK(qs, embeddings, "vec_id",
+      "embedding", 10).select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rot = Similarity.bruteForceTopK(rotated(qs), rotated(embeddings),
+      "vec_id", "embedding", 10).select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw == rot, "orthogonal rotation changed the exact ranking")
+    // and opqTopK produces a full, well-formed top-k at the same
+    // code budget as pqTopK
+    val top = Similarity.opqTopK(qs, embeddings, "vec_id", "embedding",
+      k = 3)
+    assert(top.groupBy($"query_id").count().collect()
+      .forall(_.getLong(1) == 3))
+  }
+
   test("Similarity.pqCodes: every code addresses a real centroid") {
     val (codes, books) = Similarity.pqCodes(embeddings, "vec_id",
       "embedding", m = 8, ksub = 16, dim = 64)

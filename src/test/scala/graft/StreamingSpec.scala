@@ -245,6 +245,48 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).toSet == Set("a1", "b1", "c1"))
   }
 
+  test("torn commit: upsert sink replays a merged-but-unmarked batch") {
+    val land = java.nio.file.Files.createTempDirectory("graft_utorn_land_")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_utorn_tbl_").toString + "/tbl"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_utorn_ck_").toString
+    Seq((1L, 10L, "a1"), (2L, 10L, "b1"), (3L, 10L, "c1"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.parquet(land.resolve("a").toString)
+    Seq((2L, 30L, "b3"), (4L, 10L, "d1"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.parquet(land.resolve("b").toString)
+    def stream = spark.readStream.schema("k LONG, ts LONG, v STRING")
+      .option("maxFilesPerTrigger", 1).parquet(land.toString + "/*")
+    val q1 = Speed.upsertToSnapshot(stream, table, Seq("k"), "ts", "v", ckpt)
+    q1.awaitTermination()
+    // deregistration is async; a restart on the same checkpoint must
+    // wait or it is refused as a concurrent query
+    while (spark.streams.active.exists(_.id == q1.id)) Thread.sleep(20)
+    val want = Map(1L -> "a1", 2L -> "b3", 3L -> "c1", 4L -> "d1")
+    def state() = graft.sources.LakeWriter.readSnapshot(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(state() == want)
+    // SIMULATE the crash window of batch 1: mergeSnapshot committed
+    // the table version, the process died before the checkpoint
+    // marked the batch done — on disk: commits/1 missing (with its
+    // local-FS .crc sidecar, which a real crash never leaves behind)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$ckpt/commits/1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.1.crc")): Unit
+    Speed.upsertToSnapshot(stream, table, Seq("k"), "ts", "v", ckpt)
+      .awaitTermination()
+    // the replayed merge commits one more version whose CONTENT is
+    // identical (idempotent by value): same rows, keys still unique
+    assert(state() == want, "replayed merge diverged")
+    assert(graft.sources.LakeWriter.readSnapshot(spark, table)
+      .groupBy($"k").count().where($"count" > 1).isEmpty,
+      "replayed merge duplicated keys")
+    assert(graft.sources.LakeWriter.snapshotVersions(spark, table) ==
+      Seq(1L, 2L, 3L), "replay re-merges as a new no-op-by-value version")
+  }
+
   test("driver contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
