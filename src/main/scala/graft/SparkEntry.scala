@@ -839,6 +839,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    "q_embed_opq_topk" -> ((s, d) => {
+      // PQ behind the OPQ-style deterministic Hadamard rotation —
+      // identical code budget to q_embed_pq_topk, quantization error
+      // moved by the orthogonal transform (docs/ann_recall.md); the
+      // oracle re-derives the rotation itself (dense H from
+      // bit_count(i&j) + embedded sign diagonal), the reconstruction,
+      // and the ranking
+      val e = T(s, d, "embeddings")
+      Similarity.opqTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
     "q_embed_ivfpq_ann" -> ((s, d) => {
       // the 100 TB ANN composition: IVF bounds WHICH vectors a query
       // touches, PQ bounds WHAT the scan reads per touched vector;
@@ -2371,6 +2383,7 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     survivorOracles(spark, sfDir) ++ ngramJaccardOracle(spark, sfDir) ++
       embedOracles(spark, sfDir) ++ pqOracle(spark, sfDir) ++
+      opqOracle(spark, sfDir) ++
       simhashOracle(spark, sfDir) ++
       minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir)
 
@@ -2688,6 +2701,76 @@ object SparkEntry {
       }
     }
     (lsh.toList ++ ivf.toList ++ nearDup.toList ++ sem.toList).toMap
+  }
+
+  /** q_embed_opq_topk re-derived INDEPENDENTLY by DuckDB — including
+    * the ROTATION: only the ±1 sign diagonal and the rotated-space
+    * codes/codebooks are embedded; the oracle rebuilds the Hadamard
+    * matrix itself from bit_count(i & j), applies the dense O(d²)
+    * transform to the raw query vectors (checking the engine's
+    * O(d log d) butterfly against an independent formulation), then
+    * reconstructs and re-ranks exactly like the PQ oracle. */
+  private def opqOracle(spark: SparkSession,
+                        sfDir: String): Map[String, String] = {
+    val e = T(spark, sfDir, "embeddings")
+    val (codesDf, books, signs) =
+      Similarity.opqCodes(e, "vec_id", "embedding")
+    val codes = codesDf.collect()
+    if (codes.isEmpty) Map.empty
+    else {
+      val dim = signs.length
+      val codeValues = codes.map { r =>
+        s"(${r.getLong(0)},[${r.getSeq[Int](1).mkString(",")}])"
+      }.mkString(",")
+      val bookValues = books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, j) =>
+          s"($s,$j,[${c.mkString(",")}])"
+        }
+      }.mkString(",")
+      val signValues =
+        signs.zipWithIndex.map { case (s, i) => s"($i,$s)" }.mkString(",")
+      Map("q_embed_opq_topk" ->
+        s"""WITH codes(vec_id, c) AS (VALUES $codeValues),
+           |books(s, j, v) AS (VALUES $bookValues),
+           |signs(i, sgn) AS (VALUES $signValues),
+           |x AS (
+           |  SELECT vec_id, g.i - 1 AS s, c[g.i] AS j
+           |  FROM codes, UNNEST(generate_series(1, len(c))) AS g(i)),
+           |r AS (
+           |  SELECT x.vec_id AS neighbor_id,
+           |    flatten(list(b.v ORDER BY x.s)) AS recon
+           |  FROM x JOIN books b ON b.s = x.s AND b.j = x.j
+           |  GROUP BY x.vec_id),
+           |qraw AS (
+           |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id < 10),
+           |qex AS (
+           |  SELECT query_id, g.i - 1 AS j, v[g.i] AS xv
+           |  FROM qraw, UNNEST(generate_series(1, len(v))) AS g(i)),
+           |rot AS (
+           |  SELECT qex.query_id, oi.i AS oi,
+           |    sum(CASE WHEN bit_count(CAST(oi.i AS BIGINT)
+           |          & CAST(qex.j AS BIGINT)) % 2 = 0
+           |        THEN 1 ELSE -1 END * s.sgn * qex.xv)
+           |      / sqrt(${dim}.0) AS y
+           |  FROM qex
+           |  JOIN signs s ON s.i = qex.j
+           |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${dim - 1}))
+           |              AS i) oi
+           |  GROUP BY qex.query_id, oi.i),
+           |q AS (
+           |  SELECT query_id, list(y ORDER BY oi) AS v
+           |  FROM rot GROUP BY query_id),
+           |p AS (
+           |  SELECT q.query_id, CAST(r.neighbor_id AS BIGINT) AS neighbor_id,
+           |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
+           |      / 10000 AS cos_sim
+           |  FROM q, r WHERE q.query_id <> r.neighbor_id)
+           |SELECT query_id, neighbor_id, cos_sim,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+           |FROM p QUALIFY rank <= 5""".stripMargin)
+    }
   }
 
   /** q_embed_pq_topk re-ranked INDEPENDENTLY by DuckDB: the engine's

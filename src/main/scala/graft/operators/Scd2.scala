@@ -92,13 +92,26 @@ object Scd2 {
             orderCol: String): DataFrame = {
     val touchedKeys = increment.select(entityKey.map(col): _*).distinct()
     val untouched = existing.join(touchedKeys, entityKey, "left_anti")
+    untouched.unionByName(
+      rebuildTouched(existing, increment, entityKey, attrs, orderCol))
+  }
+
+  /** Only the REBUILT version rows of `merge` — the entities the
+    * increment touches, re-derived. This is the update set a
+    * key-replacing upsert sink wants (e.g.
+    * `LakeWriter.mergeSnapshot(rebuilt, dim, entityKey)`: every
+    * current row of a touched entity is replaced, untouched entities'
+    * FILES carry by reference — the file-pruned incremental SCD2). */
+  def rebuildTouched(existing: DataFrame, increment: DataFrame,
+                     entityKey: Seq[String], attrs: Seq[String],
+                     orderCol: String): DataFrame = {
+    val touchedKeys = increment.select(entityKey.map(col): _*).distinct()
     val replayFeed = existing.join(touchedKeys, entityKey, "left_semi")
       .select((entityKey ++ attrs).map(col) :+
         col("effective_from").as(orderCol): _*)
-    val rebuilt = build(
+    build(
       replayFeed.unionByName(
         increment.select((entityKey ++ attrs :+ orderCol).map(col): _*)),
       entityKey, attrs, orderCol)
-    untouched.unionByName(rebuilt)
   }
 }

@@ -583,6 +583,20 @@ object Similarity {
       corpus.withColumn(vecCol, rotateCol(col(vecCol))),
       idCol, vecCol, k, m, ksub, dim, iters)
 
+  /** `opqTopK`'s scored table: (id, codes) in ROTATED space, plus the
+    * rotated-space codebooks and the rotation's sign diagonal — with
+    * these an oracle re-derives the rotation (dense H from
+    * bit_count(i&j), embedded signs), the reconstruction, and the
+    * ranking completely independently. */
+  def opqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int = 32, ksub: Int = 16, dim: Int = 64, iters: Int = 2)
+      : (DataFrame, Array[Array[Array[Double]]], Array[Int]) = {
+    val (codes, books) = pqCodes(
+      corpus.withColumn(vecCol, rotateCol(col(vecCol))),
+      idCol, vecCol, m, ksub, dim, iters)
+    (codes, books, graft.plans.HadamardRotate.signs(0x6A09E667F3BCC908L, dim))
+  }
+
   // ---- residual PQ (the IVF-PQ coding) -------------------------------
 
   private[graft] def rpqEncodeCol(cents: Array[Array[Double]],

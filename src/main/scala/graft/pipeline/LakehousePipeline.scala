@@ -82,4 +82,211 @@ object LakehousePipeline {
       dimUserState.count(),
       spark.read.parquet(s"$outDir/curated/fact_events").count())
   }
+
+  // ---- per-datadate incremental orchestration ----------------------
+  //
+  // The reference runs its DAG once per `datadate` with Airflow
+  // catchup (airflow/dags/lakehouse_dags.py: schedule + catchup=True,
+  // each task reads exactly its execution date's partition). This is
+  // that driver loop as a library: one call = one date's load, a
+  // processed-date ledger makes re-runs skips, and `backfill` catches
+  // up every unprocessed date in order. Per-date work is bounded the
+  // way a 100 TB deployment needs:
+  //  - staging touches ONE event_date partition (dynamic overwrite);
+  //  - dim_date / dim_event_type grow by the batch's new rows only
+  //    (surrogate keys are assigned once and never re-assigned — the
+  //    warehouse contract; a full rebuild may order keys differently);
+  //  - dim_user_state folds the day through Scd2.merge — entities
+  //    with no new rows pass through untouched, and the versioned
+  //    variant commits through the file-pruned snapshot MERGE;
+  //  - the fact overwrites exactly the loaded date's date_sk
+  //    partition.
+  // LIMIT, documented: a late-arriving day can rewrite an entity's
+  // earlier SCD2 history, but fact partitions already written for
+  // those earlier days are not recomputed — reprocess them with
+  // `runDate(force = true)`, the reference's Airflow "clear task"
+  // semantics.
+
+  case class DayResult(date: String, stgRows: Long, factRows: Long,
+                       skipped: Boolean)
+
+  private def ledgerPath(outDir: String) = s"$outDir/_meta/load_ledger"
+
+  /** Dates already loaded (empty for a fresh lake). */
+  def processedDates(spark: SparkSession, outDir: String): Set[String] = {
+    val t = ledgerPath(outDir)
+    if (LakeWriter.snapshotVersions(spark, t).isEmpty) Set.empty
+    else LakeWriter.readSnapshot(spark, t)
+      .select("datadate").distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Load ONE datadate end to end; a date in the ledger is skipped
+    * unless `force` (= Airflow task clear + re-run).
+    *
+    * @param versionedDims commit dim_user_state through the snapshot
+    *        layer: the day's touched entities go through the
+    *        FILE-PRUNED `LakeWriter.mergeSnapshot` (only files holding
+    *        a touched user rewrite; every other dim file carries by
+    *        reference) and every load is a time-travelable version —
+    *        the posture a billion-entity dimension needs. */
+  def runDate(spark: SparkSession, sfDir: String, outDir: String,
+              date: String, force: Boolean = false,
+              versionedDims: Boolean = false): DayResult = {
+    if (!force && processedDates(spark, outDir).contains(date))
+      return DayResult(date, 0L, 0L, skipped = true)
+    val day = to_date(lit(date))
+
+    // ---- staging, this date's rows only ----------------------------
+    val stg = Tables.load(spark, sfDir, "events")
+      .where(to_date(col("ts")) === day)
+      .select(
+        col("event_id"), col("ts"), col("user_id"),
+        CleanFns.normSym(col("event_type")).as("event_type"),
+        col("value"), col("props"),
+        to_date(col("ts")).as("event_date"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .persist()
+    val stgRows = stg.count()
+    if (stgRows == 0) {
+      // an empty date (holiday / no landings) only records the attempt
+      stg.unpersist(blocking = false)
+      appendLoadLedger(spark, outDir, date, 0L, 0L)
+      return DayResult(date, 0L, 0L, skipped = false)
+    }
+    LakeWriter.dynamicPartitionOverwrite(stg,
+      s"$outDir/stg/stg_events", Seq("event_date"))
+
+    // ---- dims, incrementally --------------------------------------
+    val dateDimPath = s"$outDir/curated/dim_date"
+    val newDates = Dims.dateDim(stg, col("event_date"))
+    val dimDate =
+      if (!new java.io.File(dateDimPath).exists()) newDates
+      else {
+        val existing = spark.read.parquet(dateDimPath)
+        existing.unionByName(
+          newDates.join(existing.select("date"), Seq("date"), "left_anti"))
+      }
+    // tiny table: stage the merged dim before overwriting its input
+    writeViaStaging(dimDate, dateDimPath)
+
+    val etPath = s"$outDir/curated/dim_event_type"
+    val batchTypes = stg.select("event_type")
+      .where(col("event_type").isNotNull).distinct()
+    val dimEventType =
+      if (!new java.io.File(etPath).exists())
+        Dims.distinctDim(stg, Seq("event_type"), "event_type_sk")
+      else {
+        val existing = spark.read.parquet(etPath)
+        // once assigned, a surrogate key NEVER moves: new types take
+        // keys after the current max, in natural-key order
+        val maxSk = existing.agg(max(col("event_type_sk"))).head().getLong(0)
+        existing.unionByName(
+          Dims.distinctDim(
+            batchTypes.join(existing.select("event_type"),
+              Seq("event_type"), "left_anti"),
+            Seq("event_type"), "event_type_sk")
+            .withColumn("event_type_sk", col("event_type_sk") + maxSk))
+      }
+    writeViaStaging(dimEventType, etPath)
+    // the pre-swap lineage points at deleted files — read back fresh
+    val dimEventTypeBack = spark.read.parquet(etPath)
+
+    val usPath = s"$outDir/curated/dim_user_state"
+    val dimUserState =
+      if (versionedDims) {
+        if (LakeWriter.snapshotVersions(spark, usPath).isEmpty)
+          LakeWriter.commitSnapshot(
+            Scd2.build(stg, Seq("user_id"), Seq("event_type"), "ts")
+              .withColumnRenamed("event_type", "state"), usPath)
+        else
+          // file-pruned incremental SCD2: replace only touched users'
+          // rows; files without a touched user carry by reference
+          LakeWriter.mergeSnapshot(
+            Scd2.rebuildTouched(
+              LakeWriter.readSnapshot(spark, usPath)
+                .withColumnRenamed("state", "event_type"),
+              stg, Seq("user_id"), Seq("event_type"), "ts")
+              .withColumnRenamed("event_type", "state"),
+            usPath, Seq("user_id"))
+        LakeWriter.readSnapshot(spark, usPath)
+      } else if (!new java.io.File(usPath).exists()) {
+        val built = Scd2.build(stg, Seq("user_id"), Seq("event_type"), "ts")
+          .withColumnRenamed("event_type", "state")
+        writeViaStaging(built, usPath)
+        spark.read.parquet(usPath)
+      } else {
+        val existing = spark.read.parquet(usPath)
+        val merged = Scd2.merge(
+          existing.withColumnRenamed("state", "event_type"),
+          stg, Seq("user_id"), Seq("event_type"), "ts")
+          .withColumnRenamed("event_type", "state")
+        writeViaStaging(merged, usPath)
+        spark.read.parquet(usPath)
+      }
+
+    // ---- fact, this date's partition only --------------------------
+    val fact = PitJoin(stg, dimUserState, Seq("user_id"), "ts")
+      .join(broadcast(dimEventTypeBack), Seq("event_type"), "left")
+      .withColumn("date_sk", CleanFns.dateSk(col("event_date")))
+      .select("date_sk", "event_id", "user_id", "event_type_sk",
+        "state", "value", "ts")
+    val factRows = fact.count()
+    if (factRows > 0)
+      LakeWriter.dynamicPartitionOverwrite(fact,
+        s"$outDir/curated/fact_events", Seq("date_sk"))
+    stg.unpersist(blocking = false)
+
+    appendLoadLedger(spark, outDir, date, stgRows, factRows)
+    DayResult(date, stgRows, factRows, skipped = false)
+  }
+
+  /** One ledger row per load ATTEMPT, like the curation ledger. */
+  private def appendLoadLedger(spark: SparkSession, outDir: String,
+                               date: String, stgRows: Long,
+                               factRows: Long): Unit = {
+    import spark.implicits._
+    LakeWriter.commitSnapshot(
+      Seq((date, stgRows, factRows)).toDF("datadate", "stg_rows",
+        "fact_rows"),
+      ledgerPath(outDir),
+      mode = if (LakeWriter.snapshotVersions(spark,
+        ledgerPath(outDir)).isEmpty) "overwrite" else "append"): Unit
+  }
+
+  /** Airflow-catchup twin: every raw event date not yet in the
+    * ledger, loaded in ascending order. (At scale the raw zone is
+    * date-partitioned, so the date listing is a metadata read.) */
+  def backfill(spark: SparkSession, sfDir: String, outDir: String,
+               versionedDims: Boolean = false): Seq[DayResult] = {
+    val done = processedDates(spark, outDir)
+    Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).cast("string").as("d"))
+      .where(col("d").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+      .filterNot(done)
+      .map(d => runDate(spark, sfDir, outDir, d,
+        versionedDims = versionedDims))
+  }
+
+  /** Overwrite `path` with `df` even when `df` READS from `path`:
+    * materialize to a staging dir, swap via rename-aside (the
+    * `LakeWriter.compact` pattern). Small dims only. */
+  private def writeViaStaging(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dst)) { df.write.parquet(path); return }
+    val tmp = path.stripSuffix("/") + "__staging"
+    df.write.mode("overwrite").parquet(tmp)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dst, old), s"staging swap: could not move $dst aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"staging swap: could not activate $tmp at $dst")
+    fs.delete(old, true)
+    // the manual rename bypasses the writer path that invalidates
+    // Spark's file-listing cache — stale listings would 404 later
+    spark.catalog.refreshByPath(path)
+  }
 }

@@ -49,6 +49,12 @@ case class HadamardRotate(child: Expression, seed: Long)
 
 object HadamardRotate {
 
+  /** The ±1 sign diagonal as values — what an external oracle embeds
+    * to re-derive the rotation independently (the Hadamard matrix
+    * itself is re-derivable from bit_count(i & j)). */
+  def signs(seed: Long, n: Int): Array[Int] =
+    Array.tabulate(n)(i => if (signBit(seed, i)) 1 else -1)
+
   /** splitmix64 finalizer — the sign diagonal: bit 0 of mix(seed+i). */
   private def signBit(seed: Long, i: Int): Boolean = {
     var z = seed + 0x9E3779B97F4A7C15L * (i + 1)

@@ -28,6 +28,7 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_embed_cosine_topk",
     "q_embed_sq_topk",    // ≤10 broadcast query vectors × corpus scan
     "q_embed_pq_topk",    // same shape over PQ-reconstructed corpus
+    "q_embed_opq_topk",   // same, behind the orthogonal rotation
     "q_hybrid_batch",     // 5 broadcast query vectors × corpus cosine
     "q_epoch_weights",    // one-row band totals broadcast
     "q_lm_score",         // corpus-level model stats broadcast
