@@ -764,6 +764,51 @@ object SparkEntry {
       TextAnalysis.corpusStatsDelta(s, table, "text", "doc_id")
     }),
 
+    "q_snapshot_delete" -> ((s, d) => {
+      // copy-on-write DELETE WHERE over a versioned corpus: commit
+      // the documents table, delete the short English docs, read the
+      // post-delete version. The delete is FILE-PRUNED (only files
+      // containing a matching row rewrite) and keeps NULL-predicate
+      // rows — SQL DELETE semantics, oracle-matched via the coalesce
+      // form. The pre-delete version stays time-travelable; physical
+      // erasure is delete + vacuum (docs/snapshot_format.md).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_del_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      LakeWriter.commitSnapshot(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")), table)
+      LakeWriter.deleteFromSnapshot(s, table,
+        col("lang") === "en" && col("n_chars") < 200)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_cdc" -> ((s, d) => {
+      // the change-data-feed: v1 commits the corpus, v2 MERGEs an
+      // upsert batch (every doc_id%10==0 doc re-scored, plus brand-new
+      // doc_ids), and the output is the NET row-level change feed
+      // between the versions — derived from the manifests' delta
+      // files only, with copy-on-write rewrite noise collapsed by
+      // exceptAll. What an incremental downstream consumer reads
+      // instead of diffing 100 TB.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_cdc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(base, table)
+      val updates = base.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(base.where(pmod(col("doc_id"), lit(10)) === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      LakeWriter.mergeSnapshot(updates, table, Seq("doc_id"))
+      LakeWriter.changesBetween(s, table, 1L, 2L)
+    }),
+
     "q_dup_cluster_stats" -> ((s, d) =>
       // the dedup run's report: how many clusters of each size
       operators.Graph.clusterSizeStats(
@@ -1952,6 +1997,26 @@ object SparkEntry {
         |      / CAST(count(*) - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000
         |  END AS zcr
         |FROM chl GROUP BY media_id, frame_idx""".stripMargin,
+
+    "q_snapshot_delete" ->
+      // DELETE WHERE semantics: a row survives when the predicate is
+      // FALSE or NULL — hence the coalesce, not plain NOT
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT coalesce(lang = 'en' AND n_chars < 200, false)"""
+        .stripMargin,
+
+    "q_snapshot_cdc" ->
+      // net feed: old values of updated rows leave (delete), new
+      // values + brand-new keys arrive (insert); untouched rows that
+      // merely shared a rewritten file are collapsed away
+      """SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000, 'insert'
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, n_chars, 'insert'
+        |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
 
     "q_corpus_delta" ->
       """WITH m AS (

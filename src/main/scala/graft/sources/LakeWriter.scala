@@ -270,11 +270,33 @@ object LakeWriter {
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-    val carried =
-      if (mode == "append" && prev.nonEmpty)
-        snapshotFiles(spark, table, prev.last)
-      else Seq.empty
-    writeManifest(spark, fs, table, version, mode, df.schema,
+    val (carried, schema) =
+      if (mode == "append" && prev.nonEmpty) {
+        // checked schema EVOLUTION: an append may add columns (old
+        // files read them back as null) or omit columns (the new
+        // files read back null there) — but a type change on a shared
+        // column would silently corrupt carried data under the new
+        // schema, so it refuses loudly. The committed schema is the
+        // ORDERED union: table columns first, genuinely new ones
+        // appended.
+        val (files, prevSchemaJson, _) = parseManifest(spark, table, prev.last)
+        val prevSchema = org.apache.spark.sql.types.DataType
+          .fromJson(prevSchemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val prevType = prevSchema.fields
+          .map(f => f.name -> f.dataType.catalogString).toMap
+        val drift = df.schema.fields.filter(f =>
+          prevType.get(f.name).exists(_ != f.dataType.catalogString))
+        require(drift.isEmpty, "append type mismatch: " + drift.map(f =>
+          s"${f.name}: table ${prevType(f.name)} vs append " +
+            f.dataType.catalogString).mkString(", "))
+        val newFields = df.schema.fields
+          .filterNot(f => prevType.contains(f.name))
+        (files,
+          org.apache.spark.sql.types.StructType(
+            prevSchema.fields ++ newFields))
+      } else (Seq.empty[String], df.schema)
+    writeManifest(spark, fs, table, version, mode, schema,
       carried ++ newFiles)
     version
   }
@@ -377,6 +399,129 @@ object LakeWriter {
     * between input_file_name() and manifest path strings. */
   private def baseName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
+
+  /** DELETE WHERE over a snapshot table — the right-to-erasure path.
+    * Copy-on-write and FILE-PRUNED like `mergeSnapshot`: only files
+    * that CONTAIN a row where `predicate` is true are rewritten
+    * (their surviving rows re-land); every other file carries into
+    * the new version by reference. On a hive-partitioned snapshot a
+    * predicate over partition columns prunes at PLANNING time — files
+    * of excluded partitions are never opened at all (their partition
+    * values come from paths, not footers).
+    *
+    * SQL DELETE semantics: a row is deleted iff the predicate
+    * evaluates TRUE; rows where it is NULL survive. A delete that
+    * matches nothing commits nothing and returns the current version.
+    * Older versions still read the deleted rows — physical erasure is
+    * `vacuumSnapshots` retiring the pre-delete versions (document
+    * that two-step in any compliance workflow). */
+  def deleteFromSnapshot(spark: SparkSession, table: String,
+                         predicate: org.apache.spark.sql.Column): Long = {
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
+    if (files.isEmpty) return prev.last
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = schema.fieldNames.toSeq
+    val matched = readFiles(spark, files, schema)
+      .where(predicate)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (matched.isEmpty) return prev.last
+    val (rewrite, carry) = files.partition(f => matched(baseName(f)))
+    // survivors: predicate FALSE or NULL (plain `!predicate` would
+    // also drop the NULL rows — not what DELETE means)
+    val survivors = readFiles(spark, rewrite, schema)
+      .where(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(
+          predicate, org.apache.spark.sql.functions.lit(false))))
+      .select(cols.map(col): _*)
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = prev.last + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    val writer = survivors.write.mode("errorifexists")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(dataDir.toString)
+    val newFiles = walk(fs, dataDir).sorted
+    writeManifest(spark, fs, table, version, "delete", schema,
+      carry ++ newFiles, partCols)
+    version
+  }
+
+  /** Row-level changes between two snapshot versions, derived from
+    * the manifests' FILE sets — the change-data-feed role that lets a
+    * downstream job process a 100 TB table incrementally: only the
+    * DELTA files (added or removed between the versions) are ever
+    * read; carried files are never opened.
+    *
+    * Returns rows tagged `_change_type` ("insert" | "delete"). With
+    * `collapse = false` the feed is file-granular, like a
+    * copy-on-write log replay: a merge/delete that rewrote a file
+    * emits delete+insert for that file's UNCHANGED surviving rows
+    * too. `collapse = true` cancels those pairs (exceptAll both ways
+    * over the delta rows only), leaving the exact net row changes —
+    * still bounded by delta size, never table size. */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromVersion: Long, toVersion: Long,
+                     collapse: Boolean = true): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: from $fromVersion > to $toVersion")
+    val (fromFiles, fromSchemaJson, _) =
+      parseManifest(spark, table, fromVersion)
+    val (toFiles, toSchemaJson, _) = parseManifest(spark, table, toVersion)
+    def schemaOf(json: String) =
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fromSet = fromFiles.toSet
+    val toSet = toFiles.toSet
+    val added = toFiles.filterNot(fromSet)
+    val removed = fromFiles.filterNot(toSet)
+    val tag = org.apache.spark.sql.functions.lit _
+    // each side reads with ITS OWN committed schema (they may differ
+    // across an evolving table); the union aligns by name and fills
+    // columns the other side predates with nulls
+    val inserts =
+      if (added.isEmpty) None
+      else Some(readFiles(spark, added, schemaOf(toSchemaJson))
+        .withColumn("_change_type", tag("insert")))
+    val deletes =
+      if (removed.isEmpty) None
+      else Some(readFiles(spark, removed, schemaOf(fromSchemaJson))
+        .withColumn("_change_type", tag("delete")))
+    val raw = (inserts, deletes) match {
+      case (Some(i), Some(d)) =>
+        if (!collapse) i.unionByName(d, allowMissingColumns = true)
+        else {
+          // cancel rewrite noise: a surviving row appears on both
+          // sides with identical values — exceptAll keeps multiplicity
+          // honest for genuine duplicates. Align both sides to the
+          // same column superset AND order first (schemas may differ
+          // across an evolving table; exceptAll matches by position).
+          val iu = i.drop("_change_type")
+            .unionByName(d.drop("_change_type").limit(0),
+              allowMissingColumns = true)
+          val du = d.drop("_change_type")
+            .unionByName(i.drop("_change_type").limit(0),
+              allowMissingColumns = true)
+          val order = iu.columns.toSeq
+          val iv = iu.select(order.map(col): _*)
+          val dv = du.select(order.map(col): _*)
+          iv.exceptAll(dv).withColumn("_change_type", tag("insert"))
+            .unionByName(
+              dv.exceptAll(iv).withColumn("_change_type", tag("delete")))
+        }
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case (None, None) =>
+        // no file changed: an empty, correctly-typed feed
+        readSnapshot(spark, table, Some(toVersion))
+          .withColumn("_change_type", tag("insert")).limit(0)
+    }
+    raw
+  }
 
   /** The partitioned half of `mergeSnapshot`. The updates land FIRST,
     * hive-partitioned into their own attempt directory — their paths

@@ -31,6 +31,24 @@ object Views {
       }
   }
 
+  /** `registerZone`, but as GLOBAL temp views — the registration an
+    * external-serving endpoint needs: a Thrift/JDBC connection gets
+    * its own Spark session (own temp-view namespace), while global
+    * temp views live on the shared context and are visible to every
+    * connection as `global_temp.<name>`. */
+  def registerZoneGlobal(spark: SparkSession, zoneDir: String): Unit = {
+    val d = new java.io.File(zoneDir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .foreach { t =>
+        val df =
+          if (new java.io.File(t, "_manifests").isDirectory)
+            LakeWriter.readSnapshot(spark, t.getPath)
+          else spark.read.parquet(t.getPath)
+        df.createOrReplaceGlobalTempView(t.getName)
+      }
+  }
+
   /** Serve one snapshot table AS OF a version (time-travel SQL). */
   def registerSnapshotAsOf(spark: SparkSession, table: String,
                            viewName: String, version: Long): Unit =
@@ -41,5 +59,22 @@ object Views {
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)
     spark.sql(query)
+  }
+
+  /** Start a real JDBC/Thrift SQL endpoint over this session's
+    * catalog — the externally-reachable serving surface the
+    * reference delegates to Trino: any HiveServer2-protocol client
+    * (beeline, JDBC `jdbc:hive2://host:port`, Superset's hive
+    * driver) can query every view registered above, with Spark
+    * executing the plans. Binds on `port` (0 = none free picked by
+    * the OS is NOT supported by HiveServer2 — pass an explicit free
+    * port). Returns a handle whose `stop()` shuts the endpoint down;
+    * the SparkSession itself stays alive. */
+  def serve(spark: SparkSession, port: Int)
+      : org.apache.hive.service.server.HiveServer2 = {
+    spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+    spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
+    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
   }
 }

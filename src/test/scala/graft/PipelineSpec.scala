@@ -212,6 +212,149 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type mismatch"))
   }
 
+  test("deleteFromSnapshot prunes files, keeps NULL-predicate rows") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_del").toString +
+      "/tbl"
+    // v1: keys 1-10 (val, with one NULL); v2 append: keys 11-20 —
+    // disjoint file sets
+    LakeWriter.commitSnapshot(
+      (1 to 10).map(i =>
+        (i.toLong, if (i == 3) null else s"val$i")).toDF("k", "v"), t,
+      "overwrite")
+    LakeWriter.commitSnapshot(
+      (11 to 20).map(i => (i.toLong, s"val$i")).toDF("k", "v"), t,
+      "append")
+    val before = LakeWriter.snapshotFiles(spark, t, 2L)
+    // delete on a predicate only v1 rows can match; v = NULL rows
+    // evaluate the predicate NULL and must SURVIVE (DELETE semantics)
+    val v3 = LakeWriter.deleteFromSnapshot(spark, t,
+      $"k" <= 5L && $"v" =!= "val3")
+    assert(v3 == 3L)
+    val now = LakeWriter.readSnapshot(spark, t)
+    assert(now.count() == 16)                  // 1,2,4,5 deleted
+    assert(now.where($"k" === 3L).count() == 1) // NULL predicate row kept
+    assert(now.where($"k" <= 5L && $"k" =!= 3L).count() == 0)
+    // v2's files carried by reference; a v1 file was rewritten
+    val after = LakeWriter.snapshotFiles(spark, t, 3L).toSet
+    val v2Files = before.filter(_.contains("/data/v2-"))
+    assert(v2Files.nonEmpty && v2Files.forall(after))
+    assert(before.filter(_.contains("/data/v1-")).exists(f => !after(f)))
+    // time travel still reads the pre-delete state
+    assert(LakeWriter.readSnapshot(spark, t, Some(2L)).count() == 20)
+    // a no-match delete commits nothing
+    assert(LakeWriter.deleteFromSnapshot(spark, t, $"k" === 999L) == 3L)
+    assert(LakeWriter.snapshotVersions(spark, t) == Seq(1L, 2L, 3L))
+  }
+
+  test("partitioned delete never opens excluded partitions") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_delp")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshotDynamic(
+      Seq((1, 1L, "a"), (2, 2L, "b"), (2, 3L, "c"))
+        .toDF("day", "k", "v"), t, Seq("day"))
+    // corrupt day=1's file in place: a partition-pruned delete on
+    // day=2 must succeed without ever opening it
+    LakeWriter.snapshotFiles(spark, t, 1L)
+      .filter(_.contains("/day=1/")).foreach { f =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f.stripPrefix("file:")),
+          "not parquet".getBytes)
+      }
+    val v2 = LakeWriter.deleteFromSnapshot(spark, t,
+      $"day" === 2 && $"k" === 2L)
+    assert(v2 == 2L)
+    val now = LakeWriter.readSnapshot(spark, t)
+    assert(now.where($"day" === 2).as[(Int, Long, String)].collect()
+      .toSet == Set((2, 3L, "c")))
+    // day=1's (corrupted) file carried by reference, partition
+    // metadata survives the delete
+    val after = LakeWriter.snapshotFiles(spark, t, 2L)
+    assert(after.exists(_.contains("/day=1/")))
+    assert(LakeWriter.snapshotPartitionCols(spark, t, 2L) == Seq("day"))
+  }
+
+  test("changesBetween reads only delta files; collapse nets rewrites") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_cdc").toString +
+      "/tbl"
+    LakeWriter.commitSnapshot(
+      (1 to 10).map(i => (i.toLong, s"val$i")).toDF("k", "v"), t,
+      "overwrite")
+    LakeWriter.commitSnapshot(
+      (11 to 20).map(i => (i.toLong, s"val$i")).toDF("k", "v"), t,
+      "append")
+    // append delta: pure inserts
+    val c12 = LakeWriter.changesBetween(spark, t, 1L, 2L)
+    assert(c12.where($"_change_type" === "insert").count() == 10)
+    assert(c12.where($"_change_type" === "delete").count() == 0)
+    // merge: update key 5, insert key 100 — collapse must cancel the
+    // rewrite noise (keys 1-4,6-10 re-landed unchanged) down to the
+    // net: delete (5,val5), insert (5,updated), insert (100,new)
+    LakeWriter.mergeSnapshot(
+      Seq((5L, "updated"), (100L, "new")).toDF("k", "v"), t, Seq("k"))
+    val c23 = LakeWriter.changesBetween(spark, t, 2L, 3L)
+    assert(c23.as[(Long, String, String)].collect().toSet == Set(
+      (5L, "val5", "delete"), (5L, "updated", "insert"),
+      (100L, "new", "insert")))
+    // the uncollapsed feed replays every row of the rewritten
+    // file(s): it must carry the genuine delete plus delete+insert
+    // pairs for any unchanged rows that shared a file with key 5
+    val raw23 = LakeWriter.changesBetween(spark, t, 2L, 3L,
+      collapse = false)
+    val rawDel = raw23.where($"_change_type" === "delete")
+      .as[(Long, String, String)].collect().toSet
+    assert(rawDel.contains((5L, "val5", "delete")))
+    val rewriteNoise = rawDel - ((5L, "val5", "delete"))
+    rewriteNoise.foreach { case (k, v, _) =>
+      assert(raw23.where($"_change_type" === "insert" &&
+        $"k" === k && $"v" === v).count() == 1,
+        s"unchanged row ($k,$v) must re-land as an insert")
+    }
+    // carried files are NEVER opened: corrupt the v2 append files in
+    // place — the v2→v3 feed only touches the v1-rewrite delta
+    LakeWriter.snapshotFiles(spark, t, 3L)
+      .filter(_.contains("/data/v2-")).foreach { f =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f.stripPrefix("file:")),
+          "not parquet".getBytes)
+      }
+    assert(LakeWriter.changesBetween(spark, t, 2L, 3L).count() == 3)
+    // identical versions: an empty, typed feed
+    assert(LakeWriter.changesBetween(spark, t, 3L, 3L).columns
+      .contains("_change_type"))
+    assert(LakeWriter.changesBetween(spark, t, 3L, 3L).count() == 0)
+  }
+
+  test("append commits evolve schema checked: add ok, drift refused") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_evo").toString +
+      "/tbl"
+    LakeWriter.commitSnapshot(
+      Seq((1L, "a")).toDF("k", "v"), t, "overwrite")
+    // adding a column: old rows read it back NULL
+    LakeWriter.commitSnapshot(
+      Seq((2L, "b", 7.5)).toDF("k", "v", "score"), t, "append")
+    val now = LakeWriter.readSnapshot(spark, t)
+    assert(now.columns.toSeq == Seq("k", "v", "score"))
+    assert(now.where($"k" === 1L).head().isNullAt(2))
+    assert(now.where($"k" === 2L).head().getDouble(2) == 7.5)
+    // omitting a column: the new rows read it back NULL
+    LakeWriter.commitSnapshot(Seq(3L).toDF("k"), t, "append")
+    val n2 = LakeWriter.readSnapshot(spark, t)
+    assert(n2.where($"k" === 3L).head().isNullAt(1))
+    assert(n2.count() == 3)
+    // type drift on a shared column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.commitSnapshot(Seq((4, "d")).toDF("k", "v"), t, "append")
+    }
+    assert(e.getMessage.contains("append type mismatch"))
+    // CDC across the evolution: the old-schema delete side aligns
+    val c = LakeWriter.changesBetween(spark, t, 1L, 3L)
+    assert(c.where($"_change_type" === "insert").count() == 2)
+  }
+
   test("partitioned merge never opens untouched partitions") {
     import graft.sources.LakeWriter
     val t = java.nio.file.Files.createTempDirectory("graft_mergepp")

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LakeWriter, Views}
+
+/** The external SQL serving surface (the reference's Trino/Superset
+  * role): a real HiveServer2-protocol endpoint over the session's
+  * catalog, exercised end-to-end with the stock Hive JDBC client —
+  * connection, metadata-free ad-hoc SQL, aggregation, and snapshot
+  * tables served at their latest version through global temp views.
+  */
+class ServingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Views.serve: lake tables queryable over a real JDBC endpoint") {
+    // a small curated zone: one snapshot table (latest version must
+    // win), one plain parquet table
+    val zone = java.nio.file.Files.createTempDirectory("graft_serve")
+      .toString
+    LakeWriter.commitSnapshot(
+      Seq((1L, "stale")).toDF("k", "v"), s"$zone/facts")
+    LakeWriter.commitSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), s"$zone/facts")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w")
+      .write.parquet(s"$zone/weights")
+    Views.registerZoneGlobal(spark, zone)
+
+    val sock = new java.net.ServerSocket(0)
+    val port = sock.getLocalPort
+    sock.close()
+    val server = Views.serve(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // the endpoint binds asynchronously — retry until it accepts
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (conn == null) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+        catch { case e: java.sql.SQLException =>
+          if (System.nanoTime > deadline) throw e else Thread.sleep(500)
+        }
+      }
+      try {
+        val st = conn.createStatement()
+        // the snapshot table serves its LATEST version
+        val rs = st.executeQuery(
+          "SELECT k, v FROM global_temp.facts ORDER BY k")
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2)))
+          .toList
+        assert(got == List((1L, "a"), (2L, "b"), (3L, "c")))
+        // a join + aggregation plans and executes through Spark
+        val rs2 = st.executeQuery(
+          """SELECT sum(w.w) FROM global_temp.facts f
+            |JOIN global_temp.weights w ON f.k = w.k""".stripMargin)
+        assert(rs2.next() && rs2.getDouble(1) == 30.0)
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
