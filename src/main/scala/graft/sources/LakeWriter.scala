@@ -687,6 +687,58 @@ object LakeWriter {
     (files, schema, partCols)
   }
 
+  /** Durable consumer cursor over a table's version history: run
+    * `fn` once per version committed since the cursor last advanced,
+    * each call receiving that version's COLLAPSED change feed
+    * (`changesBetween`), oldest first; the cursor file advances by
+    * atomic rename AFTER each call returns. Crash between `fn` and
+    * the advance ⇒ that version replays — at-least-once; a consumer
+    * that commits its output keyed on the version (or idempotently,
+    * like `Materialized.refreshAgg`'s merge) gets effective
+    * exactly-once. A version with no predecessor in the manifest dir
+    * (first commit, or history vacuumed past the cursor) feeds as a
+    * full snapshot of inserts. Returns the versions processed. */
+  def processNewVersions(spark: SparkSession, table: String,
+      cursorPath: String)(fn: (DataFrame, Long) => Unit): Seq[Long] = {
+    val cursor = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = fsOf(spark, cursor)
+    val last: Option[Long] =
+      if (!fs.exists(cursor)) None
+      else {
+        val in = fs.open(cursor)
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close()
+        Some(s.trim.toLong)
+      }
+    val vs = snapshotVersions(spark, table)
+    val todo = vs.filter(v => last.forall(v > _))
+    todo.foreach { v =>
+      val feed = vs.filter(_ < v).lastOption match {
+        case Some(p) => changesBetween(spark, table, p, v)
+        case None if last.isEmpty =>
+          // bootstrap: the table's first surviving version feeds whole
+          readSnapshot(spark, table, Some(v)).withColumn(
+            "_change_type", org.apache.spark.sql.functions.lit("insert"))
+        case None =>
+          // the cursor's version was vacuumed: a delta is impossible
+          // and a full feed would double-count everything processed
+          // before — refuse; the consumer must re-bootstrap
+          sys.error(s"cursor at ${last.get} but oldest surviving " +
+            s"version of $table is $v after vacuum: delta lost, " +
+            "re-bootstrap the consumer (fresh cursor + rebuilt state)")
+      }
+      fn(feed, v)
+      val tmp = new org.apache.hadoop.fs.Path(
+        cursor.getParent, s".${cursor.getName}.tmp")
+      val out = fs.create(tmp, true)
+      out.write(v.toString.getBytes("UTF-8")); out.close()
+      fs.delete(cursor, false)
+      require(fs.rename(tmp, cursor), s"cursor advance failed at $cursorPath")
+    }
+    todo
+  }
+
   /** Partition-aware snapshot commit — dynamic partition overwrite
     * WITH time travel: the new snapshot keeps every prior file whose
     * partition `df` does not touch, and replaces the touched
