@@ -18,15 +18,36 @@ object Bench {
     // shuffle accounting: how many bytes each query moves is the
     // number that predicts 100 TB behavior better than local seconds
     val shufWrite = new AtomicLong(); val shufRead = new AtomicLong()
+    // executor CPU seconds per query: contention-INVARIANT where wall
+    // seconds are not — when the driver host is busy, wall time
+    // inflates but the CPU a query actually burns does not (BENCH_r06/
+    // r07 were 1.8x the same-code evidence runs on unchanged plans;
+    // this field lets any reader separate host noise from regressions)
+    val cpuNanos = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          cpuNanos.addAndGet(m.executorCpuTime)
         }
       }
     })
+
+    // host evidence: 1-min load and the iowait/steal shares of
+    // /proc/stat across each query's timed window
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // (total, iowait, steal) jiffies from the aggregate cpu line
+    def cpuStat(): (Long, Long, Long) =
+      try {
+        val p = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (p.sum, p(4), if (p.length > 7) p(7) else 0L)
+      } catch { case _: Throwable => (-1L, 0L, 0L) }
 
     // untimed warmup: JIT, codegen, parquet reader init — otherwise
     // whichever query runs first absorbs ~10s of one-time cost.
@@ -61,11 +82,18 @@ object Bench {
 
     val failed = scala.collection.mutable.ListBuffer[String]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val hostLoad1 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val hostIowaitPct = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val hostStealPct = scala.collection.mutable.LinkedHashMap[String, Double]()
     def runOne(label: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       drain()
       syncFs()
       val w0 = shufWrite.get(); val r0 = shufRead.get()
+      val c0 = cpuNanos.get()
+      val (jt0, jw0, js0) = cpuStat()
+      hostLoad1(label) = load1()
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column —
       // count() would let Catalyst prune the projections away and
@@ -83,8 +111,15 @@ object Bench {
       val rMb = (shufRead.get() - r0) / 1e6
       shuffleMb(label) =
         (math.round(wMb * 100) / 100.0, math.round(rMb * 100) / 100.0)
+      cpuSec(label) = math.round((cpuNanos.get() - c0) / 1e9 * 100) / 100.0
+      val (jt1, jw1, js1) = cpuStat()
+      val jd = (jt1 - jt0).toDouble
+      hostIowaitPct(label) =
+        if (jt0 < 0 || jd <= 0) -1.0 else math.round((jw1 - jw0) / jd * 10000) / 100.0
+      hostStealPct(label) =
+        if (jt0 < 0 || jd <= 0) -1.0 else math.round((js1 - js0) / jd * 10000) / 100.0
       System.err.println(
-        f"[bench] $label%-24s $dt%8.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB")
+        f"[bench] $label%-24s $dt%8.2f s  cpu ${cpuSec(label)}%8.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB  load1 ${hostLoad1(label)}%5.1f")
       label -> dt
     }
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times a subset (the driver
@@ -111,11 +146,22 @@ object Bench {
     val shr = shuffleMb.map { case (k, (_, r)) => k -> r }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalCpu = math.round(results.collect {
+      case (k, v) if v >= 0 => cpuSec.getOrElse(k, 0.0) }.sum * 100) / 100.0
 
     // Full detail (per-query full precision, RocksDB variants, shuffle
-    // bytes) goes to STDERR — the harness only keeps a bounded tail of
-    // stdout, so the stdout contract line below must stay small.
-    System.err.println(s"""[bench-full] {"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // bytes, host evidence) goes to STDERR — the harness only keeps a
+    // bounded tail of stdout, so the stdout contract line must stay
+    // small.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec_total":$totalCpu,"queries":${json(results)},"cpu_sec":${json(cpuSec)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"load1":${json(hostLoad1)},"iowait_pct":${json(hostIowaitPct)},"steal_pct":${json(hostStealPct)},"failed":$failedJson,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
+    System.err.println(s"[bench-full] $fullJson")
+    // ... and to a file, so every bench run (driver's included) leaves
+    // per-query cpu/load evidence on disk regardless of log truncation
+    try {
+      val p = java.nio.file.Paths.get("docs/bench/last_run_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
 
     // STDOUT contract line: ONE compact JSON object. The harness
     // inspects only the last ~2000 chars of stdout (and sbt appends a
@@ -130,13 +176,20 @@ object Bench {
     }
     val budget = 1600 // chars for the whole line; leaves ample tail room
     val bySlow = results.toSeq.sortBy { case (_, v) => -v }
+    // run-level host summary: enough to tell a contended run from a
+    // clean one even if only the stdout line survives. cpu_sec_total
+    // is the contention-invariant twin of "value" (wall): when wall
+    // inflates against the committed evidence run but cpu does not,
+    // the gap is host-side, not a plan regression.
+    val loadVals = hostLoad1.values.filter(_ >= 0)
+    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
     def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       val extra =
         if (omitted.isEmpty) ""
         else s""","omitted_queries":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
       val failedPart = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$qs}$extra$failedPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$hostPart,"queries":{$qs}$extra$failedPart,"sf":"$sfDir"}"""
     }
     var keep = bySlow.size
     while (keep > 1 && line(bySlow.take(keep), bySlow.drop(keep)).length > budget) keep -= 1

@@ -221,7 +221,9 @@ object LakeWriter {
         .findFirstMatchIn(file)
       require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
       unescapePath(m.get.group(1))
-    }.mkString("")
+      // U+0001 cannot appear unescaped in a hive path value, so the
+      // join is unambiguous: mkString("") would collide (a=1,b=11)/(a=11,b=1)
+    }.mkString("\u0001")
 
   /** Read a set of snapshot data files applying the committed schema,
     * grouped by version directory so hive partition columns (col=value/
@@ -358,14 +360,21 @@ object LakeWriter {
         schema, partCols)
     // a partitioned snapshot committed by a pre-`partcols` manifest
     // keeps partition values in PATHS the flat probe below cannot see —
-    // refuse loudly rather than lose those columns
+    // refuse loudly rather than lose those columns. Columns absent
+    // from a leaf file but NOT in any path are legitimate schema
+    // evolution (added by a later append; null on read), so the check
+    // is path-presence, not bare set equality.
     val leafCols = spark.read.parquet(files.head).columns.toSet
-    require(leafCols == cols.toSet,
+    val inPaths = (cols.toSet -- leafCols).filter(c =>
+      files.head.contains("/" + c + "="))
+    require(inPaths.isEmpty,
       s"mergeSnapshot: snapshot is hive-partitioned (columns " +
-        s"${cols.toSet -- leafCols} live in paths) but its manifest " +
+        s"$inPaths live in paths) but its manifest " +
         "predates partition metadata; re-commit via commitSnapshotDynamic")
     val keyExprs = keyCols.map(col)
-    val touched = spark.read.parquet(files: _*)
+    // readFiles applies the COMMITTED schema so mixed-schema file sets
+    // (evolved tables) read uniformly — missing columns come back null
+    val touched = readFiles(spark, files, schema)
       .select(keyExprs :+
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
       .join(updates.select(keyExprs: _*).distinct(), keyCols)
@@ -374,7 +383,7 @@ object LakeWriter {
     val (rewrite, carry) = files.partition(f => touched(baseName(f)))
     val survivors =
       if (rewrite.isEmpty) None
-      else Some(spark.read.parquet(rewrite: _*)
+      else Some(readFiles(spark, rewrite, schema)
         .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti"))
     val newData = survivors
       .map(_.select(cols.map(col): _*)
@@ -733,8 +742,13 @@ object LakeWriter {
         cursor.getParent, s".${cursor.getName}.tmp")
       val out = fs.create(tmp, true)
       out.write(v.toString.getBytes("UTF-8")); out.close()
-      fs.delete(cursor, false)
-      require(fs.rename(tmp, cursor), s"cursor advance failed at $cursorPath")
+      // single atomic overwrite-rename: a delete-then-rename pair has a
+      // crash window with NO cursor file at all, and the next run would
+      // take the bootstrap full-feed path and double-count everything
+      org.apache.hadoop.fs.FileContext.getFileContext(cursor.toUri,
+          spark.sessionState.newHadoopConf())
+        .rename(tmp, cursor,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     todo
   }

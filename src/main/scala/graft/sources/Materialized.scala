@@ -60,7 +60,11 @@ object Materialized {
           val merged = delta.alias("d")
             .join(current.alias("m"), groupCols, "left")
             .select(groupCols.map(col) ++ valueCols.map(c =>
-              (coalesce(col(s"m.$c"), lit(0L)) + col(s"d.$c")).as(c)): _*)
+              // both sides null-guarded: a commit whose feed values for
+              // a sumCol are all NULL yields a NULL delta sum, and an
+              // unguarded + would wipe the group's accumulated total
+              (coalesce(col(s"m.$c"), lit(0L)) +
+                coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
           LakeWriter.mergeSnapshot(merged, mvTable, groupCols)
           // emptied groups leave the MV; the delete file-prunes
           LakeWriter.deleteFromSnapshot(spark, mvTable,

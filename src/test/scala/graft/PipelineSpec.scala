@@ -400,6 +400,105 @@ class PipelineSpec extends AnyFunSuite {
       batch.count())
   }
 
+  test("two partition columns: concatenation-ambiguous keys stay distinct") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_2pc")
+      .toString + "/tbl"
+    // (a=1,b=11) and (a=11,b=1) concatenate identically without a
+    // separator — an unseparated partition key would treat them as the
+    // SAME partition and silently drop the untouched one's files on a
+    // dynamic overwrite (the r7 ADVICE data-loss scenario)
+    LakeWriter.commitSnapshotDynamic(
+      Seq(("1", "11", "x"), ("11", "1", "y")).toDF("a", "b", "v"),
+      t, Seq("a", "b"))
+    LakeWriter.commitSnapshotDynamic(
+      Seq(("1", "11", "x2")).toDF("a", "b", "v"), t, Seq("a", "b"))
+    val snap = LakeWriter.readSnapshot(spark, t)
+    assert(snap.count() == 2, s"collided partition dropped: ${snap.collect().toSeq}")
+    assert(snap.where($"a" === "11" && $"b" === "1").head().getString(2) == "y")
+    assert(snap.where($"a" === "1" && $"b" === "11").head().getString(2) == "x2")
+    // (a=11,b=1)'s file must be the PHYSICAL v1 file, carried untouched
+    val v1b = LakeWriter.snapshotFiles(spark, t, 1L)
+      .filter(_.contains("a=11/")).toSet
+    assert(v1b.nonEmpty &&
+      v1b.subsetOf(LakeWriter.snapshotFiles(spark, t, 2L).toSet))
+    // same ambiguity through the partitioned MERGE path: only the
+    // touched (a=1,b=11) partition may be probed/rewritten
+    val v3 = LakeWriter.mergeSnapshot(
+      Seq(("1", "11", "x3")).toDF("a", "b", "v"), t, Seq("a", "b"))
+    assert(v3 == 3L)
+    val m = LakeWriter.readSnapshot(spark, t)
+    assert(m.count() == 2)
+    assert(m.where($"a" === "11" && $"b" === "1").head().getString(2) == "y")
+    assert(m.where($"a" === "1" && $"b" === "11").head().getString(2) == "x3")
+  }
+
+  test("change-feed cursor: atomic advance, stale tmp harmless") {
+    import graft.sources.LakeWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    val t = s"$dir/tbl"; val cursor = s"$dir/cursor"
+    LakeWriter.commitSnapshot(Seq((1L, "a")).toDF("k", "v"), t)
+    LakeWriter.commitSnapshot(Seq((2L, "b")).toDF("k", "v"), t, "append")
+    var seen = Seq.empty[Long]
+    LakeWriter.processNewVersions(spark, t, cursor) { (_, v) => seen :+= v }
+    assert(seen == Seq(1L, 2L))
+    // the advance is a single overwrite-rename: no tmp may survive it
+    val left = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.contains("cursor.tmp"))
+    assert(left.isEmpty, s"tmp cursor left behind: ${left.toSeq}")
+    // a stale tmp from a crashed attempt must not break the next
+    // advance (rename OVERWRITE replaces both cursor and tmp cleanly)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".cursor.tmp"), "999".getBytes)
+    LakeWriter.commitSnapshot(Seq((3L, "c")).toDF("k", "v"), t, "append")
+    seen = Seq.empty
+    LakeWriter.processNewVersions(spark, t, cursor) { (_, v) => seen :+= v }
+    assert(seen == Seq(3L))
+    // and the cursor file itself holds the last processed version
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cursor)), "UTF-8").trim == "3")
+  }
+
+  test("MV refresh: all-null delta sum must not wipe accumulated totals") {
+    import graft.sources.{LakeWriter, Materialized}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvn").toString
+    val src = s"$dir/src"; val mv = s"$dir/mv"; val cur = s"$dir/cursor"
+    LakeWriter.commitSnapshot(
+      Seq(("g1", Some(10L)), ("g1", Some(5L)), ("g2", Some(7L)))
+        .toDF("g", "x"), src)
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    // commit 2: g1 gains a row whose x is NULL — the group's delta sum
+    // is NULL and an unguarded merge would null out the stored 15
+    LakeWriter.commitSnapshot(
+      Seq(("g1", None: Option[Long])).toDF("g", "x"), src, "append")
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    val out = LakeWriter.readSnapshot(spark, mv)
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("g1", 3L, 15L), ("g2", 1L, 7L)))
+  }
+
+  test("unpartitioned merge works after additive schema evolution") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_evm")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    // evolve: append adds `score`; old files lack the column on disk
+    LakeWriter.commitSnapshot(
+      Seq((3L, "c", 7.5)).toDF("k", "v", "score"), t, "append")
+    // merging with the evolved schema must succeed (no bogus
+    // "predates partition metadata" refusal) and read the mixed-schema
+    // file set under the committed schema
+    val v = LakeWriter.mergeSnapshot(
+      Seq((1L, "a9", 1.5)).toDF("k", "v", "score"), t, Seq("k"))
+    assert(v == 3L)
+    val out = LakeWriter.readSnapshot(spark, t).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getString(1) == "a9" && out(0).getDouble(2) == 1.5)
+    assert(out(1).isNullAt(2))   // untouched old row: evolved col null
+    assert(out(2).getDouble(2) == 7.5)
+  }
+
   test("enrichStream joins stream rows to a static dim") {
     val dim = Tables.load(spark, TestSpark.sfDir, "events")
       .select($"event_type").distinct()

@@ -140,6 +140,18 @@ class QuantizeRebalanceSpec extends AnyFunSuite {
     assert(rot.select($"vec_id", $"r").exceptAll(again).isEmpty)
   }
 
+  test("HadamardRotate refuses non-array input at analysis time") {
+    // the type gate must fire in analysis (AnalysisException), not as
+    // a ClassCastException from inside eval/codegen mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      embeddings.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.HadamardRotate(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            org.apache.spark.sql.functions.lit("oops")), 1L))).collect()
+    }
+    assert(e.getMessage.contains("hadamard_rotate"))
+  }
+
   test("rotation is ranking-invariant: rotated brute force == raw") {
     val qs = embeddings.where($"vec_id" < 5)
     def rotated(df: org.apache.spark.sql.DataFrame) =
