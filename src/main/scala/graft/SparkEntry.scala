@@ -54,6 +54,32 @@ object SparkEntry {
       .withColumn("corpus_version", lit(res.corpusVersion))
   }
 
+  /** Shared intermediate for the survivors family (q_dedup_survivors,
+    * q_dedup_survivors_quality, q_dup_cluster_stats,
+    * q_split_leakage_free): all four re-derive the SAME LSH pair table
+    * and connected components — honest standalone cost, but ~4x the
+    * single biggest block of the bench. With
+    * SPARK_GRAFT_SHARED_INTERMEDIATES=1 the component labels are
+    * computed once per sf dir and persisted for the session — the
+    * posture a production curation job runs (one dedup resolution
+    * feeding every downstream report). Default stays standalone-honest:
+    * flag unset → every query recomputes exactly as before. */
+  private object SharedCC {
+    val enabled: Boolean =
+      sys.env.get("SPARK_GRAFT_SHARED_INTERMEDIATES").contains("1")
+    private val memo =
+      new scala.collection.concurrent.TrieMap[String, DataFrame]
+    /** (node, comp) labels of the threshold-0.2 minhash dup graph. */
+    def comps(s: SparkSession, d: String): DataFrame = {
+      def compute() = operators.Graph.connectedComponents(
+        Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
+          threshold = 0.2), "doc_a", "doc_b")
+      if (!enabled) compute()
+      else memo.getOrElseUpdate(d, compute().persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
   // ---- staging contract used by the alignment queries --------------
   private val stgContract = Seq(
     "symbol" -> "string", "segment" -> "string", "acctbal" -> "double",
@@ -469,23 +495,17 @@ object SparkEntry {
       operators.Graph.connectedComponents(edges, "src", "dst")
     }),
 
-    "q_dedup_survivors" -> ((s, d) => {
+    "q_dedup_survivors" -> ((s, d) =>
       // the full dedup pipeline: LSH candidates -> transitive clusters
       // -> one survivor per cluster (what a curation job actually runs)
-      val docs = T(s, d, "documents")
-      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
-        threshold = 0.2)
-      operators.Graph.dupSurvivors(pairs, "doc_a", "doc_b")
-    }),
+      operators.Graph.dupSurvivorsFromComps(SharedCC.comps(s, d))),
 
     "q_dedup_survivors_quality" -> ((s, d) => {
       // survivor = the highest-QUALITY doc of each dup cluster (min-id
       // tie-break), not the smallest id — the curation-grade variant
       val docs = T(s, d, "documents")
-      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
-        threshold = 0.2)
       val scores = TextAnalysis.qualityScore(docs, "text", "doc_id")
-      operators.Graph.dupSurvivorsBy(pairs, "doc_a", "doc_b",
+      operators.Graph.dupSurvivorsByFromComps(SharedCC.comps(s, d),
         scores, "doc_id", "quality_score")
     }),
 
@@ -809,19 +829,46 @@ object SparkEntry {
       LakeWriter.changesBetween(s, table, 1L, 2L)
     }),
 
+    "q_mv_refresh" -> ((s, d) => {
+      // incrementally-maintained materialized aggregate: the source
+      // table takes four commits (initial, append, MERGE upsert,
+      // DELETE), the MV consumes each commit's CHANGE FEED — never a
+      // source re-scan — and the output is the final per-lang
+      // count/sum rollup. The oracle proves incremental == full
+      // recompute: one GROUP BY over the equivalent final state.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_mv_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      import graft.sources.{LakeWriter, Materialized}
+      val src = s"$tmp/src"; val mv = s"$tmp/mv"
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(4)) =!= 3), src)
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(4)) === 3), src,
+        mode = "append")
+      val upserts = base.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(base.where(pmod(col("doc_id"), lit(10)) === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      LakeWriter.mergeSnapshot(upserts, src, Seq("doc_id"))
+      LakeWriter.deleteFromSnapshot(s, src, col("lang") === "de")
+      Materialized.refreshAgg(s, src, mv, s"$tmp/cursor",
+        Seq("lang"), Seq("n_chars"))
+      LakeWriter.readSnapshot(s, mv)
+    }),
+
     "q_dup_cluster_stats" -> ((s, d) =>
       // the dedup run's report: how many clusters of each size
-      operators.Graph.clusterSizeStats(
-        Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
-          threshold = 0.2), "doc_a", "doc_b")),
+      operators.Graph.clusterSizeStatsFromComps(SharedCC.comps(s, d))),
 
     "q_split_leakage_free" -> ((s, d) => {
       // near-dup clusters never straddle the train/val/test boundary
       val docs = T(s, d, "documents")
-      Curation.splitLeakageFree(docs.select(col("doc_id"), col("lang")),
-        "doc_id",
-        Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.2),
-        "doc_a", "doc_b")
+      Curation.splitLeakageFreeFromComps(
+        docs.select(col("doc_id"), col("lang")), "doc_id",
+        SharedCC.comps(s, d))
     }),
 
     "q_dsir_score" -> ((s, d) => {
@@ -902,6 +949,18 @@ object SparkEntry {
       // ranking is asymmetric (full-precision query vs reconstruction)
       val e = T(s, d, "embeddings")
       Similarity.ivfPqTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_embed_ivfpq_refine" -> ((s, d) => {
+      // IVFADC + refine (FAISS IndexRefine shape): the PQ stage
+      // shortlists each query's best candidates at ~33 B/vector, then
+      // ONLY the shortlist is re-ranked against the SQ8 (1 B/dim)
+      // reconstruction — recall of the SQ tier at near-PQ scan cost
+      // (docs/ann_recall.md); oracle re-derives SQ8 from the raw
+      // table and re-ranks the embedded refine pool
+      val e = T(s, d, "embeddings")
+      Similarity.ivfPqRefineTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
     }),
 
@@ -2018,6 +2077,25 @@ object SparkEntry {
         |SELECT doc_id + 1000000, lang, n_chars, 'insert'
         |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
 
+    "q_mv_refresh" ->
+      // full recompute over the source's FINAL state (initial+append
+      // = the whole table; MERGE re-scores doc_id%10=0 and adds
+      // shifted %10=1 ids; DELETE drops lang='de') — must equal the
+      // incrementally maintained MV exactly
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |final AS (
+        |  SELECT * FROM merged WHERE NOT coalesce(lang = 'de', false))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM final GROUP BY lang""".stripMargin,
+
     "q_corpus_delta" ->
       """WITH m AS (
         |  SELECT CASE WHEN doc_id % 4 <= 1 THEN 1
@@ -2447,7 +2525,8 @@ object SparkEntry {
     * min-id survivors that `q_dedup_survivors` must produce. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     survivorOracles(spark, sfDir) ++ ngramJaccardOracle(spark, sfDir) ++
-      embedOracles(spark, sfDir) ++ pqOracle(spark, sfDir) ++
+      embedOracles(spark, sfDir) ++ ivfPqRefineOracle(spark, sfDir) ++
+      pqOracle(spark, sfDir) ++
       opqOracle(spark, sfDir) ++
       simhashOracle(spark, sfDir) ++
       minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir)
@@ -2766,6 +2845,44 @@ object SparkEntry {
       }
     }
     (lsh.toList ++ ivf.toList ++ nearDup.toList ++ sem.toList).toMap
+  }
+
+  /** q_embed_ivfpq_refine: the refine POOL (PQ-ranked shortlist) is
+    * embedded; the SQ8 re-ranking is re-derived ENTIRELY from the raw
+    * table (per-dim bounds + floor quantize/reconstruct, the
+    * q_embed_sq_topk oracle arithmetic) restricted to the pool. */
+  private def ivfPqRefineOracle(spark: SparkSession,
+                                sfDir: String): Map[String, String] = {
+    val e = T(spark, sfDir, "embeddings")
+    val cand = Similarity.ivfPqRefineCandidatePairs(
+      e.where(col("vec_id") < 10), e, "vec_id", "embedding").collect()
+    if (cand.isEmpty) Map.empty
+    else Map("q_embed_ivfpq_refine" ->
+      s"""WITH cand(query_id, neighbor_id) AS (VALUES ${pairValues(cand)}),
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (
+         |  SELECT vec_id, i AS pos, v[i] AS x
+         |  FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+         |b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM x GROUP BY pos),
+         |r AS (
+         |  SELECT x.vec_id, list(CASE WHEN b.hi = b.lo THEN b.lo
+         |      ELSE b.lo + floor((x.x - b.lo) * 255 / (b.hi - b.lo) + 0.5)
+         |        * (b.hi - b.lo) / 255 END ORDER BY x.pos) AS recon
+         |  FROM x JOIN b USING (pos) GROUP BY x.vec_id),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |p AS (
+         |  SELECT CAST(c.query_id AS BIGINT) AS query_id,
+         |    CAST(c.neighbor_id AS BIGINT) AS neighbor_id,
+         |    floor(list_cosine_similarity(q.v, r.recon) * 10000 + 0.5)
+         |      / 10000 AS cos_sim
+         |  FROM cand c
+         |  JOIN q ON q.vec_id = c.query_id
+         |  JOIN r ON r.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |FROM p QUALIFY rank <= 5""".stripMargin)
   }
 
   /** q_embed_opq_topk re-derived INDEPENDENTLY by DuckDB — including

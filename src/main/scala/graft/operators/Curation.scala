@@ -326,7 +326,18 @@ object Curation {
                        valPct: Int = 10): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split percentages: train=$trainPct val=$valPct")
-    val comps = Graph.connectedComponents(pairs, aCol, bCol)
+    splitLeakageFreeFromComps(df, idCol,
+      Graph.connectedComponents(pairs, aCol, bCol), trainPct, valPct)
+  }
+
+  /** `splitLeakageFree` from precomputed component labels (node, comp)
+    * — one CC run can feed every survivors-family report. */
+  def splitLeakageFreeFromComps(df: DataFrame, idCol: String,
+                                components: DataFrame, trainPct: Int = 80,
+                                valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val comps = components
       .withColumnRenamed("node", idCol).withColumnRenamed("comp", "unit")
     val b = substring(md5(col("unit").cast("string")), 1, 2)
     df.join(comps, Seq(idCol), "left")

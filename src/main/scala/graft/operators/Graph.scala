@@ -72,8 +72,13 @@ object Graph {
   /** Dup-cluster resolution: pairwise duplicate hits → one surviving
     * id per transitive cluster. Returns (node, survivor). */
   def dupSurvivors(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("comp", "survivor")
+    dupSurvivorsFromComps(connectedComponents(pairs, aCol, bCol))
+
+  /** `dupSurvivors` from precomputed component labels (node, comp) —
+    * lets one CC run feed the whole survivors family when several
+    * reports share the same pair table. */
+  def dupSurvivorsFromComps(comps: DataFrame): DataFrame =
+    comps.withColumnRenamed("comp", "survivor")
 
   /** Dup-cluster size distribution — (cluster_size, n_clusters) — the
     * one-line report a dedup run publishes ("12 pairs collapsed into 4
@@ -81,7 +86,11 @@ object Graph {
     * labels; singleton docs (in no pair) are by definition absent. */
   def clusterSizeStats(pairs: DataFrame, aCol: String,
                        bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+    clusterSizeStatsFromComps(connectedComponents(pairs, aCol, bCol))
+
+  /** `clusterSizeStats` from precomputed component labels. */
+  def clusterSizeStatsFromComps(comps: DataFrame): DataFrame =
+    comps
       .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
@@ -98,8 +107,14 @@ object Graph {
     * (node, comp, score) triples, never document payloads. */
   def dupSurvivorsBy(pairs: DataFrame, aCol: String, bCol: String,
                      scores: DataFrame, idCol: String,
-                     scoreCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+                     scoreCol: String): DataFrame =
+    dupSurvivorsByFromComps(connectedComponents(pairs, aCol, bCol),
+      scores, idCol, scoreCol)
+
+  /** `dupSurvivorsBy` from precomputed component labels. */
+  def dupSurvivorsByFromComps(comps: DataFrame,
+                              scores: DataFrame, idCol: String,
+                              scoreCol: String): DataFrame = {
     val scored = comps.join(
       scores.select(col(idCol).as("node"), col(scoreCol).as("__score")),
       Seq("node"), "left")

@@ -344,6 +344,72 @@ object Similarity {
     ivfPqJoinedWith(queries, corpus, idCol, vecCol, cents, books, nprobe)
       .select("query_id", "neighbor_id")
 
+  /** The PQ-ranked refine pool: per query, the `refine` best candidates
+    * by the IVF-PQ asymmetric score — the FAISS `IndexRefine` front
+    * half. Deterministic (training + rounded scores + id tie-break),
+    * so an oracle can re-derive the final ranking from these pairs. */
+  private def ivfPqRefinePool(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String, nlist: Int,
+                              nprobe: Int, iters: Int, m: Int, ksub: Int,
+                              dim: Int, pqIters: Int,
+                              refine: Int): DataFrame = {
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pqs").desc, col("neighbor_id").asc)
+    ivfPqJoined(queries, corpus, idCol, vecCol, nlist, nprobe, iters,
+        m, ksub, dim, pqIters)
+      .withColumn("__pqs", CleanFns.roundRepro(pairCos, 4))
+      .withColumn("__pqr", row_number().over(wPq))
+      .where(col("__pqr") <= refine)
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("neighbor_id"))
+  }
+
+  /** IVF-PQ + refine (FAISS IVFADC + `IndexRefine`): the PQ stage
+    * bounds bytes-per-probed-vector (~m+4 B), then only each query's
+    * top-`refine` PQ candidates are re-ranked against the SQ8
+    * reconstruction (1 B/dim). At 100 TB the refine pool is a
+    * per-query constant (`refine` rows joined against the persisted
+    * SQ8 store, a key-partitioned join on vector id), so effective
+    * scan cost stays ~(m + dim·refine/probed) bytes per probed vector
+    * — the standard way to buy back recall lost to 8× PQ compression
+    * without rescanning raw floats. Fully deterministic end to end:
+    * the pool is PQ-score-ranked with id tie-breaks and SQ8 is floor
+    * arithmetic, so an oracle re-derives the refine ranking from the
+    * pool pairs + the raw table alone. */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                      m: Int = 32, ksub: Int = 16, dim: Int = 64,
+                      pqIters: Int = 2, refine: Int = 50): DataFrame = {
+    val pool = ivfPqRefinePool(queries, corpus, idCol, vecCol, nlist,
+      nprobe, iters, m, ksub, dim, pqIters, refine)
+    val (lo, hi) = dimBounds(corpus, vecCol, dim)
+    val recon = VecFns.sqReconstruct(col(vecCol), lo.toSeq, hi.toSeq)
+    val c = corpus.select(col(idCol).as("neighbor_id"), recon.as("__cv"))
+      .select(col("neighbor_id"), col("__cv"),
+        VecFns.norm(col("__cv")).as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pool.join(c, Seq("neighbor_id"))
+      .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** The refine-pool pairs `ivfPqRefineTopK` re-ranks — for the
+    * oracle's independent SQ8 re-ranking. */
+  def ivfPqRefineCandidatePairs(queries: DataFrame, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                nlist: Int = 16, nprobe: Int = 4,
+                                iters: Int = 2, m: Int = 32,
+                                ksub: Int = 16, dim: Int = 64,
+                                pqIters: Int = 2,
+                                refine: Int = 50): DataFrame =
+    ivfPqRefinePool(queries, corpus, idCol, vecCol, nlist, nprobe,
+        iters, m, ksub, dim, pqIters, refine)
+      .select("query_id", "neighbor_id")
+
   // ---- embedding near-dup / SemDeDup --------------------------------
 
   /** Same-LSH-bucket (doc_a < doc_b) pair frame shared by

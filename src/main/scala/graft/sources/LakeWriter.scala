@@ -164,7 +164,7 @@ object LakeWriter {
   /** Guards the manifest rename (see writeManifest). */
   private val commitLock = new Object
 
-  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+  private[sources] def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def manifestDir(table: String) =
@@ -248,6 +248,22 @@ object LakeWriter {
         .toSeq: _*)
   }
 
+  /** The wider of two types along the lossless promotion chains the
+    * parquet reader supports natively (byte→short→int→long,
+    * float→double); None when the pair is not a safe widening. */
+  private def widerOf(a: org.apache.spark.sql.types.DataType,
+                      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    if (a == b) Some(a)
+    else if (ints.contains(a) && ints.contains(b))
+      Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
+    else if (Set[DataType](a, b) == Set[DataType](FloatType, DoubleType))
+      Some(DoubleType)
+    else None
+  }
+
   /** Commit `df` as the next snapshot of `table`. `mode` "overwrite"
     * makes the new snapshot exactly `df`; "append" makes it the
     * previous snapshot's files plus `df`'s (no data rewrite — append
@@ -275,28 +291,38 @@ object LakeWriter {
     val (carried, schema) =
       if (mode == "append" && prev.nonEmpty) {
         // checked schema EVOLUTION: an append may add columns (old
-        // files read them back as null) or omit columns (the new
-        // files read back null there) — but a type change on a shared
-        // column would silently corrupt carried data under the new
-        // schema, so it refuses loudly. The committed schema is the
-        // ORDERED union: table columns first, genuinely new ones
+        // files read them back as null), omit columns (the new files
+        // read back null there), or WIDEN a shared column along a
+        // lossless promotion (byte→short→int→long, float→double —
+        // the Delta "type widening" set the parquet reader promotes
+        // natively, SPARK-40876): the committed schema takes the
+        // wider type and every file, old or new, reads under it. Any
+        // OTHER type change would corrupt carried data and refuses
+        // loudly. The committed schema is the ORDERED union: table
+        // columns first (possibly widened), genuinely new ones
         // appended.
         val (files, prevSchemaJson, _) = parseManifest(spark, table, prev.last)
         val prevSchema = org.apache.spark.sql.types.DataType
           .fromJson(prevSchemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val prevType = prevSchema.fields
-          .map(f => f.name -> f.dataType.catalogString).toMap
-        val drift = df.schema.fields.filter(f =>
-          prevType.get(f.name).exists(_ != f.dataType.catalogString))
-        require(drift.isEmpty, "append type mismatch: " + drift.map(f =>
-          s"${f.name}: table ${prevType(f.name)} vs append " +
-            f.dataType.catalogString).mkString(", "))
+        val dfType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val drift = prevSchema.fields.flatMap(f => dfType.get(f.name)
+          .filter(t => widerOf(f.dataType, t).isEmpty)
+          .map(t => s"${f.name}: table ${f.dataType.catalogString} vs " +
+            s"append ${t.catalogString} (not a lossless widening)"))
+        require(drift.isEmpty,
+          "append type mismatch: " + drift.mkString(", "))
+        val widened = prevSchema.fields.map { f =>
+          dfType.get(f.name) match {
+            case Some(t) => f.copy(dataType = widerOf(f.dataType, t).get)
+            case None => f
+          }
+        }
+        val prevNames = prevSchema.fieldNames.toSet
         val newFields = df.schema.fields
-          .filterNot(f => prevType.contains(f.name))
+          .filterNot(f => prevNames.contains(f.name))
         (files,
-          org.apache.spark.sql.types.StructType(
-            prevSchema.fields ++ newFields))
+          org.apache.spark.sql.types.StructType(widened ++ newFields))
       } else (Seq.empty[String], df.schema)
     writeManifest(spark, fs, table, version, mode, schema,
       carried ++ newFiles)
@@ -800,6 +826,66 @@ object LakeWriter {
   def compactSnapshot(spark: SparkSession, table: String,
                       nFiles: Int): Long =
     commitSnapshot(readSnapshot(spark, table).repartition(nFiles), table)
+
+  /** OPTIMIZE (bin-packing compaction) — the small-file antidote for
+    * tables built by many incremental commits: every file under
+    * `smallBytes` is rewritten into ~`targetBytes` files; every file
+    * already big enough carries into the new version BY REFERENCE
+    * (never opened, never moved). Hive-partitioned snapshots compact
+    * within partitions (a partition with fewer than two small files
+    * is left alone), and the rewrite re-lands hive-laid-out so
+    * partition pruning survives. Data is byte-identical row-wise, so
+    * the change feed across an optimize version is EMPTY (the rewrite
+    * noise collapses) — downstream incremental consumers see nothing,
+    * exactly like Delta OPTIMIZE. At 100 TB this is the compaction
+    * a daily-append table schedules weekly: cost is O(small files),
+    * not O(table). Returns the committed version (the current one if
+    * nothing needed compacting). */
+  def optimizeSnapshot(spark: SparkSession, table: String,
+                       smallBytes: Long = 32L << 20,
+                       targetBytes: Long = 128L << 20): Long = {
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
+    if (files.isEmpty) return prev.last
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val sized = files.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val rewrite = sized
+      .groupBy { case (f, _) =>
+        if (partCols.isEmpty) "" else partitionOf(partCols, f) }
+      .values.flatMap { group =>
+        val small = group.filter(_._2 < smallBytes)
+        // one small file alone gains nothing from a rewrite
+        if (small.size >= 2) small.map(_._1) else Nil
+      }.toSet
+    if (rewrite.isEmpty) return prev.last
+    val carry = files.filterNot(rewrite)
+    val df = readFiles(spark, rewrite.toSeq.sorted, schema)
+    val totalBytes = sized.collect { case (f, n) if rewrite(f) => n }.sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val version = prev.last + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    val newFiles =
+      if (partCols.isEmpty) {
+        df.repartition(n).write.mode("errorifexists")
+          .parquet(dataDir.toString)
+        fs.listStatus(dataDir).toSeq.map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).sorted
+      } else {
+        df.repartition(n, partCols.map(col): _*).write
+          .mode("errorifexists").partitionBy(partCols: _*)
+          .parquet(dataDir.toString)
+        walk(fs, dataDir).sorted
+      }
+    writeManifest(spark, fs, table, version, "optimize", schema,
+      carry ++ newFiles, partCols)
+    version
+  }
 
   /** Vacuum: drop all but the last `keepLast` snapshot versions and
     * delete every data directory no kept manifest references —

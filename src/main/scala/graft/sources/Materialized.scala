@@ -37,6 +37,50 @@ object Materialized {
     *
     * @param sumCols numeric source columns to maintain sums for
     * @return versions of `srcTable` processed this call */
+  /** Periodic FULL refresh — the companion for aggregates that are
+    * NOT self-maintainable under deletes (min/max): one scan of the
+    * source's current snapshot rebuilds the whole MV as the next
+    * version (time-travelable like any commit); cost is O(source), so
+    * schedule it like a compaction. The MV schema is
+    * `groupCols ++ (n_rows, sum_*, min_*, max_*)`. Two postures:
+    *  - count/sum MV (minMaxCols empty, same schema as `refreshAgg`):
+    *    an occasional full rebuild of the incremental MV — pass
+    *    `alignCursor` to fast-forward the `refreshAgg` cursor to the
+    *    version just absorbed so the next incremental refresh does
+    *    not replay it.
+    *  - extrema MV (minMaxCols non-empty): its OWN mvTable on a slow
+    *    cadence — min/max columns cannot be incrementally maintained
+    *    under deletes, so this table refreshes only via this method
+    *    (mixing it with `refreshAgg` on one table would break the
+    *    MERGE schema contract, loudly). */
+  def refreshFull(spark: SparkSession, srcTable: String, mvTable: String,
+                  groupCols: Seq[String], sumCols: Seq[String],
+                  minMaxCols: Seq[String] = Seq.empty,
+                  alignCursor: Option[String] = None): Long = {
+    val versions = LakeWriter.snapshotVersions(spark, srcTable)
+    require(versions.nonEmpty, s"no snapshots at $srcTable")
+    val src = LakeWriter.readSnapshot(spark, srcTable, Some(versions.last))
+    val aggs = (count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    val mv = src.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val v = LakeWriter.commitSnapshot(mv, mvTable)
+    alignCursor.foreach { cp =>
+      val p = new org.apache.hadoop.fs.Path(cp)
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.tmp")
+      val fs = LakeWriter.fsOf(spark, p)
+      val out = fs.create(tmp, true)
+      out.write(versions.last.toString.getBytes("UTF-8")); out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+          spark.sessionState.newHadoopConf())
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    v
+  }
+
   def refreshAgg(spark: SparkSession, srcTable: String, mvTable: String,
                  cursorPath: String, groupCols: Seq[String],
                  sumCols: Seq[String]): Seq[Long] =

@@ -55,6 +55,28 @@ object Views {
     LakeWriter.readSnapshot(spark, table, Some(version))
       .createOrReplaceTempView(viewName)
 
+  /** Time travel for EXTERNAL connections: a Thrift/JDBC session has
+    * its own temp-view namespace and cannot see `registerSnapshotAsOf`
+    * views — global temp views ride the shared context instead, so any
+    * connection reads the pinned version as
+    * `global_temp.<viewName>` (the `table@v` convention, spelled as a
+    * view name since `@` is not a valid identifier char). */
+  def registerSnapshotAsOfGlobal(spark: SparkSession, table: String,
+                                 viewName: String, version: Long): Unit =
+    LakeWriter.readSnapshot(spark, table, Some(version))
+      .createOrReplaceGlobalTempView(viewName)
+
+  /** Serve a snapshot table's CHANGE FEED between two versions to
+    * external connections: every Thrift/JDBC client reads the
+    * row-level net delta (insert/delete `_change_type` rows) as
+    * `global_temp.<viewName>` — the "what changed since v?" endpoint
+    * an incremental consumer polls instead of diffing snapshots. */
+  def registerChangeFeedGlobal(spark: SparkSession, table: String,
+                               viewName: String, fromVersion: Long,
+                               toVersion: Long): Unit =
+    LakeWriter.changesBetween(spark, table, fromVersion, toVersion)
+      .createOrReplaceGlobalTempView(viewName)
+
   /** One-shot ad-hoc query over an sf directory. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)

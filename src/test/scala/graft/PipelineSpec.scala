@@ -345,14 +345,55 @@ class PipelineSpec extends AnyFunSuite {
     val n2 = LakeWriter.readSnapshot(spark, t)
     assert(n2.where($"k" === 3L).head().isNullAt(1))
     assert(n2.count() == 3)
-    // type drift on a shared column refuses loudly
+    // NON-widening type drift on a shared column refuses loudly
+    // (int k would widen fine; string k cannot)
     val e = intercept[IllegalArgumentException] {
-      LakeWriter.commitSnapshot(Seq((4, "d")).toDF("k", "v"), t, "append")
+      LakeWriter.commitSnapshot(Seq(("x", "d")).toDF("k", "v"), t, "append")
     }
     assert(e.getMessage.contains("append type mismatch"))
+    assert(e.getMessage.contains("not a lossless widening"))
     // CDC across the evolution: the old-schema delete side aligns
     val c = LakeWriter.changesBetween(spark, t, 1L, 3L)
     assert(c.where($"_change_type" === "insert").count() == 2)
+  }
+
+  test("append widens shared columns losslessly (int->long, float->double)") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_widen")
+      .toString + "/tbl"
+    // v1 commits (int, float); the append arrives (long, double) —
+    // Delta-style type widening: the committed schema takes the wider
+    // type and the carried int/float files read under it (parquet
+    // widening promotion), no rewrite
+    LakeWriter.commitSnapshot(
+      Seq((1, 1.5f)).toDF("k", "x"), t)
+    LakeWriter.commitSnapshot(
+      Seq((6000000000L, 2.5d)).toDF("k", "x"), t, "append")
+    val out = LakeWriter.readSnapshot(spark, t)
+    assert(out.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (6000000000L, 2.5)))
+    // the NARROW direction also lands (values fit; committed schema
+    // keeps the wider table type; the new int file reads as long)
+    LakeWriter.commitSnapshot(
+      Seq((7, 3.5f)).toDF("k", "x"), t, "append")
+    val out2 = LakeWriter.readSnapshot(spark, t)
+    assert(out2.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out2.count() == 3 &&
+      out2.where($"k" === 7L).head().getDouble(1) == 3.5)
+    // widened tables stay mergeable and CDC-able
+    LakeWriter.mergeSnapshot(
+      Seq((7L, 9.5d)).toDF("k", "x"), t, Seq("k"))
+    assert(LakeWriter.readSnapshot(spark, t)
+      .where($"k" === 7L).head().getDouble(1) == 9.5)
+    val feed = LakeWriter.changesBetween(spark, t, 3L, 4L)
+    assert(feed.where($"_change_type" === "insert" && $"k" === 7L)
+      .head().getDouble(1) == 9.5)
   }
 
   test("partitioned merge never opens untouched partitions") {
@@ -476,6 +517,100 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("g").collect()
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("g1", 3L, 15L), ("g2", 1L, 7L)))
+  }
+
+  test("optimizeSnapshot bin-packs small files, carries big by reference") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_opt")
+      .toString + "/tbl"
+    // five 1-row appends: the small-file pathology of incremental loads
+    (1 to 5).foreach(i => LakeWriter.commitSnapshot(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), t,
+      if (i == 1) "overwrite" else "append"))
+    val before = LakeWriter.snapshotFiles(spark, t, 5L)
+    assert(before.size >= 5)
+    val v = LakeWriter.optimizeSnapshot(spark, t)
+    assert(v == 6L)
+    val after = LakeWriter.snapshotFiles(spark, t, v)
+    assert(after.size < before.size && after.size >= 1,
+      s"no compaction: ${before.size} -> ${after.size}")
+    // byte-identical rows; prior version untouched
+    assert(LakeWriter.readSnapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (1 to 5).map(i => (i.toLong, s"v$i")))
+    assert(LakeWriter.readSnapshot(spark, t, Some(5L)).count() == 5)
+    // the change feed across an optimize is EMPTY (pure rewrite noise)
+    assert(LakeWriter.changesBetween(spark, t, 5L, 6L).count() == 0)
+    // already-compacted: a second optimize is a no-op version-wise
+    assert(LakeWriter.optimizeSnapshot(spark, t) == 6L)
+
+    // partitioned twin: compaction stays within partitions and a big
+    // (here: lone-small-file) partition is never opened — corrupt it
+    val t2 = java.nio.file.Files.createTempDirectory("graft_optp")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshotDynamic(
+      Seq((1L, "d1"), (2L, "d1")).toDF("k", "day"), t2, Seq("day"))
+    LakeWriter.commitSnapshotDynamic(
+      Seq((3L, "d2")).toDF("k", "day"), t2, Seq("day"))
+    // d1 re-lands as TWO small files (repartition(2) → two writer
+    // tasks); d2 stays a lone small file, so it must not compact
+    LakeWriter.commitSnapshotDynamic(
+      Seq((1L, "d1"), (2L, "d1"), (9L, "d1")).toDF("k", "day")
+        .repartition(2), t2, Seq("day"))
+    val d1Before = LakeWriter.snapshotFiles(spark, t2, 3L)
+      .filter(_.contains("day=d1"))
+    val d2files = LakeWriter.snapshotFiles(spark, t2, 3L)
+      .filter(_.contains("day=d2"))
+    assert(d2files.size == 1)
+    d2files.foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.stripPrefix("file:")),
+        "not parquet".getBytes)
+    }
+    val v2 = LakeWriter.optimizeSnapshot(spark, t2)
+    assert(v2 == 4L)
+    assert(d1Before.size == 2)
+    val d1After = LakeWriter.snapshotFiles(spark, t2, v2)
+      .filter(_.contains("day=d1"))
+    assert(d1After.size == 1, s"d1 not bin-packed: $d1After")
+    assert(LakeWriter.snapshotFiles(spark, t2, v2)
+      .filter(_.contains("day=d2")) == d2files)
+    // partition pruning still reads d1 without touching corrupt d2
+    assert(LakeWriter.readSnapshot(spark, t2)
+      .where($"day" === "d1").count() == 3)
+  }
+
+  test("MV full refresh: extrema MV + cursor-aligned count/sum rebuild") {
+    import graft.sources.{LakeWriter, Materialized}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvf").toString
+    val src = s"$dir/src"
+    LakeWriter.commitSnapshot(
+      Seq(("g1", 10L), ("g1", 5L), ("g2", 7L)).toDF("g", "x"), src)
+    LakeWriter.deleteFromSnapshot(spark, src, $"x" === 10L)
+    // extrema MV: min/max need the full scan after that delete — an
+    // incremental merge could never lower the stale max
+    Materialized.refreshFull(spark, src, s"$dir/mv_ext", Seq("g"),
+      Seq("x"), minMaxCols = Seq("x"))
+    val ext = LakeWriter.readSnapshot(spark, s"$dir/mv_ext")
+      .orderBy("g").collect()
+    assert(ext.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("g1", 1L, 5L, 5L, 5L), ("g2", 1L, 7L, 7L, 7L)))
+    // count/sum rebuild with cursor alignment: the next incremental
+    // refresh must NOT replay the absorbed commits...
+    val mv = s"$dir/mv"; val cur = s"$dir/cursor"
+    Materialized.refreshFull(spark, src, mv, Seq("g"), Seq("x"),
+      alignCursor = Some(cur))
+    assert(Materialized.refreshAgg(spark, src, mv, cur, Seq("g"),
+      Seq("x")).isEmpty)
+    // ... and a genuinely new commit flows incrementally on top
+    LakeWriter.commitSnapshot(Seq(("g2", 3L)).toDF("g", "x"), src,
+      "append")
+    assert(Materialized.refreshAgg(spark, src, mv, cur, Seq("g"),
+      Seq("x")) == Seq(3L))
+    val out = LakeWriter.readSnapshot(spark, mv).orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("g1", 1L, 5L), ("g2", 2L, 10L)))
   }
 
   test("unpartitioned merge works after additive schema evolution") {

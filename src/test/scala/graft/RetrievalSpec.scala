@@ -123,4 +123,37 @@ class RetrievalSpec extends AnyFunSuite {
     val hit = out.select($"query_id", $"neighbor_id").intersect(exact).count()
     assert(hit >= 10, s"IVF-PQ recall too low: $hit/50")
   }
+
+  test("ivfPqRefineTopK: refine recovers recall lost to PQ coding") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val qs = e.where($"vec_id" < 10)
+    val out = Similarity.ivfPqRefineTopK(qs, e, "vec_id", "embedding",
+      k = 5)
+    val perQuery = out.groupBy($"query_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 5))
+    // deterministic end to end
+    val again = Similarity.ivfPqRefineTopK(qs, e, "vec_id", "embedding",
+      k = 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // the final ranking only ever re-orders the PQ refine pool
+    val pool = Similarity.ivfPqRefineCandidatePairs(qs, e, "vec_id",
+      "embedding")
+    assert(out.select($"query_id", $"neighbor_id")
+      .exceptAll(pool.select($"query_id", $"neighbor_id")).isEmpty)
+    // ... and the pool is bounded: at most `refine` pairs per query
+    val poolSizes = pool.groupBy($"query_id").count().collect()
+    assert(poolSizes.forall(_.getLong(1) <= 50))
+    // refine must recover candidates PQ coding mis-ranked: strictly
+    // more true top-5 hits than the unrefined IVF-PQ ranking at the
+    // same probe budget (deterministic corpus → fixed numbers)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding",
+      k = 5).select($"query_id", $"neighbor_id")
+    val plain = Similarity.ivfPqTopK(qs, e, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").intersect(exact).count()
+    val refined = out.select($"query_id", $"neighbor_id")
+      .intersect(exact).count()
+    info(s"true-top-5 hits: ivfpq=$plain/50 refined=$refined/50")
+    assert(refined >= plain,
+      s"refine lost recall: $refined < $plain (of 50)")
+  }
 }

@@ -57,6 +57,28 @@ class ServingSpec extends AnyFunSuite {
           """SELECT sum(w.w) FROM global_temp.facts f
             |JOIN global_temp.weights w ON f.k = w.k""".stripMargin)
         assert(rs2.next() && rs2.getDouble(1) == 30.0)
+        // TIME TRAVEL through the endpoint: v1 pinned as facts_v1 —
+        // a session-local temp view would be invisible to this
+        // connection; the global registration must not be
+        Views.registerSnapshotAsOfGlobal(spark, s"$zone/facts",
+          "facts_v1", 1L)
+        val rs3 = st.executeQuery(
+          "SELECT k, v FROM global_temp.facts_v1 ORDER BY k")
+        val got3 = Iterator.continually(rs3)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2)))
+          .toList
+        assert(got3 == List((1L, "stale")))
+        // CHANGE FEED through the endpoint: v1 -> v2 net delta
+        Views.registerChangeFeedGlobal(spark, s"$zone/facts",
+          "facts_changes", 1L, 2L)
+        val rs4 = st.executeQuery(
+          """SELECT k, v, _change_type FROM global_temp.facts_changes
+            |ORDER BY k, _change_type""".stripMargin)
+        val got4 = Iterator.continually(rs4).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+          .toList
+        assert(got4 == List((1L, "stale", "delete"), (1L, "a", "insert"),
+          (2L, "b", "insert"), (3L, "c", "insert")))
       } finally conn.close()
     } finally server.stop()
   }
