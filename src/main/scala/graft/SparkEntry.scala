@@ -829,6 +829,177 @@ object SparkEntry {
       LakeWriter.changesBetween(s, table, 1L, 2L)
     }),
 
+    "q_snapshot_skip" -> ((s, d) => {
+      // data skipping through the gate: a range-clustered commit
+      // records per-file (min,max) footer stats in the manifest, and
+      // the stat-pruned read serves a narrow doc_id band opening only
+      // the files whose range intersects it (file-level proof in
+      // PipelineSpec via corrupt-in-place; here the driver proves the
+      // rows are exactly SQL's)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_skip_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      LakeWriter.commitSnapshot(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          .repartitionByRange(8, col("doc_id")), table)
+      LakeWriter.readSnapshotWhere(s, table,
+        col("doc_id") >= 100L && col("doc_id") < 200L)
+    }),
+
+    "q_snapshot_skip_time" -> ((s, d) => {
+      // the TIME-SERIES skipping pattern — the single most common
+      // 100 TB layout (daily/hourly clustered loads): commit events
+      // range-clustered by ts, serve a two-day band opening only the
+      // files whose (min,max) micros intersect it. Timestamp stats
+      // land because graft sessions write TIMESTAMP_MICROS (INT96
+      // has no comparable parquet stats — see snapshot_format.md)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_skip_ts_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      LakeWriter.commitSnapshot(
+        T(s, d, "events").select(col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .repartitionByRange(8, col("ts")), table)
+      LakeWriter.readSnapshotWhere(s, table,
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+    }),
+
+    "q_snapshot_zorder" -> ((s, d) => {
+      // OPTIMIZE ZORDER through the gate: a 2D box (user, value band)
+      // over the Morton-clustered rewrite — every listed dimension
+      // prunes at once (file-level proof in PipelineSpec; here the
+      // driver proves the served rows are exactly SQL's)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      LakeWriter.commitSnapshot(
+        T(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")), table)
+      LakeWriter.optimizeSnapshot(s, table, targetBytes = 64L << 10,
+        zorderBy = Seq("user_id", "value"))
+      LakeWriter.readSnapshotWhere(s, table,
+        col("user_id") >= 2L && col("user_id") <= 5L &&
+        col("value") >= 10.0 && col("value") <= 50.0)
+    }),
+
+    "q_snapshot_restore" -> ((s, d) => {
+      // RESTORE through the gate: append + DELETE, then roll back to
+      // v1 as a NEW commit — the served table must be byte-identical
+      // to the original state (history stays time-travelable; the
+      // change feed across the restore is the rollback, spec-proven)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_restore_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(base, table)
+      LakeWriter.commitSnapshot(
+        base.withColumn("doc_id", col("doc_id") + 1000000L),
+        table, mode = "append")
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 200)
+      LakeWriter.restoreSnapshot(s, table, 1L)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_constraint" -> ((s, d) => {
+      // CHECK constraints through the gate (Delta ADD CONSTRAINT):
+      // add a check the corpus satisfies, take a conforming append,
+      // REJECT a violating batch atomically (version + data
+      // untouched, in-flight dir cleaned), serve the table
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_check_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(2)) === 0),
+        table)
+      LakeWriter.addCheck(s, table, "chars_nonneg", "n_chars >= 0")
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(2)) === 1),
+        table, mode = "append")
+      try {
+        LakeWriter.commitSnapshot(
+          base.limit(10).withColumn("n_chars", lit(-1L)),
+          table, mode = "append")
+        sys.error("violating batch must be rejected")
+      } catch { case _: IllegalArgumentException => () }
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_optimize" -> ((s, d) => {
+      // OPTIMIZE proven through the gate: three small appends then a
+      // bin-packing compaction — the post-optimize snapshot must be
+      // row-identical to the union (the oracle is the raw table),
+      // with fewer files doing the serving
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_opt_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(3)) === 0),
+        table)
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(3)) === 1),
+        table, mode = "append")
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(3)) === 2),
+        table, mode = "append")
+      LakeWriter.optimizeSnapshot(s, table)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_widen" -> ((s, d) => {
+      // lossless type widening through the gate: v1 commits n_chars
+      // as INT, the append arrives as LONG (plus a new DOUBLE column)
+      // — the committed schema widens, and every row (old int files
+      // included) reads under the wide schema
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_widen_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("int").as("n_chars")), table)
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"),
+            (col("n_chars") * 0.5).as("score")), table, mode = "append")
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_mv_minmax" -> ((s, d) => {
+      // the extrema MV: full-refresh posture (min/max are not
+      // self-maintainable under deletes) — commit, DELETE the short
+      // docs, rebuild; oracle = GROUP BY with min/max over survivors
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_mv_mm_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      import graft.sources.{LakeWriter, Materialized}
+      val src = s"$tmp/src"
+      LakeWriter.commitSnapshot(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")), src)
+      LakeWriter.deleteFromSnapshot(s, src, col("n_chars") < 200)
+      Materialized.refreshFull(s, src, s"$tmp/mv", Seq("lang"),
+        Seq("n_chars"), minMaxCols = Seq("n_chars"))
+      LakeWriter.readSnapshot(s, s"$tmp/mv")
+    }),
+
     "q_mv_refresh" -> ((s, d) => {
       // incrementally-maintained materialized aggregate: the source
       // table takes four commits (initial, append, MERGE upsert,
@@ -2076,6 +2247,54 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000, lang, n_chars, 'insert'
         |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
+
+    "q_snapshot_skip" ->
+      // the stat-pruned read returns exactly the band
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 200""".stripMargin,
+
+    "q_snapshot_skip_time" ->
+      // the time band, exactly (events ts is TIMESTAMP(NANOS) in the
+      // raw parquet; DuckDB compares naive micros like Spark reads)
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
+
+    "q_snapshot_zorder" ->
+      // the 2D box, exactly — z-ordering changes files, never rows
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 2 AND 5
+        |  AND value BETWEEN 10.0 AND 50.0""".stripMargin,
+
+    "q_snapshot_restore" ->
+      // post-restore the table IS its v1 state: the plain base table
+      "SELECT doc_id, lang, n_chars FROM documents",
+
+    "q_snapshot_constraint" ->
+      // the violating batch never landed: the two conforming halves
+      "SELECT doc_id, lang, n_chars FROM documents",
+
+    "q_snapshot_optimize" ->
+      // compaction must be row-invisible: the three mod-3 commits
+      // cover the table, and the bin-packed rewrite changes files,
+      // never rows
+      "SELECT doc_id, lang, n_chars FROM documents",
+
+    "q_snapshot_widen" ->
+      // the widened table: every row under (bigint, double) — old
+      // int-file rows read wide, appended rows carry the new column
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS DOUBLE) * 0.5
+        |  END AS score
+        |FROM documents""".stripMargin,
+
+    "q_mv_minmax" ->
+      // extrema MV after the delete: one GROUP BY over survivors
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM documents WHERE NOT coalesce(n_chars < 200, false)
+        |GROUP BY lang""".stripMargin,
 
     "q_mv_refresh" ->
       // full recompute over the source's FINAL state (initial+append

@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+import org.apache.spark.sql.functions.{coalesce, col, expr, greatest,
+  input_file_name, least, lit, max, min, regexp_extract, shiftleft,
+  shiftright}
 
 /** Sink layer: lakehouse-style table maintenance over native parquet.
   *
@@ -275,6 +277,22 @@ object LakeWriter {
     * vacuum can collect but can never block or corrupt future
     * commits. The commit point is a no-overwrite manifest rename
     * (atomic on HDFS; on S3-like stores swap for a conditional PUT). */
+  /** Every snapshot data file is written with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, scoped
+    * to the write and restored after: Spark's legacy INT96 default
+    * carries no comparable parquet footer statistics, which would
+    * silently disable timestamp DATA SKIPPING on the committed files
+    * (readers of either form are unaffected — Spark reads both). */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   def commitSnapshot(df: DataFrame, table: String,
                      mode: String = "overwrite"): Long = {
     require(Seq("overwrite", "append").contains(mode), s"bad mode $mode")
@@ -285,7 +303,8 @@ object LakeWriter {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    withMicrosTimestamps(spark) {
+      df.write.mode("errorifexists").parquet(dataDir.toString) }
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
     val (carried, schema) =
@@ -324,6 +343,10 @@ object LakeWriter {
         (files,
           org.apache.spark.sql.types.StructType(widened ++ newFields))
       } else (Seq.empty[String], df.schema)
+    enforceChecks(spark,
+      prev.lastOption.map(v => parseManifestChecks(spark, table, v))
+        .getOrElse(Map.empty),
+      newFiles, schema, fs, Seq(dataDir))
     writeManifest(spark, fs, table, version, mode, schema,
       carried ++ newFiles)
     version
@@ -420,9 +443,12 @@ object LakeWriter {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
-    newData.write.mode("errorifexists").parquet(dataDir.toString)
+    withMicrosTimestamps(spark) {
+      newData.write.mode("errorifexists").parquet(dataDir.toString) }
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
+      newFiles, newData.schema, fs, Seq(dataDir))
     writeManifest(spark, fs, table, version, "merge", newData.schema,
       carry ++ newFiles)
     version
@@ -477,9 +503,10 @@ object LakeWriter {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
-    val writer = survivors.write.mode("errorifexists")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(dataDir.toString)
+    withMicrosTimestamps(spark) {
+      val writer = survivors.write.mode("errorifexists")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(dataDir.toString) }
     val newFiles = walk(fs, dataDir).sorted
     writeManifest(spark, fs, table, version, "delete", schema,
       carry ++ newFiles, partCols)
@@ -576,8 +603,9 @@ object LakeWriter {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val updDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-u")
-    updates.select(cols.map(col): _*).write.mode("errorifexists")
-      .partitionBy(partCols: _*).parquet(updDir.toString)
+    withMicrosTimestamps(spark) {
+      updates.select(cols.map(col): _*).write.mode("errorifexists")
+        .partitionBy(partCols: _*).parquet(updDir.toString) }
     val updFiles = walk(fs, updDir).sorted
     val touchedParts = updFiles.map(partitionOf(partCols, _)).toSet
     // partition pruning is SOUND only when every partition column is a
@@ -603,15 +631,22 @@ object LakeWriter {
       else {
         val survDir =
           new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")
-        readFiles(spark, rewrite, schema)
-          .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti")
-          .select(cols.map(col): _*)
-          .write.mode("errorifexists").partitionBy(partCols: _*)
-          .parquet(survDir.toString)
+        withMicrosTimestamps(spark) {
+          readFiles(spark, rewrite, schema)
+            .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti")
+            .select(cols.map(col): _*)
+            .write.mode("errorifexists").partitionBy(partCols: _*)
+            .parquet(survDir.toString) }
         walk(fs, survDir).sorted
       }
     // the committed schema stays the TABLE's schema (not the updates
     // frame's), so partition-column typing is stable across versions
+    // (CHECK enforcement: the update rows are the only genuinely new
+    // ones — survivors re-land from already-validated data)
+    enforceChecks(spark, parseManifestChecks(spark, table, prevVersion),
+      updFiles, schema, fs,
+      Seq(updDir) ++ survFiles.headOption.map(_ =>
+        new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")))
     writeManifest(spark, fs, table, version, "merge", schema,
       untouched ++ carryRest ++ survFiles ++ updFiles, partCols)
     version
@@ -630,17 +665,333 @@ object LakeWriter {
     * from the hive paths (`partitionOf`). Every string is URL-encoded,
     * so the positional parser below stays unambiguous (brackets/
     * quotes/commas cannot occur inside entries). */
+  /** Spark types data skipping stats/compares: integral, floating,
+    * string, date, timestamp. (Decimals/binary: conservative scan.)
+    * Timestamps canonicalize to epoch MICROS (matching Spark's
+    * internal representation), dates to epoch DAYS — INT64/INT32
+    * parquet columns only; legacy INT96 carries no usable parquet
+    * stats and degrades to a scan. */
+  private def statType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Per-column (min, max) of one parquet file from its FOOTER — zero
+    * data IO: row-group statistics are merged across blocks; a column
+    * is omitted when any block lacks stats (older writers) or its
+    * type is outside the v1 stat set. Values serialize as plain
+    * strings (numerics in decimal form, strings verbatim). */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : Map[String, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val wanted = schema.fields.filter(f => statType(f.dataType))
+      .map(_.name).take(32).toSet
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val acc = scala.collection.mutable.Map[String, (String, String)]()
+      val dead = scala.collection.mutable.Set[String]()
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val path = c.getPath.toArray
+          if (path.length == 1 && wanted(path(0)) && !dead(path(0))) {
+            val name = path(0)
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) {
+              // a block with rows but no stats poisons the column;
+              // an all-null block simply contributes nothing
+              if (st == null || st.getNumNulls != b.getRowCount) dead += name
+            } else {
+              // temporal canonicalization: the stat value for a
+              // timestamp column is the raw INT64 in the file's own
+              // unit — normalize to micros so the evaluator compares
+              // one time scale. Integer division floors, exactly how
+              // Spark itself narrows NANOS on read, so floor(min)/
+              // floor(max) remain true bounds of the values Spark
+              // sees. INT96 (deprecated) never reaches here: parquet
+              // writes no comparable stats for it, so the column
+              // poisons above and the reader scans.
+              import org.apache.spark.sql.types.{DateType, TimestampType,
+                TimestampNTZType}
+              val timeScale: Long = schema(name).dataType match {
+                case TimestampType | TimestampNTZType =>
+                  c.getPrimitiveType.getLogicalTypeAnnotation match {
+                    case t: org.apache.parquet.schema
+                        .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      t.getUnit match {
+                        case org.apache.parquet.schema.LogicalTypeAnnotation
+                            .TimeUnit.MILLIS => 1000L       // ms -> us
+                        case org.apache.parquet.schema.LogicalTypeAnnotation
+                            .TimeUnit.MICROS => 1L
+                        case org.apache.parquet.schema.LogicalTypeAnnotation
+                            .TimeUnit.NANOS => -1000L       // ns / 1000
+                      }
+                    case _ => 0L // unexpected physical form: no proof
+                  }
+                case DateType => 1L // INT32 epoch days verbatim
+                case _ => 1L
+              }
+              def canon(v: Any): Option[String] = (v, timeScale) match {
+                case (_, 0L) => None
+                case (l: java.lang.Long, s) =>
+                  Some((if (s < 0) Math.floorDiv(l, -s) else l * s).toString)
+                case (i: java.lang.Integer, _) => Some(i.toString)
+                case (a: org.apache.parquet.io.api.Binary, _) =>
+                  Some(a.toStringUsingUTF8)
+                case (other, _) => Some(other.toString)
+              }
+              val pair = for {
+                lo <- canon(st.genericGetMin)
+                hi <- canon(st.genericGetMax)
+              } yield (lo, hi)
+              if (pair.isEmpty) { dead += name } else {
+              val (lo, hi) = pair.get
+              acc(name) = acc.get(name) match {
+                case None => (lo, hi)
+                case Some((plo, phi)) =>
+                  val dt = schema(name).dataType
+                  (if (statLt(lo, plo, dt)) lo else plo,
+                   if (statLt(phi, hi, dt)) hi else phi)
+              }
+              }
+            }
+          }
+        }
+      }
+      acc.toMap -- dead
+    } finally reader.close()
+  }
+
+  /** stat-string ordering under a Spark type: numeric as BigDecimal,
+    * string lexicographic. */
+  private def statLt(a: String, b: String,
+                     dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType => a < b
+      case _ => BigDecimal(a) < BigDecimal(b)
+    }
+
+  /** The per-file column stats recorded in a version's manifest
+    * (empty for pre-stats manifests). Keyed by file BASENAME. */
+  private[graft] def parseManifestStats(spark: SparkSession,
+      table: String, version: Long)
+      : Map[String, Map[String, (String, String)]] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    body.split("\"stats\":\"") match {
+      case Array(_, rest) =>
+        val json = dec(rest.split("\"")(0))
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(json) match {
+          case JObject(byFile) => byFile.map { case (f, cols) =>
+            f -> (cols match {
+              case JObject(cs) => cs.collect {
+                case (c, JArray(List(JString(lo), JString(hi)))) =>
+                  c -> (lo, hi)
+              }.toMap
+              case _ => Map.empty[String, (String, String)]
+            })
+          }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  /** The CHECK constraints in force at a version (empty when none).
+    * Stored like stats: one url-encoded JSON blob `{name: sqlExpr}`. */
+  private[graft] def parseManifestChecks(spark: SparkSession,
+      table: String, version: Long): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    body.split("\"checks\":\"") match {
+      case Array(_, rest) =>
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(dec(rest.split("\"")(0))) match {
+          case JObject(cs) => cs.collect {
+            case (n, JString(e)) => n -> e }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  /** Enforce CHECK constraints over `files` (the rows a commit is
+    * about to publish) in ONE aggregate scan — SQL CHECK semantics:
+    * a row passes when the expression is TRUE or NULL. On violation
+    * the in-flight data dirs are deleted (they were inert until the
+    * manifest rename — the table is untouched) and the commit throws
+    * with every failed constraint named. */
+  private def enforceChecks(spark: SparkSession,
+      checks: Map[String, String], files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      fs: org.apache.hadoop.fs.FileSystem,
+      cleanup: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    if (checks.isEmpty || files.isEmpty) return
+    val ordered = checks.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      max(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.not(
+          coalesce(expr(e).cast("boolean"), lit(true))), 1).otherwise(0))
+        .as(n) }
+    val row = readFiles(spark, files, schema).agg(aggs.head, aggs.tail: _*)
+      .head()
+    val violated = ordered.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
+        s"$n CHECK ($e)" }
+    if (violated.nonEmpty) {
+      cleanup.foreach(d => try fs.delete(d, true)
+        catch { case _: java.io.IOException => })
+      throw new IllegalArgumentException(
+        "commit rejected, CHECK constraint(s) violated: " +
+          violated.mkString("; "))
+    }
+  }
+
+  /** ADD CONSTRAINT ... CHECK (Delta parity): `exprSql` must hold on
+    * every EXISTING row (one full validation scan, like Delta) and is
+    * then enforced on the delta rows of every future commit. The
+    * constraint lands as a metadata-only commit (files carried by
+    * reference). */
+  def addCheck(spark: SparkSession, table: String, name: String,
+               exprSql: String): Long = {
+    val vs = snapshotVersions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val prevChecks = parseManifestChecks(spark, table, vs.last)
+    require(!prevChecks.contains(name), s"check '$name' already exists")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, vs.last)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    enforceChecks(spark, Map(name -> exprSql), files, schema, fs, Nil)
+    writeManifest(spark, fs, table, vs.last + 1, "meta", schema, files,
+      partCols, checksOverride = Some(prevChecks + (name -> exprSql)))
+    vs.last + 1
+  }
+
+  /** DROP CONSTRAINT — metadata-only commit without the named check. */
+  def dropCheck(spark: SparkSession, table: String, name: String): Long = {
+    val vs = snapshotVersions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val prevChecks = parseManifestChecks(spark, table, vs.last)
+    require(prevChecks.contains(name), s"no check '$name' on $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, vs.last)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    writeManifest(spark, fs, table, vs.last + 1, "meta", schema, files,
+      partCols, checksOverride = Some(prevChecks - name))
+    vs.last + 1
+  }
+
+  /** The CHECK constraints currently in force. */
+  def snapshotChecks(spark: SparkSession, table: String)
+      : Map[String, String] = {
+    val vs = snapshotVersions(spark, table)
+    if (vs.isEmpty) Map.empty
+    else parseManifestChecks(spark, table, vs.last)
+  }
+
   private def writeManifest(spark: SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             table: String, version: Long, mode: String,
                             schema: org.apache.spark.sql.types.StructType,
                             files: Seq[String],
-                            partCols: Seq[String] = Nil): Unit = {
+                            partCols: Seq[String] = Nil,
+                            checksOverride: Option[Map[String, String]] =
+                              None): Unit = {
     val partFields =
       if (partCols.isEmpty) ""
       else s""""partcols":"${partCols.map(enc).mkString(",")}","""
+    // CHECK constraints carry forward verbatim unless this commit
+    // changes them (addCheck/dropCheck)
+    val checksField = {
+      val eff = checksOverride.getOrElse(
+        snapshotVersions(spark, table).filter(_ < version).lastOption
+          .map(v => parseManifestChecks(spark, table, v))
+          .getOrElse(Map.empty[String, String]))
+      if (eff.isEmpty) ""
+      else {
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            org.json4s.JObject(eff.toSeq.sortBy(_._1).map { case (n, e) =>
+              n -> (org.json4s.JString(e): org.json4s.JValue) }.toList)))
+        s""""checks":"${enc(json)}","""
+      }
+    }
+    // DATA SKIPPING stats: carried files inherit their (min, max)
+    // from the previous manifest; only files NEW to this version pay
+    // a footer read (metadata IO, never data) — commit cost stays
+    // O(delta). Serialized as one URL-encoded JSON blob like the
+    // schema, so the positional manifest parse is undisturbed.
+    val statsField = {
+      val prevStats = snapshotVersions(spark, table).filter(_ < version)
+        .lastOption
+        .map(v => parseManifestStats(spark, table, v))
+        .getOrElse(Map.empty[String, Map[String, (String, String)]])
+      val conf = spark.sessionState.newHadoopConf()
+      // footer reads are independent metadata fetches — run them on a
+      // bounded pool (a large commit would otherwise pay one serial
+      // round-trip per new file on the driver; on object stores each
+      // is a network call)
+      val newFiles = files.filterNot(f => prevStats.contains(baseName(f)))
+      val fresh: Map[String, Map[String, (String, String)]] =
+        if (newFiles.isEmpty) Map.empty
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, newFiles.size))
+          try newFiles.map { f =>
+            f -> pool.submit(new java.util.concurrent.Callable[
+                Map[String, (String, String)]] {
+              def call(): Map[String, (String, String)] =
+                try footerStats(conf, f, schema)
+                catch { case scala.util.control.NonFatal(_) =>
+                  Map.empty[String, (String, String)] }
+            })
+          }.map { case (f, fut) => baseName(f) -> fut.get() }.toMap
+          finally pool.shutdown()
+        }
+      val all = files.map { f =>
+        val bn = baseName(f)
+        bn -> prevStats.getOrElse(bn, fresh.getOrElse(bn,
+          Map.empty[String, (String, String)]))
+      }.filter(_._2.nonEmpty)
+      if (all.isEmpty) ""
+      else {
+        import org.json4s.JsonDSL._
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            org.json4s.JObject(all.map { case (f, cols) =>
+              f -> org.json4s.JObject(cols.toSeq.sortBy(_._1).map {
+                case (c, (lo, hi)) =>
+                  c -> (org.json4s.JArray(List(org.json4s.JString(lo),
+                    org.json4s.JString(hi))): org.json4s.JValue)
+              }.toList)
+            }.toList)))
+        s""""stats":"${enc(json)}","""
+      }
+    }
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","schema":"${enc(schema.json)}",$partFields"files":[""",
+      s"""{"version":$version,"mode":"$mode","schema":"${enc(schema.json)}",$partFields$checksField$statsField"files":[""",
       ",", "]}")
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
@@ -799,8 +1150,9 @@ object LakeWriter {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
-    df.write.mode("errorifexists").partitionBy(partitionCols: _*)
-      .parquet(dataDir.toString)
+    withMicrosTimestamps(spark) {
+      df.write.mode("errorifexists").partitionBy(partitionCols: _*)
+        .parquet(dataDir.toString) }
     val newFiles = walk(fs, dataDir).sorted
     // touched partitions are derived from the files SPARK JUST WROTE,
     // so old and new partition strings go through the identical
@@ -814,6 +1166,10 @@ object LakeWriter {
       if (prev.isEmpty) Seq.empty
       else snapshotFiles(spark, table, prev.last)
         .filterNot(f => touched.contains(partitionOf(partitionCols, f)))
+    enforceChecks(spark,
+      prev.lastOption.map(v => parseManifestChecks(spark, table, v))
+        .getOrElse(Map.empty),
+      newFiles, df.schema, fs, Seq(dataDir))
     writeManifest(spark, fs, table, version, "dynamic", df.schema,
       carried ++ newFiles, partitionCols)
     version
@@ -843,7 +1199,8 @@ object LakeWriter {
     * nothing needed compacting). */
   def optimizeSnapshot(spark: SparkSession, table: String,
                        smallBytes: Long = 32L << 20,
-                       targetBytes: Long = 128L << 20): Long = {
+                       targetBytes: Long = 128L << 20,
+                       zorderBy: Seq[String] = Nil): Long = {
     val prev = snapshotVersions(spark, table)
     require(prev.nonEmpty, s"no snapshots at $table")
     val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
@@ -851,6 +1208,9 @@ object LakeWriter {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    if (zorderBy.nonEmpty)
+      return zorderRewrite(spark, fs, table, prev.last, files, schema,
+        partCols, zorderBy, targetBytes)
     val sized = files.map(f =>
       f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
     val rewrite = sized
@@ -872,19 +1232,118 @@ object LakeWriter {
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     val newFiles =
       if (partCols.isEmpty) {
-        df.repartition(n).write.mode("errorifexists")
-          .parquet(dataDir.toString)
+        withMicrosTimestamps(spark) { df.repartition(n)
+          .write.mode("errorifexists").parquet(dataDir.toString) }
         fs.listStatus(dataDir).toSeq.map(_.getPath.toString)
           .filter(_.endsWith(".parquet")).sorted
       } else {
-        df.repartition(n, partCols.map(col): _*).write
-          .mode("errorifexists").partitionBy(partCols: _*)
-          .parquet(dataDir.toString)
+        withMicrosTimestamps(spark) {
+          df.repartition(n, partCols.map(col): _*).write
+            .mode("errorifexists").partitionBy(partCols: _*)
+            .parquet(dataDir.toString) }
         walk(fs, dataDir).sorted
       }
     writeManifest(spark, fs, table, version, "optimize", schema,
       carry ++ newFiles, partCols)
     version
+  }
+
+  /** OPTIMIZE ZORDER BY — rewrite the whole snapshot clustered on the
+    * Morton (Z-order) interleaving of up to 4 numeric/temporal
+    * columns, so DATA SKIPPING prunes on EVERY listed dimension at
+    * once (a range-clustered layout serves only its leading column).
+    * Each dimension is scaled to 16 bits by linear min–max
+    * width_bucket (skewed value distributions coarsen bucket balance
+    * — skipping effectiveness degrades, correctness never does), the
+    * bits interleave into one long, and files land via
+    * repartitionByRange + sortWithinPartitions on it: every file owns
+    * a compact Z-range, i.e. a small hyper-rectangle of the value
+    * space, and its footer (min,max) per dimension are tight. All
+    * compute is one agg (driver-tiny bounds row) + one range shuffle
+    * of codegen'd bit arithmetic — no UDFs, no collect of data. */
+  private def zorderRewrite(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, table: String, prevV: Long,
+      files: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String], zorderBy: Seq[String],
+      targetBytes: Long): Long = {
+    import org.apache.spark.sql.types._
+    require(partCols.isEmpty,
+      "ZORDER v1 rewrites unpartitioned snapshots (partitioned tables: " +
+        "z-order before commitSnapshotDynamic, or drop partitioning)")
+    require(zorderBy.size >= 2 && zorderBy.size <= 4,
+      s"zorderBy wants 2..4 columns, got ${zorderBy.size}")
+    zorderBy.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType,
+        s"zorder column $c: need numeric/date/timestamp, got $dt")
+    }
+    val df = readFiles(spark, files, schema)
+    val aggs = zorderBy.zipWithIndex.flatMap { case (c, i) =>
+      val cd = col(c).cast("double")
+      Seq(min(cd).as(s"lo$i"), max(cd).as(s"hi$i")) }
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = 16
+    val scaled = zorderBy.indices.map { i =>
+      if (bounds.isNullAt(2 * i)) lit(0L) // all-NULL dimension
+      else {
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      if (!(hi > lo)) lit(0L)
+      else {
+        // width_bucket yields 0..n+1 over (lo, hi); clamp into
+        // 0..2^bits-1 and send NULLs to bucket 0
+        val wb = expr(s"width_bucket(CAST(`${zorderBy(i)}` AS DOUBLE), " +
+          s"${lo}d, ${hi}d, ${(1 << bits) - 1})")
+        coalesce(least(greatest(wb - 1L, lit(0L)),
+          lit((1L << bits) - 1)), lit(0L))
+      }
+      }
+    }
+    val d = zorderBy.size
+    val zcol = scaled.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map(j =>
+        shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * d + i))
+    }.reduce(_.bitwiseOR(_))
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val version = prevV + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    withMicrosTimestamps(spark) {
+      df.withColumn("__graft_z", zcol)
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+        .write.mode("errorifexists").parquet(dataDir.toString) }
+    val newFiles = fs.listStatus(dataDir).toSeq.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    writeManifest(spark, fs, table, version, "optimize", schema,
+      newFiles, partCols)
+    version
+  }
+
+  /** RESTORE (Delta RESTORE TABLE ... TO VERSION): make the LATEST
+    * state that of `toVersion` again, as a NEW commit — history stays
+    * append-only, the interim versions remain time-travelable until
+    * vacuum retires them, and the change feed across the restore
+    * shows exactly the rollback (post-`toVersion` additions as
+    * deletes, resurrected rows as inserts). Metadata-only: the
+    * restored files carry by reference, no data is copied. */
+  def restoreSnapshot(spark: SparkSession, table: String,
+                      toVersion: Long): Long = {
+    val vs = snapshotVersions(spark, table)
+    require(vs.contains(toVersion),
+      s"version $toVersion not in snapshot history $vs")
+    if (toVersion == vs.last) return vs.last
+    val (files, schemaJson, partCols) = parseManifest(spark, table, toVersion)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    writeManifest(spark, fs, table, vs.last + 1, "restore", schema,
+      files, partCols)
+    vs.last + 1
   }
 
   /** Vacuum: drop all but the last `keepLast` snapshot versions and
@@ -947,6 +1406,50 @@ object LakeWriter {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readFiles(spark, files, schema)
+  }
+
+  /** Read a snapshot FILE-PRUNED by manifest column stats — data
+    * skipping, the scan-side payoff of the footer stats every commit
+    * records: files whose (min, max) prove the predicate empty are
+    * never opened (on a 100 TB table with clustered commits — daily
+    * loads, optimizeSnapshot output, Z-ordered rewrites — a selective
+    * predicate reads a sliver of the file list). Hive partition
+    * values prune too (exact-stat treatment). The predicate is ALSO
+    * applied to the surviving rows, so results are exact regardless
+    * of stats coverage; unsupported predicate shapes or stat-less
+    * columns simply scan. */
+  def readSnapshotWhere(spark: SparkSession, table: String,
+                        predicate: org.apache.spark.sql.Column,
+                        version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, table)
+      require(vs.nonEmpty, s"no snapshots at $table")
+      vs.last
+    }
+    val (files, schemaJson, partCols) = parseManifest(spark, table, v)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(predicate)
+    val stats = parseManifestStats(spark, table, v)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val kept = files.filter { f =>
+      // a hive partition value is an exact stat: min == max == value
+      val pstats = partCols.flatMap { c =>
+        val raw = partitionOf(Seq(c), f)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(c -> (raw, raw))
+      }.toMap
+      org.apache.spark.sql.GraftDataSkipping.mayMatchColumn(predicate,
+        stats.getOrElse(baseName(f), Map.empty) ++ pstats, types)
+    }
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(predicate)
+    else readFiles(spark, kept, schema).where(predicate)
   }
 
   /** Append (raw-zone landing). */

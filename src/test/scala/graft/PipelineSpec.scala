@@ -519,6 +519,263 @@ class PipelineSpec extends AnyFunSuite {
       Seq(("g1", 3L, 15L), ("g2", 1L, 7L)))
   }
 
+  test("data skipping: stat-pruned reads never open excluded files") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_skip")
+      .toString + "/tbl"
+    // range-clustered commit → files hold disjoint k ranges, the
+    // layout a daily load / optimize / Z-order naturally produces
+    val df = spark.range(0, 100).toDF("k")
+      .withColumn("v", concat(lit("s"), $"k"))
+      .repartitionByRange(4, $"k")
+    LakeWriter.commitSnapshot(df, t)
+    // footer stats landed in the manifest for both columns
+    val stats = LakeWriter.parseManifestStats(spark, t, 1L)
+    assert(stats.nonEmpty && stats.values.forall(_.contains("k")))
+    // locate the one file holding k=5, corrupt EVERY other file —
+    // a stat-pruned point read must succeed without opening them
+    val withFile = spark.read.parquet(LakeWriter.snapshotFiles(spark, t, 1L): _*)
+      .select($"k", regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+    val keepFile = withFile.where($"k" === 5).head().getString(1)
+    LakeWriter.snapshotFiles(spark, t, 1L)
+      .filterNot(_.endsWith(keepFile)).foreach { f =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f.stripPrefix("file:")),
+          "not parquet".getBytes)
+      }
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"k" === 5)
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // compound shapes prune too: AND, IN, literal-first comparison
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+      $"k" >= 3 && $"k" <= 7).count() == 5)
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+      $"k".isin(4, 6)).count() == 2)
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+      lit(8) > $"k" && $"k" > 2).count() == 5)
+    // a predicate proven empty by stats reads NOTHING (typed empty)
+    val none = LakeWriter.readSnapshotWhere(spark, t, $"k" === 1000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("data skipping: timestamp and date bands prune files") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_skip_ts")
+      .toString + "/tbl"
+    // hourly clustered commit — the time-series layout a daily load
+    // produces; k=0..95 spans 4 range files of 24 rows each
+    val df = spark.range(0, 96).toDF("k")
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + k * 3600)"))
+      .withColumn("d", expr("date_add(date'2024-01-01', cast(k as int))"))
+      .repartitionByRange(4, $"k")
+    LakeWriter.commitSnapshot(df, t)
+    val stats = LakeWriter.parseManifestStats(spark, t, 1L)
+    assert(stats.nonEmpty, "manifest carries stats")
+    assert(stats.values.forall(m => m.contains("ts") && m.contains("d")),
+      s"temporal columns have stats: $stats")
+    // corrupt every file except the one holding k=10 — temporal
+    // predicates must serve from stats without opening the rest
+    val withFile = spark.read
+      .parquet(LakeWriter.snapshotFiles(spark, t, 1L): _*)
+      .select($"k", regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+    val keepFile = withFile.where($"k" === 10).head().getString(1)
+    LakeWriter.snapshotFiles(spark, t, 1L)
+      .filterNot(_.endsWith(keepFile)).foreach { f =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f.stripPrefix("file:")),
+          "not parquet".getBytes)
+      }
+    def tsAt(k: Long) = new java.sql.Timestamp((1700000000L + k * 3600) * 1000)
+    // Timestamp band, Instant equality, Date equality, LocalDate band
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+        $"ts" >= lit(tsAt(10)) && $"ts" < lit(tsAt(12)))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+        $"ts" === lit(java.time.Instant.ofEpochSecond(1700000000L + 11 * 3600)))
+      .count() == 1)
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+        $"d" === lit(java.sql.Date.valueOf("2024-01-11")))
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+        $"d" >= lit(java.time.LocalDate.parse("2024-01-11")) &&
+        $"d" <= lit(java.time.LocalDate.parse("2024-01-13")))
+      .count() == 3)
+    // proven-empty band: nothing opened, typed empty result
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+      $"ts" >= lit(tsAt(1000))).count() == 0)
+  }
+
+  test("data skipping: conservative on unsupported shapes, carried stats") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_skip2")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(
+      spark.range(0, 50).toDF("k")
+        .withColumn("v", concat(lit("s"), $"k"))
+        .repartitionByRange(2, $"k"), t)
+    // unsupported predicate shape (function of a column): full scan,
+    // exact result
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+      length($"v") === 2).count() == 10)
+    // string stats prune ASCII ranges
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"v" === "s7")
+      .count() == 1)
+    // append: v2's manifest must CARRY v1's file stats (no re-read)
+    LakeWriter.commitSnapshot(
+      spark.range(50, 60).toDF("k")
+        .withColumn("v", concat(lit("s"), $"k")), t, "append")
+    val v1Files = LakeWriter.snapshotFiles(spark, t, 1L)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val s2 = LakeWriter.parseManifestStats(spark, t, 2L)
+    assert(v1Files.subsetOf(s2.keySet))
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"k" >= 55)
+      .count() == 5)
+    // stats survive MERGE-carried files and the rewrite gets fresh ones
+    LakeWriter.mergeSnapshot(
+      Seq((55L, "z")).toDF("k", "v"), t, Seq("k"))
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"v" === "z")
+      .count() == 1)
+    val s3 = LakeWriter.parseManifestStats(spark, t, 3L)
+    assert(LakeWriter.snapshotFiles(spark, t, 3L).forall(f =>
+      s3.contains(f.substring(f.lastIndexOf('/') + 1))))
+  }
+
+  test("OPTIMIZE ZORDER: every listed dimension prunes after rewrite") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .toString + "/tbl"
+    // 64x64 grid committed row-major (range by i ⇒ y-clustered):
+    // an x-band intersects EVERY file before z-ordering
+    val df = spark.range(0, 4096).toDF("i")
+      .withColumn("x", $"i" % 64)
+      .withColumn("y", ($"i" / 64).cast("long"))
+      .withColumn("payload", md5(concat($"i")))
+      .repartitionByRange(16, $"i").drop("i")
+    LakeWriter.commitSnapshot(df, t)
+    def filesIntersecting(v: Long, c1: String, b1: (Long, Long),
+                          c2: String, b2: (Long, Long)): Int =
+      LakeWriter.parseManifestStats(spark, t, v).values.count { m =>
+        (m.get(c1), m.get(c2)) match {
+          case (Some((lo1, hi1)), Some((lo2, hi2))) =>
+            BigDecimal(lo1) <= b1._2 && BigDecimal(hi1) >= b1._1 &&
+            BigDecimal(lo2) <= b2._2 && BigDecimal(hi2) >= b2._1
+          case _ => true
+        }
+      }
+    assert(filesIntersecting(1L, "x", (0L, 7L), "y", (0L, 63L)) == 16,
+      "row-major layout: an x band touches every file")
+    val v2 = LakeWriter.optimizeSnapshot(spark, t,
+      targetBytes = 16L << 10, zorderBy = Seq("x", "y"))
+    assert(v2 == 2L)
+    // post-zorder: each file owns a compact Z-range ⇒ a small
+    // hyper-rectangle; the same x band now touches a minority
+    val nFiles = LakeWriter.snapshotFiles(spark, t, v2).size
+    val touched = filesIntersecting(v2, "x", (0L, 7L), "y", (0L, 63L))
+    assert(touched <= nFiles / 2,
+      s"x band touches $touched of $nFiles post-zorder files")
+    // rows survive the rewrite byte-identically
+    assert(LakeWriter.readSnapshot(spark, t).count() == 4096)
+    assert(LakeWriter.readSnapshot(spark, t)
+      .agg(sum(hash($"x", $"y", $"payload"))).head ==
+      LakeWriter.readSnapshot(spark, t, Some(1L))
+        .agg(sum(hash($"x", $"y", $"payload"))).head)
+    // change feed across the zorder version is empty (rows unchanged)
+    // — asserted BEFORE corruption: the collapse reads delta files
+    assert(LakeWriter.changesBetween(spark, t, 1L, v2).count() == 0)
+    // and a 2D box serves correctly through the pruned path: corrupt
+    // every file whose stats exclude the box, then read through it
+    val box = $"x" >= 0 && $"x" <= 7 && $"y" >= 0 && $"y" <= 7
+    val stats = LakeWriter.parseManifestStats(spark, t, v2)
+    LakeWriter.snapshotFiles(spark, t, v2).filter { f =>
+      val bn = f.substring(f.lastIndexOf('/') + 1)
+      stats.get(bn).exists { m =>
+        val (xlo, xhi) = m("x"); val (ylo, yhi) = m("y")
+        BigDecimal(xlo) > 7 || BigDecimal(xhi) < 0 ||
+        BigDecimal(ylo) > 7 || BigDecimal(yhi) < 0
+      }
+    }.foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.stripPrefix("file:")),
+        "not parquet".getBytes)
+    }
+    assert(LakeWriter.readSnapshotWhere(spark, t, box).count() == 64)
+  }
+
+  test("restoreSnapshot rolls back as a new commit, history intact") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_restore")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(
+      spark.range(0, 10).toDF("k").withColumn("v", $"k" * 2), t)
+    LakeWriter.commitSnapshot(
+      spark.range(10, 20).toDF("k").withColumn("v", $"k" * 2), t, "append")
+    LakeWriter.deleteFromSnapshot(spark, t, $"k" < 5)
+    assert(LakeWriter.readSnapshot(spark, t).count() == 15)
+    val v4 = LakeWriter.restoreSnapshot(spark, t, 1L)
+    assert(v4 == 4L)
+    // latest is v1's content again
+    assert(LakeWriter.readSnapshot(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+    // interim history still time-travels
+    assert(LakeWriter.readSnapshot(spark, t, Some(3L)).count() == 15)
+    // the change feed shows exactly the rollback: resurrected rows as
+    // inserts, post-restore-point rows as deletes (5..9 carried in
+    // both states cancel)
+    val feed = LakeWriter.changesBetween(spark, t, 3L, v4)
+    val ins = feed.where($"_change_type" === "insert")
+      .select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    val del = feed.where($"_change_type" === "delete")
+      .select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ins == (0L until 5L), s"inserts: $ins")
+    assert(del == (10L until 20L), s"deletes: $del")
+    // restore to the current version is a no-op
+    assert(LakeWriter.restoreSnapshot(spark, t, v4) == v4)
+    // stats survive the restore (metadata-only): a band read prunes
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"k" === 3L)
+      .count() == 1)
+  }
+
+  test("CHECK constraints: enforced on every commit path, droppable") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_check")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(
+      spark.range(0, 10).toDF("k").withColumn("v", $"k" * 2), t)
+    LakeWriter.addCheck(spark, t, "v_nonneg", "v >= 0")
+    // addCheck validates EXISTING data first: a violated add refuses
+    intercept[IllegalArgumentException] {
+      LakeWriter.addCheck(spark, t, "k_small", "k < 5")
+    }
+    // conforming append passes; violating append refuses ATOMICALLY
+    LakeWriter.commitSnapshot(
+      spark.range(10, 15).toDF("k").withColumn("v", $"k" * 2), t, "append")
+    val vBefore = LakeWriter.snapshotVersions(spark, t).last
+    intercept[IllegalArgumentException] {
+      LakeWriter.commitSnapshot(
+        spark.range(15, 20).toDF("k").withColumn("v", lit(-1L)), t,
+        "append")
+    }
+    assert(LakeWriter.snapshotVersions(spark, t).last == vBefore)
+    assert(LakeWriter.readSnapshot(spark, t).count() == 15)
+    // SQL CHECK semantics: a NULL evaluation passes
+    LakeWriter.commitSnapshot(
+      spark.range(15, 16).toDF("k")
+        .withColumn("v", lit(null).cast("long")), t, "append")
+    // MERGE enforces on the update rows
+    intercept[IllegalArgumentException] {
+      LakeWriter.mergeSnapshot(Seq((0L, -5L)).toDF("k", "v"), t, Seq("k"))
+    }
+    LakeWriter.mergeSnapshot(Seq((0L, 100L)).toDF("k", "v"), t, Seq("k"))
+    assert(LakeWriter.readSnapshot(spark, t)
+      .where($"k" === 0L).head().getLong(1) == 100L)
+    assert(LakeWriter.snapshotChecks(spark, t).keySet == Set("v_nonneg"))
+    // dropped -> the same violating batch commits
+    LakeWriter.dropCheck(spark, t, "v_nonneg")
+    LakeWriter.commitSnapshot(
+      spark.range(20, 21).toDF("k").withColumn("v", lit(-1L)), t, "append")
+    assert(LakeWriter.snapshotChecks(spark, t).isEmpty)
+    assert(LakeWriter.readSnapshot(spark, t).count() == 17)
+  }
+
   test("optimizeSnapshot bin-packs small files, carries big by reference") {
     import graft.sources.LakeWriter
     val t = java.nio.file.Files.createTempDirectory("graft_opt")
