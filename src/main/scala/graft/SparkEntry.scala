@@ -1000,6 +1000,71 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, s"$tmp/mv")
     }),
 
+    "q_snapshot_nullskip" -> ((s, d) => {
+      // NULL-count data skipping: commit the corpus in two halves —
+      // one with n_chars fully populated (nullCount 0: IS NULL reads
+      // never open it), one with n_chars all-NULL (nullCount == rows:
+      // IS NOT NULL and every comparison prune it); the manifest null
+      // counts serve an IS NULL band without touching the clean half
+      // (file-level proof in PipelineSpec via corrupt-in-place)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_nulls_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(7)) =!= 0), table)
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("n_chars", lit(null).cast("long")),
+        table, mode = "append")
+      LakeWriter.readSnapshotWhere(s, table, col("n_chars").isNull)
+    }),
+
+    "q_snapshot_count" -> ((s, d) => {
+      // metadata-only COUNT(*): per-file row counts ride every
+      // manifest (parquet footer block counts — exact), so the
+      // count of a committed+deleted table answers from the manifest
+      // alone, zero data IO (PipelineSpec proves it by corrupting
+      // EVERY data file and counting anyway)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_count_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      LakeWriter.commitSnapshot(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          .repartitionByRange(8, col("doc_id")), table)
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 200)
+      import s.implicits._
+      Seq(LakeWriter.snapshotRowCount(s, table)).toDF("n_rows")
+    }),
+
+    "q_snapshot_time_travel" -> ((s, d) => {
+      // TIMESTAMP AS OF: every manifest records its commit wall-clock;
+      // reading as-of a time between v1 and v2 serves exactly v1
+      // (Delta semantics: latest version at or before t)
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_tt_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(base, table)
+      val t = LakeWriter.snapshotTimestamps(s, table).last._2
+      // the next commit must land on a LATER millisecond, or
+      // at-or-before resolution correctly prefers it
+      while (System.currentTimeMillis() <= t) Thread.sleep(1)
+      LakeWriter.commitSnapshot(
+        base.withColumn("doc_id", col("doc_id") + 1000000L),
+        table, mode = "append")
+      LakeWriter.readSnapshotAsOfTimestamp(s, table, t)
+    }),
+
     "q_mv_refresh" -> ((s, d) => {
       // incrementally-maintained materialized aggregate: the source
       // table takes four commits (initial, append, MERGE upsert,
@@ -2295,6 +2360,21 @@ object SparkEntry {
         |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
         |FROM documents WHERE NOT coalesce(n_chars < 200, false)
         |GROUP BY lang""".stripMargin,
+
+    "q_snapshot_nullskip" ->
+      // the NULL band: exactly the all-NULL half
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
+    "q_snapshot_count" ->
+      // survivors of the delete, counted (SQL DELETE semantics on the
+      // predicate: NULL n_chars survives)
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+        |WHERE NOT coalesce(n_chars < 200, false)""".stripMargin,
+
+    "q_snapshot_time_travel" ->
+      // as-of between the commits = exactly v1: the plain base table
+      "SELECT doc_id, lang, n_chars FROM documents",
 
     "q_mv_refresh" ->
       // full recompute over the source's FINAL state (initial+append

@@ -31,24 +31,34 @@ object GraftPlanBridge {
   * (min, max) stats. */
 object GraftDataSkipping {
 
-  /** Entry point for graft code: walk `predicate`'s node tree. */
+  /** Entry point for graft code: walk `predicate`'s node tree.
+    * `nulls` carries per-column NULL counts and `rows` the file's row
+    * count when the manifest recorded them (post-r8 commits) — they
+    * unlock IS NULL / IS NOT NULL pruning and all-NULL-column
+    * comparison pruning; absent, the evaluator stays min/max-only. */
   def mayMatchColumn(predicate: Column,
       stats: Map[String, (String, String)],
-      types: Map[String, org.apache.spark.sql.types.DataType]): Boolean =
-    mayMatch(predicate.node, stats, types)
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      nulls: Map[String, Long] = Map.empty,
+      rows: Option[Long] = None): Boolean =
+    mayMatch(predicate.node, stats, types, nulls, rows)
 
   /** Conservative "could any row of a file match" test of a predicate
     * against per-column (min, max) stats: TRUE unless the stats PROVE
     * emptiness. Handles comparisons/equality/IN between a column and
-    * literals, composed with AND/OR; everything else (functions, NOT,
-    * null tests, stat-less columns) degrades to a scan, never a wrong
-    * skip. NULL semantics make this sound for the supported shapes: a
-    * comparison with a NULL operand is not TRUE, and min/max describe
-    * exactly the non-null values. */
+    * literals, composed with AND/OR, plus IS NULL / IS NOT NULL when
+    * null counts are known; everything else (functions, NOT, stat-less
+    * columns) degrades to a scan, never a wrong skip. NULL semantics
+    * make this sound for the supported shapes: a comparison with a
+    * NULL operand is not TRUE, min/max describe exactly the non-null
+    * values, and nullCount==rowCount proves a column all-NULL (no
+    * comparison can hold) while nullCount==0 proves IS NULL empty. */
   def mayMatch(
       e: internal.ColumnNode,
       stats: Map[String, (String, String)],
-      types: Map[String, org.apache.spark.sql.types.DataType]): Boolean = {
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      nulls: Map[String, Long] = Map.empty,
+      rows: Option[Long] = None): Boolean = {
     import org.apache.spark.sql.internal.{ColumnNode,
       UnresolvedAttribute => NodeAttr, UnresolvedFunction => NodeFn,
       Literal => NodeLit}
@@ -130,38 +140,66 @@ object GraftDataSkipping {
       case "le" => cmpOpt(lo, v, c).exists(_ > 0)   // col <= v
       case _ => false
     }
+    // every value of column c in this file is NULL — no comparison,
+    // equality, or IN can be TRUE against it (rows > 0 guard keeps
+    // the claim meaningful; rows == 0 is handled below for the whole
+    // predicate)
+    def allNull(c: String): Boolean =
+      rows.exists(r => r > 0L && nulls.get(c).contains(r))
     // normalize to (column-op-literal); literal-op-column flips the op
     def keep(op: String, flip: String, l: ColumnNode,
              r: ColumnNode): Boolean =
       (attr(l), litVal(r), attr(r), litVal(l)) match {
         case (Some(c), Some(raw), _, _) =>
+          !allNull(c) &&
           !statLit(c, raw).exists(v => stats.get(c).exists {
             case (lo, hi) => provenOutside(op, c, v, lo, hi) })
         case (_, _, Some(c), Some(raw)) =>
+          !allNull(c) &&
           !statLit(c, raw).exists(v => stats.get(c).exists {
             case (lo, hi) => provenOutside(flip, c, v, lo, hi) })
         case _ => true
       }
+    // a zero-row file matches nothing, whatever the predicate
+    if (rows.contains(0L)) return false
     e match {
       // Column operators build internal.UnresolvedFunction nodes with
       // SQL operator names ("=", "and", "in", ...) — matched by name
       case f: NodeFn => (f.functionName, f.arguments) match {
         case ("and", Seq(l, r)) =>
-          mayMatch(l, stats, types) && mayMatch(r, stats, types)
+          mayMatch(l, stats, types, nulls, rows) &&
+            mayMatch(r, stats, types, nulls, rows)
         case ("or", Seq(l, r)) =>
-          mayMatch(l, stats, types) || mayMatch(r, stats, types)
+          mayMatch(l, stats, types, nulls, rows) ||
+            mayMatch(r, stats, types, nulls, rows)
         case ("=" | "==", Seq(l, r)) => keep("eq", "eq", l, r)
         case (">", Seq(l, r)) => keep("gt", "lt", l, r)
         case (">=", Seq(l, r)) => keep("ge", "le", l, r)
         case ("<", Seq(l, r)) => keep("lt", "gt", l, r)
         case ("<=", Seq(l, r)) => keep("le", "ge", l, r)
+        // Column.isNull / isNotNull build camelCase names; the SQL
+        // registry spells them lowercase — accept both.
+        // IS NULL can hold only where a NULL exists (nullCount > 0);
+        // IS NOT NULL only where a non-NULL exists — proven either by
+        // nullCount < rowCount or by the presence of min/max stats
+        // (parquet records them over non-null values only).
+        case ("isNull" | "isnull", Seq(a)) => attr(a) match {
+          case Some(c) => !nulls.get(c).contains(0L)
+          case None => true
+        }
+        case ("isNotNull" | "isnotnull", Seq(a)) => attr(a) match {
+          case Some(c) => !allNull(c)
+          case None => true
+        }
         case ("in", a +: vs) if vs.nonEmpty => attr(a) match {
-          case Some(c) => !stats.get(c).exists { case (lo, hi) =>
-            val lits = vs.flatMap(litVal).flatMap(statLit(c, _))
-            // skip only when EVERY element is a literal proven outside
-            lits.size == vs.size &&
-              lits.forall(v => provenOutside("eq", c, v, lo, hi))
-          }
+          case Some(c) =>
+            !allNull(c) &&
+            !stats.get(c).exists { case (lo, hi) =>
+              val lits = vs.flatMap(litVal).flatMap(statLit(c, _))
+              // skip only when EVERY element is a literal proven outside
+              lits.size == vs.size &&
+                lits.forall(v => provenOutside("eq", c, v, lo, hi))
+            }
           case None => true
         }
         case _ => true

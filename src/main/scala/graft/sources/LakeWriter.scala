@@ -681,15 +681,32 @@ object LakeWriter {
     }
   }
 
-  /** Per-column (min, max) of one parquet file from its FOOTER — zero
-    * data IO: row-group statistics are merged across blocks; a column
-    * is omitted when any block lacks stats (older writers) or its
-    * type is outside the v1 stat set. Values serialize as plain
-    * strings (numerics in decimal form, strings verbatim). */
+  /** One column's manifest stats: (min, max) over non-null values
+    * (absent when any row group lacked usable stats) and the NULL
+    * count (absent when any row group predates null accounting).
+    * The two halves are independent — an all-NULL file has a null
+    * count but no min/max; a poisoned-stats file can still carry
+    * null counts. */
+  private[graft] final case class ColStat(lo: Option[String],
+      hi: Option[String], nulls: Option[Long])
+
+  /** One file's manifest stats: total row count (from footer block
+    * counts — always present for post-r8 commits) + per-column
+    * ColStat. Pre-r8 manifests parse with rows=None and
+    * nulls=None everywhere. */
+  private[graft] final case class FileStats(rows: Option[Long],
+      cols: Map[String, ColStat])
+
+  /** Per-column stats of one parquet file from its FOOTER — zero
+    * data IO: row-group statistics are merged across blocks; a
+    * column's (min, max) is omitted when any block lacks stats
+    * (older writers) or its type is outside the v1 stat set, its
+    * null count when any block left numNulls unset. Values serialize
+    * as plain strings (numerics in decimal form, strings verbatim). */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           file: String,
                           schema: org.apache.spark.sql.types.StructType)
-      : Map[String, (String, String)] = {
+      : FileStats = {
     import scala.jdk.CollectionConverters._
     val wanted = schema.fields.filter(f => statType(f.dataType))
       .map(_.name).take(32).toSet
@@ -698,11 +715,24 @@ object LakeWriter {
         new org.apache.hadoop.fs.Path(file), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
+      val rowsTotal = blocks.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map[String, (String, String)]()
       val dead = scala.collection.mutable.Set[String]()
+      // NULL counts account independently of min/max health: an
+      // all-NULL column has no min/max but an exact null count, and
+      // that count is precisely what proves IS NOT NULL (and every
+      // comparison) empty on the file
+      val nullAcc = scala.collection.mutable.Map[String, Long]()
+      val nullDead = scala.collection.mutable.Set[String]()
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val path = c.getPath.toArray
+          if (path.length == 1 && wanted(path(0))) {
+            val name = path(0)
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) nullDead += name
+            else nullAcc(name) = nullAcc.getOrElse(name, 0L) + st.getNumNulls
+          }
           if (path.length == 1 && wanted(path(0)) && !dead(path(0))) {
             val name = path(0)
             val st = c.getStatistics
@@ -767,7 +797,12 @@ object LakeWriter {
           }
         }
       }
-      acc.toMap -- dead
+      val mm = acc.toMap -- dead
+      val nn = nullAcc.toMap -- nullDead
+      val cols = (mm.keySet ++ nn.keySet).map { n =>
+        n -> ColStat(mm.get(n).map(_._1), mm.get(n).map(_._2), nn.get(n))
+      }.toMap
+      FileStats(Some(rowsTotal), cols)
     } finally reader.close()
   }
 
@@ -780,11 +815,15 @@ object LakeWriter {
       case _ => BigDecimal(a) < BigDecimal(b)
     }
 
-  /** The per-file column stats recorded in a version's manifest
-    * (empty for pre-stats manifests). Keyed by file BASENAME. */
-  private[graft] def parseManifestStats(spark: SparkSession,
-      table: String, version: Long)
-      : Map[String, Map[String, (String, String)]] = {
+  /** The per-file stats recorded in a version's manifest (empty for
+    * pre-stats manifests), keyed by file BASENAME. Wire shapes, all
+    * inside one url-encoded JSON blob:
+    *   `col: [lo, hi]`          — min/max only (legacy + unknown nulls)
+    *   `col: [lo|null, hi|null, n]` — min/max (absent = null) + null count
+    *   `"": n`                  — the file's row count (the empty
+    *                              string cannot name a real column) */
+  private[graft] def parseManifestStatsFull(spark: SparkSession,
+      table: String, version: Long): Map[String, FileStats] = {
     val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return Map.empty
@@ -796,14 +835,26 @@ object LakeWriter {
       case Array(_, rest) =>
         val json = dec(rest.split("\"")(0))
         import org.json4s._
+        def str(j: JValue): Option[String] = j match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
         org.json4s.jackson.JsonMethods.parse(json) match {
-          case JObject(byFile) => byFile.map { case (f, cols) =>
-            f -> (cols match {
-              case JObject(cs) => cs.collect {
-                case (c, JArray(List(JString(lo), JString(hi)))) =>
-                  c -> (lo, hi)
-              }.toMap
-              case _ => Map.empty[String, (String, String)]
+          case JObject(byFile) => byFile.map { case (f, colsJson) =>
+            f -> (colsJson match {
+              case JObject(cs) =>
+                val rows = cs.collectFirst {
+                  case ("", JString(n)) => n.toLong }
+                val cols = cs.collect {
+                  case (c, JArray(List(JString(lo), JString(hi))))
+                      if c.nonEmpty =>
+                    c -> ColStat(Some(lo), Some(hi), None)
+                  case (c, JArray(List(lo, hi, JString(n))))
+                      if c.nonEmpty =>
+                    c -> ColStat(str(lo), str(hi), Some(n.toLong))
+                }.toMap
+                FileStats(rows, cols)
+              case _ => FileStats(None, Map.empty)
             })
           }.toMap
           case _ => Map.empty
@@ -811,6 +862,17 @@ object LakeWriter {
       case _ => Map.empty
     }
   }
+
+  /** The legacy (min, max)-only view of `parseManifestStatsFull` —
+    * what the pre-null-count call sites and specs consume. */
+  private[graft] def parseManifestStats(spark: SparkSession,
+      table: String, version: Long)
+      : Map[String, Map[String, (String, String)]] =
+    parseManifestStatsFull(spark, table, version).map { case (f, fst) =>
+      f -> fst.cols.collect {
+        case (c, ColStat(Some(lo), Some(hi), _)) => c -> (lo, hi)
+      }
+    }
 
   /** The CHECK constraints in force at a version (empty when none).
     * Stored like stats: one url-encoded JSON blob `{name: sqlExpr}`. */
@@ -946,26 +1008,25 @@ object LakeWriter {
     val statsField = {
       val prevStats = snapshotVersions(spark, table).filter(_ < version)
         .lastOption
-        .map(v => parseManifestStats(spark, table, v))
-        .getOrElse(Map.empty[String, Map[String, (String, String)]])
+        .map(v => parseManifestStatsFull(spark, table, v))
+        .getOrElse(Map.empty[String, FileStats])
       val conf = spark.sessionState.newHadoopConf()
       // footer reads are independent metadata fetches — run them on a
       // bounded pool (a large commit would otherwise pay one serial
       // round-trip per new file on the driver; on object stores each
       // is a network call)
       val newFiles = files.filterNot(f => prevStats.contains(baseName(f)))
-      val fresh: Map[String, Map[String, (String, String)]] =
+      val fresh: Map[String, FileStats] =
         if (newFiles.isEmpty) Map.empty
         else {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(16, newFiles.size))
           try newFiles.map { f =>
-            f -> pool.submit(new java.util.concurrent.Callable[
-                Map[String, (String, String)]] {
-              def call(): Map[String, (String, String)] =
+            f -> pool.submit(new java.util.concurrent.Callable[FileStats] {
+              def call(): FileStats =
                 try footerStats(conf, f, schema)
                 catch { case scala.util.control.NonFatal(_) =>
-                  Map.empty[String, (String, String)] }
+                  FileStats(None, Map.empty) }
             })
           }.map { case (f, fut) => baseName(f) -> fut.get() }.toMap
           finally pool.shutdown()
@@ -973,25 +1034,45 @@ object LakeWriter {
       val all = files.map { f =>
         val bn = baseName(f)
         bn -> prevStats.getOrElse(bn, fresh.getOrElse(bn,
-          Map.empty[String, (String, String)]))
-      }.filter(_._2.nonEmpty)
+          FileStats(None, Map.empty)))
+      }.filter { case (_, fst) => fst.rows.nonEmpty || fst.cols.nonEmpty }
       if (all.isEmpty) ""
       else {
-        import org.json4s.JsonDSL._
+        import org.json4s._
         val json = org.json4s.jackson.JsonMethods.compact(
           org.json4s.jackson.JsonMethods.render(
-            org.json4s.JObject(all.map { case (f, cols) =>
-              f -> org.json4s.JObject(cols.toSeq.sortBy(_._1).map {
-                case (c, (lo, hi)) =>
-                  c -> (org.json4s.JArray(List(org.json4s.JString(lo),
-                    org.json4s.JString(hi))): org.json4s.JValue)
-              }.toList)
+            JObject(all.map { case (f, fst) =>
+              // "" (not a legal column name) carries the row count;
+              // a column serializes [lo,hi] when nulls are unknown,
+              // [lo|null,hi|null,n] when known — both shapes parse
+              val rowsEntry = fst.rows.toList.map(r =>
+                "" -> (JString(r.toString): JValue))
+              val colEntries = fst.cols.toSeq
+                .filter { case (_, cs) =>
+                  cs.nulls.isDefined ||
+                    (cs.lo.isDefined && cs.hi.isDefined) }
+                .sortBy(_._1).map { case (c, cs) =>
+                  val arr = cs.nulls match {
+                    case Some(n) => JArray(List(
+                      cs.lo.map(JString(_): JValue).getOrElse(JNull),
+                      cs.hi.map(JString(_): JValue).getOrElse(JNull),
+                      JString(n.toString)))
+                    case None => JArray(List(JString(cs.lo.get),
+                      JString(cs.hi.get)))
+                  }
+                  c -> (arr: JValue)
+                }.toList
+              f -> JObject(rowsEntry ++ colEntries)
             }.toList)))
         s""""stats":"${enc(json)}","""
       }
     }
+    // the commit wall-clock (driver clock, epoch millis) — what
+    // TIMESTAMP AS OF resolves against. Like Delta, monotonicity
+    // across writers is the deployment's clock discipline, not the
+    // format's; readers resolve with "latest version at or before t"
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","schema":"${enc(schema.json)}",$partFields$checksField$statsField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$statsField"files":[""",
       ",", "]}")
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
@@ -1433,17 +1514,29 @@ object LakeWriter {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .where(predicate)
-    val stats = parseManifestStats(spark, table, v)
+    val statsFull = parseManifestStatsFull(spark, table, v)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val kept = files.filter { f =>
-      // a hive partition value is an exact stat: min == max == value
+      val fst = statsFull.getOrElse(baseName(f), FileStats(None, Map.empty))
+      val minmax = fst.cols.collect {
+        case (c, ColStat(Some(lo), Some(hi), _)) => c -> (lo, hi) }
+      // a hive partition value is an exact stat: min == max == value,
+      // zero nulls; the default partition is the all-NULL case
       val pstats = partCols.flatMap { c =>
         val raw = partitionOf(Seq(c), f)
         if (raw == "__HIVE_DEFAULT_PARTITION__") None
         else Some(c -> (raw, raw))
       }.toMap
+      val pnulls = partCols.flatMap { c =>
+        val raw = partitionOf(Seq(c), f)
+        if (raw == "__HIVE_DEFAULT_PARTITION__")
+          fst.rows.map(c -> _) // every row's value is NULL
+        else Some(c -> 0L)
+      }.toMap
+      val nulls = fst.cols.collect {
+        case (c, ColStat(_, _, Some(n))) => c -> n } ++ pnulls
       org.apache.spark.sql.GraftDataSkipping.mayMatchColumn(predicate,
-        stats.getOrElse(baseName(f), Map.empty) ++ pstats, types)
+        minmax ++ pstats, types, nulls, fst.rows)
     }
     if (kept.isEmpty)
       spark.createDataFrame(
@@ -1451,6 +1544,72 @@ object LakeWriter {
         .where(predicate)
     else readFiles(spark, kept, schema).where(predicate)
   }
+
+  /** Exact row count of a snapshot, metadata-first: every post-r8
+    * commit records per-file row counts in the manifest (parquet
+    * footer block counts — exact, not estimates), so the common case
+    * answers from the MANIFEST ALONE — zero data IO, the Delta
+    * `SELECT COUNT(*)` shortcut. Files a pre-stats manifest carried
+    * without a count (and only those) are scanned. */
+  def snapshotRowCount(spark: SparkSession, table: String,
+                       version: Option[Long] = None): Long = {
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, table)
+      require(vs.nonEmpty, s"no snapshots at $table")
+      vs.last
+    }
+    val (files, schemaJson, _) = parseManifest(spark, table, v)
+    if (files.isEmpty) return 0L
+    val full = parseManifestStatsFull(spark, table, v)
+    val (known, unknown) = files.partition(f =>
+      full.get(baseName(f)).exists(_.rows.isDefined))
+    val metaSum = known.map(f => full(baseName(f)).rows.get).sum
+    if (unknown.isEmpty) metaSum
+    else {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      metaSum + readFiles(spark, unknown, schema).count()
+    }
+  }
+
+  /** (version, commit epoch-millis) pairs of a table's history,
+    * version-ascending. Manifests that predate the `ts` field fall
+    * back to the manifest file's modification time — same resolution
+    * contract, weaker provenance. */
+  def snapshotTimestamps(spark: SparkSession, table: String)
+      : Seq[(Long, Long)] = {
+    val dir = manifestDir(table)
+    val fs = fsOf(spark, dir)
+    snapshotVersions(spark, table).map { v =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"v$v.json")
+      val in = fs.open(p)
+      val body = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      in.close()
+      val ts = body.split("\"ts\":") match {
+        case Array(_, rest) => rest.takeWhile(_.isDigit).toLong
+        case _ => fs.getFileStatus(p).getModificationTime
+      }
+      v -> ts
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `epochMillis` (Delta semantics). Requires the table to
+    * have at least one such version. */
+  def versionAsOfTimestamp(spark: SparkSession, table: String,
+                           epochMillis: Long): Long = {
+    val at = snapshotTimestamps(spark, table).filter(_._2 <= epochMillis)
+    require(at.nonEmpty,
+      s"no snapshot at $table committed at or before $epochMillis")
+    at.map(_._1).max
+  }
+
+  /** Read the snapshot that was current at `epochMillis`. */
+  def readSnapshotAsOfTimestamp(spark: SparkSession, table: String,
+                                epochMillis: Long): DataFrame =
+    readSnapshot(spark, table,
+      Some(versionAsOfTimestamp(spark, table, epochMillis)))
 
   /** Append (raw-zone landing). */
   def append(df: DataFrame, path: String,

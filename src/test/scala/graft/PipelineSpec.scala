@@ -639,6 +639,102 @@ class PipelineSpec extends AnyFunSuite {
       s3.contains(f.substring(f.lastIndexOf('/') + 1))))
   }
 
+  test("null-count skipping: IS NULL, IS NOT NULL, all-null comparisons") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_nullskip")
+      .toString + "/tbl"
+    // three commits → three files with distinct null profiles in v:
+    // clean (0 nulls), mixed, all-NULL
+    LakeWriter.commitSnapshot(
+      spark.range(0, 10).toDF("k").withColumn("v", $"k" * 2)
+        .coalesce(1), t)
+    LakeWriter.commitSnapshot(
+      spark.range(10, 20).toDF("k")
+        .withColumn("v", when($"k" % 2 === 0, $"k" * 2))
+        .coalesce(1), t, "append")
+    LakeWriter.commitSnapshot(
+      spark.range(20, 30).toDF("k")
+        .withColumn("v", lit(null).cast("long"))
+        .coalesce(1), t, "append")
+    def fileOf(lo: Long): String = spark.read
+      .parquet(LakeWriter.snapshotFiles(spark, t, 3L): _*)
+      .select($"k", regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+      .where($"k" === lo).head().getString(1)
+    val (clean, mixed, allNull) = (fileOf(0), fileOf(10), fileOf(20))
+    def corrupt(names: String*): Unit =
+      LakeWriter.snapshotFiles(spark, t, 3L)
+        .filter(f => names.exists(f.endsWith)).foreach { f =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f.stripPrefix("file:")),
+            "not parquet".getBytes)
+        }
+    // IS NULL opens only files with nulls: corrupt the clean one
+    corrupt(clean)
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"v".isNull)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((11L to 19L by 2) ++ (20L to 29L)).sorted)
+    // IS NOT NULL and comparisons never open the all-NULL file;
+    // the mixed file serves both (restore state: corrupt allNull too)
+    corrupt(allNull)
+    // clean is corrupt — restrict to the mixed file's k range so the
+    // pruned read touches mixed only: nulls prove allNull out, stats
+    // prove clean out
+    assert(LakeWriter.readSnapshotWhere(spark, t,
+        $"v".isNotNull && $"k" >= 10L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L to 18L by 2))
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"v" >= 20L && $"k" >= 10L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L to 18L by 2))
+    // the manifest actually carries the three profiles
+    val full = LakeWriter.parseManifestStatsFull(spark, t, 3L)
+    assert(full(clean).cols("v").nulls.contains(0L))
+    assert(full(mixed).cols("v").nulls.contains(5L))
+    assert(full(allNull).cols("v") ==
+      LakeWriter.ColStat(None, None, Some(10L)))
+    assert(full.values.forall(_.rows.contains(10L)))
+  }
+
+  test("metadata-only row count: exact with every data file corrupted") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_count")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(
+      spark.range(0, 100).toDF("k").repartitionByRange(4, $"k"), t)
+    LakeWriter.commitSnapshot(spark.range(100, 130).toDF("k"), t, "append")
+    LakeWriter.deleteFromSnapshot(spark, t, $"k" < 20L)
+    // 130 - 20 deleted = 110, and the answer must come from the
+    // MANIFEST alone: corrupt every data file first
+    LakeWriter.snapshotFiles(spark, t, 3L).foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.stripPrefix("file:")),
+        "not parquet".getBytes)
+    }
+    assert(LakeWriter.snapshotRowCount(spark, t) == 110L)
+    // version pinning: the pre-delete count still answers
+    assert(LakeWriter.snapshotRowCount(spark, t, Some(2L)) == 130L)
+    assert(LakeWriter.snapshotRowCount(spark, t, Some(1L)) == 100L)
+  }
+
+  test("timestamp time travel: as-of resolves the version current at t") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_tt")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(spark.range(0, 5).toDF("k"), t)
+    val afterV1 = LakeWriter.snapshotTimestamps(spark, t).last._2
+    while (System.currentTimeMillis() <= afterV1) Thread.sleep(1)
+    LakeWriter.commitSnapshot(spark.range(5, 9).toDF("k"), t, "append")
+    val ts = LakeWriter.snapshotTimestamps(spark, t)
+    assert(ts.map(_._1) == Seq(1L, 2L) && ts(1)._2 > ts(0)._2)
+    assert(LakeWriter.versionAsOfTimestamp(spark, t, afterV1) == 1L)
+    assert(LakeWriter.readSnapshotAsOfTimestamp(spark, t, afterV1)
+      .count() == 5)
+    assert(LakeWriter.versionAsOfTimestamp(spark, t,
+      System.currentTimeMillis()) == 2L)
+    // before v1: no version existed — loud failure, not silence
+    intercept[IllegalArgumentException] {
+      LakeWriter.versionAsOfTimestamp(spark, t, ts(0)._2 - 1)
+    }
+  }
+
   test("OPTIMIZE ZORDER: every listed dimension prunes after rewrite") {
     import graft.sources.LakeWriter
     val t = java.nio.file.Files.createTempDirectory("graft_zorder")
