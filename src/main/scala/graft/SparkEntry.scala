@@ -1000,6 +1000,50 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, s"$tmp/mv")
     }),
 
+    "q_snapshot_rename" -> ((s, d) => {
+      // RENAME COLUMN as a metadata-only commit (column mapping,
+      // Delta name mode): no file rewritten — old files keep the
+      // physical name and translate on read; the post-rename append
+      // writes the physical name under the hood, so the whole table
+      // serves under the new logical name
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_ren_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(2)) === 0),
+        table)
+      LakeWriter.renameColumn(s, table, "n_chars", "chars")
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumnRenamed("n_chars", "chars"), table, mode = "append")
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_drop" -> ((s, d) => {
+      // DROP COLUMN + re-add under the same name: the drop is
+      // metadata-only and TOMBSTONES the physical name, so the
+      // re-added column gets a fresh physical one — old rows read
+      // NULL (never the dropped bytes), new rows carry the new values
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_drop_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      LakeWriter.commitSnapshot(base.where(pmod(col("doc_id"), lit(2)) === 0),
+        table)
+      LakeWriter.dropColumn(s, table, "source")
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("source", concat(lit("re:"), col("lang"))),
+        table, mode = "append")
+      LakeWriter.readSnapshot(s, table)
+    }),
+
     "q_snapshot_nullskip" -> ((s, d) => {
       // NULL-count data skipping: commit the corpus in two halves —
       // one with n_chars fully populated (nullCount 0: IS NULL reads
@@ -2360,6 +2404,17 @@ object SparkEntry {
         |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
         |FROM documents WHERE NOT coalesce(n_chars < 200, false)
         |GROUP BY lang""".stripMargin,
+
+    "q_snapshot_rename" ->
+      // the whole table under the renamed column
+      """SELECT doc_id, lang, n_chars AS chars FROM documents""",
+
+    "q_snapshot_drop" ->
+      // old rows NULL (the dropped bytes stay buried), new rows the
+      // re-added values
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN 're:' || lang END AS source
+        |FROM documents""".stripMargin,
 
     "q_snapshot_nullskip" ->
       // the NULL band: exactly the all-NULL half

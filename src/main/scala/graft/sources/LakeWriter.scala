@@ -235,19 +235,26 @@ object LakeWriter {
     * drift per group (day=1 → int, day=x → string) and break the
     * union — the manifest, not inference, owns the types. */
   private def readFiles(spark: SparkSession, files: Seq[String],
-                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+                        schema: org.apache.spark.sql.types.StructType,
+                        colmap: ColMapping = ColMapping.empty): DataFrame = {
     val root = "(.*/data/v\\d+-[^/]+)/".r
+    // files store PHYSICAL column names (stable across renames) —
+    // scan under the physical schema, then alias back to the logical
+    // names callers see. Partition columns are identity-mapped
+    // (rename/drop refuse on them), so path-derived values align.
+    val pSchema = physSchema(schema, colmap)
     files.groupBy(f => root.findFirstMatchIn(f).map(_.group(1))
         .getOrElse(sys.error(s"file outside a version dir: $f")))
       .toSeq.sortBy(_._1)
       .map { case (base, fs) =>
-        spark.read.option("basePath", base).schema(schema).parquet(fs: _*)
+        spark.read.option("basePath", base).schema(pSchema).parquet(fs: _*)
       }
       .reduce(_.unionByName(_))
       // the scan APPENDS path-derived partition columns regardless of
       // the schema's order — re-select so callers see committed order
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toSeq: _*)
+      // (and logical names)
+      .select(schema.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(colmap.phys(n)).as(n)).toSeq: _*)
   }
 
   /** The wider of two types along the lossless promotion chains the
@@ -300,11 +307,37 @@ object LakeWriter {
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val prev = snapshotVersions(spark, table)
     val version = prev.lastOption.getOrElse(0L) + 1
+    // COLUMN MAPPING: overwrite starts fresh (identity — no carried
+    // files can leak old physical data); append inherits the table's
+    // mapping and assigns a FRESH physical name to any genuinely-new
+    // column whose name collides with a used or TOMBSTONED physical
+    // (re-adding a dropped column must not resurrect old file data)
+    val colmap =
+      if (mode == "append" && prev.nonEmpty) {
+        val cm = parseManifestColmap(spark, table, prev.last)
+        val (_, psj, _) = parseManifest(spark, table, prev.last)
+        val prevSchema = org.apache.spark.sql.types.DataType.fromJson(psj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val prevNames = prevSchema.fieldNames.toSet
+        var used = cm.used(prevSchema)
+        val add = df.schema.fieldNames.filterNot(prevNames.contains)
+          .flatMap { n =>
+            if (!used.contains(n)) { used += n; None }
+            else {
+              var cand = s"${n}_p$version"; var i = 0
+              while (used.contains(cand)) { i += 1
+                cand = s"${n}_p${version}_$i" }
+              used += cand; Some(n -> cand)
+            }
+          }
+        ColMapping(cm.map ++ add, cm.dropped)
+      } else ColMapping.empty
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      df.write.mode("errorifexists").parquet(dataDir.toString) }
+      toPhysical(df, colmap).write.mode("errorifexists")
+        .parquet(dataDir.toString) }
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
     val (carried, schema) =
@@ -346,9 +379,9 @@ object LakeWriter {
     enforceChecks(spark,
       prev.lastOption.map(v => parseManifestChecks(spark, table, v))
         .getOrElse(Map.empty),
-      newFiles, schema, fs, Seq(dataDir))
+      newFiles, schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, mode, schema,
-      carried ++ newFiles)
+      carried ++ newFiles, colmapOverride = Some(colmap))
     version
   }
 
@@ -421,9 +454,10 @@ object LakeWriter {
         s"$inPaths live in paths) but its manifest " +
         "predates partition metadata; re-commit via commitSnapshotDynamic")
     val keyExprs = keyCols.map(col)
+    val colmap = parseManifestColmap(spark, table, prev.last)
     // readFiles applies the COMMITTED schema so mixed-schema file sets
     // (evolved tables) read uniformly — missing columns come back null
-    val touched = readFiles(spark, files, schema)
+    val touched = readFiles(spark, files, schema, colmap)
       .select(keyExprs :+
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
       .join(updates.select(keyExprs: _*).distinct(), keyCols)
@@ -432,7 +466,7 @@ object LakeWriter {
     val (rewrite, carry) = files.partition(f => touched(baseName(f)))
     val survivors =
       if (rewrite.isEmpty) None
-      else Some(readFiles(spark, rewrite, schema)
+      else Some(readFiles(spark, rewrite, schema, colmap)
         .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti"))
     val newData = survivors
       .map(_.select(cols.map(col): _*)
@@ -444,11 +478,12 @@ object LakeWriter {
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      newData.write.mode("errorifexists").parquet(dataDir.toString) }
+      toPhysical(newData, colmap).write.mode("errorifexists")
+        .parquet(dataDir.toString) }
     val newFiles = fs.listStatus(dataDir).toSeq
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
     enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
-      newFiles, newData.schema, fs, Seq(dataDir))
+      newFiles, newData.schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, "merge", newData.schema,
       carry ++ newFiles)
     version
@@ -485,7 +520,8 @@ object LakeWriter {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val cols = schema.fieldNames.toSeq
-    val matched = readFiles(spark, files, schema)
+    val colmap = parseManifestColmap(spark, table, prev.last)
+    val matched = readFiles(spark, files, schema, colmap)
       .where(predicate)
       .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -493,7 +529,7 @@ object LakeWriter {
     val (rewrite, carry) = files.partition(f => matched(baseName(f)))
     // survivors: predicate FALSE or NULL (plain `!predicate` would
     // also drop the NULL rows — not what DELETE means)
-    val survivors = readFiles(spark, rewrite, schema)
+    val survivors = readFiles(spark, rewrite, schema, colmap)
       .where(org.apache.spark.sql.functions.not(
         org.apache.spark.sql.functions.coalesce(
           predicate, org.apache.spark.sql.functions.lit(false))))
@@ -504,7 +540,7 @@ object LakeWriter {
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      val writer = survivors.write.mode("errorifexists")
+      val writer = toPhysical(survivors, colmap).write.mode("errorifexists")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dataDir.toString) }
     val newFiles = walk(fs, dataDir).sorted
@@ -545,13 +581,19 @@ object LakeWriter {
     // each side reads with ITS OWN committed schema (they may differ
     // across an evolving table); the union aligns by name and fills
     // columns the other side predates with nulls
+    // each side reads with ITS OWN column mapping too: physical file
+    // names are stable, so a renamed column appears under its
+    // version's logical name (across a rename the collapsed feed is
+    // drop-old-name + insert-new-name, like a column-level CDC)
     val inserts =
       if (added.isEmpty) None
-      else Some(readFiles(spark, added, schemaOf(toSchemaJson))
+      else Some(readFiles(spark, added, schemaOf(toSchemaJson),
+          parseManifestColmap(spark, table, toVersion))
         .withColumn("_change_type", tag("insert")))
     val deletes =
       if (removed.isEmpty) None
-      else Some(readFiles(spark, removed, schemaOf(fromSchemaJson))
+      else Some(readFiles(spark, removed, schemaOf(fromSchemaJson),
+          parseManifestColmap(spark, table, fromVersion))
         .withColumn("_change_type", tag("delete")))
     val raw = (inserts, deletes) match {
       case (Some(i), Some(d)) =>
@@ -598,13 +640,15 @@ object LakeWriter {
       partCols: Seq[String]): Long = {
     val spark = updates.sparkSession
     val cols = schema.fieldNames.toSeq
+    val colmap = parseManifestColmap(spark, table, prevVersion)
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val version = prevVersion + 1
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val updDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-u")
     withMicrosTimestamps(spark) {
-      updates.select(cols.map(col): _*).write.mode("errorifexists")
+      toPhysical(updates.select(cols.map(col): _*), colmap)
+        .write.mode("errorifexists")
         .partitionBy(partCols: _*).parquet(updDir.toString) }
     val updFiles = walk(fs, updDir).sorted
     val touchedParts = updFiles.map(partitionOf(partCols, _)).toSet
@@ -619,7 +663,7 @@ object LakeWriter {
     val keyExprs = keyCols.map(col)
     val probed =
       if (candidates.isEmpty) Set.empty[String]
-      else readFiles(spark, candidates, schema)
+      else readFiles(spark, candidates, schema, colmap)
         .select(keyExprs :+
           regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
         .join(updates.select(keyExprs: _*).distinct(), keyCols)
@@ -632,9 +676,9 @@ object LakeWriter {
         val survDir =
           new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")
         withMicrosTimestamps(spark) {
-          readFiles(spark, rewrite, schema)
+          toPhysical(readFiles(spark, rewrite, schema, colmap)
             .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti")
-            .select(cols.map(col): _*)
+            .select(cols.map(col): _*), colmap)
             .write.mode("errorifexists").partitionBy(partCols: _*)
             .parquet(survDir.toString) }
         walk(fs, survDir).sorted
@@ -646,7 +690,8 @@ object LakeWriter {
     enforceChecks(spark, parseManifestChecks(spark, table, prevVersion),
       updFiles, schema, fs,
       Seq(updDir) ++ survFiles.headOption.map(_ =>
-        new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")))
+        new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")),
+      colmap)
     writeManifest(spark, fs, table, version, "merge", schema,
       untouched ++ carryRest ++ survFiles ++ updFiles, partCols)
     version
@@ -874,6 +919,74 @@ object LakeWriter {
       }
     }
 
+  /** COLUMN MAPPING (Delta name-mode parity): the manifest's logical
+    * schema can diverge from the PHYSICAL column names stored in the
+    * parquet files, making RENAME and DROP COLUMN metadata-only
+    * commits — no data rewrite, ever. A column's physical name is
+    * fixed at its introduction and never changes; `map` holds only
+    * the non-identity entries (logical -> physical), `dropped` the
+    * physical names of dropped columns — tombstones that stop a
+    * later re-add of the same name from resurrecting old file data
+    * (the re-add gets a FRESH physical name instead). */
+  private[graft] final case class ColMapping(map: Map[String, String],
+      dropped: Seq[String]) {
+    def phys(c: String): String = map.getOrElse(c, c)
+    def isIdentity: Boolean = map.isEmpty
+    /** Physical names in use or tombstoned — what a NEW column's
+      * physical name must avoid. */
+    def used(schema: org.apache.spark.sql.types.StructType): Set[String] =
+      schema.fieldNames.map(phys).toSet ++ dropped
+  }
+  private[graft] object ColMapping {
+    val empty: ColMapping = ColMapping(Map.empty, Seq.empty)
+  }
+
+  /** The column mapping in force at a version (identity when the
+    * field is absent — every pre-colmap manifest). Stored like
+    * checks: one url-encoded JSON blob `{"m":{logical:physical},
+    * "d":[physical,...]}`. */
+  private[graft] def parseManifestColmap(spark: SparkSession,
+      table: String, version: Long): ColMapping = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return ColMapping.empty
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    body.split("\"colmap\":\"") match {
+      case Array(_, rest) =>
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(dec(rest.split("\"")(0))) match {
+          case JObject(fields) =>
+            val m = fields.collectFirst { case ("m", JObject(es)) =>
+              es.collect { case (l, JString(p)) => l -> p }.toMap }
+              .getOrElse(Map.empty[String, String])
+            val d = fields.collectFirst { case ("d", JArray(es)) =>
+              es.collect { case JString(s) => s } }
+              .getOrElse(Seq.empty[String])
+            ColMapping(m, d)
+          case _ => ColMapping.empty
+        }
+      case _ => ColMapping.empty
+    }
+  }
+
+  /** Rename a DataFrame's (logical) columns to their physical names
+    * right before a data-file write — identity mappings cost
+    * nothing. */
+  private def toPhysical(df: DataFrame, colmap: ColMapping): DataFrame =
+    if (colmap.isIdentity) df
+    else df.select(df.columns.map(n => df(n).as(colmap.phys(n))).toSeq: _*)
+
+  /** The schema as stored in the files: logical field names replaced
+    * by their physical names. */
+  private def physSchema(schema: org.apache.spark.sql.types.StructType,
+      colmap: ColMapping): org.apache.spark.sql.types.StructType =
+    if (colmap.isIdentity) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = colmap.phys(f.name))))
+
   /** The CHECK constraints in force at a version (empty when none).
     * Stored like stats: one url-encoded JSON blob `{name: sqlExpr}`. */
   private[graft] def parseManifestChecks(spark: SparkSession,
@@ -907,7 +1020,8 @@ object LakeWriter {
       checks: Map[String, String], files: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
       fs: org.apache.hadoop.fs.FileSystem,
-      cleanup: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      cleanup: Seq[org.apache.hadoop.fs.Path],
+      colmap: ColMapping = ColMapping.empty): Unit = {
     if (checks.isEmpty || files.isEmpty) return
     val ordered = checks.toSeq.sortBy(_._1)
     val aggs = ordered.map { case (n, e) =>
@@ -915,7 +1029,8 @@ object LakeWriter {
         org.apache.spark.sql.functions.not(
           coalesce(expr(e).cast("boolean"), lit(true))), 1).otherwise(0))
         .as(n) }
-    val row = readFiles(spark, files, schema).agg(aggs.head, aggs.tail: _*)
+    val row = readFiles(spark, files, schema, colmap)
+      .agg(aggs.head, aggs.tail: _*)
       .head()
     val violated = ordered.zipWithIndex.collect {
       case ((n, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 =>
@@ -965,6 +1080,88 @@ object LakeWriter {
     vs.last + 1
   }
 
+  /** Every CHECK must still ANALYZE under a changed schema — the
+    * guard that makes rename/drop refuse instead of committing a
+    * manifest whose constraints can never evaluate again. */
+  private def requireChecksAnalyze(spark: SparkSession,
+      checks: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType, what: String): Unit =
+    checks.foreach { case (n, e) =>
+      try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(expr(e)).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) =>
+        throw new IllegalArgumentException(
+          s"$what refused: CHECK constraint $n ($e) references the " +
+            "column; drop the constraint first")
+      }
+    }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta column-mapping
+    * name mode): no file is rewritten — the column keeps its original
+    * PHYSICAL name in every parquet file, and the manifest's mapping
+    * translates on read/write from now on. Old versions still read
+    * under their own names; stats keep working (they are keyed by
+    * physical name). Partition columns refuse (their names live in
+    * hive paths); a CHECK referencing the column refuses (drop it
+    * first). */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Long = {
+    require(oldName != newName, "rename to the same name")
+    val vs = snapshotVersions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, vs.last)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' on $table")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists on $table")
+    require(!partCols.contains(oldName),
+      s"cannot rename partition column '$oldName' (values live in paths)")
+    val cm = parseManifestColmap(spark, table, vs.last)
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    requireChecksAnalyze(spark, parseManifestChecks(spark, table, vs.last),
+      newSchema, s"rename $oldName -> $newName")
+    // identity entries prune themselves (a rename BACK to the
+    // physical name needs no mapping)
+    val newMap = ((cm.map - oldName) + (newName -> cm.phys(oldName)))
+      .filter { case (l, p) => l != p }
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    writeManifest(spark, fs, table, vs.last + 1, "rename", newSchema, files,
+      partCols, colmapOverride = Some(ColMapping(newMap, cm.dropped)))
+    vs.last + 1
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: files keep the physical
+    * data (older versions still read it; physical erasure = rewrite
+    * via optimizeSnapshot + vacuum), reads project it away, and the
+    * physical name is TOMBSTONED — a later append re-adding the same
+    * logical name gets a fresh physical name instead of resurrecting
+    * the old bytes. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val vs = snapshotVersions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, vs.last)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(name), s"no column '$name' on $table")
+    require(!partCols.contains(name),
+      s"cannot drop partition column '$name' (values live in paths)")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    val cm = parseManifestColmap(spark, table, vs.last)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    requireChecksAnalyze(spark, parseManifestChecks(spark, table, vs.last),
+      newSchema, s"drop $name")
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    writeManifest(spark, fs, table, vs.last + 1, "drop", newSchema, files,
+      partCols, colmapOverride =
+        Some(ColMapping(cm.map - name, cm.dropped :+ cm.phys(name))))
+    vs.last + 1
+  }
+
   /** The CHECK constraints currently in force. */
   def snapshotChecks(spark: SparkSession, table: String)
       : Map[String, String] = {
@@ -980,10 +1177,30 @@ object LakeWriter {
                             files: Seq[String],
                             partCols: Seq[String] = Nil,
                             checksOverride: Option[Map[String, String]] =
+                              None,
+                            colmapOverride: Option[ColMapping] =
                               None): Unit = {
     val partFields =
       if (partCols.isEmpty) ""
       else s""""partcols":"${partCols.map(enc).mkString(",")}","""
+    // column mapping carries forward verbatim unless this commit
+    // changes it (rename/drop/overwrite)
+    val colmap = colmapOverride.getOrElse(
+      snapshotVersions(spark, table).filter(_ < version).lastOption
+        .map(v => parseManifestColmap(spark, table, v))
+        .getOrElse(ColMapping.empty))
+    val colmapField =
+      if (colmap.map.isEmpty && colmap.dropped.isEmpty) ""
+      else {
+        import org.json4s._
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JObject(List(
+            "m" -> (JObject(colmap.map.toSeq.sortBy(_._1).map {
+              case (l, p) => l -> (JString(p): JValue) }.toList): JValue),
+            "d" -> (JArray(colmap.dropped.sorted.map(
+              JString(_): JValue).toList): JValue)))))
+        s""""colmap":"${enc(json)}","""
+      }
     // CHECK constraints carry forward verbatim unless this commit
     // changes them (addCheck/dropCheck)
     val checksField = {
@@ -1024,7 +1241,10 @@ object LakeWriter {
           try newFiles.map { f =>
             f -> pool.submit(new java.util.concurrent.Callable[FileStats] {
               def call(): FileStats =
-                try footerStats(conf, f, schema)
+                // files store PHYSICAL names; stats stay keyed by
+                // them (stable across renames) and translate to
+                // logical at read time
+                try footerStats(conf, f, physSchema(schema, colmap))
                 catch { case scala.util.control.NonFatal(_) =>
                   FileStats(None, Map.empty) }
             })
@@ -1072,7 +1292,7 @@ object LakeWriter {
     // across writers is the deployment's clock discipline, not the
     // format's; readers resolve with "latest version at or before t"
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$statsField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField"files":[""",
       ",", "]}")
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
@@ -1228,11 +1448,22 @@ object LakeWriter {
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val prev = snapshotVersions(spark, table)
     val version = prev.lastOption.getOrElse(0L) + 1
+    val colmap = prev.lastOption
+      .map(v => parseManifestColmap(spark, table, v))
+      .getOrElse(ColMapping.empty)
+    // a dynamic commit REPLACES the schema with df's; re-introducing
+    // a DROPPED column would resurrect its old data from carried
+    // partitions — refuse loudly (a full overwrite resets the table)
+    val revived = df.columns.map(colmap.phys).filter(colmap.dropped.contains)
+    require(revived.isEmpty,
+      s"dynamic commit re-introduces dropped column(s) $revived; " +
+        "overwrite the table instead")
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      df.write.mode("errorifexists").partitionBy(partitionCols: _*)
+      toPhysical(df, colmap).write.mode("errorifexists")
+        .partitionBy(partitionCols: _*)
         .parquet(dataDir.toString) }
     val newFiles = walk(fs, dataDir).sorted
     // touched partitions are derived from the files SPARK JUST WROTE,
@@ -1250,7 +1481,7 @@ object LakeWriter {
     enforceChecks(spark,
       prev.lastOption.map(v => parseManifestChecks(spark, table, v))
         .getOrElse(Map.empty),
-      newFiles, df.schema, fs, Seq(dataDir))
+      newFiles, df.schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, "dynamic", df.schema,
       carried ++ newFiles, partitionCols)
     version
@@ -1289,9 +1520,10 @@ object LakeWriter {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val colmap = parseManifestColmap(spark, table, prev.last)
     if (zorderBy.nonEmpty)
       return zorderRewrite(spark, fs, table, prev.last, files, schema,
-        partCols, zorderBy, targetBytes)
+        partCols, zorderBy, targetBytes, colmap)
     val sized = files.map(f =>
       f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
     val rewrite = sized
@@ -1304,7 +1536,7 @@ object LakeWriter {
       }.toSet
     if (rewrite.isEmpty) return prev.last
     val carry = files.filterNot(rewrite)
-    val df = readFiles(spark, rewrite.toSeq.sorted, schema)
+    val df = readFiles(spark, rewrite.toSeq.sorted, schema, colmap)
     val totalBytes = sized.collect { case (f, n) if rewrite(f) => n }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val version = prev.last + 1
@@ -1313,13 +1545,13 @@ object LakeWriter {
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     val newFiles =
       if (partCols.isEmpty) {
-        withMicrosTimestamps(spark) { df.repartition(n)
+        withMicrosTimestamps(spark) { toPhysical(df.repartition(n), colmap)
           .write.mode("errorifexists").parquet(dataDir.toString) }
         fs.listStatus(dataDir).toSeq.map(_.getPath.toString)
           .filter(_.endsWith(".parquet")).sorted
       } else {
         withMicrosTimestamps(spark) {
-          df.repartition(n, partCols.map(col): _*).write
+          toPhysical(df.repartition(n, partCols.map(col): _*), colmap).write
             .mode("errorifexists").partitionBy(partCols: _*)
             .parquet(dataDir.toString) }
         walk(fs, dataDir).sorted
@@ -1346,7 +1578,7 @@ object LakeWriter {
       fs: org.apache.hadoop.fs.FileSystem, table: String, prevV: Long,
       files: Seq[String], schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String], zorderBy: Seq[String],
-      targetBytes: Long): Long = {
+      targetBytes: Long, colmap: ColMapping = ColMapping.empty): Long = {
     import org.apache.spark.sql.types._
     require(partCols.isEmpty,
       "ZORDER v1 rewrites unpartitioned snapshots (partitioned tables: " +
@@ -1359,7 +1591,7 @@ object LakeWriter {
         dt == TimestampType || dt == TimestampNTZType,
         s"zorder column $c: need numeric/date/timestamp, got $dt")
     }
-    val df = readFiles(spark, files, schema)
+    val df = readFiles(spark, files, schema, colmap)
     val aggs = zorderBy.zipWithIndex.flatMap { case (c, i) =>
       val cd = col(c).cast("double")
       Seq(min(cd).as(s"lo$i"), max(cd).as(s"hi$i")) }
@@ -1393,10 +1625,10 @@ object LakeWriter {
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      df.withColumn("__graft_z", zcol)
+      toPhysical(df.withColumn("__graft_z", zcol)
         .repartitionByRange(n, col("__graft_z"))
         .sortWithinPartitions("__graft_z")
-        .drop("__graft_z")
+        .drop("__graft_z"), colmap)
         .write.mode("errorifexists").parquet(dataDir.toString) }
     val newFiles = fs.listStatus(dataDir).toSeq.map(_.getPath.toString)
       .filter(_.endsWith(".parquet")).sorted
@@ -1422,8 +1654,11 @@ object LakeWriter {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    // the restored schema needs ITS version's column mapping (the
+    // latest mapping describes the latest logical schema, not this one)
     writeManifest(spark, fs, table, vs.last + 1, "restore", schema,
-      files, partCols)
+      files, partCols,
+      colmapOverride = Some(parseManifestColmap(spark, table, toVersion)))
     vs.last + 1
   }
 
@@ -1486,7 +1721,8 @@ object LakeWriter {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readFiles(spark, files, schema)
+    else readFiles(spark, files, schema,
+      parseManifestColmap(spark, table, v))
   }
 
   /** Read a snapshot FILE-PRUNED by manifest column stats — data
@@ -1515,9 +1751,16 @@ object LakeWriter {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .where(predicate)
     val statsFull = parseManifestStatsFull(spark, table, v)
+    val colmap = parseManifestColmap(spark, table, v)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val kept = files.filter { f =>
-      val fst = statsFull.getOrElse(baseName(f), FileStats(None, Map.empty))
+      val fstPhys = statsFull.getOrElse(baseName(f), FileStats(None, Map.empty))
+      // stats are keyed by PHYSICAL column name (stable across
+      // renames) — translate to the logical names the predicate uses
+      val fst =
+        if (colmap.isIdentity) fstPhys
+        else FileStats(fstPhys.rows, schema.fieldNames.flatMap(n =>
+          fstPhys.cols.get(colmap.phys(n)).map(n -> _)).toMap)
       val minmax = fst.cols.collect {
         case (c, ColStat(Some(lo), Some(hi), _)) => c -> (lo, hi) }
       // a hive partition value is an exact stat: min == max == value,
@@ -1542,7 +1785,7 @@ object LakeWriter {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .where(predicate)
-    else readFiles(spark, kept, schema).where(predicate)
+    else readFiles(spark, kept, schema, colmap).where(predicate)
   }
 
   /** Exact row count of a snapshot, metadata-first: every post-r8
@@ -1568,7 +1811,8 @@ object LakeWriter {
     else {
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      metaSum + readFiles(spark, unknown, schema).count()
+      metaSum + readFiles(spark, unknown, schema,
+        parseManifestColmap(spark, table, v)).count()
     }
   }
 

@@ -735,6 +735,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("column mapping: rename/drop are metadata-only, no resurrection") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_colmap")
+      .toString + "/tbl"
+    LakeWriter.commitSnapshot(
+      spark.range(0, 20).toDF("k").withColumn("v", $"k" * 10)
+        .repartitionByRange(2, $"k"), t)
+    val v1Files = LakeWriter.snapshotFiles(spark, t, 1L).toSet
+    // RENAME is metadata-only: same files, new logical name
+    assert(LakeWriter.renameColumn(spark, t, "v", "w") == 2L)
+    assert(LakeWriter.snapshotFiles(spark, t, 2L).toSet == v1Files)
+    assert(LakeWriter.readSnapshot(spark, t).columns.toSeq == Seq("k", "w"))
+    assert(LakeWriter.readSnapshot(spark, t).agg(sum($"w")).head.getLong(0)
+      == (0 until 20).map(_ * 10).sum)
+    // time travel serves the OLD name at the old version
+    assert(LakeWriter.readSnapshot(spark, t, Some(1L)).columns.toSeq ==
+      Seq("k", "v"))
+    // appends + merges keep writing the PHYSICAL name under the hood
+    LakeWriter.commitSnapshot(
+      spark.range(20, 25).toDF("k").withColumn("w", $"k" * 10), t, "append")
+    LakeWriter.mergeSnapshot(
+      Seq((24L, 999L)).toDF("k", "w"), t, Seq("k"))
+    assert(LakeWriter.readSnapshot(spark, t).where($"k" === 24)
+      .head.getLong(1) == 999L)
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"w" === 999L)
+      .count() == 1)
+    // DROP + re-add: the tombstone forces a fresh physical name, so
+    // the old bytes must NOT come back
+    assert(LakeWriter.dropColumn(spark, t, "w") > 0)
+    assert(LakeWriter.readSnapshot(spark, t).columns.toSeq == Seq("k"))
+    LakeWriter.commitSnapshot(
+      spark.range(25, 30).toDF("k").withColumn("w", lit(7L)), t, "append")
+    val rows = LakeWriter.readSnapshot(spark, t)
+      .select($"k", $"w").collect()
+    assert(rows.filter(_.getLong(0) < 25).forall(_.isNullAt(1)),
+      "dropped data resurrected through re-added column name")
+    assert(rows.filter(_.getLong(0) >= 25).forall(_.getLong(1) == 7L))
+    // a CHECK referencing a column blocks its rename/drop
+    LakeWriter.addCheck(spark, t, "w_pos", "w >= 0 OR w IS NULL")
+    intercept[IllegalArgumentException] {
+      LakeWriter.renameColumn(spark, t, "w", "z") }
+    intercept[IllegalArgumentException] { LakeWriter.dropColumn(spark, t, "w") }
+    LakeWriter.dropCheck(spark, t, "w_pos")
+    // RESTORE across the rename serves that version's schema
+    LakeWriter.restoreSnapshot(spark, t, 2L)
+    assert(LakeWriter.readSnapshot(spark, t).columns.toSeq == Seq("k", "w"))
+    assert(LakeWriter.readSnapshot(spark, t).count() == 20)
+    // data skipping prunes on the RENAMED column: stats stay keyed by
+    // the physical name and translate — corrupt the low-range file,
+    // read the high band through w without opening it
+    val lowFile = spark.read.parquet(v1Files.toSeq: _*)
+      .select($"k", regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+      .where($"k" === 0).head().getString(1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(v1Files.find(_.endsWith(lowFile)).get
+        .stripPrefix("file:")), "not parquet".getBytes)
+    assert(LakeWriter.readSnapshotWhere(spark, t, $"w" >= 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L to 19L))
+  }
+
   test("OPTIMIZE ZORDER: every listed dimension prunes after rewrite") {
     import graft.sources.LakeWriter
     val t = java.nio.file.Files.createTempDirectory("graft_zorder")
