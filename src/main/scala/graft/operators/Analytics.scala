@@ -67,7 +67,9 @@ object Analytics {
                  gapMillis: Long): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__ms", unix_millis(col(ts)))
+    // cast: no-op on TimestampType, makes TIMESTAMP_NTZ inputs legal
+    // for unix_millis (gap arithmetic is tz-offset-invariant either way)
+    df.withColumn("__ms", unix_millis(col(ts).cast("timestamp")))
       .withColumn("__prev_ms", lag(col("__ms"), 1).over(w))
       .withColumn("__new_sess",
         when(col("__prev_ms").isNull ||

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Source layer: batch readers for the lake's raw/staged zones.
   *
@@ -18,20 +18,35 @@ object Tables {
 
   /** Load one testdata table from an sf directory.
     *
-    * The `events` table carries TIMESTAMP(NANOS) — a parquet type Spark
-    * refuses by default. We read it via the legacy nanos-as-long conf
-    * and truncate to microsecond timestamps, which matches what any
+    * The `events` table's physical `ts` type has varied across data
+    * generations — TIMESTAMP(NANOS) (a parquet type Spark refuses by
+    * default, read via the legacy nanos-as-long conf), TIMESTAMP_NTZ,
+    * or plain TIMESTAMP. All are normalized to µs-precision
+    * `TimestampType` so every downstream operator (epoch arithmetic,
+    * watermarks, typed session state) sees ONE type, matching what a
     * µs-native engine (DuckDB `CAST(ts AS TIMESTAMP)`) produces. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer `div`, not `/`: double division loses precision on
-      // ns-epoch magnitudes (> 2^53)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Normalize an events frame's `ts` to `TimestampType` regardless of
+    * the physical encoding it was read with. Long = epoch NANOS
+    * (legacy nanos-as-long read); NTZ casts in the session timezone
+    * (UTC in this harness — and gap/window arithmetic is offset-
+    * invariant regardless). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/`: double division loses precision on
+        // ns-epoch magnitudes (> 2^53)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Robust CSV ingestion — mirrors the reference's raw-zone reader
     * (/root/reference/airflow/dags/utils/init_spark.py:23-37

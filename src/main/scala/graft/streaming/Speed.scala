@@ -17,7 +17,8 @@ import graft.functions.CleanFns
   */
 object Speed extends Serializable {
 
-  /** events physical schema (ts is TIMESTAMP(NANOS) → read as long). */
+  /** events wire schema used by the Kafka decode path (the producer
+    * mirrors the lake's original physical layout: ts in epoch NANOS). */
   private val eventsRaw = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,6 +26,30 @@ object Speed extends Serializable {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Physical schema of a staged events file — the generator's `ts`
+    * encoding has varied (INT64 nanos / TIMESTAMP_NTZ / TIMESTAMP), so
+    * the streaming source discovers it from the file instead of
+    * assuming one. The nanos legacy conf makes the INT64-nanos variant
+    * readable as long. */
+  private def stagedSchema(spark: SparkSession, file: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(file).schema
+  }
+
+  /** Normalize a (possibly streaming) events frame's `ts` to
+    * µs-precision `TimestampType` — same contract as the batch loader
+    * (graft.sources.Tables.normalizeEventTs), duplicated here because
+    * that helper is batch-frame-typed and this one must stay
+    * streaming-safe (pure column ops only). */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** File-stream over the events table with µs timestamps.
     *
@@ -44,11 +69,12 @@ object Speed extends Serializable {
       "graft_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     stageAtomically(stage, Paths.get(dir, "events.parquet"),
       "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRaw)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = stagedSchema(spark,
+      stage.resolve("events.parquet").toString)
+    normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(stage.toString))
   }
 
   // ---- source selection (file landing dir vs Kafka) ----------------
@@ -161,22 +187,44 @@ object Speed extends Serializable {
       "graft_stream_sent_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     val restaged = stageAtomically(stage, Paths.get(dir, "events.parquet"),
       "a_events.parquet")
+    val realFile = stage.resolve("a_events.parquet").toString
+    val schema = stagedSchema(spark, realFile)
+    // sentinels are stale if absent OR written under a different
+    // physical ts encoding than the (possibly regenerated) real file —
+    // one readStream schema must cover all three files
     val haveSentinels = Files.exists(stage.resolve("b_sentinel1.parquet")) &&
-      Files.exists(stage.resolve("c_sentinel2.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Files.exists(stage.resolve("c_sentinel2.parquet")) &&
+      stagedSchema(spark, stage.resolve("b_sentinel1.parquet").toString)("ts")
+        .dataType == schema("ts").dataType
     if (restaged || !haveSentinels) {
-      val maxNs = spark.read.schema(eventsRaw)
-        .parquet(stage.resolve("a_events.parquet").toString)
-        .agg(max(col("ts"))).head().getLong(0)
-      val dayNs = 86400L * 1000000000L
-      def writeSentinel(name: String, ns: Long, ids: (Long, Long)): Unit = {
+      val base = spark.read.schema(schema).parquet(realFile)
+      val tsType = schema("ts").dataType
+      // shift max(ts) by N days in the column's own physical encoding
+      // (Long = epoch nanos; timestamp flavors take a calendar interval)
+      def shifted(days: Int): org.apache.spark.sql.Column = tsType match {
+        case LongType => col("mts") + lit(days.toLong * 86400L * 1000000000L)
+        case _        => (col("mts") + expr(s"INTERVAL $days DAYS")).cast(tsType)
+      }
+      // sentinel files must carry the SAME physical schema as the real
+      // file (one readStream schema covers all three), so they are
+      // derived from it rather than built from hard-coded types
+      def writeSentinel(name: String, days: Int, ids: (Long, Long)): Unit = {
         import scala.jdk.CollectionConverters._
-        val rows = Seq(
-          org.apache.spark.sql.Row(ids._1, ns, -1L, "click", 0.0, null),
-          org.apache.spark.sql.Row(ids._2, ns, -1L, "purchase", 0.0, null))
+        val sent = base.agg(max(col("ts")).as("mts"))
+          .select(explode(array(
+            struct(lit(ids._1).as("event_id"), lit("click").as("event_type")),
+            struct(lit(ids._2).as("event_id"), lit("purchase").as("event_type"))
+          )).as("e"), col("mts"))
+          .select(
+            col("e.event_id").cast(schema("event_id").dataType).as("event_id"),
+            shifted(days).as("ts"),
+            lit(-1L).cast(schema("user_id").dataType).as("user_id"),
+            col("e.event_type").as("event_type"),
+            lit(0.0).cast(schema("value").dataType).as("value"),
+            lit(null).cast(schema("props").dataType).as("props"))
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
         val build = stage.resolve(s"$name.build.${ProcessHandle.current().pid()}")
-        spark.createDataFrame(rows.asJava, eventsRaw).coalesce(1)
-          .write.mode("overwrite").parquet(build.toString)
+        sent.coalesce(1).write.mode("overwrite").parquet(build.toString)
         val part = Files.list(build).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no parquet part under $build"))
@@ -190,8 +238,8 @@ object Speed extends Serializable {
         }
         deleteRec(build)
       }
-      writeSentinel("b_sentinel1.parquet", maxNs + 30 * dayNs, (-1L, -2L))
-      writeSentinel("c_sentinel2.parquet", maxNs + 60 * dayNs, (-3L, -4L))
+      writeSentinel("b_sentinel1.parquet", 30, (-1L, -2L))
+      writeSentinel("c_sentinel2.parquet", 60, (-3L, -4L))
       // the file source processes oldest-modified first: force the
       // batch split (data + sentinel1) -> (sentinel2)
       val t0 = Files.getLastModifiedTime(stage.resolve("a_events.parquet"))
@@ -201,11 +249,11 @@ object Speed extends Serializable {
       Files.setLastModifiedTime(stage.resolve("c_sentinel2.parquet"),
         java.nio.file.attribute.FileTime.fromMillis(t0 + 20000))
     }
-    spark.readStream
-      .schema(eventsRaw)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage.toString))
   }
 
   /** Tumbling-window aggregation with a watermark — the canonical
