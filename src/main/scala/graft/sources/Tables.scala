@@ -26,17 +26,33 @@ object Tables {
     * watermarks, typed session state) sees ONE type, matching what a
     * µs-native engine (DuckDB `CAST(ts AS TIMESTAMP)`) produces. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val path = s"$dir/$name.parquet"
+    if (name != "events") return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val phys = spark.read.parquet(path).schema
+    phys("ts").dataType match {
+      case TimestampNTZType =>
+        // Read the NTZ column as TimestampType AT THE SCAN (explicit
+        // read schema) instead of casting after it: a post-scan cast
+        // blocks parquet pushdown of every ts predicate — at 100 TB
+        // that is the difference between pruning row groups on a time
+        // range and scanning the full table. Values are the
+        // generator's UTC wall-times, so reading them as UTC instants
+        // (the pre-NTZ Spark behavior) is the intended semantics.
+        val readSchema = StructType(phys.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        spark.read.schema(readSchema).parquet(path)
+      case _ => normalizeEventTs(spark.read.parquet(path))
+    }
   }
 
   /** Normalize an events frame's `ts` to `TimestampType` regardless of
     * the physical encoding it was read with. Long = epoch NANOS
     * (legacy nanos-as-long read); NTZ casts in the session timezone
     * (UTC in this harness — and gap/window arithmetic is offset-
-    * invariant regardless). */
+    * invariant regardless). Post-scan fallback — `load` prefers fixing
+    * the type at the scan itself, which this helper can't (it only
+    * sees the frame). */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>

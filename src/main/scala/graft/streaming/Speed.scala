@@ -34,7 +34,15 @@ object Speed extends Serializable {
     * readable as long. */
   private def stagedSchema(spark: SparkSession, file: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(file).schema
+    val phys = spark.read.parquet(file).schema
+    // NTZ ts is requested as TimestampType at the scan itself (values
+    // are UTC wall-times = UTC instants; same rationale as
+    // Tables.load): no post-scan cast, ts predicates stay pushable,
+    // and normalizeTs sees nothing left to do.
+    StructType(phys.map(f =>
+      if (f.name == "ts" && f.dataType == TimestampNTZType)
+        f.copy(dataType = TimestampType)
+      else f))
   }
 
   /** Normalize a (possibly streaming) events frame's `ts` to
