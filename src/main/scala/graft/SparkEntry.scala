@@ -1202,7 +1202,7 @@ object SparkEntry {
     }),
 
     "q_embed_pq_topk" -> ((s, d) => {
-      // product-quantized (m=32 sub-codes, 16 centroids each — 8×
+      // product-quantized (m=32 sub-codes, 256 centroids each — 8×
       // compression) ANN: codebook training is deterministic
       // (hash-order init, float-rounded means), so the oracle
       // re-derives the ranking from the embedded codes + codebooks

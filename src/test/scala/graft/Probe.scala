@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic main (test scope only, not shipped). */
+/** Scratch diagnostic main (test scope only, not shipped): run a
+  * handful of SparkEntry queries by name and print row counts —
+  * `sbt "Test/runMain graft.Probe q_a q_b"`. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -12,15 +13,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .appName("probe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    val ev = graft.sources.Tables.load(spark, d, "events")
-    val filtered = ev.where(col("ts") >= lit("2024-06-01").cast("timestamp"))
-      .select("event_id", "ts")
-    val plan = filtered.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    println(plan.linesIterator.filter(l =>
-      l.contains("PushedFilters") || l.contains("ReadSchema")).mkString("\n"))
-    println("rows=" + filtered.count())
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_agg_pricing")
+    for (q <- names) {
+      try println(s"OK $q rows=" + SparkEntry.queries(q)(spark, d).count())
+      catch { case e: Throwable => println(s"FAIL $q: " + e) }
+    }
     spark.stop()
   }
 }
