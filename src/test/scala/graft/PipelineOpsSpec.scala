@@ -295,6 +295,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh >= 0.10, f"lsh recall@10 regressed: $lsh%.3f")
   }
 
+  test("quantized-tier recall@10 floors are pinned (PQ/OPQ/IVF-PQ)") {
+    // same determinism as above; floors sit just under the measured
+    // values (0.940 / 0.930 / 0.800 / 0.815 — docs/ann_recall.md at
+    // ksub=256) so a codebook-quality or kernel regression fails
+    // loudly while leaving room for corpus-regeneration jitter
+    val qs = embeddings.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val pq = recallOf(Similarity.pqTopK(qs, embeddings, "vec_id",
+      "embedding", k = 10))
+    val opq = recallOf(Similarity.opqTopK(qs, embeddings, "vec_id",
+      "embedding", k = 10))
+    val ivfpq = recallOf(Similarity.ivfPqTopK(qs, embeddings, "vec_id",
+      "embedding", k = 10, nprobe = 8))
+    val refine = recallOf(Similarity.ivfPqRefineTopK(qs, embeddings,
+      "vec_id", "embedding", k = 10, nprobe = 8))
+    info(f"recall@10: pq=$pq%.3f opq=$opq%.3f " +
+      f"ivfpq(8)=$ivfpq%.3f refine(8)=$refine%.3f")
+    assert(pq >= 0.85, f"pq recall@10 regressed: $pq%.3f")
+    assert(opq >= 0.85, f"opq recall@10 regressed: $opq%.3f")
+    assert(ivfpq >= 0.70, f"ivfpq recall@10 regressed: $ivfpq%.3f")
+    // refine must not fall below the unrefined PQ stage it re-ranks
+    assert(refine >= ivfpq - 0.01,
+      f"refine recall@10 ($refine%.3f) below unrefined ($ivfpq%.3f)")
+  }
+
   test("VecFns.lshSignature native (literal hyperplanes) == composed") {
     import graft.functions.VecFns
     val native = embeddings.select($"vec_id",
