@@ -481,6 +481,30 @@ object SparkEntry {
       }
     }),
 
+    "q_image_features" -> ((s, d) => {
+      // REAL PNG decode (javax.imageio): payloads are genuine PNGs
+      // synthesized from a closed-form pixel formula; the oracle
+      // re-derives every feature from the formula, never the bytes —
+      // proving the encode→decode roundtrip faithful
+      val media = Multimodal.encodeSyntheticPng(T(s, d, "documents"), "doc_id")
+      val f = Multimodal.decodeImageFeatures(media)
+      Seq("mean_r", "mean_g", "mean_b", "l0", "l1", "l2", "l3")
+        .foldLeft(f)((df, c) =>
+          df.withColumn(c, CleanFns.roundRepro(col(c), 6)))
+    }),
+
+    "q_image_resize" -> ((s, d) => {
+      // decode → nearest-neighbor resample to 8×8 → re-encode PNG →
+      // decode again; oracle computes features at the NN-mapped
+      // source coordinates (x·w/8, y·h/8)
+      val media = Multimodal.encodeSyntheticPng(T(s, d, "documents"), "doc_id")
+      val f = Multimodal.decodeImageFeatures(
+        Multimodal.resizeImageNN(media, 8, 8))
+      Seq("mean_r", "mean_g", "mean_b", "l0", "l1", "l2", "l3")
+        .foldLeft(f)((df, c) =>
+          df.withColumn(c, CleanFns.roundRepro(col(c), 6)))
+    }),
+
     "q_connected_components" -> ((s, d) => {
       // edges: same-nation customers with near-equal balances; comp =
       // transitive closure min-id (dup-cluster resolution shape)
@@ -2095,6 +2119,61 @@ object SparkEntry {
         |  coalesce(f4, 0.0) AS f4, coalesce(f5, 0.0) AS f5,
         |  coalesce(f6, 0.0) AS f6, coalesce(f7, 0.0) AS f7
         |FROM b LEFT JOIN agg USING (media_id)""".stripMargin,
+
+    // real-PNG image features re-derived from the closed-form pixel
+    // formula (the oracle never parses PNG bytes; the engine does)
+    "q_image_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    8 + (doc_id % 9) AS w,
+        |    8 + ((doc_id * 7) % 9) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, w, h,
+        |    (media_id*31 + x*7 + y*13) % 256 AS r,
+        |    (media_id*17 + x*11 + y*5) % 256 AS g,
+        |    (media_id*23 + x*3 + y*19) % 256 AS b
+        |  FROM d,
+        |    UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |    UNNEST(generate_series(0, h - 1)) AS uy(y))
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  count(*) AS n_px,
+        |  floor(sum(r) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_r,
+        |  floor(sum(g) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_g,
+        |  floor(sum(b) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 0)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l0,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 1)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l1,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 2)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l2,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 3)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l3
+        |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    // decode → 8×8 nearest-neighbor resize → re-encode → decode:
+    // oracle evaluates the pixel formula at the NN source coordinate
+    // (x*w//8, y*h//8) for each of the 64 output pixels
+    "q_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    8 + (doc_id % 9) AS w,
+        |    8 + ((doc_id * 7) % 9) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id,
+        |    (media_id*31 + ((x*w)//8)*7 + ((y*h)//8)*13) % 256 AS r,
+        |    (media_id*17 + ((x*w)//8)*11 + ((y*h)//8)*5) % 256 AS g,
+        |    (media_id*23 + ((x*w)//8)*3 + ((y*h)//8)*19) % 256 AS b
+        |  FROM d,
+        |    UNNEST(generate_series(0, 7)) AS ux(x),
+        |    UNNEST(generate_series(0, 7)) AS uy(y))
+        |SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  count(*) AS n_px,
+        |  floor(sum(r) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_r,
+        |  floor(sum(g) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_g,
+        |  floor(sum(b) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 0)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l0,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 1)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l1,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 2)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l2,
+        |  floor((count(*) FILTER (((r+g+b)//3)//64 = 3)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l3
+        |FROM px GROUP BY media_id""".stripMargin,
 
     "q_filter_cascade" ->
       """WITH m AS (

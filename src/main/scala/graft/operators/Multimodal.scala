@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs batched per partition.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeFeaturesStub` derives deterministic fake
-  * features from the bytes. The Spark-side contract — schema,
-  * batching shape, partitioning — is real: swap `stubFeatures` for a
-  * JNI/codec call and nothing else changes.
+  * Image decode/resize are REAL (JDK `javax.imageio`, PNG — see
+  * `decodeImageFeatures` / `resizeImageNN`). The generic byte-feature
+  * path (`decodeFeaturesStub`) and audio PCM framing remain
+  * deterministic byte-level kernels behind the same batched seam: the
+  * Spark-side contract — schema, batching shape, partitioning — is
+  * production-shaped; swap the loop for a codec/DSP call and nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -155,6 +157,169 @@ object Multimodal {
                   .toDouble / (s.length - 1)
               Row(id, f, s.length.toLong, energy, zcr)
             }
+          }
+        }
+      }(enc)
+  }
+
+  // ==== REAL image decode (JDK javax.imageio — zero extra jars) ====
+  //
+  // The decode seam below is NOT a stub: payloads are genuine PNG
+  // byte streams, decoded with `javax.imageio.ImageIO`. Test media is
+  // synthesized deterministically (pixel value = closed-form function
+  // of (id, x, y)), so an independent reimplementation — the DuckDB
+  // oracle — re-derives every feature from the formula without ever
+  // touching PNG bytes, proving the encode→decode roundtrip faithful.
+
+  /** Deterministic synthetic image dims: 8..16 × 8..16, a function of
+    * the id so widths/heights vary across the corpus. */
+  def synthDims(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)
+
+  /** Deterministic synthetic RGB pixel at (x, y) for image `id`. */
+  def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + x * 11 + y * 5) % 256).toInt,
+    ((id * 23 + x * 3 + y * 19) % 256).toInt)
+
+  private def synthImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = synthDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize one real PNG per input id (batched per partition,
+    * codec init amortized — ImageIO's disk cache is disabled once per
+    * partition). Output: (media_id, payload, meta). */
+  def encodeSyntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("n_bytes", LongType),
+        StructField("source", StringType))))))
+    val enc = Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = pngBytes(synthImage(id))
+          Row(id, bytes, Row("image/png", bytes.length.toLong, "synthetic"))
+        }
+      }(enc)
+  }
+
+  /** REAL image decode: parse each payload with `ImageIO.read`,
+    * extract width/height, per-channel means and a 4-bucket luma
+    * histogram (integer luma = (r+g+b)/3, bucket = luma/64 — exact
+    * integer ratios, so the oracle reproduces them bit-for-bit).
+    * Undecodable/empty payloads yield no row (count them upstream). */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("l0", DoubleType),
+      StructField("l1", DoubleType),
+      StructField("l2", DoubleType),
+      StructField("l3", DoubleType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (p == null || p.isEmpty) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val lh = new Array[Long](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val cr = (rgb >> 16) & 0xFF
+                val cg = (rgb >> 8) & 0xFF
+                val cb = rgb & 0xFF
+                sr += cr; sg += cg; sb += cb
+                lh(((cr + cg + cb) / 3) / 64) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val nd = n.toDouble
+            Iterator.single(Row(id, w, h, n,
+              sr / nd, sg / nd, sb / nd,
+              lh(0) / nd, lh(1) / nd, lh(2) / nd, lh(3) / nd))
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL resize: decode with ImageIO, nearest-neighbor resample to
+    * `outW`×`outH` (srcX = x·srcW/outW, integer floor — the mapping an
+    * oracle can re-derive exactly), re-encode as PNG. */
+  def resizeImageNN(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"bad out dims $outW x $outH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (p == null || p.isEmpty) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) Iterator.empty
+          else {
+            val sw = img.getWidth; val sh = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                out.setRGB(x, y, img.getRGB(x * sw / outW, y * sh / outH))
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(Row(id, pngBytes(out), outW, outH))
           }
         }
       }(enc)
