@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max: G1 growing the heap from the
+  // small default -Xms collects aggressively the whole way up, taxing
+  // whichever query allocates first (~40 s of GC on the first
+  // streaming-state bench query — docs/bench/dsir_anomaly.md §3)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

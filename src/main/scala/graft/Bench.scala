@@ -24,6 +24,12 @@ object Bench {
     // r07 were 1.8x the same-code evidence runs on unchanged plans;
     // this field lets any reader separate host noise from regressions)
     val cpuNanos = new AtomicLong()
+    // GC + memory evidence (r9 verdict: the q_dsir_select CPU anomaly
+    // needs per-query GC time and peak execution memory to separate
+    // "heap-pressure tax" from "plan regression"): task-summed JVM GC
+    // millis and the max single-task peak execution memory
+    val gcMillis = new AtomicLong()
+    val peakTaskMem = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -31,6 +37,8 @@ object Bench {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           cpuNanos.addAndGet(m.executorCpuTime)
+          gcMillis.addAndGet(m.jvmGCTime)
+          peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
         }
       }
     })
@@ -86,12 +94,16 @@ object Bench {
     val hostLoad1 = scala.collection.mutable.LinkedHashMap[String, Double]()
     val hostIowaitPct = scala.collection.mutable.LinkedHashMap[String, Double]()
     val hostStealPct = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val peakMemMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val heapUsedMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     def runOne(label: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       drain()
       syncFs()
       val w0 = shufWrite.get(); val r0 = shufRead.get()
-      val c0 = cpuNanos.get()
+      val c0 = cpuNanos.get(); val g0 = gcMillis.get()
+      peakTaskMem.set(0L) // per-query max, reset outside the window
       val (jt0, jw0, js0) = cpuStat()
       hostLoad1(label) = load1()
       val t0 = System.nanoTime()
@@ -112,6 +124,14 @@ object Bench {
       shuffleMb(label) =
         (math.round(wMb * 100) / 100.0, math.round(rMb * 100) / 100.0)
       cpuSec(label) = math.round((cpuNanos.get() - c0) / 1e9 * 100) / 100.0
+      gcSec(label) = math.round((gcMillis.get() - g0) / 1e3 * 100) / 100.0
+      peakMemMb(label) = math.round(peakTaskMem.get() / 1e6 * 10) / 10.0
+      // live heap AFTER the query (no explicit GC — just the floor the
+      // JVM is sitting on): a climbing floor across the run is the
+      // heap-pressure signature that taxes later queries with GC
+      val rt = Runtime.getRuntime
+      heapUsedMb(label) =
+        math.round((rt.totalMemory - rt.freeMemory) / 1e6 * 10) / 10.0
       val (jt1, jw1, js1) = cpuStat()
       val jd = (jt1 - jt0).toDouble
       hostIowaitPct(label) =
@@ -119,16 +139,26 @@ object Bench {
       hostStealPct(label) =
         if (jt0 < 0 || jd <= 0) -1.0 else math.round((js1 - js0) / jd * 10000) / 100.0
       System.err.println(
-        f"[bench] $label%-24s $dt%8.2f s  cpu ${cpuSec(label)}%8.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB  load1 ${hostLoad1(label)}%5.1f")
+        f"[bench] $label%-24s $dt%8.2f s  cpu ${cpuSec(label)}%8.2f s  gc ${gcSec(label)}%6.2f s  shuffle w $wMb%8.2f / r $rMb%8.2f MB  load1 ${hostLoad1(label)}%5.1f  heap ${heapUsedMb(label)}%8.1f MB")
       label -> dt
     }
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times a subset (the driver
-    // never sets it, so the contract run is always the full map)
+    // never sets it, so the contract run is always the full map).
+    // SPARK_GRAFT_PASSES=2 / SPARK_GRAFT_REVERSE=1 are further
+    // dev-only knobs (repeat the whole set in one JVM / reverse the
+    // order) for JIT/GC-state A-B experiments — pass ≥2 labels get a
+    // "__p<n>" suffix so the contract keys stay untouched.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => runOne(name, fn) }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    val ordered0 = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val ordered = if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
+      ordered0.reverse else ordered0
+    val results = (1 to passes).flatMap { p =>
+      ordered.map { case (name, fn) =>
+        runOne(if (p == 1) name else s"${name}__p$p", fn) }
+    }
 
     // large-state posture: the stateful streaming queries once more
     // with the RocksDB state store + changelog checkpointing — the
@@ -153,7 +183,7 @@ object Bench {
     // bytes, host evidence) goes to STDERR — the harness only keeps a
     // bounded tail of stdout, so the stdout contract line must stay
     // small.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec_total":$totalCpu,"queries":${json(results)},"cpu_sec":${json(cpuSec)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"load1":${json(hostLoad1)},"iowait_pct":${json(hostIowaitPct)},"steal_pct":${json(hostStealPct)},"failed":$failedJson,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec_total":$totalCpu,"queries":${json(results)},"cpu_sec":${json(cpuSec)},"gc_sec":${json(gcSec)},"peak_task_mem_mb":${json(peakMemMb)},"heap_used_mb":${json(heapUsedMb)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"load1":${json(hostLoad1)},"iowait_pct":${json(hostIowaitPct)},"steal_pct":${json(hostStealPct)},"failed":$failedJson,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
     System.err.println(s"[bench-full] $fullJson")
     // ... and to a file, so every bench run (driver's included) leaves
     // per-query cpu/load evidence on disk regardless of log truncation
