@@ -129,11 +129,30 @@ object Similarity {
     *    aggregation means only nlist×dim rows per task reach the
     *    (tiny) shuffle, and the nlist×dim means are collected.
     * `iters` is small (quantizer quality, not convergence, is the
-    * goal). At 100 TB you'd train on a sample; the assign path is the
-    * part that must stream the full corpus, and it does so
-    * shuffle-free. */
-  private def trainCentroids(cvec: DataFrame, nlist: Int,
+    * goal). At 100 TB you train on a sample — set
+    * `spark.graft.ann.trainFraction` (see [[trainSample]]); the
+    * assign path is the part that must stream the full corpus, and it
+    * does so shuffle-free. */
+  /** Deterministic training sample for the Lloyd trainers, governed
+    * by session conf `spark.graft.ann.trainFraction` (default 1.0 =
+    * train on everything). At 100 TB the codebooks' quality saturates
+    * long before the corpus is exhausted — Lloyd over a hash-picked
+    * few-percent sample yields near-identical books at a fraction of
+    * the training scans, while ENCODING still streams the full corpus
+    * (the part that must see every row). xxhash64-mod keeps the
+    * sample deterministic across runs/engines — no rand(). */
+  private def trainSample(df: DataFrame, idExpr: Column): DataFrame = {
+    val frac = df.sparkSession.conf
+      .get("spark.graft.ann.trainFraction", "1.0").toDouble
+    require(frac > 0.0 && frac <= 1.0, s"bad trainFraction $frac")
+    if (frac >= 1.0) df
+    else df.where(pmod(xxhash64(idExpr.cast("string")), lit(1000000L))
+      < lit(math.round(frac * 1000000)))
+  }
+
+  private def trainCentroids(cvec0: DataFrame, nlist: Int,
                              iters: Int): Array[(Int, Array[Double])] = {
+    val cvec = trainSample(cvec0, col("__id"))
     // init: plans as TakeOrderedAndProject (distributed top-k, no
     // global sort), then nlist rows land on the driver
     var cents: Array[(Int, Array[Double])] = cvec
@@ -517,11 +536,14 @@ object Similarity {
       ksub: Int, dim: Int, iters: Int = 1): Array[Array[Array[Double]]] = {
     val sub = dim / m
     require(sub * m == dim, s"dim $dim not divisible by m $m")
+    val train = trainSample(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      col("__id"))
     // init: the same ksub hash-order corpus vectors seed every
     // subspace (TakeOrderedAndProject — distributed top-k, no global
     // sort), sliced driver-side
     var books: Array[Array[Array[Double]]] = {
-      val rows = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      val rows = train
         .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
         .limit(ksub).collect()
       Array.tabulate(m)(s => rows.map(r =>
@@ -532,7 +554,7 @@ object Similarity {
       // staged below the explode (see trainCentroids): inline, the
       // m×ksub argmin recomputes per exploded row — 64× the work,
       // measured 4.0 s → 0.36 s at ksub=256 on sf0.1
-      val means = corpus.select(col(vecCol).as("__v"))
+      val means = train.select(col("__v"))
         .select(cells.as("__cells"), col("__v"))
         .select(col("__cells"), posexplode(col("__v")).as(Seq("pos", "x")))
         .select((col("pos") / sub).cast("int").as("s"),
@@ -703,8 +725,11 @@ object Similarity {
       iters: Int): Array[Array[Array[Double]]] = {
     val sub = dim / m
     require(sub * m == dim, s"dim $dim not divisible by m $m")
+    val train = trainSample(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      col("__id"))
     var books: Array[Array[Array[Double]]] = {
-      val rows = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      val rows = train
         .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
         .limit(ksub).collect()
       val residuals = rows.map { r =>
@@ -719,7 +744,7 @@ object Similarity {
       val rc = rpqEncodeCol(cents, books, col("__v"))
       // staged below the explode (see trainCentroids) — the residual
       // encode is the most expensive assignment of the three trainers
-      val means = corpus.select(col(vecCol).as("__v"))
+      val means = train.select(col("__v"))
         .select(rc.as("__rc"), col("__v"))
         .select(col("__rc"), posexplode(col("__v")).as(Seq("pos", "x")))
         .select((col("pos") / sub).cast("int").as("s"),

@@ -328,6 +328,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       f"refine recall@10 ($refine%.3f) below unrefined ($ivfpq%.3f)")
   }
 
+  test("sampled codebook training (trainFraction=0.5) keeps the recall floors") {
+    // the 100 TB posture: Lloyd trainers see a deterministic hash
+    // sample of the corpus while ENCODING still streams every row.
+    // Quantizer quality saturates well before full-corpus training,
+    // so the SAME floors as the full-training spec must hold.
+    val qs = embeddings.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    spark.conf.set("spark.graft.ann.trainFraction", "0.5")
+    try {
+      val ivf = recallOf(Similarity.ivfTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10, nlist = 16, nprobe = 4))
+      val pq = recallOf(Similarity.pqTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10))
+      val opq = recallOf(Similarity.opqTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10))
+      val ivfpq = recallOf(Similarity.ivfPqTopK(qs, embeddings, "vec_id",
+        "embedding", k = 10, nprobe = 8))
+      val refine = recallOf(Similarity.ivfPqRefineTopK(qs, embeddings,
+        "vec_id", "embedding", k = 10, nprobe = 8))
+      info(f"sampled-train recall@10: ivf=$ivf%.3f pq=$pq%.3f " +
+        f"opq=$opq%.3f ivfpq(8)=$ivfpq%.3f refine(8)=$refine%.3f")
+      assert(ivf >= 0.35, f"sampled ivf recall regressed: $ivf%.3f")
+      assert(pq >= 0.85, f"sampled pq recall regressed: $pq%.3f")
+      assert(opq >= 0.85, f"sampled opq recall regressed: $opq%.3f")
+      assert(ivfpq >= 0.70, f"sampled ivfpq recall regressed: $ivfpq%.3f")
+      assert(refine >= ivfpq - 0.01,
+        f"sampled refine recall ($refine%.3f) below unrefined ($ivfpq%.3f)")
+    } finally spark.conf.unset("spark.graft.ann.trainFraction")
+  }
+
+  test("trainFraction=1.0 (default) is byte-identical to unset") {
+    // the knob's default path must not perturb the full-training
+    // codes: same PQ codes table with the conf explicitly 1.0
+    val base = Similarity.pqCodes(embeddings, "vec_id", "embedding")._1
+      .collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.ann.trainFraction", "1.0")
+    try {
+      val again = Similarity.pqCodes(embeddings, "vec_id", "embedding")._1
+        .collect().map(_.toString).sorted
+      assert(base.sameElements(again))
+    } finally spark.conf.unset("spark.graft.ann.trainFraction")
+  }
+
   test("VecFns.lshSignature native (literal hyperplanes) == composed") {
     import graft.functions.VecFns
     val native = embeddings.select($"vec_id",
