@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Upsample sf0.1 documents/embeddings 10x -> an sf1-scale stress dir.
+
+Deterministic, density-preserving upsample (r9 verdict #4: scale-stress
+the heavy family once at sf1):
+
+- documents: 10 copies per doc; copy k > 0 rewrites the text through a
+  per-copy CHARACTER SUBSTITUTION CIPHER (letters+digits permuted,
+  whitespace/punct fixed). A bijection on characters maps each doc's
+  char-shingle set 1:1, so WITHIN-copy Jaccard/minhash/simhash
+  structure is preserved EXACTLY while cross-copy shingles are
+  disjoint: rows grow 10x, near-dup pairs grow 10x => expected cost
+  growth ~linear. (A first attempt suffixed every token with '_k<N>';
+  that planted the same handful of shingles in every doc of a copy --
+  viral LSH buckets, quadratic pair blowup. Cipher avoids it.)
+
+- embeddings: 10 copies per vector; copy k > 0 flips coordinate signs
+  by a per-(k, dim) hash pattern. Norms preserved exactly, cross-copy
+  cosine structure destroyed, within-copy geometry replicated.
+
+Other tables are symlinked from sf0.1 (the heavy subset only reads
+documents/embeddings). Output dir is NOT committed; docs/bench/
+sf1.json is.
+"""
+import os
+import random
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+COPIES = 10
+
+ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+
+def cipher(k: int) -> str:
+    # deterministic per-copy permutation of the alphabet (seeded rng,
+    # stable across python versions for random.Random().shuffle)
+    chars = list(ALPHA)
+    random.Random(1000 + k).shuffle(chars)
+    return "".join(chars)
+
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+n_docs = con.execute(
+    f"SELECT max(doc_id)+1 FROM read_parquet('{SRC}/documents.parquet')"
+).fetchone()[0]
+n_vecs = con.execute(
+    f"SELECT max(vec_id)+1 FROM read_parquet('{SRC}/embeddings.parquet')"
+).fetchone()[0]
+
+cases = " ".join(
+    f"WHEN k.k = {k} THEN translate(d.text, '{ALPHA}', '{cipher(k)}')"
+    for k in range(1, COPIES)
+)
+con.execute(f"""
+COPY (
+  SELECT d.doc_id + k.k * {n_docs} AS doc_id,
+         CASE {cases} ELSE d.text END AS text,
+         d.lang, d.source, d.n_chars
+  FROM read_parquet('{SRC}/documents.parquet') d,
+       (SELECT unnest(generate_series(0, {COPIES - 1})) AS k) k
+) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT e.vec_id + k.k * {n_vecs} AS vec_id,
+         CASE WHEN k.k = 0 THEN e.embedding
+              ELSE list_transform(
+                list_zip(e.embedding,
+                         generate_series(1, len(e.embedding))),
+                z -> CASE WHEN hash(k.k * 1000 + z[2]) % 2 = 0
+                          THEN z[1] ELSE -z[1] END)
+         END AS embedding
+  FROM read_parquet('{SRC}/embeddings.parquet') e,
+       (SELECT unnest(generate_series(0, {COPIES - 1})) AS k) k
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events"):
+    src = f"{SRC}/{t}.parquet"
+    dst = f"{DST}/{t}.parquet"
+    if os.path.exists(src) and not os.path.exists(dst):
+        os.symlink(src, dst)
+
+for t in ("documents", "embeddings"):
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
+    ).fetchone()[0]
+    print(f"{t}: {n} rows")
+print(f"wrote {DST}")
