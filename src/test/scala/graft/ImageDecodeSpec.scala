@@ -87,6 +87,30 @@ class ImageDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming image decode == batch (same seam, readStream source)") {
+    // the decode seam is mapPartitions — stateless, so it runs
+    // unchanged in a micro-batch stream; this pins that the speed
+    // layer can decode media with the SAME operator as the lake path
+    val dir = java.nio.file.Files.createTempDirectory("graft_img_stream")
+    try {
+      val m = media(20).select($"media_id", $"payload")
+      m.write.mode("overwrite").parquet(dir.toString)
+      val stream = spark.readStream.schema(m.schema).parquet(dir.toString)
+      val streamed = graft.streaming.Speed.runToBatch(spark,
+        Multimodal.decodeImageFeatures(stream), "img_stream_feats",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val batch = Multimodal.decodeImageFeatures(m)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      assert(streamed.count() == 20)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS img_stream_feats")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("undecodable and empty payloads yield no rows, not errors") {
     val junk = Seq(
       (1L, "not a png at all".getBytes("UTF-8")),
