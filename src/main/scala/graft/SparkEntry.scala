@@ -505,6 +505,15 @@ object SparkEntry {
           df.withColumn(c, CleanFns.roundRepro(col(c), 6)))
     }),
 
+    "q_audio_resample" -> ((s, d) =>
+      // REAL linear-interpolation resample of the 8-bit-PCM view to a
+      // fixed 64-sample thumbnail; all-integer operands + one double
+      // divide, so the oracle re-derives every sample bit-for-bit
+      Multimodal.audioResampleLinear(
+          Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
+            "source"), outLen = 64)
+        .withColumn("sample", CleanFns.roundRepro(col("sample"), 6))),
+
     "q_connected_components" -> ((s, d) => {
       // edges: same-nation customers with near-equal balances; comp =
       // transitive closure min-id (dup-cluster resolution shape)
@@ -2174,6 +2183,32 @@ object SparkEntry {
         |  floor((count(*) FILTER (((r+g+b)//3)//64 = 2)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l2,
         |  floor((count(*) FILTER (((r+g+b)//3)//64 = 3)) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS l3
         |FROM px GROUP BY media_id""".stripMargin,
+
+    // linear-interp resample re-derived sample-by-sample: num/idx/rem
+    // are exact integers, the single divide is the same IEEE double op
+    "q_audio_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |o AS (
+        |  SELECT media_id, text, n, CAST(i AS INT) AS sample_idx,
+        |    CAST(i AS BIGINT) * (n - 1) AS num
+        |  FROM b, UNNEST(generate_series(0, 63)) AS u(i)),
+        |v AS (
+        |  SELECT media_id, sample_idx,
+        |    CASE WHEN n = 1 THEN CAST(ascii(substr(text, 1, 1)) - 128 AS DOUBLE)
+        |         WHEN num % 63 = 0 THEN
+        |           CAST(ascii(substr(text, CAST(num // 63 AS INT) + 1, 1)) - 128 AS DOUBLE)
+        |         ELSE
+        |           (ascii(substr(text, CAST(num // 63 AS INT) + 1, 1)) - 128)
+        |           + (ascii(substr(text, CAST(num // 63 AS INT) + 2, 1))
+        |              - ascii(substr(text, CAST(num // 63 AS INT) + 1, 1)))
+        |             * (num % 63) / CAST(63 AS DOUBLE)
+        |    END AS s
+        |  FROM o)
+        |SELECT media_id, sample_idx,
+        |  floor(s * 1000000 + 0.5) / 1000000 AS sample
+        |FROM v""".stripMargin,
 
     "q_filter_cascade" ->
       """WITH m AS (

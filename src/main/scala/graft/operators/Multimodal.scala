@@ -325,6 +325,51 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL audio resampling: treat the payload as 8-bit PCM (sample =
+    * byte − 128) and resample to exactly `outLen` samples by linear
+    * interpolation. Sample i maps to source position
+    * t = i·(len−1)/(outLen−1); with num = i·(len−1), den = outLen−1,
+    * idx = num div den, rem = num mod den:
+    *   out_i = s[idx] + (s[idx+1] − s[idx]) · rem / den
+    * — all-integer operands and one double divide, so an independent
+    * reimplementation (the DuckDB oracle) reproduces every sample
+    * bit-for-bit. Endpoints are exact (rem = 0 at i = 0 and
+    * i = outLen−1). A 1-sample payload is constant-extended; an empty
+    * payload yields no rows. */
+  def audioResampleLinear(media: DataFrame, outLen: Int): DataFrame = {
+    require(outLen >= 2, s"outLen must be >= 2: $outLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_idx", IntegerType),
+      StructField("sample", DoubleType)))
+    val enc = Encoders.row(outSchema)
+    val den = (outLen - 1).toLong
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) Array.empty[Byte]
+                  else r.getAs[Array[Byte]](1)
+          if (p.isEmpty) Iterator.empty
+          else {
+            val s = (i: Int) => ((p(i) & 0xFF) - 128).toDouble
+            (0 until outLen).iterator.map { i =>
+              val v =
+                if (p.length == 1) s(0)
+                else {
+                  val num = i.toLong * (p.length - 1)
+                  val idx = (num / den).toInt
+                  val rem = num % den
+                  if (rem == 0) s(idx)
+                  else s(idx) + (s(idx + 1) - s(idx)) * rem / den
+                }
+              Row(id, i, v)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** "Frame sampling": slice `frameLen`-byte windows every `stride`
     * bytes from the payload — the plumbing (posexplode fan-out,
     * per-frame rows) is exactly what real video frame extraction

@@ -379,6 +379,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.trainFraction")
   }
 
+  test("Multimodal.audioResampleLinear: endpoints exact, interp by hand") {
+    // payload "aceg" -> samples (ascii-128): -31,-29,-27,-25; resample
+    // to 7: positions i*3/6 -> 0,0.5,1,1.5,2,2.5,3 -> linear midpoints
+    val media = Seq((1L, "aceg".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = Multimodal.audioResampleLinear(media, outLen = 7)
+      .orderBy($"sample_idx").collect().map(_.getDouble(2))
+    assert(out.sameElements(
+      Array(-31.0, -30.0, -29.0, -28.0, -27.0, -26.0, -25.0)))
+    // constant signal is invariant under resampling at any length
+    val const = Seq((2L, Array.fill(10)('x'.toByte))).toDF("media_id", "payload")
+    val cOut = Multimodal.audioResampleLinear(const, outLen = 23)
+      .select($"sample").collect().map(_.getDouble(0)).distinct
+    assert(cOut.sameElements(Array(('x'.toInt - 128).toDouble)))
+    // 1-sample payload constant-extends; empty payload yields no rows
+    val one = Seq((3L, Array('z'.toByte)),
+      (4L, Array.empty[Byte])).toDF("media_id", "payload")
+    val oOut = Multimodal.audioResampleLinear(one, outLen = 5).collect()
+    assert(oOut.length == 5 && oOut.forall(_.getLong(0) == 3L))
+  }
+
   test("VecFns.lshSignature native (literal hyperplanes) == composed") {
     import graft.functions.VecFns
     val native = embeddings.select($"vec_id",
