@@ -514,6 +514,16 @@ object SparkEntry {
             "source"), outLen = 64)
         .withColumn("sample", CleanFns.roundRepro(col("sample"), 6))),
 
+    "q_video_scenes" -> ((s, d) =>
+      // shot-boundary detection over the frame-sampled payload view:
+      // per-frame integer luma proxy through the decode seam, then
+      // declarative lag-diff / cut-flag / running-sum scene ids —
+      // integer math end to end, oracle-exact
+      Multimodal.sceneCuts(
+        Multimodal.attachBinary(T(s, d, "documents"), "doc_id", "text",
+          "source", mime = "video/raw"),
+        frameLen = 64, cutThreshold = 300L)),
+
     "q_connected_components" -> ((s, d) => {
       // edges: same-nation customers with near-equal balances; comp =
       // transitive closure min-id (dup-cluster resolution shape)
@@ -719,6 +729,14 @@ object SparkEntry {
     "q_passage_dedup_robust" -> ((s, d) =>
       Curation.passageDedup(T(s, d, "documents"), "text", "doc_id",
         chunkTokens = 10, skewRobust = true)),
+
+    "q_boilerplate" -> ((s, d) =>
+      // CCNet/RefinedWeb-style boilerplate removal: a 2-token passage
+      // recurring in >= 3 distinct docs of the same source is template
+      // text and is dropped from EVERY doc (vs passage_dedup, which
+      // keeps the global first occurrence)
+      Curation.boilerplateRemove(T(s, d, "documents"), "text", "doc_id",
+        "source", chunkTokens = 2, minDocs = 3)),
 
     "q_pii_redact" -> ((s, d) => {
       // the corpus has no PII — append a deterministic contact line
@@ -1355,6 +1373,17 @@ object SparkEntry {
         T(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
         docs.where(col("doc_id") < 5).select(col("doc_id")),
         "text", "doc_id", "embedding", k = 10)
+    }),
+
+    "q_bm25" -> ((s, d) => {
+      // Okapi BM25 ranked retrieval for a 5-query batch: real lexical
+      // SCORES (vs q_hybrid_*'s rank-only RRF); per-term contributions
+      // floor to micro-units and integer-sum, so the DuckDB oracle
+      // re-derives every score exactly
+      val docs = T(s, d, "documents")
+      Retrieval.bm25Batch(docs,
+        docs.where(col("doc_id") < 5).select(col("doc_id")),
+        "text", "doc_id", k = 10)
     }),
 
     "q_semantic_decon" -> ((s, d) => {
@@ -2066,6 +2095,40 @@ object SparkEntry {
         |  coalesce(reb.dedup_text, '') AS dedup_text
         |FROM np LEFT JOIN reb USING (doc_id)""".stripMargin,
 
+    // domain-templated passages (>= 3 distinct docs of one source)
+    // dropped from EVERY doc; re-derived with the same 2-token chunking
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, source, i - 1 AS pos,
+        |    array_to_string(t[(i - 1) * 2 + 1 : (i - 1) * 2 + 2], ' ') AS passage
+        |  FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / 2.0) AS INT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |bo AS (
+        |  SELECT source, passage FROM ps
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+        |keep AS (
+        |  SELECT ps.doc_id, ps.pos, ps.passage,
+        |    (bo.passage IS NOT NULL) AS is_boiler
+        |  FROM ps LEFT JOIN bo
+        |    ON ps.source = bo.source AND ps.passage = bo.passage),
+        |reb AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INT) AS nb,
+        |    string_agg(passage, ' ' ORDER BY pos)
+        |      FILTER (NOT is_boiler) AS clean_text
+        |  FROM keep GROUP BY 1),
+        |np AS (SELECT doc_id, CAST(ceil(len(t) / 2.0) AS INT) AS n_passages
+        |       FROM toks)
+        |SELECT np.doc_id, np.n_passages,
+        |  CAST(coalesce(reb.nb, 0) AS INT) AS n_boiler,
+        |  coalesce(reb.clean_text, '') AS clean_text
+        |FROM np LEFT JOIN reb USING (doc_id)""".stripMargin,
+
     // PII redaction over the same deterministic augmentation the
     // Spark query builds; counts on the original, replace in
     // email -> phone -> ip order
@@ -2209,6 +2272,40 @@ object SparkEntry {
         |SELECT media_id, sample_idx,
         |  floor(s * 1000000 + 0.5) / 1000000 AS sample
         |FROM v""".stripMargin,
+
+    // luma/diff/cut/scene re-derived from the text bytes: exact
+    // integer arithmetic end to end (no float anywhere)
+    "q_video_scenes" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (
+        |  SELECT media_id, text, n, CAST(f AS INT) AS frame_idx
+        |  FROM b, UNNEST(generate_series(0,
+        |    greatest((n - 64) // 64 + 1, 1) - 1)) AS u(f)),
+        |ch AS (
+        |  SELECT media_id, frame_idx,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+        |  FROM fr, UNNEST(generate_series(frame_idx * 64 + 1,
+        |    least(frame_idx * 64 + 64, n))) AS u(i)),
+        |lum AS (
+        |  SELECT media_id, frame_idx, CAST(sum(v) AS BIGINT) AS luma
+        |  FROM ch GROUP BY 1, 2),
+        |d AS (
+        |  SELECT media_id, frame_idx, luma,
+        |    CAST(coalesce(luma - lag(luma) OVER
+        |      (PARTITION BY media_id ORDER BY frame_idx), 0) AS BIGINT)
+        |      AS diff
+        |  FROM lum),
+        |c AS (
+        |  SELECT *, CAST(CASE WHEN frame_idx > 0 AND abs(diff) >= 300
+        |    THEN 1 ELSE 0 END AS INT) AS is_cut
+        |  FROM d)
+        |SELECT media_id, frame_idx, luma, diff, is_cut,
+        |  CAST(sum(is_cut) OVER (PARTITION BY media_id
+        |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS INT)
+        |    AS scene_id
+        |FROM c""".stripMargin,
 
     "q_filter_cascade" ->
       """WITH m AS (
@@ -2630,6 +2727,41 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
         |FROM p QUALIFY rank <= 5""".stripMargin,
+
+    // BM25 re-derived term by term: tf/df/dl/N/Σdl are exact
+    // integers, one ln per term, contributions floored to micro-units
+    // and integer-summed (order-independent across engines)
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                 (SELECT count(*) FROM toks) AS tok_total),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, t FROM tf
+        |       WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |        * (tf.tf * CAST(2.2 AS DOUBLE))
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 *
+        |            (CAST(l.dl AS DOUBLE) * s.n_docs / s.tok_total)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN qt USING (t) JOIN dfreq d USING (t)
+        |  JOIN dl l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+        |  WHERE tf.doc_id <> qt.query_id),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_terms,
+        |    CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_terms, score_micro,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+        |FROM agg QUALIFY rank <= 10""".stripMargin,
 
     // semantic decontamination: best (rounded) benchmark cosine per
     // corpus vector, ties to the smallest benchmark id

@@ -101,16 +101,21 @@ object Curation {
     *        (AQE skew-splits it), at the cost of deriving the chunk
     *        rows twice. Identical output either way — the robust twin
     *        is held to the same oracle. */
-  def passageDedup(df: DataFrame, textCol: String, idCol: String,
-                   chunkTokens: Int = 10,
-                   skewRobust: Boolean = false): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
-    val chunks = when(size(col("__t")) === 0, array().cast("array<string>"))
+  /** Fixed-token chunking of a tokenized column `__t` into passage
+    * strings — shared by [[passageDedup]] and [[boilerplateRemove]]. */
+  private def chunkExpr(chunkTokens: Int): Column =
+    when(size(col("__t")) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0),
           ceil(size(col("__t")).cast("double") / chunkTokens).cast("int") - 1),
         i => concat_ws(" ",
           slice(col("__t"), i * chunkTokens + 1, lit(chunkTokens)))))
+
+  def passageDedup(df: DataFrame, textCol: String, idCol: String,
+                   chunkTokens: Int = 10,
+                   skewRobust: Boolean = false): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    val chunks = chunkExpr(chunkTokens)
     val src = df.select(col(idCol), normToks(col(textCol)).as("__t"))
     val p = src
       .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
@@ -142,6 +147,52 @@ object Curation {
           array_sort(collect_list(
             when(col("__keep"), struct(col("pos"), col("passage"))))),
           s => s.getField("passage"))).as("dedup_text"))
+  }
+
+  /** Boilerplate removal (CCNet/RefinedWeb-style, chunk-generalized):
+    * a passage that recurs across ≥ `minDocs` DISTINCT documents of
+    * the same `domainCol` group is boilerplate (nav bars, footers,
+    * cookie banners — template text, not content) and is dropped from
+    * EVERY document, including the first. The complement of
+    * [[passageDedup]]: that keeps one global copy of a repeated
+    * passage; this removes all copies of *domain-templated* ones.
+    * Returns (idCol, n_passages, n_boiler, clean_text).
+    *
+    * Scale shape: one scan → chunk → (domain, passage) distinct-doc
+    * count (partial-aggregates map-side; a viral template passage is
+    * just one hot group, never a pair join). The surviving boilerplate
+    * table is template-vocabulary-sized — passages repeated ≥minDocs
+    * times within one domain — a sliver vs the corpus, so it
+    * BROADCASTS back onto the chunk rows; the final per-doc
+    * reassembly reuses the id-keyed exchange from the repartition
+    * before the explode. */
+  def boilerplateRemove(df: DataFrame, textCol: String, idCol: String,
+                        domainCol: String, chunkTokens: Int = 2,
+                        minDocs: Int = 3): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val src = df.select(col(idCol), col(domainCol).as("__dom"),
+      normToks(col(textCol)).as("__t"))
+    val p = src
+      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .select(col(idCol), col("__dom"), chunkExpr(chunkTokens).as("__ps"))
+      .select(col(idCol), col("__dom"),
+        posexplode_outer(col("__ps")).as(Seq("pos", "passage")))
+    val boiler = p.where(col("passage").isNotNull)
+      .groupBy(col("__dom"), col("passage"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__dom"), col("passage"), lit(true).as("__boiler"))
+    p.join(broadcast(boiler), Seq("__dom", "passage"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("pos")).cast("int").as("n_passages"),
+        count(when(col("__boiler"), 1)).cast("int").as("n_boiler"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("passage").isNotNull && col("__boiler").isNull,
+              struct(col("pos"), col("passage"))))),
+          s => s.getField("passage"))).as("clean_text"))
   }
 
   /** Intra-corpus span overlap — the exact-substring dedup SIGNAL

@@ -384,4 +384,63 @@ object Multimodal {
         transform(sequence(lit(0), col("n_frames") - 1),
           i => col("payload").substr(i * stride + 1, lit(frameLen))))
         .as(Seq("frame_idx", "frame")))
+
+  /** Scene-cut detection over frame-sampled video payloads — the
+    * shot-boundary pass every video-curation pipeline runs before
+    * per-scene captioning/sampling. Non-overlapping `frameLen`-byte
+    * frames stand in for decoded video frames; per frame the decode
+    * seam emits an integer LUMA proxy (unsigned byte sum — a real
+    * decoder would emit the luma-plane sum), and the declarative tail
+    * does the actual detection: lag-diff per media stream, a cut
+    * where |diff| ≥ `cutThreshold`, and a running-sum `scene_id` so
+    * downstream ops can group frames by shot.
+    *
+    * Scale shape: the seam is one batched per-partition pass over the
+    * payload scan (no shuffle); the lag/diff/scene windows all share
+    * ONE exchange keyed by media_id. Frame counts per stream are
+    * bounded (len/frameLen), so no window buffers more than one
+    * stream's frames. Integer math end to end — the oracle re-derives
+    * every column exactly. */
+  def sceneCuts(media: DataFrame, frameLen: Int = 64,
+                cutThreshold: Long = 300L): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1: $frameLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("luma", LongType)))
+    val enc = Encoders.row(outSchema)
+    val frames = media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition: init a real video decoder once here
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) Array.empty[Byte]
+                  else r.getAs[Array[Byte]](1)
+          if (p.isEmpty) Iterator.empty
+          else {
+            val nFrames = math.max(1, (p.length - frameLen) / frameLen + 1)
+            (0 until nFrames).iterator.map { f =>
+              val start = f * frameLen
+              val end = math.min(start + frameLen, p.length)
+              var s = 0L
+              var i = start
+              while (i < end) { s += (p(i) & 0xFF); i += 1 }
+              Row(id, f, s)
+            }
+          }
+        }
+      }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("diff",
+        coalesce(col("luma") - lag(col("luma"), 1).over(w), lit(0L)))
+      .withColumn("is_cut",
+        (col("frame_idx") > 0 && abs(col("diff")) >= cutThreshold)
+          .cast("int"))
+      .withColumn("scene_id", sum(col("is_cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)).cast("int"))
+  }
 }

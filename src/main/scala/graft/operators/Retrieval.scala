@@ -104,6 +104,63 @@ object Retrieval {
         col("rrf_score"), col("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, Okapi weighting
+    * with the Lucene non-negative idf) for a BATCH of query docs:
+    * score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). The standard lexical
+    * ranker a RAG/serving stack runs beside the dense tier — real
+    * scores (unlike [[moreLikeThisBatch]]'s rank-only RRF), so
+    * downstream fusion can calibrate on them.
+    *
+    * Cross-engine determinism: every per-term contribution is a fixed
+    * arithmetic tree over exact integers (tf, df, dl, N, Σdl) with
+    * one `ln` — floor-rounded to MICRO-UNITS (1e-6) and summed as a
+    * BIGINT, so no float-sum ordering across engines can flip a
+    * score; ranks tie-break on doc id.
+    *
+    * Scale shape: one corpus token scan feeds tf, dl, and df; the
+    * query term table, df table, and corpus-stats scalars broadcast
+    * (query batch ≪ corpus; df ≤ vocabulary ~ √corpus by Heaps' law).
+    * The per-doc length table rides a broadcast here (|docs| rows at
+    * test scale) — at 100 TB it co-partitions with tf on the doc id
+    * instead, one shuffle both sides share. Per-query rank windows
+    * are partitioned by query_id: no single-task sort. */
+  def bm25Batch(docs: DataFrame, queryIds: DataFrame, textCol: String,
+                idCol: String, k: Int = 10, k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(normToks(col(textCol))).as("t"))
+    val tf = toks.groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("tok_total")))
+    val qt = tf.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col("t")).distinct()
+    val dlNorm = col("dl").cast("double") * col("n_docs") / col("tok_total")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * dlNorm))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    tf.join(broadcast(qt), Seq("t"))
+      .where(col(idCol) =!= col("query_id"))
+      .join(broadcast(dfreq), Seq("t"))
+      .join(broadcast(dl), Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("micro",
+        floor(contrib * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("micro")).as("score_micro"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        col("score_micro"), col("rank"))
+  }
+
   /** Top-k docs most similar to `queryId`, by RRF over a keyword
     * ranking and an embedding-cosine ranking (each truncated to
     * `pool` candidates; a doc missing from one modality's pool

@@ -317,6 +317,31 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet == out.toSet)
   }
 
+  test("boilerplateRemove: domain templates drop everywhere, " +
+      "cross-domain and sub-threshold copies survive") {
+    val docs = Seq(
+      // source A: "cookie banner" recurs in 3 docs (aligned 2-token
+      // chunks) → boilerplate at minDocs=3, dropped from ALL of them
+      (1L, "cookie banner alpha beta", "A"),
+      (2L, "cookie banner gamma delta", "A"),
+      (3L, "epsilon zeta cookie banner", "A"),
+      // source B: same passage but only ONE doc there → kept
+      (4L, "cookie banner other words", "B"),
+      // empty doc: zero passages, empty clean text
+      (5L, "", "A")).toDF("doc_id", "text", "source")
+    val out = Curation.boilerplateRemove(docs, "text", "doc_id", "source",
+      chunkTokens = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((2, 1, "alpha beta")))
+    assert(out(2L) == ((2, 1, "gamma delta")))
+    assert(out(3L) == ((2, 1, "epsilon zeta")))
+    assert(out(4L) == ((2, 0, "cookie banner other words")))
+    assert(out(5L) == ((0, 0, "")))
+    // vs passageDedup semantics: the first occurrence is dropped too
+    assert(out(1L)._3 == "alpha beta")
+  }
+
   test("clusterSizeStats reports the size histogram") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))

@@ -645,4 +645,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.length == 1 && s.head.getLong(2) == 10L &&
       s.head.getDouble(3) == 4.0 && s.head.getDouble(4) == 0.0)
   }
+
+  test("Multimodal.sceneCuts: luma, diffs, cut flags, scene ids by hand") {
+    import spark.implicits._
+    // 3 non-overlapping 4-byte frames: lumas 40, 44, 80 → diffs
+    // 0, +4 (below threshold 10), +36 (cut) → scenes 0, 0, 1
+    val payload = (Array.fill(4)(10.toByte) ++
+      Array(10, 10, 10, 14).map(_.toByte) ++ Array.fill(4)(20.toByte))
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.sceneCuts(media, frameLen = 4, cutThreshold = 10L)
+      .orderBy($"frame_idx").collect()
+    assert(out.map(_.getLong(2)).sameElements(Array(40L, 44L, 80L)))
+    assert(out.map(_.getLong(3)).sameElements(Array(0L, 4L, 36L)))
+    assert(out.map(_.getInt(4)).sameElements(Array(0, 0, 1)))
+    assert(out.map(_.getInt(5)).sameElements(Array(0, 0, 1)))
+    // frame 0 is never a cut, even at threshold 0
+    val zero = Multimodal.sceneCuts(media, frameLen = 4, cutThreshold = 0L)
+      .orderBy($"frame_idx").collect()
+    assert(zero.head.getInt(4) == 0 && zero(1).getInt(4) == 1)
+    // sub-frame payload: one partial frame; empty payload: no rows
+    val edge = Seq((2L, Array[Byte](1, 2, 3)), (3L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val e = Multimodal.sceneCuts(edge, frameLen = 4).collect()
+    assert(e.length == 1 && e.head.getLong(0) == 2L &&
+      e.head.getLong(2) == 6L && e.head.getInt(5) == 0)
+  }
 }

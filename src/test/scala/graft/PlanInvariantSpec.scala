@@ -35,7 +35,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_tfidf",            // one-row N (doc count) broadcast
     "q_top_terms",        // shares the tfidf shape
     "q_semdedup",         // scalar centroid-count broadcast
-    "q_dedup_embed")
+    "q_dedup_embed",
+    "q_bm25")             // one-row (N, Σdl) stats broadcast
 
   // one construction pass for the whole suite: eager queries run
   // their jobs exactly once, every test reads the cached plan text

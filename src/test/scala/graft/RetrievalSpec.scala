@@ -15,6 +15,42 @@ class RetrievalSpec extends AnyFunSuite {
   lazy val embeddings = Tables.load(spark, TestSpark.sfDir, "embeddings")
     .withColumnRenamed("vec_id", "doc_id")
 
+  test("bm25Batch: closed-form scores, idf rarity, tf saturation, " +
+      "length norm, query-doc exclusion") {
+    val docsP = Seq(
+      (1L, "rare common common"),         // the query doc
+      (2L, "rare common"),                // both terms, short
+      (3L, "common common common common"),// common only, long
+      (4L, "rare"),                       // rare only, shortest
+      (5L, "nothing shared here")).toDF("doc_id", "text")
+    val out = Retrieval.bm25Batch(docsP,
+      docsP.where($"doc_id" === 1L).select($"doc_id"),
+      "text", "doc_id", k = 10).collect()
+    // query doc excluded, zero-overlap doc absent
+    assert(!out.exists(_.getAs[Long]("doc_id") == 1L))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 5L))
+    assert(out.forall(_.getAs[Long]("query_id") == 1L))
+    // closed-form replica of the operator's arithmetic tree:
+    // N=5, Σdl=13, df(rare)=df(common)=3
+    def micro(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (5L - df + 0.5) / (df + 0.5))
+      val dlNorm = dl.toDouble * 5L / 13L
+      val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlNorm))
+      math.floor(c * 1000000.0 + 0.5).toLong
+    }
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("score_micro"), r.getAs[Int]("n_terms"))).toMap
+    assert(byDoc(2L) == ((micro(1, 3, 2) + micro(1, 3, 2), 2)))
+    assert(byDoc(3L) == ((micro(4, 3, 4), 1)))
+    assert(byDoc(4L) == ((micro(1, 3, 1), 1)))
+    // two-term short doc beats the long single-term doc (tf saturates,
+    // length norm penalizes); ranks are dense and tie-break by id
+    val ranks = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    assert(ranks(2L) == 1)
+    assert(ranks.values.toSeq.sorted == Seq(1, 2, 3))
+  }
+
   test("moreLikeThis: a planted twin of the query doc ranks first") {
     // doc 2 shares the query's full (distinctive) vocabulary AND its
     // exact embedding: first in both modalities, hence first fused
