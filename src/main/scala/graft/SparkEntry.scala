@@ -634,6 +634,14 @@ object SparkEntry {
         Speed.windowedAgg(Speed.eventStream(s, d)),
         name = "stream_window_agg", mode = OutputMode.Complete())),
 
+    "q_stream_topk" -> ((s, d) =>
+      // lambda serving view: trending top-3 event types per day over
+      // the speed-layer windowed rollup (rank on the completed agg)
+      Speed.topKPerWindow(
+        Speed.runToBatch(s,
+          Speed.windowedAgg(Speed.eventStream(s, d)),
+          name = "stream_topk", mode = OutputMode.Complete()), k = 3)),
+
     "q_stream_dedup" -> ((s, d) =>
       Speed.runToBatch(s,
         Speed.streamingDedup(Speed.eventStream(s, d),
@@ -1904,6 +1912,17 @@ object SparkEntry {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_topk" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+        |    event_type, count(*) AS n,
+        |    floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, total_value,
+        |  CAST(row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, event_type ASC) AS INT) AS rank
+        |FROM agg QUALIFY rank <= 3""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,

@@ -276,6 +276,22 @@ object Speed extends Serializable {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Lambda serving view over the speed-layer rollup: top-`k` event
+    * types per tumbling window by count (ties alphabetical) — the
+    * reference's Superset "trending top-N" dashboards over the speed
+    * layer. Rank runs on the COMPLETED windowed aggregate (an open
+    * streaming window can't be ranked); the input is windows ×
+    * event-types — already aggregate-sized, orders of magnitude
+    * below the event stream — and the rank window partitions by
+    * window_start, so no single-task sort at any scale. */
+  def topKPerWindow(agg: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    agg.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Streaming exact dedup on a key set within the watermark horizon. */
   def streamingDedup(events: DataFrame, keys: Seq[String],
                      watermark: String = "1 hour"): DataFrame =

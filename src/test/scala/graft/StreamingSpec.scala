@@ -23,6 +23,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming top-k serving view ranks the windowed rollup") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.windowedAgg(Speed.eventStream(spark, TestSpark.sfDir)),
+      "t_topk_agg", OutputMode.Complete())
+    val out = Speed.topKPerWindow(streamed, k = 3)
+    // <= 3 rows per window, ranks dense from 1, ordered by (n desc,
+    // event_type asc) within each window
+    val perWin = out.groupBy($"window_start")
+      .agg(count(lit(1)).as("c"), collect_list($"rank").as("rs"))
+      .collect()
+    assert(perWin.nonEmpty)
+    perWin.foreach { r =>
+      val c = r.getAs[Long]("c")
+      assert(c <= 3 &&
+        r.getAs[scala.collection.Seq[Int]]("rs").sorted == (1 to c.toInt))
+    }
+    // rank 1 really is each window's max count (compared against the
+    // rollup collected directly — a self-join of the memory sink view
+    // would alias the same attribute ids)
+    val maxN = streamed.collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).max).toMap
+    out.where($"rank" === 1).collect().foreach { r =>
+      assert(r.getAs[Long]("n") ==
+        maxN(r.getAs[java.sql.Timestamp]("window_start")))
+    }
+  }
+
   test("streaming dedup emits each key once") {
     val streamed = Speed.runToBatch(spark,
       Speed.streamingDedup(Speed.eventStream(spark, TestSpark.sfDir),
