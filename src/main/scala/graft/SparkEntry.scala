@@ -738,6 +738,12 @@ object SparkEntry {
       Curation.passageDedup(T(s, d, "documents"), "text", "doc_id",
         chunkTokens = 10, skewRobust = true)),
 
+    "q_chunk_overlap" -> ((s, d) =>
+      // RAG chunker: 32-token windows every 24 tokens (25% overlap),
+      // full tail coverage — the indexing-prep fan-out
+      Curation.chunkForRag(T(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 32, stride = 24)),
+
     "q_boilerplate" -> ((s, d) =>
       // CCNet/RefinedWeb-style boilerplate removal: a 2-token passage
       // recurring in >= 3 distinct docs of the same source is template
@@ -2113,6 +2119,22 @@ object SparkEntry {
         |  CAST(coalesce(reb.nk, 0) AS INT) AS n_kept,
         |  coalesce(reb.dedup_text, '') AS dedup_text
         |FROM np LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // overlapping windows re-derived from the same start-position
+    // arithmetic: ceil((n-32)/24)+1 starts, slice may run short at
+    // the tail
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(t[i * 24 + 1 : i * 24 + 32]) AS INT) AS n_tokens,
+        |  array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+        |FROM toks, UNNEST(generate_series(0,
+        |  CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT))) AS u(i)
+        |WHERE len(t) > 0""".stripMargin,
 
     // domain-templated passages (>= 3 distinct docs of one source)
     // dropped from EVERY doc; re-derived with the same 2-token chunking

@@ -149,6 +149,43 @@ object Curation {
           s => s.getField("passage"))).as("dedup_text"))
   }
 
+  /** RAG/embedding-prep chunking: fixed `chunkTokens`-token windows
+    * every `stride` tokens (stride < chunkTokens ⇒ overlap, the
+    * standard retrieval-chunk shape so no sentence straddles a hard
+    * boundary unseen). Start positions 0, stride, 2·stride, …; the
+    * final window may be partial but every token is covered (unlike
+    * frame sampling, which drops the tail — lost corpus content is
+    * not acceptable in an indexing path). Returns
+    * (idCol, chunk_idx, n_tokens, chunk_text); empty docs yield no
+    * rows.
+    *
+    * Scale shape: one scan → tokenize → per-doc window fan-out via
+    * posexplode (rows grow by ~chunkTokens/stride, a constant); the
+    * id repartition before the explode spreads chunking work and is
+    * the ONLY exchange. */
+  def chunkForRag(df: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"bad chunk/stride $chunkTokens/$stride")
+    val src = df.select(col(idCol), normToks(col(textCol)).as("__t"))
+    val nStarts = when(size(col("__t")) === 0, lit(0)).otherwise(
+      ceil(greatest(size(col("__t")) - chunkTokens, lit(0))
+        .cast("double") / stride).cast("int") + 1)
+    src
+      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .select(col(idCol), col("__t"),
+        // sequence(0, -1) DESCENDS in Spark — empty docs must short-
+        // circuit to an empty array, not fan out two bogus windows
+        posexplode(when(nStarts === 0,
+          array().cast("array<array<string>>")).otherwise(
+          transform(sequence(lit(0), nStarts - 1), i =>
+            slice(col("__t"), i * stride + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("__c")).cast("int").as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** Boilerplate removal (CCNet/RefinedWeb-style, chunk-generalized):
     * a passage that recurs across ≥ `minDocs` DISTINCT documents of
     * the same `domainCol` group is boilerplate (nav bars, footers,

@@ -317,6 +317,25 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet == out.toSet)
   }
 
+  test("chunkForRag: overlap, full tail coverage, partial last chunk, " +
+      "empty and short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k"), // 11 toks, chunk 4 stride 3
+      (2L, "x y"),                   // shorter than one chunk
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkForRag(docs, "text", "doc_id",
+      chunkTokens = 4, stride = 3).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getInt(2), r.getString(3))).toSeq).toMap
+    // ceil((11-4)/3)+1 = 4 starts; last window partial (2 toks);
+    // every token appears in some chunk
+    assert(out(1L) == Seq((4, "a b c d"), (4, "d e f g"),
+      (4, "g h i j"), (2, "j k")))
+    assert(out(2L) == Seq((2, "x y")))
+    assert(!out.contains(3L))
+  }
+
   test("boilerplateRemove: domain templates drop everywhere, " +
       "cross-domain and sub-threshold copies survive") {
     val docs = Seq(
