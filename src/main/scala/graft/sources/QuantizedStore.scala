@@ -37,6 +37,25 @@ object QuantizedStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
   }
 
+  /** Append a corpus DELTA under the store's FROZEN bounds — the
+    * daily-ingest path at 100 TB: new vectors are coded against the
+    * existing sidecar (re-deriving bounds from old∪new would silently
+    * re-scale the meaning of every EXISTING code on disk). A new
+    * value outside the frozen range CLAMPS to the boundary code (the
+    * encode kernel saturates by design); sustained drift is a
+    * monitored rewrite decision, never a hidden re-scale. Ids are not
+    * deduplicated here — upstream exact dedup owns identity. */
+  def append(delta: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = delta.sparkSession
+    val b = spark.read.parquet(s"$path/bounds").head()
+    val lo = b.getSeq[Double](b.fieldIndex("lo"))
+    val hi = b.getSeq[Double](b.fieldIndex("hi"))
+    delta.select(col(idCol),
+        VecFns.sqEncode(col(vecCol), lo, hi).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** The reconstructed corpus: (idCol, vecCol array<double>) — a pure
     * native-decode projection over the byte-code scan. */
   def read(spark: SparkSession, path: String, idCol: String,

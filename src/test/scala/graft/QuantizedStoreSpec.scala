@@ -60,6 +60,37 @@ class QuantizedStoreSpec extends AnyFunSuite {
       inFlight.exceptAll(fromStore).isEmpty)
   }
 
+  test("append codes a delta under the FROZEN bounds; existing codes " +
+      "and the bounds sidecar are untouched") {
+    val path = tmpDir("graft_qstore_append")
+    val base = embeddings.where($"vec_id" < 1000)
+    val delta = embeddings.where($"vec_id" >= 1000 && $"vec_id" < 1100)
+    QuantizedStore.write(base, "vec_id", "embedding", dim = 64, path)
+    val boundsBefore = spark.read.parquet(s"$path/bounds").collect()
+    val baseCodesBefore = spark.read.parquet(s"$path/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+
+    QuantizedStore.append(delta, "vec_id", "embedding", path)
+
+    // bounds sidecar byte-identical; every pre-existing code unchanged
+    assert(spark.read.parquet(s"$path/bounds").collect()
+      .sameElements(boundsBefore))
+    val after = spark.read.parquet(s"$path/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(after.size == baseCodesBefore.size + delta.count())
+    baseCodesBefore.foreach { case (id, c) => assert(after(id) == c) }
+    // delta codes equal direct encoding under the BASE corpus bounds
+    // (not bounds of base ∪ delta — that would re-scale history)
+    val (lo, hi) = Similarity.dimBounds(base, "embedding", 64)
+    val expected = delta.select($"vec_id",
+        VecFns.sqEncode($"embedding", lo.toSeq, hi.toSeq).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    expected.foreach { case (id, c) => assert(after(id) == c) }
+    // the read path decodes the union seamlessly
+    assert(QuantizedStore.read(spark, path, "vec_id", "embedding")
+      .count() == after.size)
+  }
+
   test("the code table is materially smaller than float parquet") {
     val path = tmpDir("graft_qstore_sz")
     QuantizedStore.write(embeddings, "vec_id", "embedding", dim = 64, path)
