@@ -395,6 +395,15 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(T(s, d, "documents"), "text", "doc_id")),
 
+    "q_lm_perplexity" -> ((s, d) => {
+      // CCNet-style held-out quality filter: Laplace bigram LM trained
+      // on the even-id reference half, every doc scored by avg
+      // conditional NLL (micro-units, integer-exact)
+      val docs = T(s, d, "documents")
+      TextAnalysis.perplexityScore(docs,
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+    }),
+
     "q_winnow_fingerprint" -> ((s, d) =>
       // rolling-hash winnowing sketch, summarized per document
       TextAnalysis.winnowingFingerprints(T(s, d, "documents"), "text",
@@ -823,6 +832,40 @@ object SparkEntry {
       // the before/after profile every curation stage reports
       TextAnalysis.corpusStats(T(s, d, "documents"), "text", "doc_id")),
 
+    "q_profile" -> ((s, d) =>
+      // per-COLUMN data-quality profile (nulls/cardinality/range/mean)
+      // in one aggregate scan; complements q_corpus_stats' corpus-level
+      // text profile
+      operators.Profiling.profile(T(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
+    "q_heavy_hitters" -> ((s, d) => {
+      // hot-key detection with CONSTANT executor state: count-min
+      // sketch over the corpus token stream; the exact top-20 rides
+      // as the gate's verification twin, the ok-flag asserts every
+      // estimate obeys the CMS one-sided bound
+      val toks = T(s, d, "documents").select(
+        explode(TextFns.tokens(TextFns.normalizeText(col("text"))))
+          .as("tok"))
+      operators.Sketches.heavyHitters(s, toks, "tok", k = 20)
+    }),
+
+    "q_fuzzy_join" -> ((s, d) => {
+      // entity resolution: a deterministically-dirtied part name (one
+      // char deleted at position p_partkey % (len-2) + 2) resolved
+      // back to the clean dimension by blocked levenshtein
+      val dirty = T(s, d, "part").select(col("p_partkey"), expr(
+        """concat(
+          |  substring(p_name, 1,
+          |    cast(p_partkey % (length(p_name) - 2) + 1 as int)),
+          |  substring(p_name,
+          |    cast(p_partkey % (length(p_name) - 2) + 3 as int)))"""
+          .stripMargin).as("dirty_name"))
+      operators.Linkage.fuzzyResolve(dirty, "p_partkey", "dirty_name",
+        T(s, d, "part"), "p_name", maxDist = 2)
+    }),
+
     "q_top_terms" -> ((s, d) =>
       // vocabulary head: top-20 tokens by corpus frequency
       TextAnalysis.topTerms(T(s, d, "documents"), "text", "doc_id",
@@ -868,6 +911,37 @@ object SparkEntry {
       LakeWriter.deleteFromSnapshot(s, table,
         col("lang") === "en" && col("n_chars") < 200)
       LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_clone" -> ((s, d) => {
+      // SHALLOW CLONE: a zero-copy table fork. The source commits two
+      // versions, the clone forks at latest (metadata-only — no data
+      // bytes move, stats/checks/colmap carry verbatim), then the two
+      // diverge: an append lands only on the clone, a DELETE only on
+      // the source. Output = both tables' final per-lang profiles.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_clone_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val src = s"$tmp/src"
+      val cln = s"$tmp/clone"
+      import graft.sources.LakeWriter
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      LakeWriter.commitSnapshot(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), src)
+      LakeWriter.commitSnapshot(
+        docs.where(pmod(col("doc_id"), lit(4)) === 1), src,
+        mode = "append")
+      LakeWriter.cloneSnapshot(s, src, cln)
+      LakeWriter.commitSnapshot(
+        docs.where(pmod(col("doc_id"), lit(4)) === 3), cln,
+        mode = "append")
+      LakeWriter.deleteFromSnapshot(s, src, col("lang") === "de")
+      LakeWriter.readSnapshot(s, src).withColumn("tbl", lit("source"))
+        .unionByName(
+          LakeWriter.readSnapshot(s, cln).withColumn("tbl", lit("clone")))
+        .groupBy(col("tbl"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
     "q_snapshot_cdc" -> ((s, d) => {
@@ -2042,6 +2116,35 @@ object SparkEntry {
         |FROM bg JOIN cbg USING (bigram)
         |GROUP BY doc_id""".stripMargin,
 
+    // held-out Laplace bigram LM re-derived term by term: counts over
+    // the even-id reference half, V = ref vocab + 1, per-bigram NLL
+    // floored to micro-units and integer-summed
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS a, t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2),
+        |ref AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |cbg AS (SELECT bigram, count(*) AS c_bg FROM ref GROUP BY 1),
+        |cctx AS (SELECT a, count(*) AS c_ctx FROM ref GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) + 1 AS v FROM (
+        |  SELECT unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0
+        |    AND len(t) >= 2)),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(-ln((coalesce(cbg.c_bg, 0) + 1)
+        |        / (coalesce(cctx.c_ctx, 0) + CAST(v.v AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM bg LEFT JOIN cbg USING (bigram)
+        |  LEFT JOIN cctx USING (a) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(micro) AS BIGINT) AS nll_micro,
+        |  CAST(sum(micro) AS BIGINT) // count(*) AS avg_nll_micro
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
     // benchmark decontamination: distinct shared 5-grams per doc vs
     // the benchmark subset (doc_id % 50 = 0); <5-token docs have no
     // grams (strict n-grams)
@@ -2589,6 +2692,22 @@ object SparkEntry {
         |  END AS zcr
         |FROM chl GROUP BY media_id, frame_idx""".stripMargin,
 
+    // shallow clone: source = v1∪v2 minus the deleted 'de' docs;
+    // clone = the fork (v1∪v2) plus its own post-fork append
+    "q_snapshot_clone" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |src AS (SELECT * FROM base
+        |        WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1)
+        |          AND lang <> 'de'),
+        |cln AS (SELECT * FROM base
+        |        WHERE doc_id % 2 = 0 OR doc_id % 4 = 1 OR doc_id % 4 = 3)
+        |SELECT 'source' AS tbl, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM src GROUP BY lang
+        |UNION ALL
+        |SELECT 'clone', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM cln GROUP BY lang""".stripMargin,
+
     "q_snapshot_delete" ->
       // DELETE WHERE semantics: a row survives when the predicate is
       // FALSE or NULL — hence the coalesce, not plain NOT
@@ -2722,6 +2841,94 @@ object SparkEntry {
         |  CAST(sum(n_tokens_added) OVER (ORDER BY version) AS BIGINT)
         |    AS n_tokens
         |FROM per""".stripMargin,
+
+    // heavy hitters: exact top-20 tokens (count desc, token asc); the
+    // sketch's accuracy contract collapses to a constant ok-flag
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS item
+        |  FROM documents)
+        |SELECT item, count(*) AS exact_cnt, 1 AS within_bound
+        |FROM toks GROUP BY item
+        |ORDER BY exact_cnt DESC, item LIMIT 20""".stripMargin,
+
+    // blocked levenshtein resolution re-derived pair by pair; the
+    // dirty name deletes one char at position p_partkey % (len-2) + 2
+    "q_fuzzy_join" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey,
+        |    substr(p_name, 1,
+        |      CAST(p_partkey % (length(p_name) - 2) + 1 AS INT)) ||
+        |    substr(p_name,
+        |      CAST(p_partkey % (length(p_name) - 2) + 3 AS INT))
+        |      AS dirty_name
+        |  FROM part),
+        |dim AS (SELECT DISTINCT p_name AS matched_name FROM part),
+        |cand AS (
+        |  SELECT d.p_partkey, d.dirty_name, m.matched_name,
+        |    CAST(levenshtein(d.dirty_name, m.matched_name) AS INT) AS dist
+        |  FROM dirty d JOIN dim m
+        |    ON substr(d.dirty_name, 1, 1) = substr(m.matched_name, 1, 1)
+        |   AND abs(length(d.dirty_name) - length(m.matched_name)) <= 2
+        |  WHERE levenshtein(d.dirty_name, m.matched_name) <= 2),
+        |g AS (
+        |  SELECT p_partkey, dirty_name, matched_name, dist,
+        |    CAST(count(*) OVER (PARTITION BY p_partkey) AS INT)
+        |      AS n_candidates,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY dist, matched_name) AS rk
+        |  FROM cand)
+        |SELECT p_partkey, dirty_name, matched_name, dist, n_candidates
+        |FROM g WHERE rk = 1""".stripMargin,
+
+    // per-column profile re-derived column by column; numeric stats
+    // use the same floor-based rounding as the engine
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  floor(CAST(min(o_orderkey) AS DOUBLE) * 10000 + 0.5) / 10000 AS min_num,
+        |  floor(CAST(max(o_orderkey) AS DOUBLE) * 10000 + 0.5) / 10000 AS max_num,
+        |  floor(avg(o_orderkey) * 10000 + 0.5) / 10000 AS avg_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_custkey),
+        |  floor(CAST(min(o_custkey) AS DOUBLE) * 10000 + 0.5) / 10000,
+        |  floor(CAST(max(o_custkey) AS DOUBLE) * 10000 + 0.5) / 10000,
+        |  floor(avg(o_custkey) * 10000 + 0.5) / 10000,
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  NULL, NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  floor(CAST(min(o_totalprice) AS DOUBLE) * 10000 + 0.5) / 10000,
+        |  floor(CAST(max(o_totalprice) AS DOUBLE) * 10000 + 0.5) / 10000,
+        |  floor(avg(o_totalprice) * 10000 + 0.5) / 10000,
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderdate),
+        |  NULL, NULL, NULL,
+        |  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+        |  CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  NULL, NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH m AS (

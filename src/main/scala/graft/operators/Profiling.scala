@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CleanFns
+
+/** Column-level data profiling — the "describe my table" report every
+  * data-quality gate runs before accepting a load (null counts,
+  * cardinalities, ranges, numeric means). The reference stack gets
+  * this from warehouse tooling over its star schema
+  * (lambda-lakehouse's Superset/Trino layer); here it is one operator.
+  *
+  * Shape at 100 TB: ONE aggregate over the input producing a single
+  * row of per-column statistics (the exact distinct counts make
+  * Catalyst plan an Expand — one scan, k× row expansion with map-side
+  * partial aggregation per distinct column, the standard
+  * multiple-DISTINCT plan), then a driver-tiny unpivot via `stack`
+  * into one output row per column. No window, no join, no second
+  * scan; the output is k rows regardless of input size.
+  */
+object Profiling {
+
+  /** Per-column profile of `df`: (column_name, n_rows, n_nulls,
+    * n_distinct, min_num, max_num, avg_num, min_str, max_str).
+    * Numeric columns report rounded numeric min/max/avg; string
+    * columns report lexicographic min/max; date/timestamp columns
+    * report their day-grain ISO string range (day grain keeps the
+    * rendering engine-portable). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val base = Seq(
+        count(lit(1)).as(s"__${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nulls"),
+        countDistinct(col(c)).as(s"__${c}__nd"))
+      val typed = fields(c) match {
+        case _: NumericType => Seq(
+          CleanFns.roundRepro(min(col(c)).cast("double"), 4).as(s"__${c}__minn"),
+          CleanFns.roundRepro(max(col(c)).cast("double"), 4).as(s"__${c}__maxn"),
+          CleanFns.roundRepro(avg(col(c)), 4).as(s"__${c}__avg"),
+          lit(null).cast("string").as(s"__${c}__mins"),
+          lit(null).cast("string").as(s"__${c}__maxs"))
+        case _: StringType => Seq(
+          lit(null).cast("double").as(s"__${c}__minn"),
+          lit(null).cast("double").as(s"__${c}__maxn"),
+          lit(null).cast("double").as(s"__${c}__avg"),
+          min(col(c)).as(s"__${c}__mins"),
+          max(col(c)).as(s"__${c}__maxs"))
+        case _: TimestampType | _: DateType | _: TimestampNTZType => Seq(
+          lit(null).cast("double").as(s"__${c}__minn"),
+          lit(null).cast("double").as(s"__${c}__maxn"),
+          lit(null).cast("double").as(s"__${c}__avg"),
+          min(col(c).cast("date")).cast("string").as(s"__${c}__mins"),
+          max(col(c).cast("date")).cast("string").as(s"__${c}__maxs"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"profile: unsupported column type for $c: $other")
+      }
+      base ++ typed
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single stats row into one row per column; the input
+    // to stack is one row, so this is driver-scale regardless of |df|
+    val stackArgs = cols.flatMap { c =>
+      Seq(lit(c), col(s"__${c}__n"), col(s"__${c}__nulls"),
+        col(s"__${c}__nd"), col(s"__${c}__minn"), col(s"__${c}__maxn"),
+        col(s"__${c}__avg"), col(s"__${c}__mins"), col(s"__${c}__maxs"))
+    }
+    one.select(stack(lit(cols.size) +: stackArgs: _*)
+      .as(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "avg_num", "min_str", "max_str")))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Frequency sketching — the bounded-state answer to "what are the
+  * hot keys" at 100 TB, where an exact per-key count table may itself
+  * be too large to keep. Rides Spark's native `count_min_sketch`
+  * aggregate (a codegen'd TypedImperativeAggregate with map-side
+  * partial merge; sketch width/depth are fixed by (eps, confidence),
+  * so executor state is CONSTANT regardless of key cardinality).
+  */
+object Sketches {
+
+  /** Heavy hitters with a count-min-sketch accuracy contract. The
+    * exact top-`k` (count desc, item asc) rides the same scan as the
+    * verification twin — the driver gate hash-checks that every
+    * sketch estimate obeys CMS's published one-sided bound
+    * (exact ≤ est ≤ exact + 2·eps·N + 5). At 100 TB only the sketch
+    * runs; it is the point of the operator — the exact twin is a
+    * vocabulary-sized aggregate kept for the gate, while the sketch
+    * is a few KB of executor state that answers point queries for
+    * ANY item, not just the retained top-k.
+    *
+    * The only driver-side materializations are the serialized sketch
+    * (width·depth counters, a few KB by construction) and the k
+    * output rows — both bounded by parameters, never by |df|. */
+  def heavyHitters(spark: SparkSession, df: DataFrame, itemCol: String,
+                   k: Int, eps: Double = 0.0005,
+                   confidence: Double = 0.9999): DataFrame = {
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val skRow = items.agg(
+      expr(s"count_min_sketch(item, ${eps}d, ${confidence}d, 42)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val sketch = CountMinSketch.readFrom(
+      new ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val n = skRow.getAs[Long]("n")
+    val slack = (2.0 * eps * n).toLong + 5L
+    val top = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item").asc)
+      .limit(k)
+      .collect() // k rows by construction
+    val out = top.map { r =>
+      val item = r.getString(0)
+      val exact = r.getLong(1)
+      val est = sketch.estimateCount(item)
+      (item, exact,
+        if (est >= exact && est <= exact + slack) 1 else 0)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("item", "exact_cnt", "within_bound")
+  }
+}

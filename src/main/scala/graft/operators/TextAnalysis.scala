@@ -152,6 +152,63 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Held-out conditional bigram LM scoring — the CCNet-style quality
+    * filter: train add-one-smoothed bigram probabilities on a
+    * REFERENCE corpus, score every document by its average conditional
+    * negative log-likelihood (low = reference-like, high = perplexing
+    * garbage). Complements [[lmScore]], which is the self-trained
+    * MARGINAL variant — here the model is conditional p(b|a) and the
+    * training set is a separate reference, so the score means "does
+    * this look like the reference distribution", the question a
+    * pretraining quality gate actually asks.
+    *
+    * Laplace smoothing: p(b|a) = (c(a,b)+1)/(c(a)+V) with c over the
+    * reference, c(a) the count of `a` in bigram-context (non-final)
+    * position, and V = |reference vocabulary|+1; any unseen context
+    * scores 1/V. Per-bigram NLL contributions floor to micro-units
+    * and integer-sum, so the score is order-independent and
+    * re-derivable exactly by an ANSI oracle.
+    *
+    * Scale shape: the corpus text is scanned once into bigram rows;
+    * the bigram-count model shuffle-joins on the bigram key (the
+    * dispersed key — "the cat", not "the"), while the two
+    * vocabulary-sized tables (context counts, V) BROADCAST, so the
+    * hot-context skew ("the" as first token) never shuffles; counts
+    * partial-aggregate map-side. Documents with < 2 tokens carry no
+    * bigram evidence and are excluded.
+    * Returns (idCol, n_bigrams, nll_micro, avg_nll_micro). */
+  def perplexityScore(corpus: DataFrame, reference: DataFrame,
+                      textCol: String, idCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .select(col(idCol),
+        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+      .where(size(col("__t")) >= 2)
+    val refToks = bigrams(reference)
+    val refBg = refToks.select(
+      explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
+    val cBg = refBg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val cCtx = refToks
+      .select(explode(
+        slice(col("__t"), lit(1), size(col("__t")) - 1)).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("c_ctx"))
+    val stats = refToks.select(explode(col("__t")).as("tok"))
+      .agg((countDistinct(col("tok")) + 1).cast("double").as("v"))
+    val docBg = bigrams(corpus).select(col(idCol),
+        explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
+      .withColumn("a", substring_index(col("bigram"), " ", 1))
+    val p = (coalesce(col("c_bg"), lit(0L)) + lit(1)).cast("double") /
+      (coalesce(col("c_ctx"), lit(0L)).cast("double") + col("v"))
+    docBg
+      .join(cBg, Seq("bigram"), "left")
+      .join(broadcast(cCtx), Seq("a"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("nll_micro"))
+      .withColumn("avg_nll_micro", expr("nll_micro div n_bigrams"))
+  }
+
   /** Corpus vocabulary head: the `k` most frequent tokens with total
     * occurrences and document frequency, ties broken alphabetically.
     *

@@ -1294,6 +1294,16 @@ object LakeWriter {
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
       s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField"files":[""",
       ",", "]}")
+    commitManifestBody(spark, fs, table, version, body)
+  }
+
+  /** Tmp-write + locked no-overwrite rename of a fully-assembled
+    * manifest body — the single commit point every manifest-writing
+    * path (normal commits and [[cloneSnapshot]]) shares. */
+  private def commitManifestBody(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 table: String, version: Long,
+                                 body: String): Unit = {
     val mdir = manifestDir(table)
     fs.mkdirs(mdir)
     // the tmp name carries its own attempt id: two writers racing to
@@ -1342,8 +1352,8 @@ object LakeWriter {
                             version: Long): Seq[String] =
     parseManifest(spark, table, version)._3
 
-  private def parseManifest(spark: SparkSession, table: String,
-      version: Long): (Seq[String], String, Seq[String]) = {
+  private def manifestBody(spark: SparkSession, table: String,
+                           version: Long): String = {
     val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
     val fs = fsOf(spark, p)
     require(fs.exists(p), s"no snapshot v$version at $table")
@@ -1351,6 +1361,53 @@ object LakeWriter {
     val body = new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     in.close()
+    body
+  }
+
+  /** SHALLOW CLONE (Delta parity): materialize `target` as a new
+    * snapshot table whose first version references the SOURCE
+    * table's data files at `version` (default: latest) BY REFERENCE —
+    * a metadata-only commit that copies zero data bytes and reads
+    * zero footers (schema, partition columns, column mapping, CHECK
+    * constraints, and per-file skipping stats all carry verbatim
+    * from the source manifest). From then on the two tables evolve
+    * independently: appends/MERGE/DELETE/OPTIMIZE on the clone write
+    * new files under the clone's own directory (manifests store
+    * absolute paths, so mixed-directory file sets read natively),
+    * and copy-on-write rewrites never touch the source's files.
+    * Delta's shallow-clone caveat applies here too: vacuuming the
+    * SOURCE can remove files the clone still references — retention
+    * policy must span clones, which is the deployment's
+    * responsibility, as documented in docs/snapshot_format.md.
+    * Refuses if `target` already has any committed version. Returns
+    * the clone's first version number. */
+  def cloneSnapshot(spark: SparkSession, source: String, target: String,
+                    version: Option[Long] = None): Long = {
+    val versions = snapshotVersions(spark, source)
+    require(versions.nonEmpty, s"no snapshot history at $source")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v), s"no snapshot v$v at $source")
+    require(snapshotVersions(spark, target).isEmpty,
+      s"clone target $target already has snapshot history")
+    val body = manifestBody(spark, source, v)
+    // the manifest is machine-written with the exact head
+    // {"version":N,"mode":"...","ts":T, — rewrite only that head and
+    // carry every other field (schema/partcols/checks/colmap/stats/
+    // files) byte-verbatim
+    val schemaAt = body.indexOf("\"schema\":\"")
+    require(schemaAt >= 0, s"malformed manifest v$v at $source")
+    val cloneV = 1L
+    val newBody =
+      s"""{"version":$cloneV,"mode":"clone","ts":${System.currentTimeMillis()},""" +
+        body.substring(schemaAt)
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(target))
+    commitManifestBody(spark, fs, target, cloneV, newBody)
+    cloneV
+  }
+
+  private def parseManifest(spark: SparkSession, table: String,
+      version: Long): (Seq[String], String, Seq[String]) = {
+    val body = manifestBody(spark, table, version)
     // manifest JSON is machine-written with the exact shape above and
     // every string URL-encoded — positional parsing is unambiguous
     val schema = dec(body.split("\"schema\":\"")(1).split("\"")(0))

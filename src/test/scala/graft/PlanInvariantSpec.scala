@@ -36,7 +36,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_top_terms",        // shares the tfidf shape
     "q_semdedup",         // scalar centroid-count broadcast
     "q_dedup_embed",
-    "q_bm25")             // one-row (N, Σdl) stats broadcast
+    "q_bm25",             // one-row (N, Σdl) stats broadcast
+    "q_lm_perplexity")    // one-row vocab size broadcast
 
   // one construction pass for the whole suite: eager queries run
   // their jobs exactly once, every test reads the cached plan text

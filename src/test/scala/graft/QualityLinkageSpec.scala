@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Linkage, Profiling, Sketches, TextAnalysis}
+
+/** The r10-continuation operator tranche: column profiling, blocked
+  * fuzzy resolution, count-min heavy hitters, and the held-out bigram
+  * perplexity filter. */
+class QualityLinkageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profile reports nulls, cardinality, ranges, and means per column") {
+    val df = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(20.0)),
+      (3L, None: Option[String], Some(30.0)),
+      (4L, Some("b"), None: Option[Double])
+    ).toDF("id", "s", "x")
+    val out = Profiling.profile(df, Seq("id", "s", "x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 0L && id.getLong(3) == 4L)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 4.0 &&
+      id.getDouble(6) == 2.5)
+    val s = out("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.getString(7) == "a" && s.getString(8) == "b")
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
+    val x = out("x")
+    assert(x.getLong(2) == 1L && x.getLong(3) == 3L)
+    assert(x.getDouble(4) == 10.0 && x.getDouble(5) == 30.0 &&
+      x.getDouble(6) == 20.0)
+  }
+
+  test("profile handles timestamp columns at day grain") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-05 23:59:59"))
+    ).toDF("id", "ts")
+    val out = Profiling.profile(df, Seq("ts")).collect().head
+    assert(out.getString(7) == "2024-03-01" &&
+      out.getString(8) == "2024-03-05")
+  }
+
+  test("fuzzyResolve matches within the block, min distance, ties lexicographic") {
+    val dirty = Seq(
+      (1L, "blue bol"),    // deletion of 't' from "blue bolt"
+      (2L, "red widgt"),   // deletion of 'e' from "red widget"
+      (3L, "zzz nothing")  // no candidate within distance 2
+    ).toDF("id", "name")
+    val dim = Seq("blue bolt", "blue bell", "red widget", "red gadget")
+      .toDF("p_name")
+    val out = Linkage.fuzzyResolve(dirty, "id", "name", dim, "p_name",
+        maxDist = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    // "blue bol": dist 1 to "blue bolt", dist 2 to "blue bell" — both
+    // candidates, bolt wins on distance
+    assert(out(1L) == (("blue bolt", 1, 2)))
+    assert(out(2L) == (("red widget", 1, 1)))
+    assert(!out.contains(3L))
+  }
+
+  test("fuzzyResolve tie on distance goes to the lexicographically smaller name") {
+    val dirty = Seq((1L, "bat")).toDF("id", "name")
+    val dim = Seq("bad", "bag").toDF("p_name") // both distance 1
+    val out = Linkage.fuzzyResolve(dirty, "id", "name", dim, "p_name",
+      maxDist = 2).collect().head
+    assert(out.getString(2) == "bad" && out.getInt(4) == 2)
+  }
+
+  test("heavyHitters: exact top-k ordering and sketch bound flags") {
+    val items = (Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(20)("gamma") ++ Seq.fill(5)("delta") ++ Seq("eps"))
+      .toDF("item")
+    val out = Sketches.heavyHitters(spark, items, "item", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("alpha", 50L, 1), ("beta", 30L, 1),
+      ("gamma", 20L, 1)))
+  }
+
+  test("heavyHitters tie at the k-boundary resolves alphabetically") {
+    val items = (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(3)("c") ++
+      Seq("z")).toDF("item")
+    val out = Sketches.heavyHitters(spark, items, "item", k = 2)
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a", "b"))
+  }
+
+  test("perplexityScore: hand-computed Laplace bigram NLL on a tiny corpus") {
+    // reference: one doc "a b a b" → bigrams ab, ba, ab; contexts:
+    // a→2, b→1; vocab {a,b} → V = 3
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "a b a b"),
+      (1L, "a b"),   // p(b|a) = (2+1)/(2+3) = 0.6
+      (2L, "b c"),   // unseen bigram, seen ctx b: (0+1)/(1+3) = 0.25
+      (3L, "x y"),   // unseen ctx: 1/V = 1/3
+      (4L, "solo")   // < 2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScore(corpus, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def micro(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((1L, micro(0.6), micro(0.6))))
+    assert(out(2L) == ((1L, micro(0.25), micro(0.25))))
+    assert(out(3L) == ((1L, micro(1.0 / 3.0), micro(1.0 / 3.0))))
+    // doc 0: ab(0.6) + ba((1+1)/(1+3)=0.5) + ab(0.6)
+    val exp0 = 2 * micro(0.6) + micro(0.5)
+    assert(out(0L) == ((3L, exp0, exp0 / 3)))
+    assert(!out.contains(4L))
+  }
+
+  test("perplexityScore ranks reference-like text below garbage") {
+    val docs = Tables.loadDocs()
+    val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val out = TextAnalysis.perplexityScore(docs, ref, "text", "doc_id")
+    assert(out.count() > 0)
+    // every score is non-negative and averages are consistent
+    assert(out.where(col("nll_micro") < 0).count() == 0)
+    assert(out.where(
+      col("avg_nll_micro") > col("nll_micro")).count() == 0)
+  }
+
+  private object Tables {
+    def loadDocs() = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents")
+  }
+}
