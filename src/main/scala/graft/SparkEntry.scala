@@ -1278,6 +1278,35 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, mv)
     }),
 
+    "q_stream_mv" -> ((s, d) => {
+      // STREAMING MV maintenance: the source's manifest directory is
+      // consumed as a Structured-Streaming file source (one committed
+      // version per micro-batch, AvailableNow), each batch applying
+      // the same touched-group merge as q_mv_refresh's cursor loop —
+      // the stream checkpoint replaces the cursor. Three source
+      // commits (base, append, DELETE) drain in one invocation; a
+      // per-source rollup distinguishes it from q_mv_refresh's
+      // per-lang one. Oracle = GROUP BY over the equivalent final
+      // state (incremental-via-stream == full recompute).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_stream_mv_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      import graft.sources.{LakeWriter, Materialized}
+      val src = s"$tmp/src"; val mv = s"$tmp/mv"
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(3)) =!= 2), src)
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(3)) === 2), src,
+        mode = "append")
+      LakeWriter.deleteFromSnapshot(s, src,
+        col("n_chars") < 120)
+      Materialized.refreshAggStream(s, src, mv, s"$tmp/ckpt",
+        Seq("source"), Seq("n_chars"))
+      LakeWriter.readSnapshot(s, mv)
+    }),
+
     "q_dup_cluster_stats" -> ((s, d) =>
       // the dedup run's report: how many clusters of each size
       operators.Graph.clusterSizeStatsFromComps(SharedCC.comps(s, d))),
@@ -2801,6 +2830,16 @@ object SparkEntry {
     "q_snapshot_time_travel" ->
       // as-of between the commits = exactly v1: the plain base table
       "SELECT doc_id, lang, n_chars FROM documents",
+
+    // streaming MV: full recompute over the final state (base+append
+    // = whole table, DELETE drops n_chars<120) must equal the
+    // stream-maintained rollup exactly
+    "q_stream_mv" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents
+        |WHERE NOT coalesce(n_chars < 120, false)
+        |GROUP BY source""".stripMargin,
 
     "q_mv_refresh" ->
       // full recompute over the source's FINAL state (initial+append
