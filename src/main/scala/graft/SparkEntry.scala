@@ -851,6 +851,18 @@ object SparkEntry {
       operators.Sketches.heavyHitters(s, toks, "tok", k = 20)
     }),
 
+    "q_topk_sketch" -> ((s, d) => {
+      // the NATIVE Misra-Gries aggregate (custom
+      // TypedImperativeAggregate): constant counter state per
+      // partial, merge-order-invariant guarantee asserted per
+      // exact-top-20 token
+      val toks = T(s, d, "documents").select(
+        explode(TextFns.tokens(TextFns.normalizeText(col("text"))))
+          .as("tok"))
+      operators.Sketches.topKGuaranteed(s, toks, "tok", k = 20,
+        capacity = 256)
+    }),
+
     "q_fuzzy_join" -> ((s, d) => {
       // entity resolution: a deterministically-dirtied part name (one
       // char deleted at position p_partkey % (len-2) + 2) resolved
@@ -2889,6 +2901,17 @@ object SparkEntry {
         |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS item
         |  FROM documents)
         |SELECT item, count(*) AS exact_cnt, 1 AS within_bound
+        |FROM toks GROUP BY item
+        |ORDER BY exact_cnt DESC, item LIMIT 20""".stripMargin,
+
+    // native Misra-Gries sketch: the guarantee contract collapses to
+    // a constant ok-flag over the exact top-20
+    "q_topk_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS item
+        |  FROM documents)
+        |SELECT item, count(*) AS exact_cnt, 1 AS sketch_ok
         |FROM toks GROUP BY item
         |ORDER BY exact_cnt DESC, item LIMIT 20""".stripMargin,
 

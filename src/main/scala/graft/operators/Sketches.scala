@@ -55,4 +55,47 @@ object Sketches {
     spark.createDataFrame(out.toSeq)
       .toDF("item", "exact_cnt", "within_bound")
   }
+
+  /** Heavy hitters via the NATIVE Misra-Gries aggregate
+    * ([[graft.plans.MisraGriesTopK]]) — deterministic counter state
+    * (≤ capacity entries per partial) instead of CMS's hashed grid,
+    * and a GUARANTEED two-sided contract that holds under any merge
+    * order: with N inputs and retained counter-mass M,
+    * est(i) ≤ true(i) ≤ est(i) + (N−M)/(capacity+1), and every item
+    * above that slack is certainly retained. The ok-flag asserts
+    * exactly that contract per exact-top-k item (truth ≤ slack items
+    * may legitimately be absent). Driver sees one bounded map plus k
+    * rows, never a key-scale collect. */
+  def topKGuaranteed(spark: SparkSession, df: DataFrame, itemCol: String,
+                     k: Int, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val sk = GraftColumnBridge.column(
+      graft.plans.MisraGriesTopK(
+        GraftColumnBridge.expression(col("item")), capacity)
+        .toAggregateExpression())
+    val row = items.agg(sk.as("sketch"), count(lit(1)).as("n")).head()
+    val counters = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    // (N−M)/(cap+1) floored is exact for integer bounds: an integer
+    // ≤ the real slack is ≤ its floor
+    val slack = (n - counters.values.sum) / (capacity + 1)
+    val top = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item").asc)
+      .limit(k)
+      .collect() // k rows by construction
+    val out = top.map { r =>
+      val item = r.getString(0)
+      val exact = r.getLong(1)
+      val ok = counters.get(item) match {
+        case Some(est) => est <= exact && exact <= est + slack
+        case None => exact <= slack
+      }
+      (item, exact, if (ok) 1 else 0)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("item", "exact_cnt", "sketch_ok")
+  }
 }

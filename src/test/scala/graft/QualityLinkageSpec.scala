@@ -90,6 +90,64 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("a", "b"))
   }
 
+  test("MisraGriesTopK: exact when capacity exceeds cardinality") {
+    val items = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("item").repartition(4)
+    val out = Sketches.topKGuaranteed(spark, items, "item", k = 3,
+      capacity = 16).collect()
+    // no eviction ever: estimates are exact, flags all green
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSeq == Seq(("a", 7L, 1), ("b", 3L, 1), ("c", 1L, 1)))
+  }
+
+  test("MisraGriesTopK: guarantee holds under genuine eviction and any partitioning") {
+    // 2000 distinct tail keys + two heavy keys, capacity 64 — far
+    // more keys than counters, so decrement-all eviction fires
+    // constantly in every partial
+    val rows = (0 until 2000).map(i => s"tail_$i") ++
+      Seq.fill(800)("hot_a") ++ Seq.fill(500)("hot_b")
+    for (parts <- Seq(1, 7, 32)) {
+      val items = rows.toDF("item").repartition(parts)
+      val out = Sketches.topKGuaranteed(spark, items, "item", k = 5,
+        capacity = 64).collect()
+      assert(out.length == 5)
+      // every flag must hold REGARDLESS of merge order; the heavies
+      // are far above the worst-case slack N/(cap+1) ≈ 50 so they
+      // must be retained and bounded
+      assert(out.forall(_.getInt(2) == 1),
+        s"guarantee violated at parts=$parts: ${out.mkString(",")}")
+      assert(out.take(2).map(_.getString(0)).toSeq ==
+        Seq("hot_a", "hot_b"))
+    }
+  }
+
+  test("MGSummary merge matches a single-pass summary's guarantees") {
+    import graft.plans.MGSummary
+    import scala.collection.mutable
+    val cap = 8
+    val stream = (0 until 300).map(i => s"k${i % 40}") ++
+      Seq.fill(200)("heavy")
+    // split the stream three ways, summarize each, merge
+    val parts = stream.grouped(167).toSeq
+    val summaries = parts.map { p =>
+      val s = new MGSummary(mutable.HashMap.empty)
+      p.foreach(s.update(_, cap)); s
+    }
+    val merged = summaries.reduce { (a, b) => a.merge(b, cap); a }
+    assert(merged.counts.size <= cap)
+    val n = stream.size.toLong
+    val m = merged.counts.values.sum
+    val slack = (n - m) / (cap + 1)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    // two-sided bound for every retained item; heavy must be retained
+    merged.counts.foreach { case (k, est) =>
+      assert(est <= exact(k) && exact(k) <= est + slack, s"$k")
+    }
+    assert(merged.counts.contains("heavy"))
+    exact.filter(_._2 > slack).keys.foreach(k =>
+      assert(merged.counts.contains(k), s"$k above slack but dropped"))
+  }
+
   test("perplexityScore: hand-computed Laplace bigram NLL on a tiny corpus") {
     // reference: one doc "a b a b" → bigrams ab, ba, ab; contexts:
     // a→2, b→1; vocab {a,b} → V = 3
