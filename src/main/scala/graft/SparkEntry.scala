@@ -851,6 +851,24 @@ object SparkEntry {
       operators.Sketches.heavyHitters(s, toks, "tok", k = 20)
     }),
 
+    "q_pagerank" -> ((s, d) => {
+      // integer-exact 3-iteration PageRank over the procurement
+      // graph (customer↔supplier trading pairs, undirected): the
+      // centrality primitive — also what ranks authoritative docs
+      // inside near-dup clusters
+      val pairs = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(T(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey")), col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("C"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("S"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+    }),
+
     "q_topk_sketch" -> ((s, d) => {
       // the NATIVE Misra-Gries aggregate (custom
       // TypedImperativeAggregate): constant counter state per
@@ -2903,6 +2921,45 @@ object SparkEntry {
         |SELECT item, count(*) AS exact_cnt, 1 AS within_bound
         |FROM toks GROUP BY item
         |ORDER BY exact_cnt DESC, item LIMIT 20""".stripMargin,
+
+    // PageRank re-derived iteration by iteration in the same integer
+    // micro-arithmetic (// is floor division; all terms positive, so
+    // it matches the engine's truncating div exactly)
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'C' || o_custkey AS a, 'S' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS sc FROM deg),
+        |i1 AS (
+        |  SELECT d.src AS node,
+        |    150000 + (850000 * coalesce(x.inc, 0)) // 1000000 AS sc
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst, sum(s.sc // d2.deg) AS inc
+        |    FROM edges e JOIN s0 s ON s.node = e.src
+        |    JOIN deg d2 ON d2.src = e.src GROUP BY e.dst) x
+        |    ON x.dst = d.src),
+        |i2 AS (
+        |  SELECT d.src AS node,
+        |    150000 + (850000 * coalesce(x.inc, 0)) // 1000000 AS sc
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst, sum(s.sc // d2.deg) AS inc
+        |    FROM edges e JOIN i1 s ON s.node = e.src
+        |    JOIN deg d2 ON d2.src = e.src GROUP BY e.dst) x
+        |    ON x.dst = d.src),
+        |i3 AS (
+        |  SELECT d.src AS node,
+        |    150000 + (850000 * coalesce(x.inc, 0)) // 1000000 AS sc
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.dst, sum(s.sc // d2.deg) AS inc
+        |    FROM edges e JOIN i2 s ON s.node = e.src
+        |    JOIN deg d2 ON d2.src = e.src GROUP BY e.dst) x
+        |    ON x.dst = d.src)
+        |SELECT i3.node, CAST(deg.deg AS BIGINT) AS degree,
+        |  CAST(i3.sc AS BIGINT) AS rank_micro
+        |FROM i3 JOIN deg ON deg.src = i3.node""".stripMargin,
 
     // native Misra-Gries sketch: the guarantee contract collapses to
     // a constant ok-flag over the exact top-20

@@ -111,6 +111,52 @@ object Graph {
     dupSurvivorsByFromComps(connectedComponents(pairs, aCol, bCol),
       scores, idCol, scoreCol)
 
+  /** Fixed-iteration PageRank in INTEGER micro-units — centrality
+    * over an edge list (e.g. the procurement graph, or a near-dup
+    * graph when picking the authoritative survivor per cluster).
+    * Damping 0.85 in micro-arithmetic: s₀ = 1e6 per node;
+    * sₖ₊₁(v) = 150000 + (850000 · Σ_{u→v} (sₖ(u) div deg(u))) div 1e6
+    * — every operation is integer division/sum, so the result is
+    * bit-identical in any engine and independent of aggregation
+    * order (what makes it hash-checkable cross-engine, unlike a
+    * float PageRank whose sum order drifts).
+    *
+    * Callers pass DIRECTED edges (send each edge twice for an
+    * undirected graph — which also removes dangling nodes, since
+    * every node then has out-degree ≥ 1). Scale shape: the
+    * degree-annotated edge list persists once and each iteration is
+    * one join keyed on src + one aggregate keyed on dst — k shuffle
+    * rounds for k iterations, the standard distributed PageRank
+    * layout; hot destinations partial-aggregate map-side.
+    * Returns (node, degree, rank_micro). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRank iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var scores = deg.select(col("src").as("node"),
+      lit(1000000L).as("sc"))
+    for (_ <- 1 to iters) {
+      val inc = ed
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("sc div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      scores = deg.select(col("src").as("node"))
+        .join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr(
+            "(850000 * coalesce(inc, 0)) div 1000000")).as("sc"))
+    }
+    val out = scores
+      .join(deg.select(col("src").as("node"), col("deg").as("degree")),
+        "node")
+      .select(col("node"), col("degree"), col("sc").as("rank_micro"))
+    out
+  }
+
   /** `dupSurvivorsBy` from precomputed component labels. */
   def dupSurvivorsByFromComps(comps: DataFrame,
                               scores: DataFrame, idCol: String,

@@ -89,4 +89,36 @@ class GraphPropertySpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("pageRank: hand-computed 3-iteration scores on a star graph") {
+    // undirected star A—B, A—C sent as directed pairs both ways
+    val edges = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"))
+      .toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // s1: A=150000+1700000, B=C=150000+425000
+    // s2: A=1127500, B=C=936250
+    // s3: A=150000+floor(850000*1872500/1e6)=1741625
+    //     B=C=150000+floor(850000*563750/1e6)=629187
+    assert(out("A") == ((2L, 1741625L)))
+    assert(out("B") == ((1L, 629187L)))
+    assert(out("C") == ((1L, 629187L)))
+  }
+
+  test("pageRank is partition-invariant and ranks the hub first") {
+    val spokes = (1 to 30).map(i => ("hub", s"s$i"))
+    val pairs = spokes ++ spokes.map(_.swap)
+    for (parts <- Seq(1, 8)) {
+      val edges = pairs.toDF("src", "dst").repartition(parts)
+      val rows = Graph.pageRank(edges, "src", "dst", iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(2)))
+      val hub = rows.find(_._1 == "hub").get._2
+      assert(rows.filter(_._1 != "hub").forall(_._2 < hub))
+      // integer arithmetic: identical scores at any parallelism
+      if (parts == 1) partitionBaseline = rows.toMap
+      else assert(rows.toMap == partitionBaseline)
+    }
+  }
+  private var partitionBaseline: Map[String, Long] = Map.empty
 }
