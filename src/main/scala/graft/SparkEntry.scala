@@ -943,6 +943,33 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, table)
     }),
 
+    "q_snapshot_bloomskip" -> ((s, d) => {
+      // BLOOM FILE INDEX point lookup: four interleaved-id commits
+      // make every file's doc_id/fp min-max span the whole range (so
+      // min/max stats cannot prune), then a fingerprint equality
+      // resolves through the per-file blooms — the Delta
+      // bloom-filter-index shape for needle-in-100TB lookups. The
+      // pruning itself (pruned files never open) is proven
+      // corrupt-in-place by BloomIndexSpec; this gate checks the
+      // lookup's end-to-end correctness.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_bloom_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = tmp.toString
+      import graft.sources.LakeWriter
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"), TextFns.fingerprint(col("text")).as("fp"))
+      (0 until 4).foreach { i =>
+        LakeWriter.commitSnapshot(
+          docs.where(pmod(col("doc_id"), lit(4)) === i).coalesce(1),
+          table, if (i == 0) "overwrite" else "append")
+      }
+      LakeWriter.setBloomIndex(s, table, Map("fp" -> 10000L))
+      val target = docs.where(col("doc_id") === 42).select(col("fp"))
+        .head().getString(0)
+      LakeWriter.readSnapshotWhere(s, table, col("fp") === target)
+    }),
+
     "q_snapshot_clone" -> ((s, d) => {
       // SHALLOW CLONE: a zero-copy table fork. The source commits two
       // versions, the clone forks at latest (metadata-only — no data
@@ -2750,6 +2777,16 @@ object SparkEntry {
         |      / CAST(count(*) - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000
         |  END AS zcr
         |FROM chl GROUP BY media_id, frame_idx""".stripMargin,
+
+    // bloom point lookup: every doc whose fingerprint equals doc 42's
+    // (identical texts share a fingerprint, so this may be >1 row)
+    "q_snapshot_bloomskip" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, fp FROM fp
+        |WHERE fp = (SELECT fp FROM fp WHERE doc_id = 42)""".stripMargin,
 
     // shallow clone: source = v1∪v2 minus the deleted 'de' docs;
     // clone = the fork (v1∪v2) plus its own post-fork append

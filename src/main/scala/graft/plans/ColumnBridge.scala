@@ -208,4 +208,78 @@ object GraftDataSkipping {
     }
   }
 
+  /** The top-level AND-conjuncts of `predicate` that are pure
+    * equality tests against literals — `col = lit` (either side) or
+    * `col IN (lits…)` — as (column, literals) pairs. The BLOOM
+    * skipping hook: a file is provably empty for the whole predicate
+    * when ANY such conjunct's literals are all bloom-absent. OR
+    * branches and every other shape are ignored (never a wrong
+    * skip). */
+  def equalityConjuncts(predicate: Column): Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.internal.{ColumnNode,
+      UnresolvedAttribute => NodeAttr, UnresolvedFunction => NodeFn,
+      Literal => NodeLit}
+    def attr(x: ColumnNode): Option[String] = x match {
+      case a: NodeAttr => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def litVal(x: ColumnNode): Option[Any] = x match {
+      case l: NodeLit => Option(l.value)
+      case _ => None
+    }
+    def walk(e: ColumnNode): Seq[(String, Seq[Any])] = e match {
+      case f: NodeFn => (f.functionName, f.arguments) match {
+        case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+        case ("=" | "==", Seq(l, r)) =>
+          (attr(l), litVal(r), attr(r), litVal(l)) match {
+            case (Some(c), Some(v), _, _) => Seq(c -> Seq(v))
+            case (_, _, Some(c), Some(v)) => Seq(c -> Seq(v))
+            case _ => Seq.empty
+          }
+        case ("in", a +: vs) if vs.nonEmpty =>
+          attr(a) match {
+            case Some(c) =>
+              val lits = vs.flatMap(litVal)
+              if (lits.size == vs.size) Seq(c -> lits) else Seq.empty
+            case None => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    walk(predicate.node)
+  }
+
+  /** xxhash64 (seed 42 — the seed `functions.xxhash64` uses, and so
+    * the seed every bloom built over `xxhash64(col)` was fed) of a
+    * literal COERCED to the column's type, evaluated driver-side.
+    * None = the literal doesn't coerce losslessly, so no bloom proof
+    * is possible (scan). */
+  def xxhash64Literal(dt: org.apache.spark.sql.types.DataType,
+                      v: Any): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val coerced: Option[Any] = dt match {
+      case LongType => v match {
+        case n: java.lang.Number if n.longValue() == n.doubleValue() ||
+          n.isInstanceOf[java.lang.Long] || n.isInstanceOf[Integer] =>
+          Some(n.longValue())
+        case _ => None
+      }
+      case IntegerType => v match {
+        case n: java.lang.Number if n.longValue() >= Int.MinValue &&
+          n.longValue() <= Int.MaxValue => Some(n.intValue())
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+    coerced.map { c =>
+      val lit = catalyst.expressions.Literal.create(c, dt)
+      catalyst.expressions.XxHash64(Seq(lit), 42L)
+        .eval(catalyst.InternalRow.empty).asInstanceOf[Long]
+    }
+  }
 }

@@ -908,6 +908,85 @@ object LakeWriter {
     }
   }
 
+  /** Bloom-index config of a manifest: LOGICAL column → expected
+    * items per file (empty when the table carries no bloom index). */
+  private[graft] def parseManifestBloomCfg(spark: SparkSession,
+      table: String, version: Long): Map[String, Long] =
+    bloomBlob(spark, table, version) match {
+      case Some(org.json4s.JObject(fields)) =>
+        fields.collectFirst { case ("cfg", org.json4s.JObject(cs)) =>
+          cs.collect { case (c, org.json4s.JInt(n)) => c -> n.toLong }
+            .toMap
+        }.getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+
+  /** Per-file blooms of a manifest: file basename → physical column
+    * → base64 sketch bytes. */
+  private[graft] def parseManifestBlooms(spark: SparkSession,
+      table: String, version: Long): Map[String, Map[String, String]] =
+    bloomBlob(spark, table, version) match {
+      case Some(org.json4s.JObject(fields)) =>
+        fields.collectFirst { case ("files", org.json4s.JObject(fsJ)) =>
+          fsJ.map { case (bn, colsJ) =>
+            bn -> (colsJ match {
+              case org.json4s.JObject(cs) => cs.collect {
+                case (pc, org.json4s.JString(b64)) => pc -> b64 }.toMap
+              case _ => Map.empty[String, String]
+            })
+          }.toMap
+        }.getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+
+  private def bloomBlob(spark: SparkSession, table: String,
+      version: Long): Option[org.json4s.JValue] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    body.split("\"blooms\":\"") match {
+      case Array(_, rest) =>
+        Some(org.json4s.jackson.JsonMethods.parse(dec(rest.split("\"")(0))))
+      case _ => None
+    }
+  }
+
+  /** Declare (or reconfigure) the table's BLOOM FILE INDEX: from this
+    * commit on, every data file carries a per-file bloom filter over
+    * `xxhash64(col)` for each listed LOGICAL column (expected items →
+    * sketch size, Spark's default 3% fpp), and
+    * `readSnapshotWhere` prunes files whose blooms prove an equality
+    * / IN conjunct empty. This commit BACKFILLS blooms for all
+    * current files (one distributed pass); subsequent commits pay
+    * only their delta. Files, schema, stats, checks, and column
+    * mapping carry forward untouched — a metadata(+index) commit like
+    * OPTIMIZE, invisible to the change feed. Returns the committed
+    * version. */
+  def setBloomIndex(spark: SparkSession, table: String,
+                    colItems: Map[String, Long]): Long = {
+    require(colItems.nonEmpty, "setBloomIndex: no columns given")
+    require(colItems.values.forall(_ > 0),
+      s"setBloomIndex: expected items must be positive: $colItems")
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val known = schema.fieldNames.toSet
+    val missing = colItems.keySet.diff(known)
+    require(missing.isEmpty,
+      s"setBloomIndex: unknown columns $missing (schema: $known)")
+    val version = prev.last + 1
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    writeManifest(spark, fs, table, version, "bloomindex", schema, files,
+      partCols, bloomCfgOverride = Some(colItems))
+    version
+  }
+
   /** The legacy (min, max)-only view of `parseManifestStatsFull` —
     * what the pre-null-count call sites and specs consume. */
   private[graft] def parseManifestStats(spark: SparkSession,
@@ -1179,6 +1258,8 @@ object LakeWriter {
                             checksOverride: Option[Map[String, String]] =
                               None,
                             colmapOverride: Option[ColMapping] =
+                              None,
+                            bloomCfgOverride: Option[Map[String, Long]] =
                               None): Unit = {
     val partFields =
       if (partCols.isEmpty) ""
@@ -1291,8 +1372,80 @@ object LakeWriter {
     // TIMESTAMP AS OF resolves against. Like Delta, monotonicity
     // across writers is the deployment's clock discipline, not the
     // format's; readers resolve with "latest version at or before t"
+    // BLOOM FILE INDEX (Delta bloom-filter-index parity): per-file
+    // bloom filters over xxhash64(col) for the configured columns —
+    // the point-lookup complement to min/max stats (equality on a
+    // high-cardinality column scattered across files prunes to the
+    // files that MIGHT contain the key). Config carries forward like
+    // checks; carried files inherit their blooms; only files NEW to
+    // this version pay ONE distributed pass over exactly those files
+    // — commit cost stays O(delta). A bloom proves absence, never
+    // presence, so a false positive costs a scan, never correctness.
+    val bloomField = {
+      val cfg = bloomCfgOverride.getOrElse(
+        snapshotVersions(spark, table).filter(_ < version).lastOption
+          .map(v => parseManifestBloomCfg(spark, table, v))
+          .getOrElse(Map.empty[String, Long]))
+      if (cfg.isEmpty) ""
+      else {
+        val prevBlooms = snapshotVersions(spark, table).filter(_ < version)
+          .lastOption
+          .map(v => parseManifestBlooms(spark, table, v))
+          .getOrElse(Map.empty[String, Map[String, String]])
+        val physCfg = cfg.map { case (lc, n) => colmap.phys(lc) -> n }
+        val pSchema = physSchema(schema, colmap)
+        // hive partition columns live in paths, not file data — their
+        // equality pruning is the stats path's exact-partition-value
+        // job, never a bloom's
+        val present = physCfg.keySet.intersect(pSchema.fieldNames.toSet)
+          .diff(partCols.map(colmap.phys).toSet).toSeq.sorted
+        val newFiles = files.filterNot(f => prevBlooms.contains(baseName(f)))
+        val fresh: Map[String, Map[String, String]] =
+          if (newFiles.isEmpty || present.isEmpty) Map.empty
+          else {
+            import org.apache.spark.sql.functions.{col, input_file_name,
+              xxhash64, regexp_extract}
+            val df = spark.read.schema(pSchema).parquet(newFiles: _*)
+            val aggs = present.map { pc =>
+              org.apache.spark.sql.GraftColumnBridge.column(
+                new org.apache.spark.sql.catalyst.expressions.aggregate
+                  .BloomFilterAggregate(
+                    org.apache.spark.sql.GraftColumnBridge.expression(
+                      xxhash64(col(pc))), physCfg(pc))
+                  .toAggregateExpression()).as(s"__bf_$pc")
+            }
+            df.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+                .as("__f"))
+              .agg(aggs.head, aggs.tail: _*)
+              .collect().map { r =>
+                r.getString(0) -> present.zipWithIndex.flatMap {
+                  case (pc, i) =>
+                    if (r.isNullAt(i + 1)) None
+                    else Some(pc -> java.util.Base64.getEncoder
+                      .encodeToString(r.getAs[Array[Byte]](i + 1)))
+                }.toMap
+              }.toMap
+          }
+        val fileEntries = files.flatMap { f =>
+          val bn = baseName(f)
+          prevBlooms.get(bn).orElse(fresh.get(bn)).filter(_.nonEmpty)
+            .map(bn -> _)
+        }
+        import org.json4s._
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JObject(List(
+            "cfg" -> (JObject(cfg.toSeq.sortBy(_._1).map { case (c, n) =>
+              c -> (JInt(n): JValue) }.toList): JValue),
+            "files" -> (JObject(fileEntries.sortBy(_._1).map {
+              case (bn, cols) => bn -> (JObject(cols.toSeq.sortBy(_._1)
+                .map { case (pc, b64) =>
+                  pc -> (JString(b64): JValue) }.toList): JValue)
+            }.toList): JValue)))))
+        s""""blooms":"${enc(json)}","""
+      }
+    }
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField$bloomField"files":[""",
       ",", "]}")
     commitManifestBody(spark, fs, table, version, body)
   }
@@ -1838,11 +1991,49 @@ object LakeWriter {
       org.apache.spark.sql.GraftDataSkipping.mayMatchColumn(predicate,
         minmax ++ pstats, types, nulls, fst.rows)
     }
-    if (kept.isEmpty)
+    // BLOOM pruning on top of min/max: an equality / IN conjunct on a
+    // bloom-indexed column whose literals are ALL absent from a
+    // file's bloom proves that file empty for the whole predicate
+    // (AND semantics). A bloom only ever proves absence — a false
+    // positive costs a scan, never a wrong skip; any literal that
+    // doesn't coerce to the column type yields no proof.
+    val bloomCfg = parseManifestBloomCfg(spark, table, v)
+    val keptB =
+      if (bloomCfg.isEmpty) kept
+      else {
+        val eqs = org.apache.spark.sql.GraftDataSkipping
+          .equalityConjuncts(predicate)
+          .filter { case (c, _) => bloomCfg.contains(c) }
+          .flatMap { case (c, lits) =>
+            types.get(c).flatMap { dt =>
+              val hashes = lits.flatMap(
+                org.apache.spark.sql.GraftDataSkipping
+                  .xxhash64Literal(dt, _))
+              if (hashes.size == lits.size) Some(colmap.phys(c) -> hashes)
+              else None // an uncoercible literal: no proof for this conjunct
+            }
+          }
+        if (eqs.isEmpty) kept
+        else {
+          val blooms = parseManifestBlooms(spark, table, v)
+          kept.filter { f =>
+            val fb = blooms.getOrElse(baseName(f), Map.empty)
+            !eqs.exists { case (pc, hashes) =>
+              fb.get(pc).exists { b64 =>
+                val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(
+                    java.util.Base64.getDecoder.decode(b64)))
+                hashes.forall(h => !bf.mightContainLong(h))
+              }
+            }
+          }
+        }
+      }
+    if (keptB.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .where(predicate)
-    else readFiles(spark, kept, schema, colmap).where(predicate)
+    else readFiles(spark, keptB, schema, colmap).where(predicate)
   }
 
   /** Exact row count of a snapshot, metadata-first: every post-r8
