@@ -514,6 +514,17 @@ object SparkEntry {
           df.withColumn(c, CleanFns.roundRepro(col(c), 6)))
     }),
 
+    "q_image_phash" -> ((s, d) => {
+      // perceptual-hash image dedup: decode real PNGs, 8×8 aHash,
+      // exact-hash duplicate counts; the oracle re-derives every bit
+      // from the closed-form pixel formula, never the bytes
+      val media = Multimodal.encodeSyntheticPng(T(s, d, "documents"), "doc_id")
+      val h = Multimodal.imageAHash(media)
+      h.withColumn("n_same_hash",
+        count(lit(1)).over(Window.partitionBy(col("hash_hi"),
+          col("hash_lo"))))
+    }),
+
     "q_audio_resample" -> ((s, d) =>
       // REAL linear-interpolation resample of the 8-bit-PCM view to a
       // fixed 64-sample thumbnail; all-integer operands + one double
@@ -2421,6 +2432,43 @@ object SparkEntry {
         |  coalesce(f4, 0.0) AS f4, coalesce(f5, 0.0) AS f5,
         |  coalesce(f6, 0.0) AS f6, coalesce(f7, 0.0) AS f7
         |FROM b LEFT JOIN agg USING (media_id)""".stripMargin,
+
+    // perceptual aHash re-derived bit by bit from the closed-form
+    // pixel formula: NN-mapped 8x8 luma grid, bit set iff
+    // luma*64 > grid sum (strict)
+    "q_image_phash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
+        |    8 + ((doc_id * 7) % 9) AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT media_id, i,
+        |    ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy
+        |  FROM ids, UNNEST(generate_series(0, 63)) AS g(i)),
+        |lum AS (
+        |  SELECT media_id, i,
+        |    (((media_id * 31 + sx * 7 + sy * 13) % 256)
+        |   + ((media_id * 17 + sx * 11 + sy * 5) % 256)
+        |   + ((media_id * 23 + sx * 3 + sy * 19) % 256)) // 3 AS l
+        |  FROM cells),
+        |tot AS (SELECT media_id, sum(l) AS t FROM lum GROUP BY 1),
+        |bits AS (
+        |  SELECT lum.media_id, i,
+        |    CASE WHEN lum.l * 64 > tot.t THEN 1 ELSE 0 END AS b
+        |  FROM lum JOIN tot USING (media_id)),
+        |hash AS (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN i >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hash_hi,
+        |    CAST(sum(CASE WHEN i < 32
+        |      THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |      AS BIGINT) AS hash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT media_id, hash_hi, hash_lo,
+        |  CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+        |    AS n_same_hash
+        |FROM hash""".stripMargin,
 
     // real-PNG image features re-derived from the closed-form pixel
     // formula (the oracle never parses PNG bytes; the engine does)

@@ -325,6 +325,61 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual image hash (average-hash) through the REAL decode
+    * seam — the image-dedup primitive: decode the payload with
+    * ImageIO, nearest-neighbor-sample an 8×8 luma grid (srcX =
+    * x·w/8 integer floor, the [[resizeImageNN]] mapping), and set
+    * bit i = y·8+x when cell luma · 64 > the grid's luma sum
+    * (strictly — ties clear the bit; integer luma = (r+g+b)/3). Two
+    * visually-identical images hash equal regardless of byte-level
+    * encoding differences; near-dups differ in few bits, so the
+    * downstream near-dup join is the SimHash hamming-band machinery
+    * this engine already runs on text. The 64 bits return as two
+    * unsigned 32-bit halves in BIGINTs (hash_hi, hash_lo) so an ANSI
+    * oracle can re-derive them without 64-bit sign games.
+    * Undecodable/empty payloads yield no row. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("hash_hi", LongType, nullable = false),
+      StructField("hash_lo", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (p == null || p.isEmpty) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) Iterator.empty
+          else {
+            val sw = img.getWidth; val sh = img.getHeight
+            val lum = new Array[Long](64)
+            var tot = 0L
+            var i = 0
+            while (i < 64) {
+              val rgb = img.getRGB((i % 8) * sw / 8, (i / 8) * sh / 8)
+              val l = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / 3
+              lum(i) = l; tot += l
+              i += 1
+            }
+            var lo = 0L; var hi = 0L
+            i = 0
+            while (i < 64) {
+              if (lum(i) * 64L > tot) {
+                if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+              }
+              i += 1
+            }
+            Iterator.single(Row(id, hi, lo))
+          }
+        }
+      }(enc)
+  }
+
   /** REAL audio resampling: treat the payload as 8-bit PCM (sample =
     * byte − 128) and resample to exactly `outLen` samples by linear
     * interpolation. Sample i maps to source position

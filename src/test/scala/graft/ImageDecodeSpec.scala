@@ -111,6 +111,48 @@ class ImageDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("imageAHash matches an independent reimplementation of the formula") {
+    val full = Multimodal.imageAHash(media(20)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(full.size == 20)
+    (0L until 20L).foreach { id =>
+      val (w, h) = Multimodal.synthDims(id)
+      val lum = (0 until 64).map { i =>
+        val (sx, sy) = ((i % 8) * w / 8, (i / 8) * h / 8)
+        val (r, g, b) = Multimodal.synthPixel(id, sx, sy)
+        ((r + g + b) / 3).toLong
+      }
+      val tot = lum.sum
+      var hi = 0L; var lo = 0L
+      lum.zipWithIndex.foreach { case (l, i) =>
+        if (l * 64 > tot) {
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+      }
+      assert(full(id) == ((hi, lo)), s"id=$id")
+    }
+  }
+
+  test("imageAHash: identical images hash equal; uniform image hashes zero") {
+    // two media rows carrying the SAME payload bytes must collide
+    val one = media(1).select(col("payload")).head().getAs[Array[Byte]](0)
+    val twin = Seq((100L, one), (200L, one)).toDF("media_id", "payload")
+    val hashes = Multimodal.imageAHash(twin).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(hashes.length == 1)
+    // a flat gray image: every luma equals the mean, strict > never
+    // fires, hash = 0
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 8).foreach(x =>
+      img.setRGB(x, y, 0x808080)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val flat = Seq((1L, bos.toByteArray)).toDF("media_id", "payload")
+    val fr = Multimodal.imageAHash(flat).head()
+    assert(fr.getLong(1) == 0L && fr.getLong(2) == 0L)
+  }
+
   test("undecodable and empty payloads yield no rows, not errors") {
     val junk = Seq(
       (1L, "not a png at all".getBytes("UTF-8")),
