@@ -862,6 +862,11 @@ object SparkEntry {
       operators.Sketches.heavyHitters(s, toks, "tok", k = 20)
     }),
 
+    "q_mad_outlier" -> ((s, d) =>
+      // robust outlier gate: median/MAD per event type — the report
+      // extreme points cannot drag, unlike q_anomaly's mean/stddev
+      Analytics.madOutliers(T(s, d, "events"), "event_type", "value")),
+
     "q_pagerank" -> ((s, d) => {
       // integer-exact 3-iteration PageRank over the procurement
       // graph (customer↔supplier trading pairs, undirected): the
@@ -3006,6 +3011,26 @@ object SparkEntry {
         |SELECT item, count(*) AS exact_cnt, 1 AS within_bound
         |FROM toks GROUP BY item
         |ORDER BY exact_cnt DESC, item LIMIT 20""".stripMargin,
+
+    // median/MAD re-derived with the same cent-rounding before the
+    // threshold comparison
+    "q_mad_outlier" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    floor(quantile_cont(value, 0.5) * 100 + 0.5) / 100 AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dv
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |    floor(quantile_cont(dv, 0.5) * 100 + 0.5) / 100 AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n_events, d.med, m2.mad,
+        |  CAST(sum(CASE WHEN d.dv > 3.0 * m2.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m2 USING (event_type)
+        |GROUP BY d.event_type, d.med, m2.mad""".stripMargin,
 
     // PageRank re-derived iteration by iteration in the same integer
     // micro-arithmetic (// is floor division; all terms positive, so

@@ -190,6 +190,34 @@ object Analytics {
     * retention share) is a single rounded division — engine-portable.
     * Weeks truncate to Monday (`date_trunc('week')`) in both Spark
     * and DuckDB. */
+  /** Robust per-group outlier report: median / MAD (median absolute
+    * deviation) and the count of points beyond `scale`·MAD — the
+    * outlier gate that, unlike [[anomalyZScore]]'s mean/stddev, a few
+    * extreme points cannot drag. Median and MAD round to cents
+    * BEFORE the threshold comparison so every engine derives the
+    * same cut from the same values. Three passes over the group
+    * (median → MAD → count), each a group-keyed aggregate with the
+    * group-size-bounded exact percentile; at 100 TB swap the exact
+    * percentile for approx_percentile (the q_approx_percentile
+    * machinery) — the shape stays identical. The per-group median
+    * tables are group-cardinality-sized and broadcast. */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  scale: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(keyCol)).agg(
+      CleanFns.roundRepro(percentile(col(valCol), lit(0.5)), 2).as("med"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(keyCol)).agg(
+      CleanFns.roundRepro(percentile(col("__dev"), lit(0.5)), 2).as("mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__dev") > lit(scale) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(keyCol), col("n_events"), col("med"), col("mad"),
+        col("n_outliers"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String,
                       tsCol: String): DataFrame = {
     val week = (c: Column) => to_date(date_trunc("week", c))

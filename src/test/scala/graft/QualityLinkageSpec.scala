@@ -90,6 +90,20 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("a", "b"))
   }
 
+  test("madOutliers: hand-computed median/MAD and outlier count") {
+    // group g: values 1..9 plus an extreme 1000
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 1000.0)))
+      .toDF("k", "v")
+    val out = graft.operators.Analytics.madOutliers(df, "k", "v")
+      .collect().head
+    // median of (1..9,1000) = 5.5; deviations |v-5.5| =
+    // (4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5) → MAD = 2.5;
+    // outliers: dv > 7.5 → only 1000
+    assert(out.getLong(1) == 10L)
+    assert(out.getDouble(2) == 5.5 && out.getDouble(3) == 2.5)
+    assert(out.getLong(4) == 1L)
+  }
+
   test("MisraGriesTopK: exact when capacity exceeds cardinality") {
     val items = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
       .toDF("item").repartition(4)
