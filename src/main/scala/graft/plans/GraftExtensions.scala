@@ -84,6 +84,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("densify_slots", args, 2)
         DensifySlots(args(0), intArg("densify_slots", args(1)))
+      }),
+    (FunctionIdentifier("mg_topk"),
+      info(classOf[MisraGriesTopK], "mg_topk"),
+      (args: Seq[Expression]) => {
+        arity("mg_topk", args, 2)
+        MisraGriesTopK(args(0), intArg("mg_topk", args(1)))
+          .toAggregateExpression()
       }))
 
   /** Apply the same registrations to an ALREADY-RUNNING session

@@ -51,6 +51,12 @@ class ExtensionsSpec extends AnyFunSuite {
       === InterleaveBits.interleave(7, 11))
     assert(spark.sql("SELECT densify_slots(map(1, 5L), 3) d")
       .head().getSeq[Long](0) === Seq(5L, 5L, 5L))
+    // the native Misra-Gries AGGREGATE from pure SQL: exact when
+    // capacity exceeds cardinality
+    val mg = spark.sql(
+      "SELECT mg_topk(x, 8) m FROM VALUES ('a'),('a'),('b') AS t(x)")
+      .head().getMap[String, Long](0)
+    assert(mg == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("non-literal int parameter is rejected with a clear error") {
