@@ -132,13 +132,19 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pageRank iters must be >= 1: $iters")
+    // the iteration inputs persist once (every round re-reads them),
+    // and each round's scores localCheckpoint — without the lineage
+    // cut, iteration k's plan embeds k full copies of the
+    // edge/degree subtree and the unrolled DAG grows multiplicatively
+    // (the same truncation connectedComponents uses)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ed = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var scores = deg.select(col("src").as("node"),
-      lit(1000000L).as("sc"))
+      lit(1000000L).as("sc")).localCheckpoint()
     for (_ <- 1 to iters) {
       val inc = ed
         .join(scores.withColumnRenamed("node", "src"), "src")
@@ -149,11 +155,16 @@ object Graph {
         .select(col("node"),
           (lit(150000L) + expr(
             "(850000 * coalesce(inc, 0)) div 1000000")).as("sc"))
+        .localCheckpoint()
     }
+    // node-sized result; materialized so the caches can release
     val out = scores
       .join(deg.select(col("src").as("node"), col("deg").as("degree")),
         "node")
       .select(col("node"), col("degree"), col("sc").as("rank_micro"))
+      .localCheckpoint()
+    ed.unpersist()
+    deg.unpersist()
     out
   }
 
