@@ -448,6 +448,23 @@ object SparkEntry {
         threshold = 0.1)
     }),
 
+    "q_bpe_train" -> ((s, d) =>
+      // tokenizer training IN the engine: 8 BPE merges learned over
+      // the corpus; all iterative state is vocabulary-sized
+      operators.Tokenize.bpeTrain(T(s, d, "documents"), "text",
+        merges = 8)),
+
+    "q_ngram_containment" -> ((s, d) => {
+      // asymmetric excerpt detection: containment |A∩B|/|A| flags a
+      // doc as a sub-document of another even when Jaccard is tiny
+      val docs = T(s, d, "documents")
+      val cand = Dedup.minhashPairs(docs, "text", "doc_id",
+          threshold = 0.1, materialize = false)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.ngramContainment(cand, docs, "text", "doc_id", shingleN = 3,
+        threshold = 0.1)
+    }),
+
     "q_embed_cosine" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.cosinePairs(e.where(col("vec_id") < 10),
@@ -1695,7 +1712,49 @@ object SparkEntry {
       |  FROM pack p JOIN ordered d ON d.shard = p.shard AND d.rn = p.rn + 1)"""
       .stripMargin
 
+  /** Unrolled-iteration oracle for q_bpe_train: each merge round
+    * re-derives the weighted pair counts, takes the same
+    * (count desc, left, right) argmax, and replays the left-to-right
+    * non-overlapping merge as a `list_reduce` over a chr(31)-joined
+    * symbol string (last-token-equals-left check via the separator
+    * guard — symbols never contain chr(31) in whitespace-tokenized
+    * text). Fully independent of the engine's fold. */
+  private def bpeTrainOracle(merges: Int): String = {
+    val sep = "chr(31)"
+    val iters = (0 until merges).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT n, syms[i] AS l, syms[i + 1] AS r
+         |    FROM s$k, UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s${k + 1} AS (
+         |  SELECT n, CASE WHEN len(syms) < 2 THEN syms
+         |    ELSE string_split(list_reduce(syms, (acc, x) ->
+         |      CASE WHEN (acc = b.l OR ends_with(acc, $sep || b.l))
+         |                AND x = b.r
+         |           THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+         |           ELSE acc || $sep || x END), $sep) END AS syms
+         |  FROM s$k, b$k AS b)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until merges)
+      .map(k => s"SELECT $k AS k, l, r, c FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
+       |  FROM documents),
+       |w AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+       |s0 AS (SELECT n, string_split(word, '') AS syms FROM w),
+       |$iters
+       |SELECT CAST(k AS INT) AS rank, l AS "left", r AS "right",
+       |  c AS pair_count
+       |FROM ($union)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle(8),
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
@@ -3712,7 +3771,36 @@ object SparkEntry {
         "doc_id", threshold = 0.1)
       .select(col("doc_a"), col("doc_b")).collect()
     if (cand.isEmpty) Map.empty
-    else Map("q_ngram_jaccard" ->
+    else Map(
+      // asymmetric containment over the SAME candidate set: both
+      // directions re-derived, kept when either clears the threshold
+      "q_ngram_containment" ->
+      s"""WITH cand(doc_a, doc_b) AS (VALUES ${pairValues(cand)}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+         |  FROM documents),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END) AS s
+         |  FROM toks)
+         |SELECT * FROM (
+         |  SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+         |    CAST(c.doc_b AS BIGINT) AS doc_b,
+         |    floor(len(list_intersect(a.s, b.s)) /
+         |      CAST(greatest(len(a.s), 1) AS DOUBLE) * 10000 + 0.5)
+         |      / 10000 AS cont_a,
+         |    floor(len(list_intersect(a.s, b.s)) /
+         |      CAST(greatest(len(b.s), 1) AS DOUBLE) * 10000 + 0.5)
+         |      / 10000 AS cont_b
+         |  FROM cand c
+         |  JOIN sets a ON a.doc_id = c.doc_a
+         |  JOIN sets b ON b.doc_id = c.doc_b)
+         |WHERE greatest(cont_a, cont_b) >= 0.1""".stripMargin,
+      "q_ngram_jaccard" ->
       s"""WITH cand(doc_a, doc_b) AS (VALUES ${pairValues(cand)}),
          |toks AS (
          |  SELECT doc_id,

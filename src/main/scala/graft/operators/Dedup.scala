@@ -427,6 +427,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT for a candidate pair set — the
+    * asymmetric companion to [[ngramJaccard]]: cont_a = |A∩B|/|A|
+    * detects doc_a as an EXCERPT of doc_b (quote, snippet, partial
+    * scrape) even when the Jaccard is tiny because doc_b is much
+    * larger — the case symmetric dedup structurally misses. Emits
+    * both directions; pairs kept when either containment clears the
+    * threshold. Same one-pair-join shape and rounding discipline as
+    * the Jaccard verify stage. */
+  def ngramContainment(cand: DataFrame, df: DataFrame, textCol: String,
+                       idCol: String, shingleN: Int = 3,
+                       threshold: Double = 0.1): DataFrame = {
+    val sets = spread(df.select(col(idCol),
+        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__toks")), idCol)
+      .select(col(idCol),
+        TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
+    cand
+      .repartition(NumPartitions, col("doc_a"))
+      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .withColumn("__inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("cont_a", CleanFns.roundRepro(
+        col("__inter") / greatest(size(col("set_a")), lit(1)), 4))
+      .withColumn("cont_b", CleanFns.roundRepro(
+        col("__inter") / greatest(size(col("set_b")), lit(1)), 4))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+  }
+
   /** All-pairs n-gram Jaccard within a blocking key (e.g. same source)
     * — bounded quadratic, for modest block sizes. The pair list is
     * formed over bare ids first (cheap), explicitly repartitioned, and

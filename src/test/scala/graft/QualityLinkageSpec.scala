@@ -90,6 +90,28 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("a", "b"))
   }
 
+  test("ngramContainment flags an excerpt (cont=1.0) where Jaccard stays tiny") {
+    import graft.operators.Dedup
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 15).map(i => s"w$i").mkString(" ") // 6 tokens ⊂ big
+    val docs = Seq((1L, big), (2L, excerpt)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.ngramContainment(cand, docs, "text", "doc_id",
+      shingleN = 3, threshold = 0.1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // every 3-gram of the excerpt (4 of them) appears in big: cont_b
+    // (the b-side doc 2 is the excerpt) = 1.0; big has 58 shingles →
+    // cont_a = 4/58
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(2) == math.floor(4.0 / 58 * 10000 + 0.5) / 10000)
+    // the symmetric Jaccard on the same pair is far below 0.5 — the
+    // case containment exists to catch
+    val j = Dedup.ngramJaccard(cand, docs, "text", "doc_id", 3, 0.0)
+      .head().getDouble(2)
+    assert(j < 0.1)
+  }
+
   test("madOutliers: hand-computed median/MAD and outlier count") {
     // group g: values 1..9 plus an extreme 1000
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 1000.0)))
