@@ -448,6 +448,27 @@ object SparkEntry {
         threshold = 0.1)
     }),
 
+    "q_url_canonicalize" -> ((s, d) => {
+      // web-corpus URL canonicalization ahead of URL dedup: casing,
+      // default ports, fragments, tracking params, query order — all
+      // normalized by pure codegen string ops
+      val urls = T(s, d, "documents").select(col("doc_id"), concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"), lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(":80"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/Docs/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("&a=1"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("#sec"))
+          .otherwise(lit(""))).as("url"))
+      urls.select(col("doc_id"), col("url"),
+        Curation.canonicalizeUrl(col("url")).as("canonical_url"))
+    }),
+
     "q_bpe_train" -> ((s, d) =>
       // tokenizer training IN the engine: 8 BPE merges learned over
       // the corpus; all iterative state is vocabulary-sized
@@ -1755,6 +1776,59 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
+
+    // URL construction + every canonicalization rule re-derived
+    "q_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+        |          ELSE 'https://www.' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |    || '/Docs/' || doc_id
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&b=' || (doc_id % 5) || '&a=1'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS base
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(base, '^([^:/?]+)://', 1)) AS scheme,
+        |    regexp_replace(base, '^[^:/?]+://', '') AS rest
+        |  FROM parts),
+        |p3 AS (
+        |  SELECT doc_id, url, scheme, rest,
+        |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS auth
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, url, scheme, rest,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth,
+        |    regexp_replace(split_part(rest, '?', 1), '^[^/?]+', '')
+        |      AS path,
+        |    CASE WHEN contains(rest, '?')
+        |         THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END
+        |      AS query
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT doc_id, url, scheme, auth,
+        |    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path, '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS qstr
+        |  FROM p4)
+        |SELECT doc_id, url,
+        |  scheme || '://' || auth || path
+        |    || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
+        |    AS canonical_url
+        |FROM p5""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

@@ -555,6 +555,43 @@ object Curation {
     * The filter is built by Spark's own BloomFilterAggregate (the
     * runtime-filter machinery's aggregate) — distributed build, one
     * driver-small binary blob back. */
+  /** URL canonicalization — the step a web-scale corpus runs BEFORE
+    * URL dedup, because the same page hides behind casing, default
+    * ports, fragments, tracking params, and query-order noise. Rules
+    * (each a pure codegen string op, no UDFs):
+    *  - strip the fragment (#…);
+    *  - lowercase scheme and authority;
+    *  - drop the scheme's default port (http :80, https :443);
+    *  - strip trailing slashes from the path ("" → "/");
+    *  - drop tracking params (utm_*, fbclid, gclid) and empty params,
+    *    then SORT the survivors (query order never distinguishes
+    *    resources in practice; sorting makes equality canonical).
+    * Everything else (userinfo, %-encoding, IDN) passes through
+    * untouched — conservative: two URLs canonicalize equal only when
+    * the rules prove they match. */
+  def canonicalizeUrl(url: Column): Column = {
+    val base = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(base, "^([^:/?]+)://", 1))
+    val rest = regexp_replace(base, "^[^:/?]+://", "")
+    val auth = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val authNoPort =
+      when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    // path = rest minus authority, up to the query
+    val pq = substring_index(rest, "?", 1)
+    val path = regexp_replace(pq, "^[^/?]+", "")
+    val pathNorm0 = regexp_replace(path, "/+$", "")
+    val pathNorm = when(pathNorm0 === "", lit("/")).otherwise(pathNorm0)
+    val query = when(rest.contains("?"),
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      (p =!= "") && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
+    val qstr = array_join(params, "&")
+    concat(scheme, lit("://"), authNoPort, pathNorm,
+      when(qstr =!= "", concat(lit("?"), qstr)).otherwise(lit("")))
+  }
+
   def bloomAntiJoin(newDf: DataFrame, history: DataFrame, keyCol: String,
                     expectedItems: Long = 1000000L): DataFrame = {
     val hashed = (c: Column) => xxhash64(c)

@@ -90,6 +90,31 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("a", "b"))
   }
 
+  test("canonicalizeUrl: ports, fragments, tracking params, order, slashes") {
+    import graft.operators.Curation
+    val cases = Seq(
+      // default port + fragment + utm + unsorted params + casing
+      "HTTP://Www.Ex.COM:80/A/B/?b=2&utm_source=x&a=1#frag" ->
+        "http://www.ex.com/A/B?a=1&b=2",
+      // https keeps a NON-default port; :443 would strip
+      "https://ex.com:8443/p?a=1" -> "https://ex.com:8443/p?a=1",
+      "https://ex.com:443/p" -> "https://ex.com/p",
+      // http does NOT strip :443 (not its default)
+      "http://ex.com:443/p" -> "http://ex.com:443/p",
+      // all params tracking → no query at all; bare host → "/"
+      "https://EX.com?utm_medium=a&gclid=xyz" -> "https://ex.com/",
+      // path case preserved; empty param dropped
+      "http://ex.com/Path//?&z=1" -> "http://ex.com/Path?z=1")
+    val df = cases.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = df.select(col("id"),
+        Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"url=$in")
+    }
+  }
+
   test("ngramContainment flags an excerpt (cont=1.0) where Jaccard stays tiny") {
     import graft.operators.Dedup
     val big = (1 to 60).map(i => s"w$i").mkString(" ")
