@@ -137,8 +137,14 @@ object Graph {
     // cut, iteration k's plan embeds k full copies of the
     // edge/degree subtree and the unrolled DAG grows multiplicatively
     // (the same truncation connectedComponents uses)
+    // the caller's edge expression materializes ONCE: it appears in
+    // deg, ed, and (via union'd build patterns) often contains joins
+    // whose recompute through the unrolled lineage dominated the
+    // whole operator (measured ~6x the useful work on the
+    // procurement graph before the cut)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ed = e.join(deg, "src")
