@@ -900,6 +900,22 @@ object SparkEntry {
       operators.Sketches.heavyHitters(s, toks, "tok", k = 20)
     }),
 
+    "q_ohlc" -> ((s, d) =>
+      // the reference domain's core rollup: weekly OHLC candles per
+      // event type — open/close via min_by/max_by over (ts, id), one
+      // aggregate, no window
+      Analytics.ohlcResample(T(s, d, "events"), "event_type", "ts",
+        "event_id", "value", unit = "week")),
+
+    "q_vwap" -> ((s, d) =>
+      // volume-weighted average value per type per day; weight =
+      // props.k — micro-unit integer Σ(p·w) so the ratio is
+      // engine-exact
+      Analytics.vwap(
+        T(s, d, "events").withColumn("w",
+          get_json_object(col("props"), "$.k").cast("long")),
+        "event_type", "ts", "value", "w")),
+
     "q_mad_outlier" -> ((s, d) =>
       // robust outlier gate: median/MAD per event type — the report
       // extreme points cannot drag, unlike q_anomaly's mean/stddev
@@ -3144,6 +3160,40 @@ object SparkEntry {
         |SELECT item, count(*) AS exact_cnt, 1 AS within_bound
         |FROM toks GROUP BY item
         |ORDER BY exact_cnt DESC, item LIMIT 20""".stripMargin,
+
+    // OHLC: open/close re-derived via rank-1 rows under the same
+    // (ts, id) ordering
+    "q_ohlc" ->
+      """WITH r AS (
+        |  SELECT event_type, date_trunc('week', ts) AS bucket, value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('week', ts) ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('week', ts) ORDER BY ts DESC, event_id DESC)
+        |      AS rn_d
+        |  FROM events)
+        |SELECT event_type, bucket,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM r GROUP BY event_type, bucket""".stripMargin,
+
+    // VWAP in the same micro-unit arithmetic: floor-rounded price
+    // micros times integer weight, double division at the end only
+    "q_vwap" ->
+      """WITH w AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS pm,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
+        |  FROM events)
+        |SELECT event_type, day, CAST(sum(wt) AS BIGINT) AS volume,
+        |  CASE WHEN sum(wt) > 0 THEN
+        |    floor(((CAST(sum(pm * wt) AS DOUBLE)
+        |      / CAST(sum(wt) AS DOUBLE)) / 10000.0) * 10000.0 + 0.5)
+        |      / 10000.0
+        |  ELSE NULL END AS vwap
+        |FROM w GROUP BY event_type, day""".stripMargin,
 
     // median/MAD re-derived with the same cent-rounding before the
     // threshold comparison

@@ -367,4 +367,41 @@ object Analytics {
         count(lit(1)).as("n"),
         CleanFns.roundRepro(sum(col(valueCol)), 2).as("total_value"),
         CleanFns.roundRepro(avg(col(valueCol)), 4).as("avg_value"))
+
+  /** OHLC candle resampling — the reference domain's bread and
+    * butter (its fact tables are daily stock bars; dashboards roll
+    * them up to weekly/monthly candles): per key per `unit` bucket,
+    * open = first value, close = last value (event-time order, id
+    * tie-break so the candle is deterministic under equal
+    * timestamps), high/low/volume. One aggregate, one shuffle keyed
+    * by (key, bucket); open/close ride min_by/max_by over a
+    * (ts, id) struct — no sort, no window, map-side partials. */
+  def ohlcResample(df: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, valueCol: String,
+                   unit: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+        count(lit(1)).as("n_ticks"))
+
+  /** Volume-weighted average value per key per day —
+    * Σ(value·weight)/Σ(weight) in micro-unit integer arithmetic:
+    * both value and the final ratio floor to 1e-4, so the division
+    * happens over exact integers and any engine derives the same
+    * cents. Weight 0 groups report NULL (no volume, no VWAP). */
+  def vwap(df: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String, weightCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(
+        sum(floor(col(valueCol) * lit(10000.0) + lit(0.5)).cast("long") *
+          col(weightCol).cast("long")).as("__pv"),
+        sum(col(weightCol).cast("long")).as("volume"))
+      .select(col(keyCol), col("day"), col("volume"),
+        when(col("volume") > 0,
+          CleanFns.roundRepro(
+            (col("__pv") / col("volume")).cast("double") / lit(10000.0), 4))
+          .otherwise(lit(null).cast("double")).as("vwap"))
 }

@@ -90,6 +90,45 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("a", "b"))
   }
 
+  test("ohlcResample: open/close by event-time with id tie-break") {
+    import graft.operators.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // same-week ticks; two share the opening timestamp — the
+      // smaller event_id must win "open"
+      (1L, "x", ts("2024-01-01 09:00:00"), 10.0),
+      (0L, "x", ts("2024-01-01 09:00:00"), 11.0),
+      (2L, "x", ts("2024-01-03 09:00:00"), 99.0),
+      (3L, "x", ts("2024-01-05 09:00:00"), 7.0),
+      (4L, "x", ts("2024-01-05 09:00:00"), 8.0) // close: larger id wins
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = Analytics.ohlcResample(df, "event_type", "ts", "event_id",
+      "value", "week").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(2) == 11.0) // open: id 0 at the tied open ts
+    assert(r.getDouble(3) == 99.0 && r.getDouble(4) == 7.0)
+    assert(r.getDouble(5) == 8.0)  // close: id 4 at the tied close ts
+    assert(r.getLong(6) == 5L)
+  }
+
+  test("vwap: integer micro arithmetic, zero-volume group is NULL") {
+    import graft.operators.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("x", ts("2024-01-01 01:00:00"), 10.0, 1L),
+      ("x", ts("2024-01-01 02:00:00"), 20.0, 3L),
+      ("y", ts("2024-01-01 01:00:00"), 5.0, 0L)
+    ).toDF("event_type", "ts", "value", "w")
+    val out = Analytics.vwap(df, "event_type", "ts", "value", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // x: (10*1 + 20*3)/4 = 17.5
+    assert(out("x") == ((4L, Some(17.5))))
+    assert(out("y") == ((0L, None)))
+  }
+
   test("canonicalizeUrl: ports, fragments, tracking params, order, slashes") {
     import graft.operators.Curation
     val cases = Seq(
