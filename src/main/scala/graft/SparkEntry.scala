@@ -700,6 +700,14 @@ object SparkEntry {
           Speed.windowedAgg(Speed.eventStream(s, d)),
           name = "stream_topk", mode = OutputMode.Complete()), k = 3)),
 
+    "q_stream_ohlc" -> ((s, d) =>
+      // speed-layer OHLC candles: 7-day tumbling windows, open/close
+      // via struct-argmin state — deterministic under any micro-batch
+      // arrival order
+      Speed.runToBatch(s,
+        Speed.ohlcPerWindow(Speed.eventStream(s, d)),
+        name = "stream_ohlc", mode = OutputMode.Complete())),
+
     "q_stream_dedup" -> ((s, d) =>
       Speed.runToBatch(s,
         Speed.streamingDedup(Speed.eventStream(s, d),
@@ -2238,6 +2246,29 @@ object SparkEntry {
         |  CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
         |       THEN 'HIGH' ELSE 'LOW' END AS k_band
         |FROM events""".stripMargin,
+
+    // streaming OHLC: Spark's 7-day tumbling windows are EPOCH-aligned
+    // (not ISO weeks) — the oracle buckets by integer epoch-µs
+    // division and re-derives open/close via rank-1 rows
+    "q_stream_ohlc" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 604800000000)
+        |      * 604800000000) AS window_start,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      epoch_us(ts) // 604800000000
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      epoch_us(ts) // 604800000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, window_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM r GROUP BY event_type, window_start""".stripMargin,
 
     "q_stream_window_agg" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,

