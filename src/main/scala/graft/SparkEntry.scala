@@ -404,6 +404,16 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
     }),
 
+    "q_nb_classify" -> ((s, d) => {
+      // in-engine trained multinomial Naive Bayes language classifier:
+      // Laplace token models fit on the doc_id%5!=0 split, every doc
+      // scored against every label (integer micro-NLL, exact argmax)
+      val docs = T(s, d, "documents")
+      TextAnalysis.nbClassify(docs,
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        "text", "doc_id", "lang")
+    }),
+
     "q_winnow_fingerprint" -> ((s, d) =>
       // rolling-hash winnowing sketch, summarized per document
       TextAnalysis.winnowingFingerprints(T(s, d, "documents"), "text",
@@ -810,6 +820,13 @@ object SparkEntry {
       Curation.chunkForRag(T(s, d, "documents"), "text", "doc_id",
         chunkTokens = 32, stride = 24)),
 
+    "q_cdc_chunks" -> ((s, d) =>
+      // content-defined chunking (rsync/FastCDC boundary rule): chunk
+      // grain for byte-level dedup/delta storage — one O(n) codegen
+      // loop per doc, per-CHUNK (not per-char) fan-out, zero shuffles
+      Curation.cdcChunks(T(s, d, "documents"), "text", "doc_id",
+        divisor = 64)),
+
     "q_boilerplate" -> ((s, d) =>
       // CCNet/RefinedWeb-style boilerplate removal: a 2-token passage
       // recurring in >= 3 distinct docs of the same source is template
@@ -896,6 +913,15 @@ object SparkEntry {
       operators.Profiling.profile(T(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
+
+    "q_skew_diag" -> ((s, d) =>
+      // partition-strategy pre-flight: per candidate join/agg key, the
+      // hottest key's share + distribution entropy — the numbers that
+      // decide salting vs AQE skew-join vs plain hash partitioning
+      operators.Profiling.skewDiag(T(s, d, "events"),
+          Seq("event_type", "user_id"))
+        .unionAll(operators.Profiling.skewDiag(T(s, d, "orders"),
+          Seq("o_custkey")))),
 
     "q_heavy_hitters" -> ((s, d) => {
       // hot-key detection with CONSTANT executor state: count-min
@@ -2427,6 +2453,38 @@ object SparkEntry {
         |  CAST(sum(micro) AS BIGINT) // count(*) AS avg_nll_micro
         |FROM scored GROUP BY doc_id""".stripMargin,
 
+    "q_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |tcnt AS (SELECT cand, tok, count(*) AS c_lt FROM (
+        |  SELECT lang AS cand, unnest(t) AS tok FROM train) GROUP BY 1, 2),
+        |lab AS (
+        |  SELECT lang AS cand, CAST(sum(len(t)) AS DOUBLE) AS tot,
+        |    CAST(floor(-ln(count(*) /
+        |        (SELECT CAST(count(*) AS DOUBLE) FROM train))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+        |  FROM train GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+        |  SELECT unnest(t) AS tok FROM train)),
+        |dt AS (SELECT doc_id, label, tok, count(*) AS tf FROM (
+        |  SELECT doc_id, lang AS label, unnest(t) AS tok FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT dt.doc_id, dt.label, lab.cand, lab.prior_micro +
+        |    CAST(sum(dt.tf * CAST(floor(-ln(
+        |        CAST(coalesce(tcnt.c_lt, 0) + 1 AS DOUBLE) / (lab.tot + v.v))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_nll
+        |  FROM dt CROSS JOIN lab
+        |  LEFT JOIN tcnt ON tcnt.cand = lab.cand AND tcnt.tok = dt.tok
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2, 3, lab.prior_micro)
+        |SELECT doc_id, label, cand AS pred_label, total_nll AS nll_micro
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY total_nll, cand) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
+
     // benchmark decontamination: distinct shared 5-grams per doc vs
     // the benchmark subset (doc_id % 50 = 0); <5-token docs have no
     // grams (strict n-grams)
@@ -2520,6 +2578,37 @@ object SparkEntry {
         |FROM toks, UNNEST(generate_series(0,
         |  CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT))) AS u(i)
         |WHERE len(t) > 0""".stripMargin,
+
+    // content-defined chunk boundaries re-derived per char with plain
+    // window functions: same 24-bit Knuth mix, same degree-3
+    // polynomial over the trailing 4-char window, cut where h%64=0
+    "q_cdc_chunks" ->
+      """WITH norm AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |    FROM documents) WHERE length(s) > 0),
+        |ch AS (
+        |  SELECT doc_id, i, substr(s, i, 1) AS c,
+        |    (ord(substr(s, i, 1)) * 2654435761) % 16777216 AS gv
+        |  FROM norm, UNNEST(generate_series(1, length(s))) AS u(i)),
+        |h AS (
+        |  SELECT doc_id, i, c,
+        |    CASE WHEN i >= 4 THEN
+        |      gv + 263 * lag(gv, 1) OVER w + 69169 * lag(gv, 2) OVER w
+        |         + 18191447 * lag(gv, 3) OVER w END AS hv
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |cid AS (
+        |  SELECT doc_id, i, c, 1 + coalesce(sum(
+        |      CASE WHEN hv IS NOT NULL AND hv % 64 = 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk_id
+        |  FROM h)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_idx,
+        |  CAST(min(i) AS INT) AS start, CAST(count(*) AS INT) AS len,
+        |  md5(string_agg(c, '' ORDER BY i)) AS chunk_md5
+        |FROM cid GROUP BY doc_id, chunk_id""".stripMargin,
 
     // domain-templated passages (>= 3 distinct docs of one source)
     // dropped from EVERY doc; re-derived with the same 2-token chunking
@@ -3372,6 +3461,53 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  NULL, NULL, NULL, min(o_orderpriority), max(o_orderpriority)
         |FROM orders""".stripMargin,
+
+    // per key column: counts from a groupBy, top key = most frequent
+    // (ties to the smaller rendering), entropy as per-key floored
+    // micro-nat terms summed (identical parenthesization both sides)
+    "q_skew_diag" ->
+      """WITH c1 AS (SELECT coalesce(CAST(event_type AS VARCHAR), ' null')
+        |    AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c1),
+        |b1 AS (SELECT t1.n AS n_rows, count(*) AS n_keys,
+        |    max(cnt) AS top_cnt,
+        |    CAST(sum(CAST(floor(cnt * (-ln(CAST(cnt AS DOUBLE) / t1.n))
+        |      * 1000000.0 / t1.n + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS entropy_micro
+        |  FROM c1 CROSS JOIN t1 GROUP BY t1.n),
+        |k1 AS (SELECT min(k) AS top_key FROM c1, b1 WHERE cnt = b1.top_cnt),
+        |c2 AS (SELECT coalesce(CAST(user_id AS VARCHAR), ' null')
+        |    AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c2),
+        |b2 AS (SELECT t2.n AS n_rows, count(*) AS n_keys,
+        |    max(cnt) AS top_cnt,
+        |    CAST(sum(CAST(floor(cnt * (-ln(CAST(cnt AS DOUBLE) / t2.n))
+        |      * 1000000.0 / t2.n + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS entropy_micro
+        |  FROM c2 CROSS JOIN t2 GROUP BY t2.n),
+        |k2 AS (SELECT min(k) AS top_key FROM c2, b2 WHERE cnt = b2.top_cnt),
+        |c3 AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), ' null')
+        |    AS k, count(*) AS cnt FROM orders GROUP BY 1),
+        |t3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c3),
+        |b3 AS (SELECT t3.n AS n_rows, count(*) AS n_keys,
+        |    max(cnt) AS top_cnt,
+        |    CAST(sum(CAST(floor(cnt * (-ln(CAST(cnt AS DOUBLE) / t3.n))
+        |      * 1000000.0 / t3.n + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS entropy_micro
+        |  FROM c3 CROSS JOIN t3 GROUP BY t3.n),
+        |k3 AS (SELECT min(k) AS top_key FROM c3, b3 WHERE cnt = b3.top_cnt)
+        |SELECT 'event_type' AS key_col, n_rows, n_keys, top_key, top_cnt,
+        |  CAST(floor(top_cnt * 1000000.0 / n_rows) AS BIGINT)
+        |    AS top_share_micro, entropy_micro
+        |FROM b1 CROSS JOIN k1
+        |UNION ALL
+        |SELECT 'user_id', n_rows, n_keys, top_key, top_cnt,
+        |  CAST(floor(top_cnt * 1000000.0 / n_rows) AS BIGINT),
+        |  entropy_micro FROM b2 CROSS JOIN k2
+        |UNION ALL
+        |SELECT 'o_custkey', n_rows, n_keys, top_key, top_cnt,
+        |  CAST(floor(top_cnt * 1000000.0 / n_rows) AS BIGINT),
+        |  entropy_micro FROM b3 CROSS JOIN k3""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH m AS (

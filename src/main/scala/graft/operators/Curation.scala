@@ -186,6 +186,30 @@ object Curation {
         concat_ws(" ", col("__c")).as("chunk_text"))
   }
 
+  /** Content-defined chunking over the corpus — the rsync/FastCDC
+    * boundary rule, the chunk grain that byte-level dedup and delta
+    * storage operate on (an edit only reshapes the chunks it touches;
+    * every later chunk hash survives, unlike fixed-stride windows).
+    * Boundaries come from [[graft.plans.CdcChunks]] — one O(n) codegen
+    * loop per document, NO char-level explode (at 100 TB a per-char
+    * row would be 100 T rows; here the only explode is per-CHUNK,
+    * ~len/divisor rows per doc). Embarrassingly parallel: zero
+    * shuffles, the chunk rows inherit the scan's partitioning.
+    * Returns (idCol, chunk_idx (1-based), start (1-based code-point
+    * offset into the normalized text), len, chunk_md5). */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                divisor: Int = 64, minLen: Int = 1,
+                maxLen: Int = Int.MaxValue): DataFrame = {
+    val norm = TextFns.normalizeText(col(textCol))
+    val chunks = GraftColumnBridge.column(graft.plans.CdcChunks(
+      GraftColumnBridge.expression(norm), divisor, minLen, maxLen))
+    df.select(col(idCol), posexplode(chunks).as(Seq("__i", "__c")))
+      .select(col(idCol), (col("__i") + 1).cast("int").as("chunk_idx"),
+        col("__c.start").as("start"),
+        length(col("__c.chunk")).as("len"),
+        md5(col("__c.chunk")).as("chunk_md5"))
+  }
+
   /** Boilerplate removal (CCNet/RefinedWeb-style, chunk-generalized):
     * a passage that recurs across ≥ `minDocs` DISTINCT documents of
     * the same `domainCol` group is boilerplate (nav bars, footers,

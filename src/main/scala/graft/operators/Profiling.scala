@@ -72,4 +72,49 @@ object Profiling {
       .as(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "avg_num", "min_str", "max_str")))
   }
+
+  /** Join/aggregation-key skew diagnostic — the report you run BEFORE
+    * picking a partition strategy at 100 TB: per candidate key
+    * column, the row/key counts, the hottest key and its share, and
+    * the key-distribution entropy (micro-nats; ln(n_keys)·1e6 = the
+    * uniform ceiling, so share+entropy together say "one viral key"
+    * vs "broadly flat"). The numbers that decide salting (q_salted_agg)
+    * vs AQE skew-join vs plain hash partitioning.
+    *
+    * Shape: per column, one groupBy(key) count (map-side partial
+    * aggregation collapses hot keys per mapper — the diagnostic
+    * itself never suffers the skew it measures), then a single-row
+    * reduce over the key-count table: top key via min(struct(-cnt,
+    * key)) (most frequent, ties to the smaller key), entropy as a
+    * per-key floored-micro term sum (order-free, engine-exact). The
+    * per-column results (one row each) union driver-side — k plans,
+    * each O(distinct keys) after its scan. NULL keys count as a key
+    * (rendered " null" — they'd collide in one reducer all the
+    * same). */
+  def skewDiag(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewDiag needs at least one key column")
+    keyCols.map { k =>
+      val cnts = df.groupBy(coalesce(col(k).cast("string"),
+          lit(" null")).as("__k"))
+        .agg(count(lit(1)).as("__cnt"))
+      val tot = cnts.agg(sum(col("__cnt")).as("__n"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("__k"), col("__cnt"), col("__n"),
+          floor(col("__cnt") * -log(col("__cnt").cast("double") /
+              col("__n")) * lit(1000000.0) / col("__n") + lit(0.5))
+            .cast("long").as("__ent"))
+        .agg(
+          sum(col("__cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          min(struct((-col("__cnt")).as("nc"), col("__k").as("k")))
+            .as("__top"),
+          sum(col("__ent")).as("entropy_micro"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("__top").getField("k").as("top_key"),
+          (-col("__top").getField("nc")).as("top_cnt"),
+          floor((-col("__top").getField("nc")) * lit(1000000.0) /
+            col("n_rows")).cast("long").as("top_share_micro"),
+          col("entropy_micro"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -417,4 +417,73 @@ object TextAnalysis {
         (-col("__sel.negpos")).as("fp_pos"))
       .distinct()
   }
+
+  /** In-engine trained multinomial Naive Bayes text classifier — the
+    * fastText/CCNet-shaped domain-or-language classifier every
+    * curation pipeline runs as a cheap gate before the expensive
+    * stages. Trains Laplace-smoothed per-label token models on
+    * `train` and scores every `corpus` document against every label;
+    * the prediction is the label minimizing total NLL (ties break to
+    * the alphabetically-first label).
+    *
+    * Model: p(tok|label) = (c(label,tok)+1) / (tot(label)+V) with V =
+    * |train vocabulary|; prior p(label) = train-doc share. Each
+    * per-token-TYPE NLL contribution floors to micro-units BEFORE
+    * multiplying by its in-doc frequency and integer-summing, so the
+    * score is order-free and an ANSI oracle re-derives every bit.
+    *
+    * Scale shape: the corpus is scanned once into (doc, token, tf)
+    * rows — the tf pre-aggregation shrinks repeated tokens before any
+    * join. Label stats (L rows) and the vocab scalar BROADCAST; the
+    * (token,label)-keyed count model joins on the DISPERSED composite
+    * key (never on the hot label alone), so a skewed label never
+    * concentrates a partition. The per-(doc,label) sum partial-
+    * aggregates map-side; the final argmax is a min(struct) aggregate
+    * per doc — no window, no extra sort. L is the label-set size, so
+    * the fan-out is ×L, the same factor the math requires.
+    * Returns (idCol, label, pred_label, nll_micro). */
+  def nbClassify(corpus: DataFrame, train: DataFrame, textCol: String,
+                 idCol: String, labelCol: String): DataFrame = {
+    def toks(df: DataFrame) = df
+      .select(col(idCol), col(labelCol),
+        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+      .where(size(col("__t")) > 0)
+    val trainToks = toks(train)
+    val cnt = trainToks
+      .select(col(labelCol).as("cand"), explode(col("__t")).as("tok"))
+      .groupBy(col("cand"), col("tok")).agg(count(lit(1)).as("c_lt"))
+    val nTrain = trainToks.agg(count(lit(1)).cast("double").as("n_train"))
+    val labels = trainToks.groupBy(col(labelCol).as("cand"))
+      .agg(sum(size(col("__t"))).cast("double").as("tot"),
+        count(lit(1)).as("n_docs"))
+      .crossJoin(nTrain)
+      .withColumn("prior_micro",
+        floor(-log(col("n_docs") / col("n_train")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select(col("cand"), col("tot"), col("prior_micro"))
+    val vocab = trainToks.select(explode(col("__t")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val docToks = toks(corpus)
+      .select(col(idCol), col(labelCol).as("label"),
+        explode(col("__t")).as("tok"))
+      .groupBy(col(idCol), col("label"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val p = (coalesce(col("c_lt"), lit(0L)) + lit(1)).cast("double") /
+      (col("tot") + col("v"))
+    docToks
+      .crossJoin(broadcast(labels))
+      .join(cnt, Seq("cand", "tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("label"), col("cand"), col("prior_micro"),
+        (col("tf") * floor(-log(p) * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("micro"))
+      .groupBy(col(idCol), col("label"), col("cand"), col("prior_micro"))
+      .agg(sum(col("micro")).as("tok_nll"))
+      .withColumn("total_nll", col("tok_nll") + col("prior_micro"))
+      .groupBy(col(idCol), col("label"))
+      .agg(min(struct(col("total_nll"), col("cand"))).as("best"))
+      .select(col(idCol), col("label"),
+        col("best").getField("cand").as("pred_label"),
+        col("best").getField("total_nll").as("nll_micro"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Profiling, TextAnalysis}
+
+/** Round-10 third-tranche operators: the in-engine Naive Bayes
+  * classifier, content-defined chunking, and the key-skew
+  * diagnostic. */
+class ChunkClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Naive Bayes -------------------------------------------------
+
+  test("nbClassify learns separable token models and classifies held-out docs") {
+    val train = Seq(
+      (1L, "buy pills now cheap pills", "spam"),
+      (2L, "cheap offer buy now", "spam"),
+      (3L, "meeting agenda notes", "ham"),
+      (4L, "project notes review meeting", "ham")
+    ).toDF("doc_id", "text", "lang")
+    val test0 = Seq(
+      (10L, "pills cheap cheap", "spam"),
+      (11L, "meeting review agenda", "ham"),
+      (12L, "buy pills", "spam")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(test0, train, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "spam", 11L -> "ham", 12L -> "spam"))
+  }
+
+  test("nbClassify ties on all-unseen evidence break to the first label") {
+    // symmetric models: equal priors, equal token totals -> a doc of
+    // only unseen tokens scores identically under both labels
+    val train = Seq(
+      (1L, "x y", "b"), (2L, "z w", "a")
+    ).toDF("doc_id", "text", "lang")
+    val test0 = Seq((9L, "qq rr", "a")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(test0, train, "text", "doc_id", "lang")
+      .collect()
+    assert(out.length == 1 && out(0).getString(2) == "a")
+  }
+
+  test("nbClassify skips blank docs on both sides") {
+    val train = Seq((1L, "x", "a"), (2L, "  ", "b")).toDF("doc_id", "text", "lang")
+    val test0 = Seq((3L, "x", "a"), (4L, "", "a")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(test0, train, "text", "doc_id", "lang")
+      .collect()
+    // blank train doc contributes nothing (label b has no model ->
+    // still a candidate? no: zero train rows for b after the filter)
+    assert(out.map(_.getLong(0)).toSet == Set(3L))
+    assert(out(0).getString(2) == "a")
+  }
+
+  // ---- content-defined chunking ------------------------------------
+
+  /** Independent reimplementation of the boundary rule (used to pin
+    * the constrained greedy path). */
+  private def refChunks(s: String, divisor: Int, minLen: Int,
+                        maxLen: Int): Seq[(Int, String)] = {
+    val cps = s.codePoints.toArray
+    def g(c: Int): Long = (c.toLong * 2654435761L) & 0xFFFFFFL
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var start = 0
+    var i = 0
+    while (i < cps.length) {
+      val len = i - start + 1
+      val cut =
+        if (len >= maxLen) true
+        else if (len < minLen || i < 3) false
+        else (g(cps(i)) + 263L * g(cps(i - 1)) + 263L * 263L * g(cps(i - 2)) +
+          263L * 263L * 263L * g(cps(i - 3))) % divisor == 0
+      if (cut || i == cps.length - 1) {
+        out += ((start + 1, new String(cps, start, i - start + 1)))
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def mkText(seed: Int, n: Int): String = {
+    val sb = new StringBuilder
+    var x = seed
+    for (_ <- 0 until n) {
+      x = x * 1103515245 + 12345
+      sb.append(('a' + math.floorMod(x >> 16, 26)).toChar)
+    }
+    sb.toString
+  }
+
+  test("cdcChunks partitions the normalized text exactly") {
+    val txt = mkText(7, 600)
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+    val rows = Curation.cdcChunks(df, "text", "doc_id", divisor = 32)
+      .orderBy("chunk_idx").collect()
+    assert(rows.length > 3)
+    // contiguous cover: starts/lens chain and total equals doc length
+    var expectStart = 1
+    rows.foreach { r =>
+      assert(r.getInt(2) == expectStart)
+      expectStart += r.getInt(3)
+    }
+    assert(expectStart - 1 == txt.length)
+    // chunk indexes are 1..k in order
+    assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length))
+  }
+
+  test("cdcChunks boundaries survive a prefix edit (edit locality)") {
+    val base = mkText(11, 800)
+    val df = Seq((1L, base), (2L, "zzzzq " + base)).toDF("doc_id", "text")
+    val byDoc = Curation.cdcChunks(df, "text", "doc_id", divisor = 32)
+      .collect().groupBy(_.getLong(0))
+    val a = byDoc(1L).map(_.getString(4)).toSet
+    val b = byDoc(2L).map(_.getString(4)).toSet
+    // everything after the first re-synchronized boundary is shared;
+    // only the chunk(s) overlapping the insertion differ
+    assert((a -- b).size <= 2, s"expected locality, lost ${(a -- b).size} of ${a.size}")
+    assert(a.size > 8)
+  }
+
+  test("cdcChunks honors minLen/maxLen (vs independent reimplementation)") {
+    val txt = mkText(23, 500)
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+    val got = Curation.cdcChunks(df, "text", "doc_id", divisor = 16,
+        minLen = 8, maxLen = 20)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(2), r.getInt(3))).toSeq
+    val ref = refChunks(txt, 16, 8, 20)
+    assert(got == ref.map { case (st, c) => (st, c.length) })
+    assert(got.forall { case (_, len) => len <= 20 })
+    // every chunk but possibly the last respects minLen
+    assert(got.dropRight(1).forall { case (_, len) => len >= 8 })
+  }
+
+  test("cdcChunks: blank doc yields no chunks; short doc yields itself") {
+    val df = Seq((1L, "   "), (2L, "ab")).toDF("doc_id", "text")
+    val rows = Curation.cdcChunks(df, "text", "doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(rows(0).getInt(3) == 2)
+  }
+
+  // ---- skew diagnostic ---------------------------------------------
+
+  test("skewDiag reports top-key share and entropy") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("c"),
+      None).toDF("k")
+    val r = Profiling.skewDiag(df, Seq("k")).collect()(0)
+    assert(r.getString(0) == "k" && r.getLong(1) == 6L && r.getLong(2) == 4L)
+    assert(r.getString(3) == "a" && r.getLong(4) == 3L)
+    assert(r.getLong(5) == 500000L)
+    // independent entropy derivation with the operator's exact formula
+    val exp = Seq(3L, 1L, 1L, 1L).map { c =>
+      math.floor(c * -math.log(c.toDouble / 6L) * 1000000.0 / 6L + 0.5).toLong
+    }.sum
+    assert(r.getLong(6) == exp)
+  }
+
+  test("skewDiag ties break to the smaller key; uniform keys hit ln(k) ceiling") {
+    val df = Seq("b", "a", "a", "b").toDF("k")
+    val r = Profiling.skewDiag(df, Seq("k")).collect()(0)
+    assert(r.getString(3) == "a" && r.getLong(4) == 2L)
+    // two uniform keys: entropy = ln 2 in micro-nats (to floor rounding)
+    assert(math.abs(r.getLong(6) - 693147L) <= 1L)
+  }
+}
