@@ -746,6 +746,15 @@ object SparkEntry {
         name = "stream_sessionize", mode = OutputMode.Append())
         .where(col("user_id") >= 0)),
 
+    "q_stream_anomaly" -> ((s, d) =>
+      // streaming z-score drift monitor: per event_type running
+      // (n, Σ, Σ²) in constant state, each event flagged against the
+      // distribution seen so far — exact BigInt comparison, so the
+      // finite run equals the batch prefix-window oracle bit-for-bit
+      Speed.runToBatch(s,
+        Speed.anomalyStream(Speed.eventStream(s, d)),
+        name = "stream_anomaly", mode = OutputMode.Append())),
+
     "q_stream_bloom_dedup" -> ((s, d) => {
       // HISTORY dedup as a speed-layer member: each micro-batch is
       // Bloom-prefiltered + exact-anti-joined against a durable
@@ -1004,6 +1013,19 @@ object SparkEntry {
       // vocabulary head: top-20 tokens by corpus frequency
       TextAnalysis.topTerms(T(s, d, "documents"), "text", "doc_id",
         k = 20)),
+
+    "q_collocations" -> ((s, d) =>
+      // word2phrase collocation mining: adjacent-bigram PMI in
+      // micro-nats over one token scan, count-pruned before the joins
+      TextAnalysis.collocations(T(s, d, "documents"), "text", "doc_id",
+        minCount = 10L)),
+
+    "q_drift_psi" -> ((s, d) =>
+      // ingest drift monitor: population-stability-index terms between
+      // the even- and odd-id halves of the events value distribution,
+      // 20 fixed cent-width buckets, Laplace-smoothed micro-nat terms
+      operators.Profiling.psiDrift(T(s, d, "events"), "value",
+        isRef = pmod(col("event_id"), lit(2)) === 0)),
 
     "q_corpus_delta" -> ((s, d) => {
       // incremental corpus stats: three snapshot commits (two appends
@@ -2315,6 +2337,31 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
 
+    // single-batch finite run processes each key's events in
+    // (ts, event_id) order, so the running (n, Σ, Σ²) state equals
+    // the batch prefix windows; the integer inequality needs int128
+    // (n·Q and S² overflow int64), BigInt engine-side
+    "q_stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, cents,
+        |    count(*) OVER pw AS n,
+        |    CAST(coalesce(sum(cents) OVER pw, 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(cents * cents) OVER pw, 0) AS BIGINT) AS q
+        |  FROM e
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, CAST(n AS BIGINT) AS n_prior,
+        |  CASE WHEN n < 20 THEN NULL
+        |    WHEN CAST(cents * n - s AS HUGEINT) * CAST(cents * n - s AS HUGEINT)
+        |      > 9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+        |             - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+        |    THEN 1 ELSE 0 END AS is_anomaly
+        |FROM w""".stripMargin,
+
     // history dedup over a finite run with an initially-empty history
     // == plain DISTINCT (the cross-batch drop path is exercised by the
     // sentinel keys, which the result filters out)
@@ -2978,6 +3025,52 @@ object SparkEntry {
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
         |FROM toks GROUP BY term
         |ORDER BY tf DESC, term ASC LIMIT 20""".stripMargin,
+
+    // adjacent-bigram PMI in micro-nats over >=2-token docs; same
+    // ((c_ab*N)*N)/((M*c_a)*c_b) parenthesization as the engine
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |t2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+        |uni AS (SELECT tok, count(*) AS c_uni FROM (
+        |  SELECT unnest(t) AS tok FROM t2) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS nn,
+        |  CAST(sum(len(t) - 1) AS DOUBLE) AS m FROM t2),
+        |bg AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b, t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM t2, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |cb AS (SELECT bigram, min(a) AS a, min(b) AS b, count(*) AS c_ab
+        |  FROM bg GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT cb.bigram, cb.c_ab, ua.c_uni AS c_a, ub.c_uni AS c_b,
+        |  CAST(floor(ln(CAST(cb.c_ab AS DOUBLE) * tot.nn * tot.nn /
+        |      (tot.m * CAST(ua.c_uni AS DOUBLE) * ub.c_uni))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM cb JOIN uni ua ON ua.tok = cb.a
+        |JOIN uni ub ON ub.tok = cb.b CROSS JOIN tot""".stripMargin,
+
+    // PSI drift terms: 20 cent-width buckets over observed rows,
+    // Laplace-smoothed shares, one groupBy with conditional counts
+    "q_drift_psi" ->
+      """WITH e AS (
+        |  SELECT greatest(least(CAST(floor(
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) / 500) AS BIGINT),
+        |      19), 0) AS bucket,
+        |    (event_id % 2 = 0) AS is_ref
+        |  FROM events),
+        |c AS (SELECT CAST(bucket AS INT) AS bucket,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |  CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
+        |SELECT bucket, n_ref, n_cur,
+        |  CAST(floor((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 20 AS DOUBLE)
+        |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 20 AS DOUBLE))
+        |    * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 20 AS DOUBLE))
+        |      / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 20 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS psi_term_micro
+        |FROM c CROSS JOIN t""".stripMargin,
 
     "q_dsir_score" ->
       """WITH b AS (

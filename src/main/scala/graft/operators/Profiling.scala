@@ -91,6 +91,44 @@ object Profiling {
     * each O(distinct keys) after its scan. NULL keys count as a key
     * (rendered " null" — they'd collide in one reducer all the
     * same). */
+  /** Population-stability-index drift report between a reference and
+    * a current slice of the same numeric column — the monitor a
+    * pipeline runs on every ingest to catch upstream distribution
+    * shift before it poisons training mixes. The value is bucketed
+    * into `nBuckets` fixed-width cent bins (clamped at the top);
+    * per-bucket PSI terms use Laplace-smoothed shares (+1/+nBuckets,
+    * so a bucket empty on one side stays finite) and floor to
+    * micro-nats — order-free, engine-exact. Only OBSERVED buckets
+    * emit rows (both engines see the same data, so the same set);
+    * Σ psi_term_micro ≳ 200000 (0.2 nats) is the usual page-someone
+    * threshold.
+    *
+    * Scale shape: ONE scan, one groupBy(bucket) with two conditional
+    * counts (map-side partial agg; nBuckets-bounded result), totals
+    * broadcast back — no join of two aggregates, no second pass.
+    * Returns (bucket, n_ref, n_cur, psi_term_micro). */
+  def psiDrift(df: DataFrame, valueCol: String, isRef: Column,
+               centsPerBucket: Int = 500, nBuckets: Int = 20): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val bucket = greatest(least(floor(cents / lit(centsPerBucket)),
+      lit(nBuckets - 1)), lit(0)).cast("int")
+    val cnts = df
+      .select(bucket.as("bucket"), isRef.as("__ref"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = cnts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val p = (col("n_ref") + lit(1)).cast("double") /
+      (col("__tr") + lit(nBuckets)).cast("double")
+    val q = (col("n_cur") + lit(1)).cast("double") /
+      (col("__tc") + lit(nBuckets)).cast("double")
+    cnts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("psi_term_micro"))
+  }
+
   def skewDiag(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewDiag needs at least one key column")
     keyCols.map { k =>

@@ -418,6 +418,48 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Collocation mining via pointwise mutual information — the
+    * word2phrase step that joins "new york" into one token before
+    * embedding/BPE training. PMI(a,b) = ln( p(ab) / (p(a)p(b)) ) with
+    * p(ab) over adjacent-bigram positions and p(a) over token
+    * positions; bigrams below `minCount` are noise and dropped.
+    * Scores floor to micro-nats through one fixed parenthesization,
+    * so the oracle re-derives them exactly. Only documents with ≥ 2
+    * tokens participate (they define both universes).
+    *
+    * Scale shape: ONE token scan feeds both count tables (bigrams and
+    * unigrams partial-aggregate map-side; "the" collapses per mapper).
+    * The bigram→unigram joins key on the dispersed token columns and
+    * the unigram side is vocabulary-sized — AQE broadcasts it when
+    * small, shuffle-joins when not; the two scalar totals BROADCAST.
+    * minCount prunes the candidate set BEFORE both joins.
+    * Returns (bigram, c_ab, c_a, c_b, pmi_micro). */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+                   minCount: Long = 10L): DataFrame = {
+    val toks = df
+      .select(TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+      .where(size(col("__t")) >= 2)
+    val uni = toks.select(explode(col("__t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val totals = toks.agg(
+      sum(size(col("__t"))).cast("double").as("nn"),
+      sum(size(col("__t")) - 1).cast("double").as("m"))
+    val bg = toks
+      .select(explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .withColumn("a", substring_index(col("bigram"), " ", 1))
+      .withColumn("b", substring_index(col("bigram"), " ", -1))
+    bg
+      .join(uni.select(col("tok").as("a"), col("c_uni").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c_uni").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        floor(log(col("c_ab").cast("double") * col("nn") * col("nn") /
+            (col("m") * col("c_a").cast("double") * col("c_b")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("pmi_micro"))
+  }
+
   /** In-engine trained multinomial Naive Bayes text classifier — the
     * fastText/CCNet-shaped domain-or-language classifier every
     * curation pipeline runs as a cheap gate before the expensive

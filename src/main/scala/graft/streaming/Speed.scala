@@ -596,4 +596,59 @@ object Speed extends Serializable {
           }
       }.toDF()
   }
+
+  // ---- streaming drift/anomaly monitor (mapGroupsWithState) --------
+
+  case class ZEv(event_id: Long, event_type: String,
+                 ts: java.sql.Timestamp, value: Double)
+  case class ZState(n: Long, s: Long, q: Long)
+  case class ZFlag(event_id: Long, n_prior: Long, is_anomaly: Option[Int])
+
+  /** Streaming z-score anomaly monitor — the speed-layer quality gate
+    * that flags each arriving event against the running distribution
+    * of everything SEEN SO FAR for its key (here: event_type). State
+    * per key is three longs (n, Σcents, Σcents²) — constant size
+    * forever, the smallest possible stateful operator. The flag
+    * compares squared deviations in exact integer arithmetic,
+    * (x·n − S)² > z²·(n·Q − S²), evaluated in BigInt (n·Q and S²
+    * overflow int64 at corpus scale), so the decision is bit-exact
+    * and an ANSI oracle with prefix window aggregates re-derives
+    * every flag (int128 on the oracle side). Events within a
+    * micro-batch process in (ts, event_id) order; the finite local
+    * source delivers one batch, so the prefix equals the global
+    * event-time order the oracle computes. Events with fewer than
+    * `minPrior` predecessors emit a NULL flag (no baseline yet).
+    * Returns (event_id, n_prior, is_anomaly 0/1/null). */
+  def anomalyStream(events: DataFrame, minPrior: Int = 20,
+                    zCut: Int = 3): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[ZEv]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState[ZState, ZFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, evs: Iterator[ZEv], state: GroupState[ZState]) =>
+          var st = state.getOption.getOrElse(ZState(0L, 0L, 0L))
+          val out = evs.toSeq
+            .sortBy(e => (toMicros(e.ts), e.event_id))
+            .map { e =>
+              val cents = math.floor(e.value * 100 + 0.5).toLong
+              val nPrior = st.n
+              val flag: Option[Int] =
+                if (nPrior < minPrior) None
+                else {
+                  val dev = BigInt(cents) * nPrior - st.s
+                  val lhs = dev * dev
+                  val rhs = BigInt(zCut.toLong * zCut) *
+                    (BigInt(nPrior) * st.q - BigInt(st.s) * st.s)
+                  Some(if (lhs > rhs) 1 else 0)
+                }
+              st = ZState(st.n + 1, st.s + cents, st.q + cents * cents)
+              ZFlag(e.event_id, nPrior, flag)
+            }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
 }

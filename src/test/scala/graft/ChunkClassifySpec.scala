@@ -158,6 +158,54 @@ class ChunkClassifySpec extends AnyFunSuite {
     assert(r.getLong(6) == exp)
   }
 
+  test("collocations: bound phrases score high PMI, independent pairs near zero") {
+    // "new york" always adjacent; "data" and "lake" co-occur only by
+    // chance among filler tokens
+    val docs = (0 until 40).map { i =>
+      val filler = Seq("data", "lake", "spark", "scan")(i % 4)
+      (i.toLong, s"new york $filler report")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 5L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ny = out("new york")
+    assert(ny.getLong(1) == 40L && ny.getLong(2) == 40L && ny.getLong(3) == 40L)
+    // c_ab=40, N=160, M=120, c_a=c_b=40 -> pmi = ln(40*160*160/(120*40*40))
+    val expNy = math.floor(math.log(40.0 * 160 * 160 / (120.0 * 40 * 40)) * 1e6 + 0.5).toLong
+    assert(ny.getLong(4) == expNy)
+    assert(!out.contains("data lake"), "non-adjacent pair must not appear")
+    // every reported bigram respects minCount
+    assert(out.values.forall(_.getLong(1) >= 5L))
+  }
+
+  test("psiDrift: identical halves score ~zero, shifted halves fire") {
+    val same = (0 until 400).map(i => (i % 2 == 0, ((i / 2) % 10) * 5.0))
+      .toDF("is_ref", "v")
+    val calm = graft.operators.Profiling.psiDrift(same, "v", col("is_ref"))
+      .agg(sum(abs(col("psi_term_micro")))).collect()(0).getLong(0)
+    assert(calm < 1000L, s"identical halves should be calm, got $calm")
+    val shifted = ((0 until 200).map(i => (true, 10.0)) ++
+      (0 until 200).map(i => (false, 90.0))).toDF("is_ref", "v")
+    val out = graft.operators.Profiling.psiDrift(shifted, "v", col("is_ref"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // bucket 2 (1000 cents / 500) holds all ref; bucket 18 all cur
+    assert(out(2).getLong(1) == 200L && out(2).getLong(2) == 0L)
+    assert(out(18).getLong(1) == 0L && out(18).getLong(2) == 200L)
+    // exact term: p=(200+1)/(200+20), q=(0+1)/(200+20)
+    val p = 201.0 / 220.0; val q = 1.0 / 220.0
+    val exp = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+    assert(out(2).getLong(3) == exp)
+    val total = out.values.map(_.getLong(3)).sum
+    assert(total > 2000000L, s"full shift must dwarf the 0.2-nat alarm, got $total")
+  }
+
+  test("psiDrift clamps out-of-range values into the edge buckets") {
+    val df = Seq((true, -50.0), (true, 4.0), (false, 9999.0))
+      .toDF("is_ref", "v")
+    val buckets = graft.operators.Profiling.psiDrift(df, "v", col("is_ref"))
+      .collect().map(_.getInt(0)).toSet
+    assert(buckets == Set(0, 19))
+  }
+
   test("skewDiag ties break to the smaller key; uniform keys hit ln(k) ceiling") {
     val df = Seq("b", "a", "a", "b").toDF("k")
     val r = Profiling.skewDiag(df, Seq("k")).collect()(0)

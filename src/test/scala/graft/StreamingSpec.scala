@@ -324,4 +324,37 @@ class StreamingSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
+
+  test("streaming anomaly monitor equals the batch prefix-window derivation") {
+    val streamed = Speed.runToBatch(spark,
+      Speed.anomalyStream(Speed.eventStream(spark, TestSpark.sfDir)),
+      "t_anomaly", OutputMode.Append())
+    val e = Tables.load(spark, TestSpark.sfDir, "events")
+      .select($"event_id", $"event_type", $"ts",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Long.MinValue, -1)
+    val batch = e
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", coalesce(sum($"cents").over(w), lit(0L)))
+      .withColumn("q2",
+        coalesce(sum(($"cents" * $"cents").cast("decimal(38,0)")).over(w),
+          lit(0).cast("decimal(38,0)")))
+      .select($"event_id", $"n".as("n_prior"),
+        when($"n" < 20, lit(null).cast("int")).otherwise(
+          when((($"cents" * $"n" - $"s").cast("decimal(38,0)") *
+                ($"cents" * $"n" - $"s").cast("decimal(38,0)")) >
+               (lit(9).cast("decimal(38,0)") *
+                ($"n".cast("decimal(38,0)") * $"q2" -
+                 $"s".cast("decimal(38,0)") * $"s".cast("decimal(38,0)"))),
+            1).otherwise(0)).as("is_anomaly"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // the monitor actually fires on this data
+    assert(streamed.where($"is_anomaly" === 1).count() > 0)
+    // constant state: flags defined exactly where a baseline exists
+    assert(streamed.where($"n_prior" < 20 && $"is_anomaly".isNotNull)
+      .count() == 0)
+  }
 }
