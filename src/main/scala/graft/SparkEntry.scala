@@ -503,6 +503,21 @@ object SparkEntry {
         .withColumn("cos_sim", CleanFns.roundRepro(col("cos_sim"), 4))
     }),
 
+    "q_embed_project" -> ((s, d) =>
+      // JL sign random projection 64->16 dims: native fused MAC
+      // kernel, exact ±micro integer sums, zero shuffles — the
+      // dimensionality cut before LSH/IVF signatures
+      Similarity.randomProject(T(s, d, "embeddings"), "embedding",
+        "vec_id", kOut = 16)),
+
+    "q_weighted_sample" -> ((s, d) =>
+      // Efraimidis-Spirakis weighted k-sample per lang, weight =
+      // n_chars, u from 52 md5 bits — reproducible mixture draws
+      Analytics.weightedSample(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", k = 10)),
+
     "q_embed_cosine_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
@@ -835,6 +850,22 @@ object SparkEntry {
       // loop per doc, per-CHUNK (not per-char) fan-out, zero shuffles
       Curation.cdcChunks(T(s, d, "documents"), "text", "doc_id",
         divisor = 64)),
+
+    "q_cdc_dedup" -> ((s, d) =>
+      // byte-level dedup report over the CDC chunks: per doc, the
+      // share of chars living in chunks that recur in >= 2 documents
+      Curation.cdcDedupStats(T(s, d, "documents"), "text", "doc_id",
+        divisor = 64)),
+
+    "q_export_tar" -> ((s, d) => {
+      // WebDataset-style tar shard export: byte-deterministic ustar
+      // shards + a manifest whose total_bytes the oracle re-derives
+      // from the tar size law
+      val out = java.nio.file.Paths.get("/tmp",
+        "graft_tar_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      graft.sources.TarShards.exportTarShards(T(s, d, "documents"),
+        "text", "doc_id", out, shardDocs = 100)
+    }),
 
     "q_boilerplate" -> ((s, d) =>
       // CCNet/RefinedWeb-style boilerplate removal: a 2-token passage
@@ -2268,6 +2299,42 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
         |            ELSE '19' END""".stripMargin,
 
+    // exponential-race weighted sample: u from 52 md5 bits, key =
+    // -ln(u)/w, k smallest per group (ties to the smaller id)
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    (-ln((CAST(CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      AS DOUBLE) + 1.0) / 4503599627370496.0))
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY k, doc_id) AS rank FROM keyed)
+        |WHERE rank <= 10""".stripMargin,
+
+    // the ±1 matrix re-derived from md5("i_j") first-hex-digit
+    // parity; micro quantization and MAC re-run as exact integers
+    "q_embed_project" ->
+      """WITH m AS (
+        |  SELECT gi.i, gj.j,
+        |    CASE WHEN substr(md5(CAST(gi.i AS VARCHAR) || '_' ||
+        |        CAST(gj.j AS VARCHAR)), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(0, 63) AS gi(i)
+        |  CROSS JOIN generate_series(0, 15) AS gj(j)),
+        |e AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS micro
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) AS u(i))
+        |SELECT e.vec_id, CAST(m.j AS INT) AS dim,
+        |  CAST(sum(e.micro * m.s) AS BIGINT) AS value_micro
+        |FROM e JOIN m ON m.i = e.i
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -2656,6 +2723,58 @@ object SparkEntry {
         |  CAST(min(i) AS INT) AS start, CAST(count(*) AS INT) AS len,
         |  md5(string_agg(c, '' ORDER BY i)) AS chunk_md5
         |FROM cid GROUP BY doc_id, chunk_id""".stripMargin,
+
+    // per-doc duplicated-byte share over the same CDC chunk grain
+    "q_cdc_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |    FROM documents) WHERE length(s) > 0),
+        |ch AS (
+        |  SELECT doc_id, i, substr(s, i, 1) AS c,
+        |    (ord(substr(s, i, 1)) * 2654435761) % 16777216 AS gv
+        |  FROM norm, UNNEST(generate_series(1, length(s))) AS u(i)),
+        |h AS (
+        |  SELECT doc_id, i, c,
+        |    CASE WHEN i >= 4 THEN
+        |      gv + 263 * lag(gv, 1) OVER w + 69169 * lag(gv, 2) OVER w
+        |         + 18191447 * lag(gv, 3) OVER w END AS hv
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |cid AS (
+        |  SELECT doc_id, i, c, 1 + coalesce(sum(
+        |      CASE WHEN hv IS NOT NULL AND hv % 64 = 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk_id
+        |  FROM h),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id, count(*) AS len,
+        |    md5(string_agg(c, '' ORDER BY i)) AS chunk_md5
+        |  FROM cid GROUP BY doc_id, chunk_id),
+        |shared AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+        |  FROM chunks GROUP BY 1),
+        |agg AS (
+        |  SELECT c.doc_id, count(*) AS n_chunks,
+        |    CAST(sum(c.len) AS BIGINT) AS total_len,
+        |    CAST(sum(CASE WHEN s.nd >= 2 THEN c.len ELSE 0 END) AS BIGINT)
+        |      AS dup_len
+        |  FROM chunks c JOIN shared s USING (chunk_md5) GROUP BY 1)
+        |SELECT doc_id, n_chunks, total_len, dup_len,
+        |  CAST(floor(dup_len * 1000000.0 / total_len) AS BIGINT)
+        |    AS dup_micro
+        |FROM agg""".stripMargin,
+
+    // tar size law: 512-byte header + content padded to 512 per
+    // entry, 1024-byte zero trailer per shard; shard = id DIV 100
+    "q_export_tar" ->
+      """WITH e AS (
+        |  SELECT CAST(doc_id // 100 AS INT) AS shard, strlen(text) AS b
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_entries,
+        |  CAST(sum(512 + b + (512 - b % 512) % 512) + 1024 AS BIGINT)
+        |    AS total_bytes
+        |FROM e GROUP BY 1""".stripMargin,
 
     // domain-templated passages (>= 3 distinct docs of one source)
     // dropped from EVERY doc; re-derived with the same 2-token chunking

@@ -96,6 +96,35 @@ object Analytics {
       .where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic WEIGHTED k-sample per group without replacement —
+    * Efraimidis–Spirakis exponential races with a hash-derived
+    * uniform, so "sample the mixture proportional to quality weight"
+    * is reproducible run-to-run and engine-to-engine (the property a
+    * training-mix builder needs for auditability). Each row draws
+    * u ∈ (0,1] from 52 md5 bits of its id and races with key =
+    * −ln(u)/w; the k SMALLEST keys per group win — exactly a weighted
+    * draw without replacement (Efraimidis & Spirakis 2006, via the
+    * monotone log transform of u^{1/w}).
+    *
+    * Scale shape: one scan + one per-group window (rank over the
+    * group's keys; same shape as every top-k-per-group here — heavy
+    * groups sort within their partition, never globally). Weights
+    * clamp to ≥1 so zero/negative weights cannot divide by zero.
+    * Returns the sampled rows + their `rank`. */
+  def weightedSample(df: DataFrame, keys: Seq[String], idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
+    val key = -log(u) / greatest(col(weightCol), lit(1)).cast("double")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__key").asc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("__key")
+  }
+
   /** First-two-hex-digit md5 bound keeping ~`percent` of the id space
     * ("zz" orders above every hex pair = keep-all). Shared by BOTH
     * sampling ops so the threshold arithmetic can never drift between

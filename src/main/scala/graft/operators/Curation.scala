@@ -210,6 +210,33 @@ object Curation {
         md5(col("__c.chunk")).as("chunk_md5"))
   }
 
+  /** Byte-level dedup report over content-defined chunks — what CDC
+    * chunking is FOR: chunks shared by ≥ 2 documents are duplicated
+    * byte regions (mirrored boilerplate, syndicated passages, copied
+    * files) that survive token-level dedup because their hosts differ
+    * elsewhere. Per document: chunk count, total chars, chars living
+    * in shared chunks, and the duplicated-share in micro units.
+    *
+    * Scale shape: rides [[cdcChunks]]' zero-shuffle scan; the shared-
+    * chunk table groups on the DISPERSED chunk_md5 key (a viral chunk
+    * partial-aggregates map-side — never a pair join), then joins
+    * back on the same key; per-doc rollup keys on the id. */
+  def cdcDedupStats(df: DataFrame, textCol: String, idCol: String,
+                    divisor: Int = 64): DataFrame = {
+    val chunks = cdcChunks(df, textCol, idCol, divisor)
+    val shared = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    chunks.join(shared, Seq("chunk_md5"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).cast("long").as("total_len"),
+        sum(when(col("__nd") >= 2, col("len")).otherwise(0))
+          .cast("long").as("dup_len"))
+      .withColumn("dup_micro",
+        floor(col("dup_len") * lit(1000000.0) / col("total_len"))
+          .cast("long"))
+  }
+
   /** Boilerplate removal (CCNet/RefinedWeb-style, chunk-generalized):
     * a passage that recurs across ≥ `minDocs` DISTINCT documents of
     * the same `domainCol` group is boilerplate (nav bars, footers,

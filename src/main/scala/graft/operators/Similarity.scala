@@ -855,4 +855,24 @@ object Similarity {
     a.select(col(idCol), col("cell"))
       .join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Johnson–Lindenstrauss sign random projection of the embedding
+    * column to `kOut` integer micro-unit components (the
+    * dimensionality cut an ANN pipeline takes before LSH/IVF when the
+    * raw dimension makes signatures expensive). One corpus scan, zero
+    * shuffles — the per-row dim×kOut MAC loop is the native
+    * [[graft.plans.SignProject]] codegen kernel, and the seedless
+    * md5-parity ±1 matrix makes every component an exact integer an
+    * ANSI oracle re-derives. Returns (idCol, dim, value_micro) rows —
+    * flat, so downstream LSH banding groups by (dim-block) without
+    * array surgery. */
+  def randomProject(df: DataFrame, embCol: String, idCol: String,
+                    kOut: Int = 16): DataFrame = {
+    val proj = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.SignProject(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(embCol)), kOut))
+    df.select(col(idCol), posexplode(proj).as(Seq("dim", "value_micro")))
+      .select(col(idCol), col("dim").cast("int").as("dim"),
+        col("value_micro"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Profiling, TextAnalysis}
+import graft.operators.{Analytics, Curation, Profiling, Similarity, TextAnalysis}
 
 /** Round-10 third-tranche operators: the in-engine Naive Bayes
   * classifier, content-defined chunking, and the key-skew
@@ -204,6 +204,147 @@ class ChunkClassifySpec extends AnyFunSuite {
     val buckets = graft.operators.Profiling.psiDrift(df, "v", col("is_ref"))
       .collect().map(_.getInt(0)).toSet
     assert(buckets == Set(0, 19))
+  }
+
+  test("cdcDedupStats: cloned docs read fully duplicated, distinct docs clean") {
+    val shared = mkText(31, 700)
+    // independent stream: a shared 30+ char chunk has ~26^-30 odds
+    val other = mkText(41, 700)
+    val df = Seq((1L, shared), (2L, shared), (3L, other))
+      .toDF("doc_id", "text")
+    val out = Curation.cdcDedupStats(df, "text", "doc_id", divisor = 32)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(4) == 1000000L && out(2L).getLong(4) == 1000000L)
+    assert(out(3L).getLong(3) == 0L && out(3L).getLong(4) == 0L)
+    assert(out(1L).getLong(2) == shared.length.toLong)
+  }
+
+  // ---- tar shard export --------------------------------------------
+
+  /** Minimal ustar reader: (name, content) entries of one tar file. */
+  private def readTar(f: java.io.File): Seq[(String, Array[Byte])] = {
+    val in = java.nio.file.Files.readAllBytes(f.toPath)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var off = 0
+    while (off + 512 <= in.length && in(off) != 0) {
+      val name = new String(in, off, 100, "UTF-8").takeWhile(_ != 0)
+      val size = java.lang.Long.parseLong(
+        new String(in, off + 124, 12, "UTF-8").trim.takeWhile(_ != 0), 8)
+      val content = java.util.Arrays.copyOfRange(
+        in, off + 512, off + 512 + size.toInt)
+      out += ((name, content))
+      off += 512 + ((size + 511) / 512).toInt * 512
+    }
+    out.toSeq
+  }
+
+  test("exportTarShards writes parseable deterministic ustar shards") {
+    val docs = (0 until 8).map(i => (i.toLong, s"document number $i " * (i + 1)))
+    val df = docs.toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_tar_spec")
+      .toString
+    val manifest = graft.sources.TarShards
+      .exportTarShards(df, "text", "doc_id", out, shardDocs = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest.keySet == Set(0, 1, 2))
+    assert(manifest(0)._1 == 3L && manifest(2)._1 == 2L)
+    // each tar parses back to exactly its documents, in id order
+    val byShard = docs.groupBy { case (id, _) => (id / 3).toInt }
+    for ((shard, (n, bytes)) <- manifest) {
+      val f = new java.io.File(out, f"shard-$shard%05d.tar")
+      assert(f.length() == bytes, s"manifest bytes mismatch for shard $shard")
+      val entries = readTar(f)
+      assert(entries.size == n)
+      val expected = byShard(shard).sortBy(_._1)
+        .map { case (id, t) => (s"$id.txt", t) }
+      assert(entries.map(_._1) == expected.map(_._1))
+      entries.zip(expected).foreach { case ((_, got), (_, exp)) =>
+        assert(new String(got, "UTF-8") == exp)
+      }
+    }
+    // idempotent: a re-export rebuilds byte-identical shards
+    val before = new java.io.File(out, "shard-00000.tar")
+    val b1 = java.nio.file.Files.readAllBytes(before.toPath)
+    graft.sources.TarShards.exportTarShards(df, "text", "doc_id", out, 3)
+      .collect()
+    val b2 = java.nio.file.Files.readAllBytes(before.toPath)
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
+  // ---- JL sign projection ------------------------------------------
+
+  test("randomProject matches an independent reimplementation and is shape-stable") {
+    def rnd(seed: Int, n: Int): Array[Float] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 1103515245 + 12345
+        ((x >> 8) % 1000) / 1000.0f
+      }
+    }
+    val vecs = (0 until 20).map(i => (i.toLong, rnd(i + 1, 64).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Similarity.randomProject(df, "embedding", "vec_id", kOut = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 20 * 16)
+    // independent re-derivation: same md5 parity matrix, same micro math
+    def sign(i: Int, j: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1 else -1
+    }
+    for ((id, emb) <- vecs; j <- 0 until 16) {
+      val exp = emb.zipWithIndex.map { case (e, i) =>
+        sign(i, j) * math.floor(e.toDouble * 1e6 + 0.5).toLong
+      }.sum
+      assert(got((id, j)) == exp, s"vec $id dim $j")
+    }
+    // JL sanity: projected energy ~ k * input energy (sign matrices
+    // preserve norms in expectation; wide tolerance, deterministic data)
+    val ratios = vecs.map { case (id, emb) =>
+      val micro = emb.map(e => math.floor(e.toDouble * 1e6 + 0.5))
+      val inE = micro.map(m => m * m).sum
+      val outE = (0 until 16).map(j => math.pow(got((id, j)).toDouble, 2)).sum
+      outE / (16.0 * inE)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"JL energy ratio off: $mean")
+  }
+
+  // ---- weighted sampling -------------------------------------------
+
+  test("weightedSample equals the Efraimidis-Spirakis reference and favors weight") {
+    val rows = (0 until 60).map(i =>
+      (i.toLong, if (i == 7) "g1" else "g1", if (i == 7) 100000L else 1L))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Analytics.weightedSample(df, Seq("grp"), "id", "w", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getInt(3)))
+    // independent reference with the same hash-uniform
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val v = java.lang.Long.parseLong(hex, 16)
+      -math.log((v.toDouble + 1.0) / 4503599627370496.0) / math.max(w, 1L).toDouble
+    }
+    val exp = rows.sortBy { case (id, _, w) => (key(id, w), id) }
+      .take(10).zipWithIndex.map { case ((id, _, _), r) => (id, r + 1) }
+    assert(got.toSeq == exp)
+    // the 100000x weight must put id=7 first
+    assert(got.head._1 == 7L)
+    // structural: ranks are 1..k
+    assert(got.map(_._2).toSeq == (1 to 10))
+  }
+
+  test("weightedSample is partitioning-invariant") {
+    val df = (0 until 50).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1).toLong))
+      .toDF("id", "grp", "w")
+    val a = Analytics.weightedSample(df.repartition(1), Seq("grp"), "id", "w", 5)
+      .select("id", "grp", "rank").collect().map(_.toSeq).toSet
+    val b = Analytics.weightedSample(df.repartition(8, col("id")), Seq("grp"),
+        "id", "w", 5)
+      .select("id", "grp", "rank").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("skewDiag ties break to the smaller key; uniform keys hit ln(k) ceiling") {

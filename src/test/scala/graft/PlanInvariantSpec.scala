@@ -37,7 +37,11 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_semdedup",         // scalar centroid-count broadcast
     "q_dedup_embed",
     "q_bm25",             // one-row (N, Σdl) stats broadcast
-    "q_lm_perplexity")    // one-row vocab size broadcast
+    "q_lm_perplexity",    // one-row vocab size broadcast
+    "q_nb_classify",      // L-row label stats + one-row vocab broadcast
+    "q_collocations",     // one-row (N, M) totals broadcast
+    "q_skew_diag",        // one-row per-column total broadcast
+    "q_drift_psi")        // one-row (ref, cur) totals broadcast
 
   // one construction pass for the whole suite: eager queries run
   // their jobs exactly once, every test reads the cached plan text
