@@ -223,10 +223,20 @@ object Curation {
     * back on the same key; per-doc rollup keys on the id. */
   def cdcDedupStats(df: DataFrame, textCol: String, idCol: String,
                     divisor: Int = 64): DataFrame = {
-    val chunks = cdcChunks(df, textCol, idCol, divisor)
-    val shared = chunks.groupBy(col("chunk_md5"))
+    // hash-partition the chunk rows by chunk_md5 ONCE: the shared-
+    // chunk aggregate and the join both consume that clustering, and
+    // the two consumers canonicalize to the SAME exchange — so the
+    // chunking kernel + md5 run once at runtime (ReusedExchange), not
+    // once per subtree (chunks itself has no shuffle to reuse)
+    val parts = cdcChunks(df, textCol, idCol, divisor)
+      .repartition(col("chunk_md5"))
+    val shared = parts.groupBy(col("chunk_md5"))
       .agg(countDistinct(col(idCol)).as("__nd"))
-    chunks.join(shared, Seq("chunk_md5"))
+    // both sides are ALREADY hash-clustered on chunk_md5 — a shuffle
+    // hash join is exchange-free and each partition builds only its
+    // slice of the shared table; the AQE broadcast flip would instead
+    // rebuild the FULL chunk-vocabulary map in every task
+    parts.join(shared.hint("shuffle_hash"), Seq("chunk_md5"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("len")).cast("long").as("total_len"),

@@ -179,10 +179,13 @@ object TextAnalysis {
     * Returns (idCol, n_bigrams, nll_micro, avg_nll_micro). */
   def perplexityScore(corpus: DataFrame, reference: DataFrame,
                       textCol: String, idCol: String): DataFrame = {
+    // raw-text >= 2-token filter (trimmed text contains whitespace):
+    // pushes to the scan and keeps the tokenization OUT of the Filter
+    // (a size(tokens()) filter re-runs the regex per row)
     def bigrams(df: DataFrame) = df
+      .where(trim(col(textCol)).rlike("\\s"))
       .select(col(idCol),
         TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
-      .where(size(col("__t")) >= 2)
     val refToks = bigrams(reference)
     val refBg = refToks.select(
       explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
@@ -436,17 +439,23 @@ object TextAnalysis {
     * Returns (bigram, c_ab, c_a, c_b, pmi_micro). */
   def collocations(df: DataFrame, textCol: String, idCol: String,
                    minCount: Long = 10L): DataFrame = {
-    val toks = df
+    // "has >= 2 tokens" == "trimmed text contains whitespace" — a
+    // RAW-text filter that pushes to the scan; a size(tokens(...))
+    // filter would re-run the regex tokenization per row inside the
+    // Filter (CollapseProject substitutes the alias)
+    val toks = df.where(trim(col(textCol)).rlike("\\s"))
       .select(TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
-      .where(size(col("__t")) >= 2)
     val uni = toks.select(explode(col("__t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-    val totals = toks.agg(
-      sum(size(col("__t"))).cast("double").as("nn"),
-      sum(size(col("__t")) - 1).cast("double").as("m"))
-    val bg = toks
+    val bgAll = toks
       .select(explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    // totals derive from the two count tables — N = Σ unigram counts,
+    // M = Σ bigram counts — so the corpus is scanned exactly twice
+    // (token grain, bigram grain), never a third time
+    val totals = uni.agg(sum(col("c_uni")).cast("double").as("nn"))
+      .crossJoin(bgAll.agg(sum(col("c_ab")).cast("double").as("m")))
+    val bg = bgAll
       .where(col("c_ab") >= minCount)
       .withColumn("a", substring_index(col("bigram"), " ", 1))
       .withColumn("b", substring_index(col("bigram"), " ", -1))
@@ -486,46 +495,82 @@ object TextAnalysis {
     * Returns (idCol, label, pred_label, nll_micro). */
   def nbClassify(corpus: DataFrame, train: DataFrame, textCol: String,
                  idCol: String, labelCol: String): DataFrame = {
-    def toks(df: DataFrame) = df
-      .select(col(idCol), col(labelCol),
-        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
-      .where(size(col("__t")) > 0)
-    val trainToks = toks(train)
-    val cnt = trainToks
-      .select(col(labelCol).as("cand"), explode(col("__t")).as("tok"))
+    // "has >= 1 token" == "trimmed text nonempty" — a RAW-text filter
+    // that pushes to the scan; a size(tokens(...)) filter would make
+    // CollapseProject re-run the whole regex tokenization inside the
+    // Filter (measured 3x the scan CPU at sf1)
+    def nonBlank(df: DataFrame) = df.where(length(trim(col(textCol))) > 0)
+    def tokRows(df: DataFrame, tag: String) = nonBlank(df)
+      .select(col(idCol), col(labelCol).as(tag),
+        explode(TextFns.tokens(TextFns.normalizeText(col(textCol))))
+          .as("tok"))
+    // ONE tokenize pass per side; every model table below derives
+    // from the (cand, tok) counts, not from corpus re-scans
+    val cnt = tokRows(train, "cand")
       .groupBy(col("cand"), col("tok")).agg(count(lit(1)).as("c_lt"))
-    val nTrain = trainToks.agg(count(lit(1)).cast("double").as("n_train"))
-    val labels = trainToks.groupBy(col(labelCol).as("cand"))
-      .agg(sum(size(col("__t"))).cast("double").as("tot"),
-        count(lit(1)).as("n_docs"))
-      .crossJoin(nTrain)
-      .withColumn("prior_micro",
-        floor(-log(col("n_docs") / col("n_train")) * lit(1000000.0)
-          + lit(0.5)).cast("long"))
-      .select(col("cand"), col("tot"), col("prior_micro"))
-    val vocab = trainToks.select(explode(col("__t")).as("tok"))
-      .agg(countDistinct(col("tok")).cast("double").as("v"))
-    val docToks = toks(corpus)
-      .select(col(idCol), col(labelCol).as("label"),
-        explode(col("__t")).as("tok"))
+    // label stats: token totals from cnt (tiny), doc counts from a
+    // split-free raw scan (no tokenization at all)
+    val tots = cnt.groupBy(col("cand"))
+      .agg(sum(col("c_lt")).cast("double").as("tot"))
+    val docsPerLabel = nonBlank(train)
+      .groupBy(col(labelCol).as("cand")).agg(count(lit(1)).as("n_docs"))
+    val vocab = cnt.select(col("tok")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    // label inventory is class-cardinality-sized — the same driver-
+    // tiny collect as the ANN centroid tables. Collecting it lets the
+    // scorer fan out per-label COLUMNS instead of per-label ROWS: the
+    // doc-term frame joins the micro model 1:1 (no L x row blowup, no
+    // transcendentals on data-scaled rows).
+    case class Lab(cand: String, tot: Double, prior: Long, unseen: Long)
+    val nTrain = docsPerLabel.agg(sum(col("n_docs"))).collect()(0)
+      .getLong(0).toDouble
+    val v = vocab.collect()(0).getDouble(0)
+    val labs: Seq[Lab] = docsPerLabel.join(tots, Seq("cand"))
+      .collect().map { r =>
+        val tot = r.getDouble(2)
+        Lab(r.getString(0), tot,
+          math.floor(-math.log(r.getLong(1) / nTrain) * 1000000.0 + 0.5)
+            .toLong,
+          math.floor(-math.log(1.0 / (tot + v)) * 1000000.0 + 0.5).toLong)
+      }.sortBy(_.cand).toIndexedSeq
+    if (labs.isEmpty)
+      // no usable training docs: no candidates, empty classification
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit("").as("label"),
+          lit("").as("pred_label"), lit(0L).as("nll_micro")).limit(0)
+    // per-token micro-NLL columns, one per label: floor(-ln((c+1)/
+    // (tot+V))·1e6+0.5) — the SAME scalar the row-fanout design
+    // computed per fanned row, now computed once per (tok, label) on
+    // the vocabulary-sized model and pivoted to columns
+    val micro = (c: Column, tot: Double) =>
+      floor(-log((coalesce(c, lit(0L)) + lit(1)).cast("double") /
+        lit(tot + v)) * lit(1000000.0) + lit(0.5)).cast("long")
+    val tokModel = cnt
+      .groupBy(col("tok"))
+      .pivot("cand", labs.map(_.cand))
+      .agg(first(col("c_lt")))
+      .select(col("tok") +: labs.zipWithIndex.map { case (l, i) =>
+        micro(col(l.cand), l.tot).as(s"__m$i") }: _*)
+    // doc-term frequencies (tf collapses repeats before the join)
+    val docToks = tokRows(corpus, "label")
       .groupBy(col(idCol), col("label"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val p = (coalesce(col("c_lt"), lit(0L)) + lit(1)).cast("double") /
-      (col("tot") + col("v"))
-    docToks
-      .crossJoin(broadcast(labels))
-      .join(cnt, Seq("cand", "tok"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col(idCol), col("label"), col("cand"), col("prior_micro"),
-        (col("tf") * floor(-log(p) * lit(1000000.0) + lit(0.5))
-          .cast("long")).as("micro"))
-      .groupBy(col(idCol), col("label"), col("cand"), col("prior_micro"))
-      .agg(sum(col("micro")).as("tok_nll"))
-      .withColumn("total_nll", col("tok_nll") + col("prior_micro"))
+    // 1:1 left join on the dispersed token key; unseen tokens fall
+    // back to the per-label unseen constant
+    val aggs = labs.zipWithIndex.map { case (l, i) =>
+      (sum(col("tf") * coalesce(col(s"__m$i"), lit(l.unseen))) +
+        lit(l.prior)).as(s"__t$i")
+    }
+    val scored = docToks.join(tokModel, Seq("tok"), "left")
       .groupBy(col(idCol), col("label"))
-      .agg(min(struct(col("total_nll"), col("cand"))).as("best"))
-      .select(col(idCol), col("label"),
-        col("best").getField("cand").as("pred_label"),
-        col("best").getField("total_nll").as("nll_micro"))
+      .agg(aggs.head, aggs.tail: _*)
+    // argmax across the label columns: min over (total, label)
+    // structs — same tie-break (smaller NLL, then smaller label) as
+    // the row-design's min(struct)
+    val best = array_min(array(labs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"__t$i").as("t"), lit(l.cand).as("c")) }: _*))
+    scored.select(col(idCol), col("label"),
+      best.getField("c").as("pred_label"),
+      best.getField("t").as("nll_micro"))
   }
 }
