@@ -416,16 +416,39 @@ object Dedup {
         TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
     cand
       .repartition(NumPartitions, col("doc_a"))
-      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .join(setsSized(sets, "doc_a", "set_a", "__na"), "doc_a")
+      .join(setsSized(sets, "doc_b", "set_b", "__nb"), "doc_b")
       // roundRepro, not round(): the result is oracle-compared, and
-      // Spark's round() disagrees with DuckDB's on repr boundaries
+      // Spark's round() disagrees with DuckDB's on repr boundaries.
+      // |A∪B| = |A|+|B|−|A∩B| over the DISTINCT shingle sets — one
+      // native hash-probe kernel instead of two array-materializing
+      // builtins (the predicate lands in the join condition AND the
+      // projection, so each eval's cost is paid twice per survivor)
       .withColumn("jaccard", CleanFns.roundRepro(
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 4))
+        interSize(col("set_a"), col("set_b")).cast("double") /
+          greatest(col("__na") + col("__nb") -
+            interSize(col("set_a"), col("set_b")), lit(1)), 4))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Side projection of a shingle-set table with a precomputed set
+    * size (the union size then needs no second array build). The id
+    * is the table's first column. */
+  private def setsSized(sets: DataFrame, idAs: String, setAs: String,
+                        nAs: String): DataFrame = {
+    val id = sets.columns.head
+    sets.select(col(id).as(idAs), col("shset").as(setAs),
+      size(col("shset")).as(nAs))
+  }
+
+  /** Native |A∩B| over distinct string sets (one hash build+probe,
+    * no allocation) — [[graft.plans.SetIntersectSize]]. */
+  private def interSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.SetIntersectSize(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Exact n-gram CONTAINMENT for a candidate pair set — the
     * asymmetric companion to [[ngramJaccard]]: cont_a = |A∩B|/|A|
@@ -444,14 +467,14 @@ object Dedup {
         TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
     cand
       .repartition(NumPartitions, col("doc_a"))
-      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .join(setsSized(sets, "doc_a", "set_a", "__na"), "doc_a")
+      .join(setsSized(sets, "doc_b", "set_b", "__nb"), "doc_b")
       .withColumn("__inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+        interSize(col("set_a"), col("set_b")).cast("double"))
       .withColumn("cont_a", CleanFns.roundRepro(
-        col("__inter") / greatest(size(col("set_a")), lit(1)), 4))
+        col("__inter") / greatest(col("__na"), lit(1)), 4))
       .withColumn("cont_b", CleanFns.roundRepro(
-        col("__inter") / greatest(size(col("set_b")), lit(1)), 4))
+        col("__inter") / greatest(col("__nb"), lit(1)), 4))
       .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select("doc_a", "doc_b", "cont_a", "cont_b")
   }
@@ -473,11 +496,12 @@ object Dedup {
       .select(col(idCol),
         TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
     pairs
-      .join(sets.select(col(idCol).as("doc_a"), col("shset").as("set_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("shset").as("set_b")), "doc_b")
+      .join(setsSized(sets, "doc_a", "set_a", "__na"), "doc_a")
+      .join(setsSized(sets, "doc_b", "set_b", "__nb"), "doc_b")
       .withColumn("jaccard", CleanFns.roundRepro(
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 4))
+        interSize(col("set_a"), col("set_b")).cast("double") /
+          greatest(col("__na") + col("__nb") -
+            interSize(col("set_a"), col("set_b")), lit(1)), 4))
       .where(col("jaccard") >= threshold)
       .select("block", "doc_a", "doc_b", "jaccard")
   }

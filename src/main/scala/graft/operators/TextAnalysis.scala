@@ -134,9 +134,13 @@ object TextAnalysis {
     * corpus text is scanned once. Documents with < 2 tokens carry no
     * bigram evidence and are excluded. */
   def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
-    val bg = toks.where(size(col("__t")) >= 2)
+    // ">= 2 tokens" as a RAW-text predicate (trimmed text contains
+    // whitespace): pushes to the scan; filtering on size(__t) would
+    // re-run the tokenization inside the Filter (CollapseProject)
+    val toks = df.where(trim(col(textCol)).rlike("\\s"))
+      .select(col(idCol),
+        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
+    val bg = toks
       .select(col(idCol),
         explode(TextFns.wordNgramsFromToks(col("__t"), 2)).as("bigram"))
     val cBg = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))

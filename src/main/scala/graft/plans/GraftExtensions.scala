@@ -76,6 +76,12 @@ object GraftExtensions {
         arity("array_match_count", args, 2)
         ArrayMatchCount(args(0), args(1))
       }),
+    (FunctionIdentifier("set_intersect_size"),
+      info(classOf[SetIntersectSize], "set_intersect_size"),
+      (args: Seq[Expression]) => {
+        arity("set_intersect_size", args, 2)
+        SetIntersectSize(args(0), args(1))
+      }),
     (FunctionIdentifier("interleave_bits"),
       info(classOf[InterleaveBits], "interleave_bits"),
       (args: Seq[Expression]) => InterleaveBits(args)),

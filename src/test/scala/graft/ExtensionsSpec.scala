@@ -49,6 +49,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0) === 2)
     assert(spark.sql("SELECT interleave_bits(7, 11) z").head().getLong(0)
       === InterleaveBits.interleave(7, 11))
+    // set_intersect_size == size(array_intersect) on distinct sets,
+    // including empty and disjoint inputs
+    assert(spark.sql(
+        "SELECT set_intersect_size(array('a','b','c'), array('b','c','d')) i")
+      .head().getInt(0) === 2)
+    assert(spark.sql(
+        "SELECT set_intersect_size(array('a'), array('z')) i")
+      .head().getInt(0) === 0)
+    assert(spark.sql(
+        "SELECT set_intersect_size(cast(array() as array<string>), array('z')) i")
+      .head().getInt(0) === 0)
     assert(spark.sql("SELECT densify_slots(map(1, 5L), 3) d")
       .head().getSeq[Long](0) === Seq(5L, 5L, 5L))
     // the native Misra-Gries AGGREGATE from pure SQL: exact when
