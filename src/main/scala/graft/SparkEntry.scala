@@ -999,18 +999,26 @@ object SparkEntry {
       // integer-exact 3-iteration PageRank over the procurement
       // graph (customer↔supplier trading pairs, undirected): the
       // centrality primitive — also what ranks authoritative docs
-      // inside near-dup clusters
+      // inside near-dup clusters. Nodes ride as LONGS through the
+      // distinct + 3 shuffle rounds (customer 2k, supplier 2k+1 —
+      // the "C#"/"S#" labels render once on the node-sized result;
+      // string keys through every exchange measured ~2x the CPU)
       val pairs = T(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(T(s, d, "lineitem").select(col("l_orderkey"),
           col("l_suppkey")), col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("C"), col("o_custkey").cast("string")).as("a"),
-          concat(lit("S"), col("l_suppkey").cast("string")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("C"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("S"), expr("node div 2").cast("string")))
+            .as("node"),
+          col("degree"), col("rank_micro"))
     }),
 
     "q_topk_sketch" -> ((s, d) => {
