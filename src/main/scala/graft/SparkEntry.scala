@@ -445,6 +445,21 @@ object SparkEntry {
       Dedup.simhashPairs(T(s, d, "documents"), "text", "doc_id",
         maxHamming = 3, salts = 8)),
 
+    "q_dedup_delta" -> ((s, d) => {
+      // INCREMENTAL near-dup: today's load (doc_id % 10 == 0) against
+      // the persisted signature table of the standing corpus — only
+      // the delta's text is scanned; daily growth costs O(delta scan
+      // + signature-table shuffle), never a 100 TB re-scan. Result ==
+      // the full run's pairs restricted to those touching a new doc
+      // (the oracle asserts exactly that restriction).
+      val docs = T(s, d, "documents")
+      val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val oldSigs = Dedup.minhashSignatures(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id")
+      Dedup.minhashPairsDelta(newDocs, "text", "doc_id", oldSigs,
+        threshold = 0.2)
+    }),
+
     "q_ngram_jaccard" -> ((s, d) => {
       // the production shape: LSH candidates -> exact Jaccard verify.
       // materialize=false: the pair frame is consumed exactly once by
@@ -484,6 +499,18 @@ object SparkEntry {
       // the corpus; all iterative state is vocabulary-sized
       operators.Tokenize.bpeTrain(T(s, d, "documents"), "text",
         merges = 8)),
+
+    "q_bpe_encode" -> ((s, d) => {
+      // the tokenizer loop closed: train 8 merges in-engine, then
+      // segment the corpus under them — per-doc BPE token counts.
+      // The merge table is driver-tiny by construction (8 rows);
+      // the apply fold runs on the DISTINCT-word table only
+      val docs = T(s, d, "documents")
+      val merges = operators.Tokenize.bpeTrain(docs, "text", merges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.Tokenize.bpeSegmentCount(docs, "text", "doc_id", merges)
+    }),
 
     "q_ngram_containment" -> ((s, d) => {
       // asymmetric excerpt detection: containment |A∩B|/|A| flags a
@@ -733,6 +760,20 @@ object SparkEntry {
         Speed.ohlcPerWindow(Speed.eventStream(s, d)),
         name = "stream_ohlc", mode = OutputMode.Complete())),
 
+    "q_stream_enrich" -> ((s, d) =>
+      // stream-static enrichment: each micro-batch broadcast-joins
+      // the driver-side dim snapshot — stateless, append-mode, and
+      // the dim re-resolves per batch (slowly-changing dims are
+      // picked up mid-stream). The speed layer's lookup join.
+      Speed.runToBatch(s,
+        Speed.enrichStream(Speed.eventStream(s, d),
+          T(s, d, "customer").select(col("c_custkey").as("user_id"),
+            col("c_mktsegment"), col("c_nationkey")),
+          Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"), col("c_nationkey")),
+        name = "stream_enrich", mode = OutputMode.Append())),
+
     "q_stream_dedup" -> ((s, d) =>
       Speed.runToBatch(s,
         Speed.streamingDedup(Speed.eventStream(s, d),
@@ -794,6 +835,34 @@ object SparkEntry {
       s.read.parquet(tmp.resolve("history").toString)
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("event_type"))
+    }),
+
+    "q_stream_upsert" -> ((s, d) => {
+      // CDC apply-changes to the lake: each micro-batch reduces to
+      // its latest row per key and MERGEs copy-on-write into a
+      // snapshot table — one time-travelable version per batch. The
+      // sentinel keys (user_id −1) span both batches, so the
+      // cross-batch overwrite path genuinely runs; real keys all
+      // land in batch 1 (single staged file), so the finite run's
+      // final state is exactly latest-per-key. Fixed per-sfdir
+      // staging dir, wiped per run (the bloom-dedup discipline).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_stream_upsert_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      java.nio.file.Files.createDirectories(tmp)
+      val q = Speed.upsertToSnapshot(
+        Speed.eventStreamSentineled(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")),
+        tmp.resolve("tbl").toString,
+        Seq("user_id", "event_type"), "ts", "event_id",
+        tmp.resolve("ckpt").toString)
+      q.awaitTermination()
+      graft.sources.LakeWriter
+        .readSnapshot(s, tmp.resolve("tbl").toString)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
     }),
 
     "q_stream_interval_join" -> ((s, d) => {
@@ -1021,6 +1090,21 @@ object SparkEntry {
           col("degree"), col("rank_micro"))
     }),
 
+    "q_triangle_count" -> ((s, d) => {
+      // exact triangles over the co-purchase graph (parts co-ordered
+      // within an order — basket-bounded pair fanout, so the edge
+      // derivation stays linear in lineitems). Degree-oriented
+      // enumeration: every triangle generated once at its
+      // min-(deg,id) corner; a hub part is never a wedge center
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"), "l_orderkey")
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      operators.Graph.triangleCounts(edges, "u", "v")
+        .select(col("node").as("l_partkey"), col("n_triangles"))
+    }),
+
     "q_topk_sketch" -> ((s, d) => {
       // the NATIVE Misra-Gries aggregate (custom
       // TypedImperativeAggregate): constant counter state per
@@ -1048,6 +1132,29 @@ object SparkEntry {
         T(s, d, "part"), "p_name", maxDist = 2)
     }),
 
+    "q_er_clusters" -> ((s, d) => {
+      // dimension-free entity resolution: clean + dirtied part names
+      // as separate RECORDS, blocked pairwise levenshtein edges,
+      // transitive closure — every record labeled with its entity
+      // (clean rec 2k, dirty rec 2k+1; the two spellings of part k
+      // must land in one cluster even when only the clean name
+      // bridges them)
+      val part = T(s, d, "part")
+      val dirty = part.select(col("p_partkey"), expr(
+        """concat(
+          |  substring(p_name, 1,
+          |    cast(p_partkey % (length(p_name) - 2) + 1 as int)),
+          |  substring(p_name,
+          |    cast(p_partkey % (length(p_name) - 2) + 3 as int)))"""
+          .stripMargin).as("dirty_name"))
+      val recs = part
+        .select((col("p_partkey") * 2).as("rec_id"),
+          col("p_name").as("name"))
+        .unionByName(dirty.select((col("p_partkey") * 2 + 1).as("rec_id"),
+          col("dirty_name").as("name")))
+      operators.Linkage.erClusters(recs, "rec_id", "name", maxDist = 2)
+    }),
+
     "q_top_terms" -> ((s, d) =>
       // vocabulary head: top-20 tokens by corpus frequency
       TextAnalysis.topTerms(T(s, d, "documents"), "text", "doc_id",
@@ -1058,6 +1165,24 @@ object SparkEntry {
       // micro-nats over one token scan, count-pruned before the joins
       TextAnalysis.collocations(T(s, d, "documents"), "text", "doc_id",
         minCount = 10L)),
+
+    "q_chi2_assoc" -> ((s, d) =>
+      // corpus-composition drift: chi-square association between
+      // lang and source in EXACT integer micro-units (no
+      // transcendentals) — one corpus-sized count, everything after
+      // is cardinality-sized
+      operators.Profiling.chi2Assoc(T(s, d, "documents"),
+        "lang", "source")),
+
+    "q_topk_grouped" -> ((s, d) =>
+      // per-SOURCE Misra-Gries heavy hitters: one bounded sketch per
+      // group, contract check fully columnar (group cardinality
+      // unbounded — nothing reaches the driver but the result)
+      operators.Sketches.topKGuaranteedByGroup(
+        T(s, d, "documents").select(col("source"),
+          explode(TextFns.tokens(TextFns.normalizeText(col("text"))))
+            .as("tok")),
+        "source", "tok", k = 5, capacity = 128)),
 
     "q_drift_psi" -> ((s, d) =>
       // ingest drift monitor: population-stability-index terms between
@@ -1851,9 +1976,9 @@ object SparkEntry {
     * symbol string (last-token-equals-left check via the separator
     * guard — symbols never contain chr(31) in whitespace-tokenized
     * text). Fully independent of the engine's fold. */
-  private def bpeTrainOracle(merges: Int): String = {
+  private def bpeIterCtes(merges: Int): String = {
     val sep = "chr(31)"
-    val iters = (0 until merges).map { k =>
+    (0 until merges).map { k =>
       s"""p$k AS (
          |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
          |    SELECT n, syms[i] AS l, syms[i + 1] AS r
@@ -1862,7 +1987,7 @@ object SparkEntry {
          |  GROUP BY l, r),
          |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
          |s${k + 1} AS (
-         |  SELECT n, CASE WHEN len(syms) < 2 THEN syms
+         |  SELECT n, word, CASE WHEN len(syms) < 2 THEN syms
          |    ELSE string_split(list_reduce(syms, (acc, x) ->
          |      CASE WHEN (acc = b.l OR ends_with(acc, $sep || b.l))
          |                AND x = b.r
@@ -1870,23 +1995,46 @@ object SparkEntry {
          |           ELSE acc || $sep || x END), $sep) END AS syms
          |  FROM s$k, b$k AS b)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until merges)
-      .map(k => s"SELECT $k AS k, l, r, c FROM b$k")
-      .mkString("\nUNION ALL\n")
+  }
+
+  /** Shared training preamble: per-doc word occurrences, the distinct
+    * word table (with corpus counts — training weights AND the
+    * vocab-sized apply table), and the unrolled merge iterations. */
+  private def bpeCtePreamble(merges: Int): String =
     s"""WITH toks AS (
-       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+       |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
        |    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
        |  FROM documents),
        |w AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
-       |s0 AS (SELECT n, string_split(word, '') AS syms FROM w),
-       |$iters
+       |s0 AS (SELECT n, word, string_split(word, '') AS syms FROM w),
+       |${bpeIterCtes(merges)}""".stripMargin
+
+  private def bpeTrainOracle(merges: Int): String = {
+    val union = (0 until merges)
+      .map(k => s"SELECT $k AS k, l, r, c FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeCtePreamble(merges)}
        |SELECT CAST(k AS INT) AS rank, l AS "left", r AS "right",
        |  c AS pair_count
        |FROM ($union)""".stripMargin
   }
 
+  /** q_bpe_encode oracle: replay training (same CTEs), then the final
+    * symbol table s{merges} IS the applied segmentation of every
+    * distinct word — join its token lengths back onto per-doc word
+    * counts, exactly the engine's vocab-sized layout. */
+  private def bpeEncodeOracle(merges: Int): String =
+    s"""${bpeCtePreamble(merges)},
+       |wl AS (SELECT word, len(syms) AS n_tok FROM s$merges),
+       |dc AS (SELECT doc_id, word, count(*) AS cnt
+       |       FROM toks GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM dc JOIN wl USING (word) GROUP BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
 
     // URL construction + every canonicalization rule re-derived
     "q_url_canonicalize" ->
@@ -2411,6 +2559,12 @@ object SparkEntry {
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    // stateless stream-static join == the batch join
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment, c_nationkey
+        |FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey""".stripMargin,
 
     // single-batch finite run processes each key's events in
     // (ts, event_id) order, so the running (n, Σ, Σ²) state equals
@@ -3178,6 +3332,48 @@ object SparkEntry {
 
     // PSI drift terms: 20 cent-width buckets over observed rows,
     // Laplace-smoothed shares, one groupBy with conditional counts
+    // chi-square terms re-derived cell by cell in the same integer
+    // micro arithmetic over HUGEINT (// = floor div; all terms'
+    // denominators positive, numerators are squares)
+    "q_chi2_assoc" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, source, n,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+        |    CAST(sum(n) OVER () AS BIGINT) AS grand_n
+        |  FROM cells)
+        |SELECT lang, source, n, row_n, col_n,
+        |  CAST(((CAST(n AS HUGEINT) * grand_n - CAST(row_n AS HUGEINT) * col_n)
+        |      * (CAST(n AS HUGEINT) * grand_n - CAST(row_n AS HUGEINT) * col_n)
+        |      * 1000000)
+        |    // (CAST(row_n AS HUGEINT) * col_n * grand_n) AS BIGINT)
+        |    AS chi2_term_micro
+        |FROM tot""".stripMargin,
+
+    // per-group exact top-5; the two-sided MG guarantee is a theorem
+    // under any merge order, so sketch_ok collapses to constant 1
+    "q_topk_grouped" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok AS item, count(*) AS exact_cnt
+        |        FROM toks GROUP BY 1, 2)
+        |SELECT source, item, exact_cnt, 1 AS sketch_ok
+        |FROM cnt
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY exact_cnt DESC, item ASC) <= 5""".stripMargin,
+
+    "q_stream_upsert" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
     "q_drift_psi" ->
       """WITH e AS (
         |  SELECT greatest(least(CAST(floor(
@@ -3594,6 +3790,26 @@ object SparkEntry {
         |  CAST(i3.sc AS BIGINT) AS rank_micro
         |FROM i3 JOIN deg ON deg.src = i3.node""".stripMargin,
 
+    // triangles re-derived by the textbook a<b<c three-way join —
+    // independent of the engine's degree orientation, which is a
+    // pure enumeration strategy (each triangle is one {a,b,c} set
+    // either way); per-node count = corner membership
+    "q_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT unnest([a, b, c]) AS l_partkey FROM tri)
+        |SELECT l_partkey, count(*) AS n_triangles
+        |FROM corners GROUP BY l_partkey""".stripMargin,
+
     // native Misra-Gries sketch: the guarantee contract collapses to
     // a constant ok-flag over the exact top-20
     "q_topk_sketch" ->
@@ -3633,6 +3849,47 @@ object SparkEntry {
         |  FROM cand)
         |SELECT p_partkey, dirty_name, matched_name, dist, n_candidates
         |FROM g WHERE rk = 1""".stripMargin,
+
+    // ER clusters re-derived: same blocked pair predicate, transitive
+    // closure via the recursive reach CTE (the CC oracle pattern),
+    // singletons label themselves through the left join back
+    "q_er_clusters" ->
+      """WITH RECURSIVE dirty AS (
+        |  SELECT p_partkey,
+        |    substr(p_name, 1,
+        |      CAST(p_partkey % (length(p_name) - 2) + 1 AS INT)) ||
+        |    substr(p_name,
+        |      CAST(p_partkey % (length(p_name) - 2) + 3 AS INT))
+        |      AS dirty_name
+        |  FROM part),
+        |recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, dirty_name FROM dirty),
+        |e0 AS (
+        |  SELECT a.rec_id AS src, b.rec_id AS dst
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+        |   AND a.rec_id < b.rec_id
+        |   AND abs(length(a.name) - length(b.name)) <= 2
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION SELECT dst AS src, src AS dst FROM e0),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach
+        |  JOIN edges ON reach.r = edges.src
+        |  WHERE edges.dst <> reach.node),
+        |comp AS (
+        |  SELECT node, least(node, min(r)) AS comp
+        |  FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT r.rec_id, coalesce(c.comp, r.rec_id) AS entity_id
+        |  FROM recs r LEFT JOIN comp c ON c.node = r.rec_id)
+        |SELECT rec_id, entity_id,
+        |  count(*) OVER (PARTITION BY entity_id) AS n_members
+        |FROM lab""".stripMargin,
 
     // per-column profile re-derived column by column; numeric stats
     // use the same floor-based rounding as the engine
@@ -4403,8 +4660,12 @@ object SparkEntry {
            |  JOIN sigs sc ON sc.id = cd.doc_b)
            |WHERE est_jaccard >= 0.2""".stripMargin
       // the salted variant must reproduce the identical pair table —
-      // one oracle text, two queries held to it
-      Map("q_dedup_minhash" -> sql, "q_dedup_minhash_salted" -> sql)
+      // one oracle text, two queries held to it; the DELTA variant is
+      // the same table restricted to pairs touching a new doc
+      // (doc_id % 10 == 0), which is precisely its contract
+      Map("q_dedup_minhash" -> sql, "q_dedup_minhash_salted" -> sql,
+        "q_dedup_delta" ->
+          (sql + "\n  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"))
     }
   }
 

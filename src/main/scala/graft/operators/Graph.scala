@@ -190,4 +190,75 @@ object Graph {
           col("node"))).as("survivor"))
     comps.join(best, Seq("comp")).select(col("node"), col("survivor"))
   }
+
+  /** Exact per-node triangle counts over an undirected edge list —
+    * the clustering-structure primitive (co-occurrence cliques,
+    * community density, link-spam detection on a web corpus).
+    *
+    * Degree-oriented enumeration (the MapReduce-era standard,
+    * Suri & Vassilvitskii 2011): orient every edge from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is
+    * generated EXACTLY once as a wedge at its minimum-order corner
+    * plus one closing-edge probe. Wedge fanout is bounded by
+    * out-degree, and out-degree under degree orientation is bounded
+    * by O(sqrt(m)) — total wedge volume O(m^1.5) instead of
+    * Σ deg², which is what makes a star node (degree 10⁶ at 100 TB)
+    * harmless: a hub sits on the HIGH side of the order, so it is
+    * never a wedge center. Three shuffles total (degree agg, wedge
+    * self-join on the center, closing-edge join); the node-keyed
+    * count at the end partial-aggregates map-side.
+    *
+    * @return (node, n_triangles) for every node on ≥ 1 triangle;
+    *         node ids must be numeric (the orientation tiebreak
+    *         compares them). */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    // canonical undirected edge set: (u, v) with u < v, deduped
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); carry the dst's order
+    // key so the wedge spokes can be ordered without a re-join
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("src"), col("v").as("dst"),
+          col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+          col("du").as("ddst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.ddst").as("ddst"))
+      // reused by both sides of the wedge join AND the closing probe;
+      // without the cut the canon+degree subtree replays three times
+      .localCheckpoint()
+    // wedges at the minimum corner: two out-edges of src, spokes
+    // ordered by the same (deg, id) key so (b, c) appears once
+    val wedges = oriented.as("x").join(oriented.as("y"), "src")
+      .where(struct(col("x.ddst"), col("x.dst")) <
+        struct(col("y.ddst"), col("y.dst")))
+      .select(col("src").as("a"), col("x.dst").as("b"),
+        col("y.dst").as("c"))
+    // closing edge: b ≺ c in orientation order ⇒ the edge, if
+    // present, is oriented b → c. The wedge table is the BIG side
+    // (Σ out-deg² ≫ m); when the edge list fits an executor, probing
+    // it as a broadcast keeps the wedges inside their generating
+    // pipeline instead of shuffling them — the count is free, the
+    // checkpoint above already materialized the edges. Past the
+    // threshold the plan falls back to the shuffle join, the
+    // standard distributed-triangle layout.
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val probe = if (oriented.count() <= 4000000L) broadcast(closing)
+                else closing
+    val tris = wedges.join(probe, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -155,4 +155,49 @@ object Profiling {
           col("entropy_micro"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Chi-square association between two categorical columns — "is
+    * the source mix independent of language?", the corpus-composition
+    * drift test run before accepting a crawl batch (a chi² spike on
+    * lang×source means one source's language profile moved).
+    *
+    * EXACT integer arithmetic, no transcendentals: each cell's
+    * contribution (n−e)²/e with e = row·col/N is computed as
+    * (n·N − row·col)² · 10⁶ div (row·col·N) over decimal(38,0) —
+    * bit-identical on any engine (the q_anomaly discipline). The
+    * decimal(38,0) headroom bounds N at ~10⁹ rows per test (diff² ≤
+    * N⁴); beyond that, run per partition — which is how a drift gate
+    * is deployed anyway (today's batch vs reference).
+    *
+    * Shape at 100 TB: one corpus-sized count aggregate; everything
+    * after runs on the CELL table (|a|·|b| rows — cardinality-sized),
+    * where the marginals are windows and the grand total a one-row
+    * broadcast. Σ chi2_term_micro / 10⁶ ≈ the χ² statistic,
+    * dof = (|a|−1)(|b|−1).
+    *
+    * @return (aCol, bCol, n, row_n, col_n, chi2_term_micro). */
+  def chi2Assoc(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("n"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val withTot = cells
+      .withColumn("row_n", sum(col("n")).over(
+        Window.partitionBy(col("__a"))))
+      .withColumn("col_n", sum(col("n")).over(
+        Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(
+        cells.agg(sum(col("n")).as("grand_n"))))
+    val diff = d(col("n")) * d(col("grand_n")) -
+      d(col("row_n")) * d(col("col_n"))
+    withTot.select(
+      col("__a").as(aCol), col("__b").as(bCol),
+      col("n"), col("row_n"), col("col_n"),
+      (diff * diff * d(lit(1000000L)))
+        .as("__num"),
+      (d(col("row_n")) * d(col("col_n")) * d(col("grand_n")))
+        .as("__den"))
+      .withColumn("chi2_term_micro", expr("__num div __den"))
+      .drop("__num", "__den")
+  }
 }

@@ -98,4 +98,52 @@ object Sketches {
     spark.createDataFrame(out.toSeq)
       .toDF("item", "exact_cnt", "sketch_ok")
   }
+
+  /** Per-GROUP Misra-Gries heavy hitters — one bounded sketch per
+    * group (top tokens per source/domain, hot keys per tenant), and
+    * the whole contract check stays COLUMNAR: unlike the global
+    * [[topKGuaranteed]], nothing but the final result ever reaches
+    * the driver, so group cardinality is unbounded. The sketch table
+    * (one map per group, ≤ capacity entries) joins the per-group
+    * exact top-k on the group key; per-group slack and the per-item
+    * membership probe (`element_at` on the counter map) are plain
+    * column expressions. The two-sided MG guarantee is asserted per
+    * retained item: est ≤ true ≤ est + (N_g − M_g)/(capacity+1),
+    * absent items must be ≤ slack.
+    *
+    * @return (groupCol, item, exact_cnt, sketch_ok). */
+  def topKGuaranteedByGroup(df: DataFrame, groupCol: String,
+                            itemCol: String, k: Int,
+                            capacity: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull && col("grp").isNotNull)
+    val sk = GraftColumnBridge.column(
+      graft.plans.MisraGriesTopK(
+        GraftColumnBridge.expression(col("item")), capacity)
+        .toAggregateExpression())
+    val sketches = items.groupBy(col("grp"))
+      .agg(sk.as("__sketch"), count(lit(1)).as("__n"))
+      .withColumn("__mass",
+        coalesce(aggregate(map_values(col("__sketch")), lit(0L), _ + _),
+          lit(0L)))
+      // integral div (not /, which would go through double): floored
+      // slack is exact for integer bounds, same as the global twin
+      .withColumn("__slack", expr(s"(__n - __mass) div ${capacity + 1}"))
+    val top = items.groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("exact_cnt").desc, col("item").asc)))
+      .where(col("__rk") <= k)
+    top.join(sketches, Seq("grp"))
+      .select(col("grp").as(groupCol), col("item"), col("exact_cnt"),
+        when(element_at(col("__sketch"), col("item")).isNotNull,
+          (element_at(col("__sketch"), col("item")) <= col("exact_cnt"))
+            && (col("exact_cnt") <=
+              element_at(col("__sketch"), col("item")) + col("__slack")))
+          .otherwise(col("exact_cnt") <= col("__slack"))
+          .cast("int").as("sketch_ok"))
+  }
 }

@@ -98,19 +98,28 @@ object Tokenize {
     * my corpus under this tokenizer" question every training-data
     * budget starts with. `mergeList` is the (left, right) sequence in
     * rank order, driver-small by construction (it was learned by
-    * [[bpeTrain]], bounded by the merge budget). */
+    * [[bpeTrain]], bounded by the merge budget).
+    *
+    * The fold replays on the DISTINCT-word table only (Heaps' law:
+    * vocabulary ≪ occurrences — the same discipline training uses),
+    * then per-word token lengths join back onto the per-doc word
+    * counts; the corpus-sized side never runs a merge. */
   def bpeSegmentCount(df: DataFrame, textCol: String, idCol: String,
                       mergeList: Seq[(String, String)]): DataFrame = {
-    val words = df.select(col(idCol),
+    val wc = df.select(col(idCol),
       explode(TextFns.tokens(TextFns.normalizeText(col(textCol))))
         .as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
     val seg = mergeList.foldLeft(
-      words.withColumn("syms", split(col("word"), ""))) {
+      wc.select(col("word")).distinct()
+        .withColumn("syms", split(col("word"), ""))) {
       case (acc, (l, r)) =>
         acc.withColumn("syms", mergePair(col("syms"), l, r))
     }
-    seg.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(size(col("syms"))).as("n_bpe_tokens"))
+    wc.join(seg.select(col("word"), size(col("syms")).as("n_tok")),
+        "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
   }
 }

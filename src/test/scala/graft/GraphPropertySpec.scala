@@ -121,4 +121,47 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
   private var partitionBaseline: Map[String, Long] = Map.empty
+
+  /** Brute-force per-node triangle counts: every node triple checked
+    * against the undirected edge set. */
+  private def refTriangles(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = es.map(_._1).toVector.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if es((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.size
+      if es((nodes(j), nodes(k))) && es((nodes(i), nodes(k)))
+    } Seq(i, j, k).foreach { x =>
+      counts(nodes(x)) = counts.getOrElse(nodes(x), 0L) + 1L
+    }
+    counts.toMap
+  }
+
+  test("triangleCounts agrees with brute force on random graphs") {
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val got = Graph
+          .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == refTriangles(edges)
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("triangleCounts: duplicate/reversed edges and ties collapse") {
+    // K4 plus a pendant node, with every edge ALSO given reversed and
+    // duplicated — 4 corners each on C(3,2)=3 triangles, pendant absent
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val edges = (k4 ++ k4 ++ Seq((4L, 9L))).toList
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }

@@ -41,7 +41,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_nb_classify",      // L-row label stats + one-row vocab broadcast
     "q_collocations",     // one-row (N, M) totals broadcast
     "q_skew_diag",        // one-row per-column total broadcast
-    "q_drift_psi")        // one-row (ref, cur) totals broadcast
+    "q_drift_psi",        // one-row (ref, cur) totals broadcast
+    "q_chi2_assoc")       // one-row grand-total broadcast onto cells
 
   // one construction pass for the whole suite: eager queries run
   // their jobs exactly once, every test reads the cached plan text

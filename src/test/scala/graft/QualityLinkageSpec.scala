@@ -283,6 +283,86 @@ class QualityLinkageSpec extends AnyFunSuite {
       col("avg_nll_micro") > col("nll_micro")).count() == 0)
   }
 
+  test("erClusters: transitive bridge, singletons, every record labeled") {
+    // "acme corp" bridges "acme cor" and "acme corpx" (each within
+    // dist 2 of the bridge, 3 apart from each other — transitivity
+    // is load-bearing); "zeta llc" is a singleton; "bcme corp" blocks
+    // under 'b' so it must NOT join the acme entity despite dist 1
+    val recs = Seq(
+      (10L, "acme corp"), (11L, "acme cor"), (12L, "acme corpx"),
+      (20L, "zeta llc"), (30L, "bcme corp"))
+      .toDF("rec_id", "name")
+    val out = graft.operators.Linkage
+      .erClusters(recs, "rec_id", "name", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(
+      10L -> ((10L, 3L)), 11L -> ((10L, 3L)), 12L -> ((10L, 3L)),
+      20L -> ((20L, 1L)), 30L -> ((30L, 1L))))
+  }
+
+  test("erClusters is partition-invariant") {
+    val recs = Seq(
+      (1L, "alpha inc"), (2L, "alpha inx"), (3L, "alpha ic"),
+      (4L, "beta gmbh"), (5L, "beta gmb"))
+    val a = graft.operators.Linkage
+      .erClusters(recs.toDF("rec_id", "name").repartition(1),
+        "rec_id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.operators.Linkage
+      .erClusters(recs.toDF("rec_id", "name").repartition(7),
+        "rec_id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    assert(a.map(_._1) == (1L to 5L).toSet)
+  }
+
+  test("chi2Assoc: hand-computed terms, exact integer micro-units") {
+    val df = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "u"),
+      ("y", "v")).toDF("a", "b")
+    val out = graft.operators.Profiling.chi2Assoc(df, "a", "b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // N=5; rows x=2 y=3; cols u=3 v=2; term = (n·N−r·c)²·10⁶ div (r·c·N)
+    assert(out(("x", "u")) == ((1L, 2L, 3L, 1000000L / 30)))
+    assert(out(("x", "v")) == ((1L, 2L, 2L, 1000000L / 20)))
+    assert(out(("y", "u")) == ((2L, 3L, 3L, 1000000L / 45)))
+    assert(out(("y", "v")) == ((1L, 3L, 2L, 1000000L / 30)))
+  }
+
+  test("chi2Assoc: independent columns give all-zero terms") {
+    // perfectly proportional 2×2: n = row·col/N exactly
+    val rows = Seq.fill(2)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
+      Seq.fill(4)(("y", "u")) ++ Seq.fill(4)(("y", "v"))
+    val out = graft.operators.Profiling
+      .chi2Assoc(rows.toDF("a", "b"), "a", "b")
+      .collect().map(_.getLong(5))
+    assert(out.length == 4 && out.forall(_ == 0L))
+  }
+
+  test("topKGuaranteedByGroup: exact counts per group, contract holds under eviction") {
+    // group g1: one heavy item + many singletons around a capacity-2
+    // sketch (genuine eviction); g2 isolated with its own counts
+    val g1 = Seq.fill(10)(("g1", "hot")) ++
+      ('a' to 'j').map(c => ("g1", c.toString))
+    val g2 = Seq.fill(3)(("g2", "only")) ++ Seq(("g2", "x"))
+    val out = graft.operators.Sketches.topKGuaranteedByGroup(
+      (g1 ++ g2).toDF("grp", "item").repartition(5), "grp", "item",
+      k = 3, capacity = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3))))
+      .toMap
+    // per-group exact top-3, ties alphabetical; every flag must be 1
+    // (the two-sided MG bound is a theorem under any merge order)
+    assert(out(("g1", "hot")) == ((10L, 1)))
+    assert(out(("g1", "a")) == ((1L, 1)) && out(("g1", "b")) == ((1L, 1)))
+    assert(out(("g2", "only")) == ((3L, 1)) && out(("g2", "x")) == ((1L, 1)))
+    assert(out.size == 5)
+  }
+
   private object Tables {
     def loadDocs() = graft.sources.Tables.load(spark, TestSpark.sfDir,
       "documents")

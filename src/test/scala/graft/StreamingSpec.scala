@@ -357,4 +357,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.where($"n_prior" < 20 && $"is_anomaly".isNotNull)
       .count() == 0)
   }
+
+  test("q_stream_upsert final state equals batch latest-per-key") {
+    val got = SparkEntry.queries("q_stream_upsert")(spark, TestSpark.sfDir)
+    val want = graft.operators.Analytics.latestPerKey(
+        Tables.load(spark, TestSpark.sfDir, "events"),
+        Seq("user_id", "event_type"), $"ts", $"event_id")
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // no sentinel rows leak, and the staged run left a multi-version
+    // (time-travelable) table — one commit per micro-batch
+    assert(got.where($"user_id" < 0).count() == 0)
+    val tbl = "/tmp/graft_stream_upsert_" +
+      TestSpark.sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/tbl"
+    assert(graft.sources.LakeWriter
+      .snapshotVersions(spark, tbl).size >= 2)
+  }
 }

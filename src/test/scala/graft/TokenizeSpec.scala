@@ -102,4 +102,18 @@ class TokenizeSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 2L)))
     assert(out(2L) == ((1L, 2L)))
   }
+
+  test("bpeSegmentCount weights repeated words by occurrence count") {
+    // the fold runs on DISTINCT words; per-doc counts come from the
+    // join-back — a word repeated 3× must contribute 3× its length
+    val df = Seq((1L, "ab ab ab ba"), (2L, "ab")).toDF("doc_id", "text")
+    val out = Tokenize.bpeSegmentCount(df, "text", "doc_id",
+        Seq(("a", "b")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // doc 1: ab×3 -> [ab] each (3 tokens) + ba -> [b, a] (2) = 4 words,
+    // 5 tokens; doc 2: 1 word, 1 token
+    assert(out(1L) == ((4L, 5L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
 }

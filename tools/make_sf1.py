@@ -82,14 +82,48 @@ COPY (
 ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"):
+# part/lineitem upsample (r10 fourth session: q_er_clusters /
+# q_triangle_count read these). Copies are DISJOINT via key offsets —
+# density-preserving: 10x nodes, 10x edges, 10x name vocabulary; the
+# per-copy cipher keeps within-copy levenshtein structure exact while
+# cross-copy names stay unrelated (same reasoning as documents).
+n_parts = con.execute(
+    f"SELECT max(p_partkey)+1 FROM read_parquet('{SRC}/part.parquet')"
+).fetchone()[0]
+n_orders = con.execute(
+    f"SELECT max(l_orderkey)+1 FROM read_parquet('{SRC}/lineitem.parquet')"
+).fetchone()[0]
+
+name_cases = " ".join(
+    f"WHEN k.k = {k} THEN translate(p.p_name, '{ALPHA}', '{cipher(k)}')"
+    for k in range(1, COPIES)
+)
+con.execute(f"""
+COPY (
+  SELECT p.* REPLACE (p.p_partkey + k.k * {n_parts} AS p_partkey,
+                      CASE {name_cases} ELSE p.p_name END AS p_name)
+  FROM read_parquet('{SRC}/part.parquet') p,
+       (SELECT unnest(generate_series(0, {COPIES - 1})) AS k) k
+) TO '{DST}/part.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT l.* REPLACE (l.l_orderkey + k.k * {n_orders} AS l_orderkey,
+                      l.l_partkey + k.k * {n_parts} AS l_partkey)
+  FROM read_parquet('{SRC}/lineitem.parquet') l,
+       (SELECT unnest(generate_series(0, {COPIES - 1})) AS k) k
+) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("region", "nation", "customer", "supplier", "orders",
+          "events"):
     src = f"{SRC}/{t}.parquet"
     dst = f"{DST}/{t}.parquet"
     if os.path.exists(src) and not os.path.exists(dst):
         os.symlink(src, dst)
 
-for t in ("documents", "embeddings"):
+for t in ("documents", "embeddings", "part", "lineitem"):
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
     ).fetchone()[0]
