@@ -340,6 +340,22 @@ object SparkEntry {
           CleanFns.roundRepro(col("avg"), 4).as("avg_qty"))
     }),
 
+    "q_join_salted" -> ((s, d) =>
+      // skew-proof equi-join: lineitem's hot suppkeys spread over 8
+      // salted tasks, supplier replicated 8x — oracle-checked against
+      // the plain join, proving the salted path is row-exact (the
+      // companion to q_salted_agg: the two shapes AQE's skew handling
+      // does not cover)
+      Skew.saltedJoin(
+          T(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+            col("l_quantity")),
+          T(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"),
+            col("s_nationkey")),
+          "l_suppkey", saltFrom = col("l_orderkey"), salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          CleanFns.roundRepro(sum(col("l_quantity")), 2).as("total_qty"))),
+
     "q_approx_percentile" -> ((s, d) => {
       // sketch-based percentiles (KLL/GK-style) — the 100 TB path
       // where exact interpolation's global sort per group is not an
@@ -615,6 +631,22 @@ object SparkEntry {
           col("hash_lo"))))
     }),
 
+    "q_image_dedup" -> ((s, d) => {
+      // perceptual NEAR-dup images: decoded aHash halves recombined
+      // into one 64-bit signature, then the SAME pigeonhole banding
+      // as text simhash (4×16-bit bands — hamming ≤ 3 always shares
+      // a band), exact bit_count verify. The image-side member of
+      // the dedup family; the brute-force oracle proves the bands
+      // complete.
+      val media = Multimodal.encodeSyntheticPng(T(s, d, "documents"),
+        "doc_id")
+      val h = Multimodal.imageAHash(media)
+        .select(col("media_id"),
+          shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+            .as("phash"))
+      Dedup.hammingPairs(h, "media_id", "phash", maxHamming = 3)
+    }),
+
     "q_audio_resample" -> ((s, d) =>
       // REAL linear-interpolation resample of the 8-bit-PCM view to a
       // fixed 64-sample thumbnail; all-integer operands + one double
@@ -836,6 +868,19 @@ object SparkEntry {
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("event_type"))
     }),
+
+    "q_stream_sample" -> ((s, d) =>
+      // streaming reservoir: k uniform draws per event type in ≤ k
+      // pairs of state (native bounded k-min aggregate) — exact and
+      // micro-batch-order-invariant because the reservoir is a pure
+      // order statistic over md5 priorities. Sentinels (user_id < 0)
+      // are dropped PRE-aggregation so they force batches without
+      // occupying reservoir slots.
+      Speed.runToBatch(s,
+        Speed.reservoirPerKey(
+          Speed.eventStreamSentineled(s, d).where(col("user_id") >= 0),
+          "event_type", "event_id", k = 10),
+        name = "stream_sample", mode = OutputMode.Complete())),
 
     "q_stream_upsert" -> ((s, d) => {
       // CDC apply-changes to the lake: each micro-batch reduces to
@@ -2032,6 +2077,40 @@ object SparkEntry {
        |  CAST(sum(cnt * n_tok) AS BIGINT) AS n_bpe_tokens
        |FROM dc JOIN wl USING (word) GROUP BY doc_id""".stripMargin
 
+  /** Shared CTE chain re-deriving the synthetic image's 8×8 aHash
+    * from the closed-form pixel formula (used by q_image_phash and
+    * q_image_dedup; the ENGINE decodes real PNG bytes, the oracle
+    * never parses a byte). Ends in `hash(media_id, hash_hi, hash_lo)`. */
+  private val imageHashCtes: String =
+    """ids AS (
+      |  SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
+      |    8 + ((doc_id * 7) % 9) AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT media_id, i,
+      |    ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy
+      |  FROM ids, UNNEST(generate_series(0, 63)) AS g(i)),
+      |lum AS (
+      |  SELECT media_id, i,
+      |    (((media_id * 31 + sx * 7 + sy * 13) % 256)
+      |   + ((media_id * 17 + sx * 11 + sy * 5) % 256)
+      |   + ((media_id * 23 + sx * 3 + sy * 19) % 256)) // 3 AS l
+      |  FROM cells),
+      |tot AS (SELECT media_id, sum(l) AS t FROM lum GROUP BY 1),
+      |bits AS (
+      |  SELECT lum.media_id, i,
+      |    CASE WHEN lum.l * 64 > tot.t THEN 1 ELSE 0 END AS b
+      |  FROM lum JOIN tot USING (media_id)),
+      |hash AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN i >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+      |      AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN i < 32
+      |      THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+      |      AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
@@ -3039,38 +3118,23 @@ object SparkEntry {
     // pixel formula: NN-mapped 8x8 luma grid, bit set iff
     // luma*64 > grid sum (strict)
     "q_image_phash" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
-        |    8 + ((doc_id * 7) % 9) AS h
-        |  FROM documents),
-        |cells AS (
-        |  SELECT media_id, i,
-        |    ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy
-        |  FROM ids, UNNEST(generate_series(0, 63)) AS g(i)),
-        |lum AS (
-        |  SELECT media_id, i,
-        |    (((media_id * 31 + sx * 7 + sy * 13) % 256)
-        |   + ((media_id * 17 + sx * 11 + sy * 5) % 256)
-        |   + ((media_id * 23 + sx * 3 + sy * 19) % 256)) // 3 AS l
-        |  FROM cells),
-        |tot AS (SELECT media_id, sum(l) AS t FROM lum GROUP BY 1),
-        |bits AS (
-        |  SELECT lum.media_id, i,
-        |    CASE WHEN lum.l * 64 > tot.t THEN 1 ELSE 0 END AS b
-        |  FROM lum JOIN tot USING (media_id)),
-        |hash AS (
-        |  SELECT media_id,
-        |    CAST(sum(CASE WHEN i >= 32
-        |      THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
-        |      AS BIGINT) AS hash_hi,
-        |    CAST(sum(CASE WHEN i < 32
-        |      THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END)
-        |      AS BIGINT) AS hash_lo
-        |  FROM bits GROUP BY 1)
+      s"""WITH $imageHashCtes
         |SELECT media_id, hash_hi, hash_lo,
         |  CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
         |    AS n_same_hash
         |FROM hash""".stripMargin,
+
+    // same hash derivation; pairs brute-forced (the oracle needs no
+    // banding — completeness of the engine's pigeonhole bands is what
+    // the comparison proves), hamming as the two 32-bit halves
+    "q_image_dedup" ->
+      s"""WITH $imageHashCtes
+        |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+        |     + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
+        |FROM hash a JOIN hash b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3""".stripMargin,
 
     // real-PNG image features re-derived from the closed-form pixel
     // formula (the oracle never parses PNG bytes; the engine does)
@@ -3366,6 +3430,26 @@ object SparkEntry {
         |FROM cnt
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY exact_cnt DESC, item ASC) <= 5""".stripMargin,
+
+    // salted join == plain join, row-exact
+    "q_join_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // the reservoir is an order statistic: k largest md5-prefix
+    // priorities per key (13 lowercase hex chars — string order ==
+    // numeric order), ties to the smaller id
+    "q_stream_sample" ->
+      """SELECT event_type, event_id, CAST(rnk AS INT) AS rank
+        |FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 13) DESC,
+        |        event_id ASC) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 10""".stripMargin,
 
     "q_stream_upsert" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -366,8 +366,21 @@ object Dedup {
     * canonicalizes the orientation; results are byte-identical to the
     * unsalted join. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, salts: Int = 1): DataFrame =
+    hammingPairs(simhash(df, textCol, idCol), idCol, "simhash",
+      maxHamming, salts)
+
+  /** The banding+verify stage of [[simhashPairs]] over ANY 64-bit
+    * signature column — also the image near-dup engine (perceptual
+    * aHash is a 64-bit signature too; hamming banding does not care
+    * where the bits came from). Returns (doc_a, doc_b, hamming). */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3, salts: Int = 1): DataFrame = {
-    val sh = simhash(df, textCol, idCol)
+    // 4 bands of 16 bits prove completeness only up to hamming 3
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hammingPairs: 4x16-bit banding is complete only for " +
+        s"maxHamming <= 3, got $maxHamming")
+    val sh = sigs.select(col(idCol), col(sigCol).as("simhash"))
     val banded = sh.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * lit(16))

@@ -292,6 +292,43 @@ object Speed extends Serializable {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic streaming RESERVOIR SAMPLE: k uniform draws per
+    * key from an unbounded stream, in CONSTANT state — the
+    * training-data primitive for "keep a fair sample of every domain
+    * as the crawl streams in". Efraimidis–Spirakis with the priority
+    * derived from md5(id) (u = the first 13 hex digits), so the
+    * reservoir is a pure ORDER STATISTIC: the k largest u per key.
+    * That makes it exact and reproducible under ANY partitioning,
+    * merge order, or micro-batch split (k-min is a semilattice), and
+    * it rides a regular streaming aggregation via the native bounded
+    * [[graft.plans.KMinPairs]] aggregate — ≤ k pairs of state per
+    * partial, no watermark needed. Works identically on a batch
+    * frame; the finite stream run EQUALS the batch computation
+    * bit-for-bit.
+    *
+    * @return (keyCol, idCol, rank) — rank 1..k by draw priority. */
+  def reservoirPerKey(events: DataFrame, keyCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    // larger u = smaller E-S key -ln(u)/1 → keep k LARGEST u: k-min
+    // over (-u, id), ties to the smaller id — integer-exact (u rides
+    // as the 52-bit hex prefix value, never a double)
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val agg = events
+      .select(col(keyCol), (-v).as("__negv"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(keyCol))
+      .agg(GraftColumnBridge.column(
+        graft.plans.KMinPairs(
+          GraftColumnBridge.expression(col("__negv")),
+          GraftColumnBridge.expression(col("__id")), k)
+          .toAggregateExpression()).as("__res"))
+    agg.select(col(keyCol), posexplode(col("__res")).as(Seq("__pos", "__r")))
+      .select(col(keyCol), col("__r.b").as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Streaming OHLC candles — the speed-layer twin of
     * `Analytics.ohlcResample`: per event type per tumbling window,
     * open/close via min_by/max_by over a (ts, id) struct (supported

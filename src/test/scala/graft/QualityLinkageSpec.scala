@@ -363,6 +363,65 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("KMinPairs: exact k-min under any partitioning, bounded state") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val rows = (1L to 500L).map(i => ((i * 7919) % 1000, i))
+    val want = rows.sorted.take(7)
+    for (parts <- Seq(1, 13)) {
+      val df = rows.toDF("a", "b").repartition(parts)
+      val got = df.agg(GraftColumnBridge.column(
+          graft.plans.KMinPairs(
+            GraftColumnBridge.expression(col("a")),
+            GraftColumnBridge.expression(col("b")), 7)
+            .toAggregateExpression()).as("r"))
+        .select(explode(col("r")).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("reservoirPerKey equals the window-derived reservoir") {
+    val events = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+    val got = graft.streaming.Speed
+      .reservoirPerKey(events, "event_type", "event_id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(substring(md5(col("event_id").cast("string")), 1, 13).desc,
+        col("event_id").asc)
+    val want = events
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 5)
+      .select(col("event_type"), col("event_id"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("hammingPairs: pigeonhole bands complete at hamming 3, cut at 4") {
+    // base signature plus variants at hamming 1..4; the 3 flipped
+    // bits of h3 land in THREE different bands (positions 1, 17, 33),
+    // so the pair survives only because one band is still intact —
+    // the completeness edge the pigeonhole argument lives on
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                          // hamming 1
+      (3L, base ^ (1L << 1) ^ (1L << 17) ^ (1L << 33)), // hamming 3
+      (4L, base ^ (1L << 2) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)) // 4
+    ).toDF("id", "sig")
+    val got = graft.operators.Dedup
+      .hammingPairs(sigs, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // (1,4) is hamming 4 — dropped; (2,3) differs in 4 bits (bit 0,
+    // 1, 17, 33) — dropped; (2,4) and (3,4) likewise exceed 3
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 3)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 4)
+    }
+  }
+
   private object Tables {
     def loadDocs() = graft.sources.Tables.load(spark, TestSpark.sfDir,
       "documents")
