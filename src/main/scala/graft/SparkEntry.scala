@@ -971,6 +971,35 @@ object SparkEntry {
       Curation.cdcDedupStats(T(s, d, "documents"), "text", "doc_id",
         divisor = 64)),
 
+    "q_ingest_jsonl" -> ((s, d) => {
+      // the INGEST side of the JSONL shard layout, roundtripped:
+      // documents export to hive-sharded JSONL, two mangled lines are
+      // planted in a shard, and the schema-on-read PERMISSIVE parse
+      // must recover every good row exactly while COUNTING the bad
+      // ones (audit, never a silent drop) — the reference stack's
+      // API-landing-zone ingest as one operator
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_ingest_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val docs = T(s, d, "documents")
+      operators.Packing.exportJsonlShards(
+        docs.withColumn("shard",
+          pmod(col("doc_id"), lit(4)).cast("int")),
+        "shard", s"$tmp/shards").count()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/shards/shard=0/zz_bad.txt"),
+        "{\"doc_id\": not-json\ngarbage line\n".getBytes("UTF-8"))
+      val parsed = operators.Packing.readJsonlShards(s,
+        s"$tmp/shards",
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val bad = parsed.where(col("_corrupt").isNotNull)
+        .agg(count(lit(1)).as("n_bad"))
+      parsed.where(col("_corrupt").isNull)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .crossJoin(broadcast(bad))
+    }),
+
     "q_export_tar" -> ((s, d) => {
       // WebDataset-style tar shard export: byte-deterministic ustar
       // shards + a manifest whose total_bytes the oracle re-derives
@@ -1668,6 +1697,56 @@ object SparkEntry {
       Materialized.refreshAgg(s, src, mv, s"$tmp/cursor",
         Seq("lang"), Seq("n_chars"))
       LakeWriter.readSnapshot(s, mv)
+    }),
+
+    "q_mv_hll" -> ((s, d) => {
+      // incrementally-maintained APPROX-DISTINCT MV: per event_type,
+      // one HLL sketch unioned forward across three append commits
+      // (O(delta + touched groups) per refresh, never a source
+      // re-scan), then a delete commit that must TRIGGER the full
+      // rebuild (sketches cannot subtract). Flags prove (a) the
+      // estimate obeys the 5σ HLL bound vs the exact twin and (b)
+      // incremental maintenance equals a full recompute of the final
+      // state — both deterministic, so the oracle pins them at 1.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_mv_hll_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      import graft.sources.{LakeWriter, Materialized}
+      val src = s"$tmp/src"; val mv = s"$tmp/mv"
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      LakeWriter.commitSnapshot(
+        ev.where(pmod(col("event_id"), lit(3)) === 0), src)
+      LakeWriter.commitSnapshot(
+        ev.where(pmod(col("event_id"), lit(3)) === 1), src,
+        mode = "append")
+      // delete mid-history: version 3 must trigger the rebuild, and
+      // version 4's append must then UNION on top of the rebuilt MV
+      // (the genuinely-incremental final step)
+      LakeWriter.deleteFromSnapshot(s, src,
+        col("event_type") === "scroll")
+      LakeWriter.commitSnapshot(
+        ev.where(pmod(col("event_id"), lit(3)) === 2), src,
+        mode = "append")
+      Materialized.refreshHll(s, src, mv, s"$tmp/cursor",
+        Seq("event_type"), "user_id")
+      // rsd(lgK=12) ≈ 1.04/√4096 ≈ 1.6%; 5σ plus small-count slack
+      val fin = ev.where(pmod(col("event_id"), lit(3)) === 2 ||
+        col("event_type") =!= "scroll")
+      val truth = fin.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("__full_est"))
+      LakeWriter.readSnapshot(s, mv)
+        .select(col("event_type"), col("n_rows"),
+          hll_sketch_estimate(col("hll")).as("__mv_est"))
+        .join(truth, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("exact_users"),
+          (abs(col("__mv_est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.08, lit(5.0)))
+            .cast("int").as("hll_ok"),
+          (col("__mv_est") === col("__full_est")).cast("int")
+            .as("incr_ok"))
     }),
 
     "q_stream_mv" -> ((s, d) => {
@@ -3436,6 +3515,24 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_items,
         |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    // roundtrip: every good row recovered exactly; the two planted
+    // bad lines surface only in the audit count
+    "q_ingest_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(2 AS BIGINT) AS n_bad
+        |FROM documents""".stripMargin,
+
+    // final state = everything from the post-delete append plus the
+    // earlier commits minus the deleted type; both flags are
+    // deterministic (DataSketches hashing is), so the oracle pins 1
+    "q_mv_hll" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  1 AS hll_ok, 1 AS incr_ok
+        |FROM events
+        |WHERE event_id % 3 = 2 OR event_type <> 'scroll'
         |GROUP BY 1""".stripMargin,
 
     // the reservoir is an order statistic: k largest md5-prefix

@@ -164,6 +164,26 @@ object Packing {
     df.groupBy(col(shardCol)).agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Schema-on-read ingest of [[exportJsonlShards]] output (or any
+    * JSONL landing zone — the reference stack's API-ingest shape):
+    * PERMISSIVE parse with a corrupt-record column, so one mangled
+    * line never kills a 100 TB load and nothing is SILENTLY dropped —
+    * callers split good rows from the `_corrupt` audit column. The
+    * hive `shard=k` directories surface as a partition column.
+    * NOTE Spark refuses to filter on the corrupt column straight off
+    * the scan (it would prune the data columns the parser needs);
+    * the returned frame is persisted so audits can query it. */
+  def readJsonlShards(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** The full training EXPORT layout: pack docs into sequences
     * (best-fit-decreasing) and then SHUFFLE the sequences within each
     * shard — dataloaders consume sequences in shard order, so the

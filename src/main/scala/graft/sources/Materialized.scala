@@ -176,4 +176,61 @@ object Materialized {
       .start()
     q.awaitTermination()
   }
+
+  /** Incrementally-maintained APPROX-DISTINCT materialized view —
+    * one HLL sketch (Spark's native DataSketches `hll_sketch_agg`)
+    * per group, plus the row count. The 100 TB COUNT DISTINCT
+    * answer: the MV holds a few KB per group forever, each refresh
+    * unions the delta's sketches into the touched groups
+    * (`hll_union` is a per-row scalar — O(delta + touched groups),
+    * never a source re-scan), and estimates are mergeable across any
+    * grouping, which an exact distinct-count MV can never be.
+    *
+    * Sketches are NOT self-maintainable under deletes (a sketch
+    * cannot subtract) — a version whose feed contains ANY delete
+    * triggers a full rebuild from that version's snapshot, the
+    * min/max discipline with the trigger automated. Append-only
+    * histories stay O(delta) forever. Replays are idempotent by
+    * value for the union path (same delta ∪ same prior = same
+    * sketch) with the same bootstrap caveat as [[refreshAgg]].
+    *
+    * MV schema: groupCols ++ (n_rows, hll) — read estimates with
+    * `hll_sketch_estimate(col("hll"))`.
+    * @return versions of `srcTable` processed this call */
+  def refreshHll(spark: SparkSession, srcTable: String, mvTable: String,
+                 cursorPath: String, groupCols: Seq[String],
+                 distinctCol: String): Seq[Long] =
+    LakeWriter.processNewVersions(spark, srcTable, cursorPath) {
+      (feed, v) =>
+        val hasDeletes =
+          !feed.where(col("_change_type") === "delete").isEmpty
+        val mvExists = LakeWriter.snapshotVersions(spark, mvTable).nonEmpty
+        if (hasDeletes) {
+          // full rebuild AS OF this version — deletes invalidate the
+          // union-only maintenance argument
+          val src = LakeWriter.readSnapshot(spark, srcTable, Some(v))
+          val mv = src.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              hll_sketch_agg(col(distinctCol)).as("hll"))
+          LakeWriter.commitSnapshot(mv, mvTable): Unit
+        } else {
+          val delta = feed.where(col("_change_type") === "insert")
+            .groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              hll_sketch_agg(col(distinctCol)).as("hll"))
+          if (!mvExists) LakeWriter.commitSnapshot(delta, mvTable): Unit
+          else {
+            val current = LakeWriter.readSnapshot(spark, mvTable)
+            val merged = delta.alias("d")
+              .join(current.alias("m"), groupCols, "left")
+              .select(groupCols.map(col) ++ Seq(
+                (coalesce(col("m.n_rows"), lit(0L)) + col("d.n_rows"))
+                  .as("n_rows"),
+                when(col("m.hll").isNull, col("d.hll"))
+                  .otherwise(hll_union(col("m.hll"), col("d.hll")))
+                  .as("hll")): _*)
+            LakeWriter.mergeSnapshot(merged, mvTable, groupCols): Unit
+          }
+        }
+    }
 }

@@ -70,4 +70,66 @@ class MaterializedStreamSpec extends AnyFunSuite {
     assert(mvVersionsAfterSecond > mvVersionsAfterFirst)
     assert(mvVersionsAfterSecond - mvVersionsAfterFirst <= 2)
   }
+
+  test("HLL MV: appends union incrementally, a delete triggers rebuild") {
+    val root = freshDir("graft_mvhll")
+    val src = s"$root/src"; val mv = s"$root/mv"
+    def estimates(): Map[Long, (Long, Long)] =
+      LakeWriter.readSnapshot(spark, mv)
+        .select($"g", $"n_rows", hll_sketch_estimate($"hll"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    def fullEst(upTo: Long): Map[Long, (Long, Long)] =
+      LakeWriter.readSnapshot(spark, src, Some(upTo))
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n"),
+          hll_sketch_estimate(hll_sketch_agg($"v")).as("e"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // v1: ids 0..39; v2: 40..79 (append) — union path twice
+    LakeWriter.commitSnapshot(
+      spark.range(0, 40).toDF("v").withColumn("g", $"v" % 2), src)
+    LakeWriter.commitSnapshot(
+      spark.range(40, 80).toDF("v").withColumn("g", $"v" % 2), src,
+      mode = "append")
+    assert(Materialized.refreshHll(spark, src, mv, s"$root/cur",
+      Seq("g"), "v") == Seq(1L, 2L))
+    assert(estimates() == fullEst(2L))
+    val mvVersionsBeforeDelete = LakeWriter.snapshotVersions(spark, mv).size
+    // v3: DELETE group-1 evens... delete some rows — must rebuild
+    LakeWriter.deleteFromSnapshot(spark, src, $"v" >= 60)
+    // v4: append again — must union on top of the REBUILT sketch
+    LakeWriter.commitSnapshot(
+      spark.range(100, 120).toDF("v").withColumn("g", $"v" % 2), src,
+      mode = "append")
+    assert(Materialized.refreshHll(spark, src, mv, s"$root/cur",
+      Seq("g"), "v") == Seq(3L, 4L))
+    assert(estimates() == fullEst(4L))
+    assert(LakeWriter.snapshotVersions(spark, mv).size
+      == mvVersionsBeforeDelete + 2)
+    // idempotent by value: nothing new to process
+    assert(Materialized.refreshHll(spark, src, mv, s"$root/cur",
+      Seq("g"), "v").isEmpty)
+  }
+
+  test("readJsonlShards: roundtrip is exact, corrupt lines audited not dropped") {
+    val root = freshDir("graft_jsonl")
+    val docs = Seq((1L, "hello\nworld", "en"), (2L, "", "de"),
+      (3L, "quote\"and\\slash", "en")).toDF("id", "txt", "lang")
+    graft.operators.Packing.exportJsonlShards(
+      docs.withColumn("shard", ($"id" % 2).cast("int")), "shard",
+      s"$root/shards").count()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/shards/shard=0/zz_bad.txt"),
+      "not json\n".getBytes("UTF-8"))
+    val parsed = graft.operators.Packing.readJsonlShards(spark,
+      s"$root/shards", "id LONG, txt STRING, lang STRING")
+    assert(parsed.where($"_corrupt".isNotNull).count() == 1)
+    val good = parsed.where($"_corrupt".isNull)
+      .select($"id", $"txt", $"lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(good == Set((1L, "hello\nworld", "en"), (2L, "", "de"),
+      (3L, "quote\"and\\slash", "en")))
+  }
 }

@@ -42,7 +42,8 @@ class PlanInvariantSpec extends AnyFunSuite {
     "q_collocations",     // one-row (N, M) totals broadcast
     "q_skew_diag",        // one-row per-column total broadcast
     "q_drift_psi",        // one-row (ref, cur) totals broadcast
-    "q_chi2_assoc")       // one-row grand-total broadcast onto cells
+    "q_chi2_assoc",       // one-row grand-total broadcast onto cells
+    "q_ingest_jsonl")     // one-row bad-line audit count broadcast
 
   // one construction pass for the whole suite: eager queries run
   // their jobs exactly once, every test reads the cached plan text
