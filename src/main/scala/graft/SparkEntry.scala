@@ -1240,6 +1240,15 @@ object SparkEntry {
       TextAnalysis.collocations(T(s, d, "documents"), "text", "doc_id",
         minCount = 10L)),
 
+    "q_corr" -> ((s, d) =>
+      // exact-integer Pearson correlation (value-cents vs hour of
+      // day, per event type): moment sums in decimal(38,0), one
+      // IEEE division + sqrt at the end — engine-reproducible to the
+      // bit, unlike stock corr()'s running-update float accumulation
+      operators.Profiling.corrExact(T(s, d, "events"),
+        Seq("event_type"), hour(col("ts")),
+        floor(col("value") * 100 + lit(0.5)).cast("long"))),
+
     "q_chi2_assoc" -> ((s, d) =>
       // corpus-composition drift: chi-square association between
       // lang and source in EXACT integer micro-units (no
@@ -3475,6 +3484,28 @@ object SparkEntry {
 
     // PSI drift terms: 20 cent-width buckets over observed rows,
     // Laplace-smoothed shares, one groupBy with conditional counts
+    // same exact integer moments, same single division+sqrt op order
+    // (IEEE ops on identical exact inputs land on identical bits)
+    "q_corr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS HUGEINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |           * CAST(n*syy - sy*sy AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |  END AS corr_micro
+        |FROM g""".stripMargin,
+
     // chi-square terms re-derived cell by cell in the same integer
     // micro arithmetic over HUGEINT (// = floor div; all terms'
     // denominators positive, numerators are squares)

@@ -200,4 +200,38 @@ object Profiling {
       .withColumn("chi2_term_micro", expr("__num div __den"))
       .drop("__num", "__den")
   }
+
+  /** Pearson correlation per group between two integer-valued
+    * expressions — engine-reproducible: the five moment sums
+    * accumulate EXACTLY in decimal(38,0) (one map-side-combining
+    * aggregate, the q_anomaly overflow discipline), and the only
+    * floating-point steps are one division and one sqrt over exact
+    * integers — both correctly rounded under IEEE-754, so any engine
+    * lands on the same bits. Degenerate groups (zero variance on
+    * either side) yield NULL, like `corr`.
+    *
+    * @return (groupCols…, n, corr_micro) with corr_micro =
+    *         floor(corr·10⁶ + 0.5). */
+  def corrExact(df: DataFrame, groupCols: Seq[String], xCol: Column,
+                yCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.select(groupCols.map(col) :+ d(xCol).as("__x")
+      :+ d(yCol).as("__y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val n = d(col("n"))
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    g.select(groupCols.map(col) :+ col("n") :+
+      when(vx > 0 && vy > 0,
+        floor(cov.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+        .as("corr_micro"): _*)
+  }
 }

@@ -97,6 +97,19 @@ object GraftExtensions {
         arity("mg_topk", args, 2)
         MisraGriesTopK(args(0), intArg("mg_topk", args(1)))
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("sorted_long_intersect"),
+      info(classOf[SortedLongIntersect], "sorted_long_intersect"),
+      (args: Seq[Expression]) => {
+        arity("sorted_long_intersect", args, 2)
+        SortedLongIntersect(args(0), args(1))
+      }),
+    (FunctionIdentifier("k_min_pairs"),
+      info(classOf[KMinPairs], "k_min_pairs"),
+      (args: Seq[Expression]) => {
+        arity("k_min_pairs", args, 3)
+        KMinPairs(args(0), args(1), intArg("k_min_pairs", args(2)))
+          .toAggregateExpression()
       }))
 
   /** Apply the same registrations to an ALREADY-RUNNING session

@@ -68,6 +68,17 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT mg_topk(x, 8) m FROM VALUES ('a'),('a'),('b') AS t(x)")
       .head().getMap[String, Long](0)
     assert(mg == Map("a" -> 2L, "b" -> 1L))
+    // sorted-merge long intersection (inputs sorted ascending)
+    assert(spark.sql(
+        "SELECT sorted_long_intersect(array(1L,3L,5L), array(2L,3L,5L,9L)) i")
+      .head().getSeq[Long](0) === Seq(3L, 5L))
+    // the bounded k-min aggregate from pure SQL
+    val km = spark.sql(
+      "SELECT k_min_pairs(a, b, 2) r FROM VALUES (3L,30L),(1L,10L)," +
+        "(2L,20L),(1L,5L) AS t(a, b)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(km === Seq((1L, 5L), (1L, 10L)))
   }
 
   test("non-literal int parameter is rejected with a clear error") {

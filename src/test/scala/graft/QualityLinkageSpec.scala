@@ -422,6 +422,30 @@ class QualityLinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("corrExact: perfect, inverse, known and degenerate correlations") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L),
+      ("flat", 1L, 7L), ("flat", 2L, 7L), ("flat", 3L, 7L),
+      ("half", 0L, 0L), ("half", 1L, 1L), ("half", 2L, 1L),
+      ("half", 3L, 2L))
+      .toDF("g", "x", "y")
+    val out = graft.operators.Profiling
+      .corrExact(df, Seq("g"), col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out("up") == ((3L, Some(1000000L))))
+    assert(out("down") == ((3L, Some(-1000000L))))
+    // zero variance on y -> NULL, like corr()
+    assert(out("flat") == ((3L, None)))
+    // r = cov/sqrt(vx*vy) = 10/sqrt(20*6.75)... integer moments:
+    // n=4 sx=6 sy=4 sxy=9 sxx=14 syy=6; cov=4*9-24=12,
+    // vx=4*14-36=20, vy=4*6-16=8 -> 12/sqrt(160)=0.9486832...
+    assert(out("half") == ((4L, Some(948683L))))
+  }
+
   private object Tables {
     def loadDocs() = graft.sources.Tables.load(spark, TestSpark.sfDir,
       "documents")
