@@ -992,12 +992,19 @@ object SparkEntry {
       val parsed = operators.Packing.readJsonlShards(s,
         s"$tmp/shards",
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      val bad = parsed.where(col("_corrupt").isNotNull)
-        .agg(count(lit(1)).as("n_bad"))
-      parsed.where(col("_corrupt").isNull)
+      val good = parsed.where(col("_corrupt").isNull)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-        .crossJoin(broadcast(bad))
+      // cache-free audit: bad = non-empty physical lines − good rows.
+      // count(doc_id) (not count(*)) keeps a DATA column in the
+      // pruned schema — count(*) would prune to _corrupt alone and
+      // trip QUERY_ONLY_CORRUPT_RECORD_COLUMN; doc_id is never null
+      // on a good row (the exporter always writes it)
+      val bad = operators.Packing.jsonlLineCount(s, s"$tmp/shards")
+        .crossJoin(broadcast(
+          good.agg(count(col("doc_id")).as("__n_good"))))
+        .select((col("n_lines") - col("__n_good")).as("n_bad"))
+      good.crossJoin(broadcast(bad))
     }),
 
     "q_export_tar" -> ((s, d) => {

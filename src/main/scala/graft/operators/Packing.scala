@@ -170,9 +170,11 @@ object Packing {
     * line never kills a 100 TB load and nothing is SILENTLY dropped —
     * callers split good rows from the `_corrupt` audit column. The
     * hive `shard=k` directories surface as a partition column.
-    * NOTE Spark refuses to filter on the corrupt column straight off
-    * the scan (it would prune the data columns the parser needs);
-    * the returned frame is persisted so audits can query it. */
+    * LAZY — nothing is cached. Spark refuses a query whose required
+    * schema is ONLY the corrupt column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); always
+    * reference a data column alongside `_corrupt`, or audit by
+    * difference via [[jsonlLineCount]] (bad = lines − good). */
   def readJsonlShards(spark: org.apache.spark.sql.SparkSession,
                       path: String, ddl: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -181,8 +183,17 @@ object Packing {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** One-row frame counting the landing zone's NON-EMPTY physical
+    * lines (the JSON parser skips whitespace-only lines, so this is
+    * exactly good + corrupt) — the cache-free audit companion to
+    * [[readJsonlShards]]: n_bad = this − the good-row count. */
+  def jsonlLineCount(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .agg(count(lit(1)).as("n_lines"))
 
   /** The full training EXPORT layout: pack docs into sequences
     * (best-fit-decreasing) and then SHUFFLE the sequences within each

@@ -124,11 +124,19 @@ class MaterializedStreamSpec extends AnyFunSuite {
       "not json\n".getBytes("UTF-8"))
     val parsed = graft.operators.Packing.readJsonlShards(spark,
       s"$root/shards", "id LONG, txt STRING, lang STRING")
-    assert(parsed.where($"_corrupt".isNotNull).count() == 1)
+    // the corrupt line surfaces with its raw payload (referencing a
+    // data column alongside _corrupt — the Spark-mandated shape)
+    val corrupt = parsed.where($"_corrupt".isNotNull)
+      .select($"_corrupt", $"id").collect()
+    assert(corrupt.length == 1 && corrupt(0).getString(0) == "not json")
+    // cache-free audit by difference
+    val nLines = graft.operators.Packing
+      .jsonlLineCount(spark, s"$root/shards").head().getLong(0)
     val good = parsed.where($"_corrupt".isNull)
       .select($"id", $"txt", $"lang")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .toSet
+    assert(nLines - good.size == 1)
     assert(good == Set((1L, "hello\nworld", "en"), (2L, "", "de"),
       (3L, "quote\"and\\slash", "en")))
   }

@@ -18,9 +18,12 @@ the heavy family once at sf1):
   by a per-(k, dim) hash pattern. Norms preserved exactly, cross-copy
   cosine structure destroyed, within-copy geometry replicated.
 
-Other tables are symlinked from sf0.1 (the heavy subset only reads
-documents/embeddings). Output dir is NOT committed; docs/bench/
-sf1.json is.
+- part/lineitem/orders: 10 DISJOINT copies via key offsets (orders
+  shares lineitem's l_orderkey offsets, so joins keep their foreign
+  keys); part names go through the same per-copy cipher.
+
+Remaining tables are symlinked from sf0.1. Output dir is NOT
+committed; docs/bench/sf1*.json are.
 """
 import os
 import random
@@ -44,6 +47,15 @@ def cipher(k: int) -> str:
 
 
 os.makedirs(DST, exist_ok=True)
+
+# A previous script version symlinked part/lineitem/orders from SRC;
+# COPY TO would WRITE THROUGH such a stale symlink and destroy the
+# source table. Remove any symlink at a path we are about to write.
+for t in ("documents", "embeddings", "part", "lineitem", "orders"):
+    p = f"{DST}/{t}.parquet"
+    if os.path.islink(p):
+        os.remove(p)
+
 con = duckdb.connect()
 
 n_docs = con.execute(
@@ -116,14 +128,25 @@ COPY (
 ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("region", "nation", "customer", "supplier", "orders",
-          "events"):
+# orders upsamples with the SAME o_orderkey offsets so lineitem's
+# foreign keys stay intact (a symlinked sf0.1 orders would orphan
+# 90% of sf1 lineitem rows and silently shrink every join);
+# o_custkey is left as-is — customer stays shared across copies.
+con.execute(f"""
+COPY (
+  SELECT o.* REPLACE (o.o_orderkey + k.k * {n_orders} AS o_orderkey)
+  FROM read_parquet('{SRC}/orders.parquet') o,
+       (SELECT unnest(generate_series(0, {COPIES - 1})) AS k) k
+) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("region", "nation", "customer", "supplier", "events"):
     src = f"{SRC}/{t}.parquet"
     dst = f"{DST}/{t}.parquet"
     if os.path.exists(src) and not os.path.exists(dst):
         os.symlink(src, dst)
 
-for t in ("documents", "embeddings", "part", "lineitem"):
+for t in ("documents", "embeddings", "part", "lineitem", "orders"):
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
     ).fetchone()[0]
