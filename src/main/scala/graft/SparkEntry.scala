@@ -463,16 +463,31 @@ object SparkEntry {
 
     "q_dedup_delta" -> ((s, d) => {
       // INCREMENTAL near-dup: today's load (doc_id % 10 == 0) against
-      // the persisted signature table of the standing corpus — only
-      // the delta's text is scanned; daily growth costs O(delta scan
-      // + signature-table shuffle), never a 100 TB re-scan. Result ==
-      // the full run's pairs restricted to those touching a new doc
-      // (the oracle asserts exactly that restriction).
+      // the PERSISTED signature table of the standing corpus (staged
+      // here via upsertSignatureSnapshot, exactly the production
+      // loop) — only the delta's text is scanned, the standing corpus
+      // participates as a parquet signature read; daily growth costs
+      // O(delta scan + signature-table shuffle), never a 100 TB
+      // re-scan. (Feeding minhashSignatures(oldDocs) directly instead
+      // re-derived 90% of the corpus's signatures per downstream use
+      // — 39.6 CPU-s vs 14.8 for the FULL run. Staged: ~27 CPU-s
+      // total, of which the one-time signature-table build is ~14 —
+      // the recurring delta portion is ~12, genuinely below the full
+      // run, and at scale the build amortizes across loads.)
+      // Result == the full run's pairs
+      // restricted to those touching a new doc (the oracle asserts
+      // exactly that restriction).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_dedup_delta_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val sigTable = s"$tmp/sigs"
       val docs = T(s, d, "documents")
+      Dedup.upsertSignatureSnapshot(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text",
+        "doc_id", sigTable)
       val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-      val oldSigs = Dedup.minhashSignatures(
-        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id")
-      Dedup.minhashPairsDelta(newDocs, "text", "doc_id", oldSigs,
+      Dedup.minhashPairsDelta(newDocs, "text", "doc_id",
+        graft.sources.LakeWriter.readSnapshot(s, sigTable),
         threshold = 0.2)
     }),
 
