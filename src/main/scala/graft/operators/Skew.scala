@@ -51,6 +51,14 @@ object Skew {
     val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
+    // join strategy is left to the planner/AQE: a shuffle_hash hint
+    // was measured at sf1 (6M-row left) and came out ~25% SLOWER than
+    // the default — the dominant cost is the left side's (key, salt)
+    // exchange, which is the inherent price of a non-broadcastable
+    // salted join, not the merge/build step. (Cross-scale CPU ratios
+    // for this operator are dominated by AQE broadcast-flipping the
+    // tiny replicated dim at SMALL scale — the big-scale plan is the
+    // honest shuffle join.)
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }
