@@ -884,6 +884,28 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"))
     }),
 
+    "q_stream_hll" -> ((s, d) => {
+      // speed-layer approx-distinct: per-key HLL sketches as
+      // STREAMING aggregation state (constant bytes per key, the
+      // sketch IS the state) — the serving-view twin of q_mv_hll's
+      // batch MV. The finite run's estimate is deterministic
+      // (DataSketches hashing), so the 5σ-bound flag vs the exact
+      // twin pins to 1 in the oracle.
+      val est = Speed.runToBatch(s,
+        Speed.eventStream(s, d).groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("hll")),
+        name = "stream_hll", mode = OutputMode.Complete())
+        .select(col("event_type"),
+          hll_sketch_estimate(col("hll")).as("__est"))
+      val truth = T(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(truth, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.08, lit(5.0)))
+            .cast("int").as("hll_ok"))
+    }),
+
     "q_stream_sample" -> ((s, d) =>
       // streaming reservoir: k uniform draws per event type in ≤ k
       // pairs of state (native bounded k-min aggregate) — exact and
@@ -3587,6 +3609,12 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 3 = 2 OR event_type <> 'scroll'
         |GROUP BY 1""".stripMargin,
+
+    // deterministic sketch => deterministic flag; exact twin rides
+    "q_stream_hll" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users, 1 AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the reservoir is an order statistic: k largest md5-prefix
     // priorities per key (13 lowercase hex chars — string order ==
