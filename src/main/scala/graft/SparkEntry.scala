@@ -525,6 +525,37 @@ object SparkEntry {
         Curation.canonicalizeUrl(col("url")).as("canonical_url"))
     }),
 
+    "q_url_dedup" -> ((s, d) => {
+      // URL-first web dedup (the crawl's cheapest tier, ahead of any
+      // text hashing): raw URLs differing in case / default port /
+      // fragment / trailing slash / tracking params collapse to one
+      // canonical URL; keep the best doc per URL (longest text, tie
+      // to the smaller id) and count what was dropped. Groups are
+      // (source, doc_id%50) by construction — all variants of a
+      // group share scheme, so canonicalization provably unifies them
+      val docs = T(s, d, "documents")
+      val urls = docs.select(col("doc_id"), col("n_chars"), concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"), lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/Docs/"), pmod(col("doc_id"), lit(50)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/"))
+          .otherwise(lit("")),
+        lit("?utm_source=feed&a=1"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("#sec"))
+          .otherwise(lit(""))).as("url"))
+      urls
+        .withColumn("canonical_url",
+          Curation.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(min_by(col("doc_id"),
+            struct((-col("n_chars")).as("a"), col("doc_id").as("b")))
+          .as("keep_doc_id"),
+          count(lit(1)).as("n_dups"))
+    }),
+
     "q_bpe_train" -> ((s, d) =>
       // tokenizer training IN the engine: 8 BPE merges learned over
       // the corpus; all iterative state is vocabulary-sized
@@ -2299,6 +2330,65 @@ object SparkEntry {
         |    || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
         |    AS canonical_url
         |FROM p5""".stripMargin,
+
+    // same canonicalization chain as q_url_canonicalize (over the
+    // colliding URL synthesis), then keep-best per canonical URL
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+        |          ELSE 'https://www.' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/Docs/' || (doc_id % 50)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&a=1'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS base
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_extract(base, '^([^:/?]+)://', 1)) AS scheme,
+        |    regexp_replace(base, '^[^:/?]+://', '') AS rest
+        |  FROM parts),
+        |p3 AS (
+        |  SELECT doc_id, n_chars, scheme, rest,
+        |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS auth
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, n_chars, scheme, rest,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth,
+        |    regexp_replace(split_part(rest, '?', 1), '^[^/?]+', '')
+        |      AS path,
+        |    CASE WHEN contains(rest, '?')
+        |         THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END
+        |      AS query
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT doc_id, n_chars, scheme, auth,
+        |    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path, '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS qstr
+        |  FROM p4),
+        |canon AS (
+        |  SELECT doc_id, n_chars,
+        |    scheme || '://' || auth || path
+        |      || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
+        |      AS canonical_url
+        |  FROM p5)
+        |SELECT canonical_url, doc_id AS keep_doc_id,
+        |  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+        |    AS n_dups
+        |FROM canon
+        |QUALIFY row_number() OVER (PARTITION BY canonical_url
+        |  ORDER BY n_chars DESC, doc_id ASC) = 1""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
