@@ -12,6 +12,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // belt for anything the explicit between-queries release misses:
+      // ContextCleaner triggers a periodic GC so weakly-referenced
+      // RDD/broadcast/shuffle state actually drains in a long session
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -88,6 +92,32 @@ object Bench {
       try { val p = new ProcessBuilder("sync").start(); p.waitFor() }
       catch { case _: Throwable => }
 
+    // release pinned storage BETWEEN queries (outside every timed
+    // window): localCheckpoint/cache blocks are only freed when their
+    // RDD is GC'd, and each query's RESULT keeps its chain alive — in
+    // the r10 driver gate the pinned floor ramped 16→66 GB across 32
+    // queries, starving execution memory and taxing everything in the
+    // window 2-22× until a full GC finally snapped it back. A 100 TB
+    // long-lived session hits the same wall, so the engine-side fix
+    // (iterative ops release round N-1, operators/Graph.scala) is
+    // primary; this is the bench-session twin. Skipped under
+    // SPARK_GRAFT_SHARED_INTERMEDIATES: the survivors family's
+    // memoized component labels are exactly the kind of cross-query
+    // state the flag asks to keep.
+    val keepShared =
+      sys.env.get("SPARK_GRAFT_SHARED_INTERMEDIATES").contains("1")
+    def releasePinned(): Unit = {
+      if (!keepShared)
+        org.apache.spark.sql.GraftCheckpointBridge.releaseAllPersisted(spark)
+      // adaptive full GC: only when the live floor is already high —
+      // unpersist drops the references, but the blocks' on-heap bytes
+      // return only at the next collection, and waiting for one to
+      // happen naturally is how r10 taxed 32 queries. Threshold keeps
+      // the clean-run cost at zero (no per-query forced GC).
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > (16L << 30)) System.gc()
+    }
+
     val failed = scala.collection.mutable.ListBuffer[String]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -119,6 +149,7 @@ object Bench {
       val dt = if (failed.contains(label)) -1.0
                else (System.nanoTime() - t0) / 1e9
       drain()
+      releasePinned()
       val wMb = (shufWrite.get() - w0) / 1e6
       val rMb = (shufRead.get() - r0) / 1e6
       shuffleMb(label) =
@@ -212,7 +243,15 @@ object Bench {
     // inflates against the committed evidence run but cpu does not,
     // the gap is host-side, not a plan regression.
     val loadVals = hostLoad1.values.filter(_ >= 0)
-    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
+    // heap_max_mb = the highest post-release floor any query left
+    // behind (flat ≈ healthy; a ramp = pinned-block leak) and
+    // gc_sec_total = task-attributed GC across the run — the two
+    // fields that would have made r10's 16→66 GB bubble visible from
+    // the driver tail alone
+    val heapVals = heapUsedMb.values
+    val totalGc = math.round(results.collect {
+      case (k, v) if v >= 0 => gcSec.getOrElse(k, 0.0) }.sum * 100) / 100.0
+    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"gc_sec_total":${fmt(totalGc)},"heap_max_mb":${fmt(if (heapVals.isEmpty) -1 else heapVals.max)},"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
     def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       val extra =

@@ -1449,6 +1449,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    "q_snapshot_export" -> ((s, d) => {
+      // OPEN-FORMAT EXPORT bridge through the gate: a snapshot with
+      // real history (append + DELETE) exports as plain
+      // hive-partitioned parquet + a manifest TABLE, and the DuckDB
+      // oracle reads the EXPORTED FILES DIRECTLY (read_parquet over
+      // the open layout, zero graft code) while the Spark side
+      // serves readSnapshot — match proves an external engine sees
+      // exactly the snapshot, the reference's "Trino reads the lake"
+      // property without Iceberg jars.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_export_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/src"
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 0), table)
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 1), table,
+        mode = "append")
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
+      LakeWriter.exportSnapshot(s, table, s"$tmp/export",
+        partitionBy = Seq("lang"))
+      LakeWriter.readSnapshot(s, table)
+    }),
+
     "q_snapshot_cdc" -> ((s, d) => {
       // the change-data-feed: v1 commits the corpus, v2 MERGEs an
       // upsert batch (every doc_id%10==0 doc re-scored, plus brand-new
@@ -1819,11 +1846,22 @@ object SparkEntry {
         col("event_type") =!= "scroll")
       val truth = fin.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          hll_sketch_estimate(hll_union(
+            hll_sketch_agg(col("user_id")),
+            hll_sketch_agg(col("user_id"))))
             .as("__full_est"))
+      // self-union before estimating, BOTH sides: a sketch that rode a
+      // union loses its HIP accumulator while a single-stream one
+      // keeps it, and which path the MV's per-group sketch took
+      // depends on whether the last delta touched the group — so the
+      // raw estimates can differ between two CORRECT sketches with
+      // identical registers. hll_union(x, x) is a register no-op that
+      // forces the composite estimator on both sides: equal registers
+      // then mean exactly equal doubles, under any partitioning.
       LakeWriter.readSnapshot(s, mv)
         .select(col("event_type"), col("n_rows"),
-          hll_sketch_estimate(col("hll")).as("__mv_est"))
+          hll_sketch_estimate(hll_union(col("hll"), col("hll")))
+            .as("__mv_est"))
         .join(truth, Seq("event_type"))
         .select(col("event_type"), col("n_rows"), col("exact_users"),
           (abs(col("__mv_est") - col("exact_users")) <=
@@ -4785,7 +4823,21 @@ object SparkEntry {
       pqOracle(spark, sfDir) ++
       opqOracle(spark, sfDir) ++
       simhashOracle(spark, sfDir) ++
-      minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir)
+      minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir) ++
+      exportOracle(sfDir)
+
+  /** q_snapshot_export's oracle reads the EXPORTED open-format files
+    * directly — `read_parquet` over the hive-partitioned layout the
+    * query wrote, no graft code on the oracle side. Dynamic because
+    * the export path embeds the sf dir. */
+  private def exportOracle(sfDir: String): Map[String, String] = {
+    val out = "/tmp/graft_snap_export_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/export"
+    Map("q_snapshot_export" ->
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM read_parquet('$out/data/*/*.parquet', hive_partitioning=1)"""
+        .stripMargin)
+  }
 
   private def pairValues(rows: Array[org.apache.spark.sql.Row]): String =
     rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")

@@ -73,15 +73,16 @@ object Dedup {
       .select(col(idCol),
         explode(TextFns.shingleSetFromNorm(col("__norm"), shingleN)).as("__sh"))
       .withColumn("__h", pmod(xxhash64(col("__sh")), P))
-    val minExprs = (0 until perms).map { j =>
-      val a = lit((j * 2 + 1).toLong)
-      val b = lit(math.floorMod(j * 0x9E3779B9L + 0x85EBCA6BL, 2147483647L))
-      min(pmod(a * col("__h") + b, P)).as(s"__m$j")
-    }
+    // ONE native aggregate instead of `perms` min(pmod(a*h+b, P))
+    // columns: bit-identical output, but the per-shingle inner loop
+    // runs division-free (Mersenne reduction) in graft.plans.MinhashSig
+    // — the expression formulation burned 2·perms long-divisions per
+    // shingle row, the hottest loop of the whole dedup family
     exploded.groupBy(col(idCol))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col(idCol),
-        array((0 until perms).map(j => col(s"__m$j")): _*).as("sig"))
+      .agg(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.MinhashSig(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__h")),
+          perms).toAggregateExpression()).as("sig"))
   }
 
   /** One-permutation MinHash (Li/Owen/Zhang's OPH with rotation

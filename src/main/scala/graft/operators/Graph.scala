@@ -33,6 +33,12 @@ object Graph {
     try {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
+    // round N-1's checkpoint blocks release as soon as round N has
+    // materialized — otherwise every round pins a node-sized block
+    // set for the session's lifetime (the r10 bench heap ramp); at
+    // most TWO rounds' blocks are live at any instant, and only the
+    // final labels' blocks survive the call (they ARE the result)
+    var prevCkpt: DataFrame = null
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -55,6 +61,10 @@ object Graph {
         .observe(obs, count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
         .localCheckpoint()
       changed = obs.get("changed").asInstanceOf[Long]
+      if (prevCkpt != null)
+        org.apache.spark.sql.GraftCheckpointBridge
+          .unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $i changed=$changed")
       labels = next.select(col("node"), col("comp"))
@@ -156,14 +166,20 @@ object Graph {
         .join(scores.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("sc div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      scores = deg.select(col("src").as("node"))
+      val nextScores = deg.select(col("src").as("node"))
         .join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr(
             "(850000 * coalesce(inc, 0)) div 1000000")).as("sc"))
         .localCheckpoint()
+      // round N-1's blocks release once round N is materialized (same
+      // bounded-state discipline as connectedComponents)
+      org.apache.spark.sql.GraftCheckpointBridge.unpersistCheckpoint(scores)
+      scores = nextScores
     }
-    // node-sized result; materialized so the caches can release
+    // node-sized result; materialized so EVERY intermediate releases:
+    // the persisted edge/degree tables, the edge checkpoint, and the
+    // final round's score checkpoint — only `out`'s blocks survive
     val out = scores
       .join(deg.select(col("src").as("node"), col("deg").as("degree")),
         "node")
@@ -171,6 +187,8 @@ object Graph {
       .localCheckpoint()
     ed.unpersist()
     deg.unpersist()
+    org.apache.spark.sql.GraftCheckpointBridge.unpersistCheckpoint(scores)
+    org.apache.spark.sql.GraftCheckpointBridge.unpersistCheckpoint(e)
     out
   }
 
@@ -245,18 +263,26 @@ object Graph {
     // the adjacency table is NODE-sized (Σ|N⁺| = m longs); joining it
     // onto edges by shuffle would re-shuffle 2·m array-laden rows —
     // measured ~12 GB through the second exchange at sf1. Broadcast
-    // it for both probes while it fits (m ≤ 20M ⇒ ≲ 200 MB): the
-    // edge scan then streams through two in-memory probes and
-    // nothing array-sized is ever shuffled. Past the threshold the
-    // shuffle join is the honest distributed fallback. The count is
-    // free — the checkpoint above already materialized the edges.
-    val adj = if (oriented.count() <= 20000000L) broadcast(adj0)
-              else adj0
+    // it for both probes while it fits: the edge scan then streams
+    // through two in-memory probes and nothing array-sized is ever
+    // shuffled. The gate is on estimated BYTES, not row count —
+    // Σ|N⁺| = m longs plus per-row struct overhead, ~24 B/edge
+    // unrolled — capped at 256 MB so a dense near-threshold graph
+    // can't OOM the driver however the row count looks. Past the
+    // threshold the shuffle join is the honest distributed fallback.
+    // The count is free — the checkpoint above already materialized
+    // the edges. broadcast() wraps the PROJECTED frames directly (not
+    // a parent the join resolves through a Project), so the hint
+    // can't be lost to plan rewrites.
+    val adjBytesEst = oriented.count() * 24L
+    val useBroadcast = adjBytesEst <= (256L << 20)
+    def probe(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     // sinks (no out-edges) have empty intersections — inner joins
     // drop exactly the edges that cannot close a triangle
     val inter = oriented
-      .join(adj.select(col("src"), col("nbrs").as("na")), "src")
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")),
+      .join(probe(adj0.select(col("src"), col("nbrs").as("na"))), "src")
+      .join(probe(adj0.select(col("src").as("dst"), col("nbrs").as("nb"))),
         "dst")
       .select(col("src").as("a"), col("dst").as("b"),
         org.apache.spark.sql.GraftColumnBridge.column(

@@ -165,9 +165,12 @@ object Profiling {
     * contribution (n−e)²/e with e = row·col/N is computed as
     * (n·N − row·col)² · 10⁶ div (row·col·N) over decimal(38,0) —
     * bit-identical on any engine (the q_anomaly discipline). The
-    * decimal(38,0) headroom bounds N at ~10⁹ rows per test (diff² ≤
-    * N⁴); beyond that, run per partition — which is how a drift gate
-    * is deployed anyway (today's batch vs reference).
+    * decimal(38,0) headroom bounds N at ~10⁸ rows per test (diff can
+    * reach N², so diff²·10⁶ ≤ N⁴·10⁶ needs N ≤ 10⁸ to stay inside 38
+    * digits); a runtime assert fails loudly past the bound (with ANSI
+    * off Spark would otherwise NULL on decimal overflow — silent).
+    * Beyond that, run per partition — which is how a drift gate is
+    * deployed anyway (today's batch vs reference).
     *
     * Shape at 100 TB: one corpus-sized count aggregate; everything
     * after runs on the CELL table (|a|·|b| rows — cardinality-sized),
@@ -196,9 +199,20 @@ object Profiling {
       (diff * diff * d(lit(1000000L)))
         .as("__num"),
       (d(col("row_n")) * d(col("col_n")) * d(col("grand_n")))
-        .as("__den"))
-      .withColumn("chi2_term_micro", expr("__num div __den"))
-      .drop("__num", "__den")
+        .as("__den"),
+      col("grand_n").as("__gn"))
+      // loud overflow guard: past the documented bound Spark (ANSI
+      // off) would return NULL on decimal overflow — a silent wrong
+      // answer. assert_true rides the projection (never pruned: its
+      // null result is folded into the output column), so an
+      // oversized input FAILS instead. Cost: one long compare per
+      // cell row.
+      .withColumn("chi2_term_micro", expr("__num div __den") +
+        coalesce(assert_true(col("__gn") <= lit(100000000L),
+          lit("chi2Assoc: grand_n exceeds the decimal(38,0) headroom " +
+            "(~1e8 rows per test) — run per partition"))
+          .cast("long"), lit(0L)))
+      .drop("__num", "__den", "__gn")
   }
 
   /** Pearson correlation per group between two integer-valued

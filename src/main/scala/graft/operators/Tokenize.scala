@@ -82,12 +82,21 @@ object Tokenize {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((rank, l, r, c))
-        words = words
+        val nextWords = words
           .withColumn("syms", mergePair(col("syms"), l, r))
           .localCheckpoint()
+        // rank N-1's vocab-sized checkpoint blocks release once rank
+        // N is materialized — a large merge budget would otherwise
+        // pin one block set per rank for the session's lifetime
+        org.apache.spark.sql.GraftCheckpointBridge
+          .unpersistCheckpoint(words)
+        words = nextWords
         rank += 1
       }
     }
+    // the merge table is driver-side; the word table is not part of
+    // the result — release its final checkpoint too
+    org.apache.spark.sql.GraftCheckpointBridge.unpersistCheckpoint(words)
     spark.createDataFrame(learned.toSeq)
       .toDF("rank", "left", "right", "pair_count")
   }

@@ -143,7 +143,11 @@ object CurationPipeline {
           LakeWriter.commitSnapshot(withSig, corpusTable,
             mode = if (versions0.isEmpty) "overwrite" else "append")
         }
-      val corpusRows = LakeWriter.readSnapshot(spark, corpusTable).count()
+      // metadata-only: the manifest carries per-file row counts, so
+      // the ledger's corpus_rows never re-scans the (ever-growing)
+      // corpus — at 100 TB a per-batch data-scan count would soon
+      // dominate the whole micro-batch
+      val corpusRows = LakeWriter.snapshotRowCount(spark, corpusTable)
       kept.unpersist(blocking = false)
       val result = Result(n0, n1, n2, n3, version, corpusRows, attrition)
       appendLedger(spark, s"$outDir/ledger", result)

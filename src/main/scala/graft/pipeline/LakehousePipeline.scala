@@ -112,6 +112,38 @@ object LakehousePipeline {
 
   private def ledgerPath(outDir: String) = s"$outDir/_meta/load_ledger"
 
+  /** Per-STAGE retry driver — the reference DAG's `retries=` +
+    * `on_retry_callback` semantics (airflow/dags/lakehouse_dags.py
+    * sets task-level retries) as a library: a failing stage re-runs
+    * up to `retries` extra times before the day's load fails. Safe
+    * because every stage is idempotent in isolation (dynamic
+    * partition overwrite, staging-swap dim writes, atomic snapshot
+    * commits — all spec'd): a retry after a PARTIAL failure
+    * re-executes the stage from its inputs, it never double-applies.
+    * `probe` runs at the START of each attempt (stage name, attempt
+    * ordinal) — the test seam for injected transient faults, and the
+    * natural place for metrics/logging in a deployment. */
+  private def retryStage[T](stage: String, retries: Int,
+                            probe: (String, Int) => Unit)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try {
+        probe(stage, attempt)
+        return body
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= retries)
+            throw new RuntimeException(
+              s"pipeline stage '$stage' failed after ${attempt + 1} attempt(s)", e)
+          System.err.println(
+            s"[pipeline] stage $stage attempt $attempt failed " +
+              s"(${e.getMessage}); retrying")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Dates already loaded (empty for a fresh lake). */
   def processedDates(spark: SparkSession, outDir: String): Set[String] = {
     val t = ledgerPath(outDir)
@@ -132,7 +164,11 @@ object LakehousePipeline {
     *        the posture a billion-entity dimension needs. */
   def runDate(spark: SparkSession, sfDir: String, outDir: String,
               date: String, force: Boolean = false,
-              versionedDims: Boolean = false): DayResult = {
+              versionedDims: Boolean = false,
+              retries: Int = 0,
+              probe: (String, Int) => Unit = (_, _) => ()): DayResult = {
+    def staged[T](stage: String)(body: => T): T =
+      retryStage(stage, retries, probe)(body)
     if (!force && processedDates(spark, outDir).contains(date))
       return DayResult(date, 0L, 0L, skipped = true)
     val day = to_date(lit(date))
@@ -154,46 +190,52 @@ object LakehousePipeline {
       appendLoadLedger(spark, outDir, date, 0L, 0L)
       return DayResult(date, 0L, 0L, skipped = false)
     }
-    LakeWriter.dynamicPartitionOverwrite(stg,
-      s"$outDir/stg/stg_events", Seq("event_date"))
+    staged("staging") {
+      LakeWriter.dynamicPartitionOverwrite(stg,
+        s"$outDir/stg/stg_events", Seq("event_date"))
+    }
 
     // ---- dims, incrementally --------------------------------------
     val dateDimPath = s"$outDir/curated/dim_date"
-    val newDates = Dims.dateDim(stg, col("event_date"))
-    val dimDate =
-      if (!new java.io.File(dateDimPath).exists()) newDates
-      else {
-        val existing = spark.read.parquet(dateDimPath)
-        existing.unionByName(
-          newDates.join(existing.select("date"), Seq("date"), "left_anti"))
-      }
-    // tiny table: stage the merged dim before overwriting its input
-    writeViaStaging(dimDate, dateDimPath)
+    staged("dim_date") {
+      val newDates = Dims.dateDim(stg, col("event_date"))
+      val dimDate =
+        if (!new java.io.File(dateDimPath).exists()) newDates
+        else {
+          val existing = spark.read.parquet(dateDimPath)
+          existing.unionByName(
+            newDates.join(existing.select("date"), Seq("date"), "left_anti"))
+        }
+      // tiny table: stage the merged dim before overwriting its input
+      writeViaStaging(dimDate, dateDimPath)
+    }
 
     val etPath = s"$outDir/curated/dim_event_type"
-    val batchTypes = stg.select("event_type")
-      .where(col("event_type").isNotNull).distinct()
-    val dimEventType =
-      if (!new java.io.File(etPath).exists())
-        Dims.distinctDim(stg, Seq("event_type"), "event_type_sk")
-      else {
-        val existing = spark.read.parquet(etPath)
-        // once assigned, a surrogate key NEVER moves: new types take
-        // keys after the current max, in natural-key order
-        val maxSk = existing.agg(max(col("event_type_sk"))).head().getLong(0)
-        existing.unionByName(
-          Dims.distinctDim(
-            batchTypes.join(existing.select("event_type"),
-              Seq("event_type"), "left_anti"),
-            Seq("event_type"), "event_type_sk")
-            .withColumn("event_type_sk", col("event_type_sk") + maxSk))
-      }
-    writeViaStaging(dimEventType, etPath)
+    staged("dim_event_type") {
+      val batchTypes = stg.select("event_type")
+        .where(col("event_type").isNotNull).distinct()
+      val dimEventType =
+        if (!new java.io.File(etPath).exists())
+          Dims.distinctDim(stg, Seq("event_type"), "event_type_sk")
+        else {
+          val existing = spark.read.parquet(etPath)
+          // once assigned, a surrogate key NEVER moves: new types take
+          // keys after the current max, in natural-key order
+          val maxSk = existing.agg(max(col("event_type_sk"))).head().getLong(0)
+          existing.unionByName(
+            Dims.distinctDim(
+              batchTypes.join(existing.select("event_type"),
+                Seq("event_type"), "left_anti"),
+              Seq("event_type"), "event_type_sk")
+              .withColumn("event_type_sk", col("event_type_sk") + maxSk))
+        }
+      writeViaStaging(dimEventType, etPath)
+    }
     // the pre-swap lineage points at deleted files — read back fresh
     val dimEventTypeBack = spark.read.parquet(etPath)
 
     val usPath = s"$outDir/curated/dim_user_state"
-    val dimUserState =
+    val dimUserState = staged("dim_user_state") {
       if (versionedDims) {
         if (LakeWriter.snapshotVersions(spark, usPath).isEmpty)
           LakeWriter.commitSnapshot(
@@ -224,20 +266,26 @@ object LakehousePipeline {
         writeViaStaging(merged, usPath)
         spark.read.parquet(usPath)
       }
+    }
 
     // ---- fact, this date's partition only --------------------------
-    val fact = PitJoin(stg, dimUserState, Seq("user_id"), "ts")
-      .join(broadcast(dimEventTypeBack), Seq("event_type"), "left")
-      .withColumn("date_sk", CleanFns.dateSk(col("event_date")))
-      .select("date_sk", "event_id", "user_id", "event_type_sk",
-        "state", "value", "ts")
-    val factRows = fact.count()
-    if (factRows > 0)
-      LakeWriter.dynamicPartitionOverwrite(fact,
-        s"$outDir/curated/fact_events", Seq("date_sk"))
+    val factRows = staged("fact") {
+      val fact = PitJoin(stg, dimUserState, Seq("user_id"), "ts")
+        .join(broadcast(dimEventTypeBack), Seq("event_type"), "left")
+        .withColumn("date_sk", CleanFns.dateSk(col("event_date")))
+        .select("date_sk", "event_id", "user_id", "event_type_sk",
+          "state", "value", "ts")
+      val n = fact.count()
+      if (n > 0)
+        LakeWriter.dynamicPartitionOverwrite(fact,
+          s"$outDir/curated/fact_events", Seq("date_sk"))
+      n
+    }
     stg.unpersist(blocking = false)
 
-    appendLoadLedger(spark, outDir, date, stgRows, factRows)
+    staged("ledger") {
+      appendLoadLedger(spark, outDir, date, stgRows, factRows)
+    }
     DayResult(date, stgRows, factRows, skipped = false)
   }
 
@@ -258,7 +306,8 @@ object LakehousePipeline {
     * ledger, loaded in ascending order. (At scale the raw zone is
     * date-partitioned, so the date listing is a metadata read.) */
   def backfill(spark: SparkSession, sfDir: String, outDir: String,
-               versionedDims: Boolean = false): Seq[DayResult] = {
+               versionedDims: Boolean = false,
+               retries: Int = 0): Seq[DayResult] = {
     val done = processedDates(spark, outDir)
     Tables.load(spark, sfDir, "events")
       .select(to_date(col("ts")).cast("string").as("d"))
@@ -266,7 +315,29 @@ object LakehousePipeline {
       .collect().map(_.getString(0)).sorted.toSeq
       .filterNot(done)
       .map(d => runDate(spark, sfDir, outDir, d,
-        versionedDims = versionedDims))
+        versionedDims = versionedDims, retries = retries))
+  }
+
+  /** Backfill an EXPLICIT date range (Airflow `backfill --start-date
+    * --end-date` twin): every date in [start, end] loads in order,
+    * ledger-skipping dates already processed — so a re-issued range
+    * lands each partition exactly once. Stage failures retry
+    * per-stage (`retries`); a date that still fails stops the range
+    * (matching Airflow's depends-on-past posture for a warehouse
+    * whose dims fold forward day over day). */
+  def backfillRange(spark: SparkSession, sfDir: String, outDir: String,
+                    startDate: String, endDate: String,
+                    versionedDims: Boolean = false,
+                    retries: Int = 0,
+                    probe: (String, Int) => Unit = (_, _) => ())
+      : Seq[DayResult] = {
+    val s = java.time.LocalDate.parse(startDate)
+    val e = java.time.LocalDate.parse(endDate)
+    require(!e.isBefore(s), s"backfillRange: $endDate before $startDate")
+    Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e))
+      .map(d => runDate(spark, sfDir, outDir, d.toString,
+        versionedDims = versionedDims, retries = retries, probe = probe))
+      .toSeq
   }
 
   /** Overwrite `path` with `df` even when `df` READS from `path`:

@@ -29,8 +29,13 @@ final class KMinBuf(var as: Array[Long], var bs: Array[Long], var n: Int) {
       val mid = (lo + hi) >>> 1
       if (lessAt(mid, a, b)) lo = mid + 1 else hi = mid
     }
-    // equal pairs are sets here in practice (ids unique); keep dups —
-    // harmless for the order statistic
+    // SET semantics: an exactly-equal (a, b) pair is skipped (one
+    // equality probe at the insertion point — the array is sorted, so
+    // any duplicate sits exactly at `lo`). Without this, an
+    // at-least-once replay of the same id within a batch would occupy
+    // two reservoir slots and evict a genuine k-th element, diverging
+    // from the batch-side window reservoir.
+    if (lo < n && as(lo) == a && bs(lo) == b) return
     val m = math.min(n + 1, k)
     if (as.length < m) {
       as = java.util.Arrays.copyOf(as, math.max(4, math.min(k, as.length * 2)))

@@ -2110,4 +2110,94 @@ object LakeWriter {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }
+
+  /** Open-format EXPORT BRIDGE: materialize snapshot `version`
+    * (default latest) of `table` as PLAIN hive-partitioned parquet
+    * plus a queryable manifest TABLE — the consumer-facing half of
+    * the reference's "external engines read the lake" property (its
+    * Iceberg tables are read by Trino,
+    * /root/reference/airflow/dags/spark_code/write_iceberg_sample.py:28-43)
+    * rebuilt without Iceberg jars: any engine (DuckDB, Trino, Hive,
+    * pandas) reads `outDir/data` natively, no graft code required.
+    *
+    * Layout written under `outDir`:
+    *   - `data/[p1=v1/.../]part-*.parquet` — the snapshot's CURRENT
+    *     rows under their LOGICAL column names (column mapping
+    *     resolved, timestamps as TIMESTAMP_MICROS — the encoding
+    *     every engine's reader and stats path understands), hive-
+    *     partitioned by `partitionBy` when given;
+    *   - `manifest/` (parquet) — one ROW PER DATA FILE with
+    *     (file, bytes, rows, min/max per column) — the skipping
+    *     stats as an ordinary table any engine can join/filter,
+    *     not a bespoke JSON format.
+    *
+    * The export is a COPY with its own lifecycle (like Delta's
+    * deep-clone-to-parquet / Iceberg's rewrite to an external
+    * location): later commits to the source don't touch it, and
+    * vacuuming the source can't break it. Scale shape: one
+    * distributed write of the snapshot (partition-parallel), one
+    * footer-metadata pass for the manifest — no driver-side data.
+    * Returns the exported version. */
+  def exportSnapshot(spark: SparkSession, table: String, outDir: String,
+                     version: Option[Long] = None,
+                     partitionBy: Seq[String] = Seq.empty): Long = {
+    val v = version.getOrElse {
+      val vs = snapshotVersions(spark, table)
+      require(vs.nonEmpty, s"no snapshots at $table")
+      vs.last
+    }
+    val df = readSnapshot(spark, table, Some(v))
+    val dataDir = s"$outDir/data"
+    withMicrosTimestamps(spark) {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dataDir)
+    }
+    // manifest TABLE from the exported files' FOOTERS (metadata IO
+    // only): stats are keyed by the export's own column names — the
+    // source's column mapping is already resolved in the data
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = fsOf(spark, p)
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = df.schema
+    val rows = walk(fs, p).sorted.map { f =>
+      val st = try footerStats(conf, f, schema)
+               catch { case scala.util.control.NonFatal(_) =>
+                 FileStats(None, Map.empty) }
+      val rel = f.stripPrefix(
+        fs.makeQualified(p).toString).stripPrefix("/")
+      val stats = st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        org.apache.spark.sql.Row(c, cs.lo.orNull, cs.hi.orNull,
+          cs.nulls.map(java.lang.Long.valueOf).orNull)
+      }
+      org.apache.spark.sql.Row(rel,
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen,
+        st.rows.map(java.lang.Long.valueOf).orNull, stats)
+    }
+    val manSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("col_stats",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("min",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("max",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("null_count",
+              org.apache.spark.sql.types.LongType, nullable = true)))),
+        nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      manSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    v
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.LakeWriter
+
+/** The open-format export bridge: a snapshot exported as plain
+  * hive-partitioned parquet must read back IDENTICALLY with stock
+  * spark.read.parquet (no graft code — the "external engine" posture),
+  * and the exported manifest TABLE must account for every data file
+  * with correct row counts and honest min/max stats. */
+class ExportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("export = snapshot rows via stock parquet read; manifest accounts for every file") {
+    val root = freshDir("graft_export_spec_")
+    val table = s"$root/src"; val out = s"$root/export"
+    val docs = Seq(
+      (1L, "en", "web", 100), (2L, "de", "web", 250),
+      (3L, "en", "book", 300), (4L, "fr", "web", 50),
+      (5L, "en", "web", 400), (6L, "de", "book", 500))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    LakeWriter.commitSnapshot(docs.where($"doc_id" <= 4), table)
+    LakeWriter.commitSnapshot(docs.where($"doc_id" > 4), table,
+      mode = "append")
+    LakeWriter.deleteFromSnapshot(spark, table, $"n_chars" < 100)
+    val v = LakeWriter.exportSnapshot(spark, table, out,
+      partitionBy = Seq("lang"))
+    assert(v === 3L)
+
+    // stock reader sees exactly the snapshot (logical names, rows)
+    val viaStock = spark.read.parquet(s"$out/data")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, Int)].collect().sorted
+    val viaGraft = LakeWriter.readSnapshot(spark, table)
+      .as[(Long, String, String, Int)].collect().sorted
+    assert(viaStock === viaGraft)
+    assert(viaStock.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L, 6L))
+
+    // manifest table: every data file present, rows sum to the table,
+    // bytes positive, per-file doc_id min/max bracket reality
+    val man = spark.read.parquet(s"$out/manifest")
+    val files = man.select($"file").as[String].collect()
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    val fsFiles = new java.io.File(s"$out/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getParentFile.getName + "/" + f.getName).sorted
+    assert(files.sorted.toSeq === fsFiles.toSeq)
+    assert(man.agg(sum($"rows")).as[Long].head === 5L)
+    assert(man.where($"bytes" <= 0).count() === 0)
+    val idStats = man.select(explode($"col_stats").as("cs"))
+      .where($"cs.column" === "doc_id")
+      .select($"cs.min".cast("long"), $"cs.max".cast("long"))
+      .as[(Long, Long)].collect()
+    assert(idStats.nonEmpty)
+    assert(idStats.forall { case (lo, hi) => lo >= 1L && hi <= 6L && lo <= hi })
+
+    // unpartitioned export of an older version works too
+    val out2 = s"$root/export_v1"
+    LakeWriter.exportSnapshot(spark, table, out2, version = Some(1L))
+    assert(spark.read.parquet(s"$out2/data").count() === 4L)
+  }
+}

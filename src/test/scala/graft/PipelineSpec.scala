@@ -1058,4 +1058,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(enriched.count() == 1000)
     assert(enriched.where($"type_tag".isNull).count() == 0)
   }
+
+  test("per-stage retry + 3-day backfillRange lands each partition exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    val allDates = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "events")
+      .select(to_date($"ts").cast("string").as("d")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (d1, d2, d3) = (allDates(0), allDates(1), allDates(2))
+
+    // a TRANSIENT fault on day 2's fact stage (fails attempt 0 only):
+    // with retries=1 the stage re-runs and the day completes
+    var factFaults = 0
+    val flaky: (String, Int) => Unit = { (stage, attempt) =>
+      if (stage == "fact" && attempt == 0 && factFaults == 0) {
+        factFaults += 1
+        throw new RuntimeException("injected transient fact failure")
+      }
+    }
+    LakehousePipeline.runDate(spark, TestSpark.sfDir, out, d1)
+    val r2 = LakehousePipeline.runDate(spark, TestSpark.sfDir, out, d2,
+      retries = 1, probe = flaky)
+    assert(factFaults == 1 && !r2.skipped && r2.factRows > 0)
+
+    // retries EXHAUSTED: the failure surfaces, names the stage, and
+    // the ledger does NOT record the date — no half-loaded day hides
+    val always: (String, Int) => Unit = { (stage, _) =>
+      if (stage == "fact")
+        throw new RuntimeException("injected persistent fact failure")
+    }
+    val ex = intercept[RuntimeException] {
+      LakehousePipeline.runDate(spark, TestSpark.sfDir, out, d3,
+        retries = 1, probe = always)
+    }
+    assert(ex.getMessage.contains("'fact'"))
+    assert(!LakehousePipeline.processedDates(spark, out).contains(d3))
+
+    // 3-day range over [d1, d3]: d1/d2 ledger-skip, d3 loads — then a
+    // RE-ISSUED range is all skips. Net effect: exactly one load per
+    // date however often the range is submitted.
+    val range = LakehousePipeline.backfillRange(spark, TestSpark.sfDir,
+      out, d1, d3)
+    assert(range.map(r => (r.date, r.skipped)) ==
+      Seq((d1, true), (d2, true), (d3, false)))
+    val again = LakehousePipeline.backfillRange(spark, TestSpark.sfDir,
+      out, d1, d3)
+    assert(again.forall(_.skipped))
+    // exactly 3 fact partitions, one per date, no duplicates
+    val fact = spark.read.parquet(s"$out/curated/fact_events")
+    assert(fact.select($"date_sk").distinct().count() == 3)
+    val perDay = fact.groupBy($"date_sk").count().collect()
+      .map(_.getLong(1)).toSeq
+    val expected = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "events")
+      .where(to_date($"ts").isin(d1, d2, d3))
+      .where($"user_id".isNotNull && $"ts".isNotNull)
+      .groupBy(to_date($"ts")).count().collect().map(_.getLong(1)).toSeq
+    assert(perDay.sorted == expected.sorted)
+  }
 }
