@@ -726,6 +726,30 @@ object SparkEntry {
       operators.Graph.connectedComponents(edges, "src", "dst")
     }),
 
+    "q_cc_incremental" -> ((s, d) => {
+      // INCREMENTAL CC through the gate: the edge set splits into a
+      // STANDING graph (labeled once) and a DELTA ((src+dst)%3==0 —
+      // merges components, introduces brand-new nodes, and leaves
+      // some components untouched); the delta folds in via
+      // contraction and the result must equal the full closure over
+      // the union — which is exactly what the oracle computes. The
+      // daily-dedup-load path: the standing corpus participates only
+      // through its node-sized label table.
+      val c = T(s, d, "customer")
+      val a = c.select(col("c_custkey").as("src"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("ab"))
+      val b = c.select(col("c_custkey").as("dst"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("bb"))
+      val edges = a.join(b, Seq("nk"))
+        .where(col("src") < col("dst") && abs(col("ab") - col("bb")) < 1.0)
+        .select("src", "dst")
+      val isDelta = pmod(col("src") + col("dst"), lit(3)) === 0
+      val labels = operators.Graph.connectedComponents(
+        edges.where(!isDelta), "src", "dst")
+      operators.Graph.connectedComponentsIncremental(
+        labels, edges.where(isDelta), "src", "dst")
+    }),
+
     "q_dedup_survivors" -> ((s, d) =>
       // the full dedup pipeline: LSH candidates -> transitive clusters
       // -> one survivor per cluster (what a curation job actually runs)
@@ -1474,6 +1498,29 @@ object SparkEntry {
       LakeWriter.exportSnapshot(s, table, s"$tmp/export",
         partitionBy = Seq("lang"))
       LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_import" -> ((s, d) => {
+      // OPEN-FORMAT IMPORT bridge (CONVERT TO DELTA twin): an
+      // "external engine's" table — stock hive-partitioned parquet
+      // written by a plain df.write — is ADOPTED in place as snapshot
+      // v1 (metadata-only: manifest references the source files by
+      // absolute path, footer-stats sweep, no data copied), then a
+      // partitioned copy-on-write DELETE runs ON the adopted table —
+      // rewritten survivors land under the table's own data dir while
+      // untouched adopted files carry by reference. The oracle
+      // re-derives the final state from the raw documents table.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_import_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      import graft.sources.LakeWriter
+      T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+        .write.partitionBy("lang").parquet(s"$tmp/external")
+      LakeWriter.convertToSnapshot(s, s"$tmp/external", s"$tmp/table")
+      LakeWriter.deleteFromSnapshot(s, s"$tmp/table", col("n_chars") < 150)
+      LakeWriter.readSnapshot(s, s"$tmp/table")
     }),
 
     "q_snapshot_cdc" -> ((s, d) => {
@@ -2782,6 +2829,23 @@ object SparkEntry {
         |  WHERE edges.dst <> reach.node)
         |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
 
+    // the incremental path must land EXACTLY the full union closure —
+    // same oracle as q_connected_components, derived from the full
+    // edge set with no knowledge of the standing/delta split
+    "q_cc_incremental" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        |  WHERE edges.dst <> reach.node)
+        |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
+
     "q_sample_per_group" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
@@ -3937,6 +4001,14 @@ object SparkEntry {
       // FALSE or NULL — hence the coalesce, not plain NOT
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT coalesce(lang = 'en' AND n_chars < 200, false)"""
+        .stripMargin,
+
+    "q_snapshot_import" ->
+      // adopted external parquet + partitioned COW DELETE: final
+      // state re-derived from the raw table (delete survivors =
+      // predicate FALSE or NULL)
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 3 = 0 AND NOT coalesce(n_chars < 150, false)"""
         .stripMargin,
 
     "q_snapshot_cdc" ->

@@ -58,31 +58,70 @@ object Dedup {
 
   // -- MinHash + LSH --------------------------------------------------
 
-  /** MinHash signature via explode + 'perms' codegen'd min-aggregates.
-    * Universal hashing (a*h + b) mod P, P = 2^31-1: every intermediate
-    * stays < 2^63, safe under ANSI overflow checking.
-    * Returns (idCol, sig: array<long> of length `perms`). */
+  /** MinHash signature as ONE scalar projection per document —
+    * universal hashing (a*h + b) mod P, P = 2^31-1, over the doc's
+    * character-shingle hashes, fused into a single native expression
+    * (graft.plans.MinhashSigFromNorm): no explode, no shuffle, no
+    * aggregate. The signature build — a full-corpus scan at 100 TB,
+    * the hottest stage of the whole dedup family — is now a pure map
+    * inside whole-stage codegen, needing no exchange at all.
+    * Bit-identical to the explode+aggregate formulation (kept below
+    * as [[minhashSignaturesComposed]]; a property spec pins equality).
+    * Precondition: one row per `idCol` (every dedup caller feeds
+    * unique ids; the old formulation's per-id grouping is gone).
+    * Returns (idCol, sig: array<long> of length `perms`); rows whose
+    * normalized text is NULL are dropped, matching the old explode. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 5, perms: Int = 64): DataFrame = {
-    val P = lit(2147483647L)
     // normalize ONCE per doc (materialized column), THEN shingle — the
-    // shingle lambda must reference an attribute, not the regex subtree
+    // kernel must see an attribute, not the regex subtree
+    val normed = spread(df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
+    normed.where(col("__norm").isNotNull)
+      .select(col(idCol),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.MinhashSigFromNorm(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__norm")),
+            shingleN, perms)).as("sig"))
+  }
+
+  /** The signature as a COLUMN over raw text — for callers that
+    * already hold the rows they are about to write (a pure
+    * projection: no join, no shuffle, no re-derivation of the input
+    * frame). Values identical to [[minhashSignatures]] on the same
+    * text; NULL text yields a NULL signature (the frame-level API
+    * drops such rows instead — filter on isNotNull to match). */
+  def minhashSigCol(text: org.apache.spark.sql.Column,
+                    shingleN: Int = 5, perms: Int = 64)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.MinhashSigFromNorm(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          TextFns.normalizeText(text)), shingleN, perms))
+
+  /** The explode → shuffle → min-aggregate formulation of
+    * [[minhashSignatures]] — SEMANTIC REFERENCE ONLY (property-spec'd
+    * equal to the fused kernel; composed from independently-tested
+    * builtins, so agreement is meaningful). Not on any hot path. */
+  private[graft] def minhashSignaturesComposed(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, perms: Int = 64): DataFrame = {
+    val P = lit(2147483647L)
     val normed = spread(df.select(col(idCol),
       TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
     val exploded = normed
       .select(col(idCol),
         explode(TextFns.shingleSetFromNorm(col("__norm"), shingleN)).as("__sh"))
       .withColumn("__h", pmod(xxhash64(col("__sh")), P))
-    // ONE native aggregate instead of `perms` min(pmod(a*h+b, P))
-    // columns: bit-identical output, but the per-shingle inner loop
-    // runs division-free (Mersenne reduction) in graft.plans.MinhashSig
-    // — the expression formulation burned 2·perms long-divisions per
-    // shingle row, the hottest loop of the whole dedup family
+    val minExprs = (0 until perms).map { j =>
+      val a = lit((j * 2 + 1).toLong)
+      val b = lit(math.floorMod(j * 0x9E3779B9L + 0x85EBCA6BL, 2147483647L))
+      min(pmod(a * col("__h") + b, P)).as(s"__m$j")
+    }
     exploded.groupBy(col(idCol))
-      .agg(org.apache.spark.sql.GraftColumnBridge.column(
-        graft.plans.MinhashSig(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("__h")),
-          perms).toAggregateExpression()).as("sig"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col(idCol),
+        array((0 until perms).map(j => col(s"__m$j")): _*).as("sig"))
   }
 
   /** One-permutation MinHash (Li/Owen/Zhang's OPH with rotation
@@ -216,6 +255,23 @@ object Dedup {
         .distinct()
     }
 
+  /** LSH pairs from a PRECOMPUTED signature table (what
+    * [[minhashSignatures]] returns). Lazy plan referencing `sigs`
+    * THREE times (banding + both sides of the estimate join) — the
+    * caller owns the lifecycle (persist before, unpersist after, or
+    * point at a lake-persisted signature table). This is the seam
+    * that lets one signature pass feed near-dup detection AND the
+    * corpus commit in the curation pipeline. */
+  def minhashPairsFromSigs(sigs: DataFrame, idCol: String,
+                           perms: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.5, maxBucket: Int = 1000,
+                           salts: Int = 1): DataFrame = {
+    val capped = capBuckets(
+      bandSignatures(sigs, idCol, bands, perms / bands), maxBucket)
+    val cand = candidatePairs(capped, idCol, salts)
+    estimatePairs(cand, sigs, idCol, perms, threshold)
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 5, perms: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5,
@@ -227,10 +283,8 @@ object Dedup {
       if (materialize)
         sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigsPlan
-    val capped = capBuckets(
-      bandSignatures(sigs, idCol, bands, perms / bands), maxBucket)
-    val cand = candidatePairs(capped, idCol, salts)
-    val pairs = estimatePairs(cand, sigs, idCol, perms, threshold)
+    val pairs = minhashPairsFromSigs(sigs, idCol, perms, bands, threshold,
+      maxBucket, salts)
     if (!materialize) pairs
     else {
       // Materialize the (small) pair table eagerly, then drop the
@@ -303,12 +357,29 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     val newSigs = minhashSignatures(newDocs, textCol, idCol, shingleN, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashPairsDeltaFromSigs(newSigs, existingSigs, idCol,
+      perms, bands, threshold, maxBucket)
+    val out = pairs.localCheckpoint(true)
+    newSigs.unpersist(blocking = false)
+    out
+  }
+
+  /** Delta LSH pairs from a PRECOMPUTED delta signature table — the
+    * [[minhashPairsFromSigs]] twin of [[minhashPairsDelta]]. Lazy;
+    * the caller owns `newSigs`' lifecycle (it is referenced several
+    * times — persist it, or the signature scan reruns per reference).
+    * Semantics identical to minhashPairsDelta: pairs touching at
+    * least one new doc, equal to the full run restricted to those. */
+  def minhashPairsDeltaFromSigs(newSigs: DataFrame, existingSigs: DataFrame,
+                                idCol: String, perms: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.5,
+                                maxBucket: Int = 1000): DataFrame = {
     // a RE-INGESTED doc (id present in both the signature table and
     // the delta) must contribute ONE signature row — the fresh one —
     // or every candidate pair it touches would be duplicated/inflated
     val allSigs = existingSigs.select(col(idCol), col("sig"))
       .join(broadcast(newSigs.select(col(idCol))), Seq(idCol), "left_anti")
-      .union(newSigs)
+      .union(newSigs.select(col(idCol), col("sig")))
     // caps are computed over the COMBINED banded table (cheap: sig
     // rows, not text) so a bucket hot across old+new stays capped
     // exactly as the full run would cap it
@@ -324,10 +395,7 @@ object Dedup {
       .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
         greatest(col("doc_x"), col("doc_y")).as("doc_b"))
       .distinct()
-    val pairs = estimatePairs(cand, allSigs, idCol, perms, threshold)
-    val out = pairs.localCheckpoint(true)
-    newSigs.unpersist(blocking = false)
-    out
+    estimatePairs(cand, allSigs, idCol, perms, threshold)
   }
 
   // -- SimHash --------------------------------------------------------

@@ -105,18 +105,27 @@ object CurationPipeline {
       //         Jaccard estimate cannot exceed 1), so skip the
       //         signature-band-join machinery outright — callers use
       //         that setting to run the funnel with near-dup disabled.
+      //         The batch signature table is persisted only within
+      //         this stage (the LSH plan references it three times);
+      //         the COMMIT recomputes signatures as a pure projection
+      //         instead — cheaper than any join against this table.
       val deduped =
         if (nearDupThreshold > 1.0) clean
         else {
-          val pairs = corpus match {
+          val sigs = Dedup.minhashSignatures(clean, textCol, idCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pairs = (corpus match {
             case Some(c) =>
-              Dedup.minhashPairsDelta(clean, textCol, idCol,
+              Dedup.minhashPairsDeltaFromSigs(sigs,
                 c.select(col(idCol), col("sig")),
-                threshold = nearDupThreshold)
+                idCol, threshold = nearDupThreshold)
             case None =>
-              Dedup.minhashPairs(clean, textCol, idCol,
+              Dedup.minhashPairsFromSigs(sigs, idCol,
                 threshold = nearDupThreshold)
-          }
+          }).localCheckpoint(true)
+          // pairs are materialized — the signature cache has served
+          // its three references and can go now
+          sigs.unpersist(blocking = false)
           val newIds = clean.select(col(idCol)).distinct()
           val dropNew = pairs
             .select(col("doc_a").as("__x"), col("doc_b").as("__d"))
@@ -134,12 +143,22 @@ object CurationPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n3 = kept.count()
 
-      // ---- 5. the ONE commit: survivors + fingerprint + signature
+      // ---- 5. the ONE commit: survivors + fingerprint + signature.
+      //         The signature rides as a PURE PROJECTION over the
+      //         persisted survivors — the join-against-a-signature-
+      //         table formulation re-derived the whole upstream chain
+      //         (windows, anti-joins, cascade, redaction) on the
+      //         signature side and paid a shuffle on both, measured at
+      //         more CPU than every other stage of the load combined.
+      //         Same values (same text, same kernel); the isNotNull
+      //         filter replicates the old inner join's drop of
+      //         null-text rows.
       val version =
         if (n3 == 0 && versions0.nonEmpty) versions0.last
         else {
-          val withSig = kept.join(
-            Dedup.minhashSignatures(kept, textCol, idCol), Seq(idCol))
+          val withSig = kept
+            .withColumn("sig", Dedup.minhashSigCol(col(textCol)))
+            .where(col("sig").isNotNull)
           LakeWriter.commitSnapshot(withSig, corpusTable,
             mode = if (versions0.isEmpty) "overwrite" else "append")
         }

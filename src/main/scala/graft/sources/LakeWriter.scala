@@ -243,8 +243,18 @@ object LakeWriter {
     // names callers see. Partition columns are identity-mapped
     // (rename/drop refuse on them), so path-derived values align.
     val pSchema = physSchema(schema, colmap)
-    files.groupBy(f => root.findFirstMatchIn(f).map(_.group(1))
-        .getOrElse(sys.error(s"file outside a version dir: $f")))
+    // a file outside any version dir was ADOPTED IN PLACE by
+    // convertToSnapshot: its basePath (what makes hive partition
+    // recovery work) is the prefix up to the first k=v DIRECTORY
+    // segment, or the parent dir when unpartitioned
+    def baseOf(f: String): String =
+      root.findFirstMatchIn(f).map(_.group(1)).getOrElse {
+        val segs = f.split('/')
+        val i = segs.indexWhere(_.contains("="))
+        if (i >= 0 && i < segs.length - 1) segs.take(i).mkString("/")
+        else f.substring(0, f.lastIndexOf('/'))
+      }
+    files.groupBy(baseOf)
       .toSeq.sortBy(_._1)
       .map { case (base, fs) =>
         spark.read.option("basePath", base).schema(pSchema).parquet(fs: _*)
@@ -2199,5 +2209,63 @@ object LakeWriter {
       manSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     v
+  }
+
+  /** Open-format IMPORT bridge — Delta's `CONVERT TO DELTA` rebuilt
+    * for this snapshot layer: ADOPT an existing plain-parquet
+    * directory (flat or hive-partitioned `col=value/`) as version 1
+    * of `table`, METADATA-ONLY. No byte of data is read beyond
+    * parquet FOOTERS (schema + skipping stats) and no file moves:
+    * the manifest references the source files in place by absolute
+    * path, exactly how append/merge commits carry untouched files.
+    * After conversion the table is a first-class snapshot — append,
+    * MERGE, DELETE, CDC, time travel, constraints all work; rewrites
+    * land under the table's own data dir while untouched adopted
+    * files keep carrying by reference. (`vacuumSnapshots` only ever
+    * deletes under `table/data`, so adopted source files are never
+    * collected — dropping v1 from history leaves them in place.)
+    *
+    * Partition columns derive from the `col=value` directory layout
+    * (types inferred once from the path set, then OWNED by the
+    * committed manifest schema like every snapshot); per-file
+    * partition values re-derive from paths at read, giving adopted
+    * files the same exact-stat partition pruning as native commits.
+    *
+    * The export/import pair closes the interop loop the reference
+    * delegates to Iceberg: external engines read graft tables via
+    * [[exportSnapshot]], and graft adopts any engine's parquet output
+    * without a rewrite — at 100 TB, conversion cost is one bounded-
+    * parallel footer sweep, not a data copy. Returns the committed
+    * version (always 1). */
+  def convertToSnapshot(spark: SparkSession, sourceDir: String,
+                        table: String): Long = {
+    require(snapshotVersions(spark, table).isEmpty,
+      s"convertToSnapshot requires a fresh table, but $table has commits")
+    val p = new org.apache.hadoop.fs.Path(sourceDir)
+    val fs = fsOf(spark, p)
+    val qualified = fs.makeQualified(p).toString
+    val files = walk(fs, p).filter(_.endsWith(".parquet")).sorted
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    // partition columns from the hive layout — identical (possibly
+    // empty) k=v directory chain required for every file
+    def partColsOf(f: String): Seq[String] = {
+      val rel = f.stripPrefix(qualified).stripPrefix("/")
+      val segs = rel.split('/')
+      segs.take(segs.length - 1).toSeq.filter(_.contains("="))
+        .map(_.takeWhile(_ != '='))
+    }
+    val partCols = partColsOf(files.head)
+    files.find(f => partColsOf(f) != partCols).foreach { f =>
+      sys.error(s"inconsistent hive layout under $sourceDir: $f " +
+        s"(expected partition chain ${partCols.mkString("/")})")
+    }
+    // schema via the standard reader (footer metadata + partition
+    // inference under basePath); committed explicitly so later reads
+    // never re-infer
+    val schema = spark.read.option("basePath", qualified)
+      .parquet(files: _*).schema
+    writeManifest(spark, fsOf(spark, new org.apache.hadoop.fs.Path(table)),
+      table, 1L, "convert", schema, files, partCols)
+    1L
   }
 }

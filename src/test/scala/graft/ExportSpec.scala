@@ -66,4 +66,75 @@ class ExportSpec extends AnyFunSuite {
     LakeWriter.exportSnapshot(spark, table, out2, version = Some(1L))
     assert(spark.read.parquet(s"$out2/data").count() === 4L)
   }
+
+  test("convertToSnapshot adopts hive-partitioned parquet metadata-only; pruning and DELETE work") {
+    val root = freshDir("graft_import_spec_")
+    val ext = s"$root/external"; val table = s"$root/table"
+    val docs = Seq(
+      (1L, "en", 100), (2L, "de", 250), (3L, "en", 300),
+      (4L, "fr", 50), (5L, "en", 400), (6L, "de", 500))
+      .toDF("doc_id", "lang_free", "n_chars")
+      .withColumn("lang", $"lang_free").drop("lang_free")
+    docs.write.partitionBy("lang").parquet(ext)
+    val extFilesBefore = new java.io.File(ext).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+
+    assert(LakeWriter.convertToSnapshot(spark, ext, table) === 1L)
+    // metadata-only: no data dir materialized, source files untouched
+    assert(!new java.io.File(s"$table/data").exists())
+    extFilesBefore.foreach { case (f, m) =>
+      assert(new java.io.File(f).lastModified() === m) }
+    // full read equals the source through the committed schema
+    assert(LakeWriter.readSnapshot(spark, table)
+      .select($"doc_id", $"n_chars", $"lang")
+      .as[(Long, Int, String)].collect().sorted.toSeq ===
+      docs.select($"doc_id", $"n_chars", $"lang")
+        .as[(Long, Int, String)].collect().sorted.toSeq)
+
+    // partition pruning on ADOPTED files: corrupt the de files in
+    // place — a lang='en' read must never open them, and neither may
+    // the partition-scoped DELETE below
+    extFilesBefore.keys.filter(_.contains("lang=de")).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        "corrupt".getBytes): Unit
+    }
+    assert(LakeWriter.readSnapshotWhere(spark, table, $"lang" === "en")
+      .select($"doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 5L))
+
+    // partition-scoped copy-on-write DELETE on the adopted table: the
+    // en partition rewrites into the table's own data dir; the
+    // corrupt de partition is excluded by partition pruning in both
+    // the matched-file probe and the rewrite, carrying by reference;
+    // history time-travels to the adopted version
+    LakeWriter.deleteFromSnapshot(spark, table,
+      $"lang" === "en" && $"n_chars" < 200)
+    assert(LakeWriter.readSnapshotWhere(spark, table, $"lang" === "en")
+      .select($"doc_id").as[Long].collect().sorted.toSeq === Seq(3L, 5L))
+    assert(new java.io.File(s"$table/data").exists())
+    assert(LakeWriter.readSnapshotWhere(spark, table, $"lang" === "en",
+      version = Some(1L)).select($"doc_id").as[Long].collect().sorted
+      .toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("flat conversion supports append and stays readable; refuses non-fresh tables") {
+    val root = freshDir("graft_import_flat_")
+    val ext = s"$root/flat"; val table = s"$root/table"
+    Seq((1L, 10), (2L, 20)).toDF("k", "v").write.parquet(ext)
+    LakeWriter.convertToSnapshot(spark, ext, table)
+    // appends COMMIT normally on top of the adopted v1: new files in
+    // the table's data dir, adopted files carried by absolute path
+    LakeWriter.commitSnapshot(Seq((3L, 30)).toDF("k", "v"), table,
+      mode = "append")
+    assert(LakeWriter.readSnapshot(spark, table).as[(Long, Int)]
+      .collect().sorted.toSeq === Seq((1L, 10), (2L, 20), (3L, 30)))
+    assert(LakeWriter.snapshotRowCount(spark, table) === 3L)
+    // a table with history refuses conversion
+    val ex = intercept[IllegalArgumentException] {
+      LakeWriter.convertToSnapshot(spark, ext, table)
+    }
+    assert(ex.getMessage.contains("fresh"))
+  }
 }

@@ -50,6 +50,40 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("incremental CC equals full CC on random graphs and random splits") {
+    // random standing/delta split: the delta may merge standing
+    // components, introduce brand-new nodes, or touch nothing
+    val gen = for {
+      edges <- edgeGen
+      mask <- Gen.listOfN(edges.length, Gen.prob(0.35))
+    } yield (edges, mask)
+    val prop = Prop.forAll(gen) { case (edges, mask) =>
+      edges.isEmpty || {
+        val (delta, standing) = edges.zip(mask)
+          .partition(_._2) match { case (d, s) => (d.map(_._1), s.map(_._1)) }
+        val expected = unionFind(edges)
+        val got =
+          if (standing.isEmpty) {
+            // empty standing graph: labels table is empty, every edge
+            // is delta — degenerate but must still work
+            val labels = Seq.empty[(Long, Long)].toDF("node", "comp")
+            Graph.connectedComponentsIncremental(
+              labels, delta.toDF("src", "dst"), "src", "dst")
+          } else {
+            val labels = Graph.connectedComponents(
+              standing.toDF("src", "dst"), "src", "dst")
+            if (delta.isEmpty) labels
+            else Graph.connectedComponentsIncremental(
+              labels, delta.toDF("src", "dst"), "src", "dst")
+          }
+        got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val docsGen: Gen[List[(Long, Int)]] = for {
     n <- Gen.choose(1, 60)
     docs <- Gen.listOfN(n, for {

@@ -32,6 +32,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.where($"n_copies" === 2).head().getAs[Long]("keep_doc_id") == 7L)
   }
 
+  test("fused minhash signature kernel is bit-identical to the composed reference") {
+    // adversarial inputs for the byte-window rolling: multi-byte UTF8
+    // (2/3/4-byte code points), shorter-than-n, empty, repeats, and a
+    // slice of the real corpus; the reference is the explode +
+    // min-aggregate formulation over independently-tested builtins
+    val tricky = Seq(
+      (1L, "hello world hello world"),
+      (2L, "héllo wörld ünïcode ärger"),
+      (3L, "日本語のテキストです 日本語"),
+      (4L, "emoji 👍🏽 mix 日本 and ascii"),
+      (5L, "abc"), (6L, "a"), (7L, ""),
+      (8L, "aaaaaaaaaaaaaaaaaaaaa"),
+      (9L, "  spaced   out\t\ttext \n lines "),
+      (10L, "ПРИВЕТ мир ПРИВЕТ мир кирилица"))
+      .toDF("doc_id", "text")
+    val corpusHead = docs.where($"doc_id" < 40).select("doc_id", "text")
+    for (df <- Seq(tricky, corpusHead); perms <- Seq(8, 64)) {
+      val fused = Dedup.minhashSignatures(df, "text", "doc_id", 5, perms)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = Dedup
+        .minhashSignaturesComposed(df, "text", "doc_id", 5, perms)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == composed)
+    }
+    // null text: both formulations drop the row
+    val withNull = Seq((1L, "some text"), (2L, null)).toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(withNull, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("Dedup.minhashPairs finds planted near-duplicates") {
     val pairs = Dedup.minhashPairs(planted, "text", "doc_id",
       threshold = 0.5).collect()
