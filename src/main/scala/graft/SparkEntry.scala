@@ -2167,6 +2167,48 @@ object SparkEntry {
           col("source")),
         "lang", "doc_id")),
 
+    "q_stream_cc" -> ((s, d) => {
+      // STREAMING connected components through the gate: the dup
+      // graph's edges arrive as two deterministic micro-batches
+      // ((src+dst)%3 splits them) and the label SNAPSHOT folds each
+      // in by contraction + file-pruned merge of changed labels —
+      // after the last batch the table must equal the full recursive
+      // closure over every edge delivered (same oracle as
+      // q_connected_components; replay/idempotency is spec-proven).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_stream_cc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val c = T(s, d, "customer")
+      val a = c.select(col("c_custkey").as("src"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("ab"))
+      val b = c.select(col("c_custkey").as("dst"),
+        col("c_nationkey").as("nk"), col("c_acctbal").as("bb"))
+      val edges = a.join(b, Seq("nk"))
+        .where(col("src") < col("dst") && abs(col("ab") - col("bb")) < 1.0)
+        .select("src", "dst")
+      val in = s"$tmp/in"
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val dir = s"$tmp/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        val part = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(in, name + ".parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+      }
+      val now = System.currentTimeMillis()
+      val isB1 = pmod(col("src") + col("dst"), lit(3)) === 0
+      stage(edges.where(!isB1), "b0", now - 120000)
+      stage(edges.where(isB1), "b1", now - 60000)
+      val stream = s.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.GraphStream.run(stream, s"$tmp/labels",
+        s"$tmp/ckpt", "src", "dst").awaitTermination()
+      graft.sources.LakeWriter.readSnapshot(s, s"$tmp/labels")
+    }),
+
     "q_stream_curation" -> ((s, d) => {
       // the STREAMING curation funnel, oracle-checked end to end: two
       // deterministic micro-batches (even ids, then odd ids) run the
@@ -2816,6 +2858,23 @@ object SparkEntry {
         |QUALIFY rank <= 5""".stripMargin,
 
     "q_connected_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        |  WHERE edges.dst <> reach.node)
+        |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    // the streamed label snapshot must land EXACTLY the full closure
+    // over every edge delivered — same oracle as
+    // q_connected_components, blind to the batch split
+    "q_stream_cc" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT a.c_custkey AS src, b.c_custkey AS dst
         |  FROM customer a JOIN customer b

@@ -373,4 +373,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.LakeWriter
       .snapshotVersions(spark, tbl).size >= 2)
   }
+
+  test("streamed CC label snapshot equals batch CC after every fold; replay is identity") {
+    import graft.streaming.GraphStream
+    import graft.sources.LakeWriter
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_cc_spec").toString
+    val table = s"$root/labels"
+    // three batches: islands, a bridge that merges them, a no-op
+    // replay — after each fold the snapshot must equal the batch CC
+    // over the UNION of everything delivered so far
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((3L, 10L), (20L, 21L)),           // merges {1,2,3} with {10,11}
+      Seq((1L, 2L), (3L, 10L)))             // pure replay: no change
+    var delivered = Seq.empty[(Long, Long)]
+    for ((edges, i) <- batches.zipWithIndex) {
+      val vBefore = LakeWriter.snapshotVersions(spark, table)
+      GraphStream.foldBatch(edges.toDF("src", "dst"), table, "src", "dst")
+      delivered ++= edges
+      val got = LakeWriter.readSnapshot(spark, table)
+        .as[(Long, Long)].collect().toMap
+      val want = graft.operators.Graph
+        .connectedComponents(delivered.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"after batch $i")
+      if (i == 2) // the replay batch must not commit a new version
+        assert(LakeWriter.snapshotVersions(spark, table) == vBefore)
+    }
+    // end-to-end through the streaming engine: same edges as two
+    // micro-batch files, final table equals the one-shot CC
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def stage(edges: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val dir = s"$root/stage_$name"
+      edges.toDF("src", "dst").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(in, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+    }
+    val now = System.currentTimeMillis()
+    stage(batches(0), "b0", now - 120000)
+    stage(batches(1), "b1", now - 60000)
+    val stream = spark.readStream
+      .schema(batches(0).toDF("src", "dst").schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    GraphStream.run(stream, s"$root/labels2", s"$root/ckpt",
+      "src", "dst").awaitTermination()
+    val streamed = LakeWriter.readSnapshot(spark, s"$root/labels2")
+      .as[(Long, Long)].collect().toMap
+    val oneShot = graft.operators.Graph.connectedComponents(
+      (batches(0) ++ batches(1)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == oneShot)
+  }
 }
