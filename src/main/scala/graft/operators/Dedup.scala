@@ -400,10 +400,27 @@ object Dedup {
 
   // -- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens, via explode + 64 codegen'd
-    * sign-sum aggregates: bit b of the signature is the sign of
-    * sum_tokens(±1 per token-hash bit b). Empty docs hash to 0. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** 64-bit SimHash over whitespace tokens as ONE scalar projection
+    * per document (graft.plans.SimHash64): bit b of the signature is
+    * the sign of sum_tokens(±1 per token-hash bit b). Empty and NULL
+    * docs hash to 0 and keep their row. No explode, no shuffle, no
+    * aggregate — the signature computes inside the scan's codegen
+    * span. Bit-identical to the explode + 64-column sign-sum
+    * formulation (kept below as [[simhashComposed]]; property-spec'd
+    * equal). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
+      .select(col(idCol), coalesce(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.SimHash64(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__norm")))), lit(0L)).as("simhash"))
+
+  /** The explode → 64-aggregate formulation of [[simhash]] — SEMANTIC
+    * REFERENCE ONLY (property-spec'd equal to the fused kernel). */
+  private[graft] def simhashComposed(df: DataFrame, textCol: String,
+                                     idCol: String): DataFrame = {
     val exploded = spread(df, idCol).select(col(idCol),
       explode_outer(TextFns.tokens(TextFns.normalizeText(col(textCol))))
         .as("__t"))

@@ -393,15 +393,35 @@ object TextAnalysis {
     * single final-window minimum. Returns (idCol, fp, fp_pos). */
   def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 5, w: Int = 4): DataFrame = {
+    // ONE scalar kernel per document (graft.plans.WinnowFingerprints):
+    // gram hashing, the sliding rightmost-min, and selection dedup all
+    // run in-register inside the scan's codegen span — the composed
+    // formulation pushed one row PER CHARACTER through a repartition
+    // and three window passes (the heaviest map query of the text
+    // family). Bit-identical (kept below as
+    // [[winnowingFingerprintsComposed]]; property-spec'd equal); rows
+    // with NULL text drop, matching the composed explode.
+    val src = df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm"))
+    Dedup.spread(src, idCol)
+      .where(col("__norm").isNotNull)
+      .select(col(idCol), explode(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.WinnowFingerprints(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__norm")),
+            k, w))).as("__s"))
+      .select(col(idCol), col("__s.fp").as("fp"),
+        col("__s.fp_pos").as("fp_pos"))
+  }
+
+  /** The posexplode + window-function formulation of
+    * [[winnowingFingerprints]] — SEMANTIC REFERENCE ONLY
+    * (property-spec'd equal to the fused kernel). */
+  private[graft] def winnowingFingerprintsComposed(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    // Shuffle DOCUMENTS, not grams: hash-repartitioning by id before
-    // the explode satisfies the window's clustering requirement
-    // already (Generate preserves its child's partitioning), so the
-    // ~n_chars gram rows per document never cross the wire — only the
-    // raw text does (measured ~12× less shuffle at sf0.1). The
-    // partition count keeps the input's parallelism (floor of 32) —
-    // a wide corpus is never coalesced.
     val src = df.select(col(idCol),
       TextFns.normalizeText(col(textCol)).as("__norm"))
     val grams = src

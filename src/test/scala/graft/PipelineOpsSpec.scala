@@ -62,6 +62,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("fused simhash kernel is bit-identical to the composed reference") {
+    val tricky = Seq(
+      (1L, "hello world hello world"),
+      (2L, "héllo wörld ünïcode ärger tokens"),
+      (3L, "日本語 の テキスト です"),
+      (4L, "mixed 👍🏽 emoji and nbsp glue"),
+      (5L, "one"), (6L, ""), (7L, "   "),
+      (8L, "a b a b a b a b"),
+      (9L, "  leading and   trailing \t\n whitespace "),
+      (10L, "ПРИВЕТ мир кирилица"))
+      .toDF("doc_id", "text")
+    val corpusHead = docs.where($"doc_id" < 40).select("doc_id", "text")
+    for (df <- Seq(tricky, corpusHead)) {
+      val fused = Dedup.simhash(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val composed = Dedup.simhashComposed(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fused == composed)
+    }
+    // null text keeps its row and hashes to 0 in both
+    val withNull = Seq((1L, "some text"), (2L, null)).toDF("doc_id", "text")
+    val f = Dedup.simhash(withNull, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = Dedup.simhashComposed(withNull, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == c && f(2L) == 0L)
+  }
+
+  test("fused winnowing kernel is bit-identical to the composed reference") {
+    import graft.operators.TextAnalysis
+    val tricky = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "héllo wörld ünïcode ärger"),
+      (3L, "日本語のテキストです日本語"),
+      (4L, "aaaaaaaaaaaaaaaaaaaa"),           // all-equal hashes: tie rule
+      (5L, "abc"), (6L, "a"), (7L, ""),       // shorter than k
+      (8L, "abcdefg"),                        // fewer grams than w
+      (9L, "abab abab abab abab abab"),       // periodic: repeated selections
+      (10L, "emoji 👍🏽 mix"))
+      .toDF("doc_id", "text")
+    val corpusHead = docs.where($"doc_id" < 40).select("doc_id", "text")
+    for (df <- Seq(tricky, corpusHead); (k, w) <- Seq((5, 4), (3, 5))) {
+      val fused = TextAnalysis.winnowingFingerprints(df, "text", "doc_id", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val composed = TextAnalysis
+        .winnowingFingerprintsComposed(df, "text", "doc_id", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fused == composed, s"k=$k w=$w")
+      // the fused path emits no duplicates to begin with
+      assert(TextAnalysis.winnowingFingerprints(df, "text", "doc_id", k, w)
+        .count() == fused.size)
+    }
+  }
+
   test("Dedup.minhashPairs finds planted near-duplicates") {
     val pairs = Dedup.minhashPairs(planted, "text", "doc_id",
       threshold = 0.5).collect()
