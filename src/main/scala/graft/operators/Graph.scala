@@ -335,20 +335,29 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // the adjacency table is NODE-sized (Σ|N⁺| = m longs); joining it
     // onto edges by shuffle would re-shuffle 2·m array-laden rows —
-    // measured ~12 GB through the second exchange at sf1. Broadcast
-    // it for both probes while it fits: the edge scan then streams
-    // through two in-memory probes and nothing array-sized is ever
-    // shuffled. The gate is on estimated BYTES, not row count —
-    // Σ|N⁺| = m longs plus per-row struct overhead, ~24 B/edge
-    // unrolled — capped at 256 MB so a dense near-threshold graph
-    // can't OOM the driver however the row count looks. Past the
-    // threshold the shuffle join is the honest distributed fallback.
-    // The count is free — the checkpoint above already materialized
-    // the edges. broadcast() wraps the PROJECTED frames directly (not
-    // a parent the join resolves through a Project), so the hint
-    // can't be lost to plan rewrites.
+    // measured ~12 GB through the second exchange at sf1, and ~2.7×
+    // the broadcast path's CPU on the same graph (the r11 sf1 sweep:
+    // 11.96M edges = 287 MB estimated tripped a 256 MB gate into the
+    // fallback and the query ran 27× its sf0.1 CPU instead of the
+    // graph's true 10×). Broadcast for both probes while it fits: the
+    // edge scan then streams through two in-memory probes and nothing
+    // array-sized is ever shuffled. The gate is on estimated BYTES,
+    // not row count — Σ|N⁺| = m longs plus per-row struct overhead,
+    // ~24 B/edge unrolled — defaulting to 1 GB: well under Spark's
+    // own 8 GB broadcast ceiling and a once-per-executor transfer,
+    // vs a 2·m array re-shuffle that grows with every stage. A
+    // smaller-driver deployment tunes it down via
+    // spark.graft.triangles.broadcastMaxBytes. Past the threshold the
+    // shuffle join is the honest distributed fallback. The count is
+    // free — the checkpoint above already materialized the edges.
+    // broadcast() wraps the PROJECTED frames directly (not a parent
+    // the join resolves through a Project), so the hint can't be lost
+    // to plan rewrites.
+    val maxBytes = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(1L << 30)
     val adjBytesEst = oriented.count() * 24L
-    val useBroadcast = adjBytesEst <= (256L << 20)
+    val useBroadcast = adjBytesEst <= maxBytes
     def probe(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // sinks (no out-edges) have empty intersections — inner joins

@@ -17,13 +17,14 @@ object PlanDump {
       .appName("plan-dump").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "docs/plans")
     for (q <- args.toSeq) {
       val df = SparkEntry.queries(q)(spark, d)
       df.count(): Unit // settle AQE so the dump shows the final plan
       val body = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"docs/plans/$q.txt"),
+        java.nio.file.Paths.get(s"$outDir/$q.txt"),
         body.getBytes("UTF-8"))
       println(s"dumped $q")
     }
