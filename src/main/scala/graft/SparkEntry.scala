@@ -1373,6 +1373,18 @@ object SparkEntry {
       operators.Profiling.psiDrift(T(s, d, "events"), "value",
         isRef = pmod(col("event_id"), lit(2)) === 0)),
 
+    "q_drift_ks" -> ((s, d) =>
+      // the distribution-free drift twin: exact-integer two-sample
+      // Kolmogorov-Smirnov distance per event type between the even-
+      // and odd-id halves of the value distribution (cent-quantized
+      // so the ECDF domain is integral) — no bucket widths to tune,
+      // catches any ECDF divergence PSI's bins can miss
+      operators.Profiling.ksDrift(
+        T(s, d, "events").withColumn("value_cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        "event_type", "value_cents",
+        isRef = pmod(col("event_id"), lit(2)) === 0)),
+
     "q_corpus_delta" -> ((s, d) => {
       // incremental corpus stats: three snapshot commits (two appends
       // on a base load), then per-version growth derived from each
@@ -3886,6 +3898,30 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_drift_ks" ->
+      // exact integers end to end: cumulative-count cross difference,
+      // one integral division to micro-units at the end
+      """WITH t AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v,
+        |    CAST(sum(r) AS BIGINT) AS c1,
+        |    CAST(sum(1 - r) AS BIGINT) AS c2
+        |  FROM t GROUP BY 1, 2),
+        |cum AS (SELECT g, c1, c2,
+        |    CAST(sum(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum2,
+        |    CAST(sum(c1) OVER (PARTITION BY g) AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER (PARTITION BY g) AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT g AS event_type, n1 AS n_ref, n2 AS n_cur,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000
+        |    // (n1 * n2) AS BIGINT) AS ks_micro
+        |FROM cum WHERE n1 > 0 AND n2 > 0
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_drift_psi" ->
       """WITH e AS (

@@ -140,6 +140,26 @@ object Dedup {
     * permutations, carry the randomness). */
   def minhashSignaturesOPH(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 5, perms: Int = 64): DataFrame = {
+    // ONE scalar kernel per document (graft.plans.OphSigFromNorm):
+    // bucket mins + rotation densification in-register — no explode,
+    // no (doc, bucket) exchange, no map materialization.
+    // Bit-identical to the composed formulation below (spec'd).
+    val normed = spread(df.select(col(idCol),
+      TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
+    normed.where(col("__norm").isNotNull)
+      .select(col(idCol),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.OphSigFromNorm(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__norm")),
+            shingleN, perms)).as("sig"))
+  }
+
+  /** The explode → bucket-min-aggregate → densify formulation of
+    * [[minhashSignaturesOPH]] — SEMANTIC REFERENCE ONLY
+    * (property-spec'd equal to the fused kernel). */
+  private[graft] def minhashSignaturesOPHComposed(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, perms: Int = 64): DataFrame = {
     val normed = spread(df.select(col(idCol),
       TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
     val exploded = normed
@@ -151,10 +171,6 @@ object Dedup {
       .withColumn("__b", pmod(col("__h"), lit(perms.toLong)).cast("int"))
       .groupBy(col(idCol), col("__b"))
       .agg(min(col("__h")).as("__m"))
-    // sparse slots -> dense signature: native O(perms) rotation
-    // densification (graft.plans.DensifySlots) — the builtin
-    // formulation (transform + perms-way coalesce of map probes) is
-    // perms^2 interpreted lookups per document
     slotMins.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__m"))))
         .as("__mm"))

@@ -129,6 +129,57 @@ object Profiling {
           .cast("long").as("psi_term_micro"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per group — the
+    * distribution-free companion of [[psiDrift]] (no bucket widths to
+    * choose; sensitive to any ECDF divergence, not just binned mass
+    * shifts). D = max_x |F_ref(x) − F_cur(x)| computed EXACTLY in
+    * integers: per distinct value, the cumulative-count cross
+    * difference |cum_ref·n_cur − cum_cur·n_ref| is an integer, the
+    * max is taken over it, and ONE floor-division to micro-units
+    * happens at the end — any engine re-derives the result
+    * bit-for-bit (the q_anomaly discipline).
+    *
+    * Returns (groupCol, n_ref, n_cur, ks_micro) for groups where both
+    * samples are non-empty.
+    *
+    * Scale shape at 100 TB: one count aggregate on (group, value) —
+    * map-side combined, heavy repeated values collapse per mapper —
+    * then a prefix sum windowed PER GROUP (each group's distinct
+    * values sort within its partition; groups are the parallelism
+    * unit, as for any per-group ECDF) and a final per-group max.
+    * Nothing pairwise, nothing quadratic. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              isRef: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        isRef.as("__ref"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+    counts
+      .withColumn("__cum1", sum(col("__c1")).over(w))
+      .withColumn("__cum2", sum(col("__c2")).over(w))
+      .withColumn("__n1", sum(col("__c1")).over(wAll))
+      .withColumn("__n2", sum(col("__c2")).over(wAll))
+      .where(col("__n1") > 0 && col("__n2") > 0)
+      .groupBy(col("__g"), col("__n1"), col("__n2"))
+      .agg(max(abs(col("__cum1") * col("__n2") -
+        col("__cum2") * col("__n1"))).as("__d"))
+      .select(col("__g").as(groupCol),
+        col("__n1").as("n_ref"), col("__n2").as("n_cur"),
+        // decimal(38,0) headroom (the chi2Assoc discipline): the
+        // cross difference d ≤ n1·n2, so d·10⁶ ≤ 10²⁴ for samples up
+        // to 10⁹ a side — far past long range, comfortably decimal
+        expr("""CAST(__d AS DECIMAL(38,0)) * 1000000
+               | div (CAST(__n1 AS DECIMAL(38,0)) * __n2)"""
+          .stripMargin).as("ks_micro"))
+  }
+
   def skewDiag(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewDiag needs at least one key column")
     keyCols.map { k =>

@@ -62,6 +62,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("fused OPH kernel is bit-identical to the composed reference") {
+    val tricky = Seq(
+      (1L, "hello world hello world"),
+      (2L, "héllo wörld ünïcode ärger"),
+      (3L, "日本語のテキストです 日本語"),
+      (4L, "short"), (5L, "a"), (6L, ""),
+      (7L, "aaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val corpusHead = docs.where($"doc_id" < 40).select("doc_id", "text")
+    for (df <- Seq(tricky, corpusHead); perms <- Seq(16, 64)) {
+      val fused = Dedup.minhashSignaturesOPH(df, "text", "doc_id", 5, perms)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = Dedup
+        .minhashSignaturesOPHComposed(df, "text", "doc_id", 5, perms)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == composed, s"perms=$perms")
+    }
+  }
+
   test("fused simhash kernel is bit-identical to the composed reference") {
     val tricky = Seq(
       (1L, "hello world hello world"),

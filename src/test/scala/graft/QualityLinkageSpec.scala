@@ -332,6 +332,33 @@ class QualityLinkageSpec extends AnyFunSuite {
     assert(out(("y", "v")) == ((1L, 3L, 2L, 1000000L / 30)))
   }
 
+  test("ksDrift: hand-computed distance, identical samples, full shift") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // group g: ref {1,2,3}, cur {2,3,4} — ECDF cross diffs at
+    // v=1: |1·3−0·3|=3, v=2: |2·3−1·3|=3, v=3: |3·3−2·3|=3,
+    // v=4: |3·3−3·3|=0 → D=3, ks_micro = 3·10⁶ div 9 = 333333
+    val df = Seq(("g", 1L, 1), ("g", 2L, 1), ("g", 3L, 1),
+      ("g", 2L, 0), ("g", 3L, 0), ("g", 4L, 0),
+      // group h: identical samples → D = 0
+      ("h", 5L, 1), ("h", 6L, 1), ("h", 5L, 0), ("h", 6L, 0),
+      // group i: disjoint ranges → D = n1·n2 → ks_micro = 10⁶
+      ("i", 1L, 1), ("i", 2L, 1), ("i", 9L, 0))
+      .toDF("g", "v", "r")
+    val out = graft.operators.Profiling
+      .ksDrift(df, "g", "v", col("r") === lit(1))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("g") == ((3L, 3L, 333333L)))
+    assert(out("h") == ((2L, 2L, 0L)))
+    assert(out("i") == ((2L, 1L, 1000000L)))
+    // a group with one empty side is excluded
+    val oneSided = Seq(("z", 1L, 1), ("z", 2L, 1)).toDF("g", "v", "r")
+    assert(graft.operators.Profiling
+      .ksDrift(oneSided, "g", "v", col("r") === lit(1)).count() == 0)
+  }
+
   test("chi2Assoc: independent columns give all-zero terms") {
     // perfectly proportional 2×2: n = row·col/N exactly
     val rows = Seq.fill(2)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
