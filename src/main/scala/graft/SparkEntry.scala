@@ -451,6 +451,21 @@ object SparkEntry {
       Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
         threshold = 0.2, salts = 8)),
 
+    // the ONE-PERMUTATION variant through the gate: OPH signatures
+    // (one hash per shingle + rotation densification — the cheapest
+    // signature build at 100 TB) feed the SAME banding/cap/estimate
+    // machinery; the oracle re-derives banding and estimation in SQL
+    // over the embedded OPH signatures, like q_dedup_minhash's
+    "q_dedup_oph" -> ((s, d) => {
+      val sigs = Dedup.minhashSignaturesOPH(
+        T(s, d, "documents"), "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Dedup.minhashPairsFromSigs(sigs, "doc_id",
+        threshold = 0.2).localCheckpoint(true)
+      sigs.unpersist(blocking = false)
+      out
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d, "documents"), "text", "doc_id",
         maxHamming = 3)),
@@ -4990,8 +5005,49 @@ object SparkEntry {
       pqOracle(spark, sfDir) ++
       opqOracle(spark, sfDir) ++
       simhashOracle(spark, sfDir) ++
-      minhashOracle(spark, sfDir) ++ winnowOracle(spark, sfDir) ++
+      minhashOracle(spark, sfDir) ++ ophOracle(spark, sfDir) ++
+      winnowOracle(spark, sfDir) ++
       exportOracle(sfDir)
+
+  /** q_dedup_oph: the banding/cap/estimate algebra re-derived in SQL
+    * over the embedded ONE-PERMUTATION signatures (whose own
+    * derivation is property-spec'd bit-identical to the composed
+    * builtin formulation) — the q_dedup_minhash oracle pattern. */
+  private def ophOracle(spark: SparkSession,
+                        sfDir: String): Map[String, String] = {
+    val sigs = Dedup.minhashSignaturesOPH(T(spark, sfDir, "documents"),
+      "text", "doc_id").collect()
+    if (sigs.isEmpty) Map.empty
+    else {
+      val values = sigs.map { r =>
+        s"(${r.getLong(0)},${r.getSeq[Long](1).mkString("[", ",", "]")})"
+      }.mkString(",")
+      Map("q_dedup_oph" ->
+        s"""WITH sigs AS (
+           |  SELECT CAST(id AS BIGINT) AS id, CAST(l AS BIGINT[]) AS l
+           |  FROM (VALUES $values) v(id, l)),
+           |b AS (
+           |  SELECT id, band, l[band*4+1 : band*4+4] AS sl
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) t),
+           |capped AS (
+           |  SELECT id, band, sl FROM (
+           |    SELECT id, band, sl, count(*) OVER (PARTITION BY band, sl) AS n
+           |    FROM b)
+           |  WHERE n <= 1000),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS doc_a, c.id AS doc_b
+           |  FROM capped a
+           |  JOIN capped c ON a.band = c.band AND a.sl = c.sl AND a.id < c.id)
+           |SELECT * FROM (
+           |  SELECT cd.doc_a, cd.doc_b,
+           |    round(CAST(len(list_filter(generate_series(1, 64),
+           |      i -> sa.l[i] = sc.l[i])) AS DOUBLE) / 64, 4) AS est_jaccard
+           |  FROM cand cd
+           |  JOIN sigs sa ON sa.id = cd.doc_a
+           |  JOIN sigs sc ON sc.id = cd.doc_b)
+           |WHERE est_jaccard >= 0.2""".stripMargin)
+    }
+  }
 
   /** q_snapshot_export's oracle reads the EXPORTED open-format files
     * directly — `read_parquet` over the hive-partitioned layout the
