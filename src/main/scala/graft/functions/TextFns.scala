@@ -67,7 +67,20 @@ object TextFns {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** Distinct word n-grams of a token-array column. */
+  /** Distinct word n-grams of a token-array column — composed
+    * builtins; the SEMANTIC REFERENCE for [[wordNgramSetFromNorm]]
+    * (tests compare the two). */
   def wordNgramSetFromToks(toks: Column, n: Int): Column =
     array_distinct(wordNgramsFromToks(toks, n))
+
+  /** Distinct word n-grams straight from an ALREADY-NORMALIZED
+    * column (single-space separated) — native codegen'd kernel
+    * (graft.plans.WordNgramSet): one owned byte copy per document,
+    * zero-copy n-gram views, no interpreted higher-order chain.
+    * Equals `wordNgramSetFromToks(tokens(norm), n)` exactly. */
+  def wordNgramSetFromNorm(norm: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.WordNgramSet(GraftColumnBridge.expression(norm), n))
+  }
 }

@@ -526,9 +526,9 @@ object Dedup {
                    idCol: String, shingleN: Int = 3,
                    threshold: Double = 0.0): DataFrame = {
     val sets = spread(df.select(col(idCol),
-        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__toks")), idCol)
+        TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
       .select(col(idCol),
-        TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
+        TextFns.wordNgramSetFromNorm(col("__norm"), shingleN).as("shset"))
     cand
       .repartition(NumPartitions, col("doc_a"))
       .join(setsSized(sets, "doc_a", "set_a", "__na"), "doc_a")
@@ -577,9 +577,9 @@ object Dedup {
                        idCol: String, shingleN: Int = 3,
                        threshold: Double = 0.1): DataFrame = {
     val sets = spread(df.select(col(idCol),
-        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__toks")), idCol)
+        TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
       .select(col(idCol),
-        TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
+        TextFns.wordNgramSetFromNorm(col("__norm"), shingleN).as("shset"))
     cand
       .repartition(NumPartitions, col("doc_a"))
       .join(setsSized(sets, "doc_a", "set_a", "__na"), "doc_a")
@@ -607,9 +607,9 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .repartition(NumPartitions, col("doc_a"))
     val sets = spread(df.select(col(idCol),
-        TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__toks")), idCol)
+        TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
       .select(col(idCol),
-        TextFns.wordNgramSetFromToks(col("__toks"), shingleN).as("shset"))
+        TextFns.wordNgramSetFromNorm(col("__norm"), shingleN).as("shset"))
     pairs
       .join(setsSized(sets, "doc_a", "set_a", "__na"), "doc_a")
       .join(setsSized(sets, "doc_b", "set_b", "__nb"), "doc_b")

@@ -81,6 +81,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused word-ngram set kernel equals the composed reference") {
+    import graft.functions.TextFns
+    val tricky = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b"),                     // repeated grams collapse
+      (3L, "héllo wörld ünïcode ärger tokens here"),
+      (4L, "one two"), (5L, "one"), (6L, ""), (7L, "   "),
+      (8L, "日本語 の テキスト です ね"))
+      .toDF("doc_id", "text")
+    val corpusHead = docs.where($"doc_id" < 40).select("doc_id", "text")
+    for (df <- Seq(tricky, corpusHead); n <- Seq(2, 3)) {
+      val base = df.select($"doc_id",
+        TextFns.normalizeText($"text").as("__norm"))
+      val fused = base.select($"doc_id",
+        TextFns.wordNgramSetFromNorm($"__norm", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val composed = base.select($"doc_id",
+        TextFns.wordNgramSetFromToks(TextFns.tokens($"__norm"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fused == composed, s"n=$n")
+    }
+  }
+
   test("fused simhash kernel is bit-identical to the composed reference") {
     val tricky = Seq(
       (1L, "hello world hello world"),
