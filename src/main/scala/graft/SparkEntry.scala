@@ -770,6 +770,26 @@ object SparkEntry {
       // -> one survivor per cluster (what a curation job actually runs)
       operators.Graph.dupSurvivorsFromComps(SharedCC.comps(s, d))),
 
+    "q_dedup_survivors_incr" -> ((s, d) => {
+      // the DAILY-LOAD dedup resolution: the LSH pair table splits
+      // into a STANDING graph (labeled once) and a DELTA
+      // ((doc_a+doc_b)%3==0), the delta folds in by contraction, and
+      // the survivors must equal the from-scratch resolution over the
+      // full pair set — the oracle (shared with q_dedup_survivors) is
+      // the full recursive closure, blind to the split. At 100 TB
+      // this is the path that makes daily dedup O(delta), not
+      // O(corpus): pairs from minhashPairsDelta, labels from the
+      // standing snapshot, one fold.
+      val pairs = Dedup.minhashPairs(T(s, d, "documents"), "text",
+        "doc_id", threshold = 0.2)
+      val isDelta = pmod(col("doc_a") + col("doc_b"), lit(3)) === 0
+      val labels = operators.Graph.connectedComponents(
+        pairs.where(!isDelta), "doc_a", "doc_b")
+      operators.Graph.dupSurvivorsFromComps(
+        operators.Graph.connectedComponentsIncremental(
+          labels, pairs.where(isDelta), "doc_a", "doc_b"))
+    }),
+
     "q_dedup_survivors_quality" -> ((s, d) => {
       // survivor = the highest-QUALITY doc of each dup cluster (min-id
       // tie-break), not the smallest id — the curation-grade variant
@@ -5088,6 +5108,13 @@ object SparkEntry {
            |  WHERE edges.dst <> reach.node)""".stripMargin
       Map(
         "q_dedup_survivors" ->
+          s"""$closure
+             |SELECT node, least(node, min(r)) AS survivor
+             |FROM reach GROUP BY node""".stripMargin,
+        // the incremental (standing + delta fold) derivation is held
+        // to the SAME from-scratch closure — one oracle text, two
+        // queries, like the salted/unsalted minhash pair
+        "q_dedup_survivors_incr" ->
           s"""$closure
              |SELECT node, least(node, min(r)) AS survivor
              |FROM reach GROUP BY node""".stripMargin,
