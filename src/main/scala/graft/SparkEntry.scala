@@ -1570,6 +1570,33 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, s"$tmp/table")
     }),
 
+    "q_snapshot_evolve" -> ((s, d) => {
+      // PARTITION SPEC EVOLUTION through the gate (Iceberg's
+      // evolve-then-rewrite story): v1 commits UNPARTITIONED (lang as
+      // a data column), v2 declares a lang-partitioned spec for new
+      // data only (pre-spec files carry by reference, pruning via
+      // footer stats), migratePartitionSpec rewrites the pre-spec
+      // files under the current layout (v3, uniform again), and a
+      // partitioned copy-on-write DELETE runs over the migrated
+      // table. The oracle re-derives the final state from the raw
+      // documents table — every layout transition must be invisible
+      // in the rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_snap_evolve_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      LakeWriter.commitSnapshot(
+        base.where(pmod(col("doc_id"), lit(2)) === 0), table)
+      LakeWriter.commitSnapshotDynamic(
+        base.where(pmod(col("doc_id"), lit(2)) === 1), table, Seq("lang"))
+      LakeWriter.migratePartitionSpec(s, table)
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
     "q_snapshot_cdc" -> ((s, d) => {
       // the change-data-feed: v1 commits the corpus, v2 MERGEs an
       // upsert batch (every doc_id%10==0 doc re-scored, plus brand-new
@@ -4140,6 +4167,12 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars, lang FROM documents
         |WHERE doc_id % 3 = 0 AND NOT coalesce(n_chars < 150, false)"""
         .stripMargin,
+
+    "q_snapshot_evolve" ->
+      // unpartitioned v1 + evolved-spec v2 + migration + partitioned
+      // DELETE: layout transitions must be invisible in the rows
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE NOT coalesce(n_chars < 150, false)""".stripMargin,
 
     "q_snapshot_cdc" ->
       // net feed: old values of updated rows leave (delete), new

@@ -216,16 +216,31 @@ object LakeWriter {
     * Spark's hive path formatter put them in the same partition. */
   private[sources] def partitionOf(partitionCols: Seq[String],
                                    file: String): String =
-    partitionCols.map { c =>
+    partitionOfOpt(partitionCols, file).getOrElse(
+      sys.error(s"snapshot file not hive-partitioned by " +
+        s"${partitionCols.mkString(",")}: $file"))
+
+  /** Partition values of `file` under `partitionCols`, or None when
+    * the file PREDATES the current partition spec (PARTITION SPEC
+    * EVOLUTION, Iceberg-style: a later dynamic commit may declare a
+    * new spec; files from earlier versions lack the `col=` path
+    * segments and carry those columns as ordinary parquet data
+    * instead — they read correctly through the committed schema and
+    * prune via their footer stats, they just have no PATH-derived
+    * values). */
+  private[sources] def partitionOfOpt(partitionCols: Seq[String],
+                                      file: String): Option[String] = {
+    val vals = partitionCols.flatMap { c =>
       // anchored at a path-segment start: without it, "day=" would
       // also match inside ".../birthday=5/" and extract wrong values
-      val m = ("(?:^|/)" + java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
-        .findFirstMatchIn(file)
-      require(m.isDefined, s"snapshot file not hive-partitioned by $c: $file")
-      unescapePath(m.get.group(1))
+      ("(?:^|/)" + java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
+        .findFirstMatchIn(file).map(m => unescapePath(m.group(1)))
       // U+0001 cannot appear unescaped in a hive path value, so the
       // join is unambiguous: mkString("") would collide (a=1,b=11)/(a=11,b=1)
-    }.mkString("\u0001")
+    }
+    if (vals.length == partitionCols.length) Some(vals.mkString("\u0001"))
+    else None
+  }
 
   /** Read a set of snapshot data files applying the committed schema,
     * grouped by version directory so hive partition columns (col=value/
@@ -668,7 +683,10 @@ object LakeWriter {
     // non-key partition column, every file is a candidate.
     val (candidates, untouched) =
       if (partCols.forall(keyCols.contains))
-        files.partition(f => touchedParts(partitionOf(partCols, f)))
+        // a pre-spec file (partition spec evolution: no path values)
+        // could hold any key — it stays a candidate
+        files.partition(f =>
+          partitionOfOpt(partCols, f).forall(touchedParts))
       else (files, Seq.empty[String])
     val keyExprs = keyCols.map(col)
     val probed =
@@ -1697,7 +1715,15 @@ object LakeWriter {
     val carried =
       if (prev.isEmpty) Seq.empty
       else snapshotFiles(spark, table, prev.last)
-        .filterNot(f => touched.contains(partitionOf(partitionCols, f)))
+        // PARTITION SPEC EVOLUTION: a dynamic commit may declare a
+        // new spec over a table whose earlier files were laid out
+        // differently (or not at all). Pre-spec files have no path
+        // values under the new spec, so no new partition can replace
+        // them — they always carry; the manifest's partcols becomes
+        // the new spec and readers prune pre-spec files via their
+        // footer stats instead of path values.
+        .filterNot(f =>
+          partitionOfOpt(partitionCols, f).exists(touched.contains))
     enforceChecks(spark,
       prev.lastOption.map(v => parseManifestChecks(spark, table, v))
         .getOrElse(Map.empty),
@@ -1714,6 +1740,46 @@ object LakeWriter {
   def compactSnapshot(spark: SparkSession, table: String,
                       nFiles: Int): Long =
     commitSnapshot(readSnapshot(spark, table).repartition(nFiles), table)
+
+  /** PARTITION SPEC MIGRATION — the rewrite half of spec evolution
+    * (Iceberg's rewrite_data_files): every file that predates the
+    * table's CURRENT partition spec (no path-encoded values — its
+    * partition columns live as data) is rewritten under the current
+    * layout; spec-conformant files carry by reference, untouched.
+    * After migration the layout is uniform again, so dynamic
+    * partition REPLACEMENT sees every row (a pre-spec file is an
+    * immutable carry that dynamic overwrite cannot match — the
+    * documented evolution caveat this call retires). Cost is
+    * O(pre-spec files), run once after an evolution, not per load.
+    * Returns the committed version (the current one when the layout
+    * is already uniform). */
+  def migratePartitionSpec(spark: SparkSession, table: String): Long = {
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
+    require(partCols.nonEmpty,
+      s"$table has no partition spec to migrate to")
+    val (pre, conformant) =
+      files.partition(f => partitionOfOpt(partCols, f).isEmpty)
+    if (pre.isEmpty) return prev.last
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val colmap = parseManifestColmap(spark, table, prev.last)
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = prev.last + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    withMicrosTimestamps(spark) {
+      toPhysical(readFiles(spark, pre, schema, colmap), colmap)
+        .write.mode("errorifexists")
+        .partitionBy(partCols.map(colmap.phys): _*)
+        .parquet(dataDir.toString) }
+    val newFiles = walk(fs, dataDir).sorted
+    writeManifest(spark, fs, table, version, "migrate", schema,
+      conformant ++ newFiles, partCols)
+    version
+  }
 
   /** OPTIMIZE (bin-packing compaction) — the small-file antidote for
     * tables built by many incremental commits: every file under
@@ -1748,7 +1814,11 @@ object LakeWriter {
       f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
     val rewrite = sized
       .groupBy { case (f, _) =>
-        if (partCols.isEmpty) "" else partitionOf(partCols, f) }
+        // pre-spec files (spec evolution) compact as one group; the
+        // rewrite re-lands them under the CURRENT spec (their rows
+        // carry the partition columns as data)
+        if (partCols.isEmpty) ""
+        else partitionOfOpt(partCols, f).getOrElse("\u0000pre-spec") }
       .values.flatMap { group =>
         val small = group.filter(_._2 < smallBytes)
         // one small file alone gains nothing from a rewrite
@@ -1985,16 +2055,22 @@ object LakeWriter {
         case (c, ColStat(Some(lo), Some(hi), _)) => c -> (lo, hi) }
       // a hive partition value is an exact stat: min == max == value,
       // zero nulls; the default partition is the all-NULL case
+      // pre-spec files (partition spec evolution) contribute no
+      // PATH-derived stats — their partition columns live as data and
+      // prune through the footer stats already in `fst`
       val pstats = partCols.flatMap { c =>
-        val raw = partitionOf(Seq(c), f)
-        if (raw == "__HIVE_DEFAULT_PARTITION__") None
-        else Some(c -> (raw, raw))
+        partitionOfOpt(Seq(c), f) match {
+          case Some("__HIVE_DEFAULT_PARTITION__") | None => None
+          case Some(raw) => Some(c -> (raw, raw))
+        }
       }.toMap
       val pnulls = partCols.flatMap { c =>
-        val raw = partitionOf(Seq(c), f)
-        if (raw == "__HIVE_DEFAULT_PARTITION__")
-          fst.rows.map(c -> _) // every row's value is NULL
-        else Some(c -> 0L)
+        partitionOfOpt(Seq(c), f) match {
+          case Some("__HIVE_DEFAULT_PARTITION__") =>
+            fst.rows.map(c -> _) // every row's value is NULL
+          case Some(_) => Some(c -> 0L)
+          case None => None
+        }
       }.toMap
       val nulls = fst.cols.collect {
         case (c, ColStat(_, _, Some(n))) => c -> n } ++ pnulls

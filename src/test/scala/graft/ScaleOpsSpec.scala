@@ -306,6 +306,73 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(after.where($"day" === "d2").count() == 2)
   }
 
+  test("partition spec evolution: new layout for new data, old files carry, migrate unifies") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    // v1: UNPARTITIONED commits (lang lives as a data column)
+    val old1 = Seq((1L, "en", 10), (2L, "de", 20)).toDF("id", "lang", "v")
+    val old2 = Seq((3L, "en", 30)).toDF("id", "lang", "v")
+    LakeWriter.commitSnapshot(old1, table)
+    LakeWriter.commitSnapshot(old2, table, mode = "append")
+    // v3: the spec EVOLVES — a dynamic commit partitioned by lang;
+    // pre-spec files carry by reference (no partition can match them)
+    val nw = Seq((4L, "en", 40), (5L, "fr", 50)).toDF("id", "lang", "v")
+    assert(LakeWriter.commitSnapshotDynamic(nw, table, Seq("lang")) == 3L)
+    val v3 = LakeWriter.readSnapshot(spark, table)
+    assert(v3.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(v3.where($"lang" === "en").select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // pre-spec files are physical carries
+    val v3Files = LakeWriter.snapshotFiles(spark, table, 3L)
+    assert(LakeWriter.snapshotFiles(spark, table, 2L)
+      .forall(v3Files.contains))
+
+    // skipping still prunes the post-spec generation by PATH value:
+    // corrupt the fr file in place — an en read must never open it
+    // (the mixed-language pre-spec files prune conservatively via
+    // their footer stats and stay readable)
+    val frFile = v3Files.filter(_.contains("lang=fr"))
+    assert(frFile.nonEmpty)
+    frFile.foreach(f => java.nio.file.Files.write(
+      java.nio.file.Paths.get(f.stripPrefix("file:")),
+      "corrupt".getBytes): Unit)
+    assert(LakeWriter.readSnapshotWhere(spark, table, $"lang" === "en")
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+
+    // MIGRATION on a fresh identically-evolved table (this one's fr
+    // file is corrupt by design): pre-spec files rewrite under the
+    // current layout, conformant files carry, rows identical
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft_evolve2").toString
+    LakeWriter.commitSnapshot(old1, t2)
+    LakeWriter.commitSnapshot(old2, t2, mode = "append")
+    LakeWriter.commitSnapshotDynamic(nw, t2, Seq("lang"))
+    val preSpec = LakeWriter.snapshotFiles(spark, t2, 3L)
+      .filterNot(_.contains("lang="))
+    assert(preSpec.nonEmpty)
+    val v4 = LakeWriter.migratePartitionSpec(spark, t2)
+    assert(v4 == 4L)
+    val v4Files = LakeWriter.snapshotFiles(spark, t2, 4L)
+    assert(v4Files.forall(_.contains("lang=")))
+    // conformant (post-spec) files carried physically
+    assert(LakeWriter.snapshotFiles(spark, t2, 3L)
+      .filter(_.contains("lang=")).forall(v4Files.contains))
+    assert(LakeWriter.readSnapshot(spark, t2)
+      .select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // a second migrate is the identity (layout already uniform)
+    assert(LakeWriter.migratePartitionSpec(spark, t2) == 4L)
+    // post-migration, dynamic REPLACEMENT sees every en row
+    val enFix = Seq((6L, "en", 60)).toDF("id", "lang", "v")
+    LakeWriter.commitSnapshotDynamic(enFix, t2, Seq("lang"))
+    val fin = LakeWriter.readSnapshot(spark, t2)
+    assert(fin.where($"lang" === "en").select($"id").as[Long]
+      .collect().toSeq == Seq(6L))
+    assert(fin.where($"lang" =!= "en").select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 5L))
+  }
+
   test("dynamic snapshot commit matches partitions for timestamp/empty values") {
     val table = java.nio.file.Files.createTempDirectory("graft_dsnap_ts").toString
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
