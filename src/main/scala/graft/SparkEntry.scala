@@ -2475,6 +2475,24 @@ object SparkEntry {
       |      AS BIGINT) AS hash_lo
       |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** Recursive-CTE closure over the customer near-balance edge set —
+    * ONE oracle text shared by q_connected_components,
+    * q_cc_incremental, and q_stream_cc (all three must land exactly
+    * this labeling however they compute it). */
+  private val CustomerCcClosureSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      |reach(node, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+      |  WHERE edges.dst <> reach.node)
+      |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
@@ -2932,52 +2950,19 @@ object SparkEntry {
         |QUALIFY rank <= 5""".stripMargin,
 
     "q_connected_components" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT a.c_custkey AS src, b.c_custkey AS dst
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
-        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-        |reach(node, r) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
-        |  WHERE edges.dst <> reach.node)
-        |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
+      CustomerCcClosureSql,
 
     // the streamed label snapshot must land EXACTLY the full closure
     // over every edge delivered — same oracle as
     // q_connected_components, blind to the batch split
     "q_stream_cc" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT a.c_custkey AS src, b.c_custkey AS dst
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
-        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-        |reach(node, r) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
-        |  WHERE edges.dst <> reach.node)
-        |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
+      CustomerCcClosureSql,
 
     // the incremental path must land EXACTLY the full union closure —
     // same oracle as q_connected_components, derived from the full
     // edge set with no knowledge of the standing/delta split
     "q_cc_incremental" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT a.c_custkey AS src, b.c_custkey AS dst
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |   AND abs(a.c_acctbal - b.c_acctbal) < 1.0),
-        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-        |reach(node, r) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
-        |  WHERE edges.dst <> reach.node)
-        |SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node""".stripMargin,
+      CustomerCcClosureSql,
 
     "q_sample_per_group" ->
       """SELECT doc_id, lang, source, n_chars

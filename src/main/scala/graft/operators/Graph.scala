@@ -343,19 +343,24 @@ object Graph {
     // edge scan then streams through two in-memory probes and nothing
     // array-sized is ever shuffled. The gate is on estimated BYTES,
     // not row count — Σ|N⁺| = m longs plus per-row struct overhead,
-    // ~24 B/edge unrolled — defaulting to 1 GB: well under Spark's
-    // own 8 GB broadcast ceiling and a once-per-executor transfer,
-    // vs a 2·m array re-shuffle that grows with every stage. A
-    // smaller-driver deployment tunes it down via
-    // spark.graft.triangles.broadcastMaxBytes. Past the threshold the
-    // shuffle join is the honest distributed fallback. The count is
-    // free — the checkpoint above already materialized the edges.
-    // broadcast() wraps the PROJECTED frames directly (not a parent
-    // the join resolves through a Project), so the hint can't be lost
-    // to plan rewrites.
+    // ~24 B/edge unrolled. The REAL heap footprint is larger: the
+    // probes are two SEPARATE broadcast relations (no exchange
+    // reuse), each with hash-table overhead — budget ~4× the
+    // estimate. Default cap 512 MB of estimated bytes ≈ ~2 GB heap
+    // worst case: comfortably inside this image's driver, and still
+    // ~20M edges of headroom; tune per deployment via
+    // spark.graft.triangles.broadcastMaxBytes (size suffixes ok:
+    // "256m", "1g"). Past the threshold the shuffle join is the
+    // honest distributed fallback (measured ~2.7× the CPU — prefer
+    // raising the cap on a big driver). The count is free — the
+    // checkpoint above already materialized the edges. broadcast()
+    // wraps the PROJECTED frames directly (not a parent the join
+    // resolves through a Project), so the hint can't be lost to plan
+    // rewrites.
     val maxBytes = edges.sparkSession.conf
       .getOption("spark.graft.triangles.broadcastMaxBytes")
-      .map(_.toLong).getOrElse(1L << 30)
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(512L << 20)
     val adjBytesEst = oriented.count() * 24L
     val useBroadcast = adjBytesEst <= maxBytes
     def probe(df: DataFrame): DataFrame =

@@ -156,9 +156,12 @@ object CurationPipeline {
       val version =
         if (n3 == 0 && versions0.nonEmpty) versions0.last
         else {
+          // filter on the TEXT, not the sig: predicate pushdown would
+          // otherwise re-evaluate the whole signature kernel as the
+          // filter (sig is null exactly when text is — same rows)
           val withSig = kept
+            .where(col(textCol).isNotNull)
             .withColumn("sig", Dedup.minhashSigCol(col(textCol)))
-            .where(col("sig").isNotNull)
           LakeWriter.commitSnapshot(withSig, corpusTable,
             mode = if (versions0.isEmpty) "overwrite" else "append")
         }

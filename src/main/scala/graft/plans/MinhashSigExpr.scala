@@ -49,6 +49,9 @@ case class MinhashSigFromNorm(child: Expression, n: Int, perms: Int)
   // string yields at least one shingle)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig_norm"
+  // null in -> null out: lets IsNotNull(kernel(x)) simplify to
+  // IsNotNull(x) instead of re-running the kernel as a predicate
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     MinhashSigFromNorm.signature(input.asInstanceOf[UTF8String], n, perms)
@@ -108,10 +111,11 @@ object MinhashSigFromNorm {
       update(buf, as, bs, perms,
         org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(base, off, nBytes, SEED))
-    val out = new Array[Any](perms)
-    var j = 0
-    while (j < perms) { out(j) = java.lang.Long.valueOf(buf(j)); j += 1 }
-    new GenericArrayData(out)
+    // primitive array straight through (UnsafeArrayData, zero
+    // boxing): values are never null — every string yields at least
+    // one shingle — so the declared element nullability is purely
+    // schema continuity
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
   }
 
   private def update(buf: Array[Long], as: Array[Long], bs: Array[Long],

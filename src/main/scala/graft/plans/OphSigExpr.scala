@@ -34,6 +34,7 @@ case class OphSigFromNorm(child: Expression, n: Int, perms: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "oph_sig"
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     OphSigFromNorm.signature(input.asInstanceOf[UTF8String], n, perms)

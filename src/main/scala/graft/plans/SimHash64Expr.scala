@@ -29,6 +29,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.simhash(input.asInstanceOf[UTF8String])

@@ -42,6 +42,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     StructField("fp_pos", IntegerType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "winnow_fps"
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     WinnowFingerprints.fingerprints(input.asInstanceOf[UTF8String], k, w)

@@ -32,6 +32,7 @@ case class WordNgramSet(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngram_set"
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     WordNgramSet.distinctNgrams(input.asInstanceOf[UTF8String], n)

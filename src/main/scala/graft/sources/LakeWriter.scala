@@ -1714,16 +1714,29 @@ object LakeWriter {
     val touched = newFiles.map(partitionOf(partitionCols, _)).toSet
     val carried =
       if (prev.isEmpty) Seq.empty
-      else snapshotFiles(spark, table, prev.last)
+      else {
+        val prevFiles = snapshotFiles(spark, table, prev.last)
         // PARTITION SPEC EVOLUTION: a dynamic commit may declare a
         // new spec over a table whose earlier files were laid out
         // differently (or not at all). Pre-spec files have no path
         // values under the new spec, so no new partition can replace
-        // them — they always carry; the manifest's partcols becomes
-        // the new spec and readers prune pre-spec files via their
-        // footer stats instead of path values.
-        .filterNot(f =>
+        // them — on the EVOLUTION commit itself (previous manifest's
+        // spec differs) that is correct append-under-new-spec
+        // semantics and they all carry. But a LATER same-spec dynamic
+        // commit would silently keep pre-spec rows of partitions it
+        // claims to replace (duplicate/stale data) — refuse loudly
+        // until migratePartitionSpec has unified the layout.
+        val (_, _, prevPartCols) = parseManifest(spark, table, prev.last)
+        val preSpec =
+          prevFiles.filter(f => partitionOfOpt(partitionCols, f).isEmpty)
+        require(preSpec.isEmpty || prevPartCols != partitionCols,
+          s"dynamic commit on $table: ${preSpec.size} file(s) predate " +
+            s"the ${partitionCols.mkString(",")} partition spec and " +
+            "cannot be replaced partition-wise — run " +
+            "migratePartitionSpec first (or overwrite the table)")
+        prevFiles.filterNot(f =>
           partitionOfOpt(partitionCols, f).exists(touched.contains))
+      }
     enforceChecks(spark,
       prev.lastOption.map(v => parseManifestChecks(spark, table, v))
         .getOrElse(Map.empty),
@@ -2246,18 +2259,40 @@ object LakeWriter {
     val fs = fsOf(spark, p)
     val conf = spark.sessionState.newHadoopConf()
     val schema = df.schema
-    val rows = walk(fs, p).sorted.map { f =>
-      val st = try footerStats(conf, f, schema)
-               catch { case scala.util.control.NonFatal(_) =>
-                 FileStats(None, Map.empty) }
+    // footer reads are independent metadata fetches — bounded pool,
+    // like writeManifest's stats sweep (serial driver IO would pay
+    // one object-store round-trip per file); lengths piggyback on the
+    // same status call instead of a second per-file round-trip
+    val exportFiles = walk(fs, p).sorted
+    val pooled: Seq[(String, Long, FileStats)] =
+      if (exportFiles.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, exportFiles.size))
+        try exportFiles.map { f =>
+          f -> pool.submit(
+            new java.util.concurrent.Callable[(Long, FileStats)] {
+              def call(): (Long, FileStats) = {
+                val len = fs.getFileStatus(
+                  new org.apache.hadoop.fs.Path(f)).getLen
+                val st = try footerStats(conf, f, schema)
+                         catch { case scala.util.control.NonFatal(_) =>
+                           FileStats(None, Map.empty) }
+                (len, st)
+              }
+            })
+        }.map { case (f, fut) =>
+          val (len, st) = fut.get(); (f, len, st) }
+        finally pool.shutdown()
+      }
+    val rows = pooled.map { case (f, len, st) =>
       val rel = f.stripPrefix(
         fs.makeQualified(p).toString).stripPrefix("/")
       val stats = st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
         org.apache.spark.sql.Row(c, cs.lo.orNull, cs.hi.orNull,
           cs.nulls.map(java.lang.Long.valueOf).orNull)
       }
-      org.apache.spark.sql.Row(rel,
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen,
+      org.apache.spark.sql.Row(rel, len,
         st.rows.map(java.lang.Long.valueOf).orNull, stats)
     }
     val manSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -36,9 +36,14 @@ object GraphStream {
                 src: String, dst: String, maxIter: Int = 20): Long = {
     val spark = batch.sparkSession
     val versions = LakeWriter.snapshotVersions(spark, table)
-    if (versions.isEmpty)
-      return LakeWriter.commitSnapshot(
-        Graph.connectedComponents(batch, src, dst, maxIter), table)
+    if (versions.isEmpty) {
+      val boot = Graph.connectedComponents(batch, src, dst, maxIter)
+      val v = LakeWriter.commitSnapshot(boot, table)
+      // same bounded-storage discipline as the fold path: the
+      // bootstrap CC's checkpoint must not outlive the commit
+      org.apache.spark.sql.GraftCheckpointBridge.unpersistCheckpoint(boot)
+      return v
+    }
     val labels = LakeWriter.readSnapshot(spark, table)
     val updated =
       Graph.connectedComponentsIncremental(labels, batch, src, dst, maxIter)
