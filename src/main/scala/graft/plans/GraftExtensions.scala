@@ -110,6 +110,40 @@ object GraftExtensions {
         arity("k_min_pairs", args, 3)
         KMinPairs(args(0), args(1), intArg("k_min_pairs", args(2)))
           .toAggregateExpression()
+      }),
+    // the fused per-document signature kernels (r11) — SQL users get
+    // the same zero-shuffle builds the Scala dedup family runs on
+    (FunctionIdentifier("minhash_sig_norm"),
+      info(classOf[MinhashSigFromNorm], "minhash_sig_norm"),
+      (args: Seq[Expression]) => {
+        arity("minhash_sig_norm", args, 3)
+        MinhashSigFromNorm(args(0), intArg("minhash_sig_norm", args(1)),
+          intArg("minhash_sig_norm", args(2)))
+      }),
+    (FunctionIdentifier("oph_sig"),
+      info(classOf[OphSigFromNorm], "oph_sig"),
+      (args: Seq[Expression]) => {
+        arity("oph_sig", args, 3)
+        OphSigFromNorm(args(0), intArg("oph_sig", args(1)),
+          intArg("oph_sig", args(2)))
+      }),
+    (FunctionIdentifier("simhash64"),
+      info(classOf[SimHash64], "simhash64"),
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1); SimHash64(args(0))
+      }),
+    (FunctionIdentifier("winnow_fps"),
+      info(classOf[WinnowFingerprints], "winnow_fps"),
+      (args: Seq[Expression]) => {
+        arity("winnow_fps", args, 3)
+        WinnowFingerprints(args(0), intArg("winnow_fps", args(1)),
+          intArg("winnow_fps", args(2)))
+      }),
+    (FunctionIdentifier("word_ngram_set"),
+      info(classOf[WordNgramSet], "word_ngram_set"),
+      (args: Seq[Expression]) => {
+        arity("word_ngram_set", args, 2)
+        WordNgramSet(args(0), intArg("word_ngram_set", args(1)))
       }))
 
   /** Apply the same registrations to an ALREADY-RUNNING session

@@ -79,6 +79,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(km === Seq((1L, 5L), (1L, 10L)))
+    // the fused signature kernels from pure SQL, held to their
+    // fused-API Scala results on the same input (bit-parity with the
+    // composed formulations is pinned in PipelineOpsSpec)
+    val txt = "the quick brown fox jumps the quick fence"
+    val sq = spark
+    import sq.implicits._
+    val one = Seq((1L, txt)).toDF("doc_id", "text")
+    val expectedSig = graft.operators.Dedup
+      .minhashSignatures(one, "text", "doc_id").head().getSeq[Long](1)
+    assert(spark.sql(
+        s"SELECT minhash_sig_norm(lower(trim(regexp_replace('$txt', '\\\\s+', ' '))), 5, 64) s")
+      .head().getSeq[Long](0) === expectedSig)
+    val expectedSim = graft.operators.Dedup
+      .simhash(one, "text", "doc_id").head().getLong(1)
+    assert(spark.sql(
+        s"SELECT simhash64(lower(trim(regexp_replace('$txt', '\\\\s+', ' ')))) s")
+      .head().getLong(0) === expectedSim)
+    assert(spark.sql(s"SELECT oph_sig('$txt', 5, 16) s")
+      .head().getSeq[Long](0).length === 16)
+    val wf = spark.sql(s"SELECT winnow_fps('$txt', 5, 4) w")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(wf.nonEmpty && wf.map(_.getInt(1)).sorted == wf.map(_.getInt(1)))
+    assert(spark.sql("SELECT word_ngram_set('a b a b', 2) g")
+      .head().getSeq[String](0) === Seq("a b", "b a"))
   }
 
   test("non-literal int parameter is rejected with a clear error") {
