@@ -373,6 +373,61 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(2L, 5L))
   }
 
+  test("spec evolution: A->B chains, merge/delete on mixed layouts, refusal guard") {
+    import graft.sources.LakeWriter._
+    // --- spec A -> spec B chain -------------------------------------
+    val t1 = java.nio.file.Files.createTempDirectory("graft_ev_ab").toString
+    val r1 = Seq((1L, "x", "p", 1), (2L, "y", "q", 2)).toDF("id", "a", "b", "v")
+    commitSnapshotDynamic(r1, t1, Seq("a"))               // spec (a)
+    val r2 = Seq((3L, "x", "p", 3)).toDF("id", "a", "b", "v")
+    commitSnapshotDynamic(r2, t1, Seq("b"))               // EVOLVE to (b):
+    // spec-(a) files are pre-spec for (b) -> everything carries
+    assert(readSnapshot(spark, t1).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // same-spec dynamic on the mixed layout refuses
+    val ex = intercept[IllegalArgumentException] {
+      commitSnapshotDynamic(
+        Seq((9L, "z", "p", 9)).toDF("id", "a", "b", "v"), t1, Seq("b"))
+    }
+    assert(ex.getMessage.contains("migratePartitionSpec"))
+    // migrate, then same-spec replacement works and sees every b=p row
+    migratePartitionSpec(spark, t1)
+    commitSnapshotDynamic(
+      Seq((9L, "z", "p", 9)).toDF("id", "a", "b", "v"), t1, Seq("b"))
+    val fin1 = readSnapshot(spark, t1)
+    assert(fin1.where($"b" === "p").select($"id").as[Long]
+      .collect().toSeq == Seq(9L))           // 1 and 3 replaced with 9
+    assert(fin1.where($"b" === "q").select($"id").as[Long]
+      .collect().toSeq == Seq(2L))
+
+    // --- MERGE on a mixed layout ------------------------------------
+    val t2 = java.nio.file.Files.createTempDirectory("graft_ev_mg").toString
+    commitSnapshot(Seq((1L, "en", 10), (2L, "de", 20))
+      .toDF("id", "lang", "v"), t2)                        // pre-spec
+    commitSnapshotDynamic(Seq((3L, "en", 30), (4L, "fr", 40))
+      .toDF("id", "lang", "v"), t2, Seq("lang"))           // evolved
+    // upsert touches one pre-spec row, one post-spec row, one new key
+    mergeSnapshot(Seq((1L, "en", 11), (4L, "fr", 44), (5L, "de", 55))
+      .toDF("id", "lang", "v"), t2, Seq("id"))
+    assert(readSnapshot(spark, t2).as[(Long, String, Int)]
+      .collect().sorted.toSeq ==
+      Seq((1L, "en", 11), (2L, "de", 20), (3L, "en", 30),
+        (4L, "fr", 44), (5L, "de", 55)))
+
+    // --- DELETE on a mixed layout (non-partition predicate) ---------
+    val t3 = java.nio.file.Files.createTempDirectory("graft_ev_dl").toString
+    commitSnapshot(Seq((1L, "en", 10), (2L, "de", 200))
+      .toDF("id", "lang", "v"), t3)
+    commitSnapshotDynamic(Seq((3L, "en", 300), (4L, "fr", 40))
+      .toDF("id", "lang", "v"), t3, Seq("lang"))
+    deleteFromSnapshot(spark, t3, $"v" < 100)              // spans layouts
+    assert(readSnapshot(spark, t3).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    // history time-travels across the evolution boundary
+    assert(readSnapshot(spark, t3, Some(1L)).count() == 2)
+    assert(readSnapshot(spark, t3, Some(2L)).count() == 4)
+  }
+
   test("dynamic snapshot commit matches partitions for timestamp/empty values") {
     val table = java.nio.file.Files.createTempDirectory("graft_dsnap_ts").toString
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
