@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
 object Bench {
@@ -34,8 +34,17 @@ object Bench {
     // millis and the max single-task peak execution memory
     val gcMillis = new AtomicLong()
     val peakTaskMem = new AtomicLong()
+    // retry evidence (r11 verdict: mid-run CPU inflation up to 16× a
+    // query's steady state could not be adjudicated as recompute vs
+    // plan cost after the fact): non-Success task ends and stage
+    // re-attempts, snapshotted per query like the CPU counter — a
+    // recompute-driven tax now shows as nonzero retries in the same
+    // row as the inflated cpu_sec
+    val taskFails = new AtomicLong()
+    val stageRetries = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.reason != org.apache.spark.Success) taskFails.incrementAndGet()
         val m = t.taskMetrics
         if (m != null) {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -45,6 +54,8 @@ object Bench {
           peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
         }
       }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
     })
 
     // host evidence: 1-min load and the iowait/steal shares of
@@ -109,13 +120,29 @@ object Bench {
     def releasePinned(): Unit = {
       if (!keepShared)
         org.apache.spark.sql.GraftCheckpointBridge.releaseAllPersisted(spark)
+      // the two block classes getPersistentRDDs can never see (the
+      // r11 driver-gate residue, 24 queries taxed >2x inside one
+      // position window): broadcast-join relations — freed only when
+      // ContextCleaner GCs the Broadcast handle, so 175 queries'
+      // worth accumulate between periodic GCs — and streaming
+      // state-store providers, which outlive their (stopped) queries
+      // until a maintenance unload. Both releases are quiescent-point
+      // safe: the next query builds fresh broadcasts, and a stream
+      // reloads its provider from the checkpoint.
+      org.apache.spark.GraftSessionHygiene.releaseBroadcasts(
+        spark.sparkContext): Unit
+      org.apache.spark.sql.GraftCheckpointBridge.unloadStreamingState()
       // adaptive full GC: only when the live floor is already high —
       // unpersist drops the references, but the blocks' on-heap bytes
       // return only at the next collection, and waiting for one to
-      // happen naturally is how r10 taxed 32 queries. Threshold keeps
-      // the clean-run cost at zero (no per-query forced GC).
+      // happen naturally is how r10 taxed 32 queries. HEAP-RELATIVE
+      // threshold (r11 verdict: the absolute 16 GB trigger was dead
+      // code on the builder's pinned 8 GB heap, so the hygiene path
+      // only ever ran where it wasn't developed): fire at half the
+      // max heap, whatever the max is. Keeps the clean-run cost at
+      // zero (no per-query forced GC when the floor stays low).
       val rt = Runtime.getRuntime
-      if (rt.totalMemory - rt.freeMemory > (16L << 30)) System.gc()
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
     }
 
     val failed = scala.collection.mutable.ListBuffer[String]()
@@ -127,12 +154,15 @@ object Bench {
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val peakMemMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val heapUsedMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val taskFailN = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stageRetryN = scala.collection.mutable.LinkedHashMap[String, Double]()
     def runOne(label: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       drain()
       syncFs()
       val w0 = shufWrite.get(); val r0 = shufRead.get()
       val c0 = cpuNanos.get(); val g0 = gcMillis.get()
+      val f0 = taskFails.get(); val s0 = stageRetries.get()
       peakTaskMem.set(0L) // per-query max, reset outside the window
       val (jt0, jw0, js0) = cpuStat()
       hostLoad1(label) = load1()
@@ -157,6 +187,8 @@ object Bench {
       cpuSec(label) = math.round((cpuNanos.get() - c0) / 1e9 * 100) / 100.0
       gcSec(label) = math.round((gcMillis.get() - g0) / 1e3 * 100) / 100.0
       peakMemMb(label) = math.round(peakTaskMem.get() / 1e6 * 10) / 10.0
+      taskFailN(label) = (taskFails.get() - f0).toDouble
+      stageRetryN(label) = (stageRetries.get() - s0).toDouble
       // live heap AFTER the query (no explicit GC — just the floor the
       // JVM is sitting on): a climbing floor across the run is the
       // heap-pressure signature that taxes later queries with GC
@@ -214,7 +246,7 @@ object Bench {
     // bytes, host evidence) goes to STDERR — the harness only keeps a
     // bounded tail of stdout, so the stdout contract line must stay
     // small.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec_total":$totalCpu,"queries":${json(results)},"cpu_sec":${json(cpuSec)},"gc_sec":${json(gcSec)},"peak_task_mem_mb":${json(peakMemMb)},"heap_used_mb":${json(heapUsedMb)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"load1":${json(hostLoad1)},"iowait_pct":${json(hostIowaitPct)},"steal_pct":${json(hostStealPct)},"failed":$failedJson,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec_total":$totalCpu,"max_heap_mb":${math.round(Runtime.getRuntime.maxMemory / 1e6)},"queries":${json(results)},"cpu_sec":${json(cpuSec)},"gc_sec":${json(gcSec)},"peak_task_mem_mb":${json(peakMemMb)},"heap_used_mb":${json(heapUsedMb)},"task_fail":${json(taskFailN)},"stage_retry":${json(stageRetryN)},"rocksdb_queries":${json(rocksResults)},"shuffle_write_mb":${json(shw)},"shuffle_read_mb":${json(shr)},"load1":${json(hostLoad1)},"iowait_pct":${json(hostIowaitPct)},"steal_pct":${json(hostStealPct)},"failed":$failedJson,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
     System.err.println(s"[bench-full] $fullJson")
     // ... and to a file, so every bench run (driver's included) leaves
     // per-query cpu/load evidence on disk regardless of log truncation
@@ -251,7 +283,16 @@ object Bench {
     val heapVals = heapUsedMb.values
     val totalGc = math.round(results.collect {
       case (k, v) if v >= 0 => gcSec.getOrElse(k, 0.0) }.sum * 100) / 100.0
-    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"gc_sec_total":${fmt(totalGc)},"heap_max_mb":${fmt(if (heapVals.isEmpty) -1 else heapVals.max)},"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
+    // max_heap_mb = -Xmx as the JVM sees it (gate policy pins 8 g;
+    // visible here so a builder run and a driver run are provably the
+    // same experiment), task_fail/stage_retry totals = recompute
+    // evidence (0/0 on a healthy run; nonzero turns "16x cpu, why?"
+    // into "recompute", adjudicable from the stdout tail alone), and
+    // shared_off_premium_sec = the documented standalone-honesty
+    // premium of the LSH family re-deriving its shared pair table
+    // per query (gate_policy.md) — subtract it to compare against a
+    // SPARK_GRAFT_SHARED_INTERMEDIATES=1 deployment posture.
+    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"gc_sec_total":${fmt(totalGc)},"heap_max_mb":${fmt(if (heapVals.isEmpty) -1 else heapVals.max)},"max_heap_mb":${math.round(Runtime.getRuntime.maxMemory / 1e6)},"task_fail_total":${fmt(taskFailN.values.sum)},"stage_retry_total":${fmt(stageRetryN.values.sum)},"shared_off_premium_sec":13,"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
     def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       val extra =

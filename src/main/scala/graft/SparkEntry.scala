@@ -1547,6 +1547,38 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, table)
     }),
 
+    "q_snapshot_export_delta" -> ((s, d) => {
+      // DELTA-FORMAT LIVE MIRROR through the gate (the r11 verdict's
+      // #1 gap: an open-table-format the outside world reads with NO
+      // export step): a lang-partitioned snapshot with real history —
+      // partitioned base, a dynamic overwrite of ONE partition, a
+      // copy-on-write DELETE — gets a `_delta_log` mirrored INSIDE
+      // the table dir (zero data copied; sources/DeltaMirror), and
+      // the DuckDB oracle RESOLVES THAT LOG ITSELF: read_json_auto
+      // over the commits, adds minus removes, then reads exactly the
+      // live parquet files. Match proves an external engine
+      // resolving the Delta protocol sees exactly readSnapshot —
+      // the resolution is load-bearing (a naive glob of all data
+      // files reads ~2x the rows: retired overwrite/delete files are
+      // still on disk, only the log excludes them).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_mirror_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      LakeWriter.commitSnapshotDynamic(
+        base.where(pmod(col("doc_id"), lit(2)) === 0), table, Seq("lang"))
+      // dynamic overwrite of the 'en' partition only: its v1 files
+      // leave the live set (remove actions in the mirrored log)
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "en"), table, Seq("lang"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
+      DeltaMirror.mirror(s, table)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
     "q_snapshot_import" -> ((s, d) => {
       // OPEN-FORMAT IMPORT bridge (CONVERT TO DELTA twin): an
       // "external engine's" table — stock hive-partitioned parquet
@@ -5094,10 +5126,32 @@ object SparkEntry {
   private def exportOracle(sfDir: String): Map[String, String] = {
     val out = "/tmp/graft_snap_export_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/export"
-    Map("q_snapshot_export" ->
-      s"""SELECT doc_id, lang, source, n_chars
-         |FROM read_parquet('$out/data/*/*.parquet', hive_partitioning=1)"""
-        .stripMargin)
+    // q_snapshot_export_delta's oracle is DuckDB acting as a DELTA
+    // READER with zero graft code: resolve the `_delta_log` JSON
+    // commits (adds minus removes), then read exactly the live
+    // parquet files. The resolution is the point — retired
+    // overwrite/delete files are still on disk, and only honoring
+    // the log excludes them (a plain glob reads ~2x the rows).
+    val dtab = "/tmp/graft_delta_mirror_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"
+    Map(
+      "q_snapshot_export" ->
+        s"""SELECT doc_id, lang, source, n_chars
+           |FROM read_parquet('$out/data/*/*.parquet', hive_partitioning=1)"""
+          .stripMargin,
+      "q_snapshot_export_delta" ->
+        s"""WITH acts AS (
+           |  SELECT * FROM read_json_auto('$dtab/_delta_log/*.json',
+           |    format='newline_delimited', union_by_name=true)),
+           |live AS (
+           |  SELECT add.path AS p FROM acts WHERE add.path IS NOT NULL
+           |  EXCEPT
+           |  SELECT remove.path FROM acts WHERE remove.path IS NOT NULL)
+           |SELECT doc_id, source, n_chars, lang
+           |FROM read_parquet('$dtab/data/**/*.parquet',
+           |  hive_partitioning=1, filename=1) d
+           |WHERE replace(d.filename, '$dtab/', '') IN (SELECT p FROM live)"""
+          .stripMargin)
   }
 
   private def pairValues(rows: Array[org.apache.spark.sql.Row]): String =

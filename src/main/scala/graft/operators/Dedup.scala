@@ -47,6 +47,27 @@ object Dedup {
 
   // -- exact ----------------------------------------------------------
 
+  /** Fail-loud escape hatch for the fused signature builders'
+    * unique-id PRECONDITION (the explode+groupBy formulation they
+    * replaced collapsed duplicate id rows; the fused projection is
+    * one-row-in-one-row-out, so duplicate ids silently inflate LSH
+    * candidate pairs downstream). A uniqueness probe costs a full
+    * aggregate, so it only runs under `-Dgraft.debug.uniqueIds=1`
+    * (dev/CI posture); production hot paths pay nothing. */
+  private[operators] def assertUniqueIdsIfDebug(df: DataFrame,
+                                                idCol: String,
+                                                what: String): DataFrame = {
+    if (sys.props.get("graft.debug.uniqueIds").contains("1")) {
+      val dup = df.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"$what: duplicate $idCol (e.g. ${dup.head.get(0)}) — the fused " +
+          "signature build is one row per input row; dropDuplicates the " +
+          "id column first or duplicate signatures will inflate LSH pairs")
+    }
+    df
+  }
+
   /** Exact dedup on normalized text: one surviving doc id per distinct
     * fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -75,7 +96,8 @@ object Dedup {
                         shingleN: Int = 5, perms: Int = 64): DataFrame = {
     // normalize ONCE per doc (materialized column), THEN shingle — the
     // kernel must see an attribute, not the regex subtree
-    val normed = spread(df.select(col(idCol),
+    val normed = spread(assertUniqueIdsIfDebug(df, idCol,
+        "minhashSignatures").select(col(idCol),
       TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
     normed.where(col("__norm").isNotNull)
       .select(col(idCol),
@@ -144,7 +166,8 @@ object Dedup {
     // bucket mins + rotation densification in-register — no explode,
     // no (doc, bucket) exchange, no map materialization.
     // Bit-identical to the composed formulation below (spec'd).
-    val normed = spread(df.select(col(idCol),
+    val normed = spread(assertUniqueIdsIfDebug(df, idCol,
+        "minhashSignaturesOPH").select(col(idCol),
       TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
     normed.where(col("__norm").isNotNull)
       .select(col(idCol),
@@ -425,8 +448,9 @@ object Dedup {
     * formulation (kept below as [[simhashComposed]]; property-spec'd
     * equal). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    spread(df.select(col(idCol),
-      TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
+    spread(assertUniqueIdsIfDebug(df, idCol, "simhash")
+      .select(col(idCol),
+        TextFns.normalizeText(col(textCol)).as("__norm")), idCol)
       .select(col(idCol), coalesce(
         org.apache.spark.sql.GraftColumnBridge.column(
           graft.plans.SimHash64(

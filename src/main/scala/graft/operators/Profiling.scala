@@ -168,16 +168,30 @@ object Profiling {
       .withColumn("__n2", sum(col("__c2")).over(wAll))
       .where(col("__n1") > 0 && col("__n2") > 0)
       .groupBy(col("__g"), col("__n1"), col("__n2"))
-      .agg(max(abs(col("__cum1") * col("__n2") -
-        col("__cum2") * col("__n1"))).as("__d"))
+      // the cross difference cum1·n2 − cum2·n1 multiplies in
+      // decimal(38,0), NOT long: in LongType it silently wraps once
+      // n1·n2 exceeds 2⁶³ (~3·10⁹ rows a side) — with ANSI off that
+      // is a wrong KS distance with no error. Values are unchanged
+      // for in-range inputs (exact integer algebra either way).
+      .agg(max(abs(col("__cum1").cast("decimal(38,0)") * col("__n2") -
+        col("__cum2").cast("decimal(38,0)") * col("__n1"))).as("__d"))
       .select(col("__g").as(groupCol),
         col("__n1").as("n_ref"), col("__n2").as("n_cur"),
         // decimal(38,0) headroom (the chi2Assoc discipline): the
-        // cross difference d ≤ n1·n2, so d·10⁶ ≤ 10²⁴ for samples up
-        // to 10⁹ a side — far past long range, comfortably decimal
-        expr("""CAST(__d AS DECIMAL(38,0)) * 1000000
+        // cross difference d ≤ n1·n2, so d·10⁶ ≤ 10³⁶ for samples up
+        // to 10¹⁵ a side — comfortably decimal. Past that bound Spark
+        // (ANSI off) would return NULL on decimal overflow, so the
+        // loud chi2Assoc-style guard rides the projection instead of
+        // letting an oversized input answer wrong silently.
+        (expr("""CAST(__d AS DECIMAL(38,0)) * 1000000
                | div (CAST(__n1 AS DECIMAL(38,0)) * __n2)"""
-          .stripMargin).as("ks_micro"))
+          .stripMargin) +
+          coalesce(assert_true(
+            col("__n1") <= lit(1000000000000000L) &&
+              col("__n2") <= lit(1000000000000000L),
+            lit("ksDrift: sample sizes exceed the decimal(38,0) " +
+              "headroom (~1e15 rows per side per group)"))
+            .cast("long"), lit(0L))).as("ks_micro"))
   }
 
   def skewDiag(df: DataFrame, keyCols: Seq[String]): DataFrame = {

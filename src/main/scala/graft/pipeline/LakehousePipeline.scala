@@ -289,17 +289,23 @@ object LakehousePipeline {
     DayResult(date, stgRows, factRows, skipped = false)
   }
 
-  /** One ledger row per load ATTEMPT, like the curation ledger. */
+  /** One ledger row per DATE, last-write-wins (keyed MERGE, not an
+    * append): the ledger stage runs under retryStage, and an append
+    * retried after a partial-but-persisted attempt would write a
+    * duplicate (date, stg_rows, fact_rows) row — reloads would still
+    * skip (processedDates dedups via Set) but any aggregate over the
+    * ledger would double-count that day. The keyed upsert makes the
+    * retry idempotent by construction. */
   private def appendLoadLedger(spark: SparkSession, outDir: String,
                                date: String, stgRows: Long,
                                factRows: Long): Unit = {
     import spark.implicits._
-    LakeWriter.commitSnapshot(
-      Seq((date, stgRows, factRows)).toDF("datadate", "stg_rows",
-        "fact_rows"),
-      ledgerPath(outDir),
-      mode = if (LakeWriter.snapshotVersions(spark,
-        ledgerPath(outDir)).isEmpty) "overwrite" else "append"): Unit
+    val row = Seq((date, stgRows, factRows)).toDF("datadate", "stg_rows",
+      "fact_rows")
+    val t = ledgerPath(outDir)
+    if (LakeWriter.snapshotVersions(spark, t).isEmpty)
+      LakeWriter.commitSnapshot(row, t): Unit
+    else LakeWriter.mergeSnapshot(row, t, Seq("datadate")): Unit
   }
 
   /** Airflow-catchup twin: every raw event date not yet in the

@@ -39,4 +39,17 @@ object GraftCheckpointBridge {
       .foreach(_.unpersist(blocking = true))
     catch { case _: Throwable => }
   }
+
+  /** Unload every loaded streaming state-store provider. A finished
+    * (even stopped) streaming query's providers stay in
+    * `StateStore.loadedProviders` holding their state maps on heap
+    * until the executor unloads them on a maintenance cycle — a
+    * session that runs many short streaming queries accumulates every
+    * query's state between cycles (the r11 driver gate's three worst
+    * wall outliers were all stateful streams). Safe at any quiescent
+    * point: the next streaming batch reloads its provider from the
+    * checkpoint as if freshly scheduled. */
+  def unloadStreamingState(): Unit =
+    try execution.streaming.state.StateStore.unloadAll()
+    catch { case _: Throwable => }
 }

@@ -1676,7 +1676,21 @@ object LakeWriter {
     * a daily load writes one day's files; unlike it, yesterday's
     * state of the overwritten partition remains readable via the
     * previous version. Data files are laid out hive-style
-    * (`col=value/`), so partition pruning works on reads. */
+    * (`col=value/`), so partition pruning works on reads.
+    *
+    * PARTITION SPEC EVOLUTION caveat (Iceberg-matching semantics):
+    * when this commit DECLARES a new spec over a table whose earlier
+    * files were laid out differently, the commit is an
+    * APPEND-UNDER-NEW-SPEC — every pre-spec file carries by
+    * reference, INCLUDING files whose rows fall in partitions this
+    * batch writes (they have no path values under the new spec, so
+    * partition replacement cannot see them; a warning is logged with
+    * the carried count). Rows meant to be replaced are therefore
+    * retained alongside their replacements until
+    * [[migratePartitionSpec]] unifies the layout — run it right
+    * after evolving if replacement semantics are needed. LATER
+    * same-spec dynamic commits refuse loudly while pre-spec files
+    * remain. */
   def commitSnapshotDynamic(df: DataFrame, table: String,
                             partitionCols: Seq[String]): Long = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
@@ -1734,6 +1748,18 @@ object LakeWriter {
             s"the ${partitionCols.mkString(",")} partition spec and " +
             "cannot be replaced partition-wise — run " +
             "migratePartitionSpec first (or overwrite the table)")
+        // on the evolution commit itself the carry is the designed
+        // append-under-new-spec semantics, but it is easy to miss
+        // that touched partitions do NOT replace pre-spec rows — say
+        // so loudly once (the scaladoc documents the contract)
+        if (preSpec.nonEmpty && prevPartCols != partitionCols)
+          System.err.println(
+            s"[lake] $table: partition spec evolved " +
+              s"${prevPartCols.mkString(",")} -> " +
+              s"${partitionCols.mkString(",")}; ${preSpec.size} " +
+              "pre-spec file(s) carry by reference and are NOT " +
+              "replaced by this batch's partitions — run " +
+              "migratePartitionSpec to unify the layout")
         prevFiles.filterNot(f =>
           partitionOfOpt(partitionCols, f).exists(touched.contains))
       }
