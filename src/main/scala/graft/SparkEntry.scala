@@ -1579,6 +1579,29 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, table)
     }),
 
+    "q_ingest_delta" -> ((s, d) => {
+      // DELTA IMPORT direction through the gate: the table evolves
+      // (partitioned base + partition overwrite + COW DELETE), the
+      // mirror writes its _delta_log, and the SERVED ROWS are read
+      // back THROUGH that log (sources/DeltaMirror.readDelta — the
+      // reader any foreign JSON-commit Delta table gets): protocol
+      // resolution must drop every overwritten/rewritten file, or
+      // the oracle (final state re-derived from the raw documents
+      // table) catches the stale rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_ingest_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 200)
+      DeltaMirror.mirror(s, table)
+      DeltaMirror.readDelta(s, table)
+    }),
+
     "q_snapshot_import" -> ((s, d) => {
       // OPEN-FORMAT IMPORT bridge (CONVERT TO DELTA twin): an
       // "external engine's" table — stock hive-partitioned parquet
@@ -4183,6 +4206,14 @@ object SparkEntry {
       // predicate FALSE or NULL)
       """SELECT doc_id, source, n_chars, lang FROM documents
         |WHERE doc_id % 3 = 0 AND NOT coalesce(n_chars < 150, false)"""
+        .stripMargin,
+
+    "q_ingest_delta" ->
+      // rows served THROUGH the mirrored _delta_log (readDelta):
+      // final state re-derived from the raw table — stale rows from
+      // overwritten/rewritten files would surface as extras
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 3 = 0 AND NOT coalesce(n_chars < 200, false)"""
         .stripMargin,
 
     "q_snapshot_evolve" ->

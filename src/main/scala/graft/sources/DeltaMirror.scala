@@ -299,7 +299,7 @@ object DeltaMirror {
         .mkString("", "\n", "\n")
       planned += (dv -> body)
       rels.foreach(live += _)
-      live.retain(rels.toSet.contains)
+      live.filterInPlace(rels.toSet.contains)
     }
     planned.foreach { case (dv, body) =>
       // atomic publish, like the manifest commit: dot-hidden tmp +

@@ -357,14 +357,32 @@ object LakeWriter {
           }
         ColMapping(cm.map ++ add, cm.dropped)
       } else ColMapping.empty
+    // PARTITION SPEC carries through appends (Delta parity: appending
+    // to a partitioned table partitions the write by the table's
+    // spec). Without this, a plain append onto a spec-carrying table
+    // (dynamic commits, adopted hive layouts) silently DROPPED the
+    // spec from the manifest — reads survived (path recovery) but
+    // partition-pruned MERGE/overwrite lost their contract. Overwrite
+    // still resets the spec, like the column mapping.
+    val partCols =
+      if (mode == "append" && prev.nonEmpty)
+        parseManifest(spark, table, prev.last)._3
+      else Seq.empty[String]
+    require(partCols.forall(df.columns.contains),
+      s"append to $table must carry its partition column(s) " +
+        s"${partCols.filterNot(df.columns.contains).mkString(",")}")
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      toPhysical(df, colmap).write.mode("errorifexists")
-        .parquet(dataDir.toString) }
-    val newFiles = fs.listStatus(dataDir).toSeq
-      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+      val w = toPhysical(df, colmap).write.mode("errorifexists")
+      (if (partCols.nonEmpty) w.partitionBy(partCols.map(colmap.phys): _*)
+       else w).parquet(dataDir.toString) }
+    val newFiles =
+      if (partCols.isEmpty)
+        fs.listStatus(dataDir).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+      else walk(fs, dataDir).sorted
     val (carried, schema) =
       if (mode == "append" && prev.nonEmpty) {
         // checked schema EVOLUTION: an append may add columns (old
@@ -406,7 +424,7 @@ object LakeWriter {
         .getOrElse(Map.empty),
       newFiles, schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, mode, schema,
-      carried ++ newFiles, colmapOverride = Some(colmap))
+      carried ++ newFiles, partCols, colmapOverride = Some(colmap))
     version
   }
 
@@ -546,7 +564,16 @@ object LakeWriter {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val cols = schema.fieldNames.toSeq
     val colmap = parseManifestColmap(spark, table, prev.last)
-    val matched = readFiles(spark, files, schema, colmap)
+    // FILE-PRUNED probe (the readSnapshotWhere pipeline): manifest
+    // stats / partition values / blooms disprove the predicate for
+    // most files of a clustered table, so a selective DELETE probes
+    // a sliver of the file list instead of scanning 100 TB to
+    // discover it must rewrite one day. Exactness is untouched: the
+    // probe's predicate still decides the actual matches.
+    val candidates = pruneFilesByPredicate(spark, table, prev.last,
+      predicate, files, schema, partCols, colmap)
+    if (candidates.isEmpty) return prev.last
+    val matched = readFiles(spark, candidates, schema, colmap)
       .where(predicate)
       .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -1624,7 +1651,8 @@ object LakeWriter {
     * (first commit, or history vacuumed past the cursor) feeds as a
     * full snapshot of inserts. Returns the versions processed. */
   def processNewVersions(spark: SparkSession, table: String,
-      cursorPath: String)(fn: (DataFrame, Long) => Unit): Seq[Long] = {
+      cursorPath: String, collapse: Boolean = true)
+      (fn: (DataFrame, Long) => Unit): Seq[Long] = {
     val cursor = new org.apache.hadoop.fs.Path(cursorPath)
     val fs = fsOf(spark, cursor)
     val last: Option[Long] =
@@ -1640,7 +1668,14 @@ object LakeWriter {
     val todo = vs.filter(v => last.forall(v > _))
     todo.foreach { v =>
       val feed = vs.filter(_ < v).lastOption match {
-        case Some(p) => changesBetween(spark, table, p, v)
+        // collapse = false serves the feed WITHOUT the exceptAll
+        // row-cancellation pass — for consumers whose state update is
+        // a signed linear fold (sum·sign, count·sign), copy-on-write
+        // rewrite noise cancels algebraically, so the two delta-sized
+        // shuffles per version buy nothing (Materialized.refreshAgg).
+        // Consumers that BRANCH on delete presence (refreshHll's
+        // rebuild trigger) keep the collapsed default.
+        case Some(p) => changesBetween(spark, table, p, v, collapse)
         case None if last.isEmpty =>
           // bootstrap: the table's first surviving version feeds whole
           readSnapshot(spark, table, Some(v)).withColumn(
@@ -1779,6 +1814,30 @@ object LakeWriter {
   def compactSnapshot(spark: SparkSession, table: String,
                       nFiles: Int): Long =
     commitSnapshot(readSnapshot(spark, table).repartition(nFiles), table)
+
+  /** STREAMING-SINK maintenance cadence — the hook a
+    * one-commit-per-micro-batch sink (GraphStream, upsertToSnapshot)
+    * calls after each batch: when the table's latest version is a
+    * multiple of `everyVersions`, compact the current snapshot to
+    * `nFiles` and vacuum history to `keepVersions`. A long-lived
+    * stream otherwise accrues one manifest + one small file-set per
+    * batch without bound; with the hook, manifest count and live
+    * bytes stay O(everyVersions + keepVersions) forever. Row-content
+    * neutral (compaction rewrites the same rows; vacuum only drops
+    * history), so the sink's replay algebra is untouched. Versions
+    * that commit nothing (empty-diff batches) don't advance the
+    * cadence — no growth, no maintenance. `everyVersions <= 0`
+    * disables. Returns the compacted version when maintenance ran. */
+  def maintainSnapshotEvery(spark: SparkSession, table: String,
+                            everyVersions: Int, nFiles: Int = 32,
+                            keepVersions: Int = 3): Option[Long] = {
+    val vs = snapshotVersions(spark, table)
+    if (everyVersions > 0 && vs.nonEmpty && vs.last % everyVersions == 0) {
+      val v = compactSnapshot(spark, table, nFiles)
+      vacuumSnapshots(spark, table, keepLast = keepVersions)
+      Some(v)
+    } else None
+  }
 
   /** PARTITION SPEC MIGRATION — the rewrite half of spec evolution
     * (Iceberg's rewrite_data_files): every file that predates the
@@ -2079,8 +2138,27 @@ object LakeWriter {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .where(predicate)
-    val statsFull = parseManifestStatsFull(spark, table, v)
     val colmap = parseManifestColmap(spark, table, v)
+    val keptB = pruneFilesByPredicate(spark, table, v, predicate, files,
+      schema, partCols, colmap)
+    if (keptB.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(predicate)
+    else readFiles(spark, keptB, schema, colmap).where(predicate)
+  }
+
+  /** The stat/partition/bloom FILE-PRUNING pipeline shared by
+    * [[readSnapshotWhere]] and [[deleteFromSnapshot]]: of `files`,
+    * keep only those whose manifest evidence cannot DISPROVE
+    * `predicate`. Pure metadata — no data IO; callers still apply
+    * the predicate to surviving rows, so results stay exact whatever
+    * the stats coverage. */
+  private def pruneFilesByPredicate(spark: SparkSession, table: String,
+      v: Long, predicate: org.apache.spark.sql.Column,
+      files: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String], colmap: ColMapping): Seq[String] = {
+    val statsFull = parseManifestStatsFull(spark, table, v)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val kept = files.filter { f =>
       val fstPhys = statsFull.getOrElse(baseName(f), FileStats(None, Map.empty))
@@ -2154,11 +2232,7 @@ object LakeWriter {
           }
         }
       }
-    if (keptB.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .where(predicate)
-    else readFiles(spark, keptB, schema, colmap).where(predicate)
+    keptB
   }
 
   /** Exact row count of a snapshot, metadata-first: every post-r8

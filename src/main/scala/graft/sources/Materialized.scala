@@ -84,7 +84,11 @@ object Materialized {
   def refreshAgg(spark: SparkSession, srcTable: String, mvTable: String,
                  cursorPath: String, groupCols: Seq[String],
                  sumCols: Seq[String]): Seq[Long] =
-    LakeWriter.processNewVersions(spark, srcTable, cursorPath) {
+    // uncollapsed feed: rewrite noise cancels algebraically in the
+    // signed sums (see refreshAggStream) — the exceptAll pass is
+    // skipped per version
+    LakeWriter.processNewVersions(spark, srcTable, cursorPath,
+      collapse = false) {
       (feed, _) => applyDelta(spark, mvTable, feed, groupCols, sumCols)
     }
 
@@ -132,10 +136,12 @@ object Materialized {
     * in-flight `.vN…tmp` names are dot-hidden, so the file source
     * only ever sees durably-committed versions appear atomically via
     * the rename), and each micro-batch applies the same touched-group
-    * merge as [[refreshAgg]]. Versions apply oldest-first
-    * (`maxFilesPerTrigger=1` + per-batch sort), each consuming only
-    * its own delta via `changesBetween` — refresh stays O(delta +
-    * touched groups) per commit at any table size.
+    * merge as [[refreshAgg]]. Versions apply oldest-first (per-batch
+    * sort; a trigger drains every pending version in one batch), each
+    * consuming only its own UNCOLLAPSED delta via `changesBetween` —
+    * rewrite noise cancels algebraically in the signed sums — so
+    * refresh stays O(delta + touched groups) per commit at any table
+    * size.
     *
     * Exactly-once: the stream checkpoint replaces the batch cursor
     * file — a crash between the MV merge and the checkpoint advance
@@ -149,12 +155,23 @@ object Materialized {
                        mvTable: String, checkpoint: String,
                        groupCols: Seq[String],
                        sumCols: Seq[String]): Unit = {
-    val manifests = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .text(s"$srcTable/_manifests")
+    // no per-trigger rate limit: the batch body sorts and applies its
+    // versions oldest-first itself, so splitting them one-per-batch
+    // only multiplied micro-batch overhead (offset/commit-log cycles,
+    // source listings) by the version count — at steady state a
+    // trigger drains every pending version in ONE batch
+    val manifests = spark.readStream.text(s"$srcTable/_manifests")
     val q = manifests.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the body runs ORDINARY batch jobs (merge probes, tiny-group
+        // aggregates) on the stream's cloned session, where Spark
+        // force-disabled AQE; re-enable it for them — partition
+        // coalescing on the touched-group slivers is exactly what AQE
+        // is for, and the streaming plan itself (a text source feeding
+        // foreachBatch) has no stateful operator that needs the ban
+        batch.sparkSession.conf
+          .set("spark.sql.adaptive.enabled", "true")
         val versions = batch
           .select(regexp_extract(col("value"), "\"version\":(\\d+)", 1)
             .cast("long").as("v"))
@@ -167,8 +184,17 @@ object Materialized {
             if (prior.isEmpty)
               LakeWriter.readSnapshot(spark, srcTable, Some(v))
                 .withColumn("_change_type", lit("insert"))
+            // UNCOLLAPSED feed (collapse = false): a signed-sum MV
+            // does not need the exceptAll row-cancellation pass —
+            // copy-on-write rewrite noise is a delete+insert of
+            // IDENTICAL rows, which cancels ALGEBRAICALLY in every
+            // sum(x·sign) and in the signed row count, so the merged
+            // values are exactly the collapsed feed's. Skipping the
+            // two exceptAll shuffles per version is the dominant
+            // per-batch cost at any scale (delta-sized shuffles, ×2,
+            // per commit).
             else LakeWriter.changesBetween(spark, srcTable,
-              prior.last, v)
+              prior.last, v, collapse = false)
           applyDelta(spark, mvTable, feed, groupCols, sumCols)
         }
       }

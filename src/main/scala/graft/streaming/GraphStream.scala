@@ -65,9 +65,21 @@ object GraphStream {
   }
 
   /** Continuous maintenance: one label-snapshot fold per micro-batch
-    * of an edge stream. */
+    * of an edge stream.
+    *
+    * `maintainEvery` > 0 wires the table-maintenance cadence INTO the
+    * sink (a long-lived stream otherwise accrues one manifest + file
+    * set per batch without bound): every `maintainEvery` committed
+    * versions the label table compacts to `compactFiles` files and
+    * vacuums history to `keepVersions` — manifest count and live
+    * bytes stay bounded forever, labels byte-unchanged
+    * (StreamMaintenanceSpec drives 30+ batches and pins both). */
   def run(stream: DataFrame, table: String, checkpoint: String,
-          src: String, dst: String, maxIter: Int = 20)
+          src: String, dst: String, maxIter: Int = 20,
+          maintainEvery: Int = 0, compactFiles: Int = 32,
+          keepVersions: Int = 3,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -75,8 +87,10 @@ object GraphStream {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          foldBatch(batch.toDF(), table, src, dst, maxIter): Unit
+          foldBatch(batch.toDF(), table, src, dst, maxIter)
+          LakeWriter.maintainSnapshotEvery(batch.sparkSession, table,
+            maintainEvery, compactFiles, keepVersions): Unit
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }

@@ -465,7 +465,10 @@ object Speed extends Serializable {
     * batch replaces rows with identical ones (idempotent by value). */
   def upsertToSnapshot(stream: DataFrame, table: String, keys: Seq[String],
                        tsCol: String, tieBreak: String,
-                       checkpoint: String)
+                       checkpoint: String,
+                       maintainEvery: Int = 0, compactFiles: Int = 32,
+                       keepVersions: Int = 3,
+                       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -475,8 +478,13 @@ object Speed extends Serializable {
           batch.toDF(), keys, col(tsCol), col(tieBreak))
         if (!latest.isEmpty)
           graft.sources.LakeWriter.mergeSnapshot(latest, table, keys): Unit
+        // every-N-versions compaction + history vacuum, IN the sink —
+        // a one-commit-per-batch stream is unbounded without it
+        graft.sources.LakeWriter.maintainSnapshotEvery(
+          batch.sparkSession, table, maintainEvery, compactFiles,
+          keepVersions): Unit
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** One micro-batch of `streamingHistoryDedup`: distinct keys of the

@@ -137,4 +137,76 @@ class ExportSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("fresh"))
   }
+
+  test("round trip at scale of versions: export -> convert -> append -> MERGE -> export, byte-stable") {
+    // the full interop loop chained (r11 verdict #8): a table leaves
+    // through the open-format export, is ADOPTED back as a fresh
+    // snapshot, evolves (append + keyed MERGE) as a first-class
+    // table, and exports again — every hop must preserve rows
+    // exactly, and re-exporting an UNCHANGED table must be
+    // byte-stable (same data bytes, same manifest table content), so
+    // a silent regression in either direction of the bridge cannot
+    // hide behind nondeterministic output.
+    val root = freshDir("graft_roundtrip_")
+    val t1 = s"$root/t1"
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", i * 10))
+      .toDF("doc_id", "lang", "n_chars")
+    LakeWriter.commitSnapshot(docs.where($"doc_id" <= 25), t1)
+    LakeWriter.commitSnapshot(docs.where($"doc_id" > 25), t1, "append")
+    LakeWriter.deleteFromSnapshot(spark, t1, $"doc_id" === 7)
+
+    // hop 1: export, re-adopt
+    LakeWriter.exportSnapshot(spark, t1, s"$root/ex1",
+      partitionBy = Seq("lang"))
+    val t2 = s"$root/t2"
+    LakeWriter.convertToSnapshot(spark, s"$root/ex1/data", t2)
+    def rows(t: String) = LakeWriter.readSnapshot(spark, t)
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows(t2) == rows(t1), "adoption must preserve the export")
+
+    // hop 2: the adopted table evolves — append + keyed MERGE
+    LakeWriter.commitSnapshot(
+      Seq((100L, "fr", 1000L)).toDF("doc_id", "lang", "n_chars"), t2,
+      "append")
+    LakeWriter.mergeSnapshot(
+      Seq((1L, "de", 9999L), (101L, "en", 1L))
+        .toDF("doc_id", "lang", "n_chars"), t2, Seq("doc_id"))
+    val expect = (rows(t1) - ((1L, "de", 10L)) +
+      ((100L, "fr", 1000L)) + ((1L, "de", 9999L)) + ((101L, "en", 1L)))
+    assert(rows(t2) == expect, "append+MERGE on the adopted table")
+
+    // hop 3: export the evolved table; a STOCK parquet read of the
+    // export equals the table (the external-engine posture)
+    LakeWriter.exportSnapshot(spark, t2, s"$root/ex2",
+      partitionBy = Seq("lang"))
+    val ext = spark.read.option("basePath", s"$root/ex2/data")
+      .parquet(s"$root/ex2/data")
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ext == expect, "second export readable by stock parquet")
+
+    // byte stability: re-exporting the unchanged table yields
+    // byte-identical data files per (partition dir, part index) —
+    // only the writer-UUID in the file NAME may differ — and the
+    // same manifest table content modulo that UUID
+    LakeWriter.exportSnapshot(spark, t2, s"$root/ex3",
+      partitionBy = Seq("lang"))
+    def normName(p: String): String =
+      p.replaceAll("(part-\\d+)-[0-9a-f-]+(\\.c\\d+)?", "$1")
+    def fileBytes(dir: String): Map[String, Seq[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => normName(f.getPath.stripPrefix(dir)) ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    assert(fileBytes(s"$root/ex3/data") == fileBytes(s"$root/ex2/data"),
+      "re-export of an unchanged table must be byte-stable")
+    def manifestRows(dir: String) = spark.read.parquet(s"$dir/manifest")
+      .select($"file", $"bytes", $"rows").as[(String, Long, Long)]
+      .collect().map { case (f, b, r) => (normName(f), b, r) }.toSet
+    assert(manifestRows(s"$root/ex3") == manifestRows(s"$root/ex2"))
+  }
 }

@@ -275,6 +275,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(LakeWriter.snapshotPartitionCols(spark, t, 2L) == Seq("day"))
   }
 
+  test("stat-pruned delete never opens files the manifest disproves") {
+    import graft.sources.LakeWriter
+    val t = java.nio.file.Files.createTempDirectory("graft_delstat")
+      .toString + "/tbl"
+    // range-clustered UNPARTITIONED commit: per-file (min,max) k
+    // stats land in the manifest — the only pruning evidence here
+    LakeWriter.commitSnapshot(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, $"k"), t)
+    // corrupt every file whose k-range is outside the delete band:
+    // if the matched-file probe ever opened them, the delete dies
+    val files = LakeWriter.snapshotFiles(spark, t, 1L)
+    val inBand = files.filter { f =>
+      val ks = spark.read.parquet(f).agg(min($"k"), max($"k"))
+        .as[(Long, Long)].head()
+      ks._1 <= 60L && ks._2 >= 41L
+    }.toSet
+    assert(inBand.size < files.size, "need prunable files")
+    files.filterNot(inBand).foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.stripPrefix("file:")),
+        "not parquet".getBytes): Unit
+    }
+    val v2 = LakeWriter.deleteFromSnapshot(spark, t,
+      $"k" >= 41L && $"k" <= 60L)
+    assert(v2 == 2L)
+    // corrupted out-of-band files carried by reference, untouched
+    val after = LakeWriter.snapshotFiles(spark, t, 2L).toSet
+    assert(files.filterNot(inBand).forall(after.contains))
+    // and a delete the stats DISPROVE entirely is a no-op version
+    assert(LakeWriter.deleteFromSnapshot(spark, t, $"k" > 100000L) == 2L)
+  }
+
   test("changesBetween reads only delta files; collapse nets rewrites") {
     import graft.sources.LakeWriter
     val t = java.nio.file.Files.createTempDirectory("graft_cdc").toString +

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.LakeWriter
+import graft.streaming.{GraphStream, Speed}
+
+/** Streaming-sink maintenance cadence (r11 verdict #4): a
+  * one-commit-per-micro-batch sink accrues manifests + small files
+  * without bound on a long-lived stream; the every-N-versions
+  * compact+vacuum hook keeps both bounded with row content
+  * byte-unchanged. Driven through the REAL sinks over 30+
+  * micro-batches. */
+class StreamMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def manifestCount(table: String): Int =
+    new java.io.File(s"$table/_manifests").listFiles()
+      .count(_.getName.matches("v\\d+\\.json"))
+
+  private def dataFileCount(table: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(s"$table/data"))
+  }
+
+  test("GraphStream.run over 32 micro-batches: bounded manifests, labels intact") {
+    val root = freshDir("graft_stream_maint_cc")
+    val table = s"$root/labels"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // one query, ProcessingTime trigger: each addData +
+    // processAllAvailable is ONE real micro-batch through the sink
+    val q = GraphStream.run(
+      in.toDF().toDF("src", "dst"), table, s"$root/ckpt", "src", "dst",
+      maintainEvery = 8, compactFiles = 2, keepVersions = 3,
+      trigger = Trigger.ProcessingTime(0))
+    val delivered = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    try {
+      (1 to 32).foreach { b =>
+        // fresh chain per batch, every 4th batch bridges to the
+        // previous chain so components keep merging over time
+        val base = b * 10L
+        val edges = Seq((base, base + 1), (base + 1, base + 2)) ++
+          (if (b % 4 == 0) Seq((base, base - 10)) else Seq.empty)
+        in.addData(edges)
+        q.processAllAvailable()
+        delivered ++= edges
+      }
+    } finally q.stop()
+    // 32 committing batches + compactions would be 36+ manifests
+    // unmaintained; the cadence bounds it to keepVersions + one
+    // inter-maintenance window
+    val m = manifestCount(table)
+    assert(m <= 3 + 8 + 1, s"manifest count $m not bounded")
+    assert(dataFileCount(table) <= (3 + 8 + 1) * 4,
+      s"data files ${dataFileCount(table)} not bounded")
+    // labels byte-equal to the one-shot CC over everything delivered
+    val got = LakeWriter.readSnapshot(spark, table)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.operators.Graph.connectedComponents(
+      delivered.toSeq.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("upsertToSnapshot over 30 micro-batches: bounded history, upsert state intact") {
+    val root = freshDir("graft_stream_maint_upsert")
+    val table = s"$root/state"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)] // (key, ts, value)
+    val q = Speed.upsertToSnapshot(
+      in.toDF().toDF("k", "ts", "v"), table, Seq("k"), "ts", "v",
+      s"$root/ckpt", maintainEvery = 7, compactFiles = 2,
+      keepVersions = 2, trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 30).foreach { b =>
+        // 8 keys, every batch re-scores key (b mod 8) and adds key 100+b
+        in.addData(Seq((b % 8L, b.toLong, b * 100L),
+          (100L + b, b.toLong, b.toLong)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val m = manifestCount(table)
+    assert(m <= 2 + 7 + 1, s"manifest count $m not bounded")
+    val got = LakeWriter.readSnapshot(spark, table)
+      .as[(Long, Long, Long)].collect().toSet
+    // latest-per-key ground truth: key k<8 last updated at the last
+    // batch b with b%8==k; key 100+b written once at batch b
+    val lastSmall = (0L to 7L).flatMap { k =>
+      val bs = (1 to 30).filter(_ % 8 == k)
+      if (bs.isEmpty) None
+      else Some((k, bs.max.toLong, bs.max * 100L))
+    }
+    val want = (lastSmall ++ (1 to 30).map(b =>
+      (100L + b, b.toLong, b.toLong))).toSet
+    assert(got == want)
+  }
+
+  test("maintainSnapshotEvery: off by default, cadence on version multiples only") {
+    val root = freshDir("graft_maint_unit")
+    val t = s"$root/t"
+    LakeWriter.commitSnapshot(Seq((1L, "a")).toDF("k", "s"), t)
+    assert(LakeWriter.maintainSnapshotEvery(spark, t, 0).isEmpty)
+    assert(LakeWriter.maintainSnapshotEvery(spark, t, 3).isEmpty) // v1
+    LakeWriter.commitSnapshot(Seq((2L, "b")).toDF("k", "s"), t, "append")
+    LakeWriter.commitSnapshot(Seq((3L, "c")).toDF("k", "s"), t, "append")
+    // v3: fires; compaction commits v4, so the next multiple is v6
+    assert(LakeWriter.maintainSnapshotEvery(spark, t, 3,
+      nFiles = 1, keepVersions = 2).contains(4L))
+    assert(LakeWriter.maintainSnapshotEvery(spark, t, 3).isEmpty) // v4
+    assert(LakeWriter.readSnapshot(spark, t).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(manifestCount(t) == 2) // keepLast=2 after vacuum
+  }
+}
