@@ -1598,6 +1598,10 @@ object SparkEntry {
         .where(pmod(col("doc_id"), lit(3)) === 0)
       LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 200)
+      // metadata-only RENAME rides the mirror as Delta column mapping
+      // (physicalName resolution): files keep the old physical name,
+      // the served schema carries the new logical one
+      LakeWriter.renameColumn(s, table, "n_chars", "chars")
       DeltaMirror.mirror(s, table)
       DeltaMirror.readDelta(s, table)
     }),
@@ -4209,10 +4213,11 @@ object SparkEntry {
         .stripMargin,
 
     "q_ingest_delta" ->
-      // rows served THROUGH the mirrored _delta_log (readDelta):
-      // final state re-derived from the raw table — stale rows from
-      // overwritten/rewritten files would surface as extras
-      """SELECT doc_id, source, n_chars, lang FROM documents
+      // rows served THROUGH the mirrored _delta_log (readDelta),
+      // incl. a column-mapping rename (n_chars -> chars resolves via
+      // physicalName): final state re-derived from the raw table —
+      // stale rows from unresolved removes would surface as extras
+      """SELECT doc_id, source, n_chars AS chars, lang FROM documents
         |WHERE doc_id % 3 = 0 AND NOT coalesce(n_chars < 200, false)"""
         .stripMargin,
 

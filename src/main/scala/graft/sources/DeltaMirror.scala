@@ -31,10 +31,16 @@ import org.json4s.jackson.JsonMethods
   * partition-spec change, `partitionValues` derive from the same
   * hive paths graft prunes by.
   *
+  * Renamed/dropped columns mirror NATIVELY: graft's column mapping is
+  * the same logical->physical indirection as Delta's
+  * `columnMapping.mode=name`, so the mirror emits physicalName/id
+  * field metadata (+ the protocol upgrade to reader 2 / writer 5 in
+  * the commit that first needs it) and conforming readers resolve
+  * old and new files alike.
+  *
   * Not mirrored (refused loudly, not silently wrong):
-  *  - non-identity column mapping (renamed/dropped columns keep old
-  *    physical names in the files; Delta expresses this with
-  *    `delta.columnMapping.mode=name`, not yet emitted);
+  *  - renamed PARTITION columns (graft itself refuses those, so only
+  *    a hand-built manifest could hit this);
   *  - mixed partition layouts mid-evolution (a pre-spec file has no
   *    path-derived partition values — run `migratePartitionSpec`
   *    first);
@@ -119,13 +125,6 @@ object DeltaMirror {
              fromVersion: Option[Long] = None): Long = {
     val versions = LakeWriter.snapshotVersions(spark, table)
     require(versions.nonEmpty, s"no snapshot history at $table")
-    val colmap = LakeWriter.parseManifestColmap(spark, table, versions.last)
-    require(colmap.map.isEmpty && colmap.dropped.isEmpty,
-      s"delta mirror of $table: the table carries a non-identity " +
-        "column mapping (renamed/dropped columns) — physical parquet " +
-        "names differ from logical, which Delta expresses via " +
-        "columnMapping.mode=name; rewrite the table (OPTIMIZE after " +
-        "dropping the mapping) or skip the mirror")
     val dir = logDir(table)
     val fs = LakeWriter.fsOf(spark, dir)
     val root = fs.makeQualified(
@@ -170,6 +169,21 @@ object DeltaMirror {
     require(existing.isEmpty || lastMirrored.nonEmpty,
       s"delta mirror of $table: existing _delta_log carries no " +
         "graftVersion cursor — not a graft mirror; refusing to extend")
+    // COLUMN MAPPING state (Delta columnMapping.mode=name — the same
+    // logical->physical indirection as graft's colmap, so renames and
+    // drops mirror natively): stable per-PHYSICAL-name column ids,
+    // seeded from the last mirrored metaData so resume keeps them
+    val colIds = scala.collection.mutable.LinkedHashMap[String, Int]()
+    prevSchemaJson.foreach { sj =>
+      org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.foreach { f =>
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            colIds(f.metadata.getString("delta.columnMapping.physicalName")) =
+              f.metadata.getLong("delta.columnMapping.id").toInt
+        }
+    }
+    var cmOn = colIds.nonEmpty
     val tsByVersion = LakeWriter.snapshotTimestamps(spark, table).toMap
     val todo = lastMirrored match {
       case Some(g) => versions.filter(_ > g)
@@ -188,8 +202,32 @@ object DeltaMirror {
       val dv = existing.size + i
       val files = LakeWriter.snapshotFiles(spark, table, gv)
       val partCols = LakeWriter.snapshotPartitionCols(spark, table, gv)
+      val colmapV = LakeWriter.parseManifestColmap(spark, table, gv)
+      val logical = LakeWriter.readSnapshot(spark, table, Some(gv)).schema
+      // once any version carries a non-identity colmap, the mirror is
+      // a column-mapped Delta table from that commit on (mode=name:
+      // the reader resolves file columns by physicalName, which for
+      // always-identity fields equals the logical name, so files
+      // written BEFORE the upgrade keep resolving too)
+      val needCm = cmOn || colmapV.map.nonEmpty || colmapV.dropped.nonEmpty
+      partCols.foreach { c =>
+        require(colmapV.phys(c) == c,
+          s"delta mirror of $table: partition column $c is renamed " +
+            "in the column mapping — not mirrorable")
+      }
       val schemaJson =
-        LakeWriter.readSnapshot(spark, table, Some(gv)).schema.json
+        if (!needCm) logical.json
+        else org.apache.spark.sql.types.StructType(logical.fields.map { f =>
+          val phys = colmapV.phys(f.name)
+          val id = colIds.getOrElseUpdate(phys,
+            colIds.values.maxOption.getOrElse(0) + 1)
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", id.toLong)
+              .putString("delta.columnMapping.physicalName", phys)
+              .build())
+        }).json
       val ts = tsByVersion.getOrElse(gv, System.currentTimeMillis())
       val rels = files.map(relOf)
       val adds = rels.filterNot(live.contains)
@@ -256,9 +294,17 @@ object DeltaMirror {
         "operationParameters" -> JObject(List.empty),
         "engineInfo" -> JString("graft-snapshot-mirror"),
         "graftVersion" -> JInt(BigInt(gv))))))
+      // protocol: (1,2) plain; (2,5) when column mapping is on — and
+      // a mid-history rename/drop emits the protocol UPGRADE action
+      // in its own commit, as a Delta writer enabling a feature does
       if (dv == 0)
         actions += JObject(List("protocol" -> JObject(List(
-          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))))
+          "minReaderVersion" -> JInt(if (needCm) 2 else 1),
+          "minWriterVersion" -> JInt(if (needCm) 5 else 2)))))
+      else if (needCm && !cmOn)
+        actions += JObject(List("protocol" -> JObject(List(
+          "minReaderVersion" -> JInt(2), "minWriterVersion" -> JInt(5)))))
+      cmOn = cmOn || needCm
       if (!prevSchemaJson.contains(schemaJson) ||
           !prevPartCols.contains(partCols)) {
         actions += JObject(List("metaData" -> JObject(List(
@@ -272,7 +318,11 @@ object DeltaMirror {
           "schemaString" -> JString(schemaJson),
           "partitionColumns" -> JArray(
             partCols.map(JString(_): JValue).toList),
-          "configuration" -> JObject(List.empty),
+          "configuration" -> (if (needCm) JObject(List(
+            "delta.columnMapping.mode" -> JString("name"),
+            "delta.columnMapping.maxColumnId" -> JString(
+              colIds.values.maxOption.getOrElse(0).toString)))
+          else JObject(List.empty)),
           "createdTime" -> JInt(BigInt(ts))))))
         prevSchemaJson = Some(schemaJson); prevPartCols = Some(partCols)
       }
@@ -356,6 +406,20 @@ object DeltaMirror {
       .fromJson(schemaJson.getOrElse(
         sys.error(s"no metaData action in $dir's _delta_log")))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // COLUMN MAPPING (mode=name): files store PHYSICAL names — read
+    // under them, then rename to the logical schema. Identity when no
+    // field carries the physicalName key (plain tables).
+    val physNames = schema.fields.map { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    }.toSeq
+    val readSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.zip(physNames).map { case (f, p) =>
+        f.copy(name = p,
+          metadata = org.apache.spark.sql.types.Metadata.empty) })
+    val toLogical = physNames.zip(schema.fieldNames).map { case (p, l) =>
+      org.apache.spark.sql.functions.col(p).as(l) }.toIndexedSeq
     val files = live.toSeq.map { p =>
       val d = java.net.URLDecoder.decode(p, "UTF-8")
       if (d.contains("://") || d.startsWith("/")) d else s"$root/$d"
@@ -364,15 +428,15 @@ object DeltaMirror {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (partCols.isEmpty)
-      spark.read.schema(schema).parquet(files: _*)
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
+      spark.read.schema(readSchema).parquet(files: _*).select(toLogical: _*)
     else {
       // user schema + basePath per HIVE BASE (the directory above the
       // first `col=` segment): partition columns recover from the
       // dirs and cast to the schema's types, and grouping avoids
       // Spark's conflicting-directory refusal when live files span
-      // several version directories (the readSnapshot discipline)
+      // several version directories (the readSnapshot discipline).
+      // Partition columns are identity-mapped (the mirror refuses
+      // renamed partition columns), so dir names match readSchema.
       val groups = files.groupBy { f =>
         val i = f.indexOf("/" + partCols.head + "=")
         if (i >= 0) f.substring(0, i)
@@ -380,9 +444,7 @@ object DeltaMirror {
       }
       groups.map { case (base, fs0) =>
         spark.read.option("basePath", base)
-          .schema(schema).parquet(fs0: _*)
-          .select(schema.fieldNames
-            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          .schema(readSchema).parquet(fs0: _*).select(toLogical: _*)
       }.reduce(_.unionByName(_))
     }
   }

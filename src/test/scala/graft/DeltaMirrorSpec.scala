@@ -117,13 +117,37 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(rows(viaDelta) == rows(LakeWriter.readSnapshot(spark, t)))
   }
 
-  test("refusals: colmap, mixed layout, rewritten history") {
-    val t = freshDir("graft_delta_refuse") + "/t"
-    LakeWriter.commitSnapshot(docs(20), t)
-    LakeWriter.renameColumn(spark, t, "v", "value")
-    val e = intercept[IllegalArgumentException](DeltaMirror.mirror(spark, t))
-    assert(e.getMessage.contains("column mapping"))
+  test("column mapping mirrors natively: rename + drop resolve via physicalName") {
+    val t = freshDir("graft_delta_cm") + "/t"
+    LakeWriter.commitSnapshot(docs(20), t)          // v1: identity
+    LakeWriter.renameColumn(spark, t, "v", "value") // v2: colmap on
+    LakeWriter.commitSnapshot(                      // v3: append under rename
+      docs(30).where($"id" >= 20)
+        .withColumnRenamed("v", "value"), t, "append")
+    LakeWriter.dropColumn(spark, t, "lang")         // v4: drop
+    assert(DeltaMirror.mirror(spark, t) == 4L)
+    def commit(i: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/" + ("0" * 19) + i + ".json")))
+    // plain protocol at dv0; the UPGRADE rides the rename commit
+    assert(commit(0).contains("\"minReaderVersion\":1"))
+    assert(commit(1).contains("\"minReaderVersion\":2"))
+    assert(commit(1).contains("delta.columnMapping.mode"))
+    // physicalName lives INSIDE the escaped schemaString
+    assert(commit(1).contains("physicalName\\\":\\\"v\\\""))
+    // fidelity at every version through the mapped reader
+    val gvs = LakeWriter.snapshotVersions(spark, t)
+    gvs.zipWithIndex.foreach { case (gv, dv) =>
+      val viaDelta = DeltaMirror.readDelta(spark, t, Some(dv.toLong))
+      val viaGraft = LakeWriter.readSnapshot(spark, t, Some(gv))
+      assert(viaDelta.schema.fieldNames.toSeq ==
+        viaGraft.schema.fieldNames.toSeq, s"schema order at v$gv")
+      assert(rows(viaDelta) == rows(viaGraft), s"rows at v$gv")
+    }
+    assert(DeltaMirror.readDelta(spark, t).columns.toSeq ==
+      Seq("id", "value")) // renamed present, dropped gone
+  }
 
+  test("refusals: mixed layout (atomic), rewritten history") {
     val t2 = freshDir("graft_delta_refuse2") + "/t"
     LakeWriter.commitSnapshot(docs(20), t2) // unpartitioned v1
     LakeWriter.commitSnapshotDynamic( // evolution: pre-spec files carry
