@@ -220,10 +220,19 @@ object CurationPipeline {
     * version gets vacuumed right after committing would lose
     * history it expected to keep. */
   def maintain(spark: SparkSession, outDir: String, nFiles: Int = 32,
-               keepVersions: Int = 3): Long = {
+               keepVersions: Int = 3, mirrorDelta: Boolean = false): Long = {
     val corpusTable = s"$outDir/corpus"
     val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
     LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
+    // open-format interop rides maintenance (the reference lands every
+    // load in Iceberg for exactly this): mirror every corpus version
+    // committed since the last call into the table's _delta_log —
+    // metadata-only, so external engines track the corpus live with
+    // no export step. Like Delta's own vacuum, reclaimed history
+    // stops being time-travelable; the CURRENT snapshot always
+    // resolves.
+    if (mirrorDelta)
+      graft.sources.DeltaMirror.mirror(spark, corpusTable): Unit
     v
   }
 

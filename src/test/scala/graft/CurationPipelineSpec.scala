@@ -101,16 +101,21 @@ class CurationPipelineSpec extends AnyFunSuite {
       out2)
     assert(rd.afterExact == 1 && rd.corpusRows <= 1, s"$rd")
 
-    // maintenance: compaction commits v3 with identical content, and
-    // vacuum keeps only the newest versions
+    // maintenance: compaction commits v3 with identical content,
+    // vacuum keeps only the newest versions, and the delta mirror
+    // rides along (corpus natively readable as a Delta table)
     val v = CurationPipeline.maintain(spark, out, nFiles = 2,
-      keepVersions = 1)
+      keepVersions = 1, mirrorDelta = true)
     assert(v == 3L)
     val after = graft.sources.LakeWriter.readSnapshot(spark, s"$out/corpus")
     assert(after.select($"doc_id").collect().map(_.getLong(0)).toSet ==
       ((1L to 10L).toSet + 202L))
     assert(graft.sources.LakeWriter
       .snapshotVersions(spark, s"$out/corpus") == Seq(3L))
+    val viaDelta = graft.sources.DeltaMirror
+      .readDelta(spark, s"$out/corpus")
+    assert(viaDelta.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 10L).toSet + 202L))
   }
 
   test("the curated corpus serves through Views, including AS OF") {
