@@ -44,7 +44,12 @@ object Bench {
     val stageRetries = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        if (t.reason != org.apache.spark.Success) taskFails.incrementAndGet()
+        // genuine FAILURES only: TaskKilled (speculation duplicates,
+        // job cancellation) is a benign non-Success end and would
+        // fire the recompute-evidence signal spuriously
+        if (t.reason.isInstanceOf[org.apache.spark.TaskFailedReason] &&
+            !t.reason.isInstanceOf[org.apache.spark.TaskKilled])
+          taskFails.incrementAndGet(): Unit
         val m = t.taskMetrics
         if (m != null) {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -127,10 +132,13 @@ object Bench {
       // worth accumulate between periodic GCs — and streaming
       // state-store providers, which outlive their (stopped) queries
       // until a maintenance unload. Both releases are quiescent-point
-      // safe: the next query builds fresh broadcasts, and a stream
-      // reloads its provider from the checkpoint.
-      org.apache.spark.GraftSessionHygiene.releaseBroadcasts(
-        spark.sparkContext): Unit
+      // safe ONLY when no cross-query state survives: under the
+      // shared-intermediates posture a kept persisted frame's lost
+      // partition could recompute through a freed broadcast, so the
+      // broadcast release obeys keepShared exactly like the RDD one.
+      if (!keepShared)
+        org.apache.spark.GraftSessionHygiene.releaseBroadcasts(
+          spark.sparkContext): Unit
       org.apache.spark.sql.GraftCheckpointBridge.unloadStreamingState()
       // adaptive full GC: only when the live floor is already high —
       // unpersist drops the references, but the blocks' on-heap bytes
@@ -291,8 +299,11 @@ object Bench {
     // shared_off_premium_sec = the documented standalone-honesty
     // premium of the LSH family re-deriving its shared pair table
     // per query (gate_policy.md) — subtract it to compare against a
-    // SPARK_GRAFT_SHARED_INTERMEDIATES=1 deployment posture.
-    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"gc_sec_total":${fmt(totalGc)},"heap_max_mb":${fmt(if (heapVals.isEmpty) -1 else heapVals.max)},"max_heap_mb":${math.round(Runtime.getRuntime.maxMemory / 1e6)},"task_fail_total":${fmt(taskFailN.values.sum)},"stage_retry_total":${fmt(stageRetryN.values.sum)},"shared_off_premium_sec":13,"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
+    // SPARK_GRAFT_SHARED_INTERMEDIATES=1 deployment posture. Emitted
+    // only when the premium is actually being paid: a full-map run
+    // with sharing OFF (a subset run may exclude the family; a
+    // shared run pays nothing).
+    val hostPart = s""","cpu_sec_total":${fmt(totalCpu)},"gc_sec_total":${fmt(totalGc)},"heap_max_mb":${fmt(if (heapVals.isEmpty) -1 else heapVals.max)},"max_heap_mb":${math.round(Runtime.getRuntime.maxMemory / 1e6)},"task_fail_total":${fmt(taskFailN.values.sum)},"stage_retry_total":${fmt(stageRetryN.values.sum)},"shared_off_premium_sec":${if (only.isEmpty && !keepShared) 13 else 0},"load1_max":${fmt(if (loadVals.isEmpty) -1 else loadVals.max)},"iowait_pct_max":${fmt(hostIowaitPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))},"steal_pct_max":${fmt(hostStealPct.values.filter(_ >= 0).foldLeft(0.0)(math.max))}"""
     def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       val extra =

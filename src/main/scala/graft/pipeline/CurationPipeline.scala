@@ -223,16 +223,18 @@ object CurationPipeline {
                keepVersions: Int = 3, mirrorDelta: Boolean = false): Long = {
     val corpusTable = s"$outDir/corpus"
     val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
-    LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
     // open-format interop rides maintenance (the reference lands every
     // load in Iceberg for exactly this): mirror every corpus version
     // committed since the last call into the table's _delta_log —
     // metadata-only, so external engines track the corpus live with
-    // no export step. Like Delta's own vacuum, reclaimed history
-    // stops being time-travelable; the CURRENT snapshot always
-    // resolves.
+    // no export step. Mirror BEFORE vacuuming: the mirrored CURRENT
+    // snapshot then already points at the compacted files when the
+    // old ones are reclaimed (a crash between the two calls leaves a
+    // resolvable table either way; only reclaimed HISTORY stops being
+    // time-travelable, like Delta's own vacuum).
     if (mirrorDelta)
       graft.sources.DeltaMirror.mirror(spark, corpusTable): Unit
+    LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
     v
   }
 

@@ -86,16 +86,25 @@ object DeltaMirror {
     case _ => None
   }
 
-  /** Hive %XX unescape (inverse of Spark's partition-path escaping). */
-  private def unescapeHive(s: String): String = {
-    val sb = new StringBuilder; var i = 0
+  /** Byte-accurate %XX percent-decoding — what a Delta `add.path`
+    * needs (RFC-2396 URI escaping). NOT URLDecoder: form decoding
+    * turns a literal '+' into a space, corrupting any path or
+    * partition value containing '+' (never percent-encoded by URI
+    * rules). Multi-byte sequences (%C3%A9) decode through UTF-8. */
+  private def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb.append(s.charAt(i)); i += 1 }
+      } else if (Character.isHighSurrogate(c) && i + 1 < s.length) {
+        out.write(s.substring(i, i + 2).getBytes("UTF-8")); i += 2
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
     }
-    sb.toString
+    new String(out.toByteArray, "UTF-8")
   }
 
   /** Raw (still-escaped) per-column partition path values of `file`,
@@ -281,7 +290,7 @@ object DeltaMirror {
                   "carries hive %XX escapes — a Delta reader " +
                   "URL-decodes add.path and would resolve a " +
                   "different file name")
-              val dec = unescapeHive(v)
+              val dec = percentDecode(v)
               c -> (if (dec == "__HIVE_DEFAULT_PARTITION__") JNull
                     else JString(dec): JValue)
             }.toList)
@@ -421,7 +430,7 @@ object DeltaMirror {
     val toLogical = physNames.zip(schema.fieldNames).map { case (p, l) =>
       org.apache.spark.sql.functions.col(p).as(l) }.toIndexedSeq
     val files = live.toSeq.map { p =>
-      val d = java.net.URLDecoder.decode(p, "UTF-8")
+      val d = percentDecode(p)
       if (d.contains("://") || d.startsWith("/")) d else s"$root/$d"
     }
     if (files.isEmpty)

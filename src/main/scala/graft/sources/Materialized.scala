@@ -164,14 +164,11 @@ object Materialized {
     val q = manifests.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the body runs ORDINARY batch jobs (merge probes, tiny-group
-        // aggregates) on the stream's cloned session, where Spark
-        // force-disabled AQE; re-enable it for them — partition
-        // coalescing on the touched-group slivers is exactly what AQE
-        // is for, and the streaming plan itself (a text source feeding
-        // foreachBatch) has no stateful operator that needs the ban
-        batch.sparkSession.conf
-          .set("spark.sql.adaptive.enabled", "true")
+        // the body's heavy jobs (changesBetween reads, merge probes,
+        // touched-group aggregates) are all built on the OUTER
+        // session — they plan under its conf (AQE on), untouched by
+        // the stream's cloned session where Spark disables AQE; only
+        // the trivial manifest-line collect below runs on the clone
         val versions = batch
           .select(regexp_extract(col("value"), "\"version\":(\\d+)", 1)
             .cast("long").as("v"))
