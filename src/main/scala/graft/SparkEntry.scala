@@ -5175,18 +5175,26 @@ object SparkEntry {
         s"""SELECT doc_id, lang, source, n_chars
            |FROM read_parquet('$out/data/*/*.parquet', hive_partitioning=1)"""
           .stripMargin,
+      // full protocol resolution, like a conforming Delta reader:
+      // the live set AND the partition values both come from the LOG
+      // (add.partitionValues), not from hive path inference — a
+      // wrong/missing partitionValues entry fails the row hash
       "q_snapshot_export_delta" ->
         s"""WITH acts AS (
            |  SELECT * FROM read_json_auto('$dtab/_delta_log/*.json',
            |    format='newline_delimited', union_by_name=true)),
+           |adds AS (
+           |  SELECT add.path AS p, add.partitionValues.lang AS lang
+           |  FROM acts WHERE add.path IS NOT NULL),
+           |removes AS (
+           |  SELECT remove.path AS p FROM acts
+           |  WHERE remove.path IS NOT NULL),
            |live AS (
-           |  SELECT add.path AS p FROM acts WHERE add.path IS NOT NULL
-           |  EXCEPT
-           |  SELECT remove.path FROM acts WHERE remove.path IS NOT NULL)
-           |SELECT doc_id, source, n_chars, lang
+           |  SELECT * FROM adds WHERE p NOT IN (SELECT p FROM removes))
+           |SELECT d.doc_id, d.source, d.n_chars, l.lang
            |FROM read_parquet('$dtab/data/**/*.parquet',
-           |  hive_partitioning=1, filename=1) d
-           |WHERE replace(d.filename, '$dtab/', '') IN (SELECT p FROM live)"""
+           |  hive_partitioning=0, filename=1) d
+           |JOIN live l ON replace(d.filename, '$dtab/', '') = l.p"""
           .stripMargin)
   }
 
