@@ -2053,10 +2053,12 @@ object SparkEntry {
 
     "q_stream_mv" -> ((s, d) => {
       // STREAMING MV maintenance: the source's manifest directory is
-      // consumed as a Structured-Streaming file source (one committed
-      // version per micro-batch, AvailableNow), each batch applying
-      // the same touched-group merge as q_mv_refresh's cursor loop —
-      // the stream checkpoint replaces the cursor. Three source
+      // consumed as a Structured-Streaming file source (AvailableNow;
+      // a trigger drains every pending version in one batch, applied
+      // oldest-first), each version applying the same touched-group
+      // merge as q_mv_refresh's cursor loop over its UNCOLLAPSED
+      // delta (rewrite noise cancels in the signed sums) — the
+      // stream checkpoint replaces the cursor. Three source
       // commits (base, append, DELETE) drain in one invocation; a
       // per-source rollup distinguishes it from q_mv_refresh's
       // per-lang one. Oracle = GROUP BY over the equivalent final
