@@ -326,7 +326,8 @@ object LakeWriter {
   }
 
   def commitSnapshot(df: DataFrame, table: String,
-                     mode: String = "overwrite"): Long = {
+                     mode: String = "overwrite",
+                     txn: Option[(String, Long)] = None): Long = {
     require(Seq("overwrite", "append").contains(mode), s"bad mode $mode")
     val spark = df.sparkSession
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
@@ -424,7 +425,8 @@ object LakeWriter {
         .getOrElse(Map.empty),
       newFiles, schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, mode, schema,
-      carried ++ newFiles, partCols, colmapOverride = Some(colmap))
+      carried ++ newFiles, partCols, colmapOverride = Some(colmap),
+      txnOverride = txn)
     version
   }
 
@@ -452,13 +454,14 @@ object LakeWriter {
     * a one-row-per-key contract dedupe before merging, as they would
     * for MERGE INTO. Returns the committed version. */
   def mergeSnapshot(updates: DataFrame, table: String,
-                    keyCols: Seq[String]): Long = {
+                    keyCols: Seq[String],
+                    txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "mergeSnapshot needs at least one key column")
     val spark = updates.sparkSession
     val prev = snapshotVersions(spark, table)
-    if (prev.isEmpty) return commitSnapshot(updates, table, "overwrite")
+    if (prev.isEmpty) return commitSnapshot(updates, table, "overwrite", txn)
     val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
-    if (files.isEmpty) return commitSnapshot(updates, table, "overwrite")
+    if (files.isEmpty) return commitSnapshot(updates, table, "overwrite", txn)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val cols = schema.fieldNames.toSeq
@@ -482,7 +485,7 @@ object LakeWriter {
       s"key columns ${keyCols.filterNot(cols.contains)} not in table")
     if (partCols.nonEmpty)
       return mergePartitioned(updates, table, keyCols, prev.last, files,
-        schema, partCols)
+        schema, partCols, txn)
     // a partitioned snapshot committed by a pre-`partcols` manifest
     // keeps partition values in PATHS the flat probe below cannot see —
     // refuse loudly rather than lose those columns. Columns absent
@@ -528,7 +531,7 @@ object LakeWriter {
     enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
       newFiles, newData.schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, "merge", newData.schema,
-      carry ++ newFiles)
+      carry ++ newFiles, txnOverride = txn)
     version
   }
 
@@ -689,7 +692,8 @@ object LakeWriter {
   private def mergePartitioned(updates: DataFrame, table: String,
       keyCols: Seq[String], prevVersion: Long, files: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     val spark = updates.sparkSession
     val cols = schema.fieldNames.toSeq
     val colmap = parseManifestColmap(spark, table, prevVersion)
@@ -748,7 +752,8 @@ object LakeWriter {
         new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")),
       colmap)
     writeManifest(spark, fs, table, version, "merge", schema,
-      untouched ++ carryRest ++ survFiles ++ updFiles, partCols)
+      untouched ++ carryRest ++ survFiles ++ updFiles, partCols,
+      txnOverride = txn)
     version
   }
 
@@ -1144,6 +1149,46 @@ object LakeWriter {
     }
   }
 
+  /** The application-transaction map `{appId -> version}` in force at
+    * a manifest version (Delta SetTransaction parity; empty when no
+    * writer ever stamped one). Stored like checks: one url-encoded
+    * JSON blob. */
+  private[graft] def parseManifestTxns(spark: SparkSession,
+      table: String, version: Long): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    body.split("\"txns\":\"") match {
+      case Array(_, rest) =>
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(dec(rest.split("\"")(0))) match {
+          case JObject(ts) => ts.collect {
+            case (a, JInt(v)) => a -> v.toLong }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  /** The highest `txnVersion` writer `appId` has committed to `table`
+    * (None before its first stamped commit). THE idempotent-replay
+    * gate: an incremental consumer that stamps each merge with
+    * `txn = Some(appId -> srcVersion)` checks this BEFORE re-applying
+    * a delta — a crash between its commit and its own cursor advance
+    * replays the version, and the stamp (atomic with the data, it
+    * rode the same manifest rename) says "already absorbed, skip"
+    * instead of double-counting. Exactly Delta's
+    * `txnVersion(appId)` / SetTransaction contract, O(1) per check
+    * (one manifest read, no data IO). */
+  def lastTxnVersion(spark: SparkSession, table: String,
+                     appId: String): Option[Long] =
+    snapshotVersions(spark, table).lastOption
+      .flatMap(v => parseManifestTxns(spark, table, v).get(appId))
+
   /** Enforce CHECK constraints over `files` (the rows a commit is
     * about to publish) in ONE aggregate scan — SQL CHECK semantics:
     * a row passes when the expression is TRUE or NULL. On violation
@@ -1315,6 +1360,8 @@ object LakeWriter {
                             colmapOverride: Option[ColMapping] =
                               None,
                             bloomCfgOverride: Option[Map[String, Long]] =
+                              None,
+                            txnOverride: Option[(String, Long)] =
                               None): Unit = {
     val partFields =
       if (partCols.isEmpty) ""
@@ -1499,8 +1546,30 @@ object LakeWriter {
         s""""blooms":"${enc(json)}","""
       }
     }
+    // APPLICATION TRANSACTIONS (Delta's SetTransaction rebuilt):
+    // {appId -> version} rides the manifest, carried forward verbatim
+    // and merged with this commit's txn, so the highest applied
+    // version per writer is atomic WITH the data it applied — the
+    // exactly-once cursor a replaying incremental consumer (MV
+    // refresh, streaming upsert) checks before re-merging a delta.
+    // Map size is O(#writers), never data-scaled.
+    val txnsField = {
+      val eff = snapshotVersions(spark, table).filter(_ < version)
+        .lastOption
+        .map(v => parseManifestTxns(spark, table, v))
+        .getOrElse(Map.empty[String, Long]) ++ txnOverride.toMap
+      if (eff.isEmpty) ""
+      else {
+        import org.json4s._
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            JObject(eff.toSeq.sortBy(_._1).map { case (a, v) =>
+              a -> (JInt(BigInt(v)): JValue) }.toList)))
+        s""""txns":"${enc(json)}","""
+      }
+    }
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField$bloomField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField$bloomField$txnsField"files":[""",
       ",", "]}")
     commitManifestBody(spark, fs, table, version, body)
   }
@@ -1830,13 +1899,33 @@ object LakeWriter {
     * disables. Returns the compacted version when maintenance ran. */
   def maintainSnapshotEvery(spark: SparkSession, table: String,
                             everyVersions: Int, nFiles: Int = 32,
-                            keepVersions: Int = 3): Option[Long] = {
+                            keepVersions: Int = 3,
+                            mirrorDelta: Boolean = false,
+                            checkpointEvery: Int = 10): Option[Long] = {
     val vs = snapshotVersions(spark, table)
-    if (everyVersions > 0 && vs.nonEmpty && vs.last % everyVersions == 0) {
-      val v = compactSnapshot(spark, table, nFiles)
-      vacuumSnapshots(spark, table, keepLast = keepVersions)
-      Some(v)
-    } else None
+    val maintained =
+      if (everyVersions > 0 && vs.nonEmpty && vs.last % everyVersions == 0) {
+        val v = compactSnapshot(spark, table, nFiles)
+        // mirror BEFORE vacuum (the CurationPipeline.maintain
+        // discipline): the log must record the compacted version's
+        // adds/removes while every referenced file still exists — a
+        // foreign reader mid-sequence must never see adds pointing at
+        // reclaimed files
+        if (mirrorDelta)
+          DeltaMirror.mirror(spark, table,
+            checkpointEvery = checkpointEvery): Unit
+        vacuumSnapshots(spark, table, keepLast = keepVersions)
+        Some(v)
+      } else None
+    // `mirrorDelta` keeps the `_delta_log` CURRENT every call, not
+    // just on maintenance versions — per call it is O(new manifests)
+    // of metadata (one JSON commit per new graft version), and the
+    // checkpoint cadence bounds what a foreign reader replays, so a
+    // per-micro-batch stream sink can leave it on permanently
+    if (mirrorDelta && maintained.isEmpty && vs.nonEmpty)
+      DeltaMirror.mirror(spark, table,
+        checkpointEvery = checkpointEvery): Unit
+    maintained
   }
 
   /** PARTITION SPEC MIGRATION — the rewrite half of spec evolution

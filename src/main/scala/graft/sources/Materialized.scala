@@ -27,12 +27,13 @@ object Materialized {
     * and one row per group; groups whose row count returns to zero
     * are deleted (file-pruned) rather than kept as tombstones.
     *
-    * Replays are idempotent BY VALUE: a crash after the MV merge but
-    * before the cursor advance re-derives the same touched-group
-    * values from the same delta on the next run (the merge replaces
-    * rows, it does not re-add) — with one exception, a replayed
-    * bootstrap double-counts; bootstrap last, or wipe the MV with
-    * the cursor. Group columns must be non-null (the usual MV key
+    * Replays are EXACTLY-ONCE: every merge stamps its source version
+    * as an application transaction on the MV manifest (atomic with
+    * the merged values — [[applyDelta]]), so a crash after the MV
+    * merge but before the cursor advance replays the version and the
+    * stamp skips it; the external cursor is a scheduling optimization
+    * (don't re-plan absorbed versions), not the correctness
+    * mechanism. Group columns must be non-null (the usual MV key
     * contract; enforce upstream or bucket nulls explicitly).
     *
     * @param sumCols numeric source columns to maintain sums for
@@ -66,7 +67,12 @@ object Materialized {
         max(col(c)).as(s"max_$c")))
     val mv = src.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val v = LakeWriter.commitSnapshot(mv, mvTable)
+    // count/sum posture (alignCursor set): stamp the absorbed source
+    // version so a crash before the cursor write below cannot make
+    // the next refreshAgg re-apply versions this rebuild already
+    // contains (the same exactly-once argument as applyDelta)
+    val v = LakeWriter.commitSnapshot(mv, mvTable,
+      txn = alignCursor.map(_ => MvTxnApp -> versions.last))
     alignCursor.foreach { cp =>
       val p = new org.apache.hadoop.fs.Path(cp)
       val tmp = new org.apache.hadoop.fs.Path(
@@ -89,17 +95,42 @@ object Materialized {
     // skipped per version
     LakeWriter.processNewVersions(spark, srcTable, cursorPath,
       collapse = false) {
-      (feed, _) => applyDelta(spark, mvTable, feed, groupCols, sumCols)
+      (feed, v) => applyDelta(spark, mvTable, feed, groupCols, sumCols, v)
     }
 
-  /** One incremental MV merge step from one version's collapsed
-    * change feed — shared by the batch cursor loop ([[refreshAgg]])
-    * and the streaming consumer ([[refreshAggStream]]). Idempotent by
-    * value on replay (the merge replaces touched groups), except the
-    * bootstrap commit, which both callers document. */
+  /** The txn appId MV merges stamp on the MV table — the
+    * exactly-once cursor ([[LakeWriter.lastTxnVersion]]). */
+  private[graft] val MvTxnApp = "graft.mv"
+
+  /** The txn appId [[refreshHll]] stamps. */
+  private[graft] val HllTxnApp = "graft.mv.hll"
+
+  /** One incremental MV merge step from one version's change feed —
+    * shared by the batch cursor loop ([[refreshAgg]]) and the
+    * streaming consumer ([[refreshAggStream]]). EXACTLY-ONCE on
+    * replay: the merge commit stamps `srcVersion` as an application
+    * transaction on the MV's own manifest (atomic with the merged
+    * values — same manifest rename), and a re-applied version —
+    * external-cursor crash window, or a restarted multi-version
+    * stream batch — sees the stamp and SKIPS instead of re-adding
+    * its delta to totals that already absorbed it. Covers the
+    * bootstrap commit too (its replay finds the stamp, not an empty
+    * MV). current+delta is NOT idempotent by value; the stamp is
+    * what makes the replay algebra safe. */
   private def applyDelta(spark: SparkSession, mvTable: String,
                          feed: DataFrame, groupCols: Seq[String],
-                         sumCols: Seq[String]): Unit = {
+                         sumCols: Seq[String], srcVersion: Long): Unit = {
+    if (LakeWriter.lastTxnVersion(spark, mvTable, MvTxnApp)
+        .exists(_ >= srcVersion)) {
+      // already absorbed (this is a replay). Re-run only the
+      // emptied-group sweep: a crash BETWEEN the stamped merge and
+      // the delete below would otherwise leave n_rows=0 tombstones
+      // served forever. No-op commit-free when nothing matches.
+      LakeWriter.deleteFromSnapshot(spark, mvTable,
+        col("n_rows") === 0L): Unit
+      return
+    }
+    val txn = Some(MvTxnApp -> srcVersion)
     val sign = when(col("_change_type") === "insert", 1L)
       .otherwise(-1L)
     val delta = feed.groupBy(groupCols.map(col): _*).agg(
@@ -110,7 +141,7 @@ object Materialized {
     if (LakeWriter.snapshotVersions(spark, mvTable).isEmpty) {
       LakeWriter.commitSnapshot(
         delta.where(col("n_rows") =!= 0L)
-          .select(outCols.map(col): _*), mvTable): Unit
+          .select(outCols.map(col): _*), mvTable, txn = txn): Unit
     } else {
       val current = LakeWriter.readSnapshot(spark, mvTable)
       // touched groups only: delta drives, current fills in the
@@ -123,7 +154,7 @@ object Materialized {
           // unguarded + would wipe the group's accumulated total
           (coalesce(col(s"m.$c"), lit(0L)) +
             coalesce(col(s"d.$c"), lit(0L))).as(c)): _*)
-      LakeWriter.mergeSnapshot(merged, mvTable, groupCols)
+      LakeWriter.mergeSnapshot(merged, mvTable, groupCols, txn = txn)
       // emptied groups leave the MV; the delete file-prunes
       LakeWriter.deleteFromSnapshot(spark, mvTable,
         col("n_rows") === 0L): Unit
@@ -143,14 +174,16 @@ object Materialized {
     * refresh stays O(delta + touched groups) per commit at any table
     * size.
     *
-    * Exactly-once: the stream checkpoint replaces the batch cursor
-    * file — a crash between the MV merge and the checkpoint advance
-    * replays the version, and the merge re-derives the same values
-    * (the [[refreshAgg]] idempotence argument; the same bootstrap
-    * caveat applies — wipe the MV together with the checkpoint).
-    * Runs with `Trigger.AvailableNow` and blocks until every version
-    * committed so far is absorbed; re-invoke on a live checkpoint to
-    * drain later commits. */
+    * Exactly-once: each version's merge stamps the source version as
+    * an application transaction on the MV manifest (atomic with the
+    * merged values — [[applyDelta]]), so a crash anywhere in a
+    * multi-version batch replays the batch and every
+    * already-absorbed version SKIPS on its stamp instead of
+    * double-counting — the stream checkpoint only bounds how much
+    * replays, never whether a replay is safe. Covers the bootstrap
+    * commit too. Runs with `Trigger.AvailableNow` and blocks until
+    * every version committed so far is absorbed; re-invoke on a live
+    * checkpoint to drain later commits. */
   def refreshAggStream(spark: SparkSession, srcTable: String,
                        mvTable: String, checkpoint: String,
                        groupCols: Seq[String],
@@ -192,7 +225,7 @@ object Materialized {
             // per commit).
             else LakeWriter.changesBetween(spark, srcTable,
               prior.last, v, collapse = false)
-          applyDelta(spark, mvTable, feed, groupCols, sumCols)
+          applyDelta(spark, mvTable, feed, groupCols, sumCols, v)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -213,9 +246,10 @@ object Materialized {
     * cannot subtract) — a version whose feed contains ANY delete
     * triggers a full rebuild from that version's snapshot, the
     * min/max discipline with the trigger automated. Append-only
-    * histories stay O(delta) forever. Replays are idempotent by
-    * value for the union path (same delta ∪ same prior = same
-    * sketch) with the same bootstrap caveat as [[refreshAgg]].
+    * histories stay O(delta) forever. Replays are EXACTLY-ONCE via
+    * the same application-transaction stamp as [[refreshAgg]]
+    * (`hll_union` alone would be idempotent — sketches are sets —
+    * but the ridden `n_rows` count is not).
     *
     * MV schema: groupCols ++ (n_rows, hll) — read estimates with
     * `hll_sketch_estimate(col("hll"))`.
@@ -225,6 +259,10 @@ object Materialized {
                  distinctCol: String): Seq[Long] =
     LakeWriter.processNewVersions(spark, srcTable, cursorPath) {
       (feed, v) =>
+        if (LakeWriter.lastTxnVersion(spark, mvTable, HllTxnApp)
+            .exists(_ >= v)) ()  // replay of an absorbed version
+        else {
+        val txn = Some(HllTxnApp -> v)
         val hasDeletes =
           !feed.where(col("_change_type") === "delete").isEmpty
         val mvExists = LakeWriter.snapshotVersions(spark, mvTable).nonEmpty
@@ -235,13 +273,14 @@ object Materialized {
           val mv = src.groupBy(groupCols.map(col): _*)
             .agg(count(lit(1)).as("n_rows"),
               hll_sketch_agg(col(distinctCol)).as("hll"))
-          LakeWriter.commitSnapshot(mv, mvTable): Unit
+          LakeWriter.commitSnapshot(mv, mvTable, txn = txn): Unit
         } else {
           val delta = feed.where(col("_change_type") === "insert")
             .groupBy(groupCols.map(col): _*)
             .agg(count(lit(1)).as("n_rows"),
               hll_sketch_agg(col(distinctCol)).as("hll"))
-          if (!mvExists) LakeWriter.commitSnapshot(delta, mvTable): Unit
+          if (!mvExists)
+            LakeWriter.commitSnapshot(delta, mvTable, txn = txn): Unit
           else {
             val current = LakeWriter.readSnapshot(spark, mvTable)
             val merged = delta.alias("d")
@@ -252,8 +291,10 @@ object Materialized {
                 when(col("m.hll").isNull, col("d.hll"))
                   .otherwise(hll_union(col("m.hll"), col("d.hll")))
                   .as("hll")): _*)
-            LakeWriter.mergeSnapshot(merged, mvTable, groupCols): Unit
+            LakeWriter.mergeSnapshot(merged, mvTable, groupCols,
+              txn = txn): Unit
           }
+        }
         }
     }
 }

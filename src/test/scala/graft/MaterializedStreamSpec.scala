@@ -71,6 +71,74 @@ class MaterializedStreamSpec extends AnyFunSuite {
     assert(mvVersionsAfterSecond - mvVersionsAfterFirst <= 2)
   }
 
+  test("crash replay: a re-fed version skips on its txn stamp, never double-counts") {
+    val root = freshDir("graft_mv_replay")
+    val src = s"$root/src"; val mv = s"$root/mv"; val cur = s"$root/cursor"
+    LakeWriter.commitSnapshot(
+      Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("id", "g", "x"), src)
+    LakeWriter.commitSnapshot(
+      Seq((3L, 0L, 5L)).toDF("id", "g", "x"), src, "append")
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    val settled = mvState(mv)
+    assert(settled == Map(0L -> ((2L, 15L)), 1L -> ((1L, 20L))))
+    // the crash window the ADVICE flagged: merges committed, external
+    // cursor lost — the WHOLE history replays (bootstrap included),
+    // and current+delta is NOT idempotent by value, so without the
+    // manifest txn stamp every sum would double
+    assert(new java.io.File(cur).delete())
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    assert(mvState(mv) == settled, "replayed versions must skip")
+    // and the stream consumer shares the stamp: a fresh checkpoint
+    // (restarted multi-version batch) over the same source leaves the
+    // absorbed MV untouched too
+    Materialized.refreshAggStream(spark, src, mv, s"$root/ckpt_fresh",
+      Seq("g"), Seq("x"))
+    assert(mvState(mv) == settled, "stream replay must skip")
+    // new data still applies after all that replay machinery
+    LakeWriter.commitSnapshot(
+      Seq((4L, 1L, 7L)).toDF("id", "g", "x"), src, "append")
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    assert(mvState(mv) == Map(0L -> ((2L, 15L)), 1L -> ((2L, 27L))))
+  }
+
+  test("refreshFull(alignCursor) replay: the rebuild's stamp covers the crash window") {
+    val root = freshDir("graft_mv_fullreplay")
+    val src = s"$root/src"; val mv = s"$root/mv"; val cur = s"$root/cursor"
+    LakeWriter.commitSnapshot(
+      Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("id", "g", "x"), src)
+    LakeWriter.commitSnapshot(
+      Seq((3L, 0L, 5L)).toDF("id", "g", "x"), src, "append")
+    // full rebuild absorbs BOTH versions; crash before the cursor
+    // write means refreshAgg later replays them against the rebuilt MV
+    Materialized.refreshFull(spark, src, mv, Seq("g"), Seq("x"),
+      alignCursor = Some(cur))
+    val settled = mvState(mv)
+    assert(new java.io.File(cur).delete())
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    assert(mvState(mv) == settled,
+      "versions absorbed by the stamped rebuild must not re-apply")
+  }
+
+  test("HLL MV replay: absorbed versions skip (n_rows is not idempotent)") {
+    val root = freshDir("graft_mvhll_replay")
+    val src = s"$root/src"; val mv = s"$root/mv"; val cur = s"$root/cursor"
+    LakeWriter.commitSnapshot(
+      spark.range(0, 30).toDF("id").withColumn("g", $"id" % 2)
+        .withColumn("u", $"id" % 7), src)
+    LakeWriter.commitSnapshot(
+      spark.range(30, 40).toDF("id").withColumn("g", $"id" % 2)
+        .withColumn("u", $"id" % 7), src, "append")
+    Materialized.refreshHll(spark, src, mv, cur, Seq("g"), "u")
+    def counts(): Map[Long, Long] = LakeWriter.readSnapshot(spark, mv)
+      .select("g", "n_rows").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val settled = counts()
+    assert(settled.values.sum == 40L)
+    assert(new java.io.File(cur).delete())
+    Materialized.refreshHll(spark, src, mv, cur, Seq("g"), "u")
+    assert(counts() == settled, "replayed HLL versions must skip")
+  }
+
   test("HLL MV: appends union incrementally, a delete triggers rebuild") {
     val root = freshDir("graft_mvhll")
     val src = s"$root/src"; val mv = s"$root/mv"
