@@ -71,14 +71,21 @@ object SparkEntry {
       new scala.collection.concurrent.TrieMap[String, DataFrame]
     /** (node, comp) labels of the threshold-0.2 minhash dup graph. */
     def comps(s: SparkSession, d: String): DataFrame = {
-      def compute() = operators.Graph.connectedComponents(
-        Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
-          threshold = 0.2), "doc_a", "doc_b")
-      if (!enabled) compute()
-      else memo.getOrElseUpdate(d, compute().persist(
+      if (!enabled) sharedCCProbe(s, d)
+      else memo.getOrElseUpdate(d, sharedCCProbe(s, d).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
   }
+
+  /** The survivors family's shared build (LSH pair table + component
+    * labels), never memoized. Bench materializes it once per run to
+    * MEASURE the family's standalone premium (3 avoidable rebuilds
+    * with sharing off) instead of asserting a documented constant —
+    * gate_policy.md §shared_off_premium_sec. */
+  def sharedCCProbe(s: SparkSession, d: String): DataFrame =
+    operators.Graph.connectedComponents(
+      Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id",
+        threshold = 0.2), "doc_a", "doc_b")
 
   // ---- staging contract used by the alignment queries --------------
   private val stgContract = Seq(
@@ -1576,6 +1583,52 @@ object SparkEntry {
         base.where(col("lang") === "en"), table, Seq("lang"))
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
       DeltaMirror.mirror(s, table)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_snapshot_export_delta_cp" -> ((s, d) => {
+      // CHECKPOINTED DELTA MIRROR through the gate (the r12 verdict's
+      // #1 missing piece: a per-micro-batch streaming sink commits
+      // one Delta version per batch, so a month-old mirror is tens of
+      // thousands of JSON commits unless the protocol's own answer —
+      // a classic parquet checkpoint + `_last_checkpoint` — bounds
+      // the replay). History: a partitioned base + three COW DELETEs
+      // mirror and CHECKPOINT (cadence 3 → classic checkpoint at the
+      // tip), the covered JSON commits are then CLEANED UP (standard
+      // log retention), and two more versions ride as the JSON tail.
+      // The DuckDB oracle resolves the log exactly as the protocol
+      // prescribes for a checkpointed table: _last_checkpoint →
+      // read_parquet(checkpoint) as the reconciled base + only the
+      // JSON tail past it — with the pre-checkpoint JSONs GONE, the
+      // checkpoint's completeness (flattened live adds with
+      // partitionValues) is load-bearing, not claimed.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_cp_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 120)
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 140)
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 160)
+      DeltaMirror.mirror(s, table, checkpointEvery = 3)
+      // retention: drop every JSON commit the checkpoint covers
+      val log = new java.io.File(s"$table/_delta_log")
+      val cpv = log.listFiles()
+        .map(_.getName).filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong).max
+      log.listFiles().filter { f =>
+        f.getName.matches("\\d{20}\\.json") &&
+          f.getName.stripSuffix(".json").toLong <= cpv
+      }.foreach(_.delete())
+      // post-checkpoint history = the JSON tail a reader replays
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "en").where(col("n_chars") >= 160),
+        table, Seq("lang"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 180)
+      DeltaMirror.mirror(s, table, checkpointEvery = 3)
       LakeWriter.readSnapshot(s, table)
     }),
 
@@ -5181,6 +5234,44 @@ object SparkEntry {
       // the live set AND the partition values both come from the LOG
       // (add.partitionValues), not from hive path inference — a
       // wrong/missing partitionValues entry fails the row hash
+      // q_snapshot_export_delta_cp's oracle is DuckDB resolving a
+      // CHECKPOINTED log the way the protocol prescribes:
+      // _last_checkpoint names the checkpoint version, the classic
+      // checkpoint parquet IS the reconciled base (its live adds
+      // carry partitionValues as a MAP), and only JSON commits with
+      // version > checkpoint replay on top. The pre-checkpoint JSONs
+      // were deleted by the query (log retention), so nothing short
+      // of honoring the checkpoint resolves at all.
+      "q_snapshot_export_delta_cp" -> {
+        val ctab = "/tmp/graft_delta_cp_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"
+        s"""WITH lc AS (
+           |  SELECT version AS cv
+           |  FROM read_json_auto('$ctab/_delta_log/_last_checkpoint')),
+           |cpa AS (
+           |  SELECT add.path AS p, add.partitionValues['lang'][1] AS lang
+           |  FROM read_parquet('$ctab/_delta_log/*.checkpoint.parquet')
+           |  WHERE add.path IS NOT NULL),
+           |tail AS (
+           |  SELECT * FROM read_json_auto('$ctab/_delta_log/*.json',
+           |    format='newline_delimited', union_by_name=true, filename=1)
+           |  WHERE CAST(regexp_extract(parse_filename(filename),
+           |    '(\\d+)\\.json', 1) AS BIGINT) > (SELECT cv FROM lc)),
+           |tadds AS (
+           |  SELECT add.path AS p, add.partitionValues.lang AS lang
+           |  FROM tail WHERE add.path IS NOT NULL),
+           |trems AS (
+           |  SELECT remove.path AS p FROM tail
+           |  WHERE remove.path IS NOT NULL),
+           |live AS (
+           |  SELECT * FROM (SELECT * FROM cpa UNION ALL SELECT * FROM tadds)
+           |  WHERE p NOT IN (SELECT p FROM trems))
+           |SELECT d.doc_id, d.source, d.n_chars, l.lang
+           |FROM read_parquet('$ctab/data/**/*.parquet',
+           |  hive_partitioning=0, filename=1) d
+           |JOIN live l ON replace(d.filename, '$ctab/', '') = l.p"""
+          .stripMargin
+      },
       "q_snapshot_export_delta" ->
         s"""WITH acts AS (
            |  SELECT * FROM read_json_auto('$dtab/_delta_log/*.json',

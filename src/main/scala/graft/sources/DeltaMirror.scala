@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -9,34 +10,51 @@ import org.json4s.jackson.JsonMethods
   * precisely so external engines read it natively:
   * /root/reference/airflow/dags/spark_code/write_iceberg_sample.py —
   * this is that property rebuilt on Delta's open `_delta_log`
-  * protocol, which is plain JSON and needs no jars to write).
+  * protocol, which is plain JSON + parquet checkpoints and needs no
+  * jars to write).
   *
   * [[mirror]] writes a spec-conformant `_delta_log/` INSIDE the
   * table directory, one Delta commit per graft snapshot version,
   * each `add`/`remove` referencing the table's OWN parquet files by
-  * relative path — zero bytes of data are copied, and after the call
+  * relative path (files OUTSIDE the table root — convert/clone
+  * adoptions — ride as absolute-URI adds, which the protocol
+  * allows) — zero bytes of data are copied, and after the call
   * the graft table root IS a Delta table: Spark-with-Delta, Trino,
   * DuckDB's delta reader, delta-rs/pandas all read it natively, at
   * whatever version history graft has committed. Incremental by
   * construction: a re-invocation resolves the log's current file
   * set and mirrors only versions committed since (cost is O(delta
-  * manifests), never a table scan), so a scheduler can call it after
-  * every load. Idempotent: no new graft versions ⇒ no new log
-  * entries, byte-identical log.
+  * manifests) once a checkpoint bounds the replay), so a scheduler
+  * can call it after every load. Idempotent: no new graft versions
+  * ⇒ no new log entries, byte-identical log.
   *
   * Fidelity contract (spec'd in DeltaMirrorSpec): resolving the
   * mirrored log at Delta version i yields exactly
   * `readSnapshot(table, graft version i+1)` — adds/removes are the
   * manifest file-set diff, `metaData` re-emits on schema or
   * partition-spec change, `partitionValues` derive from the same
-  * hive paths graft prunes by.
+  * hive paths graft prunes by, and each add carries Delta's stats
+  * JSON (`numRecords`/`minValues`/`maxValues`/`nullCount` from the
+  * manifest's own footer stats) so foreign engines file-skip on the
+  * mirror exactly like graft does on the manifest.
+  *
+  * CHECKPOINTS ([[checkpoint]], or `mirror(checkpointEvery = n)`):
+  * a classic Delta checkpoint (one parquet file of flattened
+  * actions + `_last_checkpoint`) bounds every subsequent log
+  * resolution — reader cost drops from O(all versions) to
+  * O(versions since checkpoint). This is what keeps a
+  * one-commit-per-micro-batch STREAMING sink's mirror readable: a
+  * month-old stream table replays a handful of JSON tails, not tens
+  * of thousands. [[mirror]]'s own resume uses the same checkpoint.
   *
   * Renamed/dropped columns mirror NATIVELY: graft's column mapping is
   * the same logical->physical indirection as Delta's
   * `columnMapping.mode=name`, so the mirror emits physicalName/id
   * field metadata (+ the protocol upgrade to reader 2 / writer 5 in
   * the commit that first needs it) and conforming readers resolve
-  * old and new files alike.
+  * old and new files alike. Column ids are allocated MONOTONE above
+  * `delta.columnMapping.maxColumnId` (never reused after a drop, as
+  * the spec requires).
   *
   * Not mirrored (refused loudly, not silently wrong):
   *  - renamed PARTITION columns (graft itself refuses those, so only
@@ -50,8 +68,9 @@ import org.json4s.jackson.JsonMethods
   *
   * Scale shape at 100 TB: mirroring is pure METADATA — per new
   * version, one manifest parse, one file-status sweep over the
-  * version's NEW files on a bounded pool (sizes/mtimes; row counts
-  * ride the manifest's existing footer stats), one small JSON write.
+  * version's NEW files on a bounded pool (sizes/mtimes; row counts +
+  * min/max ride the manifest's existing footer stats), one small
+  * JSON write; a checkpoint is one metadata-sized parquet write.
   * The data plane is untouched.
   */
 object DeltaMirror {
@@ -60,8 +79,10 @@ object DeltaMirror {
     new org.apache.hadoop.fs.Path(table, "_delta_log")
 
   private def commitName(v: Long): String = f"$v%020d.json"
+  private def checkpointName(v: Long): String = f"$v%020d.checkpoint.parquet"
 
-  /** Delta versions already present in the log, ascending. */
+  /** Delta versions present as JSON commits in the log, ascending
+    * (a checkpoint may additionally cover versions below these). */
   def deltaVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)
     val fs = LakeWriter.fsOf(spark, dir)
@@ -118,6 +139,277 @@ object DeltaMirror {
     if (vals.length == partitionCols.length) Some(vals) else None
   }
 
+  // ------------------------------------------------------------------
+  // log replay (shared by mirror resume, readDelta, checkpoint)
+  // ------------------------------------------------------------------
+
+  /** One live file's action payload as the log recorded it. */
+  private final case class AddInfo(
+      partitionValues: Seq[(String, Option[String])],
+      size: Long, modificationTime: Long, stats: Option[String])
+
+  /** Mutable fold state of a log replay. */
+  private final class LogState {
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+    /** the governing metaData ACTION value, verbatim */
+    var metaData: Option[JValue] = None
+    var protocol: (Int, Int) = (1, 2)
+    var lastGraft: Option[Long] = None
+    val live = scala.collection.mutable.LinkedHashMap[String, AddInfo]()
+    /** latest SetTransaction version per appId (protocol: checkpoints
+      * must preserve these — a writer's idempotence cursor). */
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+  }
+
+  private def applyAction(st: LogState, j: JValue): Unit = {
+    j \ "metaData" match {
+      case JNothing =>
+      case md =>
+        st.metaData = Some(md)
+        st.schemaJson = str(md \ "schemaString")
+        st.partCols = md \ "partitionColumns" match {
+          case JArray(xs) => xs.flatMap(str)
+          case _ => Seq.empty
+        }
+    }
+    (j \ "protocol" \ "minReaderVersion", j \ "protocol" \ "minWriterVersion") match {
+      case (JInt(r), JInt(w)) => st.protocol = (r.toInt, w.toInt)
+      case _ =>
+    }
+    str(j \ "add" \ "path").foreach { p =>
+      val a = j \ "add"
+      val pv = a \ "partitionValues" match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> (v match { case JString(s) => Some(s); case _ => None }) }
+        case _ => List.empty[(String, Option[String])]
+      }
+      def lng(v: JValue): Long = v match {
+        case JInt(n) => n.toLong
+        case JDouble(d) => d.toLong
+        case JDecimal(d) => d.toLong
+        case _ => 0L
+      }
+      st.live(p) = AddInfo(pv, lng(a \ "size"),
+        lng(a \ "modificationTime"), str(a \ "stats"))
+    }
+    str(j \ "remove" \ "path").foreach(st.live -= _)
+    (str(j \ "txn" \ "appId"), j \ "txn" \ "version") match {
+      case (Some(a), JInt(v)) => st.txns(a) = v.toLong
+      case _ =>
+    }
+    j \ "commitInfo" \ "graftVersion" match {
+      case JInt(g) => st.lastGraft = Some(g.toLong)
+      case _ =>
+    }
+  }
+
+  /** `_last_checkpoint` pointer: (delta version, graft cursor when the
+    * checkpoint was written by [[mirror]]). Multi-part checkpoints are
+    * refused loudly — a partial parse would silently drop files. */
+  private def lastCheckpointInfo(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path): Option[(Long, Option[Long])] = {
+    val p = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    val j = JsonMethods.parse(body)
+    val v = j \ "version" match {
+      case JInt(n) => n.toLong
+      case _ => sys.error(s"$p: no version field")
+    }
+    j \ "parts" match {
+      case JNothing | JNull =>
+      case JInt(n) if n.toInt <= 1 =>
+      case other => sys.error(
+        s"$p: multi-part checkpoint (parts=$other) not supported — " +
+          "refusing a partial resolution")
+    }
+    val g = j \ "graftVersion" match {
+      case JInt(n) => Some(n.toLong)
+      case _ => None
+    }
+    Some((v, g))
+  }
+
+  /** Fold a CLASSIC checkpoint parquet into `st` (one row per action,
+    * columns txn/add/remove/metaData/protocol; extra columns from
+    * richer writers are ignored). Rows are a reconciled snapshot, so
+    * order is immaterial. */
+  private def loadCheckpoint(spark: SparkSession, dir: String, cv: Long,
+                             st: LogState): Unit = {
+    val log = logDir(dir)
+    val fs = LakeWriter.fsOf(spark, log)
+    val cp = new org.apache.hadoop.fs.Path(log, checkpointName(cv))
+    require(fs.exists(cp),
+      s"_last_checkpoint at $dir points at version $cv but " +
+        s"${checkpointName(cv)} is missing")
+    val df = spark.read.parquet(cp.toString)
+    val cols = df.columns.toSet
+    def field(r: Row, n: String): Option[Int] = {
+      val names = r.schema.fieldNames
+      val i = names.indexOf(n)
+      if (i >= 0 && !r.isNullAt(i)) Some(i) else None
+    }
+    def rowMapJ(r: Row, n: String): List[(String, JValue)] =
+      field(r, n).map { i =>
+        r.getMap[String, String](i).toList.map { case (k, v) =>
+          k -> (if (v == null) JNull else JString(v): JValue) }
+      }.getOrElse(List.empty)
+    df.collect().foreach { row =>
+      def struct(n: String): Option[Row] =
+        if (!cols(n)) None else field(row, n).map(row.getStruct)
+      struct("protocol").foreach { p =>
+        st.protocol = (
+          field(p, "minReaderVersion").map(p.getInt).getOrElse(1),
+          field(p, "minWriterVersion").map(p.getInt).getOrElse(2))
+      }
+      struct("metaData").foreach { m =>
+        def gs(r: Row, n: String): JValue =
+          field(r, n).map(i => JString(r.getString(i)): JValue)
+            .getOrElse(JNull)
+        val fmt = field(m, "format").map(m.getStruct)
+        val pcs = field(m, "partitionColumns")
+          .map(i => m.getSeq[String](i)).getOrElse(Seq.empty)
+        val md: JValue = JObject(List(
+          "id" -> gs(m, "id"), "name" -> gs(m, "name"),
+          "description" -> gs(m, "description"),
+          "format" -> JObject(List(
+            "provider" -> fmt.map(gs(_, "provider"))
+              .getOrElse(JString("parquet")),
+            "options" -> JObject(fmt.map(rowMapJ(_, "options"))
+              .getOrElse(Nil)))),
+          "schemaString" -> gs(m, "schemaString"),
+          "partitionColumns" -> JArray(
+            pcs.map(JString(_): JValue).toList),
+          "configuration" -> JObject(rowMapJ(m, "configuration")),
+          "createdTime" -> field(m, "createdTime")
+            .map(i => JInt(BigInt(m.getLong(i))): JValue)
+            .getOrElse(JNull)))
+        applyAction(st, JObject(List("metaData" -> md)))
+      }
+      struct("add").foreach { a =>
+        val path = field(a, "path").map(a.getString).getOrElse(
+          sys.error(s"$cp: add action without a path"))
+        val pv: Seq[(String, Option[String])] =
+          field(a, "partitionValues").map { i =>
+            a.getMap[String, String](i).toSeq.map { case (k, v) =>
+              k -> Option(v) }
+          }.getOrElse(Seq.empty)
+        st.live(path) = AddInfo(pv,
+          field(a, "size").map(a.getLong).getOrElse(0L),
+          field(a, "modificationTime").map(a.getLong).getOrElse(0L),
+          field(a, "stats").map(a.getString))
+      }
+      struct("remove").foreach { rm =>
+        field(rm, "path").foreach(i => st.live -= rm.getString(i))
+      }
+      struct("txn").foreach { t =>
+        for (ai <- field(t, "appId"); vi <- field(t, "version"))
+          st.txns(t.getString(ai)) = t.getLong(vi)
+      }
+    }
+  }
+
+  /** Resolve the log at `upTo` (default: latest): checkpoint base (if
+    * one covers the range) + contiguous JSON tail. Refuses loudly when
+    * the commits on disk cannot PROVABLY reconstruct the version —
+    * e.g. early JSON commits cleaned up with no checkpoint, or time
+    * travel below the oldest surviving commit — instead of silently
+    * resolving a partial file set. */
+  private def replay(spark: SparkSession, dir: String,
+                     upTo: Option[Long]): (LogState, Long) = {
+    val log = logDir(dir)
+    val fs = LakeWriter.fsOf(spark, log)
+    require(fs.exists(log), s"no _delta_log at $dir")
+    val jsons = deltaVersions(spark, dir)
+    val cp = lastCheckpointInfo(fs, log)
+    val latest = (jsons ++ cp.map(_._1)).maxOption.getOrElse(
+      sys.error(s"empty _delta_log at $dir"))
+    val v = upTo.getOrElse(latest)
+    require(v >= 0 && v <= latest,
+      s"no delta version $v at $dir (latest is $latest)")
+    val st = new LogState
+    val startAfter: Long = cp match {
+      case Some((cv, g)) if cv <= v =>
+        loadCheckpoint(spark, dir, cv, st)
+        st.lastGraft = g
+        cv
+      case _ => -1L
+    }
+    val tail = jsons.filter(x => x > startAfter && x <= v)
+    require(tail == (startAfter + 1 to v),
+      s"_delta_log at $dir cannot resolve version $v: JSON commits " +
+        s"[${tail.mkString(",")}] do not contiguously cover " +
+        s"(${startAfter}, $v]" + (if (startAfter < 0)
+        " and no checkpoint covers the gap (early commits cleaned " +
+          "up?) — refusing a silently partial resolution" else ""))
+    tail.foreach { dv =>
+      readCommit(fs, new org.apache.hadoop.fs.Path(log, commitName(dv)))
+        .foreach(applyAction(st, _))
+    }
+    (st, v)
+  }
+
+  // ------------------------------------------------------------------
+  // stats: manifest footer stats -> Delta's add.stats JSON
+  // ------------------------------------------------------------------
+
+  /** One manifest FileStats as Delta's stats JSON (numRecords /
+    * minValues / maxValues / nullCount), typed per the physical
+    * schema: numerics as JSON numbers, dates/timestamps as ISO
+    * strings, strings verbatim. Columns whose type is outside the
+    * stat set (or whose stats the footer withheld) are simply absent
+    * — Delta readers treat missing stats as "cannot skip". */
+  private def deltaStatsJson(
+      fst: LakeWriter.FileStats,
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[String] = {
+    import org.apache.spark.sql.types._
+    def valJson(dt: DataType, s: String): Option[JValue] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(JInt(BigInt(s)))
+      case FloatType | DoubleType => Some(JDecimal(BigDecimal(s)))
+      case StringType => Some(JString(s))
+      case DateType => Some(JString(
+        java.time.LocalDate.ofEpochDay(s.toLong).toString))
+      case TimestampType =>
+        // manifest canonical form is epoch MICROS
+        Some(JString(java.time.Instant.EPOCH
+          .plus(s.toLong, java.time.temporal.ChronoUnit.MICROS).toString))
+      case TimestampNTZType =>
+        val us = s.toLong
+        Some(JString(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC).toString))
+      case _ => None
+    }
+    val byCol = fst.cols.toSeq.sortBy(_._1)
+    val mins = byCol.flatMap { case (c, cs) =>
+      for { t <- types.get(c); lo <- cs.lo; j <- valJson(t, lo) }
+        yield c -> j }
+    val maxs = byCol.flatMap { case (c, cs) =>
+      for { t <- types.get(c); hi <- cs.hi; j <- valJson(t, hi) }
+        yield c -> j }
+    val nulls = byCol.flatMap { case (c, cs) =>
+      if (!types.contains(c)) None
+      else cs.nulls.map(n => c -> (JInt(BigInt(n)): JValue)) }
+    val parts =
+      fst.rows.map(r => "numRecords" -> (JInt(BigInt(r)): JValue)).toList ++
+        (if (mins.nonEmpty) List("minValues" -> (JObject(mins.toList): JValue)) else Nil) ++
+        (if (maxs.nonEmpty) List("maxValues" -> (JObject(maxs.toList): JValue)) else Nil) ++
+        (if (nulls.nonEmpty) List("nullCount" -> (JObject(nulls.toList): JValue)) else Nil)
+    if (parts.isEmpty) None
+    else Some(JsonMethods.compact(JsonMethods.render(JObject(parts))))
+  }
+
+  // ------------------------------------------------------------------
+  // mirror (write direction)
+  // ------------------------------------------------------------------
+
   /** Mirror every graft snapshot version of `table` not yet in its
     * `_delta_log` as one Delta commit each. Returns the number of
     * Delta commits written (0 = already up to date).
@@ -129,59 +421,81 @@ object DeltaMirror {
     *        history is not Delta-expressible (a partition-spec
     *        change over carried files) — mirror from the
     *        post-`migratePartitionSpec` version. Ignored on resume
-    *        (the log's own cursor governs). */
+    *        (the log's own cursor governs).
+    * @param checkpointEvery when > 0, write a classic checkpoint +
+    *        `_last_checkpoint` whenever the log tip has advanced at
+    *        least this many versions past the previous checkpoint —
+    *        the knob a per-micro-batch streaming sink sets so its
+    *        mirror stays O(checkpointEvery) to open forever. */
   def mirror(spark: SparkSession, table: String,
-             fromVersion: Option[Long] = None): Long = {
+             fromVersion: Option[Long] = None,
+             checkpointEvery: Int = 0): Long = {
     val versions = LakeWriter.snapshotVersions(spark, table)
     require(versions.nonEmpty, s"no snapshot history at $table")
     val dir = logDir(table)
     val fs = LakeWriter.fsOf(spark, dir)
     val root = fs.makeQualified(
       new org.apache.hadoop.fs.Path(table)).toString
-    val existing = deltaVersions(spark, table)
-    require(existing == existing.indices.map(_.toLong),
-      s"delta mirror of $table: log has gaps (${existing.mkString(",")})")
 
-    def relOf(f: String): String = {
-      require(f.startsWith(root + "/"),
-        s"delta mirror of $table: file outside the table root ($f) — " +
-          "clone-/convert-referenced foreign files need absolute-path " +
-          "adds (not emitted; compact the table first to localize files)")
-      f.stripPrefix(root + "/")
+    def addPathOf(f: String): String = {
+      if (f.startsWith(root + "/")) f.stripPrefix(root + "/")
+      else {
+        // convert-/clone-referenced foreign file: the protocol allows
+        // an absolute add.path (URL-encoded URI) — emitted in the
+        // canonical scheme://-form so foreign readers resolve it
+        require(!f.contains("%"),
+          s"delta mirror of $table: foreign file $f carries a literal " +
+            "'%' — a Delta reader URL-decodes add.path and would " +
+            "resolve a different name; compact the table to localize")
+        val u = new org.apache.hadoop.fs.Path(f).toUri
+        if (u.getScheme == null) f else u.toString
+      }
     }
+    def isAbsolute(p: String): Boolean =
+      p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+    def absOf(p: String): org.apache.hadoop.fs.Path =
+      if (isAbsolute(p)) new org.apache.hadoop.fs.Path(
+        java.net.URI.create(p.replace(" ", "%20")))
+      else new org.apache.hadoop.fs.Path(s"$root/$p")
 
-    // current live set + cursor + governing metaData per the LOG
-    // (self-contained resume: correct even if previously-mirrored
-    // graft versions were since vacuumed)
+    // current live set + cursor + governing metaData per the LOG —
+    // checkpoint-bounded replay (self-contained resume: correct even
+    // if previously-mirrored graft versions were since vacuumed)
+    val hasLog = fs.exists(dir) &&
+      (deltaVersions(spark, table).nonEmpty ||
+        lastCheckpointInfo(fs, dir).nonEmpty)
     val live = scala.collection.mutable.LinkedHashSet[String]()
     var prevSchemaJson: Option[String] = None
     var prevPartCols: Option[Seq[String]] = None
     var lastMirrored: Option[Long] = None
-    existing.foreach { dv =>
-      readCommit(fs, new org.apache.hadoop.fs.Path(dir, commitName(dv)))
-        .foreach { j =>
-          str(j \ "add" \ "path").foreach(live += _)
-          str(j \ "remove" \ "path").foreach(live -= _)
-          str(j \ "metaData" \ "schemaString").foreach { s =>
-            prevSchemaJson = Some(s)
-            prevPartCols = Some((j \ "metaData" \ "partitionColumns") match {
-              case JArray(xs) => xs.flatMap(str)
-              case _ => List.empty[String]
-            })
-          }
-          (j \ "commitInfo" \ "graftVersion") match {
-            case JInt(g) => lastMirrored = Some(g.toLong)
-            case _ =>
-          }
-        }
+    var prevConfig: Map[String, String] = Map.empty
+    var prevTxns: Map[String, Long] = Map.empty
+    var nextDv: Long = 0L
+    if (hasLog) {
+      val (st, latest) = replay(spark, table, None)
+      live ++= st.live.keys
+      prevTxns = st.txns.toMap
+      prevSchemaJson = st.schemaJson
+      prevPartCols = if (st.metaData.isEmpty) None else Some(st.partCols)
+      lastMirrored = st.lastGraft
+      prevConfig = st.metaData.map(md =>
+        md \ "configuration" match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }).getOrElse(Map.empty)
+      nextDv = latest + 1
     }
-    require(existing.isEmpty || lastMirrored.nonEmpty,
+    require(!hasLog || lastMirrored.nonEmpty,
       s"delta mirror of $table: existing _delta_log carries no " +
         "graftVersion cursor — not a graft mirror; refusing to extend")
     // COLUMN MAPPING state (Delta columnMapping.mode=name — the same
     // logical->physical indirection as graft's colmap, so renames and
     // drops mirror natively): stable per-PHYSICAL-name column ids,
-    // seeded from the last mirrored metaData so resume keeps them
+    // seeded from the last mirrored metaData so resume keeps them.
+    // Allocation is MONOTONE above delta.columnMapping.maxColumnId
+    // (the spec forbids reusing the id of a column dropped before a
+    // resume — live-field max alone would free it)
     val colIds = scala.collection.mutable.LinkedHashMap[String, Int]()
     prevSchemaJson.foreach { sj =>
       org.apache.spark.sql.types.DataType.fromJson(sj)
@@ -192,6 +506,9 @@ object DeltaMirror {
               f.metadata.getLong("delta.columnMapping.id").toInt
         }
     }
+    var maxColId = (colIds.values ++ prevConfig
+      .get("delta.columnMapping.maxColumnId").map(_.toInt)).maxOption
+      .getOrElse(0)
     var cmOn = colIds.nonEmpty
     val tsByVersion = LakeWriter.snapshotTimestamps(spark, table).toMap
     val todo = lastMirrored match {
@@ -206,9 +523,9 @@ object DeltaMirror {
     // plan EVERY pending commit before writing any (metadata IO
     // only): a refusal mid-history must leave the log untouched, not
     // wedge the resume cursor behind a partially-mirrored prefix
-    val planned = scala.collection.mutable.ListBuffer[(Int, String)]()
+    val planned = scala.collection.mutable.ListBuffer[(Long, String)]()
     todo.zipWithIndex.foreach { case (gv, i) =>
-      val dv = existing.size + i
+      val dv = nextDv + i
       val files = LakeWriter.snapshotFiles(spark, table, gv)
       val partCols = LakeWriter.snapshotPartitionCols(spark, table, gv)
       val colmapV = LakeWriter.parseManifestColmap(spark, table, gv)
@@ -228,8 +545,8 @@ object DeltaMirror {
         if (!needCm) logical.json
         else org.apache.spark.sql.types.StructType(logical.fields.map { f =>
           val phys = colmapV.phys(f.name)
-          val id = colIds.getOrElseUpdate(phys,
-            colIds.values.maxOption.getOrElse(0) + 1)
+          val id = colIds.getOrElseUpdate(phys, {
+            maxColId += 1; maxColId })
           f.copy(metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
@@ -238,7 +555,7 @@ object DeltaMirror {
               .build())
         }).json
       val ts = tsByVersion.getOrElse(gv, System.currentTimeMillis())
-      val rels = files.map(relOf)
+      val rels = files.map(addPathOf)
       val adds = rels.filterNot(live.contains)
       val removes = live.toSeq.filterNot(rels.toSet.contains)
       // a partition-spec CHANGE over carried files is not
@@ -258,6 +575,11 @@ object DeltaMirror {
             "version (mirror(…, fromVersion = Some(v)))")
       }
       val stats = LakeWriter.parseManifestStatsFull(spark, table, gv)
+      // physical-name -> type map for the stats JSON (manifest stats
+      // are keyed by physical column name, exactly like Delta's
+      // stats on a column-mapped table)
+      val physTypes = logical.fields.map(f =>
+        colmapV.phys(f.name) -> f.dataType).toMap
       // sizes/mtimes: bounded-parallel metadata fetches, new files only
       val meta: Map[String, (Long, Long)] =
         if (adds.isEmpty) Map.empty
@@ -268,8 +590,7 @@ object DeltaMirror {
             r -> pool.submit(
               new java.util.concurrent.Callable[(Long, Long)] {
                 def call(): (Long, Long) = {
-                  val st = fs.getFileStatus(
-                    new org.apache.hadoop.fs.Path(s"$root/$r"))
+                  val st = fs.getFileStatus(absOf(r))
                   (st.getLen, st.getModificationTime)
                 }
               })
@@ -303,6 +624,21 @@ object DeltaMirror {
         "operationParameters" -> JObject(List.empty),
         "engineInfo" -> JString("graft-snapshot-mirror"),
         "graftVersion" -> JInt(BigInt(gv))))))
+      // APPLICATION TRANSACTIONS mirror as SetTransaction actions —
+      // the manifest's {appId -> version} map is the same idempotence
+      // cursor Delta's txn action carries, so a foreign engine
+      // continuing an incremental write sees the graft writer's
+      // exactly-once state. Only entries that CHANGED at this version
+      // emit (the map carries forward verbatim otherwise).
+      val txnsV = LakeWriter.parseManifestTxns(spark, table, gv)
+      txnsV.toSeq.sortBy(_._1).foreach { case (a, tv) =>
+        if (!prevTxns.get(a).contains(tv))
+          actions += JObject(List("txn" -> JObject(List(
+            "appId" -> JString(a),
+            "version" -> JInt(BigInt(tv)),
+            "lastUpdated" -> JInt(BigInt(ts))))))
+      }
+      prevTxns = txnsV
       // protocol: (1,2) plain; (2,5) when column mapping is on — and
       // a mid-history rename/drop emits the protocol UPGRADE action
       // in its own commit, as a Delta writer enabling a feature does
@@ -330,7 +666,7 @@ object DeltaMirror {
           "configuration" -> (if (needCm) JObject(List(
             "delta.columnMapping.mode" -> JString("name"),
             "delta.columnMapping.maxColumnId" -> JString(
-              colIds.values.maxOption.getOrElse(0).toString)))
+              maxColId.toString)))
           else JObject(List.empty)),
           "createdTime" -> JInt(BigInt(ts))))))
         prevSchemaJson = Some(schemaJson); prevPartCols = Some(partCols)
@@ -343,15 +679,15 @@ object DeltaMirror {
       }
       adds.foreach { r =>
         val (len, mtime) = meta(r)
-        val nRecords = stats.get(r.split('/').last).flatMap(_.rows)
+        val statsJson = stats.get(r.split('/').last)
+          .flatMap(deltaStatsJson(_, physTypes))
         actions += JObject(List("add" -> JObject(List(
           "path" -> JString(r),
           "partitionValues" -> partValuesJson(r),
           "size" -> JInt(BigInt(len)),
           "modificationTime" -> JInt(BigInt(mtime)),
           "dataChange" -> JBool(true)) ++
-          nRecords.map(n => "stats" -> (JString(
-            s"""{"numRecords":$n}"""): JValue)).toList)))
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList)))
       }
       val body = actions
         .map(j => JsonMethods.compact(JsonMethods.render(j)))
@@ -372,89 +708,226 @@ object DeltaMirror {
         sys.error(s"delta mirror of $table: commit $dv lost a publish " +
           "race (concurrent mirror?)")
     }
+    if (checkpointEvery > 0 && planned.nonEmpty) {
+      val tip = nextDv + planned.size - 1
+      val lastCp = lastCheckpointInfo(fs, dir).map(_._1).getOrElse(-1L)
+      if (tip - lastCp >= checkpointEvery) checkpoint(spark, table): Unit
+    }
     todo.size.toLong
   }
 
-  /** Minimal Delta Lake READER — resolve `dir`'s `_delta_log` (JSON
-    * commits; checkpoints not needed for graft-mirrored logs) at
-    * `version` (default: latest) and read the live files through the
-    * log's own schema. Action order within and across commits is
-    * honored, so re-added files resolve correctly. Works on any
-    * JSON-commit Delta table, not just mirrored ones — the IMPORT
-    * direction of the bridge (graft reads a Delta table some other
-    * engine wrote, no jars). */
+  // ------------------------------------------------------------------
+  // checkpoint (classic single-file)
+  // ------------------------------------------------------------------
+
+  /** Write a CLASSIC Delta checkpoint of `table`'s log at its current
+    * tip — one parquet file of flattened actions (the reconciled
+    * protocol + metaData + every live add with its partitionValues and
+    * stats) plus the `_last_checkpoint` pointer, exactly what the
+    * protocol prescribes so foreign readers (and [[readDelta]] /
+    * [[mirror]]'s own resume) start from the checkpoint and replay
+    * only the JSON tail. Tombstones are dropped (equivalent to an
+    * expired retention window — they only matter for VACUUM, which
+    * graft handles on the manifest side). Metadata-only: one
+    * metadata-sized parquet write, no data IO. Idempotent at a given
+    * tip. Returns the checkpointed delta version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val (st, v) = replay(spark, table, None)
+    val log = logDir(table)
+    val fs = LakeWriter.fsOf(spark, log)
+    val md = st.metaData.getOrElse(sys.error(
+      s"no metaData action in $table's _delta_log — nothing to checkpoint"))
+    val addT = StructType(Seq(
+      StructField("path", StringType, false),
+      StructField("partitionValues",
+        MapType(StringType, StringType, true), true),
+      StructField("size", LongType, true),
+      StructField("modificationTime", LongType, true),
+      StructField("dataChange", BooleanType, true),
+      StructField("stats", StringType, true)))
+    val removeT = StructType(Seq(
+      StructField("path", StringType, true),
+      StructField("deletionTimestamp", LongType, true),
+      StructField("dataChange", BooleanType, true)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType, true),
+      StructField("name", StringType, true),
+      StructField("description", StringType, true),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType, true),
+        StructField("options",
+          MapType(StringType, StringType, true), true))), true),
+      StructField("schemaString", StringType, true),
+      StructField("partitionColumns", ArrayType(StringType, false), true),
+      StructField("configuration",
+        MapType(StringType, StringType, true), true),
+      StructField("createdTime", LongType, true)))
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType, true),
+      StructField("minWriterVersion", IntegerType, true)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType, true),
+      StructField("version", LongType, true)))
+    val cpSchema = StructType(Seq(
+      StructField("txn", txnT, true),
+      StructField("add", addT, true),
+      StructField("remove", removeT, true),
+      StructField("metaData", metaT, true),
+      StructField("protocol", protoT, true)))
+    def s0(j: JValue): String = str(j).orNull
+    def m0(j: JValue): Map[String, String] = j match {
+      case JObject(fields) => fields.map { case (k, jv) =>
+        k -> (jv match { case JString(s) => s; case _ => null }) }.toMap
+      case _ => Map.empty
+    }
+    val mdRow = Row(s0(md \ "id"), s0(md \ "name"), s0(md \ "description"),
+      Row(str(md \ "format" \ "provider").getOrElse("parquet"),
+        m0(md \ "format" \ "options")),
+      s0(md \ "schemaString"),
+      (md \ "partitionColumns" match {
+        case JArray(xs) => xs.flatMap(str); case _ => Seq.empty }),
+      m0(md \ "configuration"),
+      (md \ "createdTime" match {
+        case JInt(n) => java.lang.Long.valueOf(n.toLong); case _ => null }))
+    val headRows = Seq(
+      Row(null, null, null, null, Row(st.protocol._1, st.protocol._2)),
+      Row(null, null, null, mdRow, null)) ++
+      // SetTransaction state must survive the checkpoint (spec:
+      // writers' idempotence cursors are part of the reconciled state)
+      st.txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        Row(Row(a, java.lang.Long.valueOf(v)), null, null, null, null) }
+    val addRows = st.live.toSeq.map { case (p, i) =>
+      Row(null, Row(p,
+        i.partitionValues.map { case (k, ov) => k -> ov.orNull }.toMap,
+        java.lang.Long.valueOf(i.size),
+        java.lang.Long.valueOf(i.modificationTime),
+        java.lang.Boolean.FALSE, i.stats.orNull), null, null, null)
+    }
+    val rows = headRows ++ addRows
+    val df = spark.createDataFrame(rows.asJava, cpSchema).repartition(1)
+    val tmpDir = new org.apache.hadoop.fs.Path(log,
+      s".cp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint write at $table produced no parquet"))
+    val dest = new org.apache.hadoop.fs.Path(log, checkpointName(v))
+    fs.delete(dest, false) // idempotent re-checkpoint at the same tip
+    require(fs.rename(part, dest),
+      s"delta checkpoint of $table: could not publish ${checkpointName(v)}")
+    fs.delete(tmpDir, true)
+    // the pointer goes LAST (atomic overwrite-rename): a reader either
+    // sees the previous pointer or the new, complete checkpoint.
+    // graftVersion rides along so mirror's resume keeps its cursor
+    // without replaying pre-checkpoint JSON (foreign readers ignore
+    // unknown _last_checkpoint fields)
+    val lcBody = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "version" -> (JInt(BigInt(v)): JValue),
+      "size" -> (JInt(BigInt(rows.size)): JValue)) ++
+      st.lastGraft.map(g =>
+        "graftVersion" -> (JInt(BigInt(g)): JValue)).toList)))
+    val lcTmp = new org.apache.hadoop.fs.Path(log, "._last_checkpoint.tmp")
+    val out = fs.create(lcTmp, true)
+    out.write(lcBody.getBytes("UTF-8")); out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(lcTmp.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(lcTmp, new org.apache.hadoop.fs.Path(log, "_last_checkpoint"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    v
+  }
+
+  // ------------------------------------------------------------------
+  // readDelta (import direction)
+  // ------------------------------------------------------------------
+
+  /** Minimal Delta Lake READER — resolve `dir`'s `_delta_log`
+    * (checkpoint base + JSON tail, or pure JSON commits) at `version`
+    * (default: latest) and read the live files through the log's own
+    * schema. Action order within and across commits is honored, so
+    * re-added files resolve correctly; an unresolvable history
+    * (cleaned-up early commits with no covering checkpoint) refuses
+    * loudly instead of returning a partial table. Partition columns
+    * materialize from each add action's `partitionValues` — the
+    * protocol's authoritative source — so non-hive file layouts
+    * (delta-rs, compacted tables) read correctly; the values attach
+    * via one broadcast map-side join on `_metadata.file_path`, never
+    * a shuffle. Works on any classic-checkpoint/JSON Delta table,
+    * not just mirrored ones — the IMPORT direction of the bridge
+    * (graft reads a Delta table some other engine wrote, no jars). */
   def readDelta(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame = {
+    val (st, _) = replay(spark, dir, version)
     val log = logDir(dir)
     val fs = LakeWriter.fsOf(spark, log)
-    require(fs.exists(log), s"no _delta_log at $dir")
-    val all = deltaVersions(spark, dir)
-    require(all.nonEmpty, s"empty _delta_log at $dir")
-    val v = version.getOrElse(all.last)
-    require(all.contains(v), s"no delta version $v at $dir (have $all)")
     val root = fs.makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toString
-    var schemaJson: Option[String] = None
-    var partCols: Seq[String] = Seq.empty
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    all.filter(_ <= v).foreach { dv =>
-      readCommit(fs, new org.apache.hadoop.fs.Path(log, commitName(dv)))
-        .foreach { j =>
-          str(j \ "metaData" \ "schemaString").foreach { s =>
-            schemaJson = Some(s)
-            partCols = (j \ "metaData" \ "partitionColumns") match {
-              case JArray(xs) => xs.flatMap(str)
-              case _ => Seq.empty
-            }
-          }
-          str(j \ "add" \ "path").foreach(live += _)
-          str(j \ "remove" \ "path").foreach(live -= _)
-        }
-    }
     val schema = org.apache.spark.sql.types.DataType
-      .fromJson(schemaJson.getOrElse(
+      .fromJson(st.schemaJson.getOrElse(
         sys.error(s"no metaData action in $dir's _delta_log")))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     // COLUMN MAPPING (mode=name): files store PHYSICAL names — read
     // under them, then rename to the logical schema. Identity when no
     // field carries the physicalName key (plain tables).
-    val physNames = schema.fields.map { f =>
-      if (f.metadata.contains("delta.columnMapping.physicalName"))
+    val physOf: Map[String, String] = schema.fields.map { f =>
+      f.name -> (if (f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
-    }.toSeq
+      else f.name)
+    }.toMap
+    val partSet = st.partCols.toSet
+    // data files do NOT store partition columns — those materialize
+    // from the log's partitionValues below
     val readSchema = org.apache.spark.sql.types.StructType(
-      schema.fields.zip(physNames).map { case (f, p) =>
-        f.copy(name = p,
-          metadata = org.apache.spark.sql.types.Metadata.empty) })
-    val toLogical = physNames.zip(schema.fieldNames).map { case (p, l) =>
-      org.apache.spark.sql.functions.col(p).as(l) }.toIndexedSeq
-    val files = live.toSeq.map { p =>
+      schema.fields.filterNot(f => partSet(f.name)).map(f =>
+        f.copy(name = physOf(f.name),
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+    def isAbsolute(p: String): Boolean =
+      p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+    def absOf(p: String): String = {
       val d = percentDecode(p)
-      if (d.contains("://") || d.startsWith("/")) d else s"$root/$d"
+      if (isAbsolute(d)) d else s"$root/$d"
     }
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (partCols.isEmpty)
-      spark.read.schema(readSchema).parquet(files: _*).select(toLogical: _*)
+    if (st.live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val files = st.live.keys.toSeq.map(absOf)
+    val base = spark.read.schema(readSchema).parquet(files: _*)
+    if (st.partCols.isEmpty)
+      base.select(schema.fields.map(f =>
+        col(physOf(f.name)).as(f.name)).toIndexedSeq: _*)
     else {
-      // user schema + basePath per HIVE BASE (the directory above the
-      // first `col=` segment): partition columns recover from the
-      // dirs and cast to the schema's types, and grouping avoids
-      // Spark's conflicting-directory refusal when live files span
-      // several version directories (the readSnapshot discipline).
-      // Partition columns are identity-mapped (the mirror refuses
-      // renamed partition columns), so dir names match readSchema.
-      val groups = files.groupBy { f =>
-        val i = f.indexOf("/" + partCols.head + "=")
-        if (i >= 0) f.substring(0, i)
-        else new org.apache.hadoop.fs.Path(f).getParent.toString
+      // one row per live file: (qualified path, partition values) —
+      // both sides of the join key come from the SAME
+      // fs.makeQualified pipeline Spark's `_metadata.file_path`
+      // uses, so the equality is structural, not a format guess.
+      // Under columnMapping the log keys partitionValues by PHYSICAL
+      // name; plain tables by the column name — both resolve.
+      val hconf = spark.sessionState.newHadoopConf()
+      val pvRows: Seq[Row] = st.live.toSeq.map { case (p, info) =>
+        val abs = new org.apache.hadoop.fs.Path(absOf(p))
+        val key = abs.getFileSystem(hconf).makeQualified(abs).toString
+        val vals = st.partCols.map { c =>
+          val pn = physOf.getOrElse(c, c)
+          info.partitionValues.collectFirst {
+            case (k, ov) if k == pn || k == c => ov }.flatten.orNull
+        }
+        Row.fromSeq(key +: vals)
       }
-      groups.map { case (base, fs0) =>
-        spark.read.option("basePath", base)
-          .schema(readSchema).parquet(fs0: _*).select(toLogical: _*)
-      }.reduce(_.unionByName(_))
+      import scala.jdk.CollectionConverters._
+      val pvSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__graft_file",
+          org.apache.spark.sql.types.StringType, false) +:
+          st.partCols.map(c => org.apache.spark.sql.types.StructField(
+            s"__graft_pv_$c", org.apache.spark.sql.types.StringType, true)))
+      val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
+      base.withColumn("__graft_file", col("_metadata.file_path"))
+        .join(broadcast(pvDf), Seq("__graft_file"))
+        .select(schema.fields.map { f =>
+          if (partSet(f.name))
+            col(s"__graft_pv_${f.name}").cast(f.dataType).as(f.name)
+          else col(physOf(f.name)).as(f.name)
+        }.toIndexedSeq: _*)
     }
   }
 }

@@ -77,7 +77,8 @@ object GraphStream {
   def run(stream: DataFrame, table: String, checkpoint: String,
           src: String, dst: String, maxIter: Int = 20,
           maintainEvery: Int = 0, compactFiles: Int = 32,
-          keepVersions: Int = 3,
+          keepVersions: Int = 3, mirrorDelta: Boolean = false,
+          checkpointEvery: Int = 10,
           trigger: org.apache.spark.sql.streaming.Trigger =
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -88,8 +89,12 @@ object GraphStream {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
           foldBatch(batch.toDF(), table, src, dst, maxIter)
+          // mirrorDelta keeps a live `_delta_log` (+ checkpoints) on
+          // the label table — foreign engines read the stream's state
+          // with no export step, bounded-replay forever
           LakeWriter.maintainSnapshotEvery(batch.sparkSession, table,
-            maintainEvery, compactFiles, keepVersions): Unit
+            maintainEvery, compactFiles, keepVersions, mirrorDelta,
+            checkpointEvery): Unit
       }
       .trigger(trigger)
       .start()

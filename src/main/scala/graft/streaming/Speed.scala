@@ -467,7 +467,8 @@ object Speed extends Serializable {
                        tsCol: String, tieBreak: String,
                        checkpoint: String,
                        maintainEvery: Int = 0, compactFiles: Int = 32,
-                       keepVersions: Int = 3,
+                       keepVersions: Int = 3, mirrorDelta: Boolean = false,
+                       checkpointEvery: Int = 10,
                        trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -479,10 +480,12 @@ object Speed extends Serializable {
         if (!latest.isEmpty)
           graft.sources.LakeWriter.mergeSnapshot(latest, table, keys): Unit
         // every-N-versions compaction + history vacuum, IN the sink —
-        // a one-commit-per-batch stream is unbounded without it
+        // a one-commit-per-batch stream is unbounded without it;
+        // mirrorDelta additionally keeps a live `_delta_log`
+        // (+ checkpoints) so foreign engines follow the upsert state
         graft.sources.LakeWriter.maintainSnapshotEvery(
           batch.sparkSession, table, maintainEvery, compactFiles,
-          keepVersions): Unit
+          keepVersions, mirrorDelta, checkpointEvery): Unit
       }
       .trigger(trigger)
       .start()

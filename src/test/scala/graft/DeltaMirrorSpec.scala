@@ -171,6 +171,213 @@ class DeltaMirrorSpec extends AnyFunSuite {
       rows(LakeWriter.readSnapshot(spark, t2)))
   }
 
+  test("checkpoint bounds replay: resolution and resume survive JSON cleanup") {
+    val t = freshDir("graft_delta_cp") + "/t"
+    LakeWriter.commitSnapshot(docs(10), t)
+    // 11 full overwrites: every delta commit carries adds AND removes,
+    // so the checkpoint's reconciliation is non-trivial
+    (1 to 11).foreach(i =>
+      LakeWriter.commitSnapshot(docs(10).withColumn("v", $"v" + i), t))
+    assert(DeltaMirror.mirror(spark, t, checkpointEvery = 10) == 12L)
+    val log = new java.io.File(s"$t/_delta_log")
+    assert(log.listFiles().exists(
+      _.getName == ("0" * 18) + "11.checkpoint.parquet"))
+    assert(log.listFiles().exists(_.getName == "_last_checkpoint"))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // standard log retention: every JSON commit the checkpoint covers
+    // is cleaned up — a month-old streaming mirror. Resolution must
+    // come from the checkpoint alone.
+    log.listFiles().filter(_.getName.endsWith(".json")).foreach(f =>
+      assert(f.delete()))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // resume after cleanup: the cursor rides _last_checkpoint's
+    // graftVersion, so only the NEW graft version mirrors (JSON tail)
+    LakeWriter.commitSnapshot(docs(12), t)
+    assert(DeltaMirror.mirror(spark, t, checkpointEvery = 10) == 1L)
+    assert(DeltaMirror.deltaVersions(spark, t) == Seq(12L))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    assert(DeltaMirror.mirror(spark, t, checkpointEvery = 10) == 0L)
+    // time travel BELOW the checkpoint with its JSONs gone must
+    // refuse loudly, never resolve a partial file set
+    val e = intercept[Exception](DeltaMirror.readDelta(spark, t, Some(5L)))
+    assert(e.getMessage.contains("cannot resolve"))
+  }
+
+  test("contiguity: cleaned-up early commits with no checkpoint refuse loudly") {
+    val t = freshDir("graft_delta_gap") + "/t"
+    LakeWriter.commitSnapshot(docs(10), t)
+    LakeWriter.commitSnapshot(docs(20).where($"id" >= 10), t, "append")
+    LakeWriter.commitSnapshot(docs(30).where($"id" >= 20), t, "append")
+    assert(DeltaMirror.mirror(spark, t) == 3L)
+    assert(new java.io.File(s"$t/_delta_log/${"0" * 20}.json").delete())
+    val e = intercept[Exception](DeltaMirror.readDelta(spark, t))
+    assert(e.getMessage.contains("cannot resolve"))
+    // ...and the metaData lives in the deleted v0, so a silent partial
+    // resolution would also have lost the schema — the refusal is
+    // what stands between that and wrong rows
+  }
+
+  test("add.stats round-trips the manifest's min/max/null stats") {
+    val t = freshDir("graft_delta_stats") + "/t"
+    LakeWriter.commitSnapshot(
+      docs(50).withColumn("maybe",
+        when(pmod($"id", lit(5)) === 0, $"id")
+          .otherwise(lit(null).cast("long"))), t)
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val adds = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/${"0" * 20}.json")))
+      .split('\n').toSeq.map(JsonMethods.parse(_))
+      .filter(j => (j \ "add") != JNothing)
+    assert(adds.nonEmpty)
+    val stats = adds.map(j => JsonMethods.parse(
+      (j \ "add" \ "stats").asInstanceOf[JString].s))
+    def long(j: JValue): Long = j match {
+      case JInt(n) => n.toLong
+      case other => fail(s"expected int, got $other")
+    }
+    // per-file stats aggregate back to the table's true stats
+    assert(stats.map(s => long(s \ "numRecords")).sum == 50L)
+    assert(stats.map(s => long(s \ "minValues" \ "id")).min == 0L)
+    assert(stats.map(s => long(s \ "maxValues" \ "id")).max == 49L)
+    assert(stats.map(s => long(s \ "nullCount" \ "maybe")).sum == 40L)
+    // string stats ride too (foreign engines skip on lang predicates)
+    val langs = stats.map(s => (s \ "minValues" \ "lang")
+      .asInstanceOf[JString].s)
+    assert(langs.forall(Set("de", "en", "fr").contains))
+  }
+
+  test("absolute-path adds: converted foreign files mirror without rewrite") {
+    val root = freshDir("graft_delta_abs")
+    docs(30).coalesce(2).write.parquet(s"$root/external")
+    val t = s"$root/t"
+    LakeWriter.convertToSnapshot(spark, s"$root/external", t)
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    val c0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/${"0" * 20}.json")))
+    // adopted files live OUTSIDE the table root: the protocol's
+    // absolute-URI add.path form, zero data copied
+    assert(c0.contains("\"path\":\"file:"))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // a COW DELETE rewrites survivors INTO the table dir: the mirror
+    // now carries mixed absolute (untouched adopted) + relative
+    // (rewritten) adds, and removes by the absolute name it added
+    LakeWriter.deleteFromSnapshot(spark, t, $"id" < 10)
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    assert(DeltaMirror.readDelta(spark, t).count() == 20L)
+  }
+
+  test("SetTransaction: txn stamps mirror, persist through checkpoints, no re-emit") {
+    val t = freshDir("graft_delta_txn") + "/t"
+    LakeWriter.commitSnapshot(docs(10), t, txn = Some("writerA" -> 5L))
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    def commit(i: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/" + ("0" * 19) + i + ".json")))
+    assert(commit(0).contains("\"txn\""))
+    assert(commit(0).contains("\"appId\":\"writerA\""))
+    assert(commit(0).contains("\"version\":5"))
+    // a commit that does not move the cursor re-emits NOTHING (the
+    // map carries forward verbatim on the manifest side)
+    LakeWriter.commitSnapshot(docs(20).where($"id" >= 10), t, "append")
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(!commit(1).contains("\"txn\""))
+    LakeWriter.commitSnapshot(docs(25).where($"id" >= 20), t, "append",
+      txn = Some("writerA" -> 6L))
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(commit(2).contains("\"version\":6"))
+    assert(LakeWriter.lastTxnVersion(spark, t, "writerA").contains(6L))
+    // the checkpoint must preserve writer cursors (spec: SetTransaction
+    // is part of the reconciled state)
+    DeltaMirror.checkpoint(spark, t)
+    val cp = spark.read.parquet(
+      s"$t/_delta_log/${"0" * 19}2.checkpoint.parquet")
+    val txns = cp.where(col("txn").isNotNull)
+      .select("txn.appId", "txn.version").collect()
+    assert(txns.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("writerA", 6L)))
+    // retention cleanup + resume: an unchanged cursor stays silent, a
+    // moved one emits exactly its delta
+    new java.io.File(s"$t/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    LakeWriter.commitSnapshot(docs(28).where($"id" >= 25), t, "append",
+      txn = Some("writerB" -> 1L))
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(commit(3).contains("\"appId\":\"writerB\""))
+    assert(!commit(3).contains("writerA"))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
+  test("column-mapping ids stay monotone across resume after a drop") {
+    val t = freshDir("graft_delta_colid") + "/t"
+    LakeWriter.commitSnapshot(docs(20), t)           // id, lang, v
+    LakeWriter.renameColumn(spark, t, "v", "value")  // colmap on: ids 1,2,3
+    assert(DeltaMirror.mirror(spark, t) == 2L)
+    LakeWriter.dropColumn(spark, t, "value")         // drops the HIGHEST id
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    // resume in a FRESH mirror invocation: the allocator must seed
+    // from delta.columnMapping.maxColumnId (3), not the live-field max
+    // (2) — the spec forbids reusing a dropped column's id
+    LakeWriter.commitSnapshot(
+      docs(25).where($"id" >= 20).drop("v").withColumn("extra", lit(1L)),
+      t, "append")
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/${"0" * 19}3.json")))
+      .split('\n').find(_.contains("metaData")).get
+    val md = JsonMethods.parse(meta) \ "metaData"
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      (md \ "schemaString").asInstanceOf[JString].s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val extraId = schema.fields.find(_.name == "extra").get
+      .metadata.getLong("delta.columnMapping.id")
+    assert(extraId == 4L, s"dropped id 3 must not be reused (got $extraId)")
+    assert((md \ "configuration" \ "delta.columnMapping.maxColumnId")
+      .asInstanceOf[JString].s == "4")
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
+  test("foreign non-hive layout: partition values from add.partitionValues, not paths") {
+    // delta-rs and compacted Databricks tables store data files under
+    // flat names with NO col= path segments — the protocol makes
+    // add.partitionValues authoritative, and a reader inferring from
+    // paths would serve silently NULL partition columns here
+    val d = freshDir("graft_delta_nonhive")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    df.coalesce(1).write.parquet(s"$d/f1")
+    val df2 = Seq((3L, "z")).toDF("k", "s")
+    df2.coalesce(1).write.parquet(s"$d/f2")
+    def partOf(sub: String) = new java.io.File(s"$d/$sub").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    import org.apache.spark.sql.types._
+    val full = StructType(df.schema.fields ++ Seq(
+      StructField("lang", StringType, true),
+      StructField("pid", IntegerType, true)))
+    val schema = full.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$d/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/_delta_log/${"0" * 20}.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+          |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["lang","pid"],"configuration":{}}}
+          |{"add":{"path":"f1/${partOf("f1")}","partitionValues":{"lang":"en","pid":"7"},"size":1,"modificationTime":0,"dataChange":true}}
+          |{"add":{"path":"f2/${partOf("f2")}","partitionValues":{"lang":null,"pid":"9"},"size":1,"modificationTime":0,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8")): Unit
+    val got = DeltaMirror.readDelta(spark, d)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "s", "lang", "pid"))
+    assert(got.schema("pid").dataType == IntegerType)
+    assert(rows(got) == Set("1|x|en|7", "2|y|en|7", "3|z|null|9"))
+  }
+
   test("readDelta honors re-added files (per-action ordering)") {
     // hand-written foreign log: add f1, remove f1, re-add f1 — a
     // set-difference resolution would drop it; per-action order keeps it

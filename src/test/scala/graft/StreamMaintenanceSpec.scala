@@ -105,6 +105,52 @@ class StreamMaintenanceSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("GraphStream mirrorDelta: live _delta_log tracks 32 batches, checkpoint-bounded") {
+    val root = freshDir("graft_stream_mirror")
+    val table = s"$root/labels"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // per-micro-batch commits with the delta mirror ON: the sink keeps
+    // the _delta_log current itself (no external caller), checkpoints
+    // every 8 delta versions so a foreign reader's replay stays
+    // bounded however long the stream lives
+    val q = GraphStream.run(
+      in.toDF().toDF("src", "dst"), table, s"$root/ckpt", "src", "dst",
+      maintainEvery = 8, compactFiles = 2, keepVersions = 3,
+      mirrorDelta = true, checkpointEvery = 8,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 32).foreach { b =>
+        val base = b * 10L
+        in.addData(Seq((base, base + 1), (base + 1, base + 2)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import graft.sources.DeltaMirror
+    // the log is CURRENT: a foreign Delta reader of the table root
+    // sees exactly the stream's latest committed state, zero export
+    val viaDelta = DeltaMirror.readDelta(spark, table)
+    val viaGraft = LakeWriter.readSnapshot(spark, table)
+    assert(viaDelta.collect().map(_.toSeq).toSet ==
+      viaGraft.collect().map(_.toSeq).toSet)
+    assert(viaDelta.count() == 32 * 3)
+    // checkpointed, and the JSON tail past the checkpoint is bounded
+    // by the cadence — the month-old-stream replay stays O(cadence)
+    val lc = new java.io.File(s"$table/_delta_log/_last_checkpoint")
+    assert(lc.exists(), "stream mirror never checkpointed")
+    val cpv = {
+      val body = new String(java.nio.file.Files.readAllBytes(lc.toPath))
+      "\"version\":(\\d+)".r.findFirstMatchIn(body).get.group(1).toLong
+    }
+    assert(new java.io.File(
+      s"$table/_delta_log/" + f"$cpv%020d" + ".checkpoint.parquet").exists())
+    val tail = DeltaMirror.deltaVersions(spark, table).count(_ > cpv)
+    assert(tail <= 8 + 2, s"JSON tail $tail not checkpoint-bounded")
+    // and the mirror stayed ahead of the vacuum: resolution never saw
+    // adds pointing at reclaimed files (readDelta above would have
+    // thrown on a missing file)
+  }
+
   test("maintainSnapshotEvery: off by default, cadence on version multiples only") {
     val root = freshDir("graft_maint_unit")
     val t = s"$root/t"
