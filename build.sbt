@@ -28,13 +28,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Gate heap policy (docs/bench/gate_policy.md): the bench/verify fork
+// is PINNED to 8 g. SPARK_DRIVER_MEM is deliberately IGNORED here —
+// the r12 driver gate exported a 95 g heap against the pinned policy
+// and ran a different experiment (agg state that an 8 g heap spills
+// early instead ballooned in-memory; the heap-relative GC trigger
+// never fired; 31 queries >2x steady state with zero retries). The
+// only widening knob is SPARK_GRAFT_DEV_MEM, a dev-loop-only escape
+// hatch for sf1 experiments that the driver never sets; graft.Bench
+// additionally prints "off_policy_heap":true on the contract line if
+// the JVM it lands in strays from the policy anyway.
+val forkHeap = sys.env.getOrElse("SPARK_GRAFT_DEV_MEM", "8g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$forkHeap",
   // Pin the initial heap to the max: G1 growing the heap from the
   // small default -Xms collects aggressively the whole way up, taxing
   // whichever query allocates first (~40 s of GC on the first
   // streaming-state bench query — docs/bench/dsir_anomaly.md §3)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms$forkHeap",
 )
