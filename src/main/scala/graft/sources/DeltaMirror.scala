@@ -146,7 +146,8 @@ object DeltaMirror {
   /** One live file's action payload as the log recorded it. */
   private final case class AddInfo(
       partitionValues: Seq[(String, Option[String])],
-      size: Long, modificationTime: Long, stats: Option[String])
+      size: Long, modificationTime: Long, stats: Option[String],
+      hasDeletionVector: Boolean = false)
 
   /** Mutable fold state of a log replay. */
   private final class LogState {
@@ -155,6 +156,8 @@ object DeltaMirror {
     /** the governing metaData ACTION value, verbatim */
     var metaData: Option[JValue] = None
     var protocol: (Int, Int) = (1, 2)
+    /** table features a reader must implement (protocol v3+). */
+    var readerFeatures: Set[String] = Set.empty
     var lastGraft: Option[Long] = None
     val live = scala.collection.mutable.LinkedHashMap[String, AddInfo]()
     /** latest SetTransaction version per appId (protocol: checkpoints
@@ -177,6 +180,10 @@ object DeltaMirror {
       case (JInt(r), JInt(w)) => st.protocol = (r.toInt, w.toInt)
       case _ =>
     }
+    j \ "protocol" \ "readerFeatures" match {
+      case JArray(xs) => st.readerFeatures ++= xs.flatMap(str)
+      case _ =>
+    }
     str(j \ "add" \ "path").foreach { p =>
       val a = j \ "add"
       val pv = a \ "partitionValues" match {
@@ -190,8 +197,10 @@ object DeltaMirror {
         case JDecimal(d) => d.toLong
         case _ => 0L
       }
+      val dv = (a \ "deletionVector") != JNothing &&
+        (a \ "deletionVector") != JNull
       st.live(p) = AddInfo(pv, lng(a \ "size"),
-        lng(a \ "modificationTime"), str(a \ "stats"))
+        lng(a \ "modificationTime"), str(a \ "stats"), dv)
     }
     str(j \ "remove" \ "path").foreach(st.live -= _)
     (str(j \ "txn" \ "appId"), j \ "txn" \ "version") match {
@@ -205,10 +214,10 @@ object DeltaMirror {
   }
 
   /** `_last_checkpoint` pointer: (delta version, graft cursor when the
-    * checkpoint was written by [[mirror]]). Multi-part checkpoints are
-    * refused loudly — a partial parse would silently drop files. */
+    * checkpoint was written by [[mirror]], part count — 1 for a
+    * classic single-file checkpoint, N for a multi-part one). */
   private def lastCheckpointInfo(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path): Option[(Long, Option[Long])] = {
+      log: org.apache.hadoop.fs.Path): Option[(Long, Option[Long], Int)] = {
     val p = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -220,18 +229,16 @@ object DeltaMirror {
       case JInt(n) => n.toLong
       case _ => sys.error(s"$p: no version field")
     }
-    j \ "parts" match {
-      case JNothing | JNull =>
-      case JInt(n) if n.toInt <= 1 =>
-      case other => sys.error(
-        s"$p: multi-part checkpoint (parts=$other) not supported — " +
-          "refusing a partial resolution")
+    val parts = j \ "parts" match {
+      case JNothing | JNull => 1
+      case JInt(n) if n.toInt >= 1 => n.toInt
+      case other => sys.error(s"$p: unparseable parts field $other")
     }
     val g = j \ "graftVersion" match {
       case JInt(n) => Some(n.toLong)
       case _ => None
     }
-    Some((v, g))
+    Some((v, g, parts))
   }
 
   /** Fold a CLASSIC checkpoint parquet into `st` (one row per action,
@@ -239,14 +246,24 @@ object DeltaMirror {
     * richer writers are ignored). Rows are a reconciled snapshot, so
     * order is immaterial. */
   private def loadCheckpoint(spark: SparkSession, dir: String, cv: Long,
-                             st: LogState): Unit = {
+                             parts: Int, st: LogState): Unit = {
     val log = logDir(dir)
     val fs = LakeWriter.fsOf(spark, log)
-    val cp = new org.apache.hadoop.fs.Path(log, checkpointName(cv))
-    require(fs.exists(cp),
-      s"_last_checkpoint at $dir points at version $cv but " +
-        s"${checkpointName(cv)} is missing")
-    val df = spark.read.parquet(cp.toString)
+    // classic single-file, or multi-part (the protocol's
+    // %020d.checkpoint.%010d.%010d.parquet naming — actions are
+    // disjoint across parts, reconciliation is order-free either way).
+    // EVERY named part must exist: a partial parse would silently
+    // drop files.
+    val cpFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (parts <= 1)
+        Seq(new org.apache.hadoop.fs.Path(log, checkpointName(cv)))
+      else (1 to parts).map(i => new org.apache.hadoop.fs.Path(log,
+        f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+    cpFiles.foreach(cp => require(fs.exists(cp),
+      s"_last_checkpoint at $dir points at version $cv " +
+        s"($parts part(s)) but ${cp.getName} is missing"))
+    val cp = cpFiles.head
+    val df = spark.read.parquet(cpFiles.map(_.toString): _*)
     val cols = df.columns.toSet
     def field(r: Row, n: String): Option[Int] = {
       val names = r.schema.fieldNames
@@ -265,6 +282,8 @@ object DeltaMirror {
         st.protocol = (
           field(p, "minReaderVersion").map(p.getInt).getOrElse(1),
           field(p, "minWriterVersion").map(p.getInt).getOrElse(2))
+        field(p, "readerFeatures").foreach(i =>
+          st.readerFeatures ++= p.getSeq[String](i))
       }
       struct("metaData").foreach { m =>
         def gs(r: Row, n: String): JValue =
@@ -301,7 +320,8 @@ object DeltaMirror {
         st.live(path) = AddInfo(pv,
           field(a, "size").map(a.getLong).getOrElse(0L),
           field(a, "modificationTime").map(a.getLong).getOrElse(0L),
-          field(a, "stats").map(a.getString))
+          field(a, "stats").map(a.getString),
+          field(a, "deletionVector").nonEmpty)
       }
       struct("remove").foreach { rm =>
         field(rm, "path").foreach(i => st.live -= rm.getString(i))
@@ -333,8 +353,8 @@ object DeltaMirror {
       s"no delta version $v at $dir (latest is $latest)")
     val st = new LogState
     val startAfter: Long = cp match {
-      case Some((cv, g)) if cv <= v =>
-        loadCheckpoint(spark, dir, cv, st)
+      case Some((cv, g, parts)) if cv <= v =>
+        loadCheckpoint(spark, dir, cv, parts, st)
         st.lastGraft = g
         cv
       case _ => -1L
@@ -853,12 +873,47 @@ object DeltaMirror {
     * protocol's authoritative source — so non-hive file layouts
     * (delta-rs, compacted tables) read correctly; the values attach
     * via one broadcast map-side join on `_metadata.file_path`, never
-    * a shuffle. Works on any classic-checkpoint/JSON Delta table,
-    * not just mirrored ones — the IMPORT direction of the bridge
-    * (graft reads a Delta table some other engine wrote, no jars). */
+    * a shuffle. Works on any classic- or multi-part-checkpoint/JSON
+    * Delta table, not just mirrored ones — the IMPORT direction of
+    * the bridge (graft reads a Delta table some other engine wrote,
+    * no jars). Honors the spec's reader contract: a table requiring
+    * reader features beyond columnMapping/timestampNtz (deletion
+    * vectors, v2 checkpoints), or id-mode column mapping, REFUSES
+    * loudly — serving it anyway would be silently wrong, not merely
+    * incomplete. */
   def readDelta(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame = {
     val (st, _) = replay(spark, dir, version)
+    // PROTOCOL CONFORMANCE GATE (the spec's reader contract: a reader
+    // that does not implement minReaderVersion / every readerFeature
+    // MUST refuse the table). Serving anyway would not be incomplete
+    // — it would be silently WRONG: deletion vectors mean live adds
+    // carry logically-deleted rows; id-mode column mapping resolves
+    // columns by parquet field id, not the physical names this reader
+    // matches on.
+    val supportedFeatures = Set("columnMapping", "timestampNtz")
+    if (st.protocol._1 >= 3) {
+      val unsupported = st.readerFeatures -- supportedFeatures
+      require(unsupported.isEmpty,
+        s"delta table at $dir requires reader features " +
+          s"${unsupported.toSeq.sorted.mkString(", ")} this reader " +
+          "does not implement — refusing (serving without them would " +
+          "be silently wrong)")
+    } else require(st.protocol._1 <= 2,
+      s"delta table at $dir requires minReaderVersion " +
+        s"${st.protocol._1} — refusing")
+    st.metaData.foreach { md =>
+      val mode = md \ "configuration" \ "delta.columnMapping.mode"
+      str(mode).foreach(m => require(m == "name" || m == "none",
+        s"delta table at $dir uses columnMapping.mode=$m — this " +
+          "reader resolves mode=name (physical names); id-mode " +
+          "tables match by parquet field id and would misresolve"))
+    }
+    st.live.find(_._2.hasDeletionVector).foreach { case (p, _) =>
+      sys.error(s"delta table at $dir: live file $p carries a " +
+        "deletion vector — its rows are partially deleted and a " +
+        "reader without DV support would serve them back; refusing")
+    }
     val log = logDir(dir)
     val fs = LakeWriter.fsOf(spark, log)
     val root = fs.makeQualified(

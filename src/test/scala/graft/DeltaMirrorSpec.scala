@@ -378,6 +378,102 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(rows(got) == Set("1|x|en|7", "2|y|en|7", "3|z|null|9"))
   }
 
+  test("multi-part checkpoints resolve; a missing part refuses") {
+    val t = freshDir("graft_delta_mp") + "/t"
+    LakeWriter.commitSnapshot(docs(40), t)
+    LakeWriter.commitSnapshot(docs(60).where($"id" >= 40), t, "append")
+    LakeWriter.deleteFromSnapshot(spark, t, $"id" < 5)
+    assert(DeltaMirror.mirror(spark, t, checkpointEvery = 2) == 3L)
+    val log = s"$t/_delta_log"
+    val single = s"$log/${"0" * 19}2.checkpoint.parquet"
+    // split the classic checkpoint into a 2-part one (the protocol's
+    // %020d.checkpoint.%010d.%010d.parquet naming, disjoint actions)
+    val cp = spark.read.parquet(single)
+    val all = cp.collect().toSeq
+    val cut = all.size / 2
+    import scala.jdk.CollectionConverters._
+    def writePart(rows: Seq[org.apache.spark.sql.Row], i: Int): Unit = {
+      val tmp = s"$log/.mp$i"
+      spark.createDataFrame(rows.asJava, cp.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(log,
+        f"${2L}%020d.checkpoint.${i}%010d.${2}%010d.parquet")
+      assert(part.renameTo(dest))
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete(): Unit
+    }
+    writePart(all.take(cut), 1)
+    writePart(all.drop(cut), 2)
+    assert(new java.io.File(single).delete())
+    // raw rewrite of the pointer: drop the Hadoop checksum sidecar the
+    // mirror's own write left, or LocalFileSystem flags a mismatch
+    new java.io.File(log, "._last_checkpoint.crc").delete()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$log/_last_checkpoint"),
+      s"""{"version":2,"size":${all.size},"parts":2}"""
+        .getBytes("UTF-8")): Unit
+    // retention cleanup of everything the checkpoint covers: the two
+    // parts are now the only resolution source
+    new java.io.File(log).listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // a missing part must refuse — a partial parse would silently
+    // drop that part's live files
+    assert(new java.io.File(log,
+      f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet").delete())
+    val e = intercept[Exception](DeltaMirror.readDelta(spark, t))
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("reader conformance: DV / v2-checkpoint / id-mapping tables refuse loudly") {
+    // serving these would be silently WRONG (deleted rows come back,
+    // columns misresolve) — the spec's reader contract is to refuse
+    def foreignLog(sub: String, protocol: String, extraActs: Seq[String],
+                   config: String = "{}"): String = {
+      val d = freshDir(s"graft_delta_conf_$sub")
+      val df = Seq((1L, "a")).toDF("k", "s")
+      df.coalesce(1).write.parquet(s"$d/files")
+      val part = new java.io.File(s"$d/files").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      val schema = df.schema.json.replace("\"", "\\\"")
+      new java.io.File(s"$d/_delta_log").mkdirs()
+      val add = s"""{"add":{"path":"files/$part","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/_delta_log/${"0" * 20}.json"),
+        (Seq(protocol,
+          s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":$config}}""")
+          ++ (if (extraActs.isEmpty) Seq(add) else extraActs))
+          .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+      d
+    }
+    // deletionVectors via readerFeatures (protocol v3)
+    val dvTable = foreignLog("dvfeat",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      Seq.empty)
+    val e1 = intercept[Exception](DeltaMirror.readDelta(spark, dvTable))
+    assert(e1.getMessage.contains("deletionVectors"))
+    // a live add carrying a DV on an older protocol shape: same refusal
+    val dvAdd = foreignLog("dvadd",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      Seq("""{"add":{"path":"files/x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,"sizeInBytes":40,"cardinality":6}}}"""))
+    val e2 = intercept[Exception](DeltaMirror.readDelta(spark, dvAdd))
+    assert(e2.getMessage.contains("deletion vector"))
+    // id-mode column mapping: files match by parquet field id
+    val idTable = foreignLog("idmode",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      Seq.empty, config = """{"delta.columnMapping.mode":"id"}""")
+    val e3 = intercept[Exception](DeltaMirror.readDelta(spark, idTable))
+    assert(e3.getMessage.contains("mode=id"))
+    // ...and a v3 table whose features we DO implement reads fine
+    val okTable = foreignLog("okfeat",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      Seq.empty)
+    assert(rows(DeltaMirror.readDelta(spark, okTable)) == Set("1|a"))
+  }
+
   test("readDelta honors re-added files (per-action ordering)") {
     // hand-written foreign log: add f1, remove f1, re-add f1 — a
     // set-difference resolution would drop it; per-action order keeps it
