@@ -1632,6 +1632,68 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, table)
     }),
 
+    "q_snapshot_export_delta_abs" -> ((s, d) => {
+      // ABSOLUTE-PATH ADDS through the gate (r12 verdict #7): a
+      // foreign parquet directory is ADOPTED metadata-only
+      // (convertToSnapshot — files stay outside the table root), a
+      // COW DELETE rewrites survivors INTO the table dir, and the
+      // mirror emits the mixed file set: absolute-URI adds for the
+      // untouched adopted files (the protocol allows absolute
+      // add.path), relative adds for the rewritten ones, removes
+      // tracking each by the exact name it was added under. The
+      // DuckDB oracle resolves the log and reads THROUGH both path
+      // forms — a mirror that mangled either form (or a compaction
+      // rewrite sneaking in) fails the row hash.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_abs_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(5)) === 2)
+        .write.parquet(s"$tmp/external")
+      LakeWriter.convertToSnapshot(s, s"$tmp/external", table)
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 140)
+      DeltaMirror.mirror(s, table)
+      LakeWriter.readSnapshot(s, table)
+    }),
+
+    "q_ingest_delta_cp" -> ((s, d) => {
+      // GRAFT'S OWN CHECKPOINT READER through the gate: the mirror
+      // checkpoints, the covered JSON commits are cleaned up, one
+      // more version rides as the tail — and the SERVED ROWS come
+      // THROUGH readDelta's checkpoint-base + JSON-tail resolution.
+      // The oracle re-derives the final state from the raw documents
+      // table, so a checkpoint that dropped a live file, resurrected
+      // a tombstone, or lost the governing metaData surfaces as a
+      // row/hash mismatch (q_snapshot_export_delta_cp proves a
+      // FOREIGN reader resolves the checkpoint; this proves graft's).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_ingest_cp_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(4)) === 1)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 130)
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
+      DeltaMirror.mirror(s, table, checkpointEvery = 2)
+      val log = new java.io.File(s"$table/_delta_log")
+      val cpv = log.listFiles()
+        .map(_.getName).filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong).max
+      log.listFiles().filter { f =>
+        f.getName.matches("\\d{20}\\.json") &&
+          f.getName.stripSuffix(".json").toLong <= cpv
+      }.foreach(_.delete())
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 170)
+      DeltaMirror.mirror(s, table, checkpointEvery = 2)
+      DeltaMirror.readDelta(s, table)
+    }),
+
     "q_ingest_delta" -> ((s, d) => {
       // DELTA IMPORT direction through the gate: the table evolves
       // (partitioned base + partition overwrite + COW DELETE), the
@@ -4276,6 +4338,16 @@ object SparkEntry {
         |WHERE doc_id % 3 = 0 AND NOT coalesce(n_chars < 200, false)"""
         .stripMargin,
 
+    "q_ingest_delta_cp" ->
+      // rows served through readDelta's CHECKPOINT resolution (the
+      // covered JSON commits are deleted): final state re-derived
+      // from the raw table — a checkpoint that dropped a live file or
+      // resurrected a tombstone surfaces as missing/extra rows.
+      // Deletes are cumulative, so the last predicate governs.
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 4 = 1 AND NOT coalesce(n_chars < 170, false)"""
+        .stripMargin,
+
     "q_snapshot_evolve" ->
       // unpartitioned v1 + evolved-spec v2 + migration + partitioned
       // DELETE: layout transitions must be invisible in the rows
@@ -5270,6 +5342,34 @@ object SparkEntry {
            |FROM read_parquet('$ctab/data/**/*.parquet',
            |  hive_partitioning=0, filename=1) d
            |JOIN live l ON replace(d.filename, '$ctab/', '') = l.p"""
+          .stripMargin
+      },
+      // q_snapshot_export_delta_abs's oracle resolves a log whose
+      // live set mixes ABSOLUTE-URI adds (files adopted outside the
+      // table root — the protocol allows absolute add.path) with
+      // relative adds (COW-DELETE survivors rewritten into the table
+      // dir): DuckDB scans BOTH roots and joins each data file to the
+      // log by whichever path form the log recorded.
+      "q_snapshot_export_delta_abs" -> {
+        val aroot = "/tmp/graft_delta_abs_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_")
+        s"""WITH acts AS (
+           |  SELECT * FROM read_json_auto('$aroot/table/_delta_log/*.json',
+           |    format='newline_delimited', union_by_name=true)),
+           |adds AS (
+           |  SELECT add.path AS p FROM acts WHERE add.path IS NOT NULL),
+           |removes AS (
+           |  SELECT remove.path AS p FROM acts
+           |  WHERE remove.path IS NOT NULL),
+           |live AS (
+           |  SELECT CASE WHEN p LIKE 'file:%' THEN substr(p, 6)
+           |              ELSE '$aroot/table/' || p END AS f
+           |  FROM adds WHERE p NOT IN (SELECT p FROM removes))
+           |SELECT d.doc_id, d.source, d.n_chars, d.lang
+           |FROM read_parquet(
+           |  ['$aroot/external/*.parquet', '$aroot/table/data/**/*.parquet'],
+           |  hive_partitioning=0, union_by_name=true, filename=1) d
+           |JOIN live l ON d.filename = l.f"""
           .stripMargin
       },
       "q_snapshot_export_delta" ->
