@@ -220,7 +220,8 @@ object CurationPipeline {
     * version gets vacuumed right after committing would lose
     * history it expected to keep. */
   def maintain(spark: SparkSession, outDir: String, nFiles: Int = 32,
-               keepVersions: Int = 3, mirrorDelta: Boolean = false): Long = {
+               keepVersions: Int = 3, mirrorDelta: Boolean = false,
+               checkpointEvery: Int = 10): Long = {
     val corpusTable = s"$outDir/corpus"
     val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
     // open-format interop rides maintenance (the reference lands every
@@ -231,9 +232,13 @@ object CurationPipeline {
     // snapshot then already points at the compacted files when the
     // old ones are reclaimed (a crash between the two calls leaves a
     // resolvable table either way; only reclaimed HISTORY stops being
-    // time-travelable, like Delta's own vacuum).
+    // time-travelable, like Delta's own vacuum). The checkpoint
+    // cadence keeps a foreign reader's replay O(checkpointEvery)
+    // however many loads the corpus has absorbed — months of daily
+    // loads otherwise mean hundreds of JSON commits per open.
     if (mirrorDelta)
-      graft.sources.DeltaMirror.mirror(spark, corpusTable): Unit
+      graft.sources.DeltaMirror.mirror(spark, corpusTable,
+        checkpointEvery = checkpointEvery): Unit
     LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
     v
   }

@@ -105,7 +105,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     // vacuum keeps only the newest versions, and the delta mirror
     // rides along (corpus natively readable as a Delta table)
     val v = CurationPipeline.maintain(spark, out, nFiles = 2,
-      keepVersions = 1, mirrorDelta = true)
+      keepVersions = 1, mirrorDelta = true, checkpointEvery = 3)
     assert(v == 3L)
     val after = graft.sources.LakeWriter.readSnapshot(spark, s"$out/corpus")
     assert(after.select($"doc_id").collect().map(_.getLong(0)).toSet ==
@@ -116,6 +116,11 @@ class CurationPipelineSpec extends AnyFunSuite {
       .readDelta(spark, s"$out/corpus")
     assert(viaDelta.select($"doc_id").collect().map(_.getLong(0)).toSet ==
       ((1L to 10L).toSet + 202L))
+    // the maintenance mirror checkpointed (3 mirrored versions >= the
+    // cadence): months of daily loads stay O(cadence) to open for a
+    // foreign reader
+    assert(new java.io.File(s"$out/corpus/_delta_log/_last_checkpoint")
+      .exists())
   }
 
   test("the curated corpus serves through Views, including AS OF") {
