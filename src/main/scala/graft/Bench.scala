@@ -265,9 +265,13 @@ object Bench {
             SparkEntry.sharedCCProbe(spark, sfDir)
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 / 3 }
+          } catch {
+            // NonFatal only: an OOM here must crash the run, not be
+            // laundered into a "healthy" contract line with -1
+            case scala.util.control.NonFatal(_) => -1.0
+          }
         drain(); releasePinned()
-        math.round(3 * b * 100) / 100.0
+        if (b < 0) -1.0 else math.round(3 * b * 100) / 100.0
       }
 
     def json(m: Iterable[(String, Double)]): String =

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -80,6 +80,14 @@ object DeltaMirror {
 
   private def commitName(v: Long): String = f"$v%020d.json"
   private def checkpointName(v: Long): String = f"$v%020d.checkpoint.parquet"
+
+  /** Is `p` an absolute add.path (rooted path or scheme://-URI), as
+    * opposed to a table-root-relative one? Shared by the write
+    * direction ([[mirror]], raw graft file names) and the read
+    * direction ([[readDelta]], after percent-decoding) so the two
+    * sides cannot drift on the path-form contract. */
+  private def isAbsolutePath(p: String): Boolean =
+    p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
 
   /** Delta versions present as JSON commits in the log, ascending
     * (a checkpoint may additionally cover versions below these). */
@@ -471,10 +479,8 @@ object DeltaMirror {
         if (u.getScheme == null) f else u.toString
       }
     }
-    def isAbsolute(p: String): Boolean =
-      p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
     def absOf(p: String): org.apache.hadoop.fs.Path =
-      if (isAbsolute(p)) new org.apache.hadoop.fs.Path(
+      if (isAbsolutePath(p)) new org.apache.hadoop.fs.Path(
         java.net.URI.create(p.replace(" ", "%20")))
       else new org.apache.hadoop.fs.Path(s"$root/$p")
 
@@ -728,10 +734,15 @@ object DeltaMirror {
         sys.error(s"delta mirror of $table: commit $dv lost a publish " +
           "race (concurrent mirror?)")
     }
-    if (checkpointEvery > 0 && planned.nonEmpty) {
+    // cadence check runs even when nothing new mirrored: a crash
+    // between publishing commits and checkpointing would otherwise
+    // leave the checkpoint overdue forever on a quiet table (every
+    // later no-new-versions call skipping it) — self-healing instead
+    if (checkpointEvery > 0) {
       val tip = nextDv + planned.size - 1
       val lastCp = lastCheckpointInfo(fs, dir).map(_._1).getOrElse(-1L)
-      if (tip - lastCp >= checkpointEvery) checkpoint(spark, table): Unit
+      if (tip >= 0 && tip - lastCp >= checkpointEvery)
+        checkpoint(spark, table): Unit
     }
     todo.size.toLong
   }
@@ -755,6 +766,24 @@ object DeltaMirror {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val (st, v) = replay(spark, table, None)
+    // GUARD before writing: this checkpoint schema carries exactly
+    // the action fields graft mirrors emit. A FOREIGN log with state
+    // outside that set — protocol v3 readerFeatures, deletion vectors
+    // on live adds — would be silently DROPPED from the reconciled
+    // base, and once the covered JSON commits are retention-cleaned
+    // the information is gone: a later reader would serve
+    // logically-deleted rows with no refusal left to fire. Refuse to
+    // write such a checkpoint at all.
+    require(st.protocol._1 <= 2,
+      s"refusing to checkpoint $table: protocol minReaderVersion " +
+        s"${st.protocol._1} carries feature state " +
+        s"(${st.readerFeatures.toSeq.sorted.mkString(", ")}) this " +
+        "checkpoint schema would drop")
+    st.live.find(_._2.hasDeletionVector).foreach { case (p, _) =>
+      sys.error(s"refusing to checkpoint $table: live file $p carries " +
+        "a deletion vector the checkpoint schema would drop — a " +
+        "reader of the checkpoint would serve its deleted rows back")
+    }
     val log = logDir(table)
     val fs = LakeWriter.fsOf(spark, log)
     val md = st.metaData.getOrElse(sys.error(
@@ -834,9 +863,13 @@ object DeltaMirror {
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"checkpoint write at $table produced no parquet"))
     val dest = new org.apache.hadoop.fs.Path(log, checkpointName(v))
-    fs.delete(dest, false) // idempotent re-checkpoint at the same tip
-    require(fs.rename(part, dest),
-      s"delta checkpoint of $table: could not publish ${checkpointName(v)}")
+    // overwrite-rename, NOT delete-then-rename: an idempotent
+    // re-checkpoint at the same tip must never open a window where
+    // _last_checkpoint points at a missing file (a concurrent reader
+    // would refuse spuriously)
+    org.apache.hadoop.fs.FileContext.getFileContext(part.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(part, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     fs.delete(tmpDir, true)
     // the pointer goes LAST (atomic overwrite-rename): a reader either
     // sees the previous pointer or the new, complete checkpoint.
@@ -937,11 +970,9 @@ object DeltaMirror {
       schema.fields.filterNot(f => partSet(f.name)).map(f =>
         f.copy(name = physOf(f.name),
           metadata = org.apache.spark.sql.types.Metadata.empty)))
-    def isAbsolute(p: String): Boolean =
-      p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
     def absOf(p: String): String = {
       val d = percentDecode(p)
-      if (isAbsolute(d)) d else s"$root/$d"
+      if (isAbsolutePath(d)) d else s"$root/$d"
     }
     if (st.live.isEmpty)
       return spark.createDataFrame(
@@ -952,35 +983,55 @@ object DeltaMirror {
       base.select(schema.fields.map(f =>
         col(physOf(f.name)).as(f.name)).toIndexedSeq: _*)
     else {
-      // one row per live file: (qualified path, partition values) —
-      // both sides of the join key come from the SAME
-      // fs.makeQualified pipeline Spark's `_metadata.file_path`
-      // uses, so the equality is structural, not a format guess.
-      // Under columnMapping the log keys partitionValues by PHYSICAL
-      // name; plain tables by the column name — both resolve.
+      // one row per live file: (url-encoded URI key, partition
+      // values). The key must be BIT-IDENTICAL to Spark's
+      // `_metadata.file_path`, which carries the url-ENCODED
+      // single-slash URI form ("file:/dir/a%20b.parquet" for a file
+      // named "a b.parquet") — NOT Path.toString (raw space) and NOT
+      // Path.toUri.toString (triple-slash). Rebuilding it through
+      // java.net.URI's quoting from the raw qualified path matches
+      // byte-for-byte (probe-pinned: space -> %20, '+' stays '+').
+      // A raw-string key silently dropped every row of a
+      // space-carrying file via the inner join; the join is now LEFT
+      // with a per-row raise on unmatched files, so an encoding
+      // regression is loud, never a partial table. Under
+      // columnMapping the log keys partitionValues by PHYSICAL name;
+      // plain tables by the column name — both resolve.
       val hconf = spark.sessionState.newHadoopConf()
       val pvRows: Seq[Row] = st.live.toSeq.map { case (p, info) =>
         val abs = new org.apache.hadoop.fs.Path(absOf(p))
-        val key = abs.getFileSystem(hconf).makeQualified(abs).toString
+        val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
+        val key = new java.net.URI(q.getScheme, q.getAuthority,
+          q.getPath, null, null).toString
         val vals = st.partCols.map { c =>
           val pn = physOf.getOrElse(c, c)
           info.partitionValues.collectFirst {
             case (k, ov) if k == pn || k == c => ov }.flatten.orNull
         }
-        Row.fromSeq(key +: vals)
+        Row.fromSeq(key +: (vals :+ java.lang.Boolean.TRUE))
       }
       import scala.jdk.CollectionConverters._
       val pvSchema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("__graft_file",
+        (org.apache.spark.sql.types.StructField("__graft_file",
           org.apache.spark.sql.types.StringType, false) +:
           st.partCols.map(c => org.apache.spark.sql.types.StructField(
-            s"__graft_pv_$c", org.apache.spark.sql.types.StringType, true)))
+            s"__graft_pv_$c", org.apache.spark.sql.types.StringType,
+            true))) :+
+          org.apache.spark.sql.types.StructField("__graft_matched",
+            org.apache.spark.sql.types.BooleanType, true))
       val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
+      val guard = col("__graft_matched").isNotNull
       base.withColumn("__graft_file", col("_metadata.file_path"))
-        .join(broadcast(pvDf), Seq("__graft_file"))
+        .join(broadcast(pvDf), Seq("__graft_file"), "left")
         .select(schema.fields.map { f =>
           if (partSet(f.name))
-            col(s"__graft_pv_${f.name}").cast(f.dataType).as(f.name)
+            when(guard, col(s"__graft_pv_${f.name}").cast(f.dataType))
+              .otherwise(raise_error(concat(
+                lit(s"readDelta at $dir: data file "),
+                col("__graft_file"),
+                lit(" failed to match its log partitionValues " +
+                  "(path-encoding regression)"))).cast(f.dataType))
+              .as(f.name)
           else col(physOf(f.name)).as(f.name)
         }.toIndexedSeq: _*)
     }

@@ -1158,10 +1158,30 @@ object LakeWriter {
     val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return Map.empty
+    // bounded-prefix read: the txns field is written at the manifest
+    // HEAD (writeManifest), so one 256 KB read decides — found, or
+    // provably absent (the "schema" marker that always follows the
+    // head appeared without it). Only a head larger than the window
+    // (never produced by this writer) falls back to a full read.
     val in = fs.open(p)
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    in.close()
+    val win = new Array[Byte](256 * 1024)
+    var got = 0
+    var r = 0
+    while (got < win.length && r >= 0) {
+      r = in.read(win, got, win.length - got)
+      if (r > 0) got += r
+    }
+    val head = new String(win, 0, got, "UTF-8")
+    val body =
+      if (head.contains("\"txns\":\"") || head.contains("\"schema\":\"") ||
+          got < win.length) { in.close(); head }
+      else {
+        // byte-level concat (not head + string-of-rest): safe even if
+        // a multi-byte char ever straddled the window boundary
+        val rest = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        in.close()
+        new String(win.take(got) ++ rest, "UTF-8")
+      }
     body.split("\"txns\":\"") match {
       case Array(_, rest) =>
         import org.json4s._
@@ -1568,8 +1588,13 @@ object LakeWriter {
         s""""txns":"${enc(json)}","""
       }
     }
+    // txns rides at the HEAD of the body (before the schema and the
+    // O(files) stats/blooms/file-list tails): parseManifestTxns runs
+    // on every commit of every table to carry the map forward, and a
+    // head placement lets it read a bounded prefix instead of the
+    // whole multi-MB manifest of a large table
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField$bloomField$txnsField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},$txnsField"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField$bloomField"files":[""",
       ",", "]}")
     commitManifestBody(spark, fs, table, version, body)
   }

@@ -87,9 +87,35 @@ object Materialized {
     v
   }
 
+  /** Seed a MISSING cursor file from the MV's own txn stamp (the
+    * lost-cursor recovery that makes the stamp, not the file, the
+    * source of truth): with the cursor restored to the stamp,
+    * `processNewVersions` feeds only versions past it as DELTAS —
+    * and if the source was vacuumed past the stamp it refuses loudly
+    * (its own cursor-vs-oldest check) instead of re-feeding a
+    * bootstrap full snapshot that a stamped-but-behind MV would
+    * absorb as a delta, double-counting every group. */
+  private def seedCursorFromStamp(spark: SparkSession, mvTable: String,
+                                  cursorPath: String,
+                                  appId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = LakeWriter.fsOf(spark, p)
+    if (fs.exists(p)) return
+    LakeWriter.lastTxnVersion(spark, mvTable, appId).foreach { s =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.tmp")
+      val out = fs.create(tmp, true)
+      out.write(s.toString.getBytes("UTF-8")); out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+          spark.sessionState.newHadoopConf())
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   def refreshAgg(spark: SparkSession, srcTable: String, mvTable: String,
                  cursorPath: String, groupCols: Seq[String],
-                 sumCols: Seq[String]): Seq[Long] =
+                 sumCols: Seq[String]): Seq[Long] = {
+    seedCursorFromStamp(spark, mvTable, cursorPath, MvTxnApp)
     // uncollapsed feed: rewrite noise cancels algebraically in the
     // signed sums (see refreshAggStream) — the exceptAll pass is
     // skipped per version
@@ -97,6 +123,7 @@ object Materialized {
       collapse = false) {
       (feed, v) => applyDelta(spark, mvTable, feed, groupCols, sumCols, v)
     }
+  }
 
   /** The txn appId MV merges stamp on the MV table — the
     * exactly-once cursor ([[LakeWriter.lastTxnVersion]]). */
@@ -211,9 +238,24 @@ object Materialized {
           val prior = LakeWriter.snapshotVersions(spark, srcTable)
             .filter(_ < v)
           val feed =
-            if (prior.isEmpty)
+            if (prior.isEmpty) {
+              // bootstrap full-snapshot feed: safe to (re)apply only
+              // when the stamp covers it (applyDelta then skips). A
+              // stamp BELOW v here means the source history between
+              // stamp and v was vacuumed away under a fresh stream
+              // checkpoint — merging the full snapshot as a delta
+              // would double-count everything already absorbed.
+              LakeWriter.lastTxnVersion(spark, mvTable, MvTxnApp)
+                .filter(_ < v).foreach { s =>
+                  sys.error(s"MV at $mvTable absorbed source v$s but " +
+                    s"the oldest surviving source version is $v with " +
+                    "no delta between them (vacuumed?) — re-bootstrap " +
+                    "(wipe the MV with the checkpoint) instead of " +
+                    "double-counting a full-snapshot feed")
+                }
               LakeWriter.readSnapshot(spark, srcTable, Some(v))
                 .withColumn("_change_type", lit("insert"))
+            }
             // UNCOLLAPSED feed (collapse = false): a signed-sum MV
             // does not need the exceptAll row-cancellation pass —
             // copy-on-write rewrite noise is a delete+insert of
@@ -256,7 +298,8 @@ object Materialized {
     * @return versions of `srcTable` processed this call */
   def refreshHll(spark: SparkSession, srcTable: String, mvTable: String,
                  cursorPath: String, groupCols: Seq[String],
-                 distinctCol: String): Seq[Long] =
+                 distinctCol: String): Seq[Long] = {
+    seedCursorFromStamp(spark, mvTable, cursorPath, HllTxnApp)
     LakeWriter.processNewVersions(spark, srcTable, cursorPath) {
       (feed, v) =>
         if (LakeWriter.lastTxnVersion(spark, mvTable, HllTxnApp)
@@ -297,4 +340,5 @@ object Materialized {
         }
         }
     }
+  }
 }

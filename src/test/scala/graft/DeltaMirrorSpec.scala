@@ -474,6 +474,32 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(rows(DeltaMirror.readDelta(spark, okTable)) == Set("1|a"))
   }
 
+  test("space-carrying foreign paths: url-encoded add.path joins its partitionValues") {
+    // the Delta spec url-encodes add.path ("a b.parquet" rides as
+    // "a%20b.parquet"); the partition-value attach joins on Spark's
+    // _metadata.file_path, which is ALSO url-encoded — a raw-string
+    // key silently dropped every row of such a file (left join), so
+    // this pins the encoding end to end
+    val d = freshDir("graft_delta_space")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    df.coalesce(1).write.parquet(s"$d/sub dir")
+    val part = new java.io.File(s"$d/sub dir").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    import org.apache.spark.sql.types._
+    val full = StructType(df.schema.fields :+
+      StructField("lang", StringType, true))
+    val schema = full.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$d/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/_delta_log/${"0" * 20}.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+          |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["lang"],"configuration":{}}}
+          |{"add":{"path":"sub%20dir/$part","partitionValues":{"lang":"en US"},"size":1,"modificationTime":0,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8")): Unit
+    val got = DeltaMirror.readDelta(spark, d)
+    assert(rows(got) == Set("1|x|en US", "2|y|en US"))
+  }
+
   test("readDelta honors re-added files (per-action ordering)") {
     // hand-written foreign log: add f1, remove f1, re-add f1 — a
     // set-difference resolution would drop it; per-action order keeps it

@@ -101,6 +101,35 @@ class MaterializedStreamSpec extends AnyFunSuite {
     assert(mvState(mv) == Map(0L -> ((2L, 15L)), 1L -> ((2L, 27L))))
   }
 
+  test("vacuum past the stamp: lost cursor refuses loudly, never double-counts") {
+    val root = freshDir("graft_mv_vacstamp")
+    val src = s"$root/src"; val mv = s"$root/mv"; val cur = s"$root/cursor"
+    LakeWriter.commitSnapshot(
+      Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("id", "g", "x"), src)
+    LakeWriter.commitSnapshot(
+      Seq((3L, 0L, 5L)).toDF("id", "g", "x"), src, "append")
+    Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x"))
+    val settled = mvState(mv)
+    // cursor lost AND the absorbed history vacuumed away: the next
+    // surviving version can only feed as a bootstrap FULL snapshot,
+    // which a stamped-but-behind MV would absorb as a delta —
+    // doubling every group. Both consumers must refuse loudly.
+    assert(new java.io.File(cur).delete())
+    LakeWriter.commitSnapshot(
+      Seq((4L, 1L, 7L)).toDF("id", "g", "x"), src, "append")
+    LakeWriter.vacuumSnapshots(spark, src, keepLast = 1)
+    val e = intercept[RuntimeException](
+      Materialized.refreshAgg(spark, src, mv, cur, Seq("g"), Seq("x")))
+    assert(e.getMessage.contains("re-bootstrap"))
+    assert(mvState(mv) == settled, "refusal must leave the MV untouched")
+    val es = intercept[Exception](
+      Materialized.refreshAggStream(spark, src, mv, s"$root/ckpt_fresh",
+        Seq("g"), Seq("x")))
+    assert(es.getMessage.contains("re-bootstrap") ||
+      Option(es.getCause).exists(_.getMessage.contains("re-bootstrap")))
+    assert(mvState(mv) == settled)
+  }
+
   test("refreshFull(alignCursor) replay: the rebuild's stamp covers the crash window") {
     val root = freshDir("graft_mv_fullreplay")
     val src = s"$root/src"; val mv = s"$root/mv"; val cur = s"$root/cursor"
