@@ -878,7 +878,12 @@ object DeltaMirror {
     // unknown _last_checkpoint fields)
     val lcBody = JsonMethods.compact(JsonMethods.render(JObject(List(
       "version" -> (JInt(BigInt(v)): JValue),
-      "size" -> (JInt(BigInt(rows.size)): JValue)) ++
+      "size" -> (JInt(BigInt(rows.size)): JValue),
+      // optional pointer fields the protocol defines — foreign readers
+      // use them to size the read before opening the checkpoint
+      "sizeInBytes" -> (JInt(BigInt(
+        fs.getFileStatus(dest).getLen)): JValue),
+      "numOfAddFiles" -> (JInt(BigInt(addRows.size)): JValue)) ++
       st.lastGraft.map(g =>
         "graftVersion" -> (JInt(BigInt(g)): JValue)).toList)))
     val lcTmp = new org.apache.hadoop.fs.Path(log, "._last_checkpoint.tmp")
