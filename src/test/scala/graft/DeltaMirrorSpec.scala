@@ -183,6 +183,11 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(log.listFiles().exists(
       _.getName == ("0" * 18) + "11.checkpoint.parquet"))
     assert(log.listFiles().exists(_.getName == "_last_checkpoint"))
+    // the pointer carries the protocol's optional sizing fields
+    val lc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint")))
+    assert(lc.contains("\"sizeInBytes\":"))
+    assert(lc.contains("\"numOfAddFiles\":"))
     assert(rows(DeltaMirror.readDelta(spark, t)) ==
       rows(LakeWriter.readSnapshot(spark, t)))
     // standard log retention: every JSON commit the checkpoint covers
