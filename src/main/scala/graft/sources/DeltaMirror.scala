@@ -155,9 +155,15 @@ object DeltaMirror {
   private final case class AddInfo(
       partitionValues: Seq[(String, Option[String])],
       size: Long, modificationTime: Long, stats: Option[String],
-      hasDeletionVector: Boolean = false)
+      dv: Option[DeletionVectors.DvDescriptor] = None)
 
-  /** Mutable fold state of a log replay. */
+  /** Mutable fold state of a log replay. Live files key on the spec's
+    * logical-file identity `(path, deletionVector uniqueId)` — a
+    * DELETE rewrites a file's DV by removing the old pairing and
+    * adding the new in ONE commit, and the two actions must not
+    * cancel whichever order the commit lists them in. Tables without
+    * DVs degenerate to path-only keys (uid = ""), byte-identical to
+    * the pre-DV behavior. */
   private final class LogState {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
@@ -166,14 +172,61 @@ object DeltaMirror {
     var protocol: (Int, Int) = (1, 2)
     /** table features a reader must implement (protocol v3+). */
     var readerFeatures: Set[String] = Set.empty
+    /** table features a writer must implement (protocol v7) — state a
+      * checkpoint must carry forward, never drop. */
+    var writerFeatures: Set[String] = Set.empty
     var lastGraft: Option[Long] = None
-    val live = scala.collection.mutable.LinkedHashMap[String, AddInfo]()
+    val live = scala.collection.mutable
+      .LinkedHashMap[(String, String), AddInfo]()
     /** latest SetTransaction version per appId (protocol: checkpoints
       * must preserve these — a writer's idempotence cursor). */
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    /** latest domainMetadata per domain: configuration + removed flag
+      * (protocol: checkpoints must preserve non-removed domains). */
+    val domains = scala.collection.mutable
+      .LinkedHashMap[String, (String, Boolean)]()
+    /** action kinds seen that this replay does not model — state a
+      * checkpoint would silently drop, so checkpointing refuses. */
+    val unknownActions = scala.collection.mutable.LinkedHashSet[String]()
+  }
+
+  /** Action kinds replay models (cdc is per-commit change-data
+    * plumbing — it never affects the reconciled state and the spec
+    * excludes it from checkpoints, so it is known-and-skipped). */
+  private val knownActionKinds = Set("metaData", "protocol", "add",
+    "remove", "txn", "commitInfo", "cdc", "domainMetadata",
+    "checkpointMetadata", "sidecar")
+
+  private def parseDvDescriptor(j: JValue)
+      : Option[DeletionVectors.DvDescriptor] = j match {
+    case JNothing | JNull => None
+    case d =>
+      def int(v: JValue): Option[Int] = v match {
+        case JInt(n) => Some(n.toInt)
+        case _ => None
+      }
+      def lng(v: JValue): Option[Long] = v match {
+        case JInt(n) => Some(n.toLong)
+        case _ => None
+      }
+      Some(DeletionVectors.DvDescriptor(
+        str(d \ "storageType").getOrElse(
+          sys.error("deletionVector descriptor without storageType")),
+        str(d \ "pathOrInlineDv").getOrElse(
+          sys.error("deletionVector descriptor without pathOrInlineDv")),
+        int(d \ "offset"),
+        int(d \ "sizeInBytes").getOrElse(
+          sys.error("deletionVector descriptor without sizeInBytes")),
+        lng(d \ "cardinality").getOrElse(
+          sys.error("deletionVector descriptor without cardinality"))))
   }
 
   private def applyAction(st: LogState, j: JValue): Unit = {
+    j match {
+      case JObject(fields) => fields.foreach { case (k, _) =>
+        if (!knownActionKinds(k)) st.unknownActions += k }
+      case _ =>
+    }
     j \ "metaData" match {
       case JNothing =>
       case md =>
@@ -192,6 +245,10 @@ object DeltaMirror {
       case JArray(xs) => st.readerFeatures ++= xs.flatMap(str)
       case _ =>
     }
+    j \ "protocol" \ "writerFeatures" match {
+      case JArray(xs) => st.writerFeatures ++= xs.flatMap(str)
+      case _ =>
+    }
     str(j \ "add" \ "path").foreach { p =>
       val a = j \ "add"
       val pv = a \ "partitionValues" match {
@@ -205,14 +262,25 @@ object DeltaMirror {
         case JDecimal(d) => d.toLong
         case _ => 0L
       }
-      val dv = (a \ "deletionVector") != JNothing &&
-        (a \ "deletionVector") != JNull
-      st.live(p) = AddInfo(pv, lng(a \ "size"),
-        lng(a \ "modificationTime"), str(a \ "stats"), dv)
+      val dv = parseDvDescriptor(a \ "deletionVector")
+      st.live((p, dv.map(_.uniqueId).getOrElse(""))) =
+        AddInfo(pv, lng(a \ "size"), lng(a \ "modificationTime"),
+          str(a \ "stats"), dv)
     }
-    str(j \ "remove" \ "path").foreach(st.live -= _)
+    str(j \ "remove" \ "path").foreach { p =>
+      val uid = parseDvDescriptor(j \ "remove" \ "deletionVector")
+        .map(_.uniqueId).getOrElse("")
+      st.live -= ((p, uid))
+    }
     (str(j \ "txn" \ "appId"), j \ "txn" \ "version") match {
       case (Some(a), JInt(v)) => st.txns(a) = v.toLong
+      case _ =>
+    }
+    (str(j \ "domainMetadata" \ "domain"),
+        j \ "domainMetadata" \ "removed") match {
+      case (Some(d), removed) =>
+        val cfg = str(j \ "domainMetadata" \ "configuration").getOrElse("")
+        st.domains(d) = (cfg, removed == JBool(true))
       case _ =>
     }
     j \ "commitInfo" \ "graftVersion" match {
@@ -283,6 +351,13 @@ object DeltaMirror {
         r.getMap[String, String](i).toList.map { case (k, v) =>
           k -> (if (v == null) JNull else JString(v): JValue) }
       }.getOrElse(List.empty)
+    // an action COLUMN this parse does not model is reconciled state a
+    // re-checkpoint would drop — track it like an unknown JSON action
+    // kind (commitInfo sometimes rides in foreign checkpoints; it is
+    // per-commit provenance, not state, so it stays known-and-skipped)
+    val knownCpCols = Set("txn", "add", "remove", "metaData", "protocol",
+      "domainMetadata", "commitInfo", "checkpointMetadata", "sidecar")
+    st.unknownActions ++= cols.filterNot(knownCpCols)
     df.collect().foreach { row =>
       def struct(n: String): Option[Row] =
         if (!cols(n)) None else field(row, n).map(row.getStruct)
@@ -292,6 +367,8 @@ object DeltaMirror {
           field(p, "minWriterVersion").map(p.getInt).getOrElse(2))
         field(p, "readerFeatures").foreach(i =>
           st.readerFeatures ++= p.getSeq[String](i))
+        field(p, "writerFeatures").foreach(i =>
+          st.writerFeatures ++= p.getSeq[String](i))
       }
       struct("metaData").foreach { m =>
         def gs(r: Row, n: String): JValue =
@@ -317,6 +394,19 @@ object DeltaMirror {
             .getOrElse(JNull)))
         applyAction(st, JObject(List("metaData" -> md)))
       }
+      def dvOf(parent: Row): Option[DeletionVectors.DvDescriptor] =
+        field(parent, "deletionVector").map(parent.getStruct).map { d =>
+          DeletionVectors.DvDescriptor(
+            field(d, "storageType").map(d.getString).getOrElse(
+              sys.error(s"$cp: deletionVector without storageType")),
+            field(d, "pathOrInlineDv").map(d.getString).getOrElse(
+              sys.error(s"$cp: deletionVector without pathOrInlineDv")),
+            field(d, "offset").map(d.getInt),
+            field(d, "sizeInBytes").map(d.getInt).getOrElse(
+              sys.error(s"$cp: deletionVector without sizeInBytes")),
+            field(d, "cardinality").map(d.getLong).getOrElse(
+              sys.error(s"$cp: deletionVector without cardinality")))
+        }
       struct("add").foreach { a =>
         val path = field(a, "path").map(a.getString).getOrElse(
           sys.error(s"$cp: add action without a path"))
@@ -325,18 +415,28 @@ object DeltaMirror {
             a.getMap[String, String](i).toSeq.map { case (k, v) =>
               k -> Option(v) }
           }.getOrElse(Seq.empty)
-        st.live(path) = AddInfo(pv,
+        val dv = dvOf(a)
+        st.live((path, dv.map(_.uniqueId).getOrElse(""))) = AddInfo(pv,
           field(a, "size").map(a.getLong).getOrElse(0L),
           field(a, "modificationTime").map(a.getLong).getOrElse(0L),
           field(a, "stats").map(a.getString),
-          field(a, "deletionVector").nonEmpty)
+          dv)
       }
       struct("remove").foreach { rm =>
-        field(rm, "path").foreach(i => st.live -= rm.getString(i))
+        field(rm, "path").foreach { i =>
+          val uid = dvOf(rm).map(_.uniqueId).getOrElse("")
+          st.live -= ((rm.getString(i), uid))
+        }
       }
       struct("txn").foreach { t =>
         for (ai <- field(t, "appId"); vi <- field(t, "version"))
           st.txns(t.getString(ai)) = t.getLong(vi)
+      }
+      struct("domainMetadata").foreach { dm =>
+        for (di <- field(dm, "domain"))
+          st.domains(dm.getString(di)) = (
+            field(dm, "configuration").map(dm.getString).getOrElse(""),
+            field(dm, "removed").exists(dm.getBoolean))
       }
     }
   }
@@ -374,9 +474,26 @@ object DeltaMirror {
         s"(${startAfter}, $v]" + (if (startAfter < 0)
         " and no checkpoint covers the gap (early commits cleaned " +
           "up?) — refusing a silently partial resolution" else ""))
+    // DRIVER-HEAP GUARD: the reconciled live set is driver-resident
+    // (the standard Delta-reader posture — the log IS driver-resolved
+    // metadata), so a million-file foreign table is an O(files) driver
+    // allocation. Fail LOUDLY past the ceiling instead of dissolving
+    // into a silent driver OOM mid-replay; the limit is a conf knob
+    // sized to the repo's pinned 8 g policy heap (an AddInfo row costs
+    // roughly 0.5-1 KB with its stats JSON).
+    val ceiling = spark.conf.get("spark.graft.delta.maxLiveFiles",
+      "2000000").toLong
+    def guard(): Unit =
+      if (st.live.size > ceiling) sys.error(
+        s"_delta_log at $dir resolves to over $ceiling live files — " +
+          "refusing to hold the action state on the driver (raise " +
+          "spark.graft.delta.maxLiveFiles if the heap allows, or " +
+          "compact/checkpoint the table to shrink its live file count)")
+    guard()
     tail.foreach { dv =>
       readCommit(fs, new org.apache.hadoop.fs.Path(log, commitName(dv)))
         .foreach(applyAction(st, _))
+      guard()
     }
     (st, v)
   }
@@ -499,7 +616,8 @@ object DeltaMirror {
     var nextDv: Long = 0L
     if (hasLog) {
       val (st, latest) = replay(spark, table, None)
-      live ++= st.live.keys
+      // graft mirrors never write DVs, so every live key's uid is ""
+      live ++= st.live.keys.map(_._1)
       prevTxns = st.txns.toMap
       prevSchemaJson = st.schemaJson
       prevPartCols = if (st.metaData.isEmpty) None else Some(st.partCols)
@@ -766,28 +884,32 @@ object DeltaMirror {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val (st, v) = replay(spark, table, None)
-    // GUARD before writing: this checkpoint schema carries exactly
-    // the action fields graft mirrors emit. A FOREIGN log with state
-    // outside that set — protocol v3 readerFeatures, deletion vectors
-    // on live adds — would be silently DROPPED from the reconciled
-    // base, and once the covered JSON commits are retention-cleaned
-    // the information is gone: a later reader would serve
-    // logically-deleted rows with no refusal left to fire. Refuse to
-    // write such a checkpoint at all.
-    require(st.protocol._1 <= 2,
-      s"refusing to checkpoint $table: protocol minReaderVersion " +
-        s"${st.protocol._1} carries feature state " +
-        s"(${st.readerFeatures.toSeq.sorted.mkString(", ")}) this " +
-        "checkpoint schema would drop")
-    st.live.find(_._2.hasDeletionVector).foreach { case (p, _) =>
-      sys.error(s"refusing to checkpoint $table: live file $p carries " +
-        "a deletion vector the checkpoint schema would drop — a " +
-        "reader of the checkpoint would serve its deleted rows back")
-    }
+    // GUARD before writing: a checkpoint is the reconciled state —
+    // anything replay saw but did not MODEL would be silently DROPPED
+    // from the base, and once the covered JSON commits are
+    // retention-cleaned the information is gone with no refusal left
+    // to fire. Protocol feature lists, deletion vectors and
+    // domainMetadata are modeled and preserved below; an action KIND
+    // outside the modeled set refuses here.
+    require(st.unknownActions.isEmpty,
+      s"refusing to checkpoint $table: the log carries action kinds " +
+        s"(${st.unknownActions.toSeq.sorted.mkString(", ")}) this " +
+        "checkpoint schema would drop — a reader starting from the " +
+        "checkpoint would silently lose that state")
+    val anyDv = st.live.values.exists(_.dv.nonEmpty)
+    val hasFeatures = st.protocol._1 >= 3 || st.protocol._2 >= 7
     val log = logDir(table)
     val fs = LakeWriter.fsOf(spark, log)
     val md = st.metaData.getOrElse(sys.error(
       s"no metaData action in $table's _delta_log — nothing to checkpoint"))
+    // the deletionVector struct (spec field names) rides only when
+    // some live add carries one — plain tables keep the plain schema
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType, true),
+      StructField("pathOrInlineDv", StringType, true),
+      StructField("offset", IntegerType, true),
+      StructField("sizeInBytes", IntegerType, true),
+      StructField("cardinality", LongType, true)))
     val addT = StructType(Seq(
       StructField("path", StringType, false),
       StructField("partitionValues",
@@ -795,7 +917,8 @@ object DeltaMirror {
       StructField("size", LongType, true),
       StructField("modificationTime", LongType, true),
       StructField("dataChange", BooleanType, true),
-      StructField("stats", StringType, true)))
+      StructField("stats", StringType, true)) ++
+      (if (anyDv) Seq(StructField("deletionVector", dvT, true)) else Nil))
     val removeT = StructType(Seq(
       StructField("path", StringType, true),
       StructField("deletionTimestamp", LongType, true),
@@ -815,16 +938,26 @@ object DeltaMirror {
       StructField("createdTime", LongType, true)))
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType, true),
-      StructField("minWriterVersion", IntegerType, true)))
+      StructField("minWriterVersion", IntegerType, true)) ++
+      (if (hasFeatures) Seq(
+        StructField("readerFeatures", ArrayType(StringType, true), true),
+        StructField("writerFeatures", ArrayType(StringType, true), true))
+      else Nil))
     val txnT = StructType(Seq(
       StructField("appId", StringType, true),
       StructField("version", LongType, true)))
+    val domainT = StructType(Seq(
+      StructField("domain", StringType, true),
+      StructField("configuration", StringType, true),
+      StructField("removed", BooleanType, true)))
     val cpSchema = StructType(Seq(
       StructField("txn", txnT, true),
       StructField("add", addT, true),
       StructField("remove", removeT, true),
       StructField("metaData", metaT, true),
-      StructField("protocol", protoT, true)))
+      StructField("protocol", protoT, true)) ++
+      (if (st.domains.nonEmpty)
+        Seq(StructField("domainMetadata", domainT, true)) else Nil))
     def s0(j: JValue): String = str(j).orNull
     def m0(j: JValue): Map[String, String] = j match {
       case JObject(fields) => fields.map { case (k, jv) =>
@@ -840,19 +973,42 @@ object DeltaMirror {
       m0(md \ "configuration"),
       (md \ "createdTime" match {
         case JInt(n) => java.lang.Long.valueOf(n.toLong); case _ => null }))
-    val headRows = Seq(
-      Row(null, null, null, null, Row(st.protocol._1, st.protocol._2)),
-      Row(null, null, null, mdRow, null)) ++
+    // one action per row, nulls elsewhere; column count varies with
+    // the conditional domainMetadata column
+    val nCols = cpSchema.length
+    def actionRow(i: Int, v: Any): Row = {
+      val arr = new Array[Any](nCols)
+      arr(i) = v
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }
+    val protoRow = actionRow(4,
+      if (hasFeatures)
+        Row(st.protocol._1, st.protocol._2,
+          if (st.protocol._1 >= 3) st.readerFeatures.toSeq.sorted else null,
+          if (st.protocol._2 >= 7) st.writerFeatures.toSeq.sorted else null)
+      else Row(st.protocol._1, st.protocol._2))
+    val headRows = Seq(protoRow, actionRow(3, mdRow)) ++
       // SetTransaction state must survive the checkpoint (spec:
       // writers' idempotence cursors are part of the reconciled state)
       st.txns.toSeq.sortBy(_._1).map { case (a, v) =>
-        Row(Row(a, java.lang.Long.valueOf(v)), null, null, null, null) }
-    val addRows = st.live.toSeq.map { case (p, i) =>
-      Row(null, Row(p,
+        actionRow(0, Row(a, java.lang.Long.valueOf(v))) } ++
+      // latest domainMetadata per domain likewise (removed tombstones
+      // ride along verbatim — dropping them is a retention policy this
+      // writer does not impose)
+      st.domains.toSeq.sortBy(_._1).map { case (d, (cfg, rm)) =>
+        actionRow(5, Row(d, cfg, java.lang.Boolean.valueOf(rm))) }
+    val addRows = st.live.toSeq.map { case ((p, _), i) =>
+      val base = Seq(p,
         i.partitionValues.map { case (k, ov) => k -> ov.orNull }.toMap,
         java.lang.Long.valueOf(i.size),
         java.lang.Long.valueOf(i.modificationTime),
-        java.lang.Boolean.FALSE, i.stats.orNull), null, null, null)
+        java.lang.Boolean.FALSE, i.stats.orNull)
+      val dvCell = i.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(java.lang.Integer.valueOf).orNull,
+        java.lang.Integer.valueOf(d.sizeInBytes),
+        java.lang.Long.valueOf(d.cardinality))).orNull
+      actionRow(1, Row.fromSeq(
+        if (anyDv) base :+ dvCell else base))
     }
     val rows = headRows ++ addRows
     val df = spark.createDataFrame(rows.asJava, cpSchema).repartition(1)
@@ -914,11 +1070,16 @@ object DeltaMirror {
     * a shuffle. Works on any classic- or multi-part-checkpoint/JSON
     * Delta table, not just mirrored ones — the IMPORT direction of
     * the bridge (graft reads a Delta table some other engine wrote,
-    * no jars). Honors the spec's reader contract: a table requiring
-    * reader features beyond columnMapping/timestampNtz (deletion
-    * vectors, v2 checkpoints), or id-mode column mapping, REFUSES
-    * loudly — serving it anyway would be silently wrong, not merely
-    * incomplete. */
+    * no jars). DELETION VECTORS (default-on in modern Delta writers)
+    * resolve natively: each DV-carrying add's roaring bitmap is read
+    * and CRC-verified driver-side ([[DeletionVectors]]), rides the
+    * same broadcast, and logically-deleted rows filter out by
+    * `_metadata.row_index` through a cached-parse native kernel
+    * ([[graft.plans.DvContains]]). Honors the spec's reader contract:
+    * a table requiring reader features beyond columnMapping /
+    * timestampNtz / deletionVectors (v2 checkpoints), or id-mode
+    * column mapping, REFUSES loudly — serving it anyway would be
+    * silently wrong, not merely incomplete. */
   def readDelta(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame = {
     val (st, _) = replay(spark, dir, version)
@@ -929,7 +1090,8 @@ object DeltaMirror {
     // carry logically-deleted rows; id-mode column mapping resolves
     // columns by parquet field id, not the physical names this reader
     // matches on.
-    val supportedFeatures = Set("columnMapping", "timestampNtz")
+    val supportedFeatures =
+      Set("columnMapping", "timestampNtz", "deletionVectors")
     if (st.protocol._1 >= 3) {
       val unsupported = st.readerFeatures -- supportedFeatures
       require(unsupported.isEmpty,
@@ -947,10 +1109,14 @@ object DeltaMirror {
           "reader resolves mode=name (physical names); id-mode " +
           "tables match by parquet field id and would misresolve"))
     }
-    st.live.find(_._2.hasDeletionVector).foreach { case (p, _) =>
-      sys.error(s"delta table at $dir: live file $p carries a " +
-        "deletion vector — its rows are partially deleted and a " +
-        "reader without DV support would serve them back; refusing")
+    // one PATH must resolve to one live logical file: the spec keys
+    // live files on (path, DV uniqueId), so a log can in principle
+    // hold two DV generations of one file live at once — scanning
+    // that file twice would double its rows; refuse the ambiguity
+    st.live.keys.groupBy(_._1).find(_._2.size > 1).foreach { case (p, _) =>
+      sys.error(s"delta table at $dir: file $p is live under more than " +
+        "one deletion-vector generation — the log never retired the " +
+        "older pairing; refusing to double-serve its rows")
     }
     val log = logDir(dir)
     val fs = LakeWriter.fsOf(spark, log)
@@ -982,9 +1148,32 @@ object DeltaMirror {
     if (st.live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    val files = st.live.keys.toSeq.map(absOf)
+    val liveSeq: Seq[(String, AddInfo)] =
+      st.live.toSeq.map { case ((p, _), info) => (p, info) }
+    val files = liveSeq.map(t => absOf(t._1))
+    // DELETION VECTORS: resolve every live file's bitmap DRIVER-SIDE
+    // (metadata-plane — each is O(deleted rows) compressed, read once
+    // per resolution, CRC-verified; a corrupt or miscounted DV refuses
+    // HERE, before any scan starts). The bytes ride to executors on
+    // the same broadcast join that attaches partition values; the
+    // scan-side membership test is the cached-parse DvContains kernel
+    // over `_metadata.row_index`.
+    val anyDv = liveSeq.exists(_._2.dv.nonEmpty)
+    val dvBytes: Map[String, Array[Byte]] =
+      if (!anyDv) Map.empty
+      else liveSeq.flatMap { case (p, info) =>
+        info.dv.map { d =>
+          val bytes = DeletionVectors.readBitmapBytes(fs, root, d)
+          val parsed = DeletionVectors.RoaringArray.deserialize(bytes)
+          require(parsed.cardinality == d.cardinality,
+            s"delta table at $dir: deletion vector of $p holds " +
+              s"${parsed.cardinality} rows but its descriptor declares " +
+              s"cardinality ${d.cardinality} — corrupt metadata, refusing")
+          p -> bytes
+        }
+      }.toMap
     val base = spark.read.schema(readSchema).parquet(files: _*)
-    if (st.partCols.isEmpty)
+    if (st.partCols.isEmpty && !anyDv)
       base.select(schema.fields.map(f =>
         col(physOf(f.name)).as(f.name)).toIndexedSeq: _*)
     else {
@@ -1003,7 +1192,7 @@ object DeltaMirror {
       // columnMapping the log keys partitionValues by PHYSICAL name;
       // plain tables by the column name — both resolve.
       val hconf = spark.sessionState.newHadoopConf()
-      val pvRows: Seq[Row] = st.live.toSeq.map { case (p, info) =>
+      val pvRows: Seq[Row] = liveSeq.map { case (p, info) =>
         val abs = new org.apache.hadoop.fs.Path(absOf(p))
         val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
         val key = new java.net.URI(q.getScheme, q.getAuthority,
@@ -1013,7 +1202,8 @@ object DeltaMirror {
           info.partitionValues.collectFirst {
             case (k, ov) if k == pn || k == c => ov }.flatten.orNull
         }
-        Row.fromSeq(key +: (vals :+ java.lang.Boolean.TRUE))
+        Row.fromSeq((key +: vals) ++
+          Seq(dvBytes.get(p).orNull, java.lang.Boolean.TRUE))
       }
       import scala.jdk.CollectionConverters._
       val pvSchema = org.apache.spark.sql.types.StructType(
@@ -1021,22 +1211,42 @@ object DeltaMirror {
           org.apache.spark.sql.types.StringType, false) +:
           st.partCols.map(c => org.apache.spark.sql.types.StructField(
             s"__graft_pv_$c", org.apache.spark.sql.types.StringType,
-            true))) :+
+            true))) ++ Seq(
+          org.apache.spark.sql.types.StructField("__graft_dv",
+            org.apache.spark.sql.types.BinaryType, true),
           org.apache.spark.sql.types.StructField("__graft_matched",
-            org.apache.spark.sql.types.BooleanType, true))
+            org.apache.spark.sql.types.BooleanType, true)))
       val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
       val guard = col("__graft_matched").isNotNull
-      base.withColumn("__graft_file", col("_metadata.file_path"))
+      // keep-predicate runs as a FILTER below the projection: an
+      // unmatched file raises (an encoding regression must be loud —
+      // with DVs it would otherwise silently serve deleted rows);
+      // a matched file keeps the row unless its DV marks the row index
+      val keep =
+        if (!anyDv) lit(true)
+        else col("__graft_dv").isNull ||
+          !org.apache.spark.sql.GraftColumnBridge.column(
+            graft.plans.DvContains(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                col("__graft_file")),
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                col("__graft_dv")),
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                col("__graft_ridx"))))
+      val keyed = base.withColumn("__graft_file", col("_metadata.file_path"))
+      val withIdx =
+        if (anyDv) keyed.withColumn("__graft_ridx",
+          col("_metadata.row_index"))
+        else keyed
+      withIdx
         .join(broadcast(pvDf), Seq("__graft_file"), "left")
+        .where(when(guard, keep).otherwise(raise_error(concat(
+          lit(s"readDelta at $dir: data file "), col("__graft_file"),
+          lit(" failed to match its log entry (path-encoding " +
+            "regression)"))).cast("boolean")))
         .select(schema.fields.map { f =>
           if (partSet(f.name))
-            when(guard, col(s"__graft_pv_${f.name}").cast(f.dataType))
-              .otherwise(raise_error(concat(
-                lit(s"readDelta at $dir: data file "),
-                col("__graft_file"),
-                lit(" failed to match its log partitionValues " +
-                  "(path-encoding regression)"))).cast(f.dataType))
-              .as(f.name)
+            col(s"__graft_pv_${f.name}").cast(f.dataType).as(f.name)
           else col(physOf(f.name)).as(f.name)
         }.toIndexedSeq: _*)
     }

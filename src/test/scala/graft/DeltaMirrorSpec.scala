@@ -433,9 +433,10 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"))
   }
 
-  test("reader conformance: DV / v2-checkpoint / id-mapping tables refuse loudly") {
-    // serving these would be silently WRONG (deleted rows come back,
-    // columns misresolve) — the spec's reader contract is to refuse
+  test("reader conformance: unknown-feature / v2-checkpoint / id-mapping tables refuse loudly") {
+    // serving these would be silently WRONG (state this reader cannot
+    // resolve, columns misresolve) — the spec's reader contract is to
+    // refuse
     def foreignLog(sub: String, protocol: String, extraActs: Seq[String],
                    config: String = "{}"): String = {
       val d = freshDir(s"graft_delta_conf_$sub")
@@ -454,18 +455,12 @@ class DeltaMirrorSpec extends AnyFunSuite {
           .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
       d
     }
-    // deletionVectors via readerFeatures (protocol v3)
-    val dvTable = foreignLog("dvfeat",
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+    // a reader feature this reader does not implement (protocol v3)
+    val v2Table = foreignLog("v2cp",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint","someFutureFeature"],"writerFeatures":["v2Checkpoint"]}}""",
       Seq.empty)
-    val e1 = intercept[Exception](DeltaMirror.readDelta(spark, dvTable))
-    assert(e1.getMessage.contains("deletionVectors"))
-    // a live add carrying a DV on an older protocol shape: same refusal
-    val dvAdd = foreignLog("dvadd",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      Seq("""{"add":{"path":"files/x.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,"sizeInBytes":40,"cardinality":6}}}"""))
-    val e2 = intercept[Exception](DeltaMirror.readDelta(spark, dvAdd))
-    assert(e2.getMessage.contains("deletion vector"))
+    val e1 = intercept[Exception](DeltaMirror.readDelta(spark, v2Table))
+    assert(e1.getMessage.contains("someFutureFeature"))
     // id-mode column mapping: files match by parquet field id
     val idTable = foreignLog("idmode",
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
@@ -474,7 +469,7 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("mode=id"))
     // ...and a v3 table whose features we DO implement reads fine
     val okTable = foreignLog("okfeat",
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","deletionVectors"],"writerFeatures":["timestampNtz"]}}""",
       Seq.empty)
     assert(rows(DeltaMirror.readDelta(spark, okTable)) == Set("1|a"))
   }
@@ -531,5 +526,207 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(rows(DeltaMirror.readDelta(spark, d)) == rows(df))
     // and at version 0 too
     assert(rows(DeltaMirror.readDelta(spark, d, Some(0L))) == rows(df))
+  }
+
+  // ------------------------------------------------------------------
+  // deletion vectors (read direction)
+  // ------------------------------------------------------------------
+
+  import graft.sources.DeletionVectors
+
+  /** Single-part parquet files of (k, s) rows over the given ranges,
+    * in range order (coalesce(1) of a local Seq preserves it, so
+    * `_metadata.row_index` == position in the range). Returns
+    * (tableDir, relative add paths positionally). */
+  private def dvDataFiles(sub: String, ranges: Seq[Range])
+      : (String, Seq[String]) = {
+    val d = freshDir(sub)
+    val rels = ranges.zipWithIndex.map { case (r, i) =>
+      r.map(k => (k.toLong, s"s$k")).toDF("k", "s")
+        .coalesce(1).write.parquet(s"$d/f$i")
+      val part = new java.io.File(s"$d/f$i").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"f$i/$part"
+    }
+    (d, rels)
+  }
+
+  private def dvSchemaJson: String =
+    Seq((1L, "a")).toDF("k", "s").schema.json.replace("\"", "\\\"")
+
+  private val dvProtocol =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  private def dvMeta: String =
+    s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$dvSchemaJson","partitionColumns":[],"configuration":{}}}"""
+
+  private def addJson(rel: String, dv: Option[String]): String =
+    s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true${dv.map(d => s""","deletionVector":$d""").getOrElse("")}}}"""
+
+  private def dvJson(storageType: String, pid: String, offset: Option[Int],
+                     size: Int, card: Long): String =
+    s"""{"storageType":"$storageType","pathOrInlineDv":"$pid"${offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":$size,"cardinality":$card}"""
+
+  private def inlineDv(deleted: Seq[Long]): String = {
+    val bm = DeletionVectors.serialize(deleted.toArray)
+    val padded =
+      if (bm.length % 4 == 0) bm
+      else java.util.Arrays.copyOf(bm, bm.length + 4 - bm.length % 4)
+    dvJson("i", DeletionVectors.z85Encode(padded), None, bm.length,
+      deleted.size.toLong)
+  }
+
+  private def writeLog(d: String, v: Int, lines: Seq[String]): Unit = {
+    new java.io.File(s"$d/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$d/_delta_log/$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+  }
+
+  test("deletion vectors: on-disk (u, shared .bin), inline and plain files resolve") {
+    val (d, rels) = dvDataFiles("graft_delta_dv",
+      Seq(0 until 10, 10 until 20, 20 until 30, 30 until 40))
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    // f0 and f3 share one deletion_vector .bin at distinct offsets
+    val bm0 = DeletionVectors.serialize(Array(0L, 3L, 7L))
+    val bm3 = DeletionVectors.serialize(Array(5L))
+    val uuid = java.util.UUID.fromString(
+      "0c8cbf3a-88a4-4aae-9ee5-9d2cbe5d12a7")
+    new java.io.File(d, "ab").mkdirs()
+    val offs = DeletionVectors.writeDvFile(lfs,
+      new org.apache.hadoop.fs.Path(s"$d/ab", s"deletion_vector_$uuid.bin"),
+      Seq(bm0, bm3))
+    val uDv = (bm: Array[Byte], off: Int, card: Long) =>
+      dvJson("u", "ab" + DeletionVectors.encodeUuid(uuid), Some(off),
+        bm.length, card)
+    writeLog(d, 0, Seq(dvProtocol, dvMeta,
+      addJson(rels(0), Some(uDv(bm0, offs(0), 3))),
+      addJson(rels(1), Some(inlineDv(Seq(1L, 2L, 3L, 4L)))),
+      addJson(rels(2), None),
+      addJson(rels(3), Some(uDv(bm3, offs(1), 1)))))
+    val expected =
+      (Seq(1, 2, 4, 5, 6, 8, 9) ++           // f0 minus idx {0,3,7}
+        (Seq(10) ++ (15 until 20)) ++        // f1 minus idx {1,2,3,4}
+        (20 until 30) ++                     // f2 intact
+        ((30 until 40).filterNot(_ == 35)))  // f3 minus idx {5}
+        .map(k => s"$k|s$k").toSet
+    assert(rows(DeltaMirror.readDelta(spark, d)) == expected)
+  }
+
+  test("DV reconciliation keys on (path, dv uniqueId); DVs survive checkpoints") {
+    val (d, rels) = dvDataFiles("graft_delta_dvrec", Seq(0 until 10))
+    writeLog(d, 0, Seq(dvProtocol, dvMeta, addJson(rels(0), None)))
+    // the DELETE commit lists the new-DV add BEFORE the bare remove —
+    // path-keyed reconciliation would drop the file entirely
+    val dv1 = inlineDv(Seq(0L, 1L))
+    writeLog(d, 1, Seq(
+      addJson(rels(0), Some(dv1)),
+      s"""{"remove":{"path":"${rels(0)}","dataChange":true}}"""))
+    val afterDv1 = (2 until 10).map(k => s"$k|s$k").toSet
+    assert(rows(DeltaMirror.readDelta(spark, d)) == afterDv1)
+    // checkpoint the DV state, clean the covered JSONs: the bitmap
+    // descriptor and the feature protocol must ride the checkpoint
+    assert(DeltaMirror.checkpoint(spark, d) == 1L)
+    new java.io.File(s"$d/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(rows(DeltaMirror.readDelta(spark, d)) == afterDv1)
+    val cp = spark.read.parquet(
+      s"$d/_delta_log/${"0" * 19}1.checkpoint.parquet")
+    assert(cp.schema("add").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames
+      .contains("deletionVector"))
+    assert(cp.where(col("protocol").isNotNull)
+      .select(col("protocol.readerFeatures")).collect().head
+      .getSeq[String](0) == Seq("deletionVectors"))
+    // a later DELETE rewrites the DV: remove the old (path, dv1)
+    // pairing, add (path, dv2) — resolved through checkpoint + tail
+    writeLog(d, 2, Seq(
+      s"""{"remove":{"path":"${rels(0)}","dataChange":true,"deletionVector":$dv1}}""",
+      addJson(rels(0), Some(inlineDv(Seq(0L, 1L, 2L, 3L, 4L))))))
+    assert(rows(DeltaMirror.readDelta(spark, d)) ==
+      (5 until 10).map(k => s"$k|s$k").toSet)
+  }
+
+  test("DV refusals: cardinality mismatch, duplicate live generations") {
+    val (d, rels) = dvDataFiles("graft_delta_dvbad", Seq(0 until 10))
+    val bm = DeletionVectors.serialize(Array(0L, 1L))
+    val padded = java.util.Arrays.copyOf(bm,
+      bm.length + (4 - bm.length % 4) % 4)
+    writeLog(d, 0, Seq(dvProtocol, dvMeta, addJson(rels(0), Some(
+      dvJson("i", DeletionVectors.z85Encode(padded), None, bm.length, 5)))))
+    val e1 = intercept[Exception](DeltaMirror.readDelta(spark, d))
+    assert(e1.getMessage.contains("cardinality"))
+    // two DV generations of one file live at once: double-serve refusal
+    val (d2, rels2) = dvDataFiles("graft_delta_dvdup", Seq(0 until 10))
+    writeLog(d2, 0, Seq(dvProtocol, dvMeta,
+      addJson(rels2(0), Some(inlineDv(Seq(0L)))),
+      addJson(rels2(0), Some(inlineDv(Seq(1L))))))
+    val e2 = intercept[Exception](DeltaMirror.readDelta(spark, d2))
+    assert(e2.getMessage.contains("more than one"))
+  }
+
+  test("DVs compose with partition columns off the same broadcast") {
+    val (d, rels) = dvDataFiles("graft_delta_dvpart",
+      Seq(0 until 10, 10 until 20))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq((1L, "a")).toDF("k", "s").schema.fields :+
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType, true))
+      .json.replace("\"", "\\\"")
+    writeLog(d, 0, Seq(dvProtocol,
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["lang"],"configuration":{}}}""",
+      s"""{"add":{"path":"${rels(0)}","partitionValues":{"lang":"en"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${inlineDv(Seq(0L, 9L))}}}""",
+      s"""{"add":{"path":"${rels(1)}","partitionValues":{"lang":"de"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val expected = ((1 until 9).map(k => s"$k|s$k|en") ++
+      (10 until 20).map(k => s"$k|s$k|de")).toSet
+    assert(rows(DeltaMirror.readDelta(spark, d)) == expected)
+  }
+
+  test("checkpoint preserves writerFeatures + domainMetadata; unknown actions refuse") {
+    val (d, rels) = dvDataFiles("graft_delta_wf", Seq(0 until 5))
+    writeLog(d, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata","appendOnly"]}}""",
+      dvMeta, addJson(rels(0), None),
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"c\":1}","removed":false}}"""))
+    assert(DeltaMirror.checkpoint(spark, d) == 0L)
+    val cp = spark.read.parquet(
+      s"$d/_delta_log/${"0" * 20}.checkpoint.parquet")
+    assert(cp.where(col("protocol").isNotNull)
+      .select(col("protocol.writerFeatures")).collect().head
+      .getSeq[String](0) == Seq("appendOnly", "domainMetadata"))
+    val dm = cp.where(col("domainMetadata").isNotNull)
+      .select("domainMetadata.domain", "domainMetadata.configuration",
+        "domainMetadata.removed").collect()
+    assert(dm.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq == Seq(("delta.clustering", """{"c":1}""", false)))
+    // cleaned-up JSONs: the checkpointed state still serves, and a
+    // REPLAY from it still carries the domain + features forward
+    new java.io.File(s"$d/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(rows(DeltaMirror.readDelta(spark, d)) ==
+      (0 until 5).map(k => s"$k|s$k").toSet)
+    // an action kind replay does not model refuses to checkpoint —
+    // a flattened base would silently drop it
+    val (d2, rels2) = dvDataFiles("graft_delta_unk", Seq(0 until 5))
+    writeLog(d2, 0, Seq(dvProtocol,
+      dvMeta, addJson(rels2(0), None),
+      """{"fancyNewAction":{"x":1}}"""))
+    val e = intercept[Exception](DeltaMirror.checkpoint(spark, d2))
+    assert(e.getMessage.contains("fancyNewAction"))
+  }
+
+  test("driver-resident log state: live-file ceiling refuses loudly") {
+    val d = freshDir("graft_delta_ceiling")
+    new java.io.File(s"$d/_delta_log").mkdirs()
+    writeLog(d, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      dvMeta) ++ (0 until 25).map(i =>
+      s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    spark.conf.set("spark.graft.delta.maxLiveFiles", "10")
+    try {
+      val e = intercept[Exception](DeltaMirror.readDelta(spark, d))
+      assert(e.getMessage.contains("maxLiveFiles"))
+    } finally spark.conf.unset("spark.graft.delta.maxLiveFiles")
   }
 }
