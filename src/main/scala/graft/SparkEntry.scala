@@ -1694,6 +1694,79 @@ object SparkEntry {
       DeltaMirror.readDelta(s, table)
     }),
 
+    "q_ingest_delta_dv" -> ((s, d) => {
+      // FOREIGN DELETION-VECTOR table through the gate: a hand-built
+      // `_delta_log` (protocol 3/7, readerFeatures=[deletionVectors])
+      // over three parquet files — one carrying an on-disk
+      // storageType=u DV, one an inline (z85) DV, one plain — plus a
+      // second commit that rewrites the u-file's DV pairing with the
+      // add listed BEFORE the bare remove, exercising the spec's
+      // (path, dvUniqueId) reconciliation. The SERVED ROWS come
+      // through readDelta's DV resolution (CRC-verified roaring
+      // bitmaps filtered by _metadata.row_index); the oracle
+      // re-derives the survivor set from the raw documents table by
+      // row rank, so a mis-parsed bitmap, an off-by-one row index or
+      // a dropped pairing surfaces as missing/extra rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_ingest_dv_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val dir = tmp.toString
+      import graft.sources.{DeletionVectors, DeltaMirror}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      // one sorted single-part file per slice: row_index == rank by
+      // doc_id, which is what the oracle reproduces
+      def slice(m: Int, sub: String): (String, Long) = {
+        base.where(pmod(col("doc_id"), lit(4)) === m)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.parquet(s"$dir/$sub")
+        val part = new java.io.File(s"$dir/$sub").listFiles()
+          .map(_.getName).find(_.endsWith(".parquet")).get
+        (s"$sub/$part",
+          s.read.parquet(s"$dir/$sub").count())
+      }
+      val (relA, nA) = slice(2, "fa")
+      val (relB, nB) = slice(3, "fb")
+      val (relC, _) = slice(1, "fc")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // on-disk DV for fa (every 7th row), inline DV for fb (every 5th)
+      val delA = (0L until nA by 7).toArray
+      val bmA = DeletionVectors.serialize(delA, runOptimize = true)
+      val uuid = java.util.UUID.nameUUIDFromBytes(
+        s"graft:dv:$d".getBytes("UTF-8"))
+      val offA = DeletionVectors.writeDvFile(fs,
+        new org.apache.hadoop.fs.Path(dir, s"deletion_vector_$uuid.bin"),
+        Seq(bmA)).head
+      val dvA = s"""{"storageType":"u","pathOrInlineDv":"${
+        DeletionVectors.encodeUuid(uuid)}","offset":$offA,"sizeInBytes":${
+        bmA.length},"cardinality":${delA.length}}"""
+      val delB = (0L until nB by 5).toArray
+      val bmB = DeletionVectors.serialize(delB)
+      val padB = java.util.Arrays.copyOf(bmB,
+        bmB.length + (4 - bmB.length % 4) % 4)
+      val dvB = s"""{"storageType":"i","pathOrInlineDv":"${
+        DeletionVectors.z85Encode(padB)}","sizeInBytes":${
+        bmB.length},"cardinality":${delB.length}}"""
+      val schemaJson = base.schema.json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      def add(rel: String, dv: Option[String]) =
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true${
+          dv.map(x => s""","deletionVector":$x""").getOrElse("")}}}"""
+      new java.io.File(s"$dir/_delta_log").mkdirs()
+      def commit(v: Int, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"dvgate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+        add(relA, None), add(relB, Some(dvB)), add(relC, None)))
+      commit(1, Seq(add(relA, Some(dvA)),
+        s"""{"remove":{"path":"$relA","dataChange":true}}"""))
+      DeltaMirror.readDelta(s, dir)
+    }),
+
     "q_ingest_delta" -> ((s, d) => {
       // DELTA IMPORT direction through the gate: the table evolves
       // (partitioned base + partition overwrite + COW DELETE), the
@@ -4346,6 +4419,24 @@ object SparkEntry {
       // Deletes are cumulative, so the last predicate governs.
       """SELECT doc_id, source, n_chars, lang FROM documents
         |WHERE doc_id % 4 = 1 AND NOT coalesce(n_chars < 170, false)"""
+        .stripMargin,
+
+    "q_ingest_delta_dv" ->
+      // rows served through readDelta's DELETION-VECTOR resolution:
+      // each file's survivors re-derived by row rank (files are
+      // written sorted by doc_id, so parquet row_index == rank) —
+      // fa loses every 7th row to an on-disk DV, fb every 5th to an
+      // inline DV, fc is untouched
+      """WITH b AS (SELECT doc_id, source, n_chars, lang FROM documents),
+        |a7 AS (SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS ridx
+        |       FROM b WHERE doc_id % 4 = 2),
+        |b5 AS (SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS ridx
+        |       FROM b WHERE doc_id % 4 = 3)
+        |SELECT doc_id, source, n_chars, lang FROM a7 WHERE ridx % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang FROM b5 WHERE ridx % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang FROM b WHERE doc_id % 4 = 1"""
         .stripMargin,
 
     "q_snapshot_evolve" ->
