@@ -1614,15 +1614,11 @@ object SparkEntry {
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 140)
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 160)
       DeltaMirror.mirror(s, table, checkpointEvery = 3)
-      // retention: drop every JSON commit the checkpoint covers
-      val log = new java.io.File(s"$table/_delta_log")
-      val cpv = log.listFiles()
-        .map(_.getName).filter(_.endsWith(".checkpoint.parquet"))
-        .map(_.stripSuffix(".checkpoint.parquet").toLong).max
-      log.listFiles().filter { f =>
-        f.getName.matches("\\d{20}\\.json") &&
-          f.getName.stripSuffix(".json").toLong <= cpv
-      }.foreach(_.delete())
+      // retention through the API that owns the invariant: every JSON
+      // commit the checkpoint covers deletes (retain=1 keeps only the
+      // tip time-travelable); a boundary bug would leave the oracle's
+      // replay either over- or under-fed
+      DeltaMirror.cleanupLog(s, table, retainVersions = 1)
       // post-checkpoint history = the JSON tail a reader replays
       LakeWriter.commitSnapshotDynamic(
         base.where(col("lang") === "en").where(col("n_chars") >= 160),
@@ -1681,14 +1677,7 @@ object SparkEntry {
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 130)
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
       DeltaMirror.mirror(s, table, checkpointEvery = 2)
-      val log = new java.io.File(s"$table/_delta_log")
-      val cpv = log.listFiles()
-        .map(_.getName).filter(_.endsWith(".checkpoint.parquet"))
-        .map(_.stripSuffix(".checkpoint.parquet").toLong).max
-      log.listFiles().filter { f =>
-        f.getName.matches("\\d{20}\\.json") &&
-          f.getName.stripSuffix(".json").toLong <= cpv
-      }.foreach(_.delete())
+      DeltaMirror.cleanupLog(s, table, retainVersions = 1)
       LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 170)
       DeltaMirror.mirror(s, table, checkpointEvery = 2)
       DeltaMirror.readDelta(s, table)

@@ -221,7 +221,8 @@ object CurationPipeline {
     * history it expected to keep. */
   def maintain(spark: SparkSession, outDir: String, nFiles: Int = 32,
                keepVersions: Int = 3, mirrorDelta: Boolean = false,
-               checkpointEvery: Int = 10): Long = {
+               checkpointEvery: Int = 10,
+               logRetainVersions: Int = 0): Long = {
     val corpusTable = s"$outDir/corpus"
     val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
     // open-format interop rides maintenance (the reference lands every
@@ -236,9 +237,17 @@ object CurationPipeline {
     // cadence keeps a foreign reader's replay O(checkpointEvery)
     // however many loads the corpus has absorbed — months of daily
     // loads otherwise mean hundreds of JSON commits per open.
-    if (mirrorDelta)
+    if (mirrorDelta) {
       graft.sources.DeltaMirror.mirror(spark, corpusTable,
         checkpointEvery = checkpointEvery): Unit
+      // log retention rides maintenance too: JSON commits the newest
+      // covering checkpoint supersedes AND the retention window has
+      // outgrown are deleted (non-strict — a call landing between
+      // checkpoints is a routine no-op)
+      if (logRetainVersions > 0)
+        graft.sources.DeltaMirror.cleanupLog(spark, corpusTable,
+          logRetainVersions, strict = false): Unit
+    }
     LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
     v
   }

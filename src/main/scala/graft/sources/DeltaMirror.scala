@@ -289,6 +289,30 @@ object DeltaMirror {
     }
   }
 
+  /** COMPLETE checkpoints present on disk, by listing: version ->
+    * part count. A multi-part set counts only when every named part
+    * exists (a partial set must never be chosen — it would silently
+    * drop files). Listing-based discovery (the protocol's own
+    * fallback when `_last_checkpoint` is stale) is what lets replay
+    * resolve a version BELOW the newest checkpoint through an older
+    * one — the invariant [[cleanupLog]] trades on. */
+  private def checkpointsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path): Map[Long, Int] = {
+    if (!fs.exists(log)) return Map.empty
+    val names = fs.listStatus(log).map(_.getPath.getName).toSeq
+    val multiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val multis: Map[Long, Int] = names.collect {
+      case multiRe(v, i, t) => (v.toLong, t.toInt, i.toInt) }
+      .groupBy(x => (x._1, x._2))
+      .collect { case ((v, t), parts)
+        if parts.map(_._3).toSet == (1 to t).toSet => v -> t }
+      .toMap
+    val singles: Map[Long, Int] = names.collect {
+      case n if n.matches("""\d{20}\.checkpoint\.parquet""") =>
+        n.take(20).toLong -> 1 }.toMap
+    multis ++ singles // a single-file checkpoint wins a version tie
+  }
+
   /** `_last_checkpoint` pointer: (delta version, graft cursor when the
     * checkpoint was written by [[mirror]], part count — 1 for a
     * classic single-file checkpoint, N for a multi-part one). */
@@ -453,19 +477,28 @@ object DeltaMirror {
     val fs = LakeWriter.fsOf(spark, log)
     require(fs.exists(log), s"no _delta_log at $dir")
     val jsons = deltaVersions(spark, dir)
-    val cp = lastCheckpointInfo(fs, log)
-    val latest = (jsons ++ cp.map(_._1)).maxOption.getOrElse(
+    val lc = lastCheckpointInfo(fs, log)
+    val onDisk = checkpointsOnDisk(fs, log)
+    val latest = (jsons ++ lc.map(_._1) ++ onDisk.keys).maxOption.getOrElse(
       sys.error(s"empty _delta_log at $dir"))
     val v = upTo.getOrElse(latest)
     require(v >= 0 && v <= latest,
       s"no delta version $v at $dir (latest is $latest)")
     val st = new LogState
-    val startAfter: Long = cp match {
-      case Some((cv, g, parts)) if cv <= v =>
-        loadCheckpoint(spark, dir, cv, parts, st)
-        st.lastGraft = g
+    // newest COMPLETE checkpoint at or below the target: time travel
+    // below the latest checkpoint resolves through an older one when
+    // it survives on disk. A `_last_checkpoint` pointer whose named
+    // files are incomplete must stay LOUD (the pointer is the
+    // published contract), not silently fall back past it.
+    val startAfter: Long = onDisk.keys.filter(_ <= v).maxOption match {
+      case Some(cv) =>
+        loadCheckpoint(spark, dir, cv, onDisk(cv), st)
+        st.lastGraft = lc.collect { case (`cv`, g, _) => g }.flatten
         cv
-      case _ => -1L
+      case None =>
+        lc.filter(_._1 <= v).foreach { case (cv, _, parts) =>
+          loadCheckpoint(spark, dir, cv, parts, st) } // loud: parts missing
+        -1L
     }
     val tail = jsons.filter(x => x > startAfter && x <= v)
     require(tail == (startAfter + 1 to v),
@@ -1050,6 +1083,81 @@ object DeltaMirror {
       .rename(lcTmp, new org.apache.hadoop.fs.Path(log, "_last_checkpoint"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     v
+  }
+
+  // ------------------------------------------------------------------
+  // log retention
+  // ------------------------------------------------------------------
+
+  /** LOG RETENTION, owning the invariant checkpoints create: delete
+    * JSON commits (and superseded older checkpoints) that are
+    * strictly covered by a checkpoint AND below the retention floor,
+    * never anything a kept version still needs.
+    *
+    * `retainVersions` = how many of the newest delta versions must
+    * stay time-travelable after the call. The floor is
+    * `b = tip - retainVersions + 1`; the deletion boundary is the
+    * newest complete checkpoint at or below `b` (versions >= b keep
+    * resolving through it plus the surviving JSON tail — [[replay]]
+    * discovers on-disk checkpoints below `_last_checkpoint` exactly
+    * for this). Everything at or below that boundary deletes; the
+    * boundary version itself stays resolvable through its checkpoint.
+    * Versions below the floor become non-travelable — that is what
+    * log retention MEANS — but never silently partial: replay's
+    * contiguity check still refuses them loudly.
+    *
+    * When old JSONs exist below the floor but NO checkpoint sits at
+    * or below it (checkpoint cadence coarser than the retention
+    * window), a `strict` call REFUSES with the fix spelled out —
+    * deleting would strand versions the caller asked to keep, and
+    * silently keeping everything would let a streaming log grow
+    * unbounded while looking maintained. `strict = false` (the
+    * per-micro-batch maintenance path, where a between-checkpoints
+    * call is routine) quietly deletes nothing that round.
+    *
+    * Returns the number of JSON commits deleted. O(log listing) —
+    * metadata-only, no data IO, no replay. */
+  def cleanupLog(spark: SparkSession, table: String,
+                 retainVersions: Int, strict: Boolean = true): Int = {
+    require(retainVersions >= 1,
+      s"cleanupLog of $table: retainVersions must be >= 1")
+    val log = logDir(table)
+    val fs = LakeWriter.fsOf(spark, log)
+    val jsons = deltaVersions(spark, table)
+    val cps = checkpointsOnDisk(fs, log)
+    val tip = (jsons ++ cps.keys).maxOption.getOrElse(
+      sys.error(s"cleanupLog: empty or missing _delta_log at $table"))
+    val b = math.max(0L, tip - retainVersions + 1)
+    val boundary = cps.keys.filter(_ <= b).maxOption
+    boundary match {
+      case None =>
+        val stranded = jsons.filter(_ < b)
+        if (stranded.nonEmpty && strict) sys.error(
+          s"cleanupLog of $table: ${stranded.size} JSON commit(s) sit " +
+            s"below the retention floor (version $b) but no checkpoint " +
+            "covers them — deleting would strand versions the " +
+            s"retainVersions=$retainVersions window keeps. Checkpoint " +
+            "at or below the floor first (tighten checkpointEvery, or " +
+            "call checkpoint()), or retain fewer versions")
+        0
+      case Some(cs) =>
+        val deletable = jsons.filter(_ <= cs)
+        deletable.foreach { dv =>
+          fs.delete(new org.apache.hadoop.fs.Path(log, commitName(dv)),
+            false): Unit
+        }
+        // checkpoints older than the boundary are superseded artifacts
+        cps.keys.filter(_ < cs).foreach { cv =>
+          val parts = cps(cv)
+          val files =
+            if (parts <= 1) Seq(checkpointName(cv))
+            else (1 to parts).map(i =>
+              f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet")
+          files.foreach(n => fs.delete(
+            new org.apache.hadoop.fs.Path(log, n), false): Unit)
+        }
+        deletable.size
+    }
   }
 
   // ------------------------------------------------------------------

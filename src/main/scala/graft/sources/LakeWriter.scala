@@ -1926,8 +1926,23 @@ object LakeWriter {
                             everyVersions: Int, nFiles: Int = 32,
                             keepVersions: Int = 3,
                             mirrorDelta: Boolean = false,
-                            checkpointEvery: Int = 10): Option[Long] = {
+                            checkpointEvery: Int = 10,
+                            logRetainVersions: Int = 0): Option[Long] = {
     val vs = snapshotVersions(spark, table)
+    // `logRetainVersions` > 0 completes the mirror's own maintenance
+    // story: after mirroring, JSON commits a checkpoint covers AND
+    // the retention window has outgrown are deleted
+    // (DeltaMirror.cleanupLog, non-strict — between checkpoints the
+    // call is a routine no-op), so the `_delta_log` stays
+    // O(checkpointEvery + logRetainVersions) files forever, matching
+    // what vacuum does for the manifest side
+    def mirrorAndClean(): Unit = {
+      DeltaMirror.mirror(spark, table,
+        checkpointEvery = checkpointEvery): Unit
+      if (logRetainVersions > 0)
+        DeltaMirror.cleanupLog(spark, table, logRetainVersions,
+          strict = false): Unit
+    }
     val maintained =
       if (everyVersions > 0 && vs.nonEmpty && vs.last % everyVersions == 0) {
         val v = compactSnapshot(spark, table, nFiles)
@@ -1936,9 +1951,7 @@ object LakeWriter {
         // adds/removes while every referenced file still exists — a
         // foreign reader mid-sequence must never see adds pointing at
         // reclaimed files
-        if (mirrorDelta)
-          DeltaMirror.mirror(spark, table,
-            checkpointEvery = checkpointEvery): Unit
+        if (mirrorDelta) mirrorAndClean()
         vacuumSnapshots(spark, table, keepLast = keepVersions)
         Some(v)
       } else None
@@ -1948,8 +1961,7 @@ object LakeWriter {
     // checkpoint cadence bounds what a foreign reader replays, so a
     // per-micro-batch stream sink can leave it on permanently
     if (mirrorDelta && maintained.isEmpty && vs.nonEmpty)
-      DeltaMirror.mirror(spark, table,
-        checkpointEvery = checkpointEvery): Unit
+      mirrorAndClean()
     maintained
   }
 

@@ -78,7 +78,7 @@ object GraphStream {
           src: String, dst: String, maxIter: Int = 20,
           maintainEvery: Int = 0, compactFiles: Int = 32,
           keepVersions: Int = 3, mirrorDelta: Boolean = false,
-          checkpointEvery: Int = 10,
+          checkpointEvery: Int = 10, logRetainVersions: Int = 0,
           trigger: org.apache.spark.sql.streaming.Trigger =
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -94,7 +94,7 @@ object GraphStream {
           // with no export step, bounded-replay forever
           LakeWriter.maintainSnapshotEvery(batch.sparkSession, table,
             maintainEvery, compactFiles, keepVersions, mirrorDelta,
-            checkpointEvery): Unit
+            checkpointEvery, logRetainVersions): Unit
       }
       .trigger(trigger)
       .start()

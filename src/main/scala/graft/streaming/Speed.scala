@@ -469,6 +469,7 @@ object Speed extends Serializable {
                        maintainEvery: Int = 0, compactFiles: Int = 32,
                        keepVersions: Int = 3, mirrorDelta: Boolean = false,
                        checkpointEvery: Int = 10,
+                       logRetainVersions: Int = 0,
                        trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -485,7 +486,8 @@ object Speed extends Serializable {
         // (+ checkpoints) so foreign engines follow the upsert state
         graft.sources.LakeWriter.maintainSnapshotEvery(
           batch.sparkSession, table, maintainEvery, compactFiles,
-          keepVersions, mirrorDelta, checkpointEvery): Unit
+          keepVersions, mirrorDelta, checkpointEvery,
+          logRetainVersions): Unit
       }
       .trigger(trigger)
       .start()

@@ -716,6 +716,56 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fancyNewAction"))
   }
 
+  test("cleanupLog: deletes only covered-and-expired commits; strict refusals spell the fix") {
+    val t = freshDir("graft_delta_clean") + "/t"
+    LakeWriter.commitSnapshot(docs(20), t)
+    (1 to 4).foreach(i =>
+      LakeWriter.commitSnapshot(docs(20 + i * 5).where($"id" >= 20 + (i - 1) * 5),
+        t, "append"))
+    DeltaMirror.mirror(spark, t) // delta 0..4, no checkpoint yet
+    // nothing is covered: strict refuses with the fix, non-strict no-ops
+    val e1 = intercept[Exception](DeltaMirror.cleanupLog(spark, t, 2))
+    assert(e1.getMessage.contains("no checkpoint"))
+    assert(DeltaMirror.cleanupLog(spark, t, 2, strict = false) == 0)
+    DeltaMirror.checkpoint(spark, t) // cp at tip (4)
+    // the only checkpoint sits ABOVE the floor retain=3 implies:
+    // deleting sub-floor commits would strand versions 2..3
+    val e2 = intercept[Exception](DeltaMirror.cleanupLog(spark, t, 3))
+    assert(e2.getMessage.contains("no checkpoint"))
+    // retain=1: everything the tip checkpoint covers deletes
+    assert(DeltaMirror.cleanupLog(spark, t, 1) == 5)
+    assert(DeltaMirror.deltaVersions(spark, t).isEmpty)
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    val e3 = intercept[Exception](
+      DeltaMirror.readDelta(spark, t, Some(1L)))
+    assert(e3.getMessage.contains("cannot resolve"))
+    // second era: two more versions, a second checkpoint, one tail
+    // version — cleanup keeps the newest boundary checkpoint, prunes
+    // the superseded one, and every surviving version still resolves
+    LakeWriter.commitSnapshot(docs(45).where($"id" >= 40), t, "append")
+    LakeWriter.commitSnapshot(docs(50).where($"id" >= 45), t, "append")
+    DeltaMirror.mirror(spark, t) // delta 5, 6
+    DeltaMirror.checkpoint(spark, t) // cp at 6 (cp 4 still on disk)
+    LakeWriter.commitSnapshot(docs(55).where($"id" >= 50), t, "append")
+    DeltaMirror.mirror(spark, t) // delta 7
+    // time travel below the newest checkpoint resolves via the OLDER
+    // surviving checkpoint (4) + tail — discovery is listing-based
+    assert(rows(DeltaMirror.readDelta(spark, t, Some(5L))) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(6L))))
+    assert(DeltaMirror.cleanupLog(spark, t, 2) == 2) // drops JSONs 5,6
+    assert(!new java.io.File(
+      s"$t/_delta_log/${"0" * 19}4.checkpoint.parquet").exists(),
+      "superseded checkpoint not pruned")
+    assert(rows(DeltaMirror.readDelta(spark, t, Some(6L))) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(7L))))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    val e4 = intercept[Exception](
+      DeltaMirror.readDelta(spark, t, Some(5L)))
+    assert(e4.getMessage.contains("cannot resolve"))
+  }
+
   test("driver-resident log state: live-file ceiling refuses loudly") {
     val d = freshDir("graft_delta_ceiling")
     new java.io.File(s"$d/_delta_log").mkdirs()

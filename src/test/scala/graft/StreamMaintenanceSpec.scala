@@ -151,6 +151,54 @@ class StreamMaintenanceSpec extends AnyFunSuite {
     // thrown on a missing file)
   }
 
+  test("mirrorDelta + logRetainVersions: _delta_log stays bounded, surviving versions resolve") {
+    val root = freshDir("graft_stream_logret")
+    val table = s"$root/labels"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // log retention IN the sink: checkpoints every 4 delta versions,
+    // cleanupLog keeps the newest 6 time-travelable — a month-old
+    // stream's _delta_log is a handful of files, not thousands
+    val q = GraphStream.run(
+      in.toDF().toDF("src", "dst"), table, s"$root/ckpt", "src", "dst",
+      maintainEvery = 8, compactFiles = 2, keepVersions = 3,
+      mirrorDelta = true, checkpointEvery = 4, logRetainVersions = 6,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 32).foreach { b =>
+        val base = b * 10L
+        in.addData(Seq((base, base + 1), (base + 1, base + 2)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import graft.sources.DeltaMirror
+    val logFiles = new java.io.File(s"$table/_delta_log").listFiles()
+      .map(_.getName)
+    val jsons = DeltaMirror.deltaVersions(spark, table)
+    assert(jsons.size <= 4 + 6,
+      s"JSON commits not retention-bounded: ${jsons.size}")
+    val cps = logFiles.filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted
+    assert(cps.length <= 3,
+      s"superseded checkpoints not pruned: ${cps.mkString(",")}")
+    // every surviving version — the boundary checkpoint and the whole
+    // tail — resolves green and matches graft's own history
+    val tip = (jsons ++ cps).max
+    (cps.min to tip).foreach { v =>
+      assert(DeltaMirror.readDelta(spark, table, Some(v)).count() > 0,
+        s"surviving version $v did not resolve")
+    }
+    assert(DeltaMirror.readDelta(spark, table).collect()
+      .map(_.toSeq).toSet ==
+      LakeWriter.readSnapshot(spark, table).collect().map(_.toSeq).toSet)
+    // below the boundary: refused loudly, never silently partial
+    if (cps.min > 0) {
+      val e = intercept[Exception](
+        DeltaMirror.readDelta(spark, table, Some(cps.min - 1)))
+      assert(e.getMessage.contains("cannot resolve"))
+    }
+  }
+
   test("maintainSnapshotEvery: off by default, cadence on version multiples only") {
     val root = freshDir("graft_maint_unit")
     val t = s"$root/t"
