@@ -61,10 +61,13 @@ import org.json4s.jackson.JsonMethods
   *    a hand-built manifest could hit this);
   *  - mixed partition layouts mid-evolution (a pre-spec file has no
   *    path-derived partition values — run `migratePartitionSpec`
-  *    first);
-  *  - partition values containing characters hive escapes as %XX
-  *    (a Delta reader URL-decodes `add.path`, diverging from the
-  *    on-disk name).
+  *    first).
+  *
+  * Partition values hive escapes as %XX on disk ('=', '#', ':' …)
+  * mirror correctly: relative `add.path`s are RFC-2396
+  * percent-ENCODED on write (literal '%' -> %25), so a conforming
+  * reader's URL-decode lands back on the on-disk name, while the
+  * `partitionValues` map carries the decoded logical value.
   *
   * Scale shape at 100 TB: mirroring is pure METADATA — per new
   * version, one manifest parse, one file-status sweep over the
@@ -615,8 +618,19 @@ object DeltaMirror {
     val root = fs.makeQualified(
       new org.apache.hadoop.fs.Path(table)).toString
 
+    // RFC-2396 percent-encoding of a table-root-relative add.path: a
+    // conforming Delta reader URL-DECODES add.path, so the on-disk
+    // name — which may itself contain hive-escaped %XX partition dirs
+    // ('=' escapes to %3D on disk), spaces, '+' … — must be ENCODED on
+    // write for the reader's decode to land back on the real file.
+    // java.net.URI's multi-arg constructor quotes every illegal byte
+    // including a literal '%' (-> %25), which is exactly the
+    // round-trip inverse of readDelta's percentDecode.
+    def encodeRelPath(rel: String): String =
+      new java.net.URI(null, null, "/" + rel, null)
+        .getRawPath.stripPrefix("/")
     def addPathOf(f: String): String = {
-      if (f.startsWith(root + "/")) f.stripPrefix(root + "/")
+      if (f.startsWith(root + "/")) encodeRelPath(f.stripPrefix(root + "/"))
       else {
         // convert-/clone-referenced foreign file: the protocol allows
         // an absolute add.path (URL-encoded URI) — emitted in the
@@ -629,10 +643,12 @@ object DeltaMirror {
         if (u.getScheme == null) f else u.toString
       }
     }
+    // add.path -> on-disk path: relative adds are percent-ENCODED in
+    // the log (encodeRelPath), so decode before touching the fs
     def absOf(p: String): org.apache.hadoop.fs.Path =
       if (isAbsolutePath(p)) new org.apache.hadoop.fs.Path(
         java.net.URI.create(p.replace(" ", "%20")))
-      else new org.apache.hadoop.fs.Path(s"$root/$p")
+      else new org.apache.hadoop.fs.Path(s"$root/${percentDecode(p)}")
 
     // current live set + cursor + governing metaData per the LOG —
     // checkpoint-bounded replay (self-contained resume: correct even
@@ -775,19 +791,21 @@ object DeltaMirror {
           finally pool.shutdown()
         }
       def partValuesJson(rel: String): JObject = {
+        // rel is the ENCODED add.path; extract values from the
+        // decoded ON-DISK name (the form hive escaping lives in)
         if (partCols.isEmpty) JObject(List.empty)
-        else partValuesOf(partCols, rel) match {
+        else partValuesOf(partCols, percentDecode(rel)) match {
           case None => sys.error(
             s"delta mirror of $table: $rel predates the " +
               s"${partCols.mkString(",")} partition spec — run " +
               "migratePartitionSpec before mirroring")
           case Some(raw) =>
+            // hive-escaped raw path values decode to the LOGICAL
+            // value here (the authoritative partitionValues map);
+            // the matching add.path keeps the escaped on-disk form,
+            // re-encoded by encodeRelPath so readers' URL-decode
+            // lands back on the real directory name
             JObject(partCols.zip(raw).map { case (c, v) =>
-              require(!v.contains("%"),
-                s"delta mirror of $table: partition value '$v' " +
-                  "carries hive %XX escapes — a Delta reader " +
-                  "URL-decodes add.path and would resolve a " +
-                  "different file name")
               val dec = percentDecode(v)
               c -> (if (dec == "__HIVE_DEFAULT_PARTITION__") JNull
                     else JString(dec): JValue)
@@ -856,7 +874,7 @@ object DeltaMirror {
       }
       adds.foreach { r =>
         val (len, mtime) = meta(r)
-        val statsJson = stats.get(r.split('/').last)
+        val statsJson = stats.get(percentDecode(r).split('/').last)
           .flatMap(deltaStatsJson(_, physTypes))
         actions += JObject(List("add" -> JObject(List(
           "path" -> JString(r),

@@ -716,6 +716,35 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fancyNewAction"))
   }
 
+  test("hive-escaped partition dirs: add.path RFC-encodes, values decode logically") {
+    // '=' hive-escapes to %3D in the partition DIRECTORY name; the
+    // Delta spec says a reader URL-DECODES add.path, so the mirror
+    // must write the dir's '%' as %25 for the decode to land back on
+    // the real file — and the partitionValues map must carry the
+    // decoded LOGICAL value. Spaces ride the same path.
+    val t = freshDir("graft_delta_esc") + "/t"
+    val df = Seq((1L, "a=b"), (2L, "a=b"), (3L, "c d"), (4L, "p+q"))
+      .toDF("id", "lang")
+    LakeWriter.commitSnapshotDynamic(df, t, Seq("lang"))
+    DeltaMirror.mirror(spark, t)
+    val c0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/${"0" * 20}.json")), "UTF-8")
+    assert(c0.contains("%253D"), "on-disk %3D not re-encoded to %253D")
+    assert(c0.contains("\"lang\":\"a=b\""))
+    assert(c0.contains("\"lang\":\"c d\"") && c0.contains("\"lang\":\"p+q\""))
+    // round-trip: graft's own reader resolves the encoded paths AND
+    // attaches the logical values
+    val got = DeltaMirror.readDelta(spark, t)
+    assert(rows(got) == Set("1|a=b", "2|a=b", "3|c d", "4|p+q"))
+    // resume stays stable: no new versions => byte-identical log
+    assert(DeltaMirror.mirror(spark, t) == 0L)
+    // and a COW delete over the escaped partitions mirrors cleanly
+    LakeWriter.deleteFromSnapshot(spark, t, $"id" === 2L)
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      Set("1|a=b", "3|c d", "4|p+q"))
+  }
+
   test("cleanupLog: deletes only covered-and-expired commits; strict refusals spell the fix") {
     val t = freshDir("graft_delta_clean") + "/t"
     LakeWriter.commitSnapshot(docs(20), t)
