@@ -179,6 +179,9 @@ object DeltaMirror {
       * checkpoint must carry forward, never drop. */
     var writerFeatures: Set[String] = Set.empty
     var lastGraft: Option[Long] = None
+    /** newest commitInfo.inCommitTimestamp seen — the monotonicity
+      * cursor of the ICT writer feature. */
+    var lastIct: Option[Long] = None
     val live = scala.collection.mutable
       .LinkedHashMap[(String, String), AddInfo]()
     /** latest SetTransaction version per appId (protocol: checkpoints
@@ -290,6 +293,10 @@ object DeltaMirror {
       case JInt(g) => st.lastGraft = Some(g.toLong)
       case _ =>
     }
+    j \ "commitInfo" \ "inCommitTimestamp" match {
+      case JInt(t) => st.lastIct = Some(t.toLong)
+      case _ =>
+    }
   }
 
   /** COMPLETE checkpoints present on disk, by listing: version ->
@@ -316,11 +323,17 @@ object DeltaMirror {
     multis ++ singles // a single-file checkpoint wins a version tie
   }
 
-  /** `_last_checkpoint` pointer: (delta version, graft cursor when the
-    * checkpoint was written by [[mirror]], part count — 1 for a
-    * classic single-file checkpoint, N for a multi-part one). */
+  /** `_last_checkpoint` pointer: the checkpointed delta version, its
+    * part count (1 = classic single file), plus two graft-private
+    * cursor fields foreign readers ignore — the graft version the
+    * mirror had absorbed and the newest inCommitTimestamp (the ICT
+    * monotonicity floor must survive covered-JSON cleanup, since
+    * commitInfo actions are not checkpointed). */
+  private final case class LcInfo(version: Long, graft: Option[Long],
+                                  parts: Int, ict: Option[Long])
+
   private def lastCheckpointInfo(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path): Option[(Long, Option[Long], Int)] = {
+      log: org.apache.hadoop.fs.Path): Option[LcInfo] = {
     val p = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -337,11 +350,11 @@ object DeltaMirror {
       case JInt(n) if n.toInt >= 1 => n.toInt
       case other => sys.error(s"$p: unparseable parts field $other")
     }
-    val g = j \ "graftVersion" match {
+    def lng(field: String): Option[Long] = j \ field match {
       case JInt(n) => Some(n.toLong)
       case _ => None
     }
-    Some((v, g, parts))
+    Some(LcInfo(v, lng("graftVersion"), parts, lng("ict")))
   }
 
   /** Fold a CLASSIC checkpoint parquet into `st` (one row per action,
@@ -482,8 +495,8 @@ object DeltaMirror {
     val jsons = deltaVersions(spark, dir)
     val lc = lastCheckpointInfo(fs, log)
     val onDisk = checkpointsOnDisk(fs, log)
-    val latest = (jsons ++ lc.map(_._1) ++ onDisk.keys).maxOption.getOrElse(
-      sys.error(s"empty _delta_log at $dir"))
+    val latest = (jsons ++ lc.map(_.version) ++ onDisk.keys).maxOption
+      .getOrElse(sys.error(s"empty _delta_log at $dir"))
     val v = upTo.getOrElse(latest)
     require(v >= 0 && v <= latest,
       s"no delta version $v at $dir (latest is $latest)")
@@ -496,11 +509,14 @@ object DeltaMirror {
     val startAfter: Long = onDisk.keys.filter(_ <= v).maxOption match {
       case Some(cv) =>
         loadCheckpoint(spark, dir, cv, onDisk(cv), st)
-        st.lastGraft = lc.collect { case (`cv`, g, _) => g }.flatten
+        lc.filter(_.version == cv).foreach { i =>
+          st.lastGraft = i.graft
+          st.lastIct = i.ict
+        }
         cv
       case None =>
-        lc.filter(_._1 <= v).foreach { case (cv, _, parts) =>
-          loadCheckpoint(spark, dir, cv, parts, st) } // loud: parts missing
+        lc.filter(_.version <= v).foreach(i =>
+          loadCheckpoint(spark, dir, i.version, i.parts, st)) // loud: parts missing
         -1L
     }
     val tail = jsons.filter(x => x > startAfter && x <= v)
@@ -663,10 +679,12 @@ object DeltaMirror {
     var prevConfig: Map[String, String] = Map.empty
     var prevTxns: Map[String, Long] = Map.empty
     var nextDv: Long = 0L
+    var prevIct: Long = 0L
     if (hasLog) {
       val (st, latest) = replay(spark, table, None)
       // graft mirrors never write DVs, so every live key's uid is ""
       live ++= st.live.keys.map(_._1)
+      prevIct = st.lastIct.getOrElse(0L)
       prevTxns = st.txns.toMap
       prevSchemaJson = st.schemaJson
       prevPartCols = if (st.metaData.isEmpty) None else Some(st.partCols)
@@ -703,6 +721,17 @@ object DeltaMirror {
       .get("delta.columnMapping.maxColumnId").map(_.toInt)).maxOption
       .getOrElse(0)
     var cmOn = colIds.nonEmpty
+    // IN-COMMIT TIMESTAMPS (the Delta writer feature): every FRESH
+    // mirror enables it from commit 0 — commitInfo carries a strictly
+    // monotone inCommitTimestamp derived from graft's own commit
+    // wall-clock, so foreign readers resolve TIMESTAMP AS OF from the
+    // log itself instead of guessing from file mtimes (the same
+    // wall-clock graft's q_snapshot_time_travel resolves against).
+    // Enabled-at-0 needs no provenance properties per the spec; a
+    // RESUMED pre-ICT mirror stays legacy (mid-history enablement
+    // would need provenance bookkeeping for no gain on graft logs).
+    val ictOn = !hasLog ||
+      prevConfig.get("delta.enableInCommitTimestamps").contains("true")
     val tsByVersion = LakeWriter.snapshotTimestamps(spark, table).toMap
     val todo = lastMirrored match {
       case Some(g) => versions.filter(_ > g)
@@ -812,13 +841,19 @@ object DeltaMirror {
             }.toList)
         }
       }
+      // the ICT contract: strictly increasing across commits, clamped
+      // to the graft commit wall-clock when the clock itself moved
+      val ict = math.max(ts, prevIct + 1)
+      if (ictOn) prevIct = ict
       val actions = scala.collection.mutable.ListBuffer[JValue]()
       actions += JObject(List("commitInfo" -> JObject(List(
         "timestamp" -> JInt(BigInt(ts)),
         "operation" -> JString(if (dv == 0) "WRITE" else "MERGE"),
         "operationParameters" -> JObject(List.empty),
         "engineInfo" -> JString("graft-snapshot-mirror"),
-        "graftVersion" -> JInt(BigInt(gv))))))
+        "graftVersion" -> JInt(BigInt(gv))) ++
+        (if (ictOn) List("inCommitTimestamp" -> (JInt(BigInt(ict)): JValue))
+         else Nil))))
       // APPLICATION TRANSACTIONS mirror as SetTransaction actions —
       // the manifest's {appId -> version} map is the same idempotence
       // cursor Delta's txn action carries, so a foreign engine
@@ -834,16 +869,24 @@ object DeltaMirror {
             "lastUpdated" -> JInt(BigInt(ts))))))
       }
       prevTxns = txnsV
-      // protocol: (1,2) plain; (2,5) when column mapping is on — and
-      // a mid-history rename/drop emits the protocol UPGRADE action
-      // in its own commit, as a Delta writer enabling a feature does
-      if (dv == 0)
-        actions += JObject(List("protocol" -> JObject(List(
-          "minReaderVersion" -> JInt(if (needCm) 2 else 1),
-          "minWriterVersion" -> JInt(if (needCm) 5 else 2)))))
-      else if (needCm && !cmOn)
-        actions += JObject(List("protocol" -> JObject(List(
-          "minReaderVersion" -> JInt(2), "minWriterVersion" -> JInt(5)))))
+      // protocol: ICT mirrors write minWriterVersion 7 with the full
+      // writerFeatures list (the spec's rule at writer v7: every
+      // feature the table uses is named); reader side stays 1, or 2
+      // when column mapping is on. Legacy (resumed pre-ICT) mirrors
+      // keep (1,2)/(2,5). A mid-history rename/drop emits the
+      // protocol UPGRADE action in its own commit, as a Delta writer
+      // enabling a feature does.
+      def protocolJson(cm: Boolean): JValue = JObject(List(
+        "protocol" -> JObject(List(
+          "minReaderVersion" -> JInt(if (cm) 2 else 1),
+          "minWriterVersion" -> JInt(
+            if (ictOn) 7 else if (cm) 5 else 2)) ++
+          (if (ictOn) List("writerFeatures" -> (JArray(
+            ((if (cm) List("columnMapping") else Nil) :+
+              "inCommitTimestamp").map(JString(_): JValue)): JValue))
+           else Nil))))
+      if (dv == 0) actions += protocolJson(needCm)
+      else if (needCm && !cmOn) actions += protocolJson(cm = true)
       cmOn = cmOn || needCm
       if (!prevSchemaJson.contains(schemaJson) ||
           !prevPartCols.contains(partCols)) {
@@ -858,11 +901,14 @@ object DeltaMirror {
           "schemaString" -> JString(schemaJson),
           "partitionColumns" -> JArray(
             partCols.map(JString(_): JValue).toList),
-          "configuration" -> (if (needCm) JObject(List(
-            "delta.columnMapping.mode" -> JString("name"),
-            "delta.columnMapping.maxColumnId" -> JString(
-              maxColId.toString)))
-          else JObject(List.empty)),
+          "configuration" -> JObject(
+            (if (needCm) List(
+              "delta.columnMapping.mode" -> (JString("name"): JValue),
+              "delta.columnMapping.maxColumnId" -> (JString(
+                maxColId.toString): JValue))
+             else Nil) ++
+            (if (ictOn) List("delta.enableInCommitTimestamps" ->
+              (JString("true"): JValue)) else Nil)),
           "createdTime" -> JInt(BigInt(ts))))))
         prevSchemaJson = Some(schemaJson); prevPartCols = Some(partCols)
       }
@@ -909,7 +955,7 @@ object DeltaMirror {
     // later no-new-versions call skipping it) — self-healing instead
     if (checkpointEvery > 0) {
       val tip = nextDv + planned.size - 1
-      val lastCp = lastCheckpointInfo(fs, dir).map(_._1).getOrElse(-1L)
+      val lastCp = lastCheckpointInfo(fs, dir).map(_.version).getOrElse(-1L)
       if (tip >= 0 && tip - lastCp >= checkpointEvery)
         checkpoint(spark, table): Unit
     }
@@ -1092,7 +1138,12 @@ object DeltaMirror {
         fs.getFileStatus(dest).getLen)): JValue),
       "numOfAddFiles" -> (JInt(BigInt(addRows.size)): JValue)) ++
       st.lastGraft.map(g =>
-        "graftVersion" -> (JInt(BigInt(g)): JValue)).toList)))
+        "graftVersion" -> (JInt(BigInt(g)): JValue)).toList ++
+      // the ICT monotonicity floor must survive covered-JSON cleanup
+      // (commitInfo actions are not checkpointed); foreign readers
+      // ignore unknown _last_checkpoint fields
+      st.lastIct.map(t =>
+        "ict" -> (JInt(BigInt(t)): JValue)).toList)))
     val lcTmp = new org.apache.hadoop.fs.Path(log, "._last_checkpoint.tmp")
     val out = fs.create(lcTmp, true)
     out.write(lcBody.getBytes("UTF-8")); out.close()
@@ -1101,6 +1152,45 @@ object DeltaMirror {
       .rename(lcTmp, new org.apache.hadoop.fs.Path(log, "_last_checkpoint"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     v
+  }
+
+  // ------------------------------------------------------------------
+  // timestamp resolution (TIMESTAMP AS OF)
+  // ------------------------------------------------------------------
+
+  /** Resolve `dir` at the newest delta version whose commit timestamp
+    * is at or before `tsMillis` and read it — TIMESTAMP AS OF. Per
+    * commit the timestamp is, in spec precedence order,
+    * `commitInfo.inCommitTimestamp` (the ICT writer feature every
+    * fresh mirror enables — reliable across file copies), then
+    * `commitInfo.timestamp`, then the commit file's mtime. Scans only
+    * the SURVIVING JSON commits (O(retention window), metadata-only);
+    * a target below the oldest surviving commit refuses loudly like
+    * any other unresolvable time travel. */
+  def readDeltaTimestamp(spark: SparkSession, dir: String,
+                         tsMillis: Long): DataFrame = {
+    val log = logDir(dir)
+    val fs = LakeWriter.fsOf(spark, log)
+    val stamps: Seq[(Long, Long)] = deltaVersions(spark, dir).map { v =>
+      val p = new org.apache.hadoop.fs.Path(log, commitName(v))
+      val ts = readCommit(fs, p).view.flatMap { j =>
+        (j \ "commitInfo" \ "inCommitTimestamp") match {
+          case JInt(t) => Some(t.toLong)
+          case _ => (j \ "commitInfo" \ "timestamp") match {
+            case JInt(t) => Some(t.toLong)
+            case _ => None
+          }
+        }
+      }.headOption.getOrElse(fs.getFileStatus(p).getModificationTime)
+      v -> ts
+    }
+    val at = stamps.filter(_._2 <= tsMillis).map(_._1).maxOption
+      .getOrElse(sys.error(
+        s"delta table at $dir: no surviving commit at or before " +
+          s"timestamp $tsMillis (oldest surviving commit is " +
+          s"${stamps.headOption.map(s => s"version ${s._1} @ ${s._2}")
+            .getOrElse("<none>")}) — refusing"))
+    readDelta(spark, dir, Some(at))
   }
 
   // ------------------------------------------------------------------

@@ -716,6 +716,82 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fancyNewAction"))
   }
 
+  test("in-commit timestamps: monotone stamps, TIMESTAMP AS OF, cleanup-safe floor") {
+    val t = freshDir("graft_delta_ict") + "/t"
+    LakeWriter.commitSnapshot(docs(10), t)
+    LakeWriter.commitSnapshot(docs(20).where($"id" >= 10), t, "append")
+    LakeWriter.commitSnapshot(docs(30).where($"id" >= 20), t, "append")
+    DeltaMirror.mirror(spark, t)
+    def commitJson(i: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/" + f"$i%020d" + ".json")),
+      "UTF-8")
+    // the feature is declared, not just stamped: writer v7 + the full
+    // writerFeatures list + the enablement table property
+    assert(commitJson(0).contains("\"minWriterVersion\":7"))
+    assert(commitJson(0).contains("\"writerFeatures\":[\"inCommitTimestamp\"]"))
+    assert(commitJson(0).contains("delta.enableInCommitTimestamps"))
+    def ictOf(i: Int): Long =
+      "\"inCommitTimestamp\":(\\d+)".r.findFirstMatchIn(commitJson(i))
+        .getOrElse(fail(s"commit $i carries no inCommitTimestamp"))
+        .group(1).toLong
+    val icts = (0 to 2).map(ictOf)
+    assert(icts(0) < icts(1) && icts(1) < icts(2),
+      s"ICTs not strictly increasing: $icts")
+    // TIMESTAMP AS OF resolves against the stamps themselves
+    assert(rows(DeltaMirror.readDeltaTimestamp(spark, t, icts(1))) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(2L))))
+    assert(rows(DeltaMirror.readDeltaTimestamp(spark, t, icts(2) + 5)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    val e = intercept[Exception](
+      DeltaMirror.readDeltaTimestamp(spark, t, icts(0) - 1))
+    assert(e.getMessage.contains("no surviving commit"))
+    // the monotonicity floor survives checkpoint + covered-JSON
+    // cleanup: the next commit's stamp still exceeds every prior one
+    DeltaMirror.checkpoint(spark, t)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint")), "UTF-8")
+      .contains("\"ict\":"))
+    DeltaMirror.cleanupLog(spark, t, 1)
+    LakeWriter.commitSnapshot(docs(35).where($"id" >= 30), t, "append")
+    DeltaMirror.mirror(spark, t)
+    assert(ictOf(3) > icts(2), "ICT floor lost across cleanup")
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
+  test("resumed pre-ICT mirrors stay legacy: no mid-history enablement") {
+    val t = freshDir("graft_delta_ictleg") + "/t"
+    LakeWriter.commitSnapshot(docs(5), t)
+    val root = new java.io.File(t)
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val rels = parquets(root).map(_.getAbsolutePath
+      .stripPrefix(root.getAbsolutePath + "/"))
+    val schema = LakeWriter.readSnapshot(spark, t).schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    // a hand-written legacy (pre-ICT) mirror commit for graft v1
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/${"0" * 20}.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"leg","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{}}}""") ++
+        rels.map(r =>
+          s"""{"add":{"path":"$r","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""") :+
+        """{"commitInfo":{"timestamp":1000,"graftVersion":1}}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    LakeWriter.commitSnapshot(docs(8).where($"id" >= 5), t, "append")
+    DeltaMirror.mirror(spark, t) // resume extends the LEGACY log
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/${"0" * 19}1.json")), "UTF-8")
+    assert(!c1.contains("inCommitTimestamp"),
+      "legacy mirror must not stamp ICT without the feature enabled")
+    assert(!c1.contains("minWriterVersion"),
+      "legacy mirror must not upgrade protocol mid-history")
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
   test("hive-escaped partition dirs: add.path RFC-encodes, values decode logically") {
     // '=' hive-escapes to %3D in the partition DIRECTORY name; the
     // Delta spec says a reader URL-DECODES add.path, so the mirror
