@@ -306,21 +306,37 @@ object DeltaMirror {
     * fallback when `_last_checkpoint` is stale) is what lets replay
     * resolve a version BELOW the newest checkpoint through an older
     * one — the invariant [[cleanupLog]] trades on. */
+  /** The three checkpoint layouts the protocol defines. */
+  private sealed trait CpForm
+  /** classic: one file, or N disjoint parts (all must exist). */
+  private final case class ClassicCp(parts: Int) extends CpForm
+  /** v2: one UUID-named top file (parquet or json) holding the
+    * non-file actions + `sidecar` pointers into `_sidecars/`. */
+  private final case class V2Cp(fileName: String) extends CpForm
+
   private def checkpointsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path): Map[Long, Int] = {
+      log: org.apache.hadoop.fs.Path): Map[Long, CpForm] = {
     if (!fs.exists(log)) return Map.empty
     val names = fs.listStatus(log).map(_.getPath.getName).toSeq
     val multiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
-    val multis: Map[Long, Int] = names.collect {
+    val multis: Map[Long, CpForm] = names.collect {
       case multiRe(v, i, t) => (v.toLong, t.toInt, i.toInt) }
       .groupBy(x => (x._1, x._2))
       .collect { case ((v, t), parts)
-        if parts.map(_._3).toSet == (1 to t).toSet => v -> t }
+        if parts.map(_._3).toSet == (1 to t).toSet =>
+        v -> (ClassicCp(t): CpForm) }
       .toMap
-    val singles: Map[Long, Int] = names.collect {
+    // v2 naming: %020d.checkpoint.<uniqueStr>.(parquet|json); the
+    // unique string is anything that is not a classic part index pair
+    val v2Re = """(\d{20})\.checkpoint\.([A-Za-z0-9._-]+)\.(parquet|json)""".r
+    val v2s: Map[Long, CpForm] = names.collect {
+      case n @ v2Re(v, _, _) if !n.matches(multiRe.regex) =>
+        v.toLong -> (V2Cp(n): CpForm) }.toMap
+    val singles: Map[Long, CpForm] = names.collect {
       case n if n.matches("""\d{20}\.checkpoint\.parquet""") =>
-        n.take(20).toLong -> 1 }.toMap
-    multis ++ singles // a single-file checkpoint wins a version tie
+        n.take(20).toLong -> (ClassicCp(1): CpForm) }.toMap
+    // preference on a version tie: classic single > multi-part > v2
+    v2s ++ multis ++ singles
   }
 
   /** `_last_checkpoint` pointer: the checkpointed delta version, its
@@ -357,29 +373,39 @@ object DeltaMirror {
     Some(LcInfo(v, lng("graftVersion"), parts, lng("ict")))
   }
 
-  /** Fold a CLASSIC checkpoint parquet into `st` (one row per action,
-    * columns txn/add/remove/metaData/protocol; extra columns from
-    * richer writers are ignored). Rows are a reconciled snapshot, so
-    * order is immaterial. */
+  /** Fold a checkpoint into `st` — CLASSIC (single parquet or N
+    * disjoint multi-parts; one row per action, columns
+    * txn/add/remove/metaData/protocol/domainMetadata) or V2 (a
+    * UUID-named parquet/json top file holding the non-file actions
+    * plus `sidecar` pointers; add/remove rows live in the named
+    * `_sidecars/` parquet files, or inline in the top file). Rows are
+    * a reconciled snapshot, so order is immaterial. EVERY named
+    * part/sidecar must exist and parse: a partial fold would silently
+    * drop files. */
   private def loadCheckpoint(spark: SparkSession, dir: String, cv: Long,
-                             parts: Int, st: LogState): Unit = {
+                             form: CpForm, st: LogState): Unit = {
     val log = logDir(dir)
     val fs = LakeWriter.fsOf(spark, log)
-    // classic single-file, or multi-part (the protocol's
-    // %020d.checkpoint.%010d.%010d.parquet naming — actions are
-    // disjoint across parts, reconciliation is order-free either way).
-    // EVERY named part must exist: a partial parse would silently
-    // drop files.
-    val cpFiles: Seq[org.apache.hadoop.fs.Path] =
-      if (parts <= 1)
+    val topFiles: Seq[org.apache.hadoop.fs.Path] = form match {
+      case ClassicCp(parts) if parts <= 1 =>
         Seq(new org.apache.hadoop.fs.Path(log, checkpointName(cv)))
-      else (1 to parts).map(i => new org.apache.hadoop.fs.Path(log,
-        f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet"))
-    cpFiles.foreach(cp => require(fs.exists(cp),
+      case ClassicCp(parts) =>
+        (1 to parts).map(i => new org.apache.hadoop.fs.Path(log,
+          f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+      case V2Cp(name) => Seq(new org.apache.hadoop.fs.Path(log, name))
+    }
+    topFiles.foreach(cp => require(fs.exists(cp),
       s"_last_checkpoint at $dir points at version $cv " +
-        s"($parts part(s)) but ${cp.getName} is missing"))
-    val cp = cpFiles.head
-    val df = spark.read.parquet(cpFiles.map(_.toString): _*)
+        s"but ${cp.getName} is missing"))
+    // fold one parquet action file (top or sidecar); returns the
+    // sidecar file names this file pointed at
+    def foldParquet(paths: Seq[org.apache.hadoop.fs.Path],
+                    isSidecar: Boolean): Seq[String] =
+      foldRows(spark.read.parquet(paths.map(_.toString): _*),
+        paths.head, isSidecar)
+    def foldRows(df: DataFrame, cp: org.apache.hadoop.fs.Path,
+                 isSidecar: Boolean): Seq[String] = {
+    val sidecars = scala.collection.mutable.ListBuffer[String]()
     val cols = df.columns.toSet
     def field(r: Row, n: String): Option[Int] = {
       val names = r.schema.fieldNames
@@ -478,6 +504,55 @@ object DeltaMirror {
             field(dm, "configuration").map(dm.getString).getOrElse(""),
             field(dm, "removed").exists(dm.getBoolean))
       }
+      struct("checkpointMetadata").foreach { cm =>
+        field(cm, "version").foreach { i =>
+          val declared = cm.getLong(i)
+          require(declared == cv,
+            s"$cp: checkpointMetadata declares version $declared, " +
+              s"expected $cv — wrong or corrupt checkpoint")
+        }
+      }
+      struct("sidecar").foreach { sc =>
+        require(!isSidecar,
+          s"$cp: sidecar action inside a sidecar file — malformed")
+        field(sc, "path").foreach(i => sidecars += sc.getString(i))
+      }
+    }
+    sidecars.toSeq
+    }
+    form match {
+      case _: ClassicCp =>
+        val extra = foldParquet(topFiles, isSidecar = false)
+        require(extra.isEmpty,
+          s"classic checkpoint at $dir carries sidecar pointers — " +
+            "malformed (sidecars belong to v2 checkpoints)")
+      case V2Cp(name) =>
+        val top = topFiles.head
+        val sidecarNames: Seq[String] =
+          if (name.endsWith(".json")) {
+            // json-format v2 top: non-file actions fold through the
+            // same applyAction as commits; sidecar pointers + the
+            // checkpointMetadata version check are handled here
+            val lines = readCommit(fs, top)
+            lines.foreach { j =>
+              j \ "checkpointMetadata" \ "version" match {
+                case JInt(n) => require(n.toLong == cv,
+                  s"$top: checkpointMetadata declares version $n, " +
+                    s"expected $cv — wrong or corrupt checkpoint")
+                case _ =>
+              }
+              applyAction(st, j)
+            }
+            lines.flatMap(j => str(j \ "sidecar" \ "path"))
+          } else foldParquet(Seq(top), isSidecar = false)
+        val scDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
+        sidecarNames.foreach { n =>
+          val p = new org.apache.hadoop.fs.Path(scDir, n)
+          require(fs.exists(p),
+            s"v2 checkpoint at $dir names sidecar $n but it is " +
+              "missing — a partial fold would silently drop files")
+          foldParquet(Seq(p), isSidecar = true): Unit
+        }
     }
   }
 
@@ -515,8 +590,8 @@ object DeltaMirror {
         }
         cv
       case None =>
-        lc.filter(_.version <= v).foreach(i =>
-          loadCheckpoint(spark, dir, i.version, i.parts, st)) // loud: parts missing
+        lc.filter(_.version <= v).foreach(i => // loud: parts missing
+          loadCheckpoint(spark, dir, i.version, ClassicCp(i.parts), st))
         -1L
     }
     val tail = jsons.filter(x => x > startAfter && x <= v)
@@ -1255,12 +1330,15 @@ object DeltaMirror {
             false): Unit
         }
         // checkpoints older than the boundary are superseded artifacts
+        // (v2 SIDECARS stay — they may be shared across checkpoints;
+        // reclaiming them needs reference counting, i.e. VACUUM's job)
         cps.keys.filter(_ < cs).foreach { cv =>
-          val parts = cps(cv)
-          val files =
-            if (parts <= 1) Seq(checkpointName(cv))
-            else (1 to parts).map(i =>
+          val files = cps(cv) match {
+            case ClassicCp(parts) if parts <= 1 => Seq(checkpointName(cv))
+            case ClassicCp(parts) => (1 to parts).map(i =>
               f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet")
+            case V2Cp(name) => Seq(name)
+          }
           files.foreach(n => fs.delete(
             new org.apache.hadoop.fs.Path(log, n), false): Unit)
         }
@@ -1291,11 +1369,13 @@ object DeltaMirror {
     * and CRC-verified driver-side ([[DeletionVectors]]), rides the
     * same broadcast, and logically-deleted rows filter out by
     * `_metadata.row_index` through a cached-parse native kernel
-    * ([[graft.plans.DvContains]]). Honors the spec's reader contract:
-    * a table requiring reader features beyond columnMapping /
-    * timestampNtz / deletionVectors (v2 checkpoints), or id-mode
-    * column mapping, REFUSES loudly — serving it anyway would be
-    * silently wrong, not merely incomplete. */
+    * ([[graft.plans.DvContains]]). V2 CHECKPOINTS (UUID-named top
+    * file + `_sidecars/` action files, parquet or json top) resolve
+    * through the same fold as classic ones. Honors the spec's reader
+    * contract: a table requiring reader features beyond
+    * columnMapping / timestampNtz / deletionVectors / v2Checkpoint,
+    * or id-mode column mapping, REFUSES loudly — serving it anyway
+    * would be silently wrong, not merely incomplete. */
   def readDelta(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame = {
     val (st, _) = replay(spark, dir, version)
@@ -1307,7 +1387,8 @@ object DeltaMirror {
     // columns by parquet field id, not the physical names this reader
     // matches on.
     val supportedFeatures =
-      Set("columnMapping", "timestampNtz", "deletionVectors")
+      Set("columnMapping", "timestampNtz", "deletionVectors",
+        "v2Checkpoint")
     if (st.protocol._1 >= 3) {
       val unsupported = st.readerFeatures -- supportedFeatures
       require(unsupported.isEmpty,

@@ -1383,13 +1383,18 @@ object LakeWriter {
                               None,
                             txnOverride: Option[(String, Long)] =
                               None): Unit = {
+    // ONE manifest-directory listing feeds every carry-forward field
+    // below (colmap, checks, stats, blooms, txns) — previously each
+    // paid its own listing, five per commit on every table
+    val prevV: Option[Long] =
+      snapshotVersions(spark, table).filter(_ < version).lastOption
     val partFields =
       if (partCols.isEmpty) ""
       else s""""partcols":"${partCols.map(enc).mkString(",")}","""
     // column mapping carries forward verbatim unless this commit
     // changes it (rename/drop/overwrite)
     val colmap = colmapOverride.getOrElse(
-      snapshotVersions(spark, table).filter(_ < version).lastOption
+      prevV
         .map(v => parseManifestColmap(spark, table, v))
         .getOrElse(ColMapping.empty))
     val colmapField =
@@ -1408,7 +1413,7 @@ object LakeWriter {
     // changes them (addCheck/dropCheck)
     val checksField = {
       val eff = checksOverride.getOrElse(
-        snapshotVersions(spark, table).filter(_ < version).lastOption
+        prevV
           .map(v => parseManifestChecks(spark, table, v))
           .getOrElse(Map.empty[String, String]))
       if (eff.isEmpty) ""
@@ -1426,8 +1431,7 @@ object LakeWriter {
     // O(delta). Serialized as one URL-encoded JSON blob like the
     // schema, so the positional manifest parse is undisturbed.
     val statsField = {
-      val prevStats = snapshotVersions(spark, table).filter(_ < version)
-        .lastOption
+      val prevStats = prevV
         .map(v => parseManifestStatsFull(spark, table, v))
         .getOrElse(Map.empty[String, FileStats])
       val conf = spark.sessionState.newHadoopConf()
@@ -1505,13 +1509,12 @@ object LakeWriter {
     // presence, so a false positive costs a scan, never correctness.
     val bloomField = {
       val cfg = bloomCfgOverride.getOrElse(
-        snapshotVersions(spark, table).filter(_ < version).lastOption
+        prevV
           .map(v => parseManifestBloomCfg(spark, table, v))
           .getOrElse(Map.empty[String, Long]))
       if (cfg.isEmpty) ""
       else {
-        val prevBlooms = snapshotVersions(spark, table).filter(_ < version)
-          .lastOption
+        val prevBlooms = prevV
           .map(v => parseManifestBlooms(spark, table, v))
           .getOrElse(Map.empty[String, Map[String, String]])
         val physCfg = cfg.map { case (lc, n) => colmap.phys(lc) -> n }
@@ -1574,8 +1577,7 @@ object LakeWriter {
     // refresh, streaming upsert) checks before re-merging a delta.
     // Map size is O(#writers), never data-scaled.
     val txnsField = {
-      val eff = snapshotVersions(spark, table).filter(_ < version)
-        .lastOption
+      val eff = prevV
         .map(v => parseManifestTxns(spark, table, v))
         .getOrElse(Map.empty[String, Long]) ++ txnOverride.toMap
       if (eff.isEmpty) ""

@@ -871,6 +871,119 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("cannot resolve"))
   }
 
+  test("v2 checkpoints resolve: parquet top + sidecars, inline adds, json top") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val t = freshDir("graft_delta_v2cp") + "/t"
+    LakeWriter.commitSnapshot(docs(10), t)
+    LakeWriter.commitSnapshot(docs(20).where($"id" >= 10), t, "append")
+    LakeWriter.commitSnapshot(docs(30).where($"id" >= 20), t, "append")
+    DeltaMirror.mirror(spark, t)
+    val cv = DeltaMirror.checkpoint(spark, t)
+    val log = s"$t/_delta_log"
+    val classic = s"$log/" + f"$cv%020d" + ".checkpoint.parquet"
+    val cpDf = spark.read.parquet(classic)
+    val all = cpDf.collect().toSeq
+    val addIdx = cpDf.schema.fieldIndex("add")
+    val (addRows, nonFile) = all.partition(r => !r.isNullAt(addIdx))
+    // --- build the v2 layout: 2 sidecars + 1 inline add + top ---
+    val scDir = new java.io.File(s"$log/_sidecars"); scDir.mkdirs()
+    def writeSidecar(rows: Seq[org.apache.spark.sql.Row],
+                     name: String): Unit = {
+      val tmp = s"$log/.sc_$name"
+      spark.createDataFrame(rows.asJava, cpDf.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(scDir, name)))
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete(): Unit
+    }
+    val inlineAdd = addRows.head
+    val scAdds = addRows.tail
+    val half = scAdds.size / 2
+    writeSidecar(scAdds.take(half), "sc1.parquet")
+    writeSidecar(scAdds.drop(half), "sc2.parquet")
+    val cpMetaT = StructType(Seq(
+      StructField("version", LongType, true),
+      StructField("tags", MapType(StringType, StringType, true), true)))
+    val sidecarT = StructType(Seq(
+      StructField("path", StringType, true),
+      StructField("sizeInBytes", LongType, true)))
+    val topSchema = StructType(cpDf.schema.fields ++ Seq(
+      StructField("checkpointMetadata", cpMetaT, true),
+      StructField("sidecar", sidecarT, true)))
+    def pad(r: org.apache.spark.sql.Row) =
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null))
+    def extraRow(i: Int, v: Any) = org.apache.spark.sql.Row.fromSeq(
+      Seq.fill[Any](cpDf.schema.length)(null) ++
+        (if (i == 0) Seq(v, null) else Seq(null, v)))
+    val topRows = (nonFile :+ inlineAdd).map(pad) ++ Seq(
+      extraRow(0, org.apache.spark.sql.Row(cv, null)),
+      extraRow(1, org.apache.spark.sql.Row("sc1.parquet", 1L)),
+      extraRow(1, org.apache.spark.sql.Row("sc2.parquet", 1L)))
+    val topTmp = s"$log/.v2top"
+    spark.createDataFrame(topRows.asJava, topSchema)
+      .coalesce(1).write.mode("overwrite").parquet(topTmp)
+    val topName = f"$cv%020d" + ".checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    assert(new java.io.File(topTmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+      .renameTo(new java.io.File(log, topName)))
+    new java.io.File(topTmp).listFiles().foreach(_.delete())
+    new java.io.File(topTmp).delete()
+    // retire the classic artifacts: v2 is now the only base
+    assert(new java.io.File(classic).delete())
+    new java.io.File(log).listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // resume RIDES the v2 base: a new graft version mirrors as a tail
+    LakeWriter.commitSnapshot(docs(35).where($"id" >= 30), t, "append")
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // --- json-format v2 top, second table from the same actions ---
+    val t2 = freshDir("graft_delta_v2json") + "/t"
+    LakeWriter.commitSnapshot(docs(30), t2)
+    DeltaMirror.mirror(spark, t2)
+    val log2 = s"$t2/_delta_log"
+    val c2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$log2/${"0" * 20}.json")), "UTF-8")
+      .split('\n').toSeq
+    val cp2 = DeltaMirror.checkpoint(spark, t2)
+    val cpDf2 = spark.read.parquet(
+      s"$log2/" + f"$cp2%020d" + ".checkpoint.parquet")
+    new java.io.File(s"$log2/_sidecars").mkdirs()
+    val adds2 = cpDf2.collect().toSeq
+      .filter(r => !r.isNullAt(cpDf2.schema.fieldIndex("add")))
+    val tmp2 = s"$log2/.sc"
+    spark.createDataFrame(adds2.asJava, cpDf2.schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp2)
+    assert(new java.io.File(tmp2).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+      .renameTo(new java.io.File(s"$log2/_sidecars", "a.parquet")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$log2/" + f"$cp2%020d" + ".checkpoint.b1b2.json"),
+      (c2.filter(l => l.contains("\"protocol\"") ||
+        l.contains("\"metaData\"")) ++ Seq(
+        s"""{"checkpointMetadata":{"version":$cp2}}""",
+        """{"sidecar":{"path":"a.parquet","sizeInBytes":1}}"""))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(new java.io.File(
+      s"$log2/" + f"$cp2%020d" + ".checkpoint.parquet").delete())
+    new java.io.File(log2).listFiles()
+      .filter(f => f.getName.matches("\\d{20}\\.json"))
+      .foreach(f => assert(f.delete()))
+    assert(rows(DeltaMirror.readDelta(spark, t2)) ==
+      rows(LakeWriter.readSnapshot(spark, t2)))
+    // --- a missing sidecar refuses loudly ---
+    assert(new java.io.File(scDir, "sc2.parquet").delete())
+    val e = intercept[Exception](DeltaMirror.readDelta(spark, t))
+    assert(e.getMessage.contains("sidecar") &&
+      e.getMessage.contains("missing"))
+  }
+
   test("driver-resident log state: live-file ceiling refuses loudly") {
     val d = freshDir("graft_delta_ceiling")
     new java.io.File(s"$d/_delta_log").mkdirs()
