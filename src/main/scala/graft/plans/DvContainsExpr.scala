@@ -53,8 +53,10 @@ case class DvContains(key: Expression, dv: Expression, idx: Expression)
       i.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cache = ctx.addMutableState("graft.plans.DvContains.Cache", "dvCache",
-      v => s"$v = new graft.plans.DvContains.Cache();")
+    // DvCache is a TOP-LEVEL class: generated Java must name it
+    // without Scala's object-nesting $ mangling
+    val cache = ctx.addMutableState("graft.plans.DvCache", "dvCache",
+      v => s"$v = new graft.plans.DvCache();")
     nullSafeCodeGen(ctx, ev, (k, d, i) =>
       s"${ev.value} = graft.plans.DvContains.test($cache, $k, $d, $i);")
   }
@@ -65,19 +67,20 @@ case class DvContains(key: Expression, dv: Expression, idx: Expression)
     copy(key = newFirst, dv = newSecond, idx = newThird)
 }
 
-object DvContains {
-  /** One-entry parse cache: the last file key seen and its parsed
-    * bitmap. */
-  final class Cache {
-    var key: UTF8String = _
-    var bitmap: graft.sources.DeletionVectors.RoaringArray = _
-  }
+/** One-entry DV parse cache: the last file key seen and its parsed
+  * bitmap. Top-level (not nested in the companion object) so the
+  * generated Java can instantiate it by its plain name. */
+final class DvCache {
+  var key: UTF8String = _
+  var bitmap: graft.sources.DeletionVectors.RoaringArray = _
+}
 
-  private[plans] val threadCache: ThreadLocal[Cache] =
-    ThreadLocal.withInitial(() => new Cache)
+object DvContains {
+  private[plans] val threadCache: ThreadLocal[DvCache] =
+    ThreadLocal.withInitial(() => new DvCache)
 
   /** Runtime kernel shared by interpreted and generated paths. */
-  def test(cache: Cache, key: UTF8String, dv: Array[Byte],
+  def test(cache: DvCache, key: UTF8String, dv: Array[Byte],
            idx: Long): Boolean = {
     if (cache.key == null || !cache.key.equals(key)) {
       cache.bitmap = graft.sources.DeletionVectors.RoaringArray.deserialize(dv)

@@ -188,6 +188,36 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(r.contains(10L) && !r.contains(11L))
   }
 
+  test("DvContains: generated code COMPILES and matches the interpreted kernel") {
+    // GeneratePredicate.generate THROWS on a Janino compile failure —
+    // this pins the hot filter to real whole-stage-compatible codegen
+    // instead of a silent interpreted fallback
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.plans.DvContains(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, BinaryType, nullable = true),
+      BoundReference(2, LongType, nullable = true))
+    val pred = GeneratePredicate.generate(expr)
+    pred.initialize(0)
+    val bmA = DeletionVectors.serialize(Array(2L, 4L))
+    val bmB = DeletionVectors.serialize(Array(7L))
+    def row(f: String, bm: Array[Byte], idx: Long) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(f), bm, idx))
+    assert(pred.eval(row("fileA", bmA, 2L)))
+    assert(!pred.eval(row("fileA", bmA, 3L)))
+    // cache rolls over when the file key changes
+    assert(pred.eval(row("fileB", bmB, 7L)))
+    assert(!pred.eval(row("fileB", bmB, 2L)))
+    assert(pred.eval(row("fileA", bmA, 4L)))
+    // interpreted path agrees
+    assert(expr.eval(row("fileA", bmA, 2L)) == true)
+    assert(expr.eval(row("fileA", bmA, 3L)) == false)
+  }
+
   test("unknown storageType refuses loudly") {
     val e = intercept[Exception](DeletionVectors.readBitmapBytes(fs, "/x",
       DvDescriptor("z", "whatever", None, 4, 1)))
