@@ -8,8 +8,18 @@ import numpy as np
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional subset for chunked big-sf runs: 3rd arg "only=a,b" or
+# "skip=a,b"; CHECK_ORACLE_MEM caps duckdb (default unlimited-ish)
+only, skip = None, set()
+if len(sys.argv) > 3:
+    k, v = sys.argv[3].split("=", 1)
+    if k == "only": only = set(v.split(","))
+    elif k == "skip": skip = set(v.split(","))
 
 con = duckdb.connect()
+import os
+if os.environ.get("CHECK_ORACLE_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['CHECK_ORACLE_MEM']}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -25,6 +35,10 @@ def canon(df):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
+oracle = {k: v for k, v in oracle.items() if k not in skip}
 
 fails = 0
 for name, sql in sorted(oracle.items()):
