@@ -1756,6 +1756,371 @@ object SparkEntry {
       DeltaMirror.readDelta(s, dir)
     }),
 
+    "q_snapshot_export_iceberg" -> ((s, d) => {
+      // ICEBERG EXPORT through the gate (the reference's OWN lake
+      // format — its Spark jobs write iceberg-provider tables through
+      // a Hadoop catalog): the snapshot table evolves (partitioned
+      // base + dynamic partition overwrite + COW DELETE + metadata-
+      // only RENAME), IcebergMirror writes the v2 metadata tree
+      // (metadata JSON + manifest-list/manifest avro with the spec's
+      // pinned field-ids, zero data copies), and the SERVED ROWS come
+      // back THROUGH readIceberg — the round trip proves manifest
+      // reconciliation (status-2 tombstones from the overwrite and
+      // the delete), identity-partition projection (graft files do
+      // not materialize the partition column) and the name-mapping
+      // rename (field id stable, files keep the physical name). The
+      // oracle re-derives the final state from the raw documents
+      // table, so a stale tombstone, a dropped manifest or a
+      // misresolved partition value surfaces as row/hash mismatch.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_export_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{IcebergMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "en"), table, Seq("lang"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 150)
+      LakeWriter.renameColumn(s, table, "n_chars", "chars")
+      IcebergMirror.mirror(s, table)
+      IcebergMirror.readIceberg(s, table)
+    }),
+
+    "q_ingest_iceberg" -> ((s, d) => {
+      // FOREIGN ICEBERG table through the gate: a hand-built v2
+      // metadata tree — avro manifests written RAW here (independent
+      // of IcebergMirror's builders, the DV-gate discipline) over
+      // three parquet slices, with an identity int partition column
+      // the data files do NOT materialize, a second snapshot that
+      // REWRITES the first manifest (fa carried EXISTING, fc
+      // tombstoned status=2) and adds fb. The SERVED ROWS come
+      // through readIceberg's resolution — live-entry filtering,
+      // sequence-number-aware carries and the spec's column-
+      // projection rule supplying `bucket` from partition metadata.
+      // The oracle re-derives the survivor set from the raw documents
+      // table, so a served tombstone, a dropped carry or a misread
+      // partition struct surfaces as missing/extra rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_ingest_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val dir = tmp.toString
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def slice(m: Int, sub: String): (String, Long) = {
+        base.where(pmod(col("doc_id"), lit(4)) === m)
+          .coalesce(1).write.parquet(s"$dir/data/$sub")
+        val f = new java.io.File(s"$dir/data/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        (f.getAbsolutePath, s.read.parquet(s"$dir/data/$sub").count())
+      }
+      val (fa, nA) = slice(2, "fa")
+      val (fc, nC) = slice(1, "fc")
+      val (fb, nB) = slice(3, "fb")
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val entryS = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int","field-id":0},
+          {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+          {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            {"name":"content","type":"int","field-id":134},
+            {"name":"file_path","type":"string","field-id":100},
+            {"name":"file_format","type":"string","field-id":101},
+            {"name":"partition","type":{"type":"record","name":"r102","fields":[
+              {"name":"bucket","type":["null","int"],"default":null,"field-id":1000}
+            ]},"field-id":102},
+            {"name":"record_count","type":"long","field-id":103},
+            {"name":"file_size_in_bytes","type":"long","field-id":104}
+          ]},"field-id":2}]}""")
+      val listS = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string","field-id":500},
+          {"name":"manifest_length","type":"long","field-id":501},
+          {"name":"partition_spec_id","type":"int","field-id":502},
+          {"name":"content","type":"int","field-id":517},
+          {"name":"sequence_number","type":"long","field-id":515},
+          {"name":"min_sequence_number","type":"long","field-id":516},
+          {"name":"added_snapshot_id","type":"long","field-id":503},
+          {"name":"added_data_files_count","type":"int","field-id":504},
+          {"name":"existing_data_files_count","type":"int","field-id":505},
+          {"name":"deleted_data_files_count","type":"int","field-id":506},
+          {"name":"added_rows_count","type":"long","field-id":512},
+          {"name":"existing_rows_count","type":"long","field-id":513},
+          {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
+      def writeAvro(path: String, schema: Schema,
+          recs: Seq[GenericRecord]): Long = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        val f = new java.io.File(path)
+        f.getParentFile.mkdirs()
+        w.create(schema, f)
+        recs.foreach(w.append)
+        w.close()
+        f.length
+      }
+      def entry(status: Int, sid: Long, seq: Long, path: String,
+          bucket: Int, n: Long): GenericRecord = {
+        val e = new GenericData.Record(entryS)
+        e.put("status", Integer.valueOf(status))
+        e.put("snapshot_id", java.lang.Long.valueOf(sid))
+        e.put("sequence_number", java.lang.Long.valueOf(seq))
+        val dfS = entryS.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", Integer.valueOf(0))
+        df.put("file_path", path)
+        df.put("file_format", "PARQUET")
+        val p = new GenericData.Record(dfS.getField("partition").schema())
+        p.put("bucket", Integer.valueOf(bucket))
+        df.put("partition", p)
+        df.put("record_count", java.lang.Long.valueOf(n))
+        df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+        e.put("data_file", df)
+        e
+      }
+      def listRec(path: String, len: Long, sid: Long,
+          seq: Long): GenericRecord = {
+        val r = new GenericData.Record(listS)
+        r.put("manifest_path", path)
+        r.put("manifest_length", java.lang.Long.valueOf(len))
+        r.put("partition_spec_id", Integer.valueOf(0))
+        r.put("content", Integer.valueOf(0))
+        r.put("sequence_number", java.lang.Long.valueOf(seq))
+        r.put("min_sequence_number", java.lang.Long.valueOf(1L))
+        r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
+        Seq("added_data_files_count", "existing_data_files_count",
+          "deleted_data_files_count").foreach(f =>
+            r.put(f, Integer.valueOf(0)))
+        Seq("added_rows_count", "existing_rows_count",
+          "deleted_rows_count").foreach(f =>
+            r.put(f, java.lang.Long.valueOf(0L)))
+        r
+      }
+      val m1 = s"$dir/metadata/m1.avro"
+      val m1len = writeAvro(m1, entryS, Seq(
+        entry(1, 101L, 1L, fa, 7, nA), entry(1, 101L, 1L, fc, 8, nC)))
+      val m1r = s"$dir/metadata/m1r.avro"
+      val m1rLen = writeAvro(m1r, entryS, Seq(
+        entry(0, 101L, 1L, fa, 7, nA), entry(2, 202L, 1L, fc, 8, nC)))
+      val m2 = s"$dir/metadata/m2.avro"
+      val m2len = writeAvro(m2, entryS, Seq(
+        entry(1, 202L, 2L, fb, 9, nB)))
+      val ml1 = s"$dir/metadata/snap-101.avro"
+      writeAvro(ml1, listS, Seq(listRec(m1, m1len, 101L, 1L)))
+      val ml2 = s"$dir/metadata/snap-202.avro"
+      writeAvro(ml2, listS, Seq(listRec(m1r, m1rLen, 202L, 2L),
+        listRec(m2, m2len, 202L, 2L)))
+      val metaJson = s"""{
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000f00d",
+        "location": "$dir",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [{"type":"struct","schema-id":0,"fields":[
+          {"id":1,"name":"doc_id","required":false,"type":"long"},
+          {"id":2,"name":"source","required":false,"type":"string"},
+          {"id":3,"name":"n_chars","required":false,"type":"long"},
+          {"id":4,"name":"bucket","required":false,"type":"int"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[
+          {"name":"bucket","transform":"identity","source-id":4,"field-id":1000}]}],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},
+        "current-snapshot-id": 202,
+        "snapshots": [
+          {"snapshot-id":101,"sequence-number":1,"timestamp-ms":1700000001000,
+           "manifest-list":"$ml1","summary":{"operation":"append"},"schema-id":0},
+          {"snapshot-id":202,"parent-snapshot-id":101,"sequence-number":2,
+           "timestamp-ms":1700000002000,"manifest-list":"$ml2",
+           "summary":{"operation":"overwrite"},"schema-id":0}],
+        "snapshot-log": [
+          {"timestamp-ms":1700000001000,"snapshot-id":101},
+          {"timestamp-ms":1700000002000,"snapshot-id":202}],
+        "metadata-log": []
+      }"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+        metaJson.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+        "1".getBytes("UTF-8"))
+      graft.sources.IcebergMirror.readIceberg(s, dir)
+    }),
+
+    "q_ingest_iceberg_posdel" -> ((s, d) => {
+      // ICEBERG POSITION DELETES through the gate (merge-on-read, the
+      // v2 delete-file read path — the row-level mechanism the
+      // reference's Iceberg lake serves DELETEs from): a hand-built
+      // foreign tree whose snapshot carries TWO data files and a
+      // DELETE manifest with two position-delete parquet files — one
+      // at sequence 2 deleting every 7th row of fa (applies: fa's
+      // data sequence is 1), one at sequence 1 targeting fb (must NOT
+      // apply: fb's data sequence is 2 — the spec's applicability
+      // rule). The SERVED ROWS come through readIceberg's distributed
+      // anti-join on (file, `_metadata.row_index`); the oracle
+      // re-derives survivors from the raw documents table by row
+      // rank, so an off-by-one row index, a mismatched file_path key
+      // or an ignored sequence guard surfaces as missing/extra rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_posdel_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val dir = tmp.toString
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def slice(m: Int, sub: String): (String, Long) = {
+        base.where(pmod(col("doc_id"), lit(4)) === m)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.parquet(s"$dir/data/$sub")
+        val f = new java.io.File(s"$dir/data/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        (f.getAbsolutePath, s.read.parquet(s"$dir/data/$sub").count())
+      }
+      val (fa, nA) = slice(2, "fa")
+      val (fb, nB) = slice(3, "fb")
+      import s.implicits._
+      def delFile(sub: String, target: String,
+          poss: Seq[Long]): String = {
+        poss.map(p => (target, p)).toDF("file_path", "pos")
+          .coalesce(1).write.parquet(s"$dir/data/$sub")
+        new java.io.File(s"$dir/data/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val da = delFile("da", fa, (0L until nA by 7).toSeq)
+      val db = delFile("db", fb, (0L until nB by 5).toSeq)
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val entryS = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int","field-id":0},
+          {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+          {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            {"name":"content","type":"int","field-id":134},
+            {"name":"file_path","type":"string","field-id":100},
+            {"name":"file_format","type":"string","field-id":101},
+            {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+            {"name":"record_count","type":"long","field-id":103},
+            {"name":"file_size_in_bytes","type":"long","field-id":104}
+          ]},"field-id":2}]}""")
+      val listS = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string","field-id":500},
+          {"name":"manifest_length","type":"long","field-id":501},
+          {"name":"partition_spec_id","type":"int","field-id":502},
+          {"name":"content","type":"int","field-id":517},
+          {"name":"sequence_number","type":"long","field-id":515},
+          {"name":"min_sequence_number","type":"long","field-id":516},
+          {"name":"added_snapshot_id","type":"long","field-id":503},
+          {"name":"added_data_files_count","type":"int","field-id":504},
+          {"name":"existing_data_files_count","type":"int","field-id":505},
+          {"name":"deleted_data_files_count","type":"int","field-id":506},
+          {"name":"added_rows_count","type":"long","field-id":512},
+          {"name":"existing_rows_count","type":"long","field-id":513},
+          {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
+      def writeAvro(path: String, schema: Schema,
+          recs: Seq[GenericRecord]): Long = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        val f = new java.io.File(path)
+        f.getParentFile.mkdirs()
+        w.create(schema, f)
+        recs.foreach(w.append)
+        w.close()
+        f.length
+      }
+      def entry(content: Int, sid: Long, seq: Long, path: String,
+          n: Long): GenericRecord = {
+        val e = new GenericData.Record(entryS)
+        e.put("status", Integer.valueOf(1))
+        e.put("snapshot_id", java.lang.Long.valueOf(sid))
+        e.put("sequence_number", java.lang.Long.valueOf(seq))
+        val dfS = entryS.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", Integer.valueOf(content))
+        df.put("file_path", path)
+        df.put("file_format", "PARQUET")
+        df.put("partition",
+          new GenericData.Record(dfS.getField("partition").schema()))
+        df.put("record_count", java.lang.Long.valueOf(n))
+        df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+        e.put("data_file", df)
+        e
+      }
+      def listRec(path: String, len: Long, sid: Long, seq: Long,
+          content: Int): GenericRecord = {
+        val r = new GenericData.Record(listS)
+        r.put("manifest_path", path)
+        r.put("manifest_length", java.lang.Long.valueOf(len))
+        r.put("partition_spec_id", Integer.valueOf(0))
+        r.put("content", Integer.valueOf(content))
+        r.put("sequence_number", java.lang.Long.valueOf(seq))
+        r.put("min_sequence_number", java.lang.Long.valueOf(1L))
+        r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
+        Seq("added_data_files_count", "existing_data_files_count",
+          "deleted_data_files_count").foreach(f =>
+            r.put(f, Integer.valueOf(0)))
+        Seq("added_rows_count", "existing_rows_count",
+          "deleted_rows_count").foreach(f =>
+            r.put(f, java.lang.Long.valueOf(0L)))
+        r
+      }
+      val m1 = s"$dir/metadata/m1.avro"
+      val m1len = writeAvro(m1, entryS, Seq(entry(0, 101L, 1L, fa, nA)))
+      val m2 = s"$dir/metadata/m2.avro"
+      val m2len = writeAvro(m2, entryS, Seq(entry(0, 202L, 2L, fb, nB)))
+      val md0 = s"$dir/metadata/md.avro"
+      val mdLen = writeAvro(md0, entryS, Seq(
+        entry(1, 202L, 2L, da, 1L), entry(1, 202L, 1L, db, 1L)))
+      val ml = s"$dir/metadata/snap-301.avro"
+      writeAvro(ml, listS, Seq(
+        listRec(m1, m1len, 101L, 1L, 0),
+        listRec(m2, m2len, 202L, 2L, 0),
+        listRec(md0, mdLen, 202L, 2L, 1)))
+      val schemaFields =
+        """{"id":1,"name":"doc_id","required":false,"type":"long"},
+          {"id":2,"name":"source","required":false,"type":"string"},
+          {"id":3,"name":"n_chars","required":false,"type":"long"}"""
+      val metaJson = s"""{
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000d00d",
+        "location": "$dir",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [{"type":"struct","schema-id":0,"fields":[$schemaFields]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[]}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},
+        "current-snapshot-id": 301,
+        "snapshots": [
+          {"snapshot-id":301,"sequence-number":2,"timestamp-ms":1700000002000,
+           "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
+        "snapshot-log": [
+          {"timestamp-ms":1700000002000,"snapshot-id":301}],
+        "metadata-log": []
+      }"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+        metaJson.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+        "1".getBytes("UTF-8"))
+      graft.sources.IcebergMirror.readIceberg(s, dir)
+    }),
+
     "q_ingest_delta" -> ((s, d) => {
       // DELTA IMPORT direction through the gate: the table evolves
       // (partitioned base + partition overwrite + COW DELETE), the
@@ -4426,6 +4791,42 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, lang FROM b5 WHERE ridx % 5 <> 0
         |UNION ALL
         |SELECT doc_id, source, n_chars, lang FROM b WHERE doc_id % 4 = 1"""
+        .stripMargin,
+
+    "q_snapshot_export_iceberg" ->
+      // rows served THROUGH the mirrored Iceberg v2 tree (readIceberg
+      // over IcebergMirror's avro manifests), incl. a name-mapping
+      // rename (n_chars -> chars, field id stable): final state
+      // re-derived from the raw table — a stale tombstone or a
+      // misresolved identity-partition value surfaces as extras/gaps
+      """SELECT doc_id, source, n_chars AS chars, lang FROM documents
+        |WHERE doc_id % 3 = 1 AND NOT coalesce(n_chars < 150, false)"""
+        .stripMargin,
+
+    "q_ingest_iceberg" ->
+      // rows served through readIceberg over a HAND-BUILT foreign v2
+      // tree: fa (bucket 7) carried EXISTING through a manifest
+      // rewrite, fc tombstoned status=2, fb (bucket 9) added by the
+      // second snapshot; `bucket` is NOT in the data files — the
+      // column-projection rule supplies it from partition metadata
+      """SELECT doc_id, source, n_chars, 7 AS bucket FROM documents
+        |WHERE doc_id % 4 = 2
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 9 FROM documents
+        |WHERE doc_id % 4 = 3""".stripMargin,
+
+    "q_ingest_iceberg_posdel" ->
+      // rows served through readIceberg's POSITION-DELETE resolution:
+      // fa's survivors re-derived by row rank (files written sorted,
+      // so parquet row_index == rank) — every 7th row of fa deleted
+      // by a sequence-2 delete file; the sequence-1 delete targeting
+      // fb must NOT apply (fb's data sequence is 2)
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+        |a7 AS (SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS ridx
+        |       FROM b WHERE doc_id % 4 = 2)
+        |SELECT doc_id, source, n_chars FROM a7 WHERE ridx % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
         .stripMargin,
 
     "q_snapshot_evolve" ->

@@ -222,7 +222,9 @@ object CurationPipeline {
   def maintain(spark: SparkSession, outDir: String, nFiles: Int = 32,
                keepVersions: Int = 3, mirrorDelta: Boolean = false,
                checkpointEvery: Int = 10,
-               logRetainVersions: Int = 0): Long = {
+               logRetainVersions: Int = 0,
+               mirrorIceberg: Boolean = false,
+               icebergRetainSnapshots: Int = 0): Long = {
     val corpusTable = s"$outDir/corpus"
     val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
     // open-format interop rides maintenance (the reference lands every
@@ -247,6 +249,15 @@ object CurationPipeline {
       if (logRetainVersions > 0)
         graft.sources.DeltaMirror.cleanupLog(spark, corpusTable,
           logRetainVersions, strict = false): Unit
+    }
+    // the Iceberg twin (the reference's ACTUAL lake format): one
+    // snapshot per corpus version, expired down to the retention
+    // window so the metadata tree stays bounded alongside vacuum
+    if (mirrorIceberg) {
+      graft.sources.IcebergMirror.mirror(spark, corpusTable): Unit
+      if (icebergRetainSnapshots > 0)
+        graft.sources.IcebergMirror.expireSnapshots(spark, corpusTable,
+          icebergRetainSnapshots): Unit
     }
     LakeWriter.vacuumSnapshots(spark, corpusTable, keepLast = keepVersions)
     v

@@ -1,0 +1,1593 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, raise_error, when}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Apache Iceberg bridge for graft snapshot tables — the Delta
+  * mirror's twin on the reference's OWN lake format (the reference's
+  * Spark jobs write `iceberg`-provider tables through a Hadoop
+  * catalog: /root/reference/airflow/dags/spark_code/
+  * write_iceberg_sample.py, catalog config in utils/init_spark.py).
+  *
+  * EXPORT ([[mirror]]): emits the Iceberg FORMAT v2 metadata tree —
+  * `metadata/v<N>.metadata.json` + `version-hint.text` (HadoopCatalog
+  * discovery), a manifest-list avro per snapshot and manifest avro
+  * files with the spec's pinned field-ids — over the snapshot table's
+  * existing parquet, ZERO data copies. Incremental: each graft version
+  * becomes one Iceberg snapshot; resume replays the tree itself (the
+  * current metadata JSON + its manifests), so the cursor survives
+  * vacuumed graft versions. Writes are planned fully before anything
+  * is published and `version-hint.text` goes LAST (overwrite-rename),
+  * so a reader only ever sees a complete tree.
+  *
+  * Everything here is implemented from the PUBLIC Iceberg table spec
+  * (format v2): avro manifests carry the spec's prescribed
+  * `field-id` / `element-id` / `key-id` / `value-id` properties so
+  * conforming readers resolve by id; data-file column bounds use the
+  * spec's single-value binary serialization (little-endian primitives,
+  * UTF-8 strings); and because graft's parquet carries no embedded
+  * field ids, the metadata publishes `schema.name-mapping.default`
+  * (the spec's name-mapping fallback) keyed by the PHYSICAL column
+  * names in the files — renames stay metadata-only on the mirror,
+  * exactly like the Delta mirror's columnMapping.
+  *
+  * IMPORT ([[readIceberg]]): resolves a foreign Iceberg table —
+  * version hint (or newest metadata JSON), manifest list, manifests,
+  * live data files — and serves it as a DataFrame. Identity-partition
+  * values follow the spec's column-projection rule: a source column
+  * missing from a data file resolves from the file's own partition
+  * metadata (broadcast-joined on `_metadata.file_path`, coalesced
+  * with file-stored values so foreign layouts that DO materialize the
+  * column read identically). The reader REFUSES what it cannot serve
+  * correctly — format v3+, row-level delete manifests, non-parquet
+  * data files, renamed columns with no name mapping — rather than
+  * returning silently wrong rows (the readDelta conformance-gate
+  * discipline). Everything is metadata-plane on the driver:
+  * O(manifest entries), never O(rows).
+  */
+object IcebergMirror {
+
+  private def metaDir(table: String) =
+    new Path(table.stripSuffix("/") + "/metadata")
+
+  // ------------------------------------------------------------------
+  // type mapping: Spark <-> Iceberg schema JSON
+  // ------------------------------------------------------------------
+
+  /** Iceberg type JSON for a Spark type; nested ids allocate through
+    * `id` keyed by dotted path (stable across mirror resumes via the
+    * name-mapping walk in [[loadState]]). */
+  private def icebergTypeJson(dt: DataType, path: String,
+      id: (String, String) => Int): JValue = dt match {
+    case BooleanType => JString("boolean")
+    case ByteType | ShortType | IntegerType => JString("int")
+    case LongType => JString("long")
+    case FloatType => JString("float")
+    case DoubleType => JString("double")
+    case StringType => JString("string")
+    case BinaryType => JString("binary")
+    case DateType => JString("date")
+    case TimestampType => JString("timestamptz")
+    case TimestampNTZType => JString("timestamp")
+    case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+    case st: StructType => JObject(List(
+      "type" -> JString("struct"),
+      "fields" -> JArray(st.fields.map { f =>
+        JObject(List(
+          "id" -> JInt(BigInt(id(s"$path.${f.name}", f.name))),
+          "name" -> JString(f.name),
+          "required" -> JBool(!f.nullable),
+          "type" -> icebergTypeJson(f.dataType, s"$path.${f.name}", id)))
+      }.toList)))
+    case at: ArrayType => JObject(List(
+      "type" -> JString("list"),
+      "element-id" -> JInt(BigInt(id(s"$path.element", "element"))),
+      "element" -> icebergTypeJson(at.elementType, s"$path.element", id),
+      "element-required" -> JBool(!at.containsNull)))
+    case mt: MapType => JObject(List(
+      "type" -> JString("map"),
+      "key-id" -> JInt(BigInt(id(s"$path.key", "key"))),
+      "key" -> icebergTypeJson(mt.keyType, s"$path.key", id),
+      "value-id" -> JInt(BigInt(id(s"$path.value", "value"))),
+      "value" -> icebergTypeJson(mt.valueType, s"$path.value", id),
+      "value-required" -> JBool(!mt.valueContainsNull)))
+    case other => sys.error(
+      s"iceberg mirror: Spark type $other has no Iceberg v2 mapping")
+  }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  /** Spark type of an Iceberg type JSON node; refuses types this
+    * reader cannot serve faithfully (uuid, time, v3 nanos). */
+  private def sparkTypeOf(j: JValue, where: String): DataType = j match {
+    case JString("boolean") => BooleanType
+    case JString("int") => IntegerType
+    case JString("long") => LongType
+    case JString("float") => FloatType
+    case JString("double") => DoubleType
+    case JString("string") => StringType
+    case JString("binary") => BinaryType
+    case JString("date") => DateType
+    case JString("timestamptz") => TimestampType
+    case JString("timestamp") => TimestampNTZType
+    case JString(DecimalRe(p, s)) => DecimalType(p.toInt, s.toInt)
+    case JString(FixedRe(_)) => BinaryType
+    case JString(other) => sys.error(
+      s"iceberg table at $where: column type '$other' is not " +
+        "supported by this reader — refusing")
+    case o: JObject => (o \ "type") match {
+      case JString("struct") => StructType((o \ "fields") match {
+        case JArray(fs) => fs.map { f =>
+          StructField(
+            str(f \ "name").getOrElse(sys.error("unnamed struct field")),
+            sparkTypeOf(f \ "type", where),
+            nullable = (f \ "required") != JBool(true))
+        }.toArray
+        case _ => sys.error(s"iceberg table at $where: struct without fields")
+      })
+      case JString("list") => ArrayType(
+        sparkTypeOf(o \ "element", where),
+        containsNull = (o \ "element-required") != JBool(true))
+      case JString("map") => MapType(
+        sparkTypeOf(o \ "key", where),
+        sparkTypeOf(o \ "value", where),
+        valueContainsNull = (o \ "value-required") != JBool(true))
+      case other => sys.error(
+        s"iceberg table at $where: unsupported nested type $other")
+    }
+    case other => sys.error(
+      s"iceberg table at $where: malformed type node $other")
+  }
+
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s)
+    case _ => None
+  }
+  private def lng(j: JValue): Option[Long] = j match {
+    case JInt(n) => Some(n.toLong)
+    case JLong(n) => Some(n)
+    case _ => None
+  }
+
+  // ------------------------------------------------------------------
+  // single-value binary serialization (spec Appendix D)
+  // ------------------------------------------------------------------
+
+  private def le(n: Int, v: Long): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var i = 0
+    while (i < n) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** Bound bytes for a manifest-stat string under its Spark type, per
+    * the spec's single-value serialization; None when the canonical
+    * stat form cannot map (the column then just carries no bound). */
+  private def boundBytes(dt: DataType, s: String): Option[Array[Byte]] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        Some(le(4, s.toLong))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(le(8, s.toLong))
+      case FloatType =>
+        Some(le(4, java.lang.Float.floatToIntBits(s.toFloat).toLong))
+      case DoubleType =>
+        Some(le(8, java.lang.Double.doubleToLongBits(s.toDouble)))
+      case BooleanType =>
+        Some(Array[Byte](if (s.toBoolean) 1 else 0))
+      case StringType => Some(s.getBytes("UTF-8"))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
+  // ------------------------------------------------------------------
+  // avro plumbing
+  // ------------------------------------------------------------------
+
+  private def writeAvroBytes(schema: Schema, meta: Seq[(String, String)],
+      rows: Seq[GenericRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, out)
+    rows.foreach(w.append)
+    w.close()
+    out.toByteArray
+  }
+
+  private def readAvroBytes(bytes: Array[Byte])
+      : (Schema, Map[String, String], Vector[GenericRecord]) = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val rows = Vector.newBuilder[GenericRecord]
+    while (r.hasNext) rows += r.next()
+    val metaKeys = r.getMetaKeys.asScala.toSeq
+    val meta = metaKeys.flatMap(k =>
+      Option(r.getMetaString(k)).map(k -> _)).toMap
+    val s = r.getSchema
+    r.close()
+    (s, meta, rows.result())
+  }
+
+  private def readFileBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
+  private def writeFileBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    out.write(bytes); out.close()
+  }
+
+  /** Field of `rec` by the spec's field-id property (the resolution
+    * rule Iceberg prescribes), name as fallback for id-less writers. */
+  private def fieldById(rec: GenericRecord, id: Int, name: String): Any = {
+    val fs = rec.getSchema.getFields.asScala
+    fs.find(f => f.getObjectProp("field-id") match {
+      case n: Number => n.intValue == id
+      case _ => false
+    }).orElse(fs.find(_.name == name))
+      .map(f => rec.get(f.pos)).orNull
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+  private def asString(v: Any): Option[String] = v match {
+    case null => None
+    case s => Some(s.toString)
+  }
+  private def asBytes(v: Any): Option[Array[Byte]] = v match {
+    case b: java.nio.ByteBuffer =>
+      val d = b.duplicate(); val a = new Array[Byte](d.remaining)
+      d.get(a); Some(a)
+    case a: Array[Byte] => Some(a)
+    case _ => None
+  }
+
+  // ------------------------------------------------------------------
+  // avro schemas (field ids per the spec's manifest tables)
+  // ------------------------------------------------------------------
+
+  /** avro type string for an identity-partition value of `dt`. */
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case BooleanType => "\"boolean\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case TimestampType =>
+      """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":true}"""
+    case TimestampNTZType =>
+      """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":false}"""
+    case other => sys.error(
+      s"iceberg mirror: partition column type $other is not mirrorable")
+  }
+
+  /** One partition-spec field as carried by the writer. */
+  private final case class SpecField(name: String, sourceId: Int,
+      fieldId: Int, dt: DataType)
+
+  private def partitionRecordJson(fields: Seq[SpecField]): String =
+    fields.map { f =>
+      s"""{"name":"${f.name}","type":["null",${partitionAvroType(f.dt)}],""" +
+        s""""default":null,"field-id":${f.fieldId}}"""
+    }.mkString(
+      """{"type":"record","name":"r102","fields":[""", ",", "]}")
+
+  private def mapJson(recName: String, kId: Int, vId: Int,
+      vType: String): String =
+    s"""["null",{"type":"array","items":{"type":"record","name":"$recName",""" +
+      s""""fields":[{"name":"key","type":"int","field-id":$kId},""" +
+      s"""{"name":"value","type":"$vType","field-id":$vId}]},""" +
+      s""""logicalType":"map"}]"""
+
+  /** manifest_entry avro schema (v2) for a partition struct. */
+  private def manifestEntrySchema(fields: Seq[SpecField]): Schema = {
+    val json =
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","type":${partitionRecordJson(fields)},"field-id":102},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"column_sizes","type":${mapJson("k117_v118", 117, 118, "long")},"default":null,"field-id":108},
+          {"name":"value_counts","type":${mapJson("k119_v120", 119, 120, "long")},"default":null,"field-id":109},
+          {"name":"null_value_counts","type":${mapJson("k121_v122", 121, 122, "long")},"default":null,"field-id":110},
+          {"name":"nan_value_counts","type":${mapJson("k138_v139", 138, 139, "long")},"default":null,"field-id":137},
+          {"name":"lower_bounds","type":${mapJson("k126_v127", 126, 127, "bytes")},"default":null,"field-id":125},
+          {"name":"upper_bounds","type":${mapJson("k129_v130", 129, 130, "bytes")},"default":null,"field-id":128},
+          {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
+          {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+          {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+        ]},"field-id":2}
+      ]}"""
+    new Schema.Parser().parse(json)
+  }
+
+  /** manifest_file avro schema (the manifest LIST rows, v2). Field
+    * names follow the Iceberg java writer's on-disk convention
+    * (added_data_files_count …); readers resolve by field-id. */
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_data_files_count","type":"int","field-id":504},
+      {"name":"existing_data_files_count","type":"int","field-id":505},
+      {"name":"deleted_data_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","type":["null",{"type":"array","items":
+        {"type":"record","name":"r508","fields":[
+          {"name":"contains_null","type":"boolean","field-id":509},
+          {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+          {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+          {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+        ]},"element-id":508}],"default":null,"field-id":507},
+      {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519}
+    ]}""")
+
+  // ------------------------------------------------------------------
+  // writer state
+  // ------------------------------------------------------------------
+
+  /** One live (or to-be-deleted) data file as a manifest records it. */
+  private final case class DFile(path: String, partition: Vector[Any],
+      recordCount: Long, fileSize: Long,
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      snapshotId: Long, dataSeq: Long)
+
+  /** One manifest as listed by the current snapshot, with enough state
+    * to carry it forward or rewrite it when files leave. */
+  private final case class MInfo(path: String, length: Long, specId: Int,
+      seq: Long, minSeq: Long, addedSnapshotId: Long,
+      addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long,
+      live: Vector[DFile])
+
+  private final class IceState {
+    var tableUuid: String = ""
+    var location: String = ""
+    var lastSeq: Long = 0L
+    var lastColumnId: Int = 0
+    var lastPartitionId: Int = 999
+    var currentSchemaId: Int = -1
+    val schemas = mutable.ListBuffer[JValue]()
+    val specs = mutable.ListBuffer[JValue]()          // spec JSON by spec-id
+    val specFields = mutable.ListBuffer[Vector[SpecField]]()
+    var defaultSpecId: Int = -1
+    var currentSnapshotId: Long = -1L
+    val snapshots = mutable.ListBuffer[JValue]()
+    val snapshotLog = mutable.ListBuffer[JValue]()
+    val metadataLog = mutable.ListBuffer[JValue]()
+    var lastUpdated: Long = 0L
+    var lastGraft: Option[Long] = None
+    var hintVersion: Int = 0                          // current vN
+    val colIds = mutable.LinkedHashMap[String, Int]() // dotted phys path -> id
+    var manifests = Vector[MInfo]()
+  }
+
+  private def snapshotIdOf(uuid: String, gv: Long): Long =
+    java.util.UUID.nameUUIDFromBytes(
+      s"$uuid:snap:$gv".getBytes("UTF-8")).getMostSignificantBits &
+      Long.MaxValue
+
+  /** Full-tree name mapping ([{field-id, names, fields?}]) — the
+    * spec's resolution path for data files with no embedded field ids
+    * (graft parquet), keyed by the PHYSICAL names in the files. Also
+    * the writer's own resume source for the path->id allocation. */
+  private def nameMappingJson(schema: StructType,
+      physOf: String => String, colIds: mutable.LinkedHashMap[String, Int])
+      : JValue = {
+    def entry(path: String, name: String, dt: DataType): JValue = {
+      val kids: List[JValue] = dt match {
+        case st: StructType => st.fields.map(f =>
+          entry(s"$path.${f.name}", f.name, f.dataType)).toList
+        case at: ArrayType =>
+          List(entry(s"$path.element", "element", at.elementType))
+        case mt: MapType =>
+          List(entry(s"$path.key", "key", mt.keyType),
+            entry(s"$path.value", "value", mt.valueType))
+        case _ => Nil
+      }
+      JObject(List(
+        "field-id" -> JInt(BigInt(colIds(path))),
+        "names" -> JArray(List(JString(name)))) ++
+        (if (kids.nonEmpty) List("fields" -> (JArray(kids): JValue))
+         else Nil))
+    }
+    JArray(schema.fields.map { f =>
+      val p = physOf(f.name)
+      entry(p, p, f.dataType)
+    }.toList)
+  }
+
+  /** Rebuild the dotted-path -> field-id allocation from a name
+    * mapping (inverse of [[nameMappingJson]]). */
+  private def colIdsOfMapping(mapping: JValue,
+      into: mutable.LinkedHashMap[String, Int]): Unit = {
+    def walk(j: JValue, prefix: String): Unit = j match {
+      case JArray(entries) => entries.foreach { e =>
+        val name = (e \ "names") match {
+          case JArray(JString(n) :: _) => n
+          case _ => sys.error("iceberg mirror: name-mapping entry " +
+            "without names — foreign tree, refusing to extend")
+        }
+        val id = lng(e \ "field-id").getOrElse(sys.error(
+          "iceberg mirror: name-mapping entry without field-id")).toInt
+        val path = if (prefix.isEmpty) name else s"$prefix.$name"
+        into(path) = id
+        walk(e \ "fields", path)
+      }
+      case _ => ()
+    }
+    walk(mapping, "")
+  }
+
+  // ------------------------------------------------------------------
+  // resume: load the current tree
+  // ------------------------------------------------------------------
+
+  private def hintPath(md: Path) = new Path(md, "version-hint.text")
+  private def metadataJsonPath(md: Path, n: Int) =
+    new Path(md, s"v$n.metadata.json")
+
+  /** Newest metadata version on disk: the hint when present, else the
+    * max vN listing (HadoopCatalog fallback for a torn hint write). */
+  private def currentMetadataVersion(fs: org.apache.hadoop.fs.FileSystem,
+      md: Path): Option[Int] = {
+    val hinted =
+      if (!fs.exists(hintPath(md))) None
+      else scala.util.Try(new String(
+        readFileBytes(fs, hintPath(md)), "UTF-8").trim.toInt).toOption
+          .filter(n => fs.exists(metadataJsonPath(md, n)))
+    hinted.orElse {
+      if (!fs.exists(md)) None
+      else fs.listStatus(md).toSeq.map(_.getPath.getName)
+        .flatMap { n =>
+          val m = """v(\d+)\.metadata\.json""".r
+          n match { case m(v) => Some(v.toInt); case _ => None }
+        }.maxOption
+    }
+  }
+
+  private def loadState(spark: SparkSession, table: String): Option[IceState] = {
+    val md = metaDir(table)
+    val fs = LakeWriter.fsOf(spark, md)
+    currentMetadataVersion(fs, md).map { n =>
+      val j = JsonMethods.parse(new String(
+        readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+      val st = new IceState
+      st.hintVersion = n
+      require(lng(j \ "format-version").contains(2L),
+        s"iceberg tree at $table is not format v2 — refusing to extend")
+      st.tableUuid = str(j \ "table-uuid").getOrElse(
+        sys.error(s"iceberg tree at $table carries no table-uuid"))
+      st.location = str(j \ "location").getOrElse(table)
+      st.lastSeq = lng(j \ "last-sequence-number").getOrElse(0L)
+      st.lastColumnId = lng(j \ "last-column-id").getOrElse(0L).toInt
+      st.lastPartitionId = lng(j \ "last-partition-id").getOrElse(999L).toInt
+      st.currentSchemaId = lng(j \ "current-schema-id").getOrElse(0L).toInt
+      (j \ "schemas") match {
+        case JArray(ss) => st.schemas ++= ss
+        case _ => sys.error(s"iceberg tree at $table has no schemas")
+      }
+      st.defaultSpecId = lng(j \ "default-spec-id").getOrElse(0L).toInt
+      val schemaTypes: Map[Int, StructType] = st.schemas.map { s =>
+        lng(s \ "schema-id").getOrElse(0L).toInt ->
+          sparkTypeOf(s, table).asInstanceOf[StructType]
+      }.toMap
+      val curSchema = schemaTypes(st.currentSchemaId)
+      (j \ "partition-specs") match {
+        case JArray(ps) => ps.foreach { p =>
+          st.specs += p
+          val fields = (p \ "fields") match {
+            case JArray(fs0) => fs0.map { f =>
+              val srcId = lng(f \ "source-id").get.toInt
+              require(str(f \ "transform").contains("identity"),
+                s"iceberg tree at $table carries a non-identity " +
+                  "partition transform — not a graft mirror, refusing")
+              // source field type from the CURRENT schema by id —
+              // resolved through the schema JSON (ids are stable)
+              val dt = (st.schemas(st.currentSchemaId) \ "fields") match {
+                case JArray(sf) => sf.collectFirst {
+                  case f0 if lng(f0 \ "id").contains(srcId.toLong) =>
+                    sparkTypeOf(f0 \ "type", table)
+                }.getOrElse(sys.error(
+                  s"iceberg tree at $table: partition source $srcId " +
+                    "not in current schema"))
+                case _ => sys.error("no fields")
+              }
+              SpecField(str(f \ "name").get, srcId,
+                lng(f \ "field-id").get.toInt, dt)
+            }.toVector
+            case _ => Vector.empty[SpecField]
+          }
+          st.specFields += fields
+        }
+        case _ => ()
+      }
+      (j \ "snapshots") match {
+        case JArray(ss) => st.snapshots ++= ss
+        case _ => ()
+      }
+      (j \ "snapshot-log") match {
+        case JArray(ss) => st.snapshotLog ++= ss
+        case _ => ()
+      }
+      (j \ "metadata-log") match {
+        case JArray(ss) => st.metadataLog ++= ss
+        case _ => ()
+      }
+      st.lastUpdated = lng(j \ "last-updated-ms").getOrElse(0L)
+      st.currentSnapshotId = lng(j \ "current-snapshot-id").getOrElse(-1L)
+      val curSnap = st.snapshots.find(s =>
+        lng(s \ "snapshot-id").contains(st.currentSnapshotId))
+      st.lastGraft = curSnap.flatMap(s =>
+        str(s \ "summary" \ "graft-version").map(_.toLong))
+      // path -> id allocation from the published name mapping
+      str(j \ "properties" \ "schema.name-mapping.default").foreach(m =>
+        colIdsOfMapping(JsonMethods.parse(m), st.colIds))
+      require(st.colIds.nonEmpty,
+        s"iceberg tree at $table carries no schema.name-mapping.default" +
+          " — not a graft mirror; refusing to extend")
+      // manifests of the current snapshot, fully (rewrites need them)
+      curSnap.foreach { s =>
+        val mlPath = new Path(str(s \ "manifest-list").get)
+        val (_, _, rows) = readAvroBytes(readFileBytes(fs, mlPath))
+        st.manifests = rows.map { r =>
+          val mPath = asString(fieldById(r, 500, "manifest_path")).get
+          val specId = asLong(fieldById(r, 502, "partition_spec_id"))
+            .getOrElse(0L).toInt
+          val fields = st.specFields(specId)
+          val (_, _, entries) = readAvroBytes(
+            readFileBytes(fs, new Path(mPath)))
+          val live = entries.flatMap { e =>
+            val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
+            if (status == 2L) None
+            else {
+              val df = fieldById(e, 2, "data_file")
+                .asInstanceOf[GenericRecord]
+              val part = fieldById(df, 102, "partition")
+                .asInstanceOf[GenericRecord]
+              def longMap(id: Int, name: String): Map[Int, Long] =
+                fieldById(df, id, name) match {
+                  case l: java.util.List[_] => l.asScala.map { kv =>
+                    val r0 = kv.asInstanceOf[GenericRecord]
+                    asLong(r0.get("key")).get.toInt ->
+                      asLong(r0.get("value")).get
+                  }.toMap
+                  case _ => Map.empty
+                }
+              def bytesMap(id: Int, name: String): Map[Int, Array[Byte]] =
+                fieldById(df, id, name) match {
+                  case l: java.util.List[_] => l.asScala.map { kv =>
+                    val r0 = kv.asInstanceOf[GenericRecord]
+                    asLong(r0.get("key")).get.toInt ->
+                      asBytes(r0.get("value")).get
+                  }.toMap
+                  case _ => Map.empty
+                }
+              Some(DFile(
+                asString(fieldById(df, 100, "file_path")).get,
+                fields.map(f =>
+                  avroToJvm(fieldById(part, f.fieldId, f.name))).toVector,
+                asLong(fieldById(df, 103, "record_count")).getOrElse(0L),
+                asLong(fieldById(df, 104, "file_size_in_bytes"))
+                  .getOrElse(0L),
+                longMap(109, "value_counts"), longMap(110, "null_value_counts"),
+                bytesMap(125, "lower_bounds"), bytesMap(128, "upper_bounds"),
+                asLong(fieldById(e, 1, "snapshot_id")).getOrElse(
+                  st.currentSnapshotId),
+                asLong(fieldById(e, 3, "sequence_number"))
+                  .getOrElse(st.lastSeq)))
+            }
+          }
+          MInfo(mPath,
+            asLong(fieldById(r, 501, "manifest_length")).getOrElse(0L),
+            specId,
+            asLong(fieldById(r, 515, "sequence_number")).getOrElse(0L),
+            asLong(fieldById(r, 516, "min_sequence_number")).getOrElse(0L),
+            asLong(fieldById(r, 503, "added_snapshot_id")).getOrElse(0L),
+            asLong(fieldById(r, 504, "added_data_files_count"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 505, "existing_data_files_count"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 506, "deleted_data_files_count"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 512, "added_rows_count")).getOrElse(0L),
+            asLong(fieldById(r, 513, "existing_rows_count")).getOrElse(0L),
+            asLong(fieldById(r, 514, "deleted_rows_count")).getOrElse(0L),
+            live)
+        }
+      }
+      val _ = curSchema // current schema resolvable => types supported
+      st
+    }
+  }
+
+  private def avroToJvm(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case other => other
+  }
+
+  // ------------------------------------------------------------------
+  // mirror (export direction)
+  // ------------------------------------------------------------------
+
+  /** Invert hive path escaping (%XX) in a partition value segment. */
+  private def hiveUnescape(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Typed partition value for the avro partition struct from the
+    * hive-path string form. */
+  private def partitionJvm(dt: DataType, raw: String): Any =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case ByteType | ShortType | IntegerType => Integer.valueOf(raw.toInt)
+      case LongType => java.lang.Long.valueOf(raw.toLong)
+      case StringType => raw
+      case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+      case DateType => Integer.valueOf(
+        java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      case other => sys.error(
+        s"iceberg mirror: partition column type $other is not mirrorable")
+    }
+
+  /** Single-value bytes of a partition JVM value (for field
+    * summaries); ordering helper rides the same JVM forms. */
+  private def partitionBytes(dt: DataType, v: Any): Option[Array[Byte]] =
+    Option(v).flatMap { x =>
+      dt match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          Some(le(4, x.asInstanceOf[Number].longValue))
+        case LongType => Some(le(8, x.asInstanceOf[Number].longValue))
+        case TimestampType | TimestampNTZType =>
+          Some(le(8, x.asInstanceOf[Number].longValue))
+        case BooleanType =>
+          Some(Array[Byte](if (x.asInstanceOf[Boolean]) 1 else 0))
+        case StringType => Some(x.toString.getBytes("UTF-8"))
+        case _ => None
+      }
+    }
+
+  private def partitionLt(dt: DataType, a: Any, b: Any): Boolean =
+    dt match {
+      case StringType => a.toString < b.toString
+      case BooleanType =>
+        !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case _ => a.asInstanceOf[Number].longValue <
+        b.asInstanceOf[Number].longValue
+    }
+
+  /** avro record for one manifest entry. */
+  private def entryRecord(schema: Schema, status: Int, snapshotId: Long,
+      dataSeq: Long, f: DFile, fields: Seq[SpecField]): GenericRecord = {
+    val e = new GenericData.Record(schema)
+    e.put("status", Integer.valueOf(status))
+    e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+    e.put("sequence_number", java.lang.Long.valueOf(dataSeq))
+    e.put("file_sequence_number", java.lang.Long.valueOf(dataSeq))
+    val dfS = schema.getField("data_file").schema()
+    val df = new GenericData.Record(dfS)
+    df.put("content", Integer.valueOf(0))
+    df.put("file_path", f.path)
+    df.put("file_format", "PARQUET")
+    val partS = dfS.getField("partition").schema()
+    val part = new GenericData.Record(partS)
+    fields.zipWithIndex.foreach { case (sf, i) =>
+      part.put(sf.name, f.partition(i))
+    }
+    df.put("partition", part)
+    df.put("record_count", java.lang.Long.valueOf(f.recordCount))
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(f.fileSize))
+    def mapRecords(field: String, m: Map[Int, _]): Unit =
+      if (m.nonEmpty) {
+        val arrS = dfS.getField(field).schema().getTypes.get(1)
+        val itemS = arrS.getElementType
+        val l = new java.util.ArrayList[GenericRecord](m.size)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(itemS)
+          r.put("key", Integer.valueOf(k))
+          r.put("value", v match {
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case n: Long => java.lang.Long.valueOf(n)
+            case o => o
+          })
+          l.add(r)
+        }
+        df.put(field, l)
+      }
+    mapRecords("value_counts", f.valueCounts)
+    mapRecords("null_value_counts", f.nullCounts)
+    mapRecords("lower_bounds", f.lower)
+    mapRecords("upper_bounds", f.upper)
+    e.put("data_file", df)
+    e
+  }
+
+  /** Build + serialize one manifest avro; returns (bytes, MInfo sans
+    * path/length which the caller assigns). */
+  private def buildManifest(entries: Seq[(Int, Long, Long, DFile)],
+      fields: Seq[SpecField], specId: Int, specJson: String,
+      schemaJson: String, addedSnapshotId: Long, seq: Long)
+      : (Array[Byte], MInfo) = {
+    val es = manifestEntrySchema(fields)
+    val recs = entries.map { case (status, sid, dseq, f) =>
+      entryRecord(es, status, sid, dseq, f, fields)
+    }
+    val bytes = writeAvroBytes(es, Seq(
+      "schema" -> schemaJson,
+      "partition-spec" -> specJson,
+      "partition-spec-id" -> specId.toString,
+      "format-version" -> "2",
+      "content" -> "data"), recs)
+    val by = entries.groupBy(_._1)
+    def cnt(s: Int) = by.getOrElse(s, Nil).size
+    def rows(s: Int) = by.getOrElse(s, Nil).map(_._4.recordCount).sum
+    val live = entries.filter(_._1 != 2).map { case (_, sid, dseq, f) =>
+      f.copy(snapshotId = sid, dataSeq = dseq)
+    }.toVector
+    (bytes, MInfo("", bytes.length.toLong, specId, seq,
+      entries.map(_._3).minOption.getOrElse(seq), addedSnapshotId,
+      cnt(1), cnt(0), cnt(2), rows(1), rows(0), rows(2), live))
+  }
+
+  /** manifest_file record for the manifest list, with per-spec-field
+    * partition summaries over the manifest's entries. */
+  private def manifestFileRecord(m: MInfo, fields: Seq[SpecField],
+      allParts: Seq[Vector[Any]]): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", m.path)
+    r.put("manifest_length", java.lang.Long.valueOf(m.length))
+    r.put("partition_spec_id", Integer.valueOf(m.specId))
+    r.put("content", Integer.valueOf(0))
+    r.put("sequence_number", java.lang.Long.valueOf(m.seq))
+    r.put("min_sequence_number", java.lang.Long.valueOf(m.minSeq))
+    r.put("added_snapshot_id", java.lang.Long.valueOf(m.addedSnapshotId))
+    r.put("added_data_files_count", Integer.valueOf(m.addedFiles))
+    r.put("existing_data_files_count", Integer.valueOf(m.existingFiles))
+    r.put("deleted_data_files_count", Integer.valueOf(m.deletedFiles))
+    r.put("added_rows_count", java.lang.Long.valueOf(m.addedRows))
+    r.put("existing_rows_count", java.lang.Long.valueOf(m.existingRows))
+    r.put("deleted_rows_count", java.lang.Long.valueOf(m.deletedRows))
+    if (fields.nonEmpty && allParts.nonEmpty) {
+      val arrS = manifestListSchema.getField("partitions")
+        .schema().getTypes.get(1)
+      val itemS = arrS.getElementType
+      val l = new java.util.ArrayList[GenericRecord](fields.size)
+      fields.zipWithIndex.foreach { case (sf, i) =>
+        val vals = allParts.map(_(i))
+        val nonNull = vals.filter(_ != null)
+        val s = new GenericData.Record(itemS)
+        s.put("contains_null",
+          java.lang.Boolean.valueOf(nonNull.size < vals.size))
+        if (nonNull.nonEmpty) {
+          val lo = nonNull.reduce((a, b) =>
+            if (partitionLt(sf.dt, a, b)) a else b)
+          val hi = nonNull.reduce((a, b) =>
+            if (partitionLt(sf.dt, a, b)) b else a)
+          partitionBytes(sf.dt, lo).foreach(b =>
+            s.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+          partitionBytes(sf.dt, hi).foreach(b =>
+            s.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+        }
+        l.add(s)
+      }
+      r.put("partitions", l)
+    }
+    r
+  }
+
+  /** Row count of a parquet file from its footer (fallback for
+    * pre-stats manifests) — metadata-only, no data IO. */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+      file: String): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  /** Mirror `table`'s snapshot history into an Iceberg v2 metadata
+    * tree under `<table>/metadata/` — one Iceberg snapshot per graft
+    * version, zero data copies. Incremental: already-mirrored versions
+    * are skipped (cursor = the `graft-version` summary property of the
+    * current snapshot). Returns the number of versions mirrored. */
+  def mirror(spark: SparkSession, table: String,
+             fromVersion: Option[Long] = None): Long = {
+    val versions = LakeWriter.snapshotVersions(spark, table)
+    require(versions.nonEmpty, s"no snapshot history at $table")
+    val md = metaDir(table)
+    val fs = LakeWriter.fsOf(spark, md)
+    val root = fs.makeQualified(new Path(table)).toString
+
+    val st = loadState(spark, table).getOrElse {
+      val s = new IceState
+      s.tableUuid = java.util.UUID.nameUUIDFromBytes(
+        s"graft:iceberg:$table".getBytes("UTF-8")).toString
+      s.location = root
+      s
+    }
+    require(st.snapshots.isEmpty || st.lastGraft.nonEmpty,
+      s"iceberg mirror of $table: existing metadata tree carries no " +
+        "graft-version cursor — not a graft mirror; refusing to extend")
+
+    val tsByVersion = LakeWriter.snapshotTimestamps(spark, table).toMap
+    val todo = st.lastGraft match {
+      case Some(g) => versions.filter(_ > g)
+      case None =>
+        val start = fromVersion.getOrElse(versions.head)
+        require(versions.contains(start),
+          s"iceberg mirror of $table: fromVersion $start is not a " +
+            s"snapshot version (have ${versions.mkString(",")})")
+        versions.filter(_ >= start)
+    }
+    if (todo.isEmpty) return 0L
+
+    // plan EVERY write before publishing any: a refusal mid-history
+    // must leave the tree untouched (version-hint.text goes last)
+    val planned = mutable.ListBuffer[(Path, Array[Byte])]()
+    val hconf = spark.sessionState.newHadoopConf()
+
+    todo.foreach { gv =>
+      val files = LakeWriter.snapshotFiles(spark, table, gv)
+        .map(f => fs.makeQualified(new Path(f)).toString)
+      val partCols = LakeWriter.snapshotPartitionCols(spark, table, gv)
+      val colmapV = LakeWriter.parseManifestColmap(spark, table, gv)
+      val logical = LakeWriter.readSnapshot(spark, table, Some(gv)).schema
+      partCols.foreach { c =>
+        require(colmapV.phys(c) == c,
+          s"iceberg mirror of $table: partition column $c is renamed " +
+            "in the column mapping — not mirrorable")
+      }
+      def alloc(path: String, name: String): Int =
+        st.colIds.getOrElseUpdate(path, {
+          st.lastColumnId += 1; st.lastColumnId })
+      // schema JSON under STABLE ids (keyed by physical name: renames
+      // keep the id, type widening keeps the id under the wider type)
+      val fieldsJson = logical.fields.map { f =>
+        val phys = colmapV.phys(f.name)
+        JObject(List(
+          "id" -> JInt(BigInt(alloc(phys, phys))),
+          "name" -> JString(f.name),
+          "required" -> JBool(false),
+          "type" -> icebergTypeJson(f.dataType, phys, alloc)))
+      }.toList
+      val schemaIdOf: Option[Int] = st.schemas.zipWithIndex.collectFirst {
+        case (s, i) if (s \ "fields") == JArray(fieldsJson) => i
+      }
+      val schemaId = schemaIdOf.getOrElse {
+        val id = st.schemas.size
+        st.schemas += JObject(List(
+          "type" -> JString("struct"),
+          "schema-id" -> JInt(BigInt(id)),
+          "fields" -> JArray(fieldsJson)))
+        id
+      }
+      st.currentSchemaId = schemaId
+      val physOfL: Map[String, String] =
+        logical.fields.map(f => f.name -> colmapV.phys(f.name)).toMap
+      val typeOfL: Map[String, DataType] =
+        logical.fields.map(f => f.name -> f.dataType).toMap
+
+      // partition spec: identity on the hive partition columns; a
+      // CHANGED spec allocates a new spec-id (Iceberg expresses spec
+      // evolution natively — old manifests keep their old spec)
+      val wantSpec = partCols.map(c => (c, st.colIds(c)))
+      val specIdOf: Option[Int] = st.specFields.zipWithIndex.collectFirst {
+        case (sf, i) if sf.map(f => (f.name, f.sourceId)) == wantSpec => i
+      }
+      val specId = specIdOf.getOrElse {
+        val id = st.specs.size
+        val fields = partCols.map { c =>
+          st.lastPartitionId += 1
+          SpecField(c, st.colIds(c), st.lastPartitionId, typeOfL(c))
+        }.toVector
+        st.specFields += fields
+        st.specs += JObject(List(
+          "spec-id" -> JInt(BigInt(id)),
+          "fields" -> JArray(fields.map(f => JObject(List(
+            "name" -> JString(f.name),
+            "transform" -> JString("identity"),
+            "source-id" -> JInt(BigInt(f.sourceId)),
+            "field-id" -> JInt(BigInt(f.fieldId)))): JValue).toList)))
+        id
+      }
+      st.defaultSpecId = specId
+      val spec = st.specFields(specId)
+      val specJson = JsonMethods.compact(JsonMethods.render(
+        st.specs(specId) \ "fields"))
+      val schemaJsonStr = JsonMethods.compact(JsonMethods.render(
+        st.schemas(schemaId)))
+
+      val prevLive: Set[String] =
+        st.manifests.flatMap(_.live.map(_.path)).toSet
+      val nowLive = files.toSet
+      val addPaths = files.filterNot(prevLive.contains)
+      val removedSet = prevLive -- nowLive
+
+      val ts0 = tsByVersion.getOrElse(gv, System.currentTimeMillis())
+      val ts = math.max(ts0, st.lastUpdated + 1) // snapshot-log monotone
+      val sid = snapshotIdOf(st.tableUuid, gv)
+      val parent = st.currentSnapshotId
+      st.lastSeq += 1
+      val seq = st.lastSeq
+
+      // a spec change over CARRIED files would leave old-layout files
+      // in old-spec manifests forever; graft's migratePartitionSpec
+      // rewrites them, after which they arrive here as adds
+      val stats = LakeWriter.parseManifestStatsFull(spark, table, gv)
+      val meta: Map[String, (Long, Long)] =
+        if (addPaths.isEmpty) Map.empty
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, math.max(1, addPaths.size)))
+          try addPaths.map { f =>
+            f -> pool.submit(
+              new java.util.concurrent.Callable[(Long, Long)] {
+                def call(): (Long, Long) = {
+                  val s0 = fs.getFileStatus(new Path(f))
+                  (s0.getLen, s0.getModificationTime)
+                }
+              })
+          }.map { case (f, fut) => f -> fut.get() }.toMap
+          finally pool.shutdown()
+        }
+
+      val physToType: Map[String, DataType] =
+        logical.fields.map(f => colmapV.phys(f.name) -> f.dataType).toMap
+      val newFiles: Seq[DFile] = addPaths.map { f =>
+        val vals: Vector[Any] =
+          if (partCols.isEmpty) Vector.empty
+          else {
+            // hive path extraction, one value per spec field (the
+            // partitionOfOpt discipline: anchored segments, %XX
+            // unescape); a missing segment means the file predates
+            // the spec and must be migrated first
+            val raws = partCols.map { c =>
+              ("(?:^|/)" + java.util.regex.Pattern.quote(c) +
+                "=([^/]*)/").r.findFirstMatchIn(f).map(_.group(1))
+            }
+            require(raws.forall(_.nonEmpty),
+              s"iceberg mirror of $table: $f predates the " +
+                s"${partCols.mkString(",")} partition spec — run " +
+                "migratePartitionSpec before mirroring")
+            raws.flatten.toVector.zip(spec).map { case (v, sf) =>
+              partitionJvm(sf.dt, hiveUnescape(v)) }
+          }
+        val fst = stats.get(f.split('/').last)
+        val rows = fst.flatMap(_.rows).getOrElse(footerRowCount(hconf, f))
+        val (valueCounts, nullCounts, lower, upper) = fst match {
+          case None => (Map.empty[Int, Long], Map.empty[Int, Long],
+            Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+          case Some(s0) =>
+            val byId = s0.cols.toSeq.flatMap { case (phys, cs) =>
+              st.colIds.get(phys).map(id =>
+                (id, physToType.getOrElse(phys, StringType), cs))
+            }
+            (byId.map { case (id, _, _) => id -> rows }.toMap,
+             byId.flatMap { case (id, _, cs) =>
+               cs.nulls.map(id -> _) }.toMap,
+             byId.flatMap { case (id, dt, cs) =>
+               cs.lo.flatMap(boundBytes(dt, _)).map(id -> _) }.toMap,
+             byId.flatMap { case (id, dt, cs) =>
+               cs.hi.flatMap(boundBytes(dt, _)).map(id -> _) }.toMap)
+        }
+        DFile(f, vals, rows, meta(f)._1,
+          valueCounts, nullCounts, lower, upper, sid, seq)
+      }
+
+      var mSeq = 0
+      def manifestPath(): Path = {
+        val name = java.util.UUID.nameUUIDFromBytes(
+          s"${st.tableUuid}:g$gv".getBytes("UTF-8")).toString
+        val p = new Path(md, s"$name-m$mSeq.avro")
+        mSeq += 1; p
+      }
+
+      val nextManifests = mutable.ListBuffer[MInfo]()
+      val listParts = mutable.ListBuffer[(MInfo, Seq[SpecField],
+        Seq[Vector[Any]])]()
+      // carry / rewrite existing manifests
+      st.manifests.foreach { m =>
+        val hit = m.live.exists(f => removedSet.contains(f.path))
+        if (!hit) {
+          if (m.live.nonEmpty) {
+            nextManifests += m
+            listParts += ((m, st.specFields(m.specId),
+              m.live.map(_.partition)))
+          }
+          // else: fully-deleted manifest from an earlier rewrite —
+          // drops out of the list (its tombstones served their snapshot)
+        } else {
+          val kept = m.live.filterNot(f => removedSet.contains(f.path))
+          val gone = m.live.filter(f => removedSet.contains(f.path))
+          val entries =
+            kept.map(f => (0, f.snapshotId, f.dataSeq, f)) ++
+            gone.map(f => (2, sid, f.dataSeq, f))
+          val mfields = st.specFields(m.specId)
+          val mSpecJson = JsonMethods.compact(JsonMethods.render(
+            st.specs(m.specId) \ "fields"))
+          val (bytes, info0) = buildManifest(entries, mfields, m.specId,
+            mSpecJson, schemaJsonStr, sid, seq)
+          val p = manifestPath()
+          planned += (p -> bytes)
+          val info = info0.copy(path = fs.makeQualified(p).toString)
+          nextManifests += info
+          listParts += ((info, mfields, m.live.map(_.partition)))
+        }
+      }
+      // new manifest for this version's adds
+      if (newFiles.nonEmpty) {
+        val entries = newFiles.map(f => (1, sid, seq, f))
+        val (bytes, info0) = buildManifest(entries, spec, specId,
+          specJson, schemaJsonStr, sid, seq)
+        val p = manifestPath()
+        planned += (p -> bytes)
+        val info = info0.copy(path = fs.makeQualified(p).toString)
+        nextManifests += info
+        listParts += ((info, spec, newFiles.map(_.partition)))
+      }
+      st.manifests = nextManifests.toVector
+        .filter(m => m.live.nonEmpty || m.deletedFiles > 0)
+
+      // manifest list
+      val mlRecords = listParts.map { case (m, fields, parts) =>
+        manifestFileRecord(m, fields, parts.toSeq)
+      }.toSeq
+      val mlName = s"snap-$sid-1-${java.util.UUID.nameUUIDFromBytes(
+        s"${st.tableUuid}:ml:$gv".getBytes("UTF-8"))}.avro"
+      val mlPath = new Path(md, mlName)
+      planned += (mlPath -> writeAvroBytes(manifestListSchema, Seq(
+        "snapshot-id" -> sid.toString,
+        "parent-snapshot-id" ->
+          (if (parent < 0) "null" else parent.toString),
+        "sequence-number" -> seq.toString,
+        "format-version" -> "2"), mlRecords))
+
+      val op =
+        if (removedSet.isEmpty) "append"
+        else if (newFiles.isEmpty) "delete"
+        else "overwrite"
+      st.snapshots += JObject(List(
+        "snapshot-id" -> JInt(BigInt(sid))) ++
+        (if (parent >= 0)
+          List("parent-snapshot-id" -> (JInt(BigInt(parent)): JValue))
+         else Nil) ++ List(
+        "sequence-number" -> JInt(BigInt(seq)),
+        "timestamp-ms" -> JInt(BigInt(ts)),
+        "manifest-list" -> JString(fs.makeQualified(mlPath).toString),
+        "summary" -> JObject(List(
+          "operation" -> JString(op),
+          "graft-version" -> JString(gv.toString),
+          "added-data-files" -> JString(newFiles.size.toString),
+          "deleted-data-files" -> JString(removedSet.size.toString),
+          "added-records" -> JString(
+            newFiles.map(_.recordCount).sum.toString))),
+        "schema-id" -> JInt(BigInt(schemaId))))
+      st.snapshotLog += JObject(List(
+        "timestamp-ms" -> JInt(BigInt(ts)),
+        "snapshot-id" -> JInt(BigInt(sid))))
+      if (st.hintVersion > 0)
+        st.metadataLog += JObject(List(
+          "timestamp-ms" -> JInt(BigInt(st.lastUpdated)),
+          "metadata-file" -> JString(fs.makeQualified(
+            metadataJsonPath(md, st.hintVersion)).toString)))
+      st.currentSnapshotId = sid
+      st.lastUpdated = ts
+      st.lastGraft = Some(gv)
+      st.hintVersion += 1
+
+      val mapping = nameMappingJson(logical, physOfL, st.colIds)
+      val metaJson = JObject(List(
+        "format-version" -> JInt(2),
+        "table-uuid" -> JString(st.tableUuid),
+        "location" -> JString(st.location),
+        "last-sequence-number" -> JInt(BigInt(st.lastSeq)),
+        "last-updated-ms" -> JInt(BigInt(st.lastUpdated)),
+        "last-column-id" -> JInt(BigInt(st.lastColumnId)),
+        "current-schema-id" -> JInt(BigInt(st.currentSchemaId)),
+        "schemas" -> JArray(st.schemas.toList),
+        "default-spec-id" -> JInt(BigInt(st.defaultSpecId)),
+        "partition-specs" -> JArray(st.specs.toList),
+        "last-partition-id" -> JInt(BigInt(st.lastPartitionId)),
+        "default-sort-order-id" -> JInt(0),
+        "sort-orders" -> JArray(List(JObject(List(
+          "order-id" -> JInt(0), "fields" -> JArray(Nil))))),
+        "properties" -> JObject(List(
+          "write.format.default" -> JString("parquet"),
+          "schema.name-mapping.default" -> JString(
+            JsonMethods.compact(JsonMethods.render(mapping))))),
+        "current-snapshot-id" -> JInt(BigInt(st.currentSnapshotId)),
+        "snapshots" -> JArray(st.snapshots.toList),
+        "snapshot-log" -> JArray(st.snapshotLog.toList),
+        "metadata-log" -> JArray(st.metadataLog.toList)))
+      planned += (metadataJsonPath(md, st.hintVersion) ->
+        JsonMethods.pretty(JsonMethods.render(metaJson))
+          .getBytes("UTF-8"))
+    }
+
+    // publish: every planned file, then the hint LAST (overwrite-
+    // rename) — a reader sees the old complete tree or the new one
+    fs.mkdirs(md)
+    planned.foreach { case (p, bytes) => writeFileBytes(fs, p, bytes) }
+    val hintTmp = new Path(md, ".version-hint.text.tmp")
+    writeFileBytes(fs, hintTmp, st.hintVersion.toString.getBytes("UTF-8"))
+    org.apache.hadoop.fs.FileContext.getFileContext(hintTmp.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(hintTmp, hintPath(md),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    todo.size.toLong
+  }
+
+  // ------------------------------------------------------------------
+  // expireSnapshots (the cleanupLog twin: own the retention invariant)
+  // ------------------------------------------------------------------
+
+  /** Expire all but the newest `retainSnapshots` snapshots — the
+    * Iceberg maintenance action (`expire_snapshots`) that keeps a
+    * per-version mirror's metadata tree bounded forever. Publishes a
+    * NEW metadata JSON with the pruned snapshot set (hint last, the
+    * mirror's own atomicity discipline), THEN deletes what nothing
+    * retained references: expired manifest lists, manifests referenced
+    * only by expired snapshots, and metadata JSONs older than the
+    * retained window. Data files are NOT touched — reclaiming them is
+    * vacuum's reference-counted job on the graft side. Like Delta's
+    * cleanupLog, time travel below the retained window refuses loudly
+    * afterwards (readIceberg: "no snapshot"). Works on the raw
+    * metadata JSON, so every writer property (schemas, specs, name
+    * mapping) carries verbatim. Returns the number of snapshots
+    * expired. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      retainSnapshots: Int): Long = {
+    require(retainSnapshots >= 1,
+      "expireSnapshots: must retain at least the current snapshot")
+    val md = metaDir(table)
+    val fs = LakeWriter.fsOf(spark, md)
+    val n = currentMetadataVersion(fs, md).getOrElse(
+      sys.error(s"no iceberg metadata at $table"))
+    val j = JsonMethods.parse(new String(
+      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+    val snaps = (j \ "snapshots") match {
+      case JArray(ss) => ss.sortBy(s =>
+        lng(s \ "sequence-number").getOrElse(0L))
+      case _ => Nil
+    }
+    if (snaps.size <= retainSnapshots) return 0L
+    val (expired, kept) = snaps.splitAt(snaps.size - retainSnapshots)
+    val curId = lng(j \ "current-snapshot-id").getOrElse(-1L)
+    require(kept.exists(s => lng(s \ "snapshot-id").contains(curId)),
+      s"expireSnapshots at $table would expire the CURRENT snapshot " +
+        "— refusing (the retained window must include the tip)")
+    def manifestsOf(lists: Seq[JValue]): Set[String] =
+      lists.flatMap(s => str(s \ "manifest-list")).flatMap { ml =>
+        readAvroBytes(readFileBytes(fs, new Path(ml)))._3
+          .map(r => asString(fieldById(r, 500, "manifest_path")).get)
+      }.toSet
+    val keptManifests = manifestsOf(kept)
+    val doomedManifests = manifestsOf(expired) -- keptManifests
+    val doomedLists = expired.flatMap(s => str(s \ "manifest-list"))
+    val expiredIds = expired.flatMap(s => lng(s \ "snapshot-id")).toSet
+    // new metadata JSON: snapshots/snapshot-log pruned, metadata-log
+    // pruned to files that survive the sweep below, everything else
+    // (schemas, specs, properties, ids) verbatim
+    val keepMetaFloor = n - retainSnapshots + 1
+    val newJ = JObject((j match {
+      case JObject(fields) => fields
+      case _ => sys.error(s"malformed metadata JSON at $table")
+    }).map {
+      case ("snapshots", _) => "snapshots" -> JArray(kept)
+      case ("snapshot-log", JArray(es)) => "snapshot-log" -> JArray(
+        es.filter(e => !lng(e \ "snapshot-id").exists(expiredIds)))
+      case ("metadata-log", JArray(es)) => "metadata-log" -> JArray(
+        es.filter { e =>
+          str(e \ "metadata-file").exists { f =>
+            "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(f)
+              .exists(_.group(1).toInt >= keepMetaFloor)
+          }
+        })
+      case other => other
+    })
+    writeFileBytes(fs, metadataJsonPath(md, n + 1),
+      JsonMethods.pretty(JsonMethods.render(newJ)).getBytes("UTF-8"))
+    val hintTmp = new Path(md, ".version-hint.text.tmp")
+    writeFileBytes(fs, hintTmp, (n + 1).toString.getBytes("UTF-8"))
+    org.apache.hadoop.fs.FileContext.getFileContext(hintTmp.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(hintTmp, hintPath(md),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // sweep AFTER the publish: a crash here leaves orphans, never a
+    // hint pointing at missing files
+    (doomedLists ++ doomedManifests).foreach(p =>
+      fs.delete(new Path(p), false): Unit)
+    (1 until keepMetaFloor).foreach(k =>
+      fs.delete(metadataJsonPath(md, k), false): Unit)
+    expired.size.toLong
+  }
+
+  // ------------------------------------------------------------------
+  // readIceberg (import direction)
+  // ------------------------------------------------------------------
+
+  /** Snapshots of an Iceberg table: (snapshotId, timestampMs), oldest
+    * first — from the current metadata JSON, metadata-only. */
+  def icebergSnapshots(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val md = metaDir(dir)
+    val fs = LakeWriter.fsOf(spark, md)
+    val n = currentMetadataVersion(fs, md).getOrElse(
+      sys.error(s"no iceberg metadata at $dir"))
+    val j = JsonMethods.parse(new String(
+      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+    (j \ "snapshots") match {
+      case JArray(ss) => ss.flatMap(s => for {
+        id <- lng(s \ "snapshot-id")
+        ts <- lng(s \ "timestamp-ms")
+      } yield (id, ts)).sortBy(_._2)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Read an Iceberg table (format v1/v2) at its current — or a named
+    * — snapshot. Implements the spec's column-projection rule for
+    * identity partitions (metadata value when the source column is
+    * absent from a data file) and v2 POSITION DELETES (merge-on-read:
+    * delete files anti-join the base on (data file, row index) with
+    * the sequence-number applicability guard — distributed, the
+    * delete rows never pass through the driver). REFUSES what it
+    * cannot serve correctly: format v3+, EQUALITY delete files,
+    * non-parquet files, and column renames on tables with no name
+    * mapping (this reader resolves file columns by name; serving a
+    * renamed column would silently read nulls). */
+  def readIceberg(spark: SparkSession, dir: String,
+                  snapshotId: Option[Long] = None): DataFrame = {
+    val md = metaDir(dir)
+    val fs = LakeWriter.fsOf(spark, md)
+    val n = currentMetadataVersion(fs, md).getOrElse(
+      sys.error(s"no iceberg metadata at $dir"))
+    val j = JsonMethods.parse(new String(
+      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+    val fv = lng(j \ "format-version").getOrElse(1L)
+    require(fv <= 2L,
+      s"iceberg table at $dir is format v$fv — this reader implements " +
+        "v1/v2; refusing (v3 features would be silently dropped)")
+    val location = str(j \ "location").getOrElse(dir)
+
+    // schemas: current + history (rename detection)
+    val schemasJ: List[JValue] = (j \ "schemas") match {
+      case JArray(ss) => ss
+      case _ => (j \ "schema") match { // v1 single-schema form
+        case o: JObject => List(o)
+        case _ => sys.error(s"iceberg table at $dir carries no schema")
+      }
+    }
+    val currentSchemaId = lng(j \ "current-schema-id").getOrElse(
+      schemasJ.headOption.flatMap(s => lng(s \ "schema-id"))
+        .getOrElse(0L))
+    val curSchemaJ = schemasJ.find(s =>
+      lng(s \ "schema-id").contains(currentSchemaId))
+      .orElse(schemasJ.headOption)
+      .getOrElse(sys.error(s"iceberg table at $dir: no current schema"))
+    def fieldsOf(s: JValue): List[(Int, String, JValue)] =
+      (s \ "fields") match {
+        case JArray(fs0) => fs0.flatMap(f => for {
+          id <- lng(f \ "id")
+          nm <- str(f \ "name")
+        } yield (id.toInt, nm, f \ "type"))
+        case _ => Nil
+      }
+    val curFields = fieldsOf(curSchemaJ)
+    val schema = StructType(curFields.map { case (_, nm, t) =>
+      StructField(nm, sparkTypeOf(t, dir), nullable = true)
+    })
+    val idToName = curFields.map(f => (f._1, f._2)).toMap
+    val idToType: Map[Int, DataType] = curFields.map { case (id, _, t) =>
+      id -> sparkTypeOf(t, dir) }.toMap
+
+    // FILE column names: the name mapping when published (file name ->
+    // field id -> current name); else current names — refusing when
+    // history shows a top-level rename this reader would misresolve
+    val mapping = str(j \ "properties" \ "schema.name-mapping.default")
+      .map(JsonMethods.parse(_))
+    val physByName: Map[String, String] = mapping match {
+      case Some(JArray(entries)) =>
+        val idToPhys = entries.flatMap(e => for {
+          id <- lng(e \ "field-id")
+          nm <- (e \ "names") match {
+            case JArray(JString(x) :: _) => Some(x)
+            case _ => None
+          }
+        } yield (id.toInt, nm)).toMap
+        curFields.map { case (id, nm, _) =>
+          nm -> idToPhys.getOrElse(id, nm) }.toMap
+      case _ =>
+        schemasJ.foreach { s =>
+          fieldsOf(s).foreach { case (id, nm, _) =>
+            idToName.get(id).foreach(cur => require(cur == nm,
+              s"iceberg table at $dir renamed column '$nm' -> '$cur' " +
+                "and publishes no schema.name-mapping.default — this " +
+                "reader resolves file columns by name and would read " +
+                "nulls; refusing"))
+          }
+        }
+        curFields.map { case (_, nm, _) => nm -> nm }.toMap
+    }
+
+    // partition specs: spec-id -> identity fields (partition field-id,
+    // source field-id); non-identity transforms need no resolution
+    // (their source columns live in the data files)
+    val specsJ: List[JValue] = (j \ "partition-specs") match {
+      case JArray(ss) => ss
+      case _ => Nil
+    }
+    val identityOf: Map[Int, Seq[(Int, Int)]] = specsJ.flatMap { p =>
+      lng(p \ "spec-id").map { sidJ =>
+        sidJ.toInt -> ((p \ "fields") match {
+          case JArray(fs0) => fs0.flatMap { f =>
+            if (!str(f \ "transform").contains("identity")) None
+            else for {
+              fid <- lng(f \ "field-id")
+              src <- lng(f \ "source-id")
+            } yield (fid.toInt, src.toInt)
+          }
+          case _ => Nil
+        })
+      }
+    }.toMap
+
+    // resolve snapshot
+    val snapsJ: List[JValue] = (j \ "snapshots") match {
+      case JArray(ss) => ss
+      case _ => Nil
+    }
+    val wantSid = snapshotId.getOrElse(
+      lng(j \ "current-snapshot-id").filter(_ >= 0).getOrElse(
+        sys.error(s"iceberg table at $dir has no current snapshot")))
+    val snap = snapsJ.find(s => lng(s \ "snapshot-id").contains(wantSid))
+      .getOrElse(sys.error(
+        s"iceberg table at $dir has no snapshot $wantSid"))
+    val mlPath = str(snap \ "manifest-list").getOrElse(
+      sys.error(s"iceberg table at $dir: snapshot $wantSid carries no " +
+        "manifest-list (v1 'manifests' listing form is not supported)"))
+
+    def resolvePath(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) p
+      else s"${location.stripSuffix("/")}/$p"
+    }
+
+    // live data files with their identity-partition metadata and data
+    // sequence numbers; POSITION-DELETE files (merge-on-read v2) are
+    // collected alongside — each applies to data files whose data
+    // sequence number is <= the delete file's
+    final case class Live(path: String, stored: String,
+        pvById: Map[Int, Any], dataSeq: Long)
+    final case class PosDel(path: String, seq: Long)
+    val (_, _, mlRows) = readAvroBytes(
+      readFileBytes(fs, new Path(resolvePath(mlPath))))
+    val live = mutable.LinkedHashMap[String, Live]()
+    val posDels = mutable.ListBuffer[PosDel]()
+    mlRows.foreach { mrec =>
+      val content = asLong(fieldById(mrec, 517, "content")).getOrElse(0L)
+      val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
+      val mSeq = asLong(fieldById(mrec, 515, "sequence_number"))
+        .getOrElse(0L)
+      val specId = asLong(fieldById(mrec, 502, "partition_spec_id"))
+        .getOrElse(0L).toInt
+      val ids = identityOf.getOrElse(specId, Nil)
+      val (_, _, entries) = readAvroBytes(
+        readFileBytes(fs, new Path(resolvePath(mPath))))
+      entries.foreach { e =>
+        val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
+        if (status != 2L) {
+          val df = fieldById(e, 2, "data_file").asInstanceOf[GenericRecord]
+          val dfContent = asLong(fieldById(df, 134, "content"))
+            .getOrElse(if (content == 1L) 1L else 0L)
+          val fmt = asString(fieldById(df, 101, "file_format"))
+            .getOrElse("PARQUET")
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"iceberg table at $dir stores $fmt files — this " +
+              "reader serves parquet only; refusing")
+          // v2 inheritance: a null entry sequence number inherits the
+          // manifest list's (added entries); explicit values win
+          val seq = asLong(fieldById(e, 3, "sequence_number"))
+            .getOrElse(mSeq)
+          val stored = asString(fieldById(df, 100, "file_path")).get
+          val p = resolvePath(stored)
+          if (content == 1L || dfContent != 0L) {
+            require(dfContent == 1L,
+              s"iceberg table at $dir carries EQUALITY delete files " +
+                "(content=2) — this reader applies position deletes " +
+                "only; serving without them would return deleted " +
+                "rows, refusing")
+            posDels += PosDel(p, seq)
+          } else {
+            val part = fieldById(df, 102, "partition")
+            val pv = part match {
+              case r: GenericRecord => ids.flatMap { case (fid, src) =>
+                idToName.get(src).map { nm =>
+                  src -> avroToJvm(fieldById(r, fid, nm))
+                }
+              }.toMap
+              case _ => Map.empty[Int, Any]
+            }
+            live(p) = Live(p, stored, pv, seq)
+          }
+        }
+      }
+    }
+
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+
+    // identity source columns of any live file's spec, in current
+    // schema — these may be absent from data files (spec column
+    // projection) and resolve from partition metadata
+    val identitySources: Seq[Int] =
+      identityOf.values.flatten.map(_._2).toSeq.distinct
+        .filter(idToName.contains).sorted
+    val readSchema = StructType(schema.fields.map(f =>
+      StructField(physByName(f.name), f.dataType, nullable = true)))
+    val base = spark.read.schema(readSchema)
+      .parquet(live.keys.toSeq: _*)
+
+    if (identitySources.isEmpty && posDels.isEmpty)
+      return base.select(schema.fields.map(f =>
+        col(physByName(f.name)).as(f.name)).toIndexedSeq: _*)
+
+    // broadcast (file -> typed partition values); key built exactly as
+    // Spark's `_metadata.file_path` renders it (url-encoded URI form),
+    // LEFT join + per-row raise so an encoding regression is loud
+    def jvmToExternal(dt: DataType, v: Any): Any = v match {
+      case null => null
+      case _ => dt match {
+        case IntegerType => Integer.valueOf(v.asInstanceOf[Number].intValue)
+        case LongType => java.lang.Long.valueOf(
+          v.asInstanceOf[Number].longValue)
+        case ShortType => java.lang.Short.valueOf(
+          v.asInstanceOf[Number].shortValue)
+        case StringType => v.toString
+        case BooleanType => v
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Number].longValue))
+        case TimestampType =>
+          val us = v.asInstanceOf[Number].longValue
+          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L)
+        case TimestampNTZType =>
+          val us = v.asInstanceOf[Number].longValue
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case other => sys.error(
+          s"iceberg table at $dir: identity partition on $other is " +
+            "not supported by this reader")
+      }
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    def canonicalKey(p: String): String = {
+      val abs = new Path(p)
+      val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
+      new java.net.URI(q.getScheme, q.getAuthority,
+        q.getPath, null, null).toString
+    }
+    val pvRows: Seq[Row] = live.values.toSeq.map { lv =>
+      Row.fromSeq((canonicalKey(lv.path) +: identitySources.map(src =>
+        jvmToExternal(idToType(src), lv.pvById.get(src).orNull))) ++
+        Seq(lv.stored, java.lang.Long.valueOf(lv.dataSeq),
+          java.lang.Boolean.TRUE))
+    }
+    val pvSchema = StructType(
+      (StructField("__graft_file", StringType, false) +:
+      identitySources.map(src => StructField(
+        s"__graft_pv_${idToName(src)}", idToType(src), true))) ++
+      Seq(StructField("__graft_stored", StringType, true),
+        StructField("__graft_seq", LongType, true),
+        StructField("__graft_matched", BooleanType, true)))
+    val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
+    val identityNames = identitySources.map(idToName).toSet
+    val keyed = base.withColumn("__graft_file", col("_metadata.file_path"))
+    val withIdx =
+      if (posDels.nonEmpty)
+        keyed.withColumn("__graft_ridx", col("_metadata.row_index"))
+      else keyed
+    val joined = withIdx
+      .join(broadcast(pvDf), Seq("__graft_file"), "left")
+      .where(when(col("__graft_matched").isNotNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"readIceberg at $dir: data file "), col("__graft_file"),
+          lit(" failed to match its manifest entry (path-encoding " +
+            "regression)"))).cast("boolean")))
+    // POSITION DELETES (merge-on-read): delete rows are DATA-scale —
+    // they scan distributedly and anti-join the base on
+    // (data file, row index), never through the driver. A delete
+    // row's file_path must equal the data file's file_path as the
+    // metadata records it (the spec's matching rule), so delete rows
+    // key through a broadcast stored-path -> canonical-file map; the
+    // sequence-number guard (a delete applies only to data files with
+    // data_seq <= the delete's) rides the same join condition.
+    val served =
+      if (posDels.isEmpty) joined
+      else {
+        val delMeta = posDels.toSeq.map(pd =>
+          Row(canonicalKey(pd.path), java.lang.Long.valueOf(pd.seq)))
+        val delMetaDf = spark.createDataFrame(delMeta.asJava,
+          StructType(Seq(
+            StructField("__graft_dfile", StringType, false),
+            StructField("__del_seq", LongType, false))))
+        val dels = spark.read
+          .schema("file_path string, pos long")
+          .parquet(posDels.map(_.path).toSeq: _*)
+          .withColumn("__graft_dfile", col("_metadata.file_path"))
+          .join(broadcast(delMetaDf), Seq("__graft_dfile"))
+          .select(col("file_path").as("__del_stored"),
+            col("pos").as("__del_pos"), col("__del_seq"))
+        joined.join(dels,
+          col("__graft_stored") === col("__del_stored") &&
+            col("__graft_ridx") === col("__del_pos") &&
+            col("__del_seq") >= col("__graft_seq"),
+          "left_anti")
+      }
+    served.select(schema.fields.map { f =>
+      // the spec's column projection: file value when the column is
+      // materialized in the file, identity partition value otherwise
+      if (identityNames(f.name))
+        coalesce(col(physByName(f.name)),
+          col(s"__graft_pv_${f.name}")).as(f.name)
+      else col(physByName(f.name)).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** TIMESTAMP AS OF over the snapshot-log: the newest snapshot at or
+    * before `tsMillis`. */
+  def readIcebergTimestamp(spark: SparkSession, dir: String,
+                           tsMillis: Long): DataFrame = {
+    val snaps = icebergSnapshots(spark, dir)
+    val at = snaps.filter(_._2 <= tsMillis).lastOption.getOrElse(
+      sys.error(s"iceberg table at $dir has no snapshot at or before " +
+        s"$tsMillis (oldest is ${snaps.headOption.map(_._2)})"))
+    readIceberg(spark, dir, Some(at._1))
+  }
+}

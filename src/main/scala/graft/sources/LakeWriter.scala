@@ -1929,7 +1929,9 @@ object LakeWriter {
                             keepVersions: Int = 3,
                             mirrorDelta: Boolean = false,
                             checkpointEvery: Int = 10,
-                            logRetainVersions: Int = 0): Option[Long] = {
+                            logRetainVersions: Int = 0,
+                            mirrorIceberg: Boolean = false,
+                            icebergRetainSnapshots: Int = 0): Option[Long] = {
     val vs = snapshotVersions(spark, table)
     // `logRetainVersions` > 0 completes the mirror's own maintenance
     // story: after mirroring, JSON commits a checkpoint covers AND
@@ -1939,12 +1941,26 @@ object LakeWriter {
     // O(checkpointEvery + logRetainVersions) files forever, matching
     // what vacuum does for the manifest side
     def mirrorAndClean(): Unit = {
-      DeltaMirror.mirror(spark, table,
-        checkpointEvery = checkpointEvery): Unit
-      if (logRetainVersions > 0)
-        DeltaMirror.cleanupLog(spark, table, logRetainVersions,
-          strict = false): Unit
+      if (mirrorDelta) {
+        DeltaMirror.mirror(spark, table,
+          checkpointEvery = checkpointEvery): Unit
+        if (logRetainVersions > 0)
+          DeltaMirror.cleanupLog(spark, table, logRetainVersions,
+            strict = false): Unit
+      }
+      // the Iceberg twin: one snapshot per graft version, and
+      // `icebergRetainSnapshots` > 0 expires what the window has
+      // outgrown so the metadata tree stays O(retain) forever —
+      // aligned with vacuum's keepVersions so an Iceberg snapshot
+      // never outlives the data files it references
+      if (mirrorIceberg) {
+        IcebergMirror.mirror(spark, table): Unit
+        if (icebergRetainSnapshots > 0)
+          IcebergMirror.expireSnapshots(spark, table,
+            icebergRetainSnapshots): Unit
+      }
     }
+    val anyMirror = mirrorDelta || mirrorIceberg
     val maintained =
       if (everyVersions > 0 && vs.nonEmpty && vs.last % everyVersions == 0) {
         val v = compactSnapshot(spark, table, nFiles)
@@ -1953,16 +1969,17 @@ object LakeWriter {
         // adds/removes while every referenced file still exists — a
         // foreign reader mid-sequence must never see adds pointing at
         // reclaimed files
-        if (mirrorDelta) mirrorAndClean()
+        if (anyMirror) mirrorAndClean()
         vacuumSnapshots(spark, table, keepLast = keepVersions)
         Some(v)
       } else None
-    // `mirrorDelta` keeps the `_delta_log` CURRENT every call, not
-    // just on maintenance versions — per call it is O(new manifests)
-    // of metadata (one JSON commit per new graft version), and the
-    // checkpoint cadence bounds what a foreign reader replays, so a
-    // per-micro-batch stream sink can leave it on permanently
-    if (mirrorDelta && maintained.isEmpty && vs.nonEmpty)
+    // the mirror flags keep the foreign-format metadata CURRENT every
+    // call, not just on maintenance versions — per call each is
+    // O(new manifests) of metadata (one commit per new graft
+    // version), and the checkpoint/expiry cadences bound what a
+    // foreign reader replays, so a per-micro-batch stream sink can
+    // leave them on permanently
+    if (anyMirror && maintained.isEmpty && vs.nonEmpty)
       mirrorAndClean()
     maintained
   }

@@ -105,7 +105,8 @@ class CurationPipelineSpec extends AnyFunSuite {
     // vacuum keeps only the newest versions, and the delta mirror
     // rides along (corpus natively readable as a Delta table)
     val v = CurationPipeline.maintain(spark, out, nFiles = 2,
-      keepVersions = 1, mirrorDelta = true, checkpointEvery = 3)
+      keepVersions = 1, mirrorDelta = true, checkpointEvery = 3,
+      mirrorIceberg = true, icebergRetainSnapshots = 1)
     assert(v == 3L)
     val after = graft.sources.LakeWriter.readSnapshot(spark, s"$out/corpus")
     assert(after.select($"doc_id").collect().map(_.getLong(0)).toSet ==
@@ -121,6 +122,14 @@ class CurationPipelineSpec extends AnyFunSuite {
     // foreign reader
     assert(new java.io.File(s"$out/corpus/_delta_log/_last_checkpoint")
       .exists())
+    // the Iceberg twin rides the same maintenance pass, expired down
+    // to the window (metadata tree bounded alongside vacuum)
+    val viaIce = graft.sources.IcebergMirror
+      .readIceberg(spark, s"$out/corpus")
+    assert(viaIce.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 10L).toSet + 202L))
+    assert(graft.sources.IcebergMirror
+      .icebergSnapshots(spark, s"$out/corpus").size == 1)
   }
 
   test("the curated corpus serves through Views, including AS OF") {

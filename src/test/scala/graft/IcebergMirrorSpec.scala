@@ -1,0 +1,767 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergMirror, LakeWriter}
+
+/** Iceberg-format mirror: metadata-tree shape under an INDEPENDENT
+  * parser (json4s + raw avro DataFileReader — never IcebergMirror's
+  * own reader), fidelity vs readSnapshot at every snapshot, resume,
+  * bounds serialization, the import direction over a hand-built
+  * foreign tree, and the refusal guards. */
+class IcebergMirrorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def docs(n: Int) =
+    spark.range(0, n.toLong).toDF("id")
+      .withColumn("lang",
+        when(pmod($"id", lit(3)) === 0, "en")
+          .when(pmod($"id", lit(3)) === 1, "de").otherwise("fr"))
+      .withColumn("v", $"id" * 10)
+
+  // ---- independent tree resolution (the ustar-parser discipline) ----
+
+  private def readBytes(p: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      p.stripPrefix("file:")))
+
+  private def avroRecords(bytes: Array[Byte])
+      : (Schema, Vector[GenericRecord]) = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val out = Vector.newBuilder[GenericRecord]
+    while (r.hasNext) out += r.next()
+    val s = r.getSchema
+    r.close()
+    (s, out.result())
+  }
+
+  private def currentMetadata(table: String): JValue = {
+    val hint = new String(readBytes(s"$table/metadata/version-hint.text"),
+      "UTF-8").trim.toInt
+    JsonMethods.parse(new String(
+      readBytes(s"$table/metadata/v$hint.metadata.json"), "UTF-8"))
+  }
+
+  private def jstr(j: JValue): String =
+    j match { case JString(s) => s; case o => fail(s"not a string: $o") }
+  private def jlong(j: JValue): Long = j match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case o => fail(s"not a number: $o")
+  }
+
+  /** Resolve live file paths + typed partition values of a snapshot
+    * with raw avro reads only — entries with status != 2 across the
+    * snapshot's manifest list. */
+  private def resolveLive(meta: JValue, snapshotId: Long)
+      : Seq[(String, Map[String, Any])] = {
+    val snap = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(s =>
+        jlong(s \ "snapshot-id") == snapshotId).get
+      case _ => fail("no snapshots")
+    }
+    val (_, mlRows) = avroRecords(readBytes(jstr(snap \ "manifest-list")))
+    mlRows.flatMap { m =>
+      val (_, entries) = avroRecords(readBytes(
+        m.get("manifest_path").toString))
+      entries.flatMap { e =>
+        if (e.get("status").asInstanceOf[Number].intValue == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val part = df.get("partition").asInstanceOf[GenericRecord]
+          val pvs = part.getSchema.getFields.asScala.map { f =>
+            f.name -> (part.get(f.pos) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case o => o
+            })
+          }.toMap
+          Some(df.get("file_path").toString -> pvs)
+        }
+      }
+    }
+  }
+
+  private def snapshotIdOfGraft(meta: JValue, gv: Long): Long =
+    (meta \ "snapshots") match {
+      case JArray(ss) => jlong(ss.find(s =>
+        (s \ "summary" \ "graft-version") == JString(gv.toString)).get
+        \ "snapshot-id")
+      case _ => fail("no snapshots")
+    }
+
+  // --------------------------------------------------------------
+  // export direction
+  // --------------------------------------------------------------
+
+  test("mirrored tree resolves to readSnapshot at every snapshot " +
+      "(independent avro parse)") {
+    val t = freshDir("graft_ice_fid") + "/t"
+    LakeWriter.commitSnapshotDynamic(
+      docs(90).where($"id" < 60), t, Seq("lang"))
+    LakeWriter.commitSnapshotDynamic(
+      docs(90).where($"id" >= 60 && $"lang" === "en"), t, Seq("lang"))
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 100)
+    assert(IcebergMirror.mirror(spark, t) == 3L)
+    val meta = currentMetadata(t)
+    assert(jlong(meta \ "format-version") == 2L)
+    LakeWriter.snapshotVersions(spark, t).foreach { gv =>
+      val sid = snapshotIdOfGraft(meta, gv)
+      val live = resolveLive(meta, sid)
+      val viaIce = spark.read
+        .schema("id long, v long") // files lack the partition column
+        .parquet(live.map(_._1): _*)
+        .withColumn("__f", col("_metadata.file_path"))
+      val pv = live.map { case (p, m) =>
+        val key = spark.sessionState.newHadoopConf()
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val q = hp.getFileSystem(key).makeQualified(hp).toUri
+        (new java.net.URI(q.getScheme, q.getAuthority, q.getPath,
+          null, null).toString, String.valueOf(m("lang")))
+      }.toDF("__f", "lang")
+      val got = viaIce.join(pv, Seq("__f"))
+        .select($"id", $"lang", $"v")
+      val want = LakeWriter.readSnapshot(spark, t, Some(gv))
+        .select($"id", $"lang", $"v")
+      assert(rows(got) == rows(want), s"rows at graft v$gv")
+    }
+  }
+
+  test("metadata tree carries the spec's pinned shape: field ids, " +
+      "identity spec, name mapping, manifest avro field-id props") {
+    val t = freshDir("graft_ice_shape") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(30), t, Seq("lang"))
+    IcebergMirror.mirror(spark, t)
+    val meta = currentMetadata(t)
+    // schema: ids 1..n in field order, all fields optional
+    val fields = (meta \ "schemas") match {
+      case JArray(List(s0)) => (s0 \ "fields") match {
+        case JArray(fs) => fs
+        case _ => fail("no fields")
+      }
+      case o => fail(s"expected one schema, got $o")
+    }
+    assert(fields.map(f => jlong(f \ "id")) == List(1L, 2L, 3L))
+    assert(fields.map(f => jstr(f \ "name")) == List("id", "lang", "v"))
+    assert(fields.map(f => jstr(f \ "type")) ==
+      List("long", "string", "long"))
+    // spec: identity on lang, source-id = lang's field id, partition
+    // field ids from 1000
+    val spec = (meta \ "partition-specs") match {
+      case JArray(List(p)) => (p \ "fields") match {
+        case JArray(List(f)) => f
+        case o => fail(s"expected one spec field: $o")
+      }
+      case o => fail(s"expected one spec: $o")
+    }
+    assert(jstr(spec \ "transform") == "identity")
+    assert(jlong(spec \ "source-id") == 2L)
+    assert(jlong(spec \ "field-id") == 1000L)
+    // name mapping present and full-tree (id-less graft parquet needs
+    // it for conforming readers)
+    val nm = JsonMethods.parse(jstr(
+      meta \ "properties" \ "schema.name-mapping.default"))
+    val nmIds = nm match {
+      case JArray(es) => es.map { e =>
+        val n = (e \ "names") match {
+          case JArray(JString(x) :: _) => x
+          case o => fail(s"no names: $o")
+        }
+        n -> jlong(e \ "field-id")
+      }.toMap
+      case _ => fail("no mapping")
+    }
+    assert(nmIds == Map("id" -> 1L, "lang" -> 2L, "v" -> 3L))
+    // manifest list avro: spec field ids on the avro schema itself
+    val snap = (meta \ "snapshots") match {
+      case JArray(List(s)) => s
+      case o => fail(s"expected one snapshot: $o")
+    }
+    val (mlSchema, mlRows) = avroRecords(
+      readBytes(jstr(snap \ "manifest-list")))
+    def fid(s: Schema, name: String): Int =
+      s.getField(name).getObjectProp("field-id")
+        .asInstanceOf[Number].intValue
+    assert(fid(mlSchema, "manifest_path") == 500)
+    assert(fid(mlSchema, "manifest_length") == 501)
+    assert(fid(mlSchema, "partition_spec_id") == 502)
+    assert(fid(mlSchema, "content") == 517)
+    assert(fid(mlSchema, "sequence_number") == 515)
+    assert(fid(mlSchema, "added_snapshot_id") == 503)
+    assert(mlRows.size == 1)
+    assert(mlRows.head.get("content").asInstanceOf[Number].intValue == 0)
+    // manifest avro: entry + data_file field ids per the spec table
+    val (meSchema, entries) = avroRecords(readBytes(
+      mlRows.head.get("manifest_path").toString))
+    assert(fid(meSchema, "status") == 0)
+    assert(fid(meSchema, "snapshot_id") == 1)
+    assert(fid(meSchema, "data_file") == 2)
+    val dfS = meSchema.getField("data_file").schema()
+    assert(fid(dfS, "file_path") == 100)
+    assert(fid(dfS, "file_format") == 101)
+    assert(fid(dfS, "partition") == 102)
+    assert(fid(dfS, "record_count") == 103)
+    assert(fid(dfS, "file_size_in_bytes") == 104)
+    assert(fid(dfS, "lower_bounds") == 125)
+    assert(fid(dfS, "upper_bounds") == 128)
+    val partS = dfS.getField("partition").schema()
+    assert(fid(partS, "lang") == 1000)
+    // every entry ADDED by this snapshot, parquet, rows accounted
+    assert(entries.forall(e =>
+      e.get("status").asInstanceOf[Number].intValue == 1))
+    val total = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count")
+      .asInstanceOf[Number].longValue).sum
+    assert(total == 30L)
+  }
+
+  test("column bounds use the single-value serialization (LE ints, " +
+      "UTF-8 strings) keyed by field id") {
+    val t = freshDir("graft_ice_bounds") + "/t"
+    Seq((5L, "alpha", 17), (9L, "omega", 3), (7L, "mid", 11))
+      .toDF("id", "s", "n")
+      .coalesce(1).write.parquet(s"$t/raw")
+    LakeWriter.convertToSnapshot(spark, s"$t/raw", s"$t/tbl")
+    IcebergMirror.mirror(spark, s"$t/tbl")
+    val meta = currentMetadata(s"$t/tbl")
+    val snap = (meta \ "snapshots") match {
+      case JArray(List(s)) => s; case o => fail(s"$o")
+    }
+    val (_, mlRows) = avroRecords(readBytes(jstr(snap \ "manifest-list")))
+    val (_, entries) = avroRecords(readBytes(
+      mlRows.head.get("manifest_path").toString))
+    val df0 = entries.head.get("data_file").asInstanceOf[GenericRecord]
+    def bmap(field: String): Map[Int, Array[Byte]] =
+      df0.get(field).asInstanceOf[java.util.List[_]].asScala.map { kv =>
+        val r = kv.asInstanceOf[GenericRecord]
+        val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val a = new Array[Byte](bb.remaining); bb.duplicate.get(a)
+        r.get("key").asInstanceOf[Number].intValue -> a
+      }.toMap
+    def leLong(a: Array[Byte]): Long =
+      a.zipWithIndex.map { case (b, i) => (b.toLong & 0xff) << (8 * i) }.sum
+    val lower = bmap("lower_bounds"); val upper = bmap("upper_bounds")
+    // ids: 1=id(long, 8 bytes), 2=s(string, UTF-8), 3=n(int, 4 bytes)
+    assert(lower(1).length == 8 && leLong(lower(1)) == 5L)
+    assert(leLong(upper(1)) == 9L)
+    assert(new String(lower(2), "UTF-8") == "alpha")
+    assert(new String(upper(2), "UTF-8") == "omega")
+    assert(lower(3).length == 4 && leLong(lower(3)) == 3L)
+    assert(leLong(upper(3)) == 17L)
+  }
+
+  test("removed files rewrite their manifest with status-2 tombstones; " +
+      "untouched manifests carry forward by path") {
+    val t = freshDir("graft_ice_rm") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(60), t, Seq("lang"))
+    IcebergMirror.mirror(spark, t)
+    val m1 = currentMetadata(t)
+    val paths1 = {
+      val snap = (m1 \ "snapshots") match {
+        case JArray(List(s)) => s; case o => fail(s"$o")
+      }
+      avroRecords(readBytes(jstr(snap \ "manifest-list")))._2
+        .map(_.get("manifest_path").toString)
+    }
+    // overwrite ONE partition: its file leaves, others stay
+    LakeWriter.commitSnapshotDynamic(
+      docs(60).where($"lang" === "en").withColumn("v", $"v" + 1),
+      t, Seq("lang"))
+    IcebergMirror.mirror(spark, t)
+    val m2 = currentMetadata(t)
+    val snap2 = (m2 \ "snapshots") match {
+      case JArray(ss) => ss.last; case _ => fail("no snapshots")
+    }
+    val sid2 = jlong(snap2 \ "snapshot-id")
+    val ml2 = avroRecords(readBytes(jstr(snap2 \ "manifest-list")))._2
+    // the original manifest was rewritten (new path), and the rewrite
+    // carries both EXISTING survivors and the DELETED tombstone
+    // stamped with the deleting snapshot
+    val rewritten = ml2.filter(r =>
+      r.get("deleted_data_files_count").asInstanceOf[Number]
+        .intValue > 0)
+    assert(rewritten.size == 1)
+    assert(!paths1.contains(
+      rewritten.head.get("manifest_path").toString))
+    val (_, entries) = avroRecords(readBytes(
+      rewritten.head.get("manifest_path").toString))
+    val byStatus = entries.groupBy(
+      _.get("status").asInstanceOf[Number].intValue)
+    // every en-partition file left, each tombstoned by THIS snapshot
+    assert(byStatus(2).nonEmpty)
+    byStatus(2).foreach { e =>
+      assert(e.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString.contains("lang=en"))
+      assert(e.get("snapshot_id").asInstanceOf[Number].longValue == sid2)
+    }
+    assert(byStatus(0).nonEmpty)  // de/fr survivors carried EXISTING
+    byStatus(0).foreach { e =>
+      assert(e.get("snapshot_id").asInstanceOf[Number].longValue != sid2,
+        "existing entries keep their adding snapshot id")
+    }
+  }
+
+  test("incremental resume mirrors only new versions and keeps ids " +
+      "stable across a rename") {
+    val t = freshDir("graft_ice_resume") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(30), t, Seq("lang"))
+    assert(IcebergMirror.mirror(spark, t) == 1L)
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 50)
+    LakeWriter.renameColumn(spark, t, "v", "val")
+    assert(IcebergMirror.mirror(spark, t) == 2L)
+    assert(IcebergMirror.mirror(spark, t) == 0L) // idempotent at tip
+    val meta = currentMetadata(t)
+    // rename = new schema, SAME field id under the new name; the name
+    // mapping still carries the PHYSICAL (file) name
+    val schemas = (meta \ "schemas") match {
+      case JArray(ss) => ss; case _ => fail("no schemas")
+    }
+    assert(schemas.size == 2)
+    def nameOfId(s: JValue, id: Long): Option[String] =
+      (s \ "fields") match {
+        case JArray(fs) => fs.find(f => jlong(f \ "id") == id)
+          .map(f => jstr(f \ "name"))
+        case _ => None
+      }
+    assert(nameOfId(schemas.head, 3L).contains("v"))
+    assert(nameOfId(schemas.last, 3L).contains("val"))
+    val nm = JsonMethods.parse(jstr(
+      meta \ "properties" \ "schema.name-mapping.default"))
+    val physNames = nm match {
+      case JArray(es) => es.map(e => (e \ "names") match {
+        case JArray(JString(n) :: _) => n; case _ => fail("names")
+      }).toSet
+      case _ => fail("mapping")
+    }
+    assert(physNames == Set("id", "lang", "v"), // v = physical name
+      "name mapping must key by the names IN the files")
+    // round trip through graft's own reader serves the renamed schema
+    val got = IcebergMirror.readIceberg(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "lang", "val"))
+    assert(rows(got) == rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
+  test("readIceberg serves every snapshot of graft's own mirror " +
+      "(snapshot-id + timestamp travel)") {
+    val t = freshDir("graft_ice_read") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(60), t, Seq("lang"))
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 200)
+    LakeWriter.commitSnapshotDynamic(
+      docs(60).where($"lang" === "de").withColumn("v", $"v" * 2),
+      t, Seq("lang"))
+    IcebergMirror.mirror(spark, t)
+    val meta = currentMetadata(t)
+    LakeWriter.snapshotVersions(spark, t).foreach { gv =>
+      val sid = snapshotIdOfGraft(meta, gv)
+      val got = IcebergMirror.readIceberg(spark, t, Some(sid))
+      val want = LakeWriter.readSnapshot(spark, t, Some(gv))
+      assert(got.schema.fieldNames.toSeq ==
+        want.schema.fieldNames.toSeq, s"schema at v$gv")
+      assert(rows(got) == rows(want), s"rows at v$gv")
+    }
+    // timestamp travel: each snapshot's own timestamp resolves to it
+    val snaps = IcebergMirror.icebergSnapshots(spark, t)
+    assert(snaps.size == 3)
+    val atFirst = IcebergMirror.readIcebergTimestamp(spark, t,
+      snaps.head._2)
+    assert(rows(atFirst) == rows(
+      LakeWriter.readSnapshot(spark, t,
+        Some(LakeWriter.snapshotVersions(spark, t).head))))
+  }
+
+  test("expireSnapshots bounds the metadata tree; the mirror resumes " +
+      "past an expiry; expired travel refuses loudly") {
+    val t = freshDir("graft_ice_expire") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(60), t, Seq("lang"))
+    (1 to 4).foreach(i =>
+      LakeWriter.deleteFromSnapshot(spark, t, $"v" < (i * 100)))
+    assert(IcebergMirror.mirror(spark, t) == 5L)
+    val before = IcebergMirror.icebergSnapshots(spark, t)
+    assert(before.size == 5)
+    assert(IcebergMirror.expireSnapshots(spark, t, 2) == 3L)
+    val after = IcebergMirror.icebergSnapshots(spark, t)
+    assert(after == before.takeRight(2))
+    // tip still serves; expired travel refuses
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    val e = intercept[RuntimeException](
+      IcebergMirror.readIceberg(spark, t, Some(before.head._1)))
+    assert(e.getMessage.contains("no snapshot"))
+    // expired manifest lists deleted, old metadata JSONs pruned
+    val mdFiles = new java.io.File(s"$t/metadata").listFiles()
+      .map(_.getName).toSet
+    before.dropRight(2).foreach(s =>
+      assert(!mdFiles.exists(_.startsWith(s"snap-${s._1}-")),
+        s"expired manifest list of ${s._1} must be deleted"))
+    after.foreach(s =>
+      assert(mdFiles.exists(_.startsWith(s"snap-${s._1}-")),
+        s"retained manifest list of ${s._1} must survive"))
+    assert(mdFiles.count(_.matches("v\\d+\\.metadata\\.json")) <= 3)
+    // idempotent at the bound; resume continues past the expiry
+    assert(IcebergMirror.expireSnapshots(spark, t, 2) == 0L)
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 500)
+    assert(IcebergMirror.mirror(spark, t) == 1L)
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    assert(IcebergMirror.icebergSnapshots(spark, t).size == 3)
+  }
+
+  test("maintainSnapshotEvery(mirrorIceberg) keeps the tree current " +
+      "and bounded alongside compaction + vacuum") {
+    val t = freshDir("graft_ice_maint") + "/t"
+    (1 to 6).foreach { i =>
+      LakeWriter.commitSnapshotDynamic(
+        docs(60).where($"id" % 6 === i % 6), t, Seq("lang"))
+      LakeWriter.maintainSnapshotEvery(spark, t, everyVersions = 2,
+        keepVersions = 3, mirrorIceberg = true,
+        icebergRetainSnapshots = 3)
+      // the Iceberg tip tracks the graft tip THROUGH compaction —
+      // adds/removes of the compacted rewrite land in the tree while
+      // the files still exist (mirror-before-vacuum)
+      assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+        rows(LakeWriter.readSnapshot(spark, t)), s"tip after load $i")
+      assert(IcebergMirror.icebergSnapshots(spark, t).size <= 3)
+    }
+  }
+
+  // --------------------------------------------------------------
+  // import direction: hand-built foreign tree
+  // --------------------------------------------------------------
+
+  /** Write avro bytes with the given schema/records to `path`. */
+  private def writeAvro(path: String, schema: Schema,
+      recs: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    w.create(schema, f)
+    recs.foreach(w.append)
+    w.close()
+    f.length
+  }
+
+  private val foreignEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","type":{"type":"record","name":"r102","fields":[
+          {"name":"bucket","type":["null","int"],"default":null,"field-id":1000}
+        ]},"field-id":102},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104}
+      ]},"field-id":2}
+    ]}""")
+
+  private val foreignListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_data_files_count","type":"int","field-id":504},
+      {"name":"existing_data_files_count","type":"int","field-id":505},
+      {"name":"deleted_data_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514}
+    ]}""")
+
+  private def foreignEntry(status: Int, sid: Long, seq: Long,
+      path: String, bucket: Integer, n: Long): GenericRecord = {
+    val e = new GenericData.Record(foreignEntrySchema)
+    e.put("status", Integer.valueOf(status))
+    e.put("snapshot_id", java.lang.Long.valueOf(sid))
+    e.put("sequence_number", java.lang.Long.valueOf(seq))
+    val dfS = foreignEntrySchema.getField("data_file").schema()
+    val df = new GenericData.Record(dfS)
+    df.put("content", Integer.valueOf(0))
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    val p = new GenericData.Record(dfS.getField("partition").schema())
+    p.put("bucket", bucket)
+    df.put("partition", p)
+    df.put("record_count", java.lang.Long.valueOf(n))
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+    e.put("data_file", df)
+    e
+  }
+
+  private def foreignListRec(path: String, len: Long, sid: Long,
+      seq: Long, content: Int = 0): GenericRecord = {
+    val r = new GenericData.Record(foreignListSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", java.lang.Long.valueOf(len))
+    r.put("partition_spec_id", Integer.valueOf(0))
+    r.put("content", Integer.valueOf(content))
+    r.put("sequence_number", java.lang.Long.valueOf(seq))
+    r.put("min_sequence_number", java.lang.Long.valueOf(1L))
+    r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
+    Seq("added_data_files_count", "existing_data_files_count",
+      "deleted_data_files_count").foreach(f =>
+        r.put(f, Integer.valueOf(0)))
+    Seq("added_rows_count", "existing_rows_count", "deleted_rows_count")
+      .foreach(f => r.put(f, java.lang.Long.valueOf(0L)))
+    r
+  }
+
+  private def foreignSchemaJson: String =
+    """{"type":"struct","schema-id":0,"fields":[
+      {"id":1,"name":"doc_id","required":false,"type":"long"},
+      {"id":2,"name":"payload","required":false,"type":"string"},
+      {"id":3,"name":"bucket","required":false,"type":"int"}]}"""
+
+  /** Two-snapshot foreign v2 tree: snap 101 adds fa(bucket=7) +
+    * fc(bucket=8); snap 202 rewrites m1 (fc deleted, fa existing) and
+    * adds fb(bucket=9). Data files do NOT materialize `bucket` — the
+    * column-projection rule must supply it. Returns the table dir. */
+  private def buildForeignTree(): String = {
+    val t = freshDir("graft_ice_foreign") + "/t"
+    def slice(name: String, lo: Long, hi: Long): (String, Long) = {
+      spark.range(lo, hi).toDF("doc_id")
+        .withColumn("payload", concat(lit("p"), $"doc_id"))
+        .coalesce(1).write.parquet(s"$t/data/$name")
+      val f = new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, hi - lo)
+    }
+    val (fa, nA) = slice("fa", 0, 10)
+    val (fc, nC) = slice("fc", 100, 104)
+    val (fb, nB) = slice("fb", 200, 206)
+    val m1 = s"$t/metadata/m1.avro"
+    val m1len = writeAvro(m1, foreignEntrySchema, Seq(
+      foreignEntry(1, 101L, 1L, fa, 7, nA),
+      foreignEntry(1, 101L, 1L, fc, 8, nC)))
+    val m1r = s"$t/metadata/m1r.avro"
+    val m1rLen = writeAvro(m1r, foreignEntrySchema, Seq(
+      foreignEntry(0, 101L, 1L, fa, 7, nA),
+      foreignEntry(2, 202L, 1L, fc, 8, nC)))
+    val m2 = s"$t/metadata/m2.avro"
+    val m2len = writeAvro(m2, foreignEntrySchema, Seq(
+      foreignEntry(1, 202L, 2L, fb, 9, nB)))
+    val ml1 = s"$t/metadata/snap-101.avro"
+    writeAvro(ml1, foreignListSchema,
+      Seq(foreignListRec(m1, m1len, 101L, 1L)))
+    val ml2 = s"$t/metadata/snap-202.avro"
+    writeAvro(ml2, foreignListSchema, Seq(
+      foreignListRec(m1r, m1rLen, 202L, 2L),
+      foreignListRec(m2, m2len, 202L, 2L)))
+    val meta = s"""{
+      "format-version": 2,
+      "table-uuid": "00000000-0000-0000-0000-00000000feed",
+      "location": "$t",
+      "last-sequence-number": 2,
+      "last-updated-ms": 1700000002000,
+      "last-column-id": 3,
+      "current-schema-id": 0,
+      "schemas": [$foreignSchemaJson],
+      "default-spec-id": 0,
+      "partition-specs": [{"spec-id":0,"fields":[
+        {"name":"bucket","transform":"identity","source-id":3,"field-id":1000}]}],
+      "last-partition-id": 1000,
+      "default-sort-order-id": 0,
+      "sort-orders": [{"order-id":0,"fields":[]}],
+      "properties": {},
+      "current-snapshot-id": 202,
+      "snapshots": [
+        {"snapshot-id":101,"sequence-number":1,"timestamp-ms":1700000001000,
+         "manifest-list":"$ml1","summary":{"operation":"append"},"schema-id":0},
+        {"snapshot-id":202,"parent-snapshot-id":101,"sequence-number":2,
+         "timestamp-ms":1700000002000,"manifest-list":"$ml2",
+         "summary":{"operation":"overwrite"},"schema-id":0}],
+      "snapshot-log": [
+        {"timestamp-ms":1700000001000,"snapshot-id":101},
+        {"timestamp-ms":1700000002000,"snapshot-id":202}],
+      "metadata-log": []
+    }"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      meta.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    t
+  }
+
+  test("foreign v2 tree: live resolution, status-2 skip, identity " +
+      "partition projection from metadata, snapshot travel") {
+    val t = buildForeignTree()
+    val cur = IcebergMirror.readIceberg(spark, t)
+    assert(cur.schema.fieldNames.toSeq ==
+      Seq("doc_id", "payload", "bucket"))
+    // fa (bucket 7) + fb (bucket 9); fc tombstoned by the rewrite
+    val got = cur.select($"doc_id", $"bucket").as[(Long, Int)]
+      .collect().toSet
+    val want = ((0L until 10L).map((_, 7)) ++
+      (200L until 206L).map((_, 9))).toSet
+    assert(got == want)
+    // snapshot 101: fa + fc, no fb
+    val v1 = IcebergMirror.readIceberg(spark, t, Some(101L))
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toSet
+    assert(v1 == ((0L until 10L).map((_, 7)) ++
+      (100L until 104L).map((_, 8))).toSet)
+    // timestamp travel lands on the first snapshot
+    assert(IcebergMirror.readIcebergTimestamp(spark, t, 1700000001500L)
+      .count() == 14L)
+    assert(IcebergMirror.icebergSnapshots(spark, t)
+      .map(_._1) == Seq(101L, 202L))
+  }
+
+  test("position deletes (merge-on-read) apply by (file, row index) " +
+      "with the sequence-number applicability guard") {
+    val t = freshDir("graft_ice_posdel") + "/t"
+    def slice(name: String, lo: Long, hi: Long): (String, Long) = {
+      spark.range(lo, hi).toDF("doc_id")
+        .withColumn("payload", concat(lit("p"), $"doc_id"))
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.parquet(s"$t/data/$name")
+      val f = new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, hi - lo)
+    }
+    val (fa, nA) = slice("fa", 0, 10)   // data seq 1
+    val (fb, nB) = slice("fb", 200, 206) // data seq 2
+    def delFile(name: String, target: String, poss: Seq[Long]): String = {
+      poss.map(p => (target, p)).toDF("file_path", "pos")
+        .coalesce(1).write.parquet(s"$t/data/$name")
+      new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val da = delFile("da", fa, Seq(0L, 3L, 6L, 9L)) // seq 2 -> applies
+    val db = delFile("db", fb, Seq(1L))             // seq 1 < fb's 2 -> no
+    def delEntry(sid: Long, seq: Long, path: String): GenericRecord = {
+      val e = foreignEntry(1, sid, seq, path, null, 1L)
+      e.get("data_file").asInstanceOf[GenericRecord]
+        .put("content", Integer.valueOf(1))
+      e
+    }
+    val m1 = s"$t/metadata/m1.avro"
+    val m1len = writeAvro(m1, foreignEntrySchema,
+      Seq(foreignEntry(1, 101L, 1L, fa, 7, nA)))
+    val m2 = s"$t/metadata/m2.avro"
+    val m2len = writeAvro(m2, foreignEntrySchema,
+      Seq(foreignEntry(1, 202L, 2L, fb, 9, nB)))
+    val md = s"$t/metadata/md.avro"
+    val mdLen = writeAvro(md, foreignEntrySchema,
+      Seq(delEntry(202L, 2L, da), delEntry(202L, 1L, db)))
+    val ml = s"$t/metadata/snap-301.avro"
+    writeAvro(ml, foreignListSchema, Seq(
+      foreignListRec(m1, m1len, 101L, 1L),
+      foreignListRec(m2, m2len, 202L, 2L),
+      foreignListRec(md, mdLen, 202L, 2L, content = 1)))
+    val meta = s"""{
+      "format-version": 2,
+      "table-uuid": "00000000-0000-0000-0000-00000000beef",
+      "location": "$t",
+      "last-sequence-number": 2,
+      "last-updated-ms": 1700000002000,
+      "last-column-id": 3,
+      "current-schema-id": 0,
+      "schemas": [$foreignSchemaJson],
+      "default-spec-id": 0,
+      "partition-specs": [{"spec-id":0,"fields":[
+        {"name":"bucket","transform":"identity","source-id":3,"field-id":1000}]}],
+      "last-partition-id": 1000,
+      "default-sort-order-id": 0,
+      "sort-orders": [{"order-id":0,"fields":[]}],
+      "properties": {},
+      "current-snapshot-id": 301,
+      "snapshots": [
+        {"snapshot-id":301,"sequence-number":2,"timestamp-ms":1700000002000,
+         "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
+      "snapshot-log": [
+        {"timestamp-ms":1700000002000,"snapshot-id":301}],
+      "metadata-log": []
+    }"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      meta.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val got = IcebergMirror.readIceberg(spark, t)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toSet
+    // fa loses rows 0,3,6,9 (files sorted: row_index == doc_id rank);
+    // db's delete does NOT apply (seq 1 < fb's data seq 2)
+    val want = ((0L until 10L).filterNot(i => i % 3 == 0).map((_, 7)) ++
+      (200L until 206L).map((_, 9))).toSet
+    assert(got == want)
+  }
+
+  test("refusals: format v3, equality deletes, rename without " +
+      "name mapping") {
+    val t = buildForeignTree()
+    // v3 metadata refuses
+    val v1 = new String(readBytes(s"$t/metadata/v1.metadata.json"),
+      "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v2.metadata.json"),
+      v1.replace("\"format-version\": 2", "\"format-version\": 3")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "2".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e1.getMessage.contains("format v3"))
+    // back to v2, but with an EQUALITY delete manifest in the list
+    // (position deletes are SERVED; equality deletes refuse)
+    val meq = s"$t/metadata/meq.avro"
+    val eqEntry = foreignEntry(1, 202L, 2L, s"$t/data/eq.parquet", 7, 1L)
+    eqEntry.get("data_file").asInstanceOf[GenericRecord]
+      .put("content", Integer.valueOf(2))
+    val meqLen = writeAvro(meq, foreignEntrySchema, Seq(eqEntry))
+    val m1Len = new java.io.File(s"$t/metadata/m1.avro").length
+    writeAvro(s"$t/metadata/snap-202.avro", foreignListSchema, Seq(
+      foreignListRec(s"$t/metadata/m1.avro", m1Len, 101L, 1L),
+      foreignListRec(meq, meqLen, 202L, 2L, content = 1)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e2.getMessage.contains("EQUALITY delete"))
+    // rename in schema history without a name mapping refuses
+    val renamed = v1
+      .replace("\"current-schema-id\": 0", "\"current-schema-id\": 1")
+      .replace(
+        """"schemas": [""",
+        """"schemas": [{"type":"struct","schema-id":1,"fields":[
+           {"id":1,"name":"document_id","required":false,"type":"long"},
+           {"id":2,"name":"payload","required":false,"type":"string"},
+           {"id":3,"name":"bucket","required":false,"type":"int"}]}, """)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v3.metadata.json"),
+      renamed.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "3".getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e3.getMessage.contains("renamed column"))
+  }
+}
