@@ -2121,6 +2121,191 @@ object SparkEntry {
       graft.sources.IcebergMirror.readIceberg(s, dir)
     }),
 
+    "q_ingest_iceberg_eqdel" -> ((s, d) => {
+      // ICEBERG EQUALITY DELETES through the gate (merge-on-read,
+      // Flink-CDC-style: each delete row is a value predicate on the
+      // file's equality_ids columns): a hand-built foreign tree with
+      // TWO partitioned data files and three equality-delete files —
+      // a GLOBAL one (unpartitioned spec) at sequence 2 deleting
+      // doc_id ≡ 6 (mod 12) from fa (applies: fa's data sequence is
+      // 1), a bucket-7-SCOPED one listing values that only exist in
+      // bucket 9 (must not apply: partition scope), and a global one
+      // at sequence 2 targeting fb (must not apply: the spec's STRICT
+      // ordering — fb's data sequence is 2, not < 2). Served rows come
+      // through readIceberg's distributed null-safe anti-join; the
+      // oracle re-derives survivors from raw documents, so an ignored
+      // scope, a non-strict sequence compare or a mis-keyed equality
+      // column surfaces as missing/extra rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_eqdel_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val dir = tmp.toString
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def slice(m: Int, sub: String): (String, Long) = {
+        base.where(pmod(col("doc_id"), lit(4)) === m)
+          .coalesce(1).write.parquet(s"$dir/data/$sub")
+        val f = new java.io.File(s"$dir/data/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        (f.getAbsolutePath, s.read.parquet(s"$dir/data/$sub").count())
+      }
+      val (fa, nA) = slice(2, "fa")
+      val (fb, nB) = slice(3, "fb")
+      def eqFile(sub: String, mod: Int, rem: Int): String = {
+        base.where(pmod(col("doc_id"), lit(mod)) === rem)
+          .select(col("doc_id"))
+          .coalesce(1).write.parquet(s"$dir/data/$sub")
+        new java.io.File(s"$dir/data/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val e1 = eqFile("e1", 12, 6)  // in fa's domain -> applies
+      val e2 = eqFile("e2", 4, 3)   // fb's domain, scoped bucket 7 -> no
+      val e3 = eqFile("e3", 12, 11) // in fb, strict seq -> no
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      def entrySchema(partFields: String): Schema =
+        new Schema.Parser().parse(
+          s"""{"type":"record","name":"manifest_entry","fields":[
+            {"name":"status","type":"int","field-id":0},
+            {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+            {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+            {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+              {"name":"content","type":"int","field-id":134},
+              {"name":"file_path","type":"string","field-id":100},
+              {"name":"file_format","type":"string","field-id":101},
+              {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+              {"name":"record_count","type":"long","field-id":103},
+              {"name":"file_size_in_bytes","type":"long","field-id":104},
+              {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+            ]},"field-id":2}]}""")
+      val entryS = entrySchema(
+        """{"name":"bucket","type":["null","int"],"default":null,"field-id":1000}""")
+      val entryGS = entrySchema("")
+      val listS = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string","field-id":500},
+          {"name":"manifest_length","type":"long","field-id":501},
+          {"name":"partition_spec_id","type":"int","field-id":502},
+          {"name":"content","type":"int","field-id":517},
+          {"name":"sequence_number","type":"long","field-id":515},
+          {"name":"min_sequence_number","type":"long","field-id":516},
+          {"name":"added_snapshot_id","type":"long","field-id":503},
+          {"name":"added_data_files_count","type":"int","field-id":504},
+          {"name":"existing_data_files_count","type":"int","field-id":505},
+          {"name":"deleted_data_files_count","type":"int","field-id":506},
+          {"name":"added_rows_count","type":"long","field-id":512},
+          {"name":"existing_rows_count","type":"long","field-id":513},
+          {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
+      def writeAvro(path: String, schema: Schema,
+          recs: Seq[GenericRecord]): Long = {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        val f = new java.io.File(path)
+        f.getParentFile.mkdirs()
+        w.create(schema, f)
+        recs.foreach(w.append)
+        w.close()
+        f.length
+      }
+      def entry(schema: Schema, content: Int, sid: Long, seq: Long,
+          path: String, bucket: Integer, n: Long,
+          eqIds: Seq[Int]): GenericRecord = {
+        val e = new GenericData.Record(schema)
+        e.put("status", Integer.valueOf(1))
+        e.put("snapshot_id", java.lang.Long.valueOf(sid))
+        e.put("sequence_number", java.lang.Long.valueOf(seq))
+        val dfS = schema.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", Integer.valueOf(content))
+        df.put("file_path", path)
+        df.put("file_format", "PARQUET")
+        val p = new GenericData.Record(dfS.getField("partition").schema())
+        if (bucket != null) p.put("bucket", bucket)
+        df.put("partition", p)
+        df.put("record_count", java.lang.Long.valueOf(n))
+        df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+        if (eqIds.nonEmpty) {
+          val l = new java.util.ArrayList[Integer](eqIds.size)
+          eqIds.foreach(i => l.add(Integer.valueOf(i)))
+          df.put("equality_ids", l)
+        }
+        e.put("data_file", df)
+        e
+      }
+      def listRec(path: String, len: Long, sid: Long, seq: Long,
+          content: Int, specId: Int): GenericRecord = {
+        val r = new GenericData.Record(listS)
+        r.put("manifest_path", path)
+        r.put("manifest_length", java.lang.Long.valueOf(len))
+        r.put("partition_spec_id", Integer.valueOf(specId))
+        r.put("content", Integer.valueOf(content))
+        r.put("sequence_number", java.lang.Long.valueOf(seq))
+        r.put("min_sequence_number", java.lang.Long.valueOf(1L))
+        r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
+        Seq("added_data_files_count", "existing_data_files_count",
+          "deleted_data_files_count").foreach(f =>
+            r.put(f, Integer.valueOf(0)))
+        Seq("added_rows_count", "existing_rows_count",
+          "deleted_rows_count").foreach(f =>
+            r.put(f, java.lang.Long.valueOf(0L)))
+        r
+      }
+      val m1 = s"$dir/metadata/m1.avro"
+      val m1len = writeAvro(m1, entryS, Seq(
+        entry(entryS, 0, 101L, 1L, fa, 7, nA, Nil),
+        entry(entryS, 0, 202L, 2L, fb, 9, nB, Nil)))
+      val mg = s"$dir/metadata/mg.avro"
+      val mgLen = writeAvro(mg, entryGS, Seq(
+        entry(entryGS, 2, 202L, 2L, e1, null, 1L, Seq(1)),
+        entry(entryGS, 2, 202L, 2L, e3, null, 1L, Seq(1))))
+      val ms = s"$dir/metadata/ms.avro"
+      val msLen = writeAvro(ms, entryS, Seq(
+        entry(entryS, 2, 202L, 2L, e2, 7, 1L, Seq(1))))
+      val ml = s"$dir/metadata/snap-401.avro"
+      writeAvro(ml, listS, Seq(
+        listRec(m1, m1len, 101L, 1L, 0, 0),
+        listRec(mg, mgLen, 202L, 2L, 1, 1),
+        listRec(ms, msLen, 202L, 2L, 1, 0)))
+      val metaJson = s"""{
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000bead",
+        "location": "$dir",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [{"type":"struct","schema-id":0,"fields":[
+          {"id":1,"name":"doc_id","required":false,"type":"long"},
+          {"id":2,"name":"source","required":false,"type":"string"},
+          {"id":3,"name":"n_chars","required":false,"type":"long"},
+          {"id":4,"name":"bucket","required":false,"type":"int"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [
+          {"spec-id":0,"fields":[
+            {"name":"bucket","transform":"identity","source-id":4,"field-id":1000}]},
+          {"spec-id":1,"fields":[]}],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},
+        "current-snapshot-id": 401,
+        "snapshots": [
+          {"snapshot-id":401,"sequence-number":2,"timestamp-ms":1700000002000,
+           "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
+        "snapshot-log": [
+          {"timestamp-ms":1700000002000,"snapshot-id":401}],
+        "metadata-log": []
+      }"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+        metaJson.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+        "1".getBytes("UTF-8"))
+      graft.sources.IcebergMirror.readIceberg(s, dir)
+    }),
+
     "q_ingest_delta" -> ((s, d) => {
       // DELTA IMPORT direction through the gate: the table evolves
       // (partitioned base + partition overwrite + COW DELETE), the
@@ -4828,6 +5013,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
         .stripMargin,
+
+    "q_ingest_iceberg_eqdel" ->
+      // rows served through readIceberg's EQUALITY-DELETE resolution:
+      // the global sequence-2 delete removes doc_id ≡ 6 (mod 12) from
+      // fa (data seq 1 < 2); the bucket-7-scoped delete lists values
+      // that live only in bucket 9 (scope mismatch — no effect); the
+      // global delete targeting fb is at the SAME sequence as fb's
+      // data (strict ordering — no effect)
+      """SELECT doc_id, source, n_chars, 7 AS bucket FROM documents
+        |WHERE doc_id % 4 = 2 AND doc_id % 12 <> 6
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 9 FROM documents
+        |WHERE doc_id % 4 = 3""".stripMargin,
 
     "q_snapshot_evolve" ->
       // unpartitioned v1 + evolved-spec v2 + migration + partitioned

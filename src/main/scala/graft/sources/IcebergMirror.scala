@@ -1402,10 +1402,13 @@ object IcebergMirror {
     final case class Live(path: String, stored: String,
         pvById: Map[Int, Any], dataSeq: Long)
     final case class PosDel(path: String, seq: Long)
+    final case class EqDel(path: String, seq: Long, eqIds: Seq[Int],
+        pvById: Map[Int, Any], scoped: Boolean)
     val (_, _, mlRows) = readAvroBytes(
       readFileBytes(fs, new Path(resolvePath(mlPath))))
     val live = mutable.LinkedHashMap[String, Live]()
     val posDels = mutable.ListBuffer[PosDel]()
+    val eqDels = mutable.ListBuffer[EqDel]()
     mlRows.foreach { mrec =>
       val content = asLong(fieldById(mrec, 517, "content")).getOrElse(0L)
       val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
@@ -1433,24 +1436,37 @@ object IcebergMirror {
             .getOrElse(mSeq)
           val stored = asString(fieldById(df, 100, "file_path")).get
           val p = resolvePath(stored)
-          if (content == 1L || dfContent != 0L) {
-            require(dfContent == 1L,
-              s"iceberg table at $dir carries EQUALITY delete files " +
-                "(content=2) — this reader applies position deletes " +
-                "only; serving without them would return deleted " +
-                "rows, refusing")
-            posDels += PosDel(p, seq)
-          } else {
-            val part = fieldById(df, 102, "partition")
-            val pv = part match {
-              case r: GenericRecord => ids.flatMap { case (fid, src) =>
-                idToName.get(src).map { nm =>
-                  src -> avroToJvm(fieldById(r, fid, nm))
-                }
-              }.toMap
-              case _ => Map.empty[Int, Any]
-            }
-            live(p) = Live(p, stored, pv, seq)
+          val part = fieldById(df, 102, "partition")
+          val pv = part match {
+            case r: GenericRecord => ids.flatMap { case (fid, src) =>
+              idToName.get(src).map { nm =>
+                src -> avroToJvm(fieldById(r, fid, nm))
+              }
+            }.toMap
+            case _ => Map.empty[Int, Any]
+          }
+          dfContent match {
+            case 0L => live(p) = Live(p, stored, pv, seq)
+            case 1L => posDels += PosDel(p, seq)
+            case 2L =>
+              val eqIds = fieldById(df, 135, "equality_ids") match {
+                case l: java.util.List[_] =>
+                  l.asScala.map(_.asInstanceOf[Number].intValue).toSeq
+                case _ => Seq.empty[Int]
+              }
+              require(eqIds.nonEmpty,
+                s"iceberg table at $dir: equality delete file $stored " +
+                  "declares no equality_ids — refusing")
+              eqIds.foreach(id => require(idToName.contains(id),
+                s"iceberg table at $dir: equality delete on field id " +
+                  s"$id which the current schema does not carry — " +
+                  "refusing (the delete could not be applied)"))
+              // partition-SCOPED when the manifest's spec has identity
+              // fields: the delete applies only inside its partition
+              eqDels += EqDel(p, seq, eqIds.sorted, pv, ids.nonEmpty)
+            case other => sys.error(
+              s"iceberg table at $dir: data_file content=$other is " +
+                "not defined by format v2 — refusing")
           }
         }
       }
@@ -1471,7 +1487,7 @@ object IcebergMirror {
     val base = spark.read.schema(readSchema)
       .parquet(live.keys.toSeq: _*)
 
-    if (identitySources.isEmpty && posDels.isEmpty)
+    if (identitySources.isEmpty && posDels.isEmpty && eqDels.isEmpty)
       return base.select(schema.fields.map(f =>
         col(physByName(f.name)).as(f.name)).toIndexedSeq: _*)
 
@@ -1548,7 +1564,7 @@ object IcebergMirror {
     // key through a broadcast stored-path -> canonical-file map; the
     // sequence-number guard (a delete applies only to data files with
     // data_seq <= the delete's) rides the same join condition.
-    val served =
+    val afterPos =
       if (posDels.isEmpty) joined
       else {
         val delMeta = posDels.toSeq.map(pd =>
@@ -1570,6 +1586,55 @@ object IcebergMirror {
             col("__del_seq") >= col("__graft_seq"),
           "left_anti")
       }
+    // EQUALITY DELETES (merge-on-read, Flink-CDC-style): each delete
+    // row is a predicate on the file's equality_ids columns. Applies
+    // to data files with data sequence STRICTLY below the delete's
+    // (the spec's rule — same-commit data is exempt), null-safe
+    // equality per the spec's "null matches null", and partition
+    // SCOPING when the delete file's spec is partitioned (its rows
+    // apply only inside its own partition tuple; unpartitioned-spec
+    // deletes are global). Delete rows scan distributed; one anti-join
+    // per distinct equality_ids signature.
+    val served = eqDels.toSeq.groupBy(_.eqIds).foldLeft(afterPos) {
+      case (acc, (eqIds, group)) =>
+        val eqNames = eqIds.map(idToName)
+        val delReadSchema = StructType(eqIds.map(id => StructField(
+          physByName(idToName(id)), idToType(id), nullable = true)))
+        val pvCols = identitySources.map(idToName)
+        val delMeta = group.map { ed =>
+          Row.fromSeq((canonicalKey(ed.path) +:
+            java.lang.Long.valueOf(ed.seq) +:
+            java.lang.Boolean.valueOf(ed.scoped) +:
+            identitySources.map(src =>
+              jvmToExternal(idToType(src), ed.pvById.get(src).orNull))))
+        }
+        val delMetaDf = spark.createDataFrame(delMeta.asJava,
+          StructType(
+            Seq(StructField("__graft_dfile", StringType, false),
+              StructField("__del_seq", LongType, false),
+              StructField("__del_scoped", BooleanType, false)) ++
+            identitySources.map(src => StructField(
+              s"__del_pv_${idToName(src)}", idToType(src), true))))
+        val dels = spark.read.schema(delReadSchema)
+          .parquet(group.map(_.path): _*)
+          .withColumn("__graft_dfile", col("_metadata.file_path"))
+          .join(broadcast(delMetaDf), Seq("__graft_dfile"))
+        val eqCond = eqNames.map { n =>
+          // compare the PROJECTED data value (identity partition
+          // columns may live only in metadata) against the delete row
+          val dataVal =
+            if (identityNames(n))
+              coalesce(acc(physByName(n)), acc(s"__graft_pv_$n"))
+            else acc(physByName(n))
+          dataVal <=> dels(physByName(n))
+        }.reduce(_ && _)
+        val scopeCond = !dels("__del_scoped") || pvCols.map(n =>
+          acc(s"__graft_pv_$n") <=> dels(s"__del_pv_$n"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        acc.join(dels,
+          eqCond && dels("__del_seq") > acc("__graft_seq") && scopeCond,
+          "left_anti")
+    }
     served.select(schema.fields.map { f =>
       // the spec's column projection: file value when the column is
       // materialized in the file, identity partition value otherwise

@@ -470,7 +470,8 @@ class IcebergMirrorSpec extends AnyFunSuite {
           {"name":"bucket","type":["null","int"],"default":null,"field-id":1000}
         ]},"field-id":102},
         {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       ]},"field-id":2}
     ]}""")
 
@@ -712,6 +713,97 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("equality deletes apply null-safe by value with strict " +
+      "sequence ordering and partition scoping") {
+    val t = freshDir("graft_ice_eqdel") + "/t"
+    def slice(name: String, lo: Long, hi: Long): (String, Long) = {
+      spark.range(lo, hi).toDF("doc_id")
+        .withColumn("payload", concat(lit("p"), $"doc_id"))
+        .coalesce(1).write.parquet(s"$t/data/$name")
+      val f = new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, hi - lo)
+    }
+    val (fa, nA) = slice("fa", 0, 10)    // bucket 7, data seq 1
+    val (fb, nB) = slice("fb", 200, 206) // bucket 9, data seq 2
+    def eqFile(name: String, ids: Seq[Long]): String = {
+      ids.toDF("doc_id").coalesce(1).write.parquet(s"$t/data/$name")
+      new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val e1 = eqFile("e1", Seq(2L, 5L))   // global, seq 2 -> fa loses
+    val e2 = eqFile("e2", Seq(4L, 202L)) // scoped bucket 7, seq 2
+    val e3 = eqFile("e3", Seq(201L))     // global, seq 2 vs fb seq 2 -> no
+    def eqEntry(sid: Long, seq: Long, path: String,
+        bucket: Integer): GenericRecord = {
+      val e = foreignEntry(1, sid, seq, path, bucket, 1L)
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.put("content", Integer.valueOf(2))
+      val l = new java.util.ArrayList[Integer](1)
+      l.add(Integer.valueOf(1)) // equality on field id 1 = doc_id
+      df.put("equality_ids", l)
+      e
+    }
+    val m1 = s"$t/metadata/m1.avro"
+    val m1len = writeAvro(m1, foreignEntrySchema, Seq(
+      foreignEntry(1, 101L, 1L, fa, 7, nA),
+      foreignEntry(1, 202L, 2L, fb, 9, nB)))
+    // global deletes ride an UNPARTITIONED spec (spec-id 1); the
+    // scoped delete rides spec 0 with its partition tuple
+    val mg = s"$t/metadata/mg.avro"
+    val mgLen = writeAvro(mg, foreignEntrySchema, Seq(
+      eqEntry(202L, 2L, e1, null), eqEntry(202L, 2L, e3, null)))
+    val ms = s"$t/metadata/ms.avro"
+    val msLen = writeAvro(ms, foreignEntrySchema,
+      Seq(eqEntry(202L, 2L, e2, 7)))
+    val ml = s"$t/metadata/snap-401.avro"
+    val mgRec = foreignListRec(mg, mgLen, 202L, 2L, content = 1)
+    mgRec.put("partition_spec_id", Integer.valueOf(1))
+    writeAvro(ml, foreignListSchema, Seq(
+      foreignListRec(m1, m1len, 101L, 1L), mgRec,
+      foreignListRec(ms, msLen, 202L, 2L, content = 1)))
+    val meta = s"""{
+      "format-version": 2,
+      "table-uuid": "00000000-0000-0000-0000-00000000cafe",
+      "location": "$t",
+      "last-sequence-number": 2,
+      "last-updated-ms": 1700000002000,
+      "last-column-id": 3,
+      "current-schema-id": 0,
+      "schemas": [$foreignSchemaJson],
+      "default-spec-id": 0,
+      "partition-specs": [
+        {"spec-id":0,"fields":[
+          {"name":"bucket","transform":"identity","source-id":3,"field-id":1000}]},
+        {"spec-id":1,"fields":[]}],
+      "last-partition-id": 1000,
+      "default-sort-order-id": 0,
+      "sort-orders": [{"order-id":0,"fields":[]}],
+      "properties": {},
+      "current-snapshot-id": 401,
+      "snapshots": [
+        {"snapshot-id":401,"sequence-number":2,"timestamp-ms":1700000002000,
+         "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
+      "snapshot-log": [
+        {"timestamp-ms":1700000002000,"snapshot-id":401}],
+      "metadata-log": []
+    }"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      meta.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val got = IcebergMirror.readIceberg(spark, t)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toSet
+    // fa loses 2,5 (global, 1<2) and 4 (scoped to ITS bucket, 1<2);
+    // fb keeps 202 (scope mismatch: delete is bucket-7-scoped) and
+    // 201 (strict ordering: fb's data seq 2 is NOT < delete seq 2)
+    val want = (Seq(0L, 1L, 3L, 6L, 7L, 8L, 9L).map((_, 7)) ++
+      (200L until 206L).map((_, 9))).toSet
+    assert(got == want)
+  }
+
   test("refusals: format v3, equality deletes, rename without " +
       "name mapping") {
     val t = buildForeignTree()
@@ -744,7 +836,7 @@ class IcebergMirrorSpec extends AnyFunSuite {
       "1".getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](
       IcebergMirror.readIceberg(spark, t))
-    assert(e2.getMessage.contains("EQUALITY delete"))
+    assert(e2.getMessage.contains("equality_ids"))
     // rename in schema history without a name mapping refuses
     val renamed = v1
       .replace("\"current-schema-id\": 0", "\"current-schema-id\": 1")
