@@ -1789,6 +1789,30 @@ object SparkEntry {
       IcebergMirror.readIceberg(s, table)
     }),
 
+    "q_ingest_iceberg_prune" -> ((s, d) => {
+      // ICEBERG STAT-PRUNED READ through the gate: the partitioned
+      // mirror is read with readIcebergWhere — identity-partition
+      // values and the manifests' typed lower/upper bounds prune
+      // whole files before any scan (the 100 TB posture: a predicate
+      // on a foreign Iceberg table must not scan the lake), and the
+      // predicate re-applies to surviving rows so the result is
+      // EXACT whatever the bounds coverage. The oracle filters the
+      // raw documents table — an unsound skip (a file wrongly pruned)
+      // surfaces as missing rows, a broken bounds decode as extras.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_prune_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{IcebergMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(3)) === 2)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      IcebergMirror.mirror(s, table)
+      IcebergMirror.readIcebergWhere(s, table,
+        col("lang") === "en" && col("n_chars") >= 150)
+    }),
+
     "q_ingest_iceberg" -> ((s, d) => {
       // FOREIGN ICEBERG table through the gate: a hand-built v2
       // metadata tree — avro manifests written RAW here (independent
@@ -2331,6 +2355,30 @@ object SparkEntry {
       LakeWriter.renameColumn(s, table, "n_chars", "chars")
       DeltaMirror.mirror(s, table)
       DeltaMirror.readDelta(s, table)
+    }),
+
+    "q_ingest_delta_prune" -> ((s, d) => {
+      // DELTA STAT-PRUNED READ through the gate: the partitioned
+      // mirror is read with readDeltaWhere — add.partitionValues and
+      // the add.stats min/max the mirror records prune whole files
+      // before any scan (the import-direction twin of
+      // q_snapshot_skip's graft-side pruning), and the predicate
+      // re-applies to surviving rows so the result is EXACT whatever
+      // the stats coverage. The oracle filters the raw documents
+      // table — an unsound skip surfaces as missing rows, a broken
+      // stats decode as extras.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_prune_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(5)) === 4)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      DeltaMirror.mirror(s, table)
+      DeltaMirror.readDeltaWhere(s, table,
+        col("lang") === "de" && col("n_chars") >= 150)
     }),
 
     "q_snapshot_import" -> ((s, d) => {
@@ -4986,6 +5034,23 @@ object SparkEntry {
       // misresolved identity-partition value surfaces as extras/gaps
       """SELECT doc_id, source, n_chars AS chars, lang FROM documents
         |WHERE doc_id % 3 = 1 AND NOT coalesce(n_chars < 150, false)"""
+        .stripMargin,
+
+    "q_ingest_iceberg_prune" ->
+      // rows served through readIcebergWhere's FILE PRUNING (identity
+      // partition values + manifest bounds): exactness re-derived
+      // from the raw table — an unsound skip loses rows, a broken
+      // bounds decode serves extras
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 3 = 2 AND lang = 'en' AND n_chars >= 150"""
+        .stripMargin,
+
+    "q_ingest_delta_prune" ->
+      // rows served through readDeltaWhere's FILE PRUNING
+      // (add.partitionValues + add.stats min/max): exactness
+      // re-derived from the raw table
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 5 = 4 AND lang = 'de' AND n_chars >= 150"""
         .stripMargin,
 
     "q_ingest_iceberg" ->

@@ -1377,7 +1377,66 @@ object DeltaMirror {
     * or id-mode column mapping, REFUSES loudly — serving it anyway
     * would be silently wrong, not merely incomplete. */
   def readDelta(spark: SparkSession, dir: String,
-                version: Option[Long] = None): DataFrame = {
+                version: Option[Long] = None): DataFrame =
+    readDeltaImpl(spark, dir, version, None)
+
+  /** [[readDelta]] with FILE PRUNING: of the resolved live set, scan
+    * only files whose log evidence cannot DISPROVE `predicate` —
+    * add.partitionValues are exact per-file stats, add.stats'
+    * minValues/maxValues carry range proofs (decoded type-directed:
+    * ISO dates/timestamps to the epoch stat space, with a +999 µs
+    * guard on timestamp maxima since Delta writers may truncate to
+    * milliseconds) and nullCount unlocks IS NULL pruning. The
+    * predicate re-applies to surviving rows, so results stay exact
+    * whatever the stats coverage (truncated foreign bounds are still
+    * valid bounds). The import-direction twin of readSnapshotWhere —
+    * a predicate on a foreign Delta table scans a partition, not the
+    * lake. */
+  def readDeltaWhere(spark: SparkSession, dir: String,
+                     predicate: org.apache.spark.sql.Column,
+                     version: Option[Long] = None): DataFrame =
+    readDeltaImpl(spark, dir, version, Some(predicate)).where(predicate)
+
+  /** Delta stats-JSON value -> the stat-string space GraftDataSkipping
+    * evaluates; `maxSide` applies the millisecond-truncation guard on
+    * timestamp upper bounds. None = no proof. */
+  private def deltaStatString(dt: org.apache.spark.sql.types.DataType,
+                              j: JValue,
+                              maxSide: Boolean): Option[String] = {
+    import org.apache.spark.sql.types._
+    def num: Option[String] = j match {
+      case JInt(n) => Some(n.toString)
+      case JDecimal(d) => Some(d.toString)
+      case JDouble(d) if java.lang.Double.isFinite(d) => Some(d.toString)
+      case JLong(n) => Some(n.toString)
+      case _ => None
+    }
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => num
+      case StringType => str(j)
+      case DateType => str(j).map(s =>
+        java.time.LocalDate.parse(s).toEpochDay.toString)
+      case TimestampType => str(j).map { s =>
+        val us = java.time.OffsetDateTime.parse(s).toInstant match {
+          case i => i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        (if (maxSide) us + 999L else us).toString
+      }
+      case TimestampNTZType => str(j).map { s =>
+        val t = java.time.LocalDateTime.parse(s)
+        val us = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L
+        (if (maxSide) us + 999L else us).toString
+      }
+      case _ => None
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
+
+  private def readDeltaImpl(spark: SparkSession, dir: String,
+                            version: Option[Long],
+                            pruneWith: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val (st, _) = replay(spark, dir, version)
     // PROTOCOL CONFORMANCE GATE (the spec's reader contract: a reader
     // that does not implement minReaderVersion / every readerFeature
@@ -1442,11 +1501,86 @@ object DeltaMirror {
       val d = percentDecode(p)
       if (isAbsolutePath(d)) d else s"$root/$d"
     }
-    if (st.live.isEmpty)
+    // FILE PRUNING (readDeltaWhere): keep only files whose log
+    // evidence cannot disprove the predicate — the shared
+    // GraftDataSkipping evaluator over add.partitionValues (exact
+    // stats), add.stats min/max (type-decoded) and nullCount. Stats
+    // and partitionValues key by PHYSICAL name under column mapping;
+    // the predicate speaks logical names — translate first.
+    val logicalOf: Map[String, String] = physOf.map(_.swap)
+    val keepFile: ((String, String)) => Boolean = pruneWith match {
+      case None => _ => true
+      case Some(pred) =>
+        val typesByName = schema.fields.map(f => f.name -> f.dataType).toMap
+        key => {
+          val info = st.live(key)
+          val statsJ = info.stats.map(JsonMethods.parse(_))
+          def statMap(field: String, maxSide: Boolean)
+              : Map[String, String] =
+            statsJ.map(_ \ field match {
+              case JObject(fields) => fields.flatMap { case (pc, v) =>
+                val c = logicalOf.getOrElse(pc, pc)
+                typesByName.get(c)
+                  .flatMap(deltaStatString(_, v, maxSide)).map(c -> _)
+              }.toMap
+              case _ => Map.empty[String, String]
+            }).getOrElse(Map.empty)
+          val mins = statMap("minValues", maxSide = false)
+          val maxs = statMap("maxValues", maxSide = true)
+          val minmax = (mins.keySet & maxs.keySet)
+            .map(c => c -> (mins(c), maxs(c))).toMap
+          val rows = statsJ.flatMap(s => s \ "numRecords" match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None
+          })
+          val statNulls: Map[String, Long] =
+            statsJ.map(_ \ "nullCount" match {
+              case JObject(fields) => fields.flatMap { case (pc, v) =>
+                val c = logicalOf.getOrElse(pc, pc)
+                v match {
+                  case JInt(n) if typesByName.contains(c) =>
+                    Some(c -> n.toLong)
+                  case _ => None
+                }
+              }.toMap
+              case _ => Map.empty[String, Long]
+            }).getOrElse(Map.empty)
+          // a partition value is an exact stat: min == max == value
+          // (converted to the epoch stat space for temporal types);
+          // a null value proves the column all-NULL for the file
+          import org.apache.spark.sql.types._
+          val pstats = info.partitionValues.flatMap { case (pc, ov) =>
+            val c = logicalOf.getOrElse(pc, pc)
+            (ov, typesByName.get(c)) match {
+              case (Some(v), Some(dt)) =>
+                val s = dt match {
+                  case ByteType | ShortType | IntegerType | LongType |
+                       StringType => Some(v)
+                  case DateType => scala.util.Try(
+                    java.time.LocalDate.parse(v).toEpochDay.toString)
+                    .toOption
+                  case _ => None
+                }
+                s.map(x => c -> (x, x))
+              case _ => None
+            }
+          }.toMap
+          val pnulls = info.partitionValues.flatMap { case (pc, ov) =>
+            val c = logicalOf.getOrElse(pc, pc)
+            if (ov.isEmpty) rows.map(c -> _) else Some(c -> 0L)
+          }.toMap
+          org.apache.spark.sql.GraftDataSkipping.mayMatchColumn(
+            pred, minmax ++ pstats, typesByName,
+            statNulls ++ pnulls, rows)
+        }
+    }
+    val liveKeys = st.live.keys.filter(keepFile).toSeq
+    if (liveKeys.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     val liveSeq: Seq[(String, AddInfo)] =
-      st.live.toSeq.map { case ((p, _), info) => (p, info) }
+      liveKeys.map(k => (k._1, st.live(k)))
     val files = liveSeq.map(t => absOf(t._1))
     // DELETION VECTORS: resolve every live file's bitmap DRIVER-SIDE
     // (metadata-plane — each is O(deleted rows) compressed, read once

@@ -1279,7 +1279,56 @@ object IcebergMirror {
     * mapping (this reader resolves file columns by name; serving a
     * renamed column would silently read nulls). */
   def readIceberg(spark: SparkSession, dir: String,
-                  snapshotId: Option[Long] = None): DataFrame = {
+                  snapshotId: Option[Long] = None): DataFrame =
+    readIcebergImpl(spark, dir, snapshotId, None)
+
+  /** [[readIceberg]] with FILE PRUNING: of the snapshot's live data
+    * files, scan only those whose manifest evidence cannot DISPROVE
+    * `predicate` — identity-partition values are exact per-file
+    * stats, manifest lower/upper bounds (the spec's single-value
+    * binary form, decoded by type) carry range proofs, and
+    * null_value_counts unlock IS NULL pruning. Pure metadata, no data
+    * IO; the predicate is then applied to surviving rows, so results
+    * stay exact whatever the bounds coverage (truncated foreign
+    * bounds are still valid bounds — pruning stays sound). On a
+    * large foreign table this is the difference between scanning a
+    * partition and scanning the lake. */
+  def readIcebergWhere(spark: SparkSession, dir: String,
+                       predicate: org.apache.spark.sql.Column,
+                       snapshotId: Option[Long] = None): DataFrame =
+    readIcebergImpl(spark, dir, snapshotId, Some(predicate))
+      .where(predicate)
+
+  /** Decode a single-value bound into the stat-string space
+    * [[graft.plans.GraftDataSkipping]] evaluates (temporal = integer
+    * epoch micros/days, numerics in decimal form, strings verbatim);
+    * None = no proof (unknown type, malformed length, non-finite). */
+  private def statStringOf(dt: DataType, b: Array[Byte]): Option[String] = {
+    def le(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (b(i).toLong & 0xff) << (8 * i); i += 1 }
+      v
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | DateType
+          if b.length == 4 => Some(le(4).toInt.toString)
+      case LongType | TimestampType | TimestampNTZType
+          if b.length == 8 => Some(le(8).toString)
+      case FloatType if b.length == 4 =>
+        val f = java.lang.Float.intBitsToFloat(le(4).toInt)
+        if (java.lang.Float.isFinite(f)) Some(f.toString) else None
+      case DoubleType if b.length == 8 =>
+        val d = java.lang.Double.longBitsToDouble(le(8))
+        if (java.lang.Double.isFinite(d)) Some(d.toString) else None
+      case StringType => Some(new String(b, "UTF-8"))
+      case _ => None
+    }
+  }
+
+  private def readIcebergImpl(spark: SparkSession, dir: String,
+                              snapshotId: Option[Long],
+                              pruneWith: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val md = metaDir(dir)
     val fs = LakeWriter.fsOf(spark, md)
     val n = currentMetadataVersion(fs, md).getOrElse(
@@ -1400,7 +1449,9 @@ object IcebergMirror {
     // collected alongside — each applies to data files whose data
     // sequence number is <= the delete file's
     final case class Live(path: String, stored: String,
-        pvById: Map[Int, Any], dataSeq: Long)
+        pvById: Map[Int, Any], dataSeq: Long, rows: Option[Long],
+        lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+        nullCnt: Map[Int, Long])
     final case class PosDel(path: String, seq: Long)
     final case class EqDel(path: String, seq: Long, eqIds: Seq[Int],
         pvById: Map[Int, Any], scoped: Boolean)
@@ -1445,8 +1496,30 @@ object IcebergMirror {
             }.toMap
             case _ => Map.empty[Int, Any]
           }
+          def longMapOf(id: Int, name: String): Map[Int, Long] =
+            fieldById(df, id, name) match {
+              case l: java.util.List[_] => l.asScala.flatMap { kv =>
+                val r0 = kv.asInstanceOf[GenericRecord]
+                for (k <- asLong(r0.get("key")); v <- asLong(r0.get("value")))
+                  yield k.toInt -> v
+              }.toMap
+              case _ => Map.empty
+            }
+          def bytesMapOf(id: Int, name: String): Map[Int, Array[Byte]] =
+            fieldById(df, id, name) match {
+              case l: java.util.List[_] => l.asScala.flatMap { kv =>
+                val r0 = kv.asInstanceOf[GenericRecord]
+                for (k <- asLong(r0.get("key")); v <- asBytes(r0.get("value")))
+                  yield k.toInt -> v
+              }.toMap
+              case _ => Map.empty
+            }
           dfContent match {
-            case 0L => live(p) = Live(p, stored, pv, seq)
+            case 0L => live(p) = Live(p, stored, pv, seq,
+              asLong(fieldById(df, 103, "record_count")),
+              bytesMapOf(125, "lower_bounds"),
+              bytesMapOf(128, "upper_bounds"),
+              longMapOf(110, "null_value_counts"))
             case 1L => posDels += PosDel(p, seq)
             case 2L =>
               val eqIds = fieldById(df, 135, "equality_ids") match {
@@ -1470,6 +1543,46 @@ object IcebergMirror {
           }
         }
       }
+    }
+
+    // FILE PRUNING (readIcebergWhere): keep only data files whose
+    // manifest evidence cannot disprove the predicate — the shared
+    // GraftDataSkipping evaluator over identity-partition values
+    // (exact stats), decoded lower/upper bounds, and null counts.
+    // Delete files are never pruned (a surviving data file may still
+    // need their rows); a pruned data file's delete rows simply stop
+    // matching anything.
+    pruneWith.foreach { pred =>
+      val typesByName = schema.fields.map(f => f.name -> f.dataType).toMap
+      live.filterInPlace { case (_, lv) =>
+        val minmax: Map[String, (String, String)] =
+          (lv.lower.keySet & lv.upper.keySet).flatMap { id =>
+            for {
+              nm <- idToName.get(id)
+              dt <- idToType.get(id)
+              lo <- statStringOf(dt, lv.lower(id))
+              hi <- statStringOf(dt, lv.upper(id))
+            } yield nm -> (lo, hi)
+          }.toMap
+        // an identity partition value is an exact per-file stat:
+        // min == max == value (the stat space matches the avro form —
+        // epoch days/micros, decimal strings); a NULL value proves
+        // the column all-NULL for the file
+        val pstats = lv.pvById.collect {
+          case (src, v) if v != null &&
+              idToType.get(src).exists(_ != BooleanType) &&
+              idToName.contains(src) =>
+            idToName(src) -> (v.toString, v.toString)
+        }
+        val pnulls = lv.pvById.collect {
+          case (src, null) if idToName.contains(src) && lv.rows.nonEmpty =>
+            idToName(src) -> lv.rows.get
+        }
+        val nulls = lv.nullCnt.flatMap { case (id, n) =>
+          idToName.get(id).map(_ -> n) } ++ pnulls
+        org.apache.spark.sql.GraftDataSkipping.mayMatchColumn(
+          pred, minmax ++ pstats, typesByName, nulls, lv.rows)
+      }: Unit
     }
 
     if (live.isEmpty)

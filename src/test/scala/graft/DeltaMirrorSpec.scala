@@ -984,6 +984,39 @@ class DeltaMirrorSpec extends AnyFunSuite {
       e.getMessage.contains("missing"))
   }
 
+  test("readDeltaWhere prunes files by add.stats bounds, nullCount " +
+      "and partitionValues — exactly") {
+    import org.apache.spark.sql.functions.col
+    // range pruning: three disjoint-range files adopted + mirrored
+    val t = freshDir("graft_delta_prune") + "/t"
+    (0 to 2).foreach { k =>
+      spark.range(k * 10L, k * 10L + 10L).toDF("id")
+        .withColumn("v", $"id" * 2)
+        .coalesce(1).write.parquet(s"$t/raw/f$k")
+    }
+    LakeWriter.convertToSnapshot(spark, s"$t/raw", s"$t/tbl")
+    DeltaMirror.mirror(spark, s"$t/tbl")
+    val pruned = DeltaMirror.readDeltaWhere(spark, s"$t/tbl",
+      col("id") >= 20)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq)
+    assert(rows(pruned) == rows(
+      LakeWriter.readSnapshot(spark, s"$t/tbl").where($"id" >= 20)))
+    // IS NULL with zero null counts proves every file empty
+    val none = DeltaMirror.readDeltaWhere(spark, s"$t/tbl",
+      col("id").isNull)
+    assert(none.inputFiles.isEmpty)
+    assert(none.count() == 0)
+    // partitionValues pruning on a partitioned mirror
+    val t2 = freshDir("graft_delta_prune2") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(90), t2, Seq("lang"))
+    DeltaMirror.mirror(spark, t2)
+    val en = DeltaMirror.readDeltaWhere(spark, t2, col("lang") === "en")
+    assert(en.inputFiles.nonEmpty &&
+      en.inputFiles.forall(_.contains("lang=en")), en.inputFiles.toSeq)
+    assert(rows(en) == rows(
+      LakeWriter.readSnapshot(spark, t2).where($"lang" === "en")))
+  }
+
   test("driver-resident log state: live-file ceiling refuses loudly") {
     val d = freshDir("graft_delta_ceiling")
     new java.io.File(s"$d/_delta_log").mkdirs()

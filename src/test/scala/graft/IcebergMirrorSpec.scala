@@ -440,6 +440,40 @@ class IcebergMirrorSpec extends AnyFunSuite {
     }
   }
 
+  test("readIcebergWhere prunes files by bounds, null counts and " +
+      "identity partition values — exactly") {
+    val t = freshDir("graft_ice_prune") + "/t"
+    (0 to 2).foreach { k =>
+      spark.range(k * 10L, k * 10L + 10L).toDF("id")
+        .withColumn("v", $"id" * 2)
+        .coalesce(1).write.parquet(s"$t/raw/f$k")
+    }
+    LakeWriter.convertToSnapshot(spark, s"$t/raw", s"$t/tbl")
+    IcebergMirror.mirror(spark, s"$t/tbl")
+    // range pruning through the mirrored manifest bounds: only the
+    // [20,30) file survives
+    val pruned = IcebergMirror.readIcebergWhere(spark, s"$t/tbl",
+      col("id") >= 20)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq)
+    assert(rows(pruned) == rows(
+      LakeWriter.readSnapshot(spark, s"$t/tbl").where($"id" >= 20)))
+    // IS NULL with zero null counts proves every file empty
+    val none = IcebergMirror.readIcebergWhere(spark, s"$t/tbl",
+      col("id").isNull)
+    assert(none.inputFiles.isEmpty)
+    assert(none.count() == 0)
+    // identity-partition pruning on a partitioned mirror
+    val t2 = freshDir("graft_ice_prune2") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(90), t2, Seq("lang"))
+    IcebergMirror.mirror(spark, t2)
+    val en = IcebergMirror.readIcebergWhere(spark, t2,
+      col("lang") === "en")
+    assert(en.inputFiles.nonEmpty &&
+      en.inputFiles.forall(_.contains("lang=en")), en.inputFiles.toSeq)
+    assert(rows(en) == rows(
+      LakeWriter.readSnapshot(spark, t2).where($"lang" === "en")))
+  }
+
   // --------------------------------------------------------------
   // import direction: hand-built foreign tree
   // --------------------------------------------------------------
