@@ -1240,8 +1240,16 @@ object IcebergMirror {
     // hint pointing at missing files
     (doomedLists ++ doomedManifests).foreach(p =>
       fs.delete(new Path(p), false): Unit)
-    (1 until keepMetaFloor).foreach(k =>
-      fs.delete(metadataJsonPath(md, k), false): Unit)
+    // one listing, not a version-count walk: a long-lived stream's
+    // floor grows forever while only O(retain) files actually exist
+    val vRe = """v(\d+)\.metadata\.json""".r
+    fs.listStatus(md).foreach { st0 =>
+      st0.getPath.getName match {
+        case vRe(k) if k.toInt < keepMetaFloor =>
+          fs.delete(st0.getPath, false): Unit
+        case _ => ()
+      }
+    }
     expired.size.toLong
   }
 

@@ -79,6 +79,8 @@ object GraphStream {
           maintainEvery: Int = 0, compactFiles: Int = 32,
           keepVersions: Int = 3, mirrorDelta: Boolean = false,
           checkpointEvery: Int = 10, logRetainVersions: Int = 0,
+          mirrorIceberg: Boolean = false,
+          icebergRetainSnapshots: Int = 0,
           trigger: org.apache.spark.sql.streaming.Trigger =
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -94,7 +96,8 @@ object GraphStream {
           // with no export step, bounded-replay forever
           LakeWriter.maintainSnapshotEvery(batch.sparkSession, table,
             maintainEvery, compactFiles, keepVersions, mirrorDelta,
-            checkpointEvery, logRetainVersions): Unit
+            checkpointEvery, logRetainVersions, mirrorIceberg,
+            icebergRetainSnapshots): Unit
       }
       .trigger(trigger)
       .start()

@@ -470,6 +470,8 @@ object Speed extends Serializable {
                        keepVersions: Int = 3, mirrorDelta: Boolean = false,
                        checkpointEvery: Int = 10,
                        logRetainVersions: Int = 0,
+                       mirrorIceberg: Boolean = false,
+                       icebergRetainSnapshots: Int = 0,
                        trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -487,7 +489,7 @@ object Speed extends Serializable {
         graft.sources.LakeWriter.maintainSnapshotEvery(
           batch.sparkSession, table, maintainEvery, compactFiles,
           keepVersions, mirrorDelta, checkpointEvery,
-          logRetainVersions): Unit
+          logRetainVersions, mirrorIceberg, icebergRetainSnapshots): Unit
       }
       .trigger(trigger)
       .start()

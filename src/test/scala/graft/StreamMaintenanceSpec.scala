@@ -151,6 +151,49 @@ class StreamMaintenanceSpec extends AnyFunSuite {
     // thrown on a missing file)
   }
 
+  test("GraphStream mirrorIceberg: live metadata tree tracks 24 " +
+      "batches, expiry-bounded") {
+    val root = freshDir("graft_stream_ice")
+    val table = s"$root/labels"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // per-micro-batch commits with the ICEBERG mirror ON: the sink
+    // keeps the metadata tree current itself and expires snapshots
+    // down to the retention window, so the tree stays O(retain)
+    // however long the stream lives — the iceberg twin of the
+    // mirrorDelta case above
+    val q = GraphStream.run(
+      in.toDF().toDF("src", "dst"), table, s"$root/ckpt", "src", "dst",
+      maintainEvery = 6, compactFiles = 2, keepVersions = 3,
+      mirrorIceberg = true, icebergRetainSnapshots = 3,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 24).foreach { b =>
+        val base = b * 10L
+        in.addData(Seq((base, base + 1), (base + 1, base + 2)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import graft.sources.IcebergMirror
+    // the tree is CURRENT: a foreign Iceberg reader of the table root
+    // sees exactly the stream's latest committed state, zero export
+    val viaIce = IcebergMirror.readIceberg(spark, table)
+    val viaGraft = LakeWriter.readSnapshot(spark, table)
+    assert(viaIce.collect().map(_.toSeq).toSet ==
+      viaGraft.collect().map(_.toSeq).toSet)
+    assert(viaIce.count() == 24 * 3)
+    // expiry-bounded: snapshots and metadata files never outgrow the
+    // window, however many micro-batches committed
+    assert(IcebergMirror.icebergSnapshots(spark, table).size <= 3)
+    val mdFiles = new java.io.File(s"$table/metadata").listFiles()
+      .map(_.getName)
+    assert(mdFiles.count(_.matches("v\\d+\\.metadata\\.json")) <= 4,
+      mdFiles.toSeq.sorted.mkString(","))
+    // and the mirror stayed ahead of the vacuum: resolution never saw
+    // manifests pointing at reclaimed files (readIceberg above would
+    // have thrown on a missing file)
+  }
+
   test("mirrorDelta + logRetainVersions: _delta_log stays bounded, surviving versions resolve") {
     val root = freshDir("graft_stream_logret")
     val table = s"$root/labels"
