@@ -1139,6 +1139,9 @@ object IcebergMirror {
           "schema.name-mapping.default" -> JString(
             JsonMethods.compact(JsonMethods.render(mapping))))),
         "current-snapshot-id" -> JInt(BigInt(st.currentSnapshotId)),
+        "refs" -> JObject(List("main" -> JObject(List(
+          "snapshot-id" -> JInt(BigInt(st.currentSnapshotId)),
+          "type" -> JString("branch"))))),
         "snapshots" -> JArray(st.snapshots.toList),
         "snapshot-log" -> JArray(st.snapshotLog.toList),
         "metadata-log" -> JArray(st.metadataLog.toList)))
@@ -1219,6 +1222,11 @@ object IcebergMirror {
       case ("snapshots", _) => "snapshots" -> JArray(kept)
       case ("snapshot-log", JArray(es)) => "snapshot-log" -> JArray(
         es.filter(e => !lng(e \ "snapshot-id").exists(expiredIds)))
+      case ("refs", JObject(fields)) => "refs" -> JObject(
+        // a ref (tag/branch) whose snapshot expires goes with it —
+        // main survives by construction (the tip is always retained)
+        fields.filter { case (_, r) =>
+          !lng(r \ "snapshot-id").exists(expiredIds) })
       case ("metadata-log", JArray(es)) => "metadata-log" -> JArray(
         es.filter { e =>
           str(e \ "metadata-file").exists { f =>
@@ -1764,6 +1772,29 @@ object IcebergMirror {
           col(s"__graft_pv_${f.name}")).as(f.name)
       else col(physByName(f.name)).as(f.name)
     }.toIndexedSeq: _*)
+  }
+
+  /** Read an Iceberg table at a named REF (branch or tag — the
+    * metadata's `refs` map): `readIcebergRef(spark, dir, "audit-tag")`
+    * resolves the ref's snapshot-id and serves it through
+    * [[readIceberg]]. Unknown refs list the ones that exist. */
+  def readIcebergRef(spark: SparkSession, dir: String,
+                     ref: String): DataFrame = {
+    val md = metaDir(dir)
+    val fs = LakeWriter.fsOf(spark, md)
+    val n = currentMetadataVersion(fs, md).getOrElse(
+      sys.error(s"no iceberg metadata at $dir"))
+    val j = JsonMethods.parse(new String(
+      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+    val refs: Map[String, Long] = (j \ "refs") match {
+      case JObject(fields) => fields.flatMap { case (name, r) =>
+        lng(r \ "snapshot-id").map(name -> _) }.toMap
+      case _ => Map.empty
+    }
+    val sid = refs.getOrElse(ref, sys.error(
+      s"iceberg table at $dir has no ref '$ref' (refs: " +
+        s"${refs.keys.toSeq.sorted.mkString(", ")})"))
+    readIceberg(spark, dir, Some(sid))
   }
 
   /** TIMESTAMP AS OF over the snapshot-log: the newest snapshot at or

@@ -622,6 +622,9 @@ class IcebergMirrorSpec extends AnyFunSuite {
       "sort-orders": [{"order-id":0,"fields":[]}],
       "properties": {},
       "current-snapshot-id": 202,
+      "refs": {
+        "main": {"snapshot-id": 202, "type": "branch"},
+        "v1-tag": {"snapshot-id": 101, "type": "tag"}},
       "snapshots": [
         {"snapshot-id":101,"sequence-number":1,"timestamp-ms":1700000001000,
          "manifest-list":"$ml1","summary":{"operation":"append"},"schema-id":0},
@@ -664,6 +667,15 @@ class IcebergMirrorSpec extends AnyFunSuite {
       .count() == 14L)
     assert(IcebergMirror.icebergSnapshots(spark, t)
       .map(_._1) == Seq(101L, 202L))
+    // ref travel: a TAG resolves its pinned snapshot, the branch the
+    // tip; an unknown ref refuses naming what exists
+    assert(IcebergMirror.readIcebergRef(spark, t, "v1-tag")
+      .count() == 14L)
+    assert(rows(IcebergMirror.readIcebergRef(spark, t, "main")) ==
+      rows(cur))
+    val er = intercept[RuntimeException](
+      IcebergMirror.readIcebergRef(spark, t, "nope"))
+    assert(er.getMessage.contains("v1-tag"))
   }
 
   test("position deletes (merge-on-read) apply by (file, row index) " +
