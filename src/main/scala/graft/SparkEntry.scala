@@ -27,6 +27,114 @@ object SparkEntry {
     * snapshot append) runs on the documents table, and the curated
     * corpus is served back joined to its quality audit. The original
     * warehouse flagship remains `queries("q_join_star")`. */
+  /** Shared raw-avro plumbing for the hand-built FOREIGN Iceberg gate
+    * fixtures (q_ingest_iceberg / _posdel / _eqdel) — independent of
+    * IcebergMirror's builders BY CONSTRUCTION (schema literals and
+    * GenericRecords assembled here from the public spec's field-id
+    * tables), and shared across the three gates so a field-id fix
+    * cannot drift between them. */
+  private object IceGateFixture {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+    val bucketPartField: String =
+      """{"name":"bucket","type":["null","int"],"default":null,"field-id":1000}"""
+
+    /** manifest_entry schema over `partFields` (avro field JSON of the
+      * partition struct; "" = unpartitioned spec). */
+    def entrySchema(partFields: String): Schema =
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int","field-id":0},
+          {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+          {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            {"name":"content","type":"int","field-id":134},
+            {"name":"file_path","type":"string","field-id":100},
+            {"name":"file_format","type":"string","field-id":101},
+            {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+            {"name":"record_count","type":"long","field-id":103},
+            {"name":"file_size_in_bytes","type":"long","field-id":104},
+            {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+          ]},"field-id":2}]}""")
+
+    val listSchema: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string","field-id":500},
+        {"name":"manifest_length","type":"long","field-id":501},
+        {"name":"partition_spec_id","type":"int","field-id":502},
+        {"name":"content","type":"int","field-id":517},
+        {"name":"sequence_number","type":"long","field-id":515},
+        {"name":"min_sequence_number","type":"long","field-id":516},
+        {"name":"added_snapshot_id","type":"long","field-id":503},
+        {"name":"added_data_files_count","type":"int","field-id":504},
+        {"name":"existing_data_files_count","type":"int","field-id":505},
+        {"name":"deleted_data_files_count","type":"int","field-id":506},
+        {"name":"added_rows_count","type":"long","field-id":512},
+        {"name":"existing_rows_count","type":"long","field-id":513},
+        {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
+
+    def writeAvro(path: String, schema: Schema,
+        recs: Seq[GenericRecord]): Long = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      w.create(schema, f)
+      recs.foreach(w.append)
+      w.close()
+      f.length
+    }
+
+    /** One manifest entry; `bucket` lands in the partition struct when
+      * non-null (the schema must then carry [[bucketPartField]]). */
+    def manifestEntry(schema: Schema, status: Int, content: Int,
+        sid: Long, seq: Long, path: String, bucket: Integer, n: Long,
+        eqIds: Seq[Int] = Nil): GenericRecord = {
+      val e = new GenericData.Record(schema)
+      e.put("status", Integer.valueOf(status))
+      e.put("snapshot_id", java.lang.Long.valueOf(sid))
+      e.put("sequence_number", java.lang.Long.valueOf(seq))
+      val dfS = schema.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", Integer.valueOf(content))
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      val p = new GenericData.Record(dfS.getField("partition").schema())
+      if (bucket != null) p.put("bucket", bucket)
+      df.put("partition", p)
+      df.put("record_count", java.lang.Long.valueOf(n))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer](eqIds.size)
+        eqIds.foreach(i => l.add(Integer.valueOf(i)))
+        df.put("equality_ids", l)
+      }
+      e.put("data_file", df)
+      e
+    }
+
+    def listRec(path: String, len: Long, sid: Long, seq: Long,
+        content: Int = 0, specId: Int = 0): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", java.lang.Long.valueOf(len))
+      r.put("partition_spec_id", Integer.valueOf(specId))
+      r.put("content", Integer.valueOf(content))
+      r.put("sequence_number", java.lang.Long.valueOf(seq))
+      r.put("min_sequence_number", java.lang.Long.valueOf(1L))
+      r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
+      Seq("added_data_files_count", "existing_data_files_count",
+        "deleted_data_files_count").foreach(f =>
+          r.put(f, Integer.valueOf(0)))
+      Seq("added_rows_count", "existing_rows_count",
+        "deleted_rows_count").foreach(f =>
+          r.put(f, java.lang.Long.valueOf(0L)))
+      r
+    }
+  }
+
   /** Recursive temp-dir wipe shared by the self-staging queries —
     * closes each directory stream (Files.list holds the handle open). */
   private def wipeDir(p: java.nio.file.Path): Unit = {
@@ -1843,101 +1951,26 @@ object SparkEntry {
       val (fa, nA) = slice(2, "fa")
       val (fc, nC) = slice(1, "fc")
       val (fb, nB) = slice(3, "fb")
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-      val entryS = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_entry","fields":[
-          {"name":"status","type":"int","field-id":0},
-          {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-          {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-            {"name":"content","type":"int","field-id":134},
-            {"name":"file_path","type":"string","field-id":100},
-            {"name":"file_format","type":"string","field-id":101},
-            {"name":"partition","type":{"type":"record","name":"r102","fields":[
-              {"name":"bucket","type":["null","int"],"default":null,"field-id":1000}
-            ]},"field-id":102},
-            {"name":"record_count","type":"long","field-id":103},
-            {"name":"file_size_in_bytes","type":"long","field-id":104}
-          ]},"field-id":2}]}""")
-      val listS = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          {"name":"manifest_path","type":"string","field-id":500},
-          {"name":"manifest_length","type":"long","field-id":501},
-          {"name":"partition_spec_id","type":"int","field-id":502},
-          {"name":"content","type":"int","field-id":517},
-          {"name":"sequence_number","type":"long","field-id":515},
-          {"name":"min_sequence_number","type":"long","field-id":516},
-          {"name":"added_snapshot_id","type":"long","field-id":503},
-          {"name":"added_data_files_count","type":"int","field-id":504},
-          {"name":"existing_data_files_count","type":"int","field-id":505},
-          {"name":"deleted_data_files_count","type":"int","field-id":506},
-          {"name":"added_rows_count","type":"long","field-id":512},
-          {"name":"existing_rows_count","type":"long","field-id":513},
-          {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
-      def writeAvro(path: String, schema: Schema,
-          recs: Seq[GenericRecord]): Long = {
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        val f = new java.io.File(path)
-        f.getParentFile.mkdirs()
-        w.create(schema, f)
-        recs.foreach(w.append)
-        w.close()
-        f.length
-      }
-      def entry(status: Int, sid: Long, seq: Long, path: String,
-          bucket: Int, n: Long): GenericRecord = {
-        val e = new GenericData.Record(entryS)
-        e.put("status", Integer.valueOf(status))
-        e.put("snapshot_id", java.lang.Long.valueOf(sid))
-        e.put("sequence_number", java.lang.Long.valueOf(seq))
-        val dfS = entryS.getField("data_file").schema()
-        val df = new GenericData.Record(dfS)
-        df.put("content", Integer.valueOf(0))
-        df.put("file_path", path)
-        df.put("file_format", "PARQUET")
-        val p = new GenericData.Record(dfS.getField("partition").schema())
-        p.put("bucket", Integer.valueOf(bucket))
-        df.put("partition", p)
-        df.put("record_count", java.lang.Long.valueOf(n))
-        df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
-        e.put("data_file", df)
-        e
-      }
-      def listRec(path: String, len: Long, sid: Long,
-          seq: Long): GenericRecord = {
-        val r = new GenericData.Record(listS)
-        r.put("manifest_path", path)
-        r.put("manifest_length", java.lang.Long.valueOf(len))
-        r.put("partition_spec_id", Integer.valueOf(0))
-        r.put("content", Integer.valueOf(0))
-        r.put("sequence_number", java.lang.Long.valueOf(seq))
-        r.put("min_sequence_number", java.lang.Long.valueOf(1L))
-        r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
-        Seq("added_data_files_count", "existing_data_files_count",
-          "deleted_data_files_count").foreach(f =>
-            r.put(f, Integer.valueOf(0)))
-        Seq("added_rows_count", "existing_rows_count",
-          "deleted_rows_count").foreach(f =>
-            r.put(f, java.lang.Long.valueOf(0L)))
-        r
-      }
+      import IceGateFixture.{manifestEntry, entrySchema, listRec, writeAvro}
+      val entryS = entrySchema(IceGateFixture.bucketPartField)
       val m1 = s"$dir/metadata/m1.avro"
       val m1len = writeAvro(m1, entryS, Seq(
-        entry(1, 101L, 1L, fa, 7, nA), entry(1, 101L, 1L, fc, 8, nC)))
+        manifestEntry(entryS, 1, 0, 101L, 1L, fa, 7, nA),
+        manifestEntry(entryS, 1, 0, 101L, 1L, fc, 8, nC)))
       val m1r = s"$dir/metadata/m1r.avro"
       val m1rLen = writeAvro(m1r, entryS, Seq(
-        entry(0, 101L, 1L, fa, 7, nA), entry(2, 202L, 1L, fc, 8, nC)))
+        manifestEntry(entryS, 0, 0, 101L, 1L, fa, 7, nA),
+        manifestEntry(entryS, 2, 0, 202L, 1L, fc, 8, nC)))
       val m2 = s"$dir/metadata/m2.avro"
       val m2len = writeAvro(m2, entryS, Seq(
-        entry(1, 202L, 2L, fb, 9, nB)))
+        manifestEntry(entryS, 1, 0, 202L, 2L, fb, 9, nB)))
       val ml1 = s"$dir/metadata/snap-101.avro"
-      writeAvro(ml1, listS, Seq(listRec(m1, m1len, 101L, 1L)))
+      writeAvro(ml1, IceGateFixture.listSchema,
+        Seq(listRec(m1, m1len, 101L, 1L)))
       val ml2 = s"$dir/metadata/snap-202.avro"
-      writeAvro(ml2, listS, Seq(listRec(m1r, m1rLen, 202L, 2L),
-        listRec(m2, m2len, 202L, 2L)))
+      writeAvro(ml2, IceGateFixture.listSchema,
+        Seq(listRec(m1r, m1rLen, 202L, 2L),
+          listRec(m2, m2len, 202L, 2L)))
       val metaJson = s"""{
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-00000000f00d",
@@ -2019,96 +2052,23 @@ object SparkEntry {
       }
       val da = delFile("da", fa, (0L until nA by 7).toSeq)
       val db = delFile("db", fb, (0L until nB by 5).toSeq)
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-      val entryS = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_entry","fields":[
-          {"name":"status","type":"int","field-id":0},
-          {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-          {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-            {"name":"content","type":"int","field-id":134},
-            {"name":"file_path","type":"string","field-id":100},
-            {"name":"file_format","type":"string","field-id":101},
-            {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-            {"name":"record_count","type":"long","field-id":103},
-            {"name":"file_size_in_bytes","type":"long","field-id":104}
-          ]},"field-id":2}]}""")
-      val listS = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          {"name":"manifest_path","type":"string","field-id":500},
-          {"name":"manifest_length","type":"long","field-id":501},
-          {"name":"partition_spec_id","type":"int","field-id":502},
-          {"name":"content","type":"int","field-id":517},
-          {"name":"sequence_number","type":"long","field-id":515},
-          {"name":"min_sequence_number","type":"long","field-id":516},
-          {"name":"added_snapshot_id","type":"long","field-id":503},
-          {"name":"added_data_files_count","type":"int","field-id":504},
-          {"name":"existing_data_files_count","type":"int","field-id":505},
-          {"name":"deleted_data_files_count","type":"int","field-id":506},
-          {"name":"added_rows_count","type":"long","field-id":512},
-          {"name":"existing_rows_count","type":"long","field-id":513},
-          {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
-      def writeAvro(path: String, schema: Schema,
-          recs: Seq[GenericRecord]): Long = {
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        val f = new java.io.File(path)
-        f.getParentFile.mkdirs()
-        w.create(schema, f)
-        recs.foreach(w.append)
-        w.close()
-        f.length
-      }
-      def entry(content: Int, sid: Long, seq: Long, path: String,
-          n: Long): GenericRecord = {
-        val e = new GenericData.Record(entryS)
-        e.put("status", Integer.valueOf(1))
-        e.put("snapshot_id", java.lang.Long.valueOf(sid))
-        e.put("sequence_number", java.lang.Long.valueOf(seq))
-        val dfS = entryS.getField("data_file").schema()
-        val df = new GenericData.Record(dfS)
-        df.put("content", Integer.valueOf(content))
-        df.put("file_path", path)
-        df.put("file_format", "PARQUET")
-        df.put("partition",
-          new GenericData.Record(dfS.getField("partition").schema()))
-        df.put("record_count", java.lang.Long.valueOf(n))
-        df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
-        e.put("data_file", df)
-        e
-      }
-      def listRec(path: String, len: Long, sid: Long, seq: Long,
-          content: Int): GenericRecord = {
-        val r = new GenericData.Record(listS)
-        r.put("manifest_path", path)
-        r.put("manifest_length", java.lang.Long.valueOf(len))
-        r.put("partition_spec_id", Integer.valueOf(0))
-        r.put("content", Integer.valueOf(content))
-        r.put("sequence_number", java.lang.Long.valueOf(seq))
-        r.put("min_sequence_number", java.lang.Long.valueOf(1L))
-        r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
-        Seq("added_data_files_count", "existing_data_files_count",
-          "deleted_data_files_count").foreach(f =>
-            r.put(f, Integer.valueOf(0)))
-        Seq("added_rows_count", "existing_rows_count",
-          "deleted_rows_count").foreach(f =>
-            r.put(f, java.lang.Long.valueOf(0L)))
-        r
-      }
+      import IceGateFixture.{manifestEntry, entrySchema, listRec, writeAvro}
+      val entryS = entrySchema("")
       val m1 = s"$dir/metadata/m1.avro"
-      val m1len = writeAvro(m1, entryS, Seq(entry(0, 101L, 1L, fa, nA)))
+      val m1len = writeAvro(m1, entryS,
+        Seq(manifestEntry(entryS, 1, 0, 101L, 1L, fa, null, nA)))
       val m2 = s"$dir/metadata/m2.avro"
-      val m2len = writeAvro(m2, entryS, Seq(entry(0, 202L, 2L, fb, nB)))
+      val m2len = writeAvro(m2, entryS,
+        Seq(manifestEntry(entryS, 1, 0, 202L, 2L, fb, null, nB)))
       val md0 = s"$dir/metadata/md.avro"
       val mdLen = writeAvro(md0, entryS, Seq(
-        entry(1, 202L, 2L, da, 1L), entry(1, 202L, 1L, db, 1L)))
+        manifestEntry(entryS, 1, 1, 202L, 2L, da, null, 1L),
+        manifestEntry(entryS, 1, 1, 202L, 1L, db, null, 1L)))
       val ml = s"$dir/metadata/snap-301.avro"
-      writeAvro(ml, listS, Seq(
-        listRec(m1, m1len, 101L, 1L, 0),
-        listRec(m2, m2len, 202L, 2L, 0),
-        listRec(md0, mdLen, 202L, 2L, 1)))
+      writeAvro(ml, IceGateFixture.listSchema, Seq(
+        listRec(m1, m1len, 101L, 1L),
+        listRec(m2, m2len, 202L, 2L),
+        listRec(md0, mdLen, 202L, 2L, content = 1)))
       val schemaFields =
         """{"id":1,"name":"doc_id","required":false,"type":"long"},
           {"id":2,"name":"source","required":false,"type":"string"},
@@ -2185,112 +2145,25 @@ object SparkEntry {
       val e1 = eqFile("e1", 12, 6)  // in fa's domain -> applies
       val e2 = eqFile("e2", 4, 3)   // fb's domain, scoped bucket 7 -> no
       val e3 = eqFile("e3", 12, 11) // in fb, strict seq -> no
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-      def entrySchema(partFields: String): Schema =
-        new Schema.Parser().parse(
-          s"""{"type":"record","name":"manifest_entry","fields":[
-            {"name":"status","type":"int","field-id":0},
-            {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-            {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-            {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-              {"name":"content","type":"int","field-id":134},
-              {"name":"file_path","type":"string","field-id":100},
-              {"name":"file_format","type":"string","field-id":101},
-              {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
-              {"name":"record_count","type":"long","field-id":103},
-              {"name":"file_size_in_bytes","type":"long","field-id":104},
-              {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
-            ]},"field-id":2}]}""")
-      val entryS = entrySchema(
-        """{"name":"bucket","type":["null","int"],"default":null,"field-id":1000}""")
+      import IceGateFixture.{manifestEntry, entrySchema, listRec, writeAvro}
+      val entryS = entrySchema(IceGateFixture.bucketPartField)
       val entryGS = entrySchema("")
-      val listS = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          {"name":"manifest_path","type":"string","field-id":500},
-          {"name":"manifest_length","type":"long","field-id":501},
-          {"name":"partition_spec_id","type":"int","field-id":502},
-          {"name":"content","type":"int","field-id":517},
-          {"name":"sequence_number","type":"long","field-id":515},
-          {"name":"min_sequence_number","type":"long","field-id":516},
-          {"name":"added_snapshot_id","type":"long","field-id":503},
-          {"name":"added_data_files_count","type":"int","field-id":504},
-          {"name":"existing_data_files_count","type":"int","field-id":505},
-          {"name":"deleted_data_files_count","type":"int","field-id":506},
-          {"name":"added_rows_count","type":"long","field-id":512},
-          {"name":"existing_rows_count","type":"long","field-id":513},
-          {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
-      def writeAvro(path: String, schema: Schema,
-          recs: Seq[GenericRecord]): Long = {
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        val f = new java.io.File(path)
-        f.getParentFile.mkdirs()
-        w.create(schema, f)
-        recs.foreach(w.append)
-        w.close()
-        f.length
-      }
-      def entry(schema: Schema, content: Int, sid: Long, seq: Long,
-          path: String, bucket: Integer, n: Long,
-          eqIds: Seq[Int]): GenericRecord = {
-        val e = new GenericData.Record(schema)
-        e.put("status", Integer.valueOf(1))
-        e.put("snapshot_id", java.lang.Long.valueOf(sid))
-        e.put("sequence_number", java.lang.Long.valueOf(seq))
-        val dfS = schema.getField("data_file").schema()
-        val df = new GenericData.Record(dfS)
-        df.put("content", Integer.valueOf(content))
-        df.put("file_path", path)
-        df.put("file_format", "PARQUET")
-        val p = new GenericData.Record(dfS.getField("partition").schema())
-        if (bucket != null) p.put("bucket", bucket)
-        df.put("partition", p)
-        df.put("record_count", java.lang.Long.valueOf(n))
-        df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
-        if (eqIds.nonEmpty) {
-          val l = new java.util.ArrayList[Integer](eqIds.size)
-          eqIds.foreach(i => l.add(Integer.valueOf(i)))
-          df.put("equality_ids", l)
-        }
-        e.put("data_file", df)
-        e
-      }
-      def listRec(path: String, len: Long, sid: Long, seq: Long,
-          content: Int, specId: Int): GenericRecord = {
-        val r = new GenericData.Record(listS)
-        r.put("manifest_path", path)
-        r.put("manifest_length", java.lang.Long.valueOf(len))
-        r.put("partition_spec_id", Integer.valueOf(specId))
-        r.put("content", Integer.valueOf(content))
-        r.put("sequence_number", java.lang.Long.valueOf(seq))
-        r.put("min_sequence_number", java.lang.Long.valueOf(1L))
-        r.put("added_snapshot_id", java.lang.Long.valueOf(sid))
-        Seq("added_data_files_count", "existing_data_files_count",
-          "deleted_data_files_count").foreach(f =>
-            r.put(f, Integer.valueOf(0)))
-        Seq("added_rows_count", "existing_rows_count",
-          "deleted_rows_count").foreach(f =>
-            r.put(f, java.lang.Long.valueOf(0L)))
-        r
-      }
       val m1 = s"$dir/metadata/m1.avro"
       val m1len = writeAvro(m1, entryS, Seq(
-        entry(entryS, 0, 101L, 1L, fa, 7, nA, Nil),
-        entry(entryS, 0, 202L, 2L, fb, 9, nB, Nil)))
+        manifestEntry(entryS, 1, 0, 101L, 1L, fa, 7, nA),
+        manifestEntry(entryS, 1, 0, 202L, 2L, fb, 9, nB)))
       val mg = s"$dir/metadata/mg.avro"
       val mgLen = writeAvro(mg, entryGS, Seq(
-        entry(entryGS, 2, 202L, 2L, e1, null, 1L, Seq(1)),
-        entry(entryGS, 2, 202L, 2L, e3, null, 1L, Seq(1))))
+        manifestEntry(entryGS, 1, 2, 202L, 2L, e1, null, 1L, Seq(1)),
+        manifestEntry(entryGS, 1, 2, 202L, 2L, e3, null, 1L, Seq(1))))
       val ms = s"$dir/metadata/ms.avro"
       val msLen = writeAvro(ms, entryS, Seq(
-        entry(entryS, 2, 202L, 2L, e2, 7, 1L, Seq(1))))
+        manifestEntry(entryS, 1, 2, 202L, 2L, e2, 7, 1L, Seq(1))))
       val ml = s"$dir/metadata/snap-401.avro"
-      writeAvro(ml, listS, Seq(
-        listRec(m1, m1len, 101L, 1L, 0, 0),
-        listRec(mg, mgLen, 202L, 2L, 1, 1),
-        listRec(ms, msLen, 202L, 2L, 1, 0)))
+      writeAvro(ml, IceGateFixture.listSchema, Seq(
+        listRec(m1, m1len, 101L, 1L),
+        listRec(mg, mgLen, 202L, 2L, content = 1, specId = 1),
+        listRec(ms, msLen, 202L, 2L, content = 1)))
       val metaJson = s"""{
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-00000000bead",

@@ -644,7 +644,13 @@ object DeltaMirror {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(JInt(BigInt(s)))
       case FloatType | DoubleType => Some(JDecimal(BigDecimal(s)))
-      case StringType => Some(JString(s))
+      case StringType =>
+        // the manifest's string min/max were reduced under UTF-16
+        // ordering; Delta readers data-skip on these with UTF-8
+        // binary comparisons, and the orders diverge above the BMP —
+        // emit only ASCII bounds (identical under both orders); a
+        // dropped stat costs a scan, never a wrong skip
+        if (s.forall(_ < 0x80)) Some(JString(s)) else None
       case DateType => Some(JString(
         java.time.LocalDate.ofEpochDay(s.toLong).toString))
       case TimestampType =>
@@ -1579,8 +1585,8 @@ object DeltaMirror {
     if (liveKeys.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    val liveSeq: Seq[(String, AddInfo)] =
-      liveKeys.map(k => (k._1, st.live(k)))
+    val liveSeq: Seq[(String, String, AddInfo)] =
+      liveKeys.map(k => (k._1, k._2, st.live(k)))
     val files = liveSeq.map(t => absOf(t._1))
     // DELETION VECTORS: resolve every live file's bitmap DRIVER-SIDE
     // (metadata-plane — each is O(deleted rows) compressed, read once
@@ -1589,10 +1595,10 @@ object DeltaMirror {
     // the same broadcast join that attaches partition values; the
     // scan-side membership test is the cached-parse DvContains kernel
     // over `_metadata.row_index`.
-    val anyDv = liveSeq.exists(_._2.dv.nonEmpty)
+    val anyDv = liveSeq.exists(_._3.dv.nonEmpty)
     val dvBytes: Map[String, Array[Byte]] =
       if (!anyDv) Map.empty
-      else liveSeq.flatMap { case (p, info) =>
+      else liveSeq.flatMap { case (p, _, info) =>
         info.dv.map { d =>
           val bytes = DeletionVectors.readBitmapBytes(fs, root, d)
           val parsed = DeletionVectors.RoaringArray.deserialize(bytes)
@@ -1623,7 +1629,7 @@ object DeltaMirror {
       // columnMapping the log keys partitionValues by PHYSICAL name;
       // plain tables by the column name — both resolve.
       val hconf = spark.sessionState.newHadoopConf()
-      val pvRows: Seq[Row] = liveSeq.map { case (p, info) =>
+      val pvRows: Seq[Row] = liveSeq.map { case (p, uid, info) =>
         val abs = new org.apache.hadoop.fs.Path(absOf(p))
         val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
         val key = new java.net.URI(q.getScheme, q.getAuthority,
@@ -1633,8 +1639,14 @@ object DeltaMirror {
           info.partitionValues.collectFirst {
             case (k, ov) if k == pn || k == c => ov }.flatten.orNull
         }
+        // the DvContains cache key carries the DV GENERATION (the
+        // spec's uniqueId), not just the file: an executor thread's
+        // interpreted-mode cache outlives a query, and the same file
+        // read at another version carries another bitmap — a
+        // file-only key would silently serve the first parse
+        val dvKey = info.dv.map(_ => key + "\u0000" + uid).orNull
         Row.fromSeq((key +: vals) ++
-          Seq(dvBytes.get(p).orNull, java.lang.Boolean.TRUE))
+          Seq(dvBytes.get(p).orNull, dvKey, java.lang.Boolean.TRUE))
       }
       import scala.jdk.CollectionConverters._
       val pvSchema = org.apache.spark.sql.types.StructType(
@@ -1645,6 +1657,8 @@ object DeltaMirror {
             true))) ++ Seq(
           org.apache.spark.sql.types.StructField("__graft_dv",
             org.apache.spark.sql.types.BinaryType, true),
+          org.apache.spark.sql.types.StructField("__graft_dvkey",
+            org.apache.spark.sql.types.StringType, true),
           org.apache.spark.sql.types.StructField("__graft_matched",
             org.apache.spark.sql.types.BooleanType, true)))
       val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
@@ -1659,7 +1673,7 @@ object DeltaMirror {
           !org.apache.spark.sql.GraftColumnBridge.column(
             graft.plans.DvContains(
               org.apache.spark.sql.GraftColumnBridge.expression(
-                col("__graft_file")),
+                col("__graft_dvkey")),
               org.apache.spark.sql.GraftColumnBridge.expression(
                 col("__graft_dv")),
               org.apache.spark.sql.GraftColumnBridge.expression(

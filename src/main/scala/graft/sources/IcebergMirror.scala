@@ -186,7 +186,13 @@ object IcebergMirror {
         Some(le(8, java.lang.Double.doubleToLongBits(s.toDouble)))
       case BooleanType =>
         Some(Array[Byte](if (s.toBoolean) 1 else 0))
-      case StringType => Some(s.getBytes("UTF-8"))
+      case StringType =>
+        // manifest string min/max were reduced under UTF-16 ordering
+        // (statLt); Iceberg readers compare bound bytes in UTF-8
+        // order, and the two diverge above the BMP — export only
+        // ASCII bounds (identical under both orders); a dropped bound
+        // costs a scan, never a wrong skip
+        if (s.forall(_ < 0x80)) Some(s.getBytes("UTF-8")) else None
       case _ => None
     } catch { case _: NumberFormatException => None }
 
@@ -691,7 +697,19 @@ object IcebergMirror {
 
   private def partitionLt(dt: DataType, a: Any, b: Any): Boolean =
     dt match {
-      case StringType => a.toString < b.toString
+      case StringType =>
+        // UTF-8 byte order (what Iceberg readers compare bound bytes
+        // in), NOT Java's UTF-16 code-unit order — they diverge for
+        // supplementary characters vs U+E000..U+FFFF
+        val ab = a.toString.getBytes("UTF-8")
+        val bb = b.toString.getBytes("UTF-8")
+        var i = 0
+        while (i < ab.length && i < bb.length) {
+          val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        ab.length < bb.length
       case BooleanType =>
         !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
       case _ => a.asInstanceOf[Number].longValue <
@@ -1169,18 +1187,21 @@ object IcebergMirror {
 
   /** Expire all but the newest `retainSnapshots` snapshots — the
     * Iceberg maintenance action (`expire_snapshots`) that keeps a
-    * per-version mirror's metadata tree bounded forever. Publishes a
-    * NEW metadata JSON with the pruned snapshot set (hint last, the
-    * mirror's own atomicity discipline), THEN deletes what nothing
-    * retained references: expired manifest lists, manifests referenced
-    * only by expired snapshots, and metadata JSONs older than the
-    * retained window. Data files are NOT touched — reclaiming them is
-    * vacuum's reference-counted job on the graft side. Like Delta's
-    * cleanupLog, time travel below the retained window refuses loudly
-    * afterwards (readIceberg: "no snapshot"). Works on the raw
-    * metadata JSON, so every writer property (schemas, specs, name
-    * mapping) carries verbatim. Returns the number of snapshots
-    * expired. */
+    * per-version mirror's metadata tree bounded forever. Snapshots a
+    * branch or tag points at are RETENTION ROOTS and never expire
+    * with the recency window (Iceberg's own semantics — a pinned
+    * audit tag keeps resolving; drop the ref to release it).
+    * Publishes a NEW metadata JSON with the pruned snapshot set
+    * (hint last, the mirror's own atomicity discipline), THEN deletes
+    * what nothing retained references: expired manifest lists,
+    * manifests referenced only by expired snapshots, and metadata
+    * JSONs older than the retained window. Data files are NOT
+    * touched — reclaiming them is vacuum's reference-counted job on
+    * the graft side. Like Delta's cleanupLog, time travel below the
+    * retained window refuses loudly afterwards (readIceberg: "no
+    * snapshot"). Works on the raw metadata JSON, so every writer
+    * property (schemas, specs, name mapping) carries verbatim.
+    * Returns the number of snapshots expired. */
   def expireSnapshots(spark: SparkSession, table: String,
                       retainSnapshots: Int): Long = {
     require(retainSnapshots >= 1,
@@ -1197,7 +1218,21 @@ object IcebergMirror {
       case _ => Nil
     }
     if (snaps.size <= retainSnapshots) return 0L
-    val (expired, kept) = snaps.splitAt(snaps.size - retainSnapshots)
+    // refs are RETENTION ROOTS (Iceberg's expire_snapshots
+    // semantics): a snapshot a branch or tag points at never expires
+    // with the recency window — a pinned audit tag keeps resolving
+    // however long the stream lives. Recency counts over the full
+    // history; ref-pinned snapshots are retained ON TOP of it.
+    val refIds: Set[Long] = (j \ "refs") match {
+      case JObject(fields) => fields.flatMap { case (_, r) =>
+        lng(r \ "snapshot-id") }.toSet
+      case _ => Set.empty
+    }
+    val keepIds = snaps.takeRight(retainSnapshots)
+      .flatMap(s => lng(s \ "snapshot-id")).toSet ++ refIds
+    val (kept, expired) = snaps.partition(s =>
+      lng(s \ "snapshot-id").exists(keepIds))
+    if (expired.isEmpty) return 0L
     val curId = lng(j \ "current-snapshot-id").getOrElse(-1L)
     require(kept.exists(s => lng(s \ "snapshot-id").contains(curId)),
       s"expireSnapshots at $table would expire the CURRENT snapshot " +
@@ -1222,11 +1257,6 @@ object IcebergMirror {
       case ("snapshots", _) => "snapshots" -> JArray(kept)
       case ("snapshot-log", JArray(es)) => "snapshot-log" -> JArray(
         es.filter(e => !lng(e \ "snapshot-id").exists(expiredIds)))
-      case ("refs", JObject(fields)) => "refs" -> JObject(
-        // a ref (tag/branch) whose snapshot expires goes with it —
-        // main survives by construction (the tip is always retained)
-        fields.filter { case (_, r) =>
-          !lng(r \ "snapshot-id").exists(expiredIds) })
       case ("metadata-log", JArray(es)) => "metadata-log" -> JArray(
         es.filter { e =>
           str(e \ "metadata-file").exists { f =>
@@ -1438,6 +1468,12 @@ object IcebergMirror {
         })
       }
     }.toMap
+    val specFieldCount: Map[Int, Int] = specsJ.flatMap { p =>
+      lng(p \ "spec-id").map(sid => sid.toInt -> ((p \ "fields") match {
+        case JArray(fs0) => fs0.size
+        case _ => 0
+      }))
+    }.toMap
 
     // resolve snapshot
     val snapsJ: List[JValue] = (j \ "snapshots") match {
@@ -1551,7 +1587,18 @@ object IcebergMirror {
                   s"$id which the current schema does not carry — " +
                   "refusing (the delete could not be applied)"))
               // partition-SCOPED when the manifest's spec has identity
-              // fields: the delete applies only inside its partition
+              // fields: the delete applies only inside its partition.
+              // Per the spec only an UNPARTITIONED spec makes a delete
+              // global — a spec with non-identity transforms (bucket/
+              // truncate/days) scopes the delete to a partition this
+              // reader cannot reconstruct, and applying it globally
+              // would OVER-delete rows in other partitions: refuse.
+              require(specFieldCount.getOrElse(specId, 0) == ids.size,
+                s"iceberg table at $dir: equality delete file $stored " +
+                  "rides a partition spec with non-identity " +
+                  "transforms — this reader scopes equality deletes " +
+                  "by identity partitions only; applying it unscoped " +
+                  "would silently over-delete, refusing")
               eqDels += EqDel(p, seq, eqIds.sorted, pv, ids.nonEmpty)
             case other => sys.error(
               s"iceberg table at $dir: data_file content=$other is " +

@@ -18,6 +18,24 @@ class DeletionVectorsSpec extends AnyFunSuite {
 
   // --- Z85 ---
 
+  test("DvContains cache keys by DV GENERATION, not file path alone") {
+    // the interpreted path's ThreadLocal cache outlives a query on a
+    // pooled executor thread: the same FILE read at two versions
+    // carries two different bitmaps, and readDelta keys the kernel on
+    // file + NUL + dvUniqueId so the second read never reuses
+    // the first parse. Two generations of one file, distinct keys:
+    val cache = new graft.plans.DvCache
+    val bmA = DeletionVectors.serialize(Array(0L)) // deletes row 0
+    val bmB = DeletionVectors.serialize(Array(1L)) // deletes row 1
+    def k(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    assert(graft.plans.DvContains.test(cache, k("f\u0000uidA"), bmA, 0L))
+    assert(!graft.plans.DvContains.test(cache, k("f\u0000uidA"), bmA, 1L))
+    // generation B of the SAME file: a file-only key would serve the
+    // stale parse (and wrongly report row 0 deleted / row 1 live)
+    assert(!graft.plans.DvContains.test(cache, k("f\u0000uidB"), bmB, 0L))
+    assert(graft.plans.DvContains.test(cache, k("f\u0000uidB"), bmB, 1L))
+  }
+
   test("z85 matches the public ZeroMQ spec test vector") {
     // https://rfc.zeromq.org/spec/32/ : 86 4F D2 6F B5 59 F7 5B
     // encodes to "HelloWorld"

@@ -422,6 +422,40 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(IcebergMirror.icebergSnapshots(spark, t).size == 3)
   }
 
+  test("expireSnapshots: tags are retention roots — a pinned snapshot " +
+      "survives the recency window") {
+    val t = freshDir("graft_ice_tag") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(60), t, Seq("lang"))
+    (1 to 4).foreach(i =>
+      LakeWriter.deleteFromSnapshot(spark, t, $"v" < (i * 100)))
+    IcebergMirror.mirror(spark, t)
+    val snaps = IcebergMirror.icebergSnapshots(spark, t)
+    val oldest = snaps.head._1
+    // hand-pin a tag at the OLDEST snapshot (a foreign writer's audit
+    // tag; the mirror itself only writes the main branch)
+    val hint = new String(readBytes(s"$t/metadata/version-hint.text"),
+      "UTF-8").trim.toInt
+    val mp = s"$t/metadata/v$hint.metadata.json"
+    val body0 = new String(readBytes(mp), "UTF-8")
+    val marker = Seq("\"refs\" : {", "\"refs\": {", "\"refs\":{")
+      .find(body0.contains).getOrElse(fail("no refs field in metadata"))
+    val body = body0.replace(marker,
+      marker + s""""audit-tag":{"snapshot-id":$oldest,"type":"tag"},""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mp), body.getBytes("UTF-8"))
+    // the rewrite bypassed hadoop's local FS: drop its crc sidecar
+    new java.io.File(s"$t/metadata/.v$hint.metadata.json.crc").delete()
+    // recency window of 2, but the tag pins the oldest: 2 expire
+    assert(IcebergMirror.expireSnapshots(spark, t, 2) == 2L)
+    val after = IcebergMirror.icebergSnapshots(spark, t).map(_._1)
+    assert(after == Seq(oldest) ++ snaps.takeRight(2).map(_._1))
+    // the tag still resolves, and so does direct travel to it
+    assert(IcebergMirror.readIcebergRef(spark, t, "audit-tag")
+      .count() == 60L)
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
   test("maintainSnapshotEvery(mirrorIceberg) keeps the tree current " +
       "and bounded alongside compaction + vacuum") {
     val t = freshDir("graft_ice_maint") + "/t"
@@ -848,6 +882,26 @@ class IcebergMirrorSpec extends AnyFunSuite {
     val want = (Seq(0L, 1L, 3L, 6L, 7L, 8L, 9L).map((_, 7)) ++
       (200L until 206L).map((_, 9))).toSet
     assert(got == want)
+    // an equality delete under a NON-identity spec (bucket) scopes to
+    // a partition this reader cannot reconstruct — applying it
+    // globally would over-delete rows in other buckets: refuse
+    val mgRec2 = foreignListRec(mg, mgLen, 202L, 2L, content = 1)
+    mgRec2.put("partition_spec_id", Integer.valueOf(2))
+    writeAvro(s"$t/metadata/snap-402.avro", foreignListSchema, Seq(
+      foreignListRec(m1, m1len, 101L, 1L), mgRec2))
+    val meta2 = meta
+      .replace("""{"spec-id":1,"fields":[]}""",
+        """{"spec-id":1,"fields":[]},
+           {"spec-id":2,"fields":[{"name":"idb","transform":"bucket[4]",
+             "source-id":1,"field-id":1001}]}""")
+      .replace(s""""manifest-list":"$ml"""",
+        s""""manifest-list":"$t/metadata/snap-402.avro"""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      meta2.getBytes("UTF-8"))
+    val eb = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(eb.getMessage.contains("non-identity"))
   }
 
   test("refusals: format v3, equality deletes, rename without " +
