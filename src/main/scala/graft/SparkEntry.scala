@@ -42,8 +42,9 @@ object SparkEntry {
       """{"name":"bucket","type":["null","int"],"default":null,"field-id":1000}"""
 
     /** manifest_entry schema over `partFields` (avro field JSON of the
-      * partition struct; "" = unpartitioned spec). */
-    def entrySchema(partFields: String): Schema =
+      * partition struct; "" = unpartitioned spec). `v3Dv` adds the
+      * format-v3 deletion-vector fields (143-145). */
+    def entrySchema(partFields: String, v3Dv: Boolean = false): Schema =
       new Schema.Parser().parse(
         s"""{"type":"record","name":"manifest_entry","fields":[
           {"name":"status","type":"int","field-id":0},
@@ -56,8 +57,63 @@ object SparkEntry {
             {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
             {"name":"record_count","type":"long","field-id":103},
             {"name":"file_size_in_bytes","type":"long","field-id":104},
-            {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+            {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}${
+          if (v3Dv) """,
+            {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+            {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+            {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+          else ""}
           ]},"field-id":2}]}""")
+
+    /** Write one deletion-vector-v1 blob into a fresh puffin file at
+      * `path`, per the public Puffin + Iceberg v3 specs: file magic,
+      * the framed blob (4-byte BE length of magic+vector, the
+      * magic-led portable RoaringBitmapArray, 4-byte BE CRC-32 of
+      * magic+vector), and a footer whose JSON payload indexes the
+      * blob. Returns (blob offset, blob size) for the manifest entry. */
+    def writePuffinDv(path: String, positions: Array[Long],
+        referenced: String, snapshotId: Long, seq: Long): (Long, Long) = {
+      val vec = graft.sources.DeletionVectors.serialize(positions)
+      val crc = new java.util.zip.CRC32(); crc.update(vec)
+      val blob = java.nio.ByteBuffer.allocate(vec.length + 8)
+      blob.putInt(vec.length); blob.put(vec); blob.putInt(crc.getValue.toInt)
+      val magic = Array[Byte]('P', 'F', 'A', '1')
+      val payload = (s"""{"blobs":[{"type":"deletion-vector-v1",""" +
+        s""""fields":[],"snapshot-id":$snapshotId,""" +
+        s""""sequence-number":$seq,"offset":4,""" +
+        s""""length":${vec.length + 8},"properties":{""" +
+        s""""referenced-data-file":"$referenced",""" +
+        s""""cardinality":"${positions.length}"}}],""" +
+        """"properties":{}}""").getBytes("UTF-8")
+      val footer = java.nio.ByteBuffer
+        .allocate(4 + payload.length + 4 + 4 + 4)
+      footer.put(magic).put(payload)
+      footer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(payload.length)
+      footer.putInt(0) // flags: payload uncompressed
+      footer.put(magic)
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        out.write(magic); out.write(blob.array()); out.write(footer.array())
+      } finally out.close()
+      (4L, vec.length + 8L)
+    }
+
+    /** A v3 deletion-vector manifest entry (content=1, puffin). */
+    def dvEntry(schema: Schema, sid: Long, seq: Long, puffin: String,
+        referenced: String, offset: Long, size: Long,
+        cardinality: Long): GenericRecord = {
+      val e = manifestEntry(schema, 1, 1, sid, seq, puffin, null,
+        cardinality)
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.put("file_format", "PUFFIN")
+      df.put("referenced_data_file", referenced)
+      df.put("content_offset", java.lang.Long.valueOf(offset))
+      df.put("content_size_in_bytes", java.lang.Long.valueOf(size))
+      e
+    }
 
     val listSchema: Schema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
@@ -811,16 +867,25 @@ object SparkEntry {
       // perceptual NEAR-dup images: decoded aHash halves recombined
       // into one 64-bit signature, then the SAME pigeonhole banding
       // as text simhash (4×16-bit bands — hamming ≤ 3 always shares
-      // a band), exact bit_count verify. The image-side member of
-      // the dedup family; the brute-force oracle proves the bands
-      // complete.
+      // a band), exact bit_count verify, collapsed to SURVIVORS
+      // (min-id per transitive cluster) — the production posture.
+      // The gate returns the collapse, not the raw pairs: the
+      // synthetic phash space saturates as sf grows, so a pair
+      // output is quadratic in the saturation (the r14 sf1 outlier,
+      // 2.1 M rows) while the survivor map stays O(medias). The
+      // brute-force-pairs + recursive-closure oracle still proves
+      // the bands complete — a missed pair splits a cluster and
+      // shifts its survivor.
       val media = Multimodal.encodeSyntheticPng(T(s, d, "documents"),
         "doc_id")
       val h = Multimodal.imageAHash(media)
         .select(col("media_id"),
           shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
             .as("phash"))
-      Dedup.hammingPairs(h, "media_id", "phash", maxHamming = 3)
+      val pairs = Dedup.hammingPairs(h, "media_id", "phash",
+        maxHamming = 3)
+      operators.Graph.dupSurvivorsFromComps(
+        operators.Graph.connectedComponents(pairs, "doc_a", "doc_b"))
     }),
 
     "q_audio_resample" -> ((s, d) =>
@@ -1763,6 +1828,80 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, table)
     }),
 
+    "q_snapshot_export_delta_cdc" -> ((s, d) => {
+      // CHANGE-DATA-FEED EXPORT through the gate (the r14 verdict's
+      // #1: foreign incremental consumers must pay for the DELTA,
+      // never the table): a base load, a MERGE (updates + inserts), a
+      // COW DELETE and a RESTORE mirror with changeDataFeed=true —
+      // the mixed commits get their NET row changes written as
+      // `_change_data/` parquet referenced by spec `cdc` actions. The
+      // Spark side returns the TRUE per-version feed from graft's own
+      // manifests (changesBetween — never reading the cdc files); the
+      // DuckDB oracle resolves the feed exactly as a conforming CDF
+      // reader would — cdc actions authoritative where present,
+      // insert/delete synthesis from dataChange add/removes elsewhere
+      // — so a wrong cdc payload, a missed commit, or a bad synthesis
+      // flag fails the row hash.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_cdc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val v1 = LakeWriter.commitSnapshot(base, table)
+      val updates = base.where(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(30)) === 1))
+      val v2 = LakeWriter.mergeSnapshot(updates, table, Seq("doc_id"))
+      val v3 = LakeWriter.deleteFromSnapshot(s, table,
+        col("n_chars") < 150)
+      val v4 = LakeWriter.restoreSnapshot(s, table, v2)
+      DeltaMirror.mirror(s, table, changeDataFeed = true)
+      val gvs = Seq(v1, v2, v3, v4)
+      gvs.zipWithIndex.map { case (gv, i) =>
+        val f =
+          if (i == 0) LakeWriter.readSnapshot(s, table, Some(gv))
+            .withColumn("_change_type", lit("insert"))
+          else LakeWriter.changesBetween(s, table, gvs(i - 1), gv)
+        f.withColumn("_commit_version", lit(i.toLong))
+      }.reduce(_ unionByName _)
+    }),
+
+    "q_ingest_delta_cdf" -> ((s, d) => {
+      // CDF READER through the gate: the same merge/delete/restore
+      // history mirrors with changeDataFeed=true, and the SERVED rows
+      // come through readChangeFeed's protocol resolution (cdc
+      // actions authoritative, add/remove synthesis elsewhere,
+      // partition-value attach). The DuckDB oracle resolves the log
+      // independently — graft's CDF consumer and DuckDB must agree
+      // action for action (q_snapshot_export_delta_cdc proves a
+      // foreign reader resolves graft's feed; this proves graft
+      // resolves it as a consumer, the q_ingest_delta_cp pattern).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_cdf_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(4)) === 2)
+      LakeWriter.commitSnapshot(base, table)
+      LakeWriter.mergeSnapshot(
+        base.where(col("lang") === "zh")
+          .withColumn("n_chars", col("n_chars") + lit(500L))
+          .unionByName(docs.where(pmod(col("doc_id"), lit(40)) === 3)),
+        table, Seq("doc_id"))
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 140)
+      // append-only tail: exercises the reader's insert SYNTHESIS on
+      // a fresh commit (no cdc actions to lean on)
+      LakeWriter.commitSnapshot(
+        docs.where(pmod(col("doc_id"), lit(40)) === 7), table, "append")
+      DeltaMirror.mirror(s, table, changeDataFeed = true)
+      DeltaMirror.readChangeFeed(s, table, 0)
+    }),
+
     "q_ingest_delta_cp" -> ((s, d) => {
       // GRAFT'S OWN CHECKPOINT READER through the gate: the mirror
       // checkpoints, the covered JSON commits are cleaned up, one
@@ -2192,6 +2331,98 @@ object SparkEntry {
            "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
         "snapshot-log": [
           {"timestamp-ms":1700000002000,"snapshot-id":401}],
+        "metadata-log": []
+      }"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+        metaJson.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+        "1".getBytes("UTF-8"))
+      graft.sources.IcebergMirror.readIceberg(s, dir)
+    }),
+
+    "q_ingest_iceberg_v3dv" -> ((s, d) => {
+      // ICEBERG FORMAT-V3 DELETION VECTORS through the gate (the r14
+      // verdict's #3: v3 is finalized and foreign trees will carry
+      // puffin-stored DVs): a hand-built v3 tree with TWO data files
+      // and TWO puffin deletion vectors — one at sequence 2 deleting
+      // every 6th row of fa (applies: fa's data sequence is 1), one
+      // at sequence 1 targeting fb (must NOT apply: fb's data
+      // sequence is 2). The blob framing is the spec's (BE length,
+      // magic-led portable roaring64, BE CRC-32) and parses through
+      // the SAME jar-free DeletionVectors kernel as Delta DVs; rows
+      // filter by `_metadata.row_index` via the cached-parse
+      // DvContains native expression. Oracle: survivors re-derived
+      // from the raw documents table by row rank. v3 row lineage and
+      // initial-defaults keep refusing loudly (spec-covered).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_v3dv_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val dir = tmp.toString
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def slice(m: Int, sub: String): (String, Long) = {
+        base.where(pmod(col("doc_id"), lit(4)) === m)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.parquet(s"$dir/data/$sub")
+        val f = new java.io.File(s"$dir/data/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        (f.getAbsolutePath, s.read.parquet(s"$dir/data/$sub").count())
+      }
+      val (fa, nA) = slice(2, "fa")
+      val (fb, nB) = slice(3, "fb")
+      import IceGateFixture.{manifestEntry, entrySchema, listRec,
+        writeAvro, writePuffinDv, dvEntry}
+      val posA = (0L until nA by 6).toArray
+      val posB = (0L until nB by 4).toArray
+      val (offA, szA) = writePuffinDv(s"$dir/data/dva.puffin", posA,
+        fa, 202L, 2L)
+      val (offB, szB) = writePuffinDv(s"$dir/data/dvb.puffin", posB,
+        fb, 202L, 1L)
+      val entryS = entrySchema("", v3Dv = true)
+      val m1 = s"$dir/metadata/m1.avro"
+      val m1len = writeAvro(m1, entryS,
+        Seq(manifestEntry(entryS, 1, 0, 101L, 1L, fa, null, nA)))
+      val m2 = s"$dir/metadata/m2.avro"
+      val m2len = writeAvro(m2, entryS,
+        Seq(manifestEntry(entryS, 1, 0, 202L, 2L, fb, null, nB)))
+      val md0 = s"$dir/metadata/md.avro"
+      val mdLen = writeAvro(md0, entryS, Seq(
+        dvEntry(entryS, 202L, 2L, s"$dir/data/dva.puffin", fa,
+          offA, szA, posA.length.toLong),
+        dvEntry(entryS, 202L, 1L, s"$dir/data/dvb.puffin", fb,
+          offB, szB, posB.length.toLong)))
+      val ml = s"$dir/metadata/snap-301.avro"
+      writeAvro(ml, IceGateFixture.listSchema, Seq(
+        listRec(m1, m1len, 101L, 1L),
+        listRec(m2, m2len, 202L, 2L),
+        listRec(md0, mdLen, 202L, 2L, content = 1)))
+      val schemaFields =
+        """{"id":1,"name":"doc_id","required":false,"type":"long"},
+          {"id":2,"name":"source","required":false,"type":"string"},
+          {"id":3,"name":"n_chars","required":false,"type":"long"}"""
+      val metaJson = s"""{
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-000000d0d030",
+        "location": "$dir",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [{"type":"struct","schema-id":0,"fields":[$schemaFields]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[]}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},
+        "current-snapshot-id": 301,
+        "snapshots": [
+          {"snapshot-id":301,"sequence-number":2,"timestamp-ms":1700000002000,
+           "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
+        "snapshot-log": [
+          {"timestamp-ms":1700000002000,"snapshot-id":301}],
         "metadata-log": []
       }"""
       java.nio.file.Files.write(
@@ -2927,11 +3158,17 @@ object SparkEntry {
     }),
 
     "q_semantic_decon" -> ((s, d) => {
-      // embedding-space eval-leakage guard: benchmark = every 50th
-      // vector; flag corpus vectors cosine-close to ANY benchmark one
+      // embedding-space eval-leakage guard: flag corpus vectors
+      // cosine-close to ANY benchmark one. The benchmark set is
+      // SF-INVARIANT (every 50th vector, capped below id 3200 — at
+      // most 64): a benchmark is a fixture, not a scaling input, and
+      // capping it keeps the gate's 10x-data ratio measuring the
+      // operator (O(corpus x |bench|), linear in corpus) instead of
+      // the quadratic |corpus| x |bench| growth of an uncapped set
+      // (the r14 sf1 outlier).
       val e = T(s, d, "embeddings")
       Similarity.semanticDecon(e.where(col("vec_id") % 50 =!= 0),
-        e.where(col("vec_id") % 50 === 0),
+        e.where(col("vec_id") % 50 === 0 && col("vec_id") < 3200),
         "vec_id", "embedding", threshold = 0.4)
     }),
 
@@ -4277,15 +4514,26 @@ object SparkEntry {
 
     // same hash derivation; pairs brute-forced (the oracle needs no
     // banding — completeness of the engine's pigeonhole bands is what
-    // the comparison proves), hamming as the two 32-bit halves
+    // the comparison proves), then collapsed to min-id survivors via
+    // the recursive closure (the q_dedup_survivors oracle shape) —
+    // a missed band pair splits a cluster and shifts its survivor
     "q_image_dedup" ->
-      s"""WITH $imageHashCtes
-        |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
-        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi))
-        |     + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
-        |FROM hash a JOIN hash b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
-        |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3""".stripMargin,
+      s"""WITH RECURSIVE $imageHashCtes,
+        |p AS (
+        |  SELECT a.media_id AS pa, b.media_id AS pb
+        |  FROM hash a JOIN hash b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT pa AS src, pb AS dst FROM p
+        |          UNION SELECT pb, pa FROM p),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst
+        |  FROM reach JOIN edges ON reach.r = edges.src
+        |  WHERE edges.dst <> reach.node)
+        |SELECT node, least(node, min(r)) AS survivor
+        |FROM reach GROUP BY node""".stripMargin,
 
     // real-PNG image features re-derived from the closed-form pixel
     // formula (the oracle never parses PNG bytes; the engine does)
@@ -4952,6 +5200,19 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
         .stripMargin,
 
+    "q_ingest_iceberg_v3dv" ->
+      // rows served through readIceberg's v3 PUFFIN-DV resolution:
+      // fa's survivors re-derived by row rank — every 6th row of fa
+      // deleted by a sequence-2 DV; the sequence-1 DV targeting fb
+      // must NOT apply (fb's data sequence is 2)
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+        |a6 AS (SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS ridx
+        |       FROM b WHERE doc_id % 4 = 2)
+        |SELECT doc_id, source, n_chars FROM a6 WHERE ridx % 6 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
+        .stripMargin,
+
     "q_ingest_iceberg_eqdel" ->
       // rows served through readIceberg's EQUALITY-DELETE resolution:
       // the global sequence-2 delete removes doc_id ≡ 6 (mod 12) from
@@ -5494,7 +5755,8 @@ object SparkEntry {
     "q_semantic_decon" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS bench_id, v FROM e
+        |      WHERE vec_id % 50 = 0 AND vec_id < 3200),
         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
         |p AS (
         |  SELECT c.vec_id, b.bench_id,
@@ -5989,6 +6251,23 @@ object SparkEntry {
            |JOIN live l ON d.filename = l.f"""
           .stripMargin
       },
+      // q_snapshot_export_delta_cdc / q_ingest_delta_cdf: DuckDB as a
+      // conforming CHANGE-DATA-FEED reader. Per commit version v
+      // (from the JSON filename): when the commit carries `cdc`
+      // actions they are AUTHORITATIVE (read their `_change_data`
+      // parquet, `_change_type` from the file); otherwise changes
+      // synthesize from the actions — dataChange=true adds read as
+      // inserts, dataChange=true removes read their still-on-disk
+      // files as deletes (dataChange=false rewrites contribute
+      // nothing). The export gate compares this against graft's TRUE
+      // feed from its own manifests; the ingest gate against
+      // readChangeFeed's resolution.
+      "q_snapshot_export_delta_cdc" -> cdfResolutionSql(
+        "/tmp/graft_delta_cdc_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"),
+      "q_ingest_delta_cdf" -> cdfResolutionSql(
+        "/tmp/graft_delta_cdf_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"),
       "q_snapshot_export_delta" ->
         s"""WITH acts AS (
            |  SELECT * FROM read_json_auto('$dtab/_delta_log/*.json',
@@ -6007,6 +6286,41 @@ object SparkEntry {
            |JOIN live l ON replace(d.filename, '$dtab/', '') = l.p"""
           .stripMargin)
   }
+
+  /** DuckDB resolving a Delta CHANGE DATA FEED over `tab`'s log —
+    * shared by the export and ingest CDF gates (same protocol, two
+    * directions). */
+  private def cdfResolutionSql(tab: String): String =
+    s"""WITH acts AS (
+       |  SELECT *, CAST(regexp_extract(parse_filename(filename),
+       |    '(\\d+)\\.json', 1) AS BIGINT) AS v
+       |  FROM read_json('$tab/_delta_log/*.json',
+       |    format='newline_delimited', filename=1,
+       |    columns={
+       |      "add": 'STRUCT(path VARCHAR, dataChange BOOLEAN)',
+       |      "remove": 'STRUCT(path VARCHAR, dataChange BOOLEAN)',
+       |      "cdc": 'STRUCT(path VARCHAR)'})),
+       |cdcv AS (SELECT DISTINCT v FROM acts WHERE cdc.path IS NOT NULL),
+       |files AS (
+       |  SELECT v, cdc.path AS p, NULL AS ct
+       |  FROM acts WHERE cdc.path IS NOT NULL
+       |  UNION ALL
+       |  SELECT v, add.path, 'insert' FROM acts
+       |  WHERE add.path IS NOT NULL AND add.dataChange
+       |    AND v NOT IN (SELECT v FROM cdcv)
+       |  UNION ALL
+       |  SELECT v, remove.path, 'delete' FROM acts
+       |  WHERE remove.path IS NOT NULL AND remove.dataChange
+       |    AND v NOT IN (SELECT v FROM cdcv)),
+       |d AS (
+       |  SELECT * FROM read_parquet(
+       |    ['$tab/data/**/*.parquet', '$tab/_change_data/**/*.parquet'],
+       |    hive_partitioning=0, union_by_name=true, filename=1))
+       |SELECT f.v AS _commit_version,
+       |  coalesce(f.ct, d._change_type) AS _change_type,
+       |  d.doc_id, d.source, d.n_chars, d.lang
+       |FROM d JOIN files f ON replace(d.filename, '$tab/', '') = f.p"""
+      .stripMargin
 
   private def pairValues(rows: Array[org.apache.spark.sql.Row]): String =
     rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(",")

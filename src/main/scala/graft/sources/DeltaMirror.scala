@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, raise_error, when}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -704,10 +704,28 @@ object DeltaMirror {
     *        `_last_checkpoint` whenever the log tip has advanced at
     *        least this many versions past the previous checkpoint —
     *        the knob a per-micro-batch streaming sink sets so its
-    *        mirror stays O(checkpointEvery) to open forever. */
+    *        mirror stays O(checkpointEvery) to open forever.
+    * @param changeDataFeed when true, the mirror is a CHANGE DATA
+    *        FEED table (`delta.enableChangeDataFeed=true` +
+    *        writerFeatures `changeDataFeed`): each commit that both
+    *        adds and removes files gets its NET row changes
+    *        ([[LakeWriter.changesBetween]], collapse = true) written
+    *        as `_change_data/` parquet (data columns + `_change_type`
+    *        "insert" | "delete") referenced by spec `cdc` actions, so
+    *        a FOREIGN incremental consumer (Delta CDF reader) pays
+    *        for the delta, never the table. Insert-only /
+    *        delete-only commits carry no cdc files — the CDF read
+    *        protocol synthesizes their changes from the add/remove
+    *        actions exactly. A rewrite whose net change is EMPTY (a
+    *        compaction) marks its add/remove actions
+    *        `dataChange=false`, which a CDF reader skips — the one
+    *        honest encoding of "files changed, rows did not". The
+    *        cdc write is the only data-plane IO the mirror ever does,
+    *        and it is bounded by DELTA size, never table size. */
   def mirror(spark: SparkSession, table: String,
              fromVersion: Option[Long] = None,
-             checkpointEvery: Int = 0): Long = {
+             checkpointEvery: Int = 0,
+             changeDataFeed: Boolean = false): Long = {
     val versions = LakeWriter.snapshotVersions(spark, table)
     require(versions.nonEmpty, s"no snapshot history at $table")
     val dir = logDir(table)
@@ -813,6 +831,24 @@ object DeltaMirror {
     // would need provenance bookkeeping for no gain on graft logs).
     val ictOn = !hasLog ||
       prevConfig.get("delta.enableInCommitTimestamps").contains("true")
+    // CHANGE DATA FEED state: sticky once on (a CDF consumer must
+    // never see the feed silently stop), enabled either by the flag
+    // or by the resumed log's own configuration. CDF rides the
+    // writer-v7 feature list, so a resumed LEGACY (pre-ICT) mirror
+    // cannot enable it mid-history — refuse rather than emit a
+    // protocol shape the spec does not define for minWriterVersion 2.
+    val cdfWasOn = prevConfig.get("delta.enableChangeDataFeed")
+      .contains("true")
+    val cdfOn = changeDataFeed || cdfWasOn
+    require(!cdfOn || ictOn,
+      s"delta mirror of $table: changeDataFeed needs the writer-v7 " +
+        "feature list but this resumed mirror predates in-commit " +
+        "timestamps (legacy protocol) — start a fresh mirror to " +
+        "enable the change data feed")
+    // mid-history enablement: the first commit of this run re-emits
+    // metaData (with the CDF config) and a protocol upgrade
+    var cdfMetaPending = cdfOn && !cdfWasOn
+    var cdfAnnounced = cdfWasOn
     val tsByVersion = LakeWriter.snapshotTimestamps(spark, table).toMap
     val todo = lastMirrored match {
       case Some(g) => versions.filter(_ > g)
@@ -825,8 +861,16 @@ object DeltaMirror {
     }
     // plan EVERY pending commit before writing any (metadata IO
     // only): a refusal mid-history must leave the log untouched, not
-    // wedge the resume cursor behind a partially-mirrored prefix
+    // wedge the resume cursor behind a partially-mirrored prefix.
+    // (With changeDataFeed on, `_change_data/` parquet IS written
+    // during planning — the cdc actions need the file sizes — but a
+    // refusal after some cdc dirs land leaves only INERT files: the
+    // log never references them, exactly like an aborted attempt dir.)
     val planned = scala.collection.mutable.ListBuffer[(Long, String)]()
+    // graft version the PREVIOUS mirrored commit captured — the
+    // change-feed base for this one (None only before the first
+    // commit, whose live set is empty, so it never has removes)
+    var prevGv: Option[Long] = lastMirrored
     todo.zipWithIndex.foreach { case (gv, i) =>
       val dv = nextDv + i
       val files = LakeWriter.snapshotFiles(spark, table, gv)
@@ -963,14 +1007,19 @@ object DeltaMirror {
           "minWriterVersion" -> JInt(
             if (ictOn) 7 else if (cm) 5 else 2)) ++
           (if (ictOn) List("writerFeatures" -> (JArray(
-            ((if (cm) List("columnMapping") else Nil) :+
+            ((if (cm) List("columnMapping") else Nil) ++
+              (if (cdfOn) List("changeDataFeed") else Nil) :+
               "inCommitTimestamp").map(JString(_): JValue)): JValue))
            else Nil))))
-      if (dv == 0) actions += protocolJson(needCm)
-      else if (needCm && !cmOn) actions += protocolJson(cm = true)
+      if (dv == 0) { actions += protocolJson(needCm); cdfAnnounced = cdfOn }
+      else if ((needCm && !cmOn) || (cdfOn && !cdfAnnounced)) {
+        actions += protocolJson(cm = needCm || cmOn)
+        cdfAnnounced = cdfOn
+      }
       cmOn = cmOn || needCm
       if (!prevSchemaJson.contains(schemaJson) ||
-          !prevPartCols.contains(partCols)) {
+          !prevPartCols.contains(partCols) || cdfMetaPending) {
+        cdfMetaPending = false
         actions += JObject(List("metaData" -> JObject(List(
           "id" -> JString(java.util.UUID.nameUUIDFromBytes(
             s"graft:$table".getBytes("UTF-8")).toString),
@@ -989,15 +1038,62 @@ object DeltaMirror {
                 maxColId.toString): JValue))
              else Nil) ++
             (if (ictOn) List("delta.enableInCommitTimestamps" ->
+              (JString("true"): JValue)) else Nil) ++
+            (if (cdfOn) List("delta.enableChangeDataFeed" ->
               (JString("true"): JValue)) else Nil)),
           "createdTime" -> JInt(BigInt(ts))))))
         prevSchemaJson = Some(schemaJson); prevPartCols = Some(partCols)
+      }
+      // CHANGE DATA FEED files: only a commit that both adds AND
+      // removes needs them — a CDF reader synthesizes insert-only /
+      // delete-only commits from the add/remove actions exactly. The
+      // net feed is delta-bounded (changesBetween never opens carried
+      // files); an EMPTY net feed means the rewrite was a compaction,
+      // encoded as dataChange=false on this commit's add/remove
+      // actions (the spec's "files changed, rows did not").
+      var rowsChanged = true
+      val cdcActions = scala.collection.mutable.ListBuffer[JValue]()
+      if (cdfOn && adds.nonEmpty && removes.nonEmpty) {
+        val baseGv = prevGv.getOrElse(sys.error(
+          s"delta mirror of $table: commit with removes but no " +
+            "predecessor — mirror cursor corrupt"))
+        val feed = LakeWriter.changesBetween(spark, table, baseGv, gv,
+          collapse = true).persist()
+        try {
+          if (feed.isEmpty) rowsChanged = false
+          else {
+            // data columns to PHYSICAL names (cdc files follow the
+            // same column mapping as data files); `_change_type` is
+            // spec-literal and passes through colmap untouched
+            val dataCols = logical.fieldNames.toSeq :+ "_change_type"
+            val physFeed = LakeWriter.toPhysical(
+              feed.select(dataCols.map(
+                org.apache.spark.sql.functions.col): _*), colmapV)
+            val cdcDir = new org.apache.hadoop.fs.Path(
+              root, s"_change_data/v$dv-" +
+                java.util.UUID.randomUUID().toString.take(8))
+            LakeWriter.withMicrosTimestamps(spark) {
+              val w = physFeed.write.mode("errorifexists")
+              (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+                .parquet(cdcDir.toString)
+            }
+            LakeWriter.walk(fs, cdcDir).sorted.foreach { f =>
+              val rel = encodeRelPath(f.stripPrefix(root + "/"))
+              val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+              cdcActions += JObject(List("cdc" -> JObject(List(
+                "path" -> JString(rel),
+                "partitionValues" -> partValuesJson(rel),
+                "size" -> JInt(BigInt(st.getLen)),
+                "dataChange" -> JBool(false)))))
+            }
+          }
+        } finally feed.unpersist(): Unit
       }
       removes.foreach { r =>
         actions += JObject(List("remove" -> JObject(List(
           "path" -> JString(r),
           "deletionTimestamp" -> JInt(BigInt(ts)),
-          "dataChange" -> JBool(true)))))
+          "dataChange" -> JBool(rowsChanged)))))
       }
       adds.foreach { r =>
         val (len, mtime) = meta(r)
@@ -1008,15 +1104,17 @@ object DeltaMirror {
           "partitionValues" -> partValuesJson(r),
           "size" -> JInt(BigInt(len)),
           "modificationTime" -> JInt(BigInt(mtime)),
-          "dataChange" -> JBool(true)) ++
+          "dataChange" -> JBool(rowsChanged)) ++
           statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList)))
       }
+      actions ++= cdcActions
       val body = actions
         .map(j => JsonMethods.compact(JsonMethods.render(j)))
         .mkString("", "\n", "\n")
       planned += (dv -> body)
       rels.foreach(live += _)
       live.filterInPlace(rels.toSet.contains)
+      prevGv = Some(gv)
     }
     planned.foreach { case (dv, body) =>
       // atomic publish, like the manifest commit: dot-hidden tmp +
@@ -1274,6 +1372,204 @@ object DeltaMirror {
     readDelta(spark, dir, Some(at))
   }
 
+  /** CHANGE DATA FEED reader — the incremental-consumer side of the
+    * bridge: resolve the row-level changes of delta versions
+    * `[fromVersion, toVersion]` from a CDF-enabled `_delta_log`
+    * exactly as the protocol prescribes, returning the table columns
+    * plus `_change_type` ("insert" | "delete" | the file's own value
+    * for update pre/post images) and `_commit_version`. Per commit:
+    * `cdc` actions are AUTHORITATIVE when present (their
+    * `_change_data` parquet is read, add/remove ignored for the
+    * feed); otherwise the changes synthesize from the actions —
+    * `dataChange=true` adds read as inserts, `dataChange=true`
+    * removes read their (still-on-disk) files as deletes, and a
+    * `dataChange=false` rewrite (compaction) contributes nothing.
+    * Works on graft's own CDF mirrors and on foreign CDF tables (the
+    * import twin of `mirror(changeDataFeed = true)`); the cost is
+    * bounded by the CHANGED files of the range, never table size.
+    *
+    * Refuses loudly when: a range commit's JSON was retention-cleaned
+    * (cdc actions are never checkpointed, so the feed below the log
+    * floor is GONE — serving a partial feed would silently lose
+    * changes); CDF is not enabled over the whole range; the schema
+    * changes mid-range (Delta's own CDF readers refuse this too); or
+    * a synthesis commit carries deletion vectors (their net rows need
+    * the bitmap algebra only `cdc` actions encode faithfully). */
+  def readChangeFeed(spark: SparkSession, dir: String,
+                     fromVersion: Long,
+                     toVersion: Option[Long] = None): DataFrame = {
+    val log = logDir(dir)
+    val fs = LakeWriter.fsOf(spark, log)
+    require(fs.exists(log), s"no _delta_log at $dir")
+    val jsons = deltaVersions(spark, dir)
+    val to = toVersion.getOrElse(jsons.maxOption.getOrElse(sys.error(
+      s"readChangeFeed at $dir: no JSON commits survive — the change " +
+        "feed resolves from commit JSONs only (cdc actions are never " +
+        "checkpointed)")))
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"readChangeFeed at $dir: bad range [$fromVersion, $to]")
+    val jsonSet = jsons.toSet
+    val missing = (fromVersion to to).filterNot(jsonSet)
+    require(missing.isEmpty,
+      s"readChangeFeed at $dir: commit JSON(s) " +
+        s"${missing.mkString(", ")} are not on disk (log retention " +
+        "cleaned them) — the feed below the retention floor is gone; " +
+        "refusing a silently partial feed")
+    val st =
+      if (fromVersion == 0) new LogState
+      else replay(spark, dir, Some(fromVersion - 1))._1
+    var schemaSeen: Option[String] = st.schemaJson
+    // (version, change-type override — None when the file carries its
+    // own `_change_type` column, i.e. a cdc file —, path, pv)
+    val slices = scala.collection.mutable.ListBuffer[
+      (Long, Option[String], String, Seq[(String, Option[String])])]()
+    def pvOf(a: JValue): Seq[(String, Option[String])] =
+      a \ "partitionValues" match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> (v match { case JString(s) => Some(s); case _ => None }) }
+        case _ => Seq.empty
+      }
+    (fromVersion to to).foreach { v =>
+      val acts = readCommit(fs,
+        new org.apache.hadoop.fs.Path(log, commitName(v)))
+      val cdcs = acts.flatMap(j => str(j \ "cdc" \ "path")
+        .map(p => (p, pvOf(j \ "cdc"))))
+      if (cdcs.nonEmpty) cdcs.foreach { case (p, pv) =>
+        slices += ((v, None, p, pv))
+      } else acts.foreach { j =>
+        def dc(a: JValue): Boolean =
+          (a \ "dataChange") != JBool(false)
+        str(j \ "add" \ "path").foreach { p =>
+          if (dc(j \ "add")) {
+            require(parseDvDescriptor(j \ "add" \ "deletionVector").isEmpty,
+              s"readChangeFeed at $dir: commit $v rewrites a deletion " +
+                "vector without cdc actions — its net rows are not " +
+                "synthesizable from add/remove alone; refusing")
+            slices += ((v, Some("insert"), p, pvOf(j \ "add")))
+          }
+        }
+        str(j \ "remove" \ "path").foreach { p =>
+          if (dc(j \ "remove")) {
+            require(
+              parseDvDescriptor(j \ "remove" \ "deletionVector").isEmpty,
+              s"readChangeFeed at $dir: commit $v removes a DV-paired " +
+                "file without cdc actions — refusing")
+            // the remove action may omit partitionValues; the file's
+            // own add (still live in the pre-commit state) carries them
+            val pv = pvOf(j \ "remove") match {
+              case s if s.nonEmpty => s
+              case _ => st.live.collectFirst {
+                case ((lp, _), info) if lp == p => info.partitionValues
+              }.getOrElse(Seq.empty)
+            }
+            slices += ((v, Some("delete"), p, pv))
+          }
+        }
+      }
+      acts.foreach(applyAction(st, _))
+      if (schemaSeen.isEmpty) schemaSeen = st.schemaJson
+      else require(st.schemaJson == schemaSeen,
+        s"readChangeFeed at $dir: the schema changed at commit $v " +
+          "inside the requested range — a single-schema feed would " +
+          "misread one side; split the range at the schema change")
+      val cdfEnabled = st.metaData.exists(md =>
+        str(md \ "configuration" \ "delta.enableChangeDataFeed")
+          .contains("true"))
+      require(cdfEnabled,
+        s"readChangeFeed at $dir: delta.enableChangeDataFeed is not " +
+          s"set in the metadata governing commit $v — the feed is " +
+          "only complete from the version CDF was enabled; refusing")
+    }
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaSeen.getOrElse(
+        sys.error(s"no metaData action in $dir's _delta_log")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val physOf: Map[String, String] = schema.fields.map { f =>
+      f.name ->
+        (if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name)
+    }.toMap
+    val partSet = st.partCols.toSet
+    val root = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toString
+    def absOf(p: String): String = {
+      val d = percentDecode(p)
+      if (isAbsolutePath(d)) d else s"$root/$d"
+    }
+    import org.apache.spark.sql.types.{StructType, StructField,
+      StringType, LongType, BooleanType, Metadata}
+    val outFields = schema.fields.toSeq :+
+      StructField("_change_type", StringType, true) :+
+      StructField("_commit_version", LongType, true)
+    if (slices.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(outFields))
+    val hconf = spark.sessionState.newHadoopConf()
+    def fileKey(p: String): String = {
+      val abs = new org.apache.hadoop.fs.Path(absOf(p))
+      val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
+      new java.net.URI(q.getScheme, q.getAuthority,
+        q.getPath, null, null).toString
+    }
+    // one scan per file KIND (cdc files carry `_change_type`, data
+    // files do not); each scan joins a broadcast (file -> version,
+    // type, partition values) table, and a file changed in several
+    // range commits fans out into one row per commit — the join IS
+    // the fan-out, no repeated scans
+    def serve(part: Seq[(Long, Option[String], String,
+        Seq[(String, Option[String])])], withCt: Boolean): DataFrame = {
+      val readSchema = StructType(
+        schema.fields.filterNot(f => partSet(f.name)).map(f =>
+          f.copy(name = physOf(f.name), metadata = Metadata.empty)) ++
+        (if (withCt)
+          Seq(StructField("_change_type", StringType, true)) else Nil))
+      val files = part.map(t => absOf(t._3)).distinct
+      val metaRows: Seq[Row] = part.map { case (v, ct, p, pv) =>
+        val vals = st.partCols.map { c =>
+          val pn = physOf.getOrElse(c, c)
+          pv.collectFirst {
+            case (k, ov) if k == pn || k == c => ov }.flatten.orNull
+        }
+        Row.fromSeq((fileKey(p) +: vals) ++
+          Seq(ct.orNull, java.lang.Long.valueOf(v),
+            java.lang.Boolean.TRUE))
+      }
+      val metaSchema = StructType(
+        (StructField("__graft_file", StringType, false) +:
+          st.partCols.map(c =>
+            StructField(s"__graft_pv_$c", StringType, true))) ++ Seq(
+          StructField("__graft_ct", StringType, true),
+          StructField("__graft_ver", LongType, false),
+          StructField("__graft_matched", BooleanType, true)))
+      import scala.jdk.CollectionConverters._
+      val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
+      spark.read.schema(readSchema).parquet(files: _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .join(broadcast(metaDf), Seq("__graft_file"), "left")
+        .where(when(col("__graft_matched").isNotNull, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"readChangeFeed at $dir: file "), col("__graft_file"),
+            lit(" failed to match its commit entry (path-encoding " +
+              "regression)"))).cast("boolean")))
+        .select(outFields.map { f =>
+          if (f.name == "_commit_version") col("__graft_ver").as(f.name)
+          else if (f.name == "_change_type")
+            (if (withCt) coalesce(col("__graft_ct"), col("_change_type"))
+             else col("__graft_ct")).as(f.name)
+          else if (partSet(f.name))
+            col(s"__graft_pv_${f.name}").cast(f.dataType).as(f.name)
+          else col(physOf(f.name)).as(f.name)
+        }.toIndexedSeq: _*)
+    }
+    val (cdcPart, synthPart) = slices.toSeq.partition(_._2.isEmpty)
+    val parts =
+      (if (cdcPart.nonEmpty) Seq(serve(cdcPart, withCt = true)) else Nil) ++
+      (if (synthPart.nonEmpty) Seq(serve(synthPart, withCt = false))
+       else Nil)
+    parts.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------------
   // log retention
   // ------------------------------------------------------------------
@@ -1331,9 +1627,26 @@ object DeltaMirror {
         0
       case Some(cs) =>
         val deletable = jsons.filter(_ <= cs)
+        val root = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(table)).toString
         deletable.foreach { dv =>
-          fs.delete(new org.apache.hadoop.fs.Path(log, commitName(dv)),
-            false): Unit
+          val cp = new org.apache.hadoop.fs.Path(log, commitName(dv))
+          // change-data files ride ONLY this commit's cdc actions —
+          // once the JSON goes they are unreachable by any reader, so
+          // reclaim them with it (the feed outside the retention
+          // window is gone either way; leaving the parquet would just
+          // leak delta-sized files forever under a streaming cadence)
+          readCommit(fs, cp).foreach { j =>
+            str(j \ "cdc" \ "path").foreach { p =>
+              val abs =
+                if (isAbsolutePath(p)) new org.apache.hadoop.fs.Path(
+                  java.net.URI.create(p.replace(" ", "%20")))
+                else new org.apache.hadoop.fs.Path(
+                  s"$root/${percentDecode(p)}")
+              fs.delete(abs, false): Unit
+            }
+          }
+          fs.delete(cp, false): Unit
         }
         // checkpoints older than the boundary are superseded artifacts
         // (v2 SIDECARS stay — they may be shared across checkpoints;

@@ -1382,9 +1382,22 @@ object IcebergMirror {
     val j = JsonMethods.parse(new String(
       readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
     val fv = lng(j \ "format-version").getOrElse(1L)
-    require(fv <= 2L,
+    require(fv <= 3L,
       s"iceberg table at $dir is format v$fv — this reader implements " +
-        "v1/v2; refusing (v3 features would be silently dropped)")
+        "v1/v2 and the v3 deletion-vector surface; refusing " +
+        "(later-format features would be silently dropped)")
+    // v3 acceptance is a WHITELIST: puffin deletion vectors read
+    // natively below; everything else v3 adds that would change what
+    // a read returns refuses loudly. Row lineage implies synthesized
+    // `_row_id`/`_last_updated_sequence_number` columns this reader
+    // does not serve; a field's initial-default rewrites what
+    // pre-existing files read for an added column.
+    if (fv >= 3L) {
+      require((j \ "row-lineage") != JBool(true) &&
+          (j \ "next-row-id") == JNothing,
+        s"iceberg table at $dir enables v3 row lineage — this reader " +
+          "does not maintain row ids; refusing")
+    }
     val location = str(j \ "location").getOrElse(dir)
 
     // schemas: current + history (rename detection)
@@ -1411,6 +1424,19 @@ object IcebergMirror {
         case _ => Nil
       }
     val curFields = fieldsOf(curSchemaJ)
+    // v3 default values: a field carrying initial-default changes
+    // what files written BEFORE the column existed must read — this
+    // reader would serve nulls there; refuse at any nesting depth
+    curSchemaJ.filterField {
+      case ("initial-default", v) => v != JNull && v != JNothing
+      case _ => false
+    } match {
+      case Nil =>
+      case _ => sys.error(
+        s"iceberg table at $dir: a schema field declares a v3 " +
+          "initial-default — this reader would serve nulls where the " +
+          "default applies; refusing")
+    }
     val schema = StructType(curFields.map { case (_, nm, t) =>
       StructField(nm, sparkTypeOf(t, dir), nullable = true)
     })
@@ -1420,18 +1446,81 @@ object IcebergMirror {
 
     // FILE column names: the name mapping when published (file name ->
     // field id -> current name); else current names — refusing when
-    // history shows a top-level rename this reader would misresolve
+    // history shows a rename this reader would misresolve. NESTED
+    // fields (struct members at any depth) are walked too: this
+    // reader resolves physical names only at the TOP level, so a
+    // nested field whose file name differs from its current name —
+    // either a mapping entry naming it differently, or a historical
+    // schema renaming it with no mapping published — would silently
+    // read nulls; both refuse loudly instead.
+    def nestedFieldsOf(s: JValue): List[(Int, String)] = {
+      def walk(t: JValue, prefix: String, depth: Int): List[(Int, String)] =
+        (str(t \ "type"), t \ "fields") match {
+          case (Some("struct"), JArray(fs0)) => fs0.flatMap { f =>
+            (for { id <- lng(f \ "id"); nm <- str(f \ "name") } yield {
+              val path = if (prefix.isEmpty) nm else s"$prefix.$nm"
+              val self =
+                if (depth > 0) List((id.toInt, path)) else Nil
+              self ++ walk(f \ "type", path, depth + 1)
+            }).getOrElse(Nil)
+          }
+          case _ => Nil
+        }
+      walk(s, "", 0)
+    }
+    val curNested = nestedFieldsOf(curSchemaJ)
+    val curNestedById = curNested.toMap
     val mapping = str(j \ "properties" \ "schema.name-mapping.default")
       .map(JsonMethods.parse(_))
     val physByName: Map[String, String] = mapping match {
       case Some(JArray(entries)) =>
+        def firstName(e: JValue): Option[String] = (e \ "names") match {
+          case JArray(JString(x) :: _) => Some(x)
+          case _ => None
+        }
         val idToPhys = entries.flatMap(e => for {
           id <- lng(e \ "field-id")
-          nm <- (e \ "names") match {
-            case JArray(JString(x) :: _) => Some(x)
-            case _ => None
-          }
+          nm <- firstName(e)
         } yield (id.toInt, nm)).toMap
+        // nested mapping entries: (field-id -> file-side name) at any
+        // depth below the top level
+        def walkNested(es: List[JValue], depth: Int): List[(Int, String)] =
+          es.flatMap { e =>
+            val self =
+              if (depth > 0)
+                (for { id <- lng(e \ "field-id"); nm <- firstName(e) }
+                  yield (id.toInt, nm)).toList
+              else Nil
+            self ++ ((e \ "fields") match {
+              case JArray(sub) => walkNested(sub, depth + 1)
+              case _ => Nil
+            })
+          }
+        val nestedMapped = walkNested(entries, 0)
+        nestedMapped.foreach { case (id, fileNm) =>
+          curNestedById.get(id).foreach { path =>
+            require(path.split('.').last == fileNm,
+              s"iceberg table at $dir: name mapping resolves NESTED " +
+                s"field id $id to file name '$fileNm' but the current " +
+                s"schema names it '$path' — this reader resolves " +
+                "physical names at the top level only and would read " +
+                "nulls for the renamed member; refusing")
+          }
+        }
+        // nested ids the mapping does NOT cover still misresolve if
+        // history renamed them — same refusal as the no-mapping case
+        val nestedCovered = nestedMapped.map(_._1).toSet
+        schemasJ.foreach { s =>
+          nestedFieldsOf(s).foreach { case (id, path) =>
+            if (!nestedCovered.contains(id))
+              curNestedById.get(id).foreach(cur =>
+                require(cur.split('.').last == path.split('.').last,
+                  s"iceberg table at $dir renamed nested field " +
+                    s"'$path' -> '$cur' and the name mapping carries " +
+                    "no entry for it — files written before the " +
+                    "rename would read nulls; refusing"))
+          }
+        }
         curFields.map { case (id, nm, _) =>
           nm -> idToPhys.getOrElse(id, nm) }.toMap
       case _ =>
@@ -1442,6 +1531,14 @@ object IcebergMirror {
                 "and publishes no schema.name-mapping.default — this " +
                 "reader resolves file columns by name and would read " +
                 "nulls; refusing"))
+          }
+          nestedFieldsOf(s).foreach { case (id, path) =>
+            curNestedById.get(id).foreach(cur =>
+              require(cur.split('.').last == path.split('.').last,
+                s"iceberg table at $dir renamed nested field " +
+                  s"'$path' -> '$cur' and publishes no " +
+                  "schema.name-mapping.default — files written before " +
+                  "the rename would read nulls for it; refusing"))
           }
         }
         curFields.map { case (_, nm, _) => nm -> nm }.toMap
@@ -1503,25 +1600,60 @@ object IcebergMirror {
     final case class Live(path: String, stored: String,
         pvById: Map[Int, Any], dataSeq: Long, rows: Option[Long],
         lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-        nullCnt: Map[Int, Long])
+        nullCnt: Map[Int, Long], specId: Int)
     final case class PosDel(path: String, seq: Long)
     final case class EqDel(path: String, seq: Long, eqIds: Seq[Int],
-        pvById: Map[Int, Any], scoped: Boolean)
+        pvById: Map[Int, Any], scoped: Boolean, specId: Int)
+    // v3 puffin deletion vector: one blob inside a puffin file,
+    // located by the manifest's (content_offset, content_size)
+    final case class DvDel(path: String, seq: Long, referenced: String,
+        offset: Long, size: Long, cardinality: Option[Long])
     val (_, _, mlRows) = readAvroBytes(
       readFileBytes(fs, new Path(resolvePath(mlPath))))
     val live = mutable.LinkedHashMap[String, Live]()
     val posDels = mutable.ListBuffer[PosDel]()
     val eqDels = mutable.ListBuffer[EqDel]()
-    mlRows.foreach { mrec =>
+    val dvDels = mutable.ListBuffer[DvDel]()
+    // DRIVER-HEAP guard (the readDelta maxLiveFiles twin): the
+    // resolved live map is driver state — one entry per data file,
+    // with bounds byte-arrays. A million-file foreign tree would OOM
+    // the driver SILENTLY mid-fold; fail loudly at a conf-set ceiling
+    // instead, re-checked as each manifest folds in.
+    val liveCeiling = spark.conf.get("spark.graft.iceberg.maxLiveFiles",
+      "2000000").toLong
+    def guardLive(): Unit = {
+      val n = live.size.toLong + posDels.size + eqDels.size + dvDels.size
+      if (n > liveCeiling) sys.error(
+        s"readIceberg at $dir: snapshot $wantSid resolves more than " +
+          s"$liveCeiling live/delete file entries — the file list is " +
+          "driver-resident state and this tree would exhaust the " +
+          "driver heap. Raise spark.graft.iceberg.maxLiveFiles if " +
+          "the heap allows, or compact the table first")
+    }
+    // manifest avro fetch+decode is I/O-bound and per-manifest
+    // independent: run it on a bounded pool (the footer-sweep
+    // discipline), then FOLD serially in manifest-list order so the
+    // resolved state stays deterministic
+    val manifestEntries: Seq[(GenericRecord, Seq[GenericRecord])] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, mlRows.size)))
+      try mlRows.map { mrec =>
+        val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
+        mrec -> pool.submit(
+          new java.util.concurrent.Callable[Seq[GenericRecord]] {
+            def call(): Seq[GenericRecord] = readAvroBytes(
+              readFileBytes(fs, new Path(resolvePath(mPath))))._3
+          })
+      }.map { case (mrec, fut) => (mrec, fut.get()) }
+      finally pool.shutdown()
+    }
+    manifestEntries.foreach { case (mrec, entries) =>
       val content = asLong(fieldById(mrec, 517, "content")).getOrElse(0L)
-      val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
       val mSeq = asLong(fieldById(mrec, 515, "sequence_number"))
         .getOrElse(0L)
       val specId = asLong(fieldById(mrec, 502, "partition_spec_id"))
         .getOrElse(0L).toInt
       val ids = identityOf.getOrElse(specId, Nil)
-      val (_, _, entries) = readAvroBytes(
-        readFileBytes(fs, new Path(resolvePath(mPath))))
       entries.foreach { e =>
         val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
         if (status != 2L) {
@@ -1530,9 +1662,11 @@ object IcebergMirror {
             .getOrElse(if (content == 1L) 1L else 0L)
           val fmt = asString(fieldById(df, 101, "file_format"))
             .getOrElse("PARQUET")
-          require(fmt.equalsIgnoreCase("parquet"),
+          val isPuffinDv = fmt.equalsIgnoreCase("puffin")
+          require(fmt.equalsIgnoreCase("parquet") || isPuffinDv,
             s"iceberg table at $dir stores $fmt files — this " +
-              "reader serves parquet only; refusing")
+              "reader serves parquet (and v3 puffin deletion " +
+              "vectors) only; refusing")
           // v2 inheritance: a null entry sequence number inherits the
           // manifest list's (added entries); explicit values win
           val seq = asLong(fieldById(e, 3, "sequence_number"))
@@ -1571,7 +1705,25 @@ object IcebergMirror {
               asLong(fieldById(df, 103, "record_count")),
               bytesMapOf(125, "lower_bounds"),
               bytesMapOf(128, "upper_bounds"),
-              longMapOf(110, "null_value_counts"))
+              longMapOf(110, "null_value_counts"), specId)
+            case 1L if isPuffinDv =>
+              require(fv >= 3L,
+                s"iceberg table at $dir: puffin deletion vector in a " +
+                  s"format-v$fv tree — DVs are a v3 feature; refusing")
+              val refd = asString(fieldById(df, 143,
+                "referenced_data_file")).getOrElse(sys.error(
+                s"iceberg table at $dir: DV entry $stored carries no " +
+                  "referenced_data_file — refusing"))
+              val off = asLong(fieldById(df, 144, "content_offset"))
+                .getOrElse(sys.error(
+                  s"iceberg table at $dir: DV entry $stored carries " +
+                    "no content_offset — refusing"))
+              val sz = asLong(fieldById(df, 145,
+                "content_size_in_bytes")).getOrElse(sys.error(
+                s"iceberg table at $dir: DV entry $stored carries no " +
+                  "content_size_in_bytes — refusing"))
+              dvDels += DvDel(p, seq, refd, off, sz,
+                asLong(fieldById(df, 103, "record_count")))
             case 1L => posDels += PosDel(p, seq)
             case 2L =>
               val eqIds = fieldById(df, 135, "equality_ids") match {
@@ -1599,13 +1751,15 @@ object IcebergMirror {
                   "transforms — this reader scopes equality deletes " +
                   "by identity partitions only; applying it unscoped " +
                   "would silently over-delete, refusing")
-              eqDels += EqDel(p, seq, eqIds.sorted, pv, ids.nonEmpty)
+              eqDels += EqDel(p, seq, eqIds.sorted, pv, ids.nonEmpty,
+                specId)
             case other => sys.error(
               s"iceberg table at $dir: data_file content=$other is " +
                 "not defined by format v2 — refusing")
           }
         }
       }
+      guardLive()
     }
 
     // FILE PRUNING (readIcebergWhere): keep only data files whose
@@ -1663,7 +1817,59 @@ object IcebergMirror {
     val base = spark.read.schema(readSchema)
       .parquet(live.keys.toSeq: _*)
 
-    if (identitySources.isEmpty && posDels.isEmpty && eqDels.isEmpty)
+    // V3 DELETION VECTORS: at most one per data file (spec rule),
+    // applicable when the DV's data sequence is >= the file's. The
+    // blob parses DRIVER-SIDE (metadata-plane, O(deleted rows)
+    // compressed, CRC + cardinality verified HERE so corruption
+    // refuses before any scan); bytes ride the partition-values
+    // broadcast and filter by `_metadata.row_index` through the same
+    // cached-parse DvContains kernel the Delta reader uses — v3
+    // adopted Delta's framing (4-byte BE length of magic+vector, the
+    // magic-led portable RoaringBitmapArray, 4-byte BE CRC-32), so
+    // the parse is shared, not duplicated.
+    val liveByStored: Map[String, Live] =
+      live.values.map(lv => lv.stored -> lv).toMap
+    dvDels.groupBy(_.referenced).find(_._2.size > 1).foreach {
+      case (r, _) => sys.error(
+        s"iceberg table at $dir: data file $r carries more than one " +
+          "deletion vector — format v3 allows at most one; refusing")
+    }
+    val dvByStored: Map[String, (Array[Byte], String)] =
+      dvDels.toSeq.flatMap { d =>
+        liveByStored.get(d.referenced)
+          .filter(lv => d.seq >= lv.dataSeq).map { _ =>
+            val in = fs.open(new Path(d.path))
+            val blob = try {
+              in.seek(d.offset)
+              val b = new Array[Byte](d.size.toInt)
+              in.readFully(b); b
+            } finally in.close()
+            require(blob.length >= 8, s"iceberg table at $dir: DV " +
+              s"blob for ${d.referenced} is ${blob.length} bytes — " +
+              "too short for the v3 framing; refusing")
+            val len = java.nio.ByteBuffer.wrap(blob, 0, 4).getInt
+            require(len == d.size - 8,
+              s"iceberg table at $dir: DV blob for ${d.referenced} " +
+                s"declares $len magic+vector bytes but the manifest " +
+                s"sized it ${d.size} — corrupt metadata, refusing")
+            val data = java.util.Arrays.copyOfRange(blob, 4, 4 + len)
+            val crc = java.nio.ByteBuffer.wrap(blob, 4 + len, 4).getInt
+            val c = new java.util.zip.CRC32(); c.update(data)
+            require(crc == c.getValue.toInt,
+              s"iceberg table at $dir: DV checksum mismatch for " +
+                s"${d.referenced} — a corrupt deletion vector would " +
+                "silently resurrect deleted rows; refusing")
+            val parsed = DeletionVectors.RoaringArray.deserialize(data)
+            d.cardinality.foreach(n => require(parsed.cardinality == n,
+              s"iceberg table at $dir: DV for ${d.referenced} holds " +
+                s"${parsed.cardinality} rows but its manifest entry " +
+                s"declares $n — corrupt metadata, refusing"))
+            d.referenced -> (data, s"${d.path}@${d.offset}")
+          }
+      }.toMap
+
+    if (identitySources.isEmpty && posDels.isEmpty && eqDels.isEmpty &&
+        dvByStored.isEmpty)
       return base.select(schema.fields.map(f =>
         col(physByName(f.name)).as(f.name)).toIndexedSeq: _*)
 
@@ -1706,9 +1912,16 @@ object IcebergMirror {
         q.getPath, null, null).toString
     }
     val pvRows: Seq[Row] = live.values.toSeq.map { lv =>
+      val dv = dvByStored.get(lv.stored)
       Row.fromSeq((canonicalKey(lv.path) +: identitySources.map(src =>
         jvmToExternal(idToType(src), lv.pvById.get(src).orNull))) ++
         Seq(lv.stored, java.lang.Long.valueOf(lv.dataSeq),
+          Integer.valueOf(lv.specId),
+          dv.map(_._1).orNull,
+          // the DvContains cache key must carry the DV GENERATION
+          // (puffin path + blob offset), not just the file — the
+          // kernel's thread-local cache outlives a query
+          dv.map(t => canonicalKey(lv.path) + "\u0000" + t._2).orNull,
           java.lang.Boolean.TRUE))
     }
     val pvSchema = StructType(
@@ -1717,17 +1930,31 @@ object IcebergMirror {
         s"__graft_pv_${idToName(src)}", idToType(src), true))) ++
       Seq(StructField("__graft_stored", StringType, true),
         StructField("__graft_seq", LongType, true),
+        StructField("__graft_specid", IntegerType, true),
+        StructField("__graft_dv", BinaryType, true),
+        StructField("__graft_dvkey", StringType, true),
         StructField("__graft_matched", BooleanType, true)))
     val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
     val identityNames = identitySources.map(idToName).toSet
     val keyed = base.withColumn("__graft_file", col("_metadata.file_path"))
     val withIdx =
-      if (posDels.nonEmpty)
+      if (posDels.nonEmpty || dvByStored.nonEmpty)
         keyed.withColumn("__graft_ridx", col("_metadata.row_index"))
       else keyed
+    val dvKeep =
+      if (dvByStored.isEmpty) lit(true)
+      else col("__graft_dv").isNull ||
+        !org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.DvContains(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_dvkey")),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_dv")),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_ridx"))))
     val joined = withIdx
       .join(broadcast(pvDf), Seq("__graft_file"), "left")
-      .where(when(col("__graft_matched").isNotNull, lit(true))
+      .where(when(col("__graft_matched").isNotNull, dvKeep)
         .otherwise(raise_error(concat(
           lit(s"readIceberg at $dir: data file "), col("__graft_file"),
           lit(" failed to match its manifest entry (path-encoding " +
@@ -1781,6 +2008,7 @@ object IcebergMirror {
           Row.fromSeq((canonicalKey(ed.path) +:
             java.lang.Long.valueOf(ed.seq) +:
             java.lang.Boolean.valueOf(ed.scoped) +:
+            Integer.valueOf(ed.specId) +:
             identitySources.map(src =>
               jvmToExternal(idToType(src), ed.pvById.get(src).orNull))))
         }
@@ -1788,7 +2016,8 @@ object IcebergMirror {
           StructType(
             Seq(StructField("__graft_dfile", StringType, false),
               StructField("__del_seq", LongType, false),
-              StructField("__del_scoped", BooleanType, false)) ++
+              StructField("__del_scoped", BooleanType, false),
+              StructField("__del_specid", IntegerType, false)) ++
             identitySources.map(src => StructField(
               s"__del_pv_${idToName(src)}", idToType(src), true))))
         val dels = spark.read.schema(delReadSchema)
@@ -1804,9 +2033,17 @@ object IcebergMirror {
             else acc(physByName(n))
           dataVal <=> dels(physByName(n))
         }.reduce(_ && _)
-        val scopeCond = !dels("__del_scoped") || pvCols.map(n =>
-          acc(s"__graft_pv_$n") <=> dels(s"__del_pv_$n"))
-          .reduceOption(_ && _).getOrElse(lit(true))
+        // a scoped delete applies only to data files of ITS OWN spec
+        // in the same partition tuple (Iceberg's DeleteFileIndex keys
+        // deletes by (spec-id, partition)): without the spec-id
+        // equality, a delete scoped under spec A could match a spec-B
+        // data file whose shared identity values are all null on both
+        // sides (null <=> null), over-deleting across specs
+        val scopeCond = !dels("__del_scoped") ||
+          (acc("__graft_specid") === dels("__del_specid") &&
+            pvCols.map(n =>
+                acc(s"__graft_pv_$n") <=> dels(s"__del_pv_$n"))
+              .reduceOption(_ && _).getOrElse(lit(true)))
         acc.join(dels,
           eqCond && dels("__del_seq") > acc("__graft_seq") && scopeCond,
           "left_anti")

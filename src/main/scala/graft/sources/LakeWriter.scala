@@ -190,7 +190,7 @@ object LakeWriter {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Parquet files under `p`, recursively (hive layouts nest them). */
-  private def walk(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def walk(fs: org.apache.hadoop.fs.FileSystem,
                    p: org.apache.hadoop.fs.Path): Seq[String] =
     fs.listStatus(p).toSeq.flatMap { st =>
       if (st.isDirectory) walk(fs, st.getPath)
@@ -315,7 +315,7 @@ object LakeWriter {
     * carries no comparable parquet footer statistics, which would
     * silently disable timestamp DATA SKIPPING on the committed files
     * (readers of either form are unaffected — Spark reads both). */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val k = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(k)
     spark.conf.set(k, "TIMESTAMP_MICROS")
@@ -1114,7 +1114,7 @@ object LakeWriter {
   /** Rename a DataFrame's (logical) columns to their physical names
     * right before a data-file write — identity mappings cost
     * nothing. */
-  private def toPhysical(df: DataFrame, colmap: ColMapping): DataFrame =
+  private[graft] def toPhysical(df: DataFrame, colmap: ColMapping): DataFrame =
     if (colmap.isIdentity) df
     else df.select(df.columns.map(n => df(n).as(colmap.phys(n))).toSeq: _*)
 
@@ -1932,6 +1932,19 @@ object LakeWriter {
                             logRetainVersions: Int = 0,
                             mirrorIceberg: Boolean = false,
                             icebergRetainSnapshots: Int = 0): Option[Long] = {
+    // retention alignment with vacuum: an Iceberg snapshot expiring
+    // SLOWER than vacuum's keepVersions window would keep serving
+    // manifests whose data files vacuum reclaimed. With expiry on,
+    // the window must fit inside vacuum's; with expiry OFF
+    // (icebergRetainSnapshots = 0) old snapshots simply outlive their
+    // files and reads of them refuse loudly on the missing file —
+    // the same posture as Delta time travel past the retention window.
+    require(!(mirrorIceberg && everyVersions > 0 &&
+        icebergRetainSnapshots > keepVersions),
+      s"maintainSnapshotEvery($table): icebergRetainSnapshots " +
+        s"($icebergRetainSnapshots) > keepVersions ($keepVersions) — " +
+        "retained Iceberg snapshots would reference data files vacuum " +
+        "reclaims; shrink the Iceberg window or widen keepVersions")
     val vs = snapshotVersions(spark, table)
     // `logRetainVersions` > 0 completes the mirror's own maintenance
     // story: after mirroring, JSON commits a checkpoint covers AND
@@ -1950,9 +1963,10 @@ object LakeWriter {
       }
       // the Iceberg twin: one snapshot per graft version, and
       // `icebergRetainSnapshots` > 0 expires what the window has
-      // outgrown so the metadata tree stays O(retain) forever —
-      // aligned with vacuum's keepVersions so an Iceberg snapshot
-      // never outlives the data files it references
+      // outgrown so the metadata tree stays O(retain) forever. The
+      // entry require pins the window inside vacuum's keepVersions;
+      // with expiry disabled (0) a retained-but-outlived snapshot
+      // read refuses loudly on its first missing file
       if (mirrorIceberg) {
         IcebergMirror.mirror(spark, table): Unit
         if (icebergRetainSnapshots > 0)

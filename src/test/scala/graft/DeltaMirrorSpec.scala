@@ -1030,4 +1030,138 @@ class DeltaMirrorSpec extends AnyFunSuite {
       assert(e.getMessage.contains("maxLiveFiles"))
     } finally spark.conf.unset("spark.graft.delta.maxLiveFiles")
   }
+
+  // ----------------------------------------------------------------
+  // change data feed
+  // ----------------------------------------------------------------
+
+  test("change data feed: cdc files on mixed commits, synthesis on " +
+      "pure ones, feed == changesBetween per version") {
+    val t = freshDir("graft_delta_cdf") + "/t"
+    val base = docs(60)
+    val v1 = LakeWriter.commitSnapshot(base, t)
+    // merge: rewrite some rows + insert new ones (mixed commit -> cdc)
+    val v2 = LakeWriter.mergeSnapshot(
+      docs(70).where($"id" >= 50).withColumn("v", $"id" * 100),
+      t, Seq("id"))
+    // delete (mixed: rewrites survivors)
+    val v3 = LakeWriter.deleteFromSnapshot(spark, t, $"v" >= 5000)
+    // append-only commit (no cdc file; synthesized inserts)
+    val v4 = LakeWriter.commitSnapshot(
+      docs(80).where($"id" >= 70), t, "append")
+    assert(DeltaMirror.mirror(spark, t, changeDataFeed = true) == 4L)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def acts(dv: Long): Seq[JValue] = {
+      val p = java.nio.file.Paths.get(t, "_delta_log", f"$dv%020d.json")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').toSeq.filter(_.trim.nonEmpty)
+        .map(JsonMethods.parse(_))
+    }
+    def kinds(dv: Long): Set[String] = acts(dv).flatMap {
+      case JObject(fs) => fs.map(_._1)
+      case _ => Nil
+    }.toSet
+    // protocol announces the feature; metaData carries the config
+    val p0 = acts(0).flatMap(j => j \ "protocol" match {
+      case JNothing => Nil; case p => List(p) }).head
+    assert((p0 \ "writerFeatures").values.asInstanceOf[List[_]]
+      .contains("changeDataFeed"))
+    val md0 = acts(0).flatMap(j => j \ "metaData" match {
+      case JNothing => Nil; case m => List(m) }).head
+    assert((md0 \ "configuration" \ "delta.enableChangeDataFeed")
+      == JString("true"))
+    // v0 insert-only and v3 append-only carry NO cdc action; the two
+    // mixed commits (merge, delete) do
+    assert(!kinds(0).contains("cdc"))
+    assert(kinds(1).contains("cdc"))
+    assert(kinds(2).contains("cdc"))
+    assert(!kinds(3).contains("cdc"))
+    // feed fidelity per version: readChangeFeed == changesBetween
+    val graftVs = Seq(v1, v2, v3, v4)
+    graftVs.zipWithIndex.drop(1).foreach { case (gv, dv) =>
+      val want = rows(LakeWriter.changesBetween(
+        spark, t, graftVs(dv - 1), gv))
+      val got = rows(DeltaMirror.readChangeFeed(spark, t,
+        dv.toLong, Some(dv.toLong)).drop("_commit_version"))
+      assert(got == want, s"feed at delta v$dv (graft v$gv)")
+    }
+    // initial commit synthesizes the full base as inserts
+    assert(rows(DeltaMirror.readChangeFeed(spark, t, 0, Some(0))
+      .drop("_commit_version")) ==
+      rows(base.withColumn("_change_type", lit("insert"))))
+    // whole-range read carries the per-commit versions
+    val all = DeltaMirror.readChangeFeed(spark, t, 0)
+    assert(all.select("_commit_version").distinct.as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("change data feed: compaction encodes as dataChange=false and " +
+      "contributes nothing; feed range below the log floor refuses") {
+    val t = freshDir("graft_delta_cdf2") + "/t"
+    LakeWriter.commitSnapshot(docs(40), t)
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 50)
+    // compaction: files rewrite, rows do not
+    LakeWriter.compactSnapshot(spark, t, 2)
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 80)
+    assert(DeltaMirror.mirror(spark, t, changeDataFeed = true,
+      checkpointEvery = 3) == 4L)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def acts(dv: Long): Seq[JValue] = {
+      val p = java.nio.file.Paths.get(t, "_delta_log", f"$dv%020d.json")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split('\n').toSeq.filter(_.trim.nonEmpty)
+        .map(JsonMethods.parse(_))
+    }
+    // the compaction commit (delta v2): adds+removes all
+    // dataChange=false, no cdc action
+    val a2 = acts(2)
+    val addDc = a2.flatMap(j => j \ "add" \ "dataChange" match {
+      case JBool(b) => List(b); case _ => Nil })
+    val remDc = a2.flatMap(j => j \ "remove" \ "dataChange" match {
+      case JBool(b) => List(b); case _ => Nil })
+    assert(addDc.nonEmpty && addDc.forall(_ == false))
+    assert(remDc.nonEmpty && remDc.forall(_ == false))
+    assert(!a2.exists(j => (j \ "cdc") != JNothing))
+    // ... so the feed at v2 is EMPTY, and the v1/v3 deletes carry
+    // exactly the net changes
+    assert(DeltaMirror.readChangeFeed(spark, t, 2, Some(2)).count() == 0L)
+    val f3 = DeltaMirror.readChangeFeed(spark, t, 3, Some(3))
+    assert(rows(f3.drop("_commit_version")) ==
+      rows(LakeWriter.changesBetween(spark, t, 3, 4)))
+    // retention-clean the early commits (checkpoint at 3 covers
+    // them); the cdc files they referenced are reclaimed with them
+    val cdc1 = acts(1).flatMap(j => j \ "cdc" \ "path" match {
+      case JString(p) => List(p); case _ => Nil })
+    assert(cdc1.nonEmpty)
+    assert(DeltaMirror.cleanupLog(spark, t, retainVersions = 1) > 0)
+    cdc1.foreach { rel =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, rel)), s"cdc file $rel leaked")
+    }
+    // the feed below the floor is gone — refuse, never partial
+    val e = intercept[Exception](
+      DeltaMirror.readChangeFeed(spark, t, 1, Some(3)))
+    assert(e.getMessage.contains("retention"))
+    // resumed mirroring keeps the feed alive past the cleanup
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 120)
+    DeltaMirror.mirror(spark, t, changeDataFeed = true)
+    assert(rows(DeltaMirror.readChangeFeed(spark, t, 4, Some(4))
+      .drop("_commit_version")) ==
+      rows(LakeWriter.changesBetween(spark, t, 4, 5)))
+  }
+
+  test("change data feed: partitioned tables attach partition values " +
+      "from cdc partitionValues; legacy resumed mirror refuses CDF") {
+    val t = freshDir("graft_delta_cdf3") + "/t"
+    LakeWriter.commitSnapshotDynamic(docs(60), t, Seq("lang"))
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 100 && $"lang" === "en")
+    DeltaMirror.mirror(spark, t, changeDataFeed = true)
+    val f1 = DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
+    assert(rows(f1.drop("_commit_version")) ==
+      rows(LakeWriter.changesBetween(spark, t, 1, 2)))
+    // every feed row resolved its lang (partition values attached)
+    assert(f1.where($"lang".isNull).count() == 0L)
+  }
 }

@@ -904,22 +904,22 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(eb.getMessage.contains("non-identity"))
   }
 
-  test("refusals: format v3, equality deletes, rename without " +
+  test("refusals: format v4, equality deletes, rename without " +
       "name mapping") {
     val t = buildForeignTree()
-    // v3 metadata refuses
+    // v4 metadata refuses (v3 is whitelisted for the DV surface)
     val v1 = new String(readBytes(s"$t/metadata/v1.metadata.json"),
       "UTF-8")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$t/metadata/v2.metadata.json"),
-      v1.replace("\"format-version\": 2", "\"format-version\": 3")
+      v1.replace("\"format-version\": 2", "\"format-version\": 4")
         .getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
       "2".getBytes("UTF-8"))
     val e1 = intercept[IllegalArgumentException](
       IcebergMirror.readIceberg(spark, t))
-    assert(e1.getMessage.contains("format v3"))
+    assert(e1.getMessage.contains("format v4"))
     // back to v2, but with an EQUALITY delete manifest in the list
     // (position deletes are SERVED; equality deletes refuse)
     val meq = s"$t/metadata/meq.avro"
@@ -955,5 +955,371 @@ class IcebergMirrorSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       IcebergMirror.readIceberg(spark, t))
     assert(e3.getMessage.contains("renamed column"))
+  }
+
+  test("nested-field renames refuse: with no mapping, with a mapping " +
+      "naming the member differently, and with a mapping gap") {
+    val t = buildForeignTree()
+    val v1 = new String(readBytes(s"$t/metadata/v1.metadata.json"),
+      "UTF-8")
+    def schemaWith(id: Int, nested: String): String =
+      s"""{"type":"struct","schema-id":$id,"fields":[
+         {"id":1,"name":"doc_id","required":false,"type":"long"},
+         {"id":2,"name":"payload","required":false,"type":"string"},
+         {"id":3,"name":"bucket","required":false,"type":"int"},
+         {"id":4,"name":"meta","required":false,"type":{"type":"struct",
+           "fields":[{"id":5,"name":"$nested","required":false,
+             "type":"long"}]}}]}"""
+    def publish(body: String, hint: Int): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$t/metadata/v$hint.metadata.json"),
+        body.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+        hint.toString.getBytes("UTF-8"))
+    }
+    // history renamed meta.score -> meta.rank, no mapping published
+    // (schema 0 keeps its original fields plus the nested struct;
+    // schema 7 is current with the member renamed)
+    val noMap2 = v1
+      .replace("\"current-schema-id\": 0", "\"current-schema-id\": 7")
+      .replace(""""schemas": [""",
+        s""""schemas": [${schemaWith(0, "score")}, ${schemaWith(7, "rank")}, """)
+    publish(noMap2, 4)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e1.getMessage.contains("renamed nested field"))
+    // a mapping that names the nested member by its OLD file name:
+    // top-level ids resolve, the nested one cannot — refuse
+    val mapped = noMap2.replace(""""properties": {}""",
+      """"properties": {"schema.name-mapping.default": "[{\"field-id\":1,\"names\":[\"doc_id\"]},{\"field-id\":2,\"names\":[\"payload\"]},{\"field-id\":3,\"names\":[\"bucket\"]},{\"field-id\":4,\"names\":[\"meta\"],\"fields\":[{\"field-id\":5,\"names\":[\"score\"]}]}]"}""")
+    publish(mapped, 5)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e2.getMessage.contains("NESTED"))
+    // a mapping that does NOT cover the renamed nested id at all
+    val gap = noMap2.replace(""""properties": {}""",
+      """"properties": {"schema.name-mapping.default": "[{\"field-id\":1,\"names\":[\"doc_id\"]},{\"field-id\":2,\"names\":[\"payload\"]},{\"field-id\":3,\"names\":[\"bucket\"]},{\"field-id\":4,\"names\":[\"meta\"]}]"}""")
+    publish(gap, 6)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e3.getMessage.contains("no entry for it"))
+    // control: the mapping naming the member by its CURRENT name
+    // passes the schema checks (resolution proceeds to the data scan)
+    val ok = noMap2.replace(""""properties": {}""",
+      """"properties": {"schema.name-mapping.default": "[{\"field-id\":1,\"names\":[\"doc_id\"]},{\"field-id\":2,\"names\":[\"payload\"]},{\"field-id\":3,\"names\":[\"bucket\"]},{\"field-id\":4,\"names\":[\"meta\"],\"fields\":[{\"field-id\":5,\"names\":[\"rank\"]}]}]"}""")
+    publish(ok, 7)
+    // the struct column is absent from the data files (added after
+    // they were written) — it must read as nulls, not refuse
+    val served = IcebergMirror.readIceberg(spark, t)
+    assert(served.where($"meta".isNotNull).count() == 0L)
+    assert(served.count() == 16L)
+  }
+
+  test("scoped equality deletes never cross partition-spec ids even " +
+      "when every shared identity value is null on both sides") {
+    val t = freshDir("graft_ice_eqspec") + "/t"
+    def slice(name: String, lo: Long, hi: Long): (String, Long) = {
+      spark.range(lo, hi).toDF("doc_id")
+        .withColumn("payload", concat(lit("p"), $"doc_id"))
+        .coalesce(1).write.parquet(s"$t/data/$name")
+      val f = new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, hi - lo)
+    }
+    val (fa, nA) = slice("fa", 0, 10)    // spec 0, bucket=7, seq 1
+    val (fb, nB) = slice("fb", 200, 206) // spec 3, pay=null, seq 1
+    def eqFile(name: String, ids: Seq[Long]): String = {
+      ids.toDF("doc_id").coalesce(1).write.parquet(s"$t/data/$name")
+      new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    // both deletes ride SPEC-0 manifests: one scoped to bucket=null
+    // (the ADVICE scenario — must NOT leak into fb under spec 3),
+    // one scoped to bucket=7 (must apply to fa)
+    val eNull = eqFile("enull", Seq(201L))
+    val eSeven = eqFile("eseven", Seq(3L))
+    // entry schema whose partition record carries spec 3's field
+    // (pay, field-id 1001)
+    val payEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","type":{"type":"record","name":"r102","fields":[
+            {"name":"pay","type":["null","string"],"default":null,"field-id":1001}
+          ]},"field-id":102},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104}
+        ]},"field-id":2}
+      ]}""")
+    def payEntry(path: String, n: Long): GenericRecord = {
+      val e = new GenericData.Record(payEntrySchema)
+      e.put("status", Integer.valueOf(1))
+      e.put("snapshot_id", java.lang.Long.valueOf(101L))
+      e.put("sequence_number", java.lang.Long.valueOf(1L))
+      val dfS = payEntrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", Integer.valueOf(0))
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfS.getField("partition").schema()))
+      df.put("record_count", java.lang.Long.valueOf(n))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+      e.put("data_file", df)
+      e
+    }
+    def eqEntry(seq: Long, path: String, bucket: Integer)
+        : GenericRecord = {
+      val e = foreignEntry(1, 202L, seq, path, bucket, 1L)
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.put("content", Integer.valueOf(2))
+      val l = new java.util.ArrayList[Integer](1)
+      l.add(Integer.valueOf(1))
+      df.put("equality_ids", l)
+      e
+    }
+    val mA = s"$t/metadata/ma.avro"
+    val mALen = writeAvro(mA, foreignEntrySchema,
+      Seq(foreignEntry(1, 101L, 1L, fa, 7, nA)))
+    val mB = s"$t/metadata/mb.avro"
+    val mBLen = writeAvro(mB, payEntrySchema, Seq(payEntry(fb, nB)))
+    val mD = s"$t/metadata/md.avro"
+    val mDLen = writeAvro(mD, foreignEntrySchema, Seq(
+      eqEntry(5L, eNull, null), eqEntry(5L, eSeven, 7)))
+    val mBRec = foreignListRec(mB, mBLen, 101L, 1L)
+    mBRec.put("partition_spec_id", Integer.valueOf(3))
+    val mDRec = foreignListRec(mD, mDLen, 202L, 5L, content = 1)
+    val ml = s"$t/metadata/snap-501.avro"
+    writeAvro(ml, foreignListSchema,
+      Seq(foreignListRec(mA, mALen, 101L, 1L), mBRec, mDRec))
+    val meta = s"""{
+      "format-version": 2,
+      "table-uuid": "00000000-0000-0000-0000-00000000beef",
+      "location": "$t",
+      "last-sequence-number": 5,
+      "last-updated-ms": 1700000002000,
+      "last-column-id": 3,
+      "current-schema-id": 0,
+      "schemas": [$foreignSchemaJson],
+      "default-spec-id": 0,
+      "partition-specs": [
+        {"spec-id":0,"fields":[
+          {"name":"bucket","transform":"identity","source-id":3,"field-id":1000}]},
+        {"spec-id":3,"fields":[
+          {"name":"pay","transform":"identity","source-id":2,"field-id":1001}]}],
+      "last-partition-id": 1001,
+      "default-sort-order-id": 0,
+      "sort-orders": [{"order-id":0,"fields":[]}],
+      "properties": {},
+      "current-snapshot-id": 501,
+      "snapshots": [
+        {"snapshot-id":501,"sequence-number":5,"timestamp-ms":1700000002000,
+         "manifest-list":"$ml","summary":{"operation":"overwrite"},"schema-id":0}],
+      "snapshot-log": [
+        {"timestamp-ms":1700000002000,"snapshot-id":501}],
+      "metadata-log": []
+    }"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      meta.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val got = IcebergMirror.readIceberg(spark, t)
+      .select($"doc_id").as[Long].collect().toSet
+    // fa loses 3 (same spec, bucket 7 matches); fb KEEPS 201 — the
+    // bucket=null-scoped delete is spec-0-scoped and fb rides spec 3
+    // (pre-fix, null <=> null on both shared identity columns leaked
+    // it across specs)
+    val want = (Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L) ++
+      (200L until 206L)).toSet
+    assert(got == want)
+  }
+
+  test("v3 deletion vectors: puffin blob parse + row filter, at-most-" +
+      "one and CRC refusals, row-lineage/initial-default refusals") {
+    val t = freshDir("graft_ice_v3dv") + "/t"
+    def slice(name: String, lo: Long, hi: Long): (String, Long) = {
+      spark.range(lo, hi).toDF("doc_id")
+        .withColumn("payload", concat(lit("p"), $"doc_id"))
+        .coalesce(1).write.parquet(s"$t/data/$name")
+      val f = new java.io.File(s"$t/data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, hi - lo)
+    }
+    val (fa, nA) = slice("fa", 0, 20)
+    // puffin with one DV blob deleting rows 3, 7, 15 of fa
+    val vec = graft.sources.DeletionVectors.serialize(
+      Array(3L, 7L, 15L))
+    val crc = new java.util.zip.CRC32(); crc.update(vec)
+    val blob = java.nio.ByteBuffer.allocate(vec.length + 8)
+    blob.putInt(vec.length); blob.put(vec)
+    blob.putInt(crc.getValue.toInt)
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    val payload =
+      (s"""{"blobs":[{"type":"deletion-vector-v1","fields":[],""" +
+        s""""snapshot-id":101,"sequence-number":2,"offset":4,""" +
+        s""""length":${vec.length + 8},"properties":{""" +
+        s""""referenced-data-file":"$fa","cardinality":"3"}}],""" +
+        """"properties":{}}""").getBytes("UTF-8")
+    val footer = java.nio.ByteBuffer
+      .allocate(4 + payload.length + 12)
+    footer.put(magic).put(payload)
+    footer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(payload.length)
+    footer.putInt(0); footer.put(magic)
+    val puffin = s"$t/data/dv.puffin"
+    val out = new java.io.FileOutputStream(puffin)
+    out.write(magic); out.write(blob.array()); out.write(footer.array())
+    out.close()
+    // v3 entry schema: the base fields + 143/144/145
+    val dvEntrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+        ]},"field-id":2}]}""")
+    def entry(content: Int, seq: Long, path: String, n: Long,
+        refd: String = null, off: Long = -1, sz: Long = -1)
+        : GenericRecord = {
+      val e = new GenericData.Record(dvEntrySchema)
+      e.put("status", Integer.valueOf(1))
+      e.put("snapshot_id", java.lang.Long.valueOf(101L))
+      e.put("sequence_number", java.lang.Long.valueOf(seq))
+      val dfS = dvEntrySchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfS)
+      df.put("content", Integer.valueOf(content))
+      df.put("file_path", path)
+      df.put("file_format",
+        if (refd != null) "PUFFIN" else "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfS.getField("partition").schema()))
+      df.put("record_count", java.lang.Long.valueOf(n))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(1L))
+      if (refd != null) {
+        df.put("referenced_data_file", refd)
+        df.put("content_offset", java.lang.Long.valueOf(off))
+        df.put("content_size_in_bytes", java.lang.Long.valueOf(sz))
+      }
+      e.put("data_file", df)
+      e
+    }
+    val m1 = s"$t/metadata/m1.avro"
+    val m1len = writeAvro(m1, dvEntrySchema,
+      Seq(entry(0, 1L, fa, nA)))
+    val md = s"$t/metadata/md.avro"
+    val mdLen = writeAvro(md, dvEntrySchema, Seq(
+      entry(1, 2L, puffin, 3L, fa, 4L, vec.length + 8L)))
+    val ml = s"$t/metadata/snap-101.avro"
+    val mdRec = foreignListRec(md, mdLen, 101L, 2L, content = 1)
+    writeAvro(ml, foreignListSchema,
+      Seq(foreignListRec(m1, m1len, 101L, 1L), mdRec))
+    def publish(extra: String): Unit = {
+      val meta = s"""{
+        "format-version": 3,
+        "table-uuid": "00000000-0000-0000-0000-00000000d3d3",
+        "location": "$t",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"type":"struct","schema-id":0,"fields":[
+          {"id":1,"name":"doc_id","required":false,"type":"long"},
+          {"id":2,"name":"payload","required":false,"type":"string"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[]}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},$extra
+        "current-snapshot-id": 101,
+        "snapshots": [
+          {"snapshot-id":101,"sequence-number":2,
+           "timestamp-ms":1700000002000,"manifest-list":"$ml",
+           "summary":{"operation":"overwrite"},"schema-id":0}],
+        "snapshot-log": [
+          {"timestamp-ms":1700000002000,"snapshot-id":101}],
+        "metadata-log": []
+      }"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+        meta.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$t/metadata/version-hint.text"),
+        "1".getBytes("UTF-8"))
+    }
+    publish("")
+    val got = IcebergMirror.readIceberg(spark, t)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == (0L until 20L).toSet -- Set(3L, 7L, 15L))
+    // row lineage refuses
+    publish(""""row-lineage": true,""")
+    val e1 = intercept[IllegalArgumentException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e1.getMessage.contains("row lineage"))
+    // initial-default refuses
+    publish("")
+    val v1 = new String(readBytes(s"$t/metadata/v1.metadata.json"),
+      "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      v1.replace(
+        """{"id":2,"name":"payload","required":false,"type":"string"}""",
+        """{"id":2,"name":"payload","required":false,"type":"string",
+           "initial-default":"x"}""").getBytes("UTF-8"))
+    val e2 = intercept[RuntimeException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e2.getMessage.contains("initial-default"))
+    // a second DV for the same data file refuses (v3: at most one)
+    publish("")
+    val md2 = s"$t/metadata/md2.avro"
+    val md2Len = writeAvro(md2, dvEntrySchema, Seq(
+      entry(1, 2L, puffin, 3L, fa, 4L, vec.length + 8L),
+      entry(1, 2L, puffin, 3L, fa, 4L, vec.length + 8L)))
+    val md2Rec = foreignListRec(md2, md2Len, 101L, 2L, content = 1)
+    writeAvro(ml, foreignListSchema,
+      Seq(foreignListRec(m1, m1len, 101L, 1L), md2Rec))
+    val e3 = intercept[RuntimeException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e3.getMessage.contains("more than one"))
+    // corrupt vector bytes refuse on CRC
+    writeAvro(ml, foreignListSchema,
+      Seq(foreignListRec(m1, m1len, 101L, 1L), mdRec))
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(puffin))
+    raw(10) = (raw(10) ^ 0x7f).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(puffin), raw)
+    val e4 = intercept[RuntimeException](
+      IcebergMirror.readIceberg(spark, t))
+    assert(e4.getMessage.contains("checksum"))
+  }
+
+  test("maxLiveFiles ceiling refuses loudly before the driver holds " +
+      "an unbounded foreign file list") {
+    val t = buildForeignTree()
+    spark.conf.set("spark.graft.iceberg.maxLiveFiles", "1")
+    try {
+      val e = intercept[RuntimeException](
+        IcebergMirror.readIceberg(spark, t))
+      assert(e.getMessage.contains("maxLiveFiles"))
+    } finally spark.conf.unset("spark.graft.iceberg.maxLiveFiles")
+    // at the default ceiling the same tree serves
+    assert(IcebergMirror.readIceberg(spark, t).count() == 16L)
   }
 }
