@@ -2508,6 +2508,43 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, s"$tmp/table")
     }),
 
+    "q_catalog_asof" -> ((s, d) => {
+      // CROSS-TABLE ATOMIC COMMIT / TAG through the gate (the r14
+      // verdict's #5 — the Nessie role): fact + dim load as snapshot
+      // tables, ONE catalog commit pins both versions atomically and
+      // a tag names it; then BOTH tables advance (a COW DELETE on
+      // fact, a rebuilt dim) and a second catalog commit pins the new
+      // pair. The served rows join fact and dim AS OF THE TAG — a
+      // catalog that mixed versions (new fact with old dim or vice
+      // versa) fails the row hash, because the oracle re-derives the
+      // CONSISTENT tagged pair from the raw documents table.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_catalog_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val fact = s"$tmp/fact"
+      val dim = s"$tmp/dim"
+      val cat = s"$tmp/cat"
+      import graft.sources.{Catalog, LakeWriter}
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+      def dimOf(f: org.apache.spark.sql.DataFrame) =
+        f.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("tot_chars"))
+      LakeWriter.commitSnapshot(docs, fact)
+      LakeWriter.commitSnapshot(dimOf(docs), dim)
+      val c1 = Catalog.commit(s, cat, Map("fact" -> fact, "dim" -> dim))
+      Catalog.tag(s, cat, "release", Some(c1))
+      LakeWriter.deleteFromSnapshot(s, fact, col("n_chars") < 200)
+      LakeWriter.commitSnapshot(
+        dimOf(LakeWriter.readSnapshot(s, fact)), dim)
+      Catalog.commit(s, cat, Map("fact" -> fact, "dim" -> dim))
+      val at = Catalog.tagCommit(s, cat, "release")
+      Catalog.readTableAt(s, cat, "fact", at)
+        .join(Catalog.readTableAt(s, cat, "dim", at), "lang")
+    }),
+
     "q_snapshot_evolve" -> ((s, d) => {
       // PARTITION SPEC EVOLUTION through the gate (Iceberg's
       // evolve-then-rewrite story): v1 commits UNPARTITIONED (lang as
@@ -5199,6 +5236,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
         .stripMargin,
+
+    "q_catalog_asof" ->
+      // the TAGGED (pre-advance) fact+dim pair re-derived from raw
+      // documents: fact v1 = even doc_ids, dim v1 = per-lang counts
+      // over that SAME state — a catalog serving any later version of
+      // either table (or a mixed pair) fails the hash
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |d AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |  FROM f GROUP BY lang)
+        |SELECT f.lang, f.doc_id, f.n_chars, d.n_docs, d.tot_chars
+        |FROM f JOIN d USING (lang)""".stripMargin,
 
     "q_ingest_iceberg_v3dv" ->
       // rows served through readIceberg's v3 PUFFIN-DV resolution:

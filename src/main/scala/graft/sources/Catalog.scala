@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** CROSS-TABLE ATOMIC COMMITS — the catalog role the reference stack
+  * delegates to Nessie (config/nessie.properties:1-4; the
+  * `nessie.curated.*` namespace in lakehouse-DDL/DDL.sql:2): one
+  * catalog commit pins `(table -> snapshot version)` across MANY
+  * graft snapshot tables in a single atomic publish, so a multi-table
+  * star load (fact + dims) exposes either ALL of a load's versions or
+  * none of them, and a TAG time-travels every member table
+  * CONSISTENTLY — the property per-table versioning (and the per-table
+  * Iceberg refs of r14) cannot give.
+  *
+  * Layout under the catalog dir — metadata only, no data IO ever:
+  * {{{
+  *   commits/c000000000001.json   one JSON per catalog commit
+  *   tags/<name>.json             immutable pointer {"commit": N}
+  * }}}
+  * A commit file is the atomic unit: dot-hidden tmp + rename, exactly
+  * the manifest/_delta_log publish discipline, so a concurrent reader
+  * only ever lists whole commits and a CRASH mid-commit leaves an
+  * invisible tmp, never a partial pin set. Two writers racing to the
+  * same commit number: the loser's rename fails onto the existing
+  * destination and refuses loudly (optimistic concurrency, the
+  * DeltaMirror publish-race posture).
+  *
+  * At 100 TB this is O(tables) metadata per commit; the pinned
+  * versions are ordinary graft snapshots, so reads scale exactly as
+  * `readSnapshot` does and vacuum stays per-table (a pinned version
+  * that vacuum has reclaimed refuses loudly on read — the documented
+  * retention trade, same as Delta time travel past its window).
+  */
+object Catalog {
+
+  private def commitsDir(catalog: String) =
+    new org.apache.hadoop.fs.Path(catalog, "commits")
+  private def tagsDir(catalog: String) =
+    new org.apache.hadoop.fs.Path(catalog, "tags")
+  private def commitName(c: Long): String = f"c$c%012d.json"
+  private val CommitRe = """^c(\d{12})\.json$""".r
+
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s)
+    case _ => None
+  }
+  private def lng(j: JValue): Option[Long] = j match {
+    case JInt(n) => Some(n.toLong)
+    case JLong(n) => Some(n)
+    case _ => None
+  }
+
+  /** Catalog commit ids present, ascending. */
+  def commits(spark: SparkSession, catalog: String): Seq[Long] = {
+    val dir = commitsDir(catalog)
+    val fs = LakeWriter.fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case CommitRe(n) => Some(n.toLong)
+        case _ => None // dot-tmp of a crashed publish: invisible
+      }).sorted
+  }
+
+  private def readCommitJson(spark: SparkSession, catalog: String,
+                             c: Long): JValue = {
+    val p = new org.apache.hadoop.fs.Path(commitsDir(catalog),
+      commitName(c))
+    val fs = LakeWriter.fsOf(spark, p)
+    require(fs.exists(p),
+      s"catalog at $catalog has no commit $c (have " +
+        s"${commits(spark, catalog).mkString(", ")})")
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    JsonMethods.parse(body)
+  }
+
+  /** The `(table name -> (path, pinned version))` map of a commit. */
+  def pinsAt(spark: SparkSession, catalog: String,
+             c: Long): Map[String, (String, Long)] =
+    readCommitJson(spark, catalog, c) \ "tables" match {
+      case JObject(fields) => fields.map { case (name, t) =>
+        name -> ((str(t \ "path").getOrElse(sys.error(
+          s"catalog at $catalog: commit $c entry $name has no path")),
+          lng(t \ "version").getOrElse(sys.error(
+            s"catalog at $catalog: commit $c entry $name has no " +
+              "version"))))
+      }.toMap
+      case _ => sys.error(s"catalog at $catalog: commit $c is malformed")
+    }
+
+  /** Atomically commit a consistent cross-table state: pin each named
+    * table at `at(name)` (default: its CURRENT latest version). Every
+    * pin is validated against the table's real snapshot history
+    * BEFORE anything publishes — a dangling pin refuses and leaves
+    * the catalog untouched (all-or-nothing, the "refuse partial
+    * commits" contract). A name carried over from the parent commit
+    * must keep its path (a silent re-point would make historic AS OF
+    * reads lie); tables may be added commit over commit, and a name
+    * absent from `tables` simply drops out of the new commit (its
+    * history stays readable at older commits). Returns the commit id. */
+  def commit(spark: SparkSession, catalog: String,
+             tables: Map[String, String],
+             at: Map[String, Long] = Map.empty): Long = {
+    require(tables.nonEmpty, s"catalog at $catalog: empty commit")
+    at.keys.foreach(n => require(tables.contains(n),
+      s"catalog at $catalog: version pin for unknown table '$n'"))
+    val prev = commits(spark, catalog)
+    val parent = prev.lastOption
+    // carried names must keep their paths
+    parent.foreach { p =>
+      val old = pinsAt(spark, catalog, p)
+      tables.foreach { case (n, path) =>
+        old.get(n).foreach { case (oldPath, _) =>
+          require(oldPath == path,
+            s"catalog at $catalog: table '$n' would re-point from " +
+              s"$oldPath to $path — historic AS OF reads would lie; " +
+              "register the new location under a new name")
+        }
+      }
+    }
+    // validate every pin against the table's real history FIRST:
+    // nothing publishes unless the whole set resolves
+    val pinned: Seq[(String, String, Long)] =
+      tables.toSeq.sortBy(_._1).map { case (n, path) =>
+        val vs = LakeWriter.snapshotVersions(spark, path)
+        require(vs.nonEmpty,
+          s"catalog at $catalog: table '$n' at $path has no snapshots")
+        val v = at.getOrElse(n, vs.last)
+        require(vs.contains(v),
+          s"catalog at $catalog: table '$n' has no version $v " +
+            s"(have ${vs.mkString(", ")}) — refusing the whole commit")
+        (n, path, v)
+      }
+    val c = parent.getOrElse(-1L) + 1
+    val body = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "commit" -> JInt(BigInt(c)),
+      "parent" -> parent.map(p => JInt(BigInt(p)): JValue)
+        .getOrElse(JNull),
+      "timestamp" -> JInt(BigInt(System.currentTimeMillis())),
+      "tables" -> JObject(pinned.map { case (n, path, v) =>
+        n -> (JObject(List(
+          "path" -> JString(path),
+          "version" -> JInt(BigInt(v)))): JValue)
+      }.toList)))))
+    val dir = commitsDir(catalog)
+    val fs = LakeWriter.fsOf(spark, dir)
+    fs.mkdirs(dir)
+    // per-attempt tmp: two committers racing to the same id must not
+    // interleave bytes in a shared tmp — each stages privately and
+    // only the RENAME arbitrates
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".${commitName(c)}." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, commitName(c))
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false): Unit
+      sys.error(s"catalog at $catalog: commit $c lost a publish race " +
+        "(concurrent committer) — retry against the new tip")
+    }
+    c
+  }
+
+  /** Tag a catalog commit (default: the tip). Tags are IMMUTABLE —
+    * re-tagging an existing name refuses (a moved release tag would
+    * silently change what consumers already resolved). */
+  def tag(spark: SparkSession, catalog: String, name: String,
+          commit: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.contains('/') && !name.startsWith("."),
+      s"catalog at $catalog: bad tag name '$name'")
+    val c = commit.getOrElse(commits(spark, catalog).lastOption.getOrElse(
+      sys.error(s"catalog at $catalog has no commits to tag")))
+    readCommitJson(spark, catalog, c): Unit // must exist
+    val dir = tagsDir(catalog)
+    val fs = LakeWriter.fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val dest = new org.apache.hadoop.fs.Path(dir, s"$name.json")
+    require(!fs.exists(dest),
+      s"catalog at $catalog: tag '$name' already exists (tags are " +
+        "immutable — pick a new name)")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.json." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(JsonMethods.compact(JsonMethods.render(JObject(List(
+      "commit" -> JInt(BigInt(c)))))).getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false): Unit
+      sys.error(s"catalog at $catalog: tag '$name' lost a publish race")
+    }
+    c
+  }
+
+  /** Resolve a tag to its catalog commit id; unknown tags list what
+    * exists. */
+  def tagCommit(spark: SparkSession, catalog: String,
+                name: String): Long = {
+    val dir = tagsDir(catalog)
+    val fs = LakeWriter.fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"$name.json")
+    if (!fs.exists(p)) {
+      val have =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(n => n.endsWith(".json") && !n.startsWith("."))
+          .map(_.stripSuffix(".json")).sorted
+      sys.error(s"catalog at $catalog has no tag '$name' (tags: " +
+        s"${have.mkString(", ")})")
+    }
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    lng(JsonMethods.parse(body) \ "commit").getOrElse(
+      sys.error(s"catalog at $catalog: tag '$name' is malformed"))
+  }
+
+  /** Read table `name` AS OF catalog commit `c` — the snapshot version
+    * the commit pinned, through the ordinary snapshot reader. */
+  def readTableAt(spark: SparkSession, catalog: String, name: String,
+                  c: Long): DataFrame = {
+    val pins = pinsAt(spark, catalog, c)
+    val (path, v) = pins.getOrElse(name, sys.error(
+      s"catalog at $catalog: commit $c pins no table '$name' " +
+        s"(tables: ${pins.keys.toSeq.sorted.mkString(", ")})"))
+    LakeWriter.readSnapshot(spark, path, Some(v))
+  }
+
+  /** Read table `name` AS OF a tag — every member table of the tagged
+    * commit resolves consistently through the same pin set. */
+  def readTableAtTag(spark: SparkSession, catalog: String, name: String,
+                     tagName: String): DataFrame =
+    readTableAt(spark, catalog, name, tagCommit(spark, catalog, tagName))
+}

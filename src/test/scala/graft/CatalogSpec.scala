@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Catalog, LakeWriter}
+
+/** Cross-table atomic commits (the Nessie role): consistent AS OF
+  * across tables, all-or-nothing validation, crash/race injection,
+  * tag immutability. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def fixture(): (String, String, String) = {
+    val root = freshDir("graft_catalog")
+    val fact = s"$root/fact"
+    val dim = s"$root/dim"
+    val docs = spark.range(0, 60).toDF("id")
+      .withColumn("lang",
+        when(pmod($"id", lit(3)) === 0, "en")
+          .when(pmod($"id", lit(3)) === 1, "de").otherwise("fr"))
+      .withColumn("v", $"id" * 10)
+    LakeWriter.commitSnapshot(docs, fact)
+    LakeWriter.commitSnapshot(
+      docs.groupBy("lang").agg(count(lit(1)).as("n")), dim)
+    (s"$root/cat", fact, dim)
+  }
+
+  test("one commit pins fact+dim atomically; a tag time-travels BOTH " +
+      "consistently after both tables advance") {
+    val (cat, fact, dim) = fixture()
+    val c1 = Catalog.commit(spark, cat,
+      Map("fact" -> fact, "dim" -> dim))
+    assert(c1 == 0L)
+    Catalog.tag(spark, cat, "release", Some(c1))
+    val wantFact = rows(LakeWriter.readSnapshot(spark, fact))
+    val wantDim = rows(LakeWriter.readSnapshot(spark, dim))
+    // both tables advance; the new state commits as c2
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 200)
+    LakeWriter.commitSnapshot(
+      LakeWriter.readSnapshot(spark, fact)
+        .groupBy("lang").agg(count(lit(1)).as("n")), dim)
+    val c2 = Catalog.commit(spark, cat,
+      Map("fact" -> fact, "dim" -> dim))
+    assert(c2 == 1L)
+    // AS OF the tag: the OLD pair, consistent — neither table's
+    // advance leaks through
+    assert(rows(Catalog.readTableAtTag(spark, cat, "fact", "release"))
+      == wantFact)
+    assert(rows(Catalog.readTableAtTag(spark, cat, "dim", "release"))
+      == wantDim)
+    // the tip serves the new pair
+    assert(rows(Catalog.readTableAt(spark, cat, "fact", c2)) ==
+      rows(LakeWriter.readSnapshot(spark, fact)))
+    assert(Catalog.commits(spark, cat) == Seq(0L, 1L))
+  }
+
+  test("all-or-nothing: one dangling pin refuses the WHOLE commit and " +
+      "leaves the catalog untouched") {
+    val (cat, fact, dim) = fixture()
+    val e = intercept[IllegalArgumentException](
+      Catalog.commit(spark, cat,
+        Map("fact" -> fact, "dim" -> dim),
+        at = Map("dim" -> 99L)))
+    assert(e.getMessage.contains("refusing the whole commit"))
+    assert(Catalog.commits(spark, cat).isEmpty)
+    // an unknown table path refuses the same way
+    val e2 = intercept[IllegalArgumentException](
+      Catalog.commit(spark, cat,
+        Map("fact" -> fact, "ghost" -> s"$fact-nope")))
+    assert(e2.getMessage.contains("no snapshots"))
+    assert(Catalog.commits(spark, cat).isEmpty)
+  }
+
+  test("crash/race injection: a stray tmp is invisible, a destination " +
+      "collision refuses loudly, re-pointing a name refuses") {
+    val (cat, fact, dim) = fixture()
+    Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim))
+    // crash between tmp write and rename: the tmp must be invisible
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(cat, "commits"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cat, "commits", ".c000000000001.json.tmp"),
+      "{}".getBytes("UTF-8"))
+    assert(Catalog.commits(spark, cat) == Seq(0L))
+    // a commit another writer already published is the new PARENT for
+    // everyone who lists after it — the next commit serializes behind
+    // it and the published file survives byte-identical (the rename
+    // collision branch only fires in the list→publish window)
+    val winner = """{"commit":1,"parent":0,"timestamp":1,"tables":{}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cat, "commits", "c000000000001.json"),
+      winner.getBytes("UTF-8"))
+    assert(Catalog.commit(spark, cat, Map("fact" -> fact)) == 2L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cat, "commits", "c000000000001.json")),
+      "UTF-8") == winner)
+    // two committers in the SAME list→publish window: exactly one
+    // rename lands, the loser refuses loudly and corrupts nothing
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = (0 until 2).map { _ =>
+      new java.util.concurrent.FutureTask[Either[String, Long]](
+        new java.util.concurrent.Callable[Either[String, Long]] {
+          def call(): Either[String, Long] = {
+            barrier.await()
+            try Right(Catalog.commit(spark, cat, Map("fact" -> fact)))
+            catch { case e: RuntimeException => Left(e.getMessage) }
+          }
+        })
+    }
+    outcomes.foreach(t => new Thread(t).start())
+    val results = outcomes.map(_.get())
+    val wins = results.collect { case Right(c) => c }
+    val losses = results.collect { case Left(m) => m }
+    // both may serialize cleanly (distinct ids) or one loses the race
+    assert(wins.nonEmpty)
+    assert(wins.toSet.size == wins.size,
+      s"two committers claimed one commit id: $results")
+    losses.foreach(m => assert(m.contains("publish race"), m))
+    assert(Catalog.commits(spark, cat) ==
+      (0L to Catalog.commits(spark, cat).max).toSeq)
+    // re-pointing an existing name to a new path refuses
+    val e2 = intercept[IllegalArgumentException](
+      Catalog.commit(spark, cat, Map("fact" -> dim)))
+    assert(e2.getMessage.contains("re-point"))
+  }
+
+  test("tags are immutable; unknown tags and unpinned tables refuse " +
+      "naming what exists") {
+    val (cat, fact, dim) = fixture()
+    val c1 = Catalog.commit(spark, cat, Map("fact" -> fact))
+    Catalog.tag(spark, cat, "v1", Some(c1))
+    val e = intercept[IllegalArgumentException](
+      Catalog.tag(spark, cat, "v1", Some(c1)))
+    assert(e.getMessage.contains("immutable"))
+    val e2 = intercept[RuntimeException](
+      Catalog.tagCommit(spark, cat, "nope"))
+    assert(e2.getMessage.contains("v1"))
+    val e3 = intercept[RuntimeException](
+      Catalog.readTableAt(spark, cat, "dim", c1))
+    assert(e3.getMessage.contains("fact"))
+    // dim joins the catalog at the NEXT commit; the old commit still
+    // serves only what it pinned
+    val c2 = Catalog.commit(spark, cat,
+      Map("fact" -> fact, "dim" -> dim))
+    assert(Catalog.pinsAt(spark, cat, c2).keySet == Set("fact", "dim"))
+    assert(Catalog.pinsAt(spark, cat, c1).keySet == Set("fact"))
+  }
+}
