@@ -2508,6 +2508,41 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, s"$tmp/table")
     }),
 
+    "q_ingest_iceberg_changes" -> ((s, d) => {
+      // ICEBERG INCREMENTAL CHANGELOG through the gate (the r14
+      // verdict's #6 — the second format of the CDC interop story): a
+      // lang-partitioned table takes two dynamic partition overwrites
+      // ('en' then 'zh'), the Iceberg mirror records each as one
+      // snapshot whose manifest entries carry their snapshot id, and
+      // readIcebergChanges resolves the ROW-LEVEL feed between the
+      // first and last snapshots from exactly those entry statuses —
+      // the same resolution a foreign engine's incremental scan runs
+      // against the mirror, proving the mirror is incrementally
+      // consumable with NO extra metadata. The oracle re-derives both
+      // ordinals' insert/delete sets logically from raw documents, so
+      // a mis-stamped snapshot id, a missed tombstone, or a wrong
+      // ordinal surfaces as missing/extra rows.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_changes_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{IcebergMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "en" && col("n_chars") >= 150),
+        table, Seq("lang"))
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "zh" && col("n_chars") >= 160),
+        table, Seq("lang"))
+      IcebergMirror.mirror(s, table)
+      val snaps = IcebergMirror.icebergSnapshots(s, table).map(_._1)
+      IcebergMirror.readIcebergChanges(s, table, snaps.head, snaps.last)
+        .drop("_commit_snapshot_id")
+    }),
+
     "q_catalog_asof" -> ((s, d) => {
       // CROSS-TABLE ATOMIC COMMIT / TAG through the gate (the r14
       // verdict's #5 — the Nessie role): fact + dim load as snapshot
@@ -5236,6 +5271,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
         .stripMargin,
+
+    "q_ingest_iceberg_changes" ->
+      // both changelog ordinals re-derived logically: a dynamic
+      // partition overwrite deletes the partition's old rows and
+      // inserts the new set — ordinal 1 rewrites 'en', ordinal 2 'zh'
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars, lang FROM documents
+        |  WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, n_chars, lang,
+        |  'delete' AS _change_type, CAST(1 AS INT) AS _change_ordinal
+        |FROM b WHERE lang = 'en'
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'insert', CAST(1 AS INT)
+        |FROM b WHERE lang = 'en' AND n_chars >= 150
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'delete', CAST(2 AS INT)
+        |FROM b WHERE lang = 'zh'
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'insert', CAST(2 AS INT)
+        |FROM b WHERE lang = 'zh' AND n_chars >= 160""".stripMargin,
 
     "q_catalog_asof" ->
       // the TAGGED (pre-advance) fact+dim pair re-derived from raw

@@ -1371,79 +1371,69 @@ object IcebergMirror {
     }
   }
 
-  private def readIcebergImpl(spark: SparkSession, dir: String,
-                              snapshotId: Option[Long],
-                              pruneWith: Option[org.apache.spark.sql.Column])
-      : DataFrame = {
-    val md = metaDir(dir)
-    val fs = LakeWriter.fsOf(spark, md)
-    val n = currentMetadataVersion(fs, md).getOrElse(
-      sys.error(s"no iceberg metadata at $dir"))
-    val j = JsonMethods.parse(new String(
-      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
-    val fv = lng(j \ "format-version").getOrElse(1L)
-    require(fv <= 3L,
-      s"iceberg table at $dir is format v$fv — this reader implements " +
-        "v1/v2 and the v3 deletion-vector surface; refusing " +
-        "(later-format features would be silently dropped)")
-    // v3 acceptance is a WHITELIST: puffin deletion vectors read
-    // natively below; everything else v3 adds that would change what
-    // a read returns refuses loudly. Row lineage implies synthesized
-    // `_row_id`/`_last_updated_sequence_number` columns this reader
-    // does not serve; a field's initial-default rewrites what
-    // pre-existing files read for an added column.
-    if (fv >= 3L) {
-      require((j \ "row-lineage") != JBool(true) &&
-          (j \ "next-row-id") == JNothing,
-        s"iceberg table at $dir enables v3 row lineage — this reader " +
-          "does not maintain row ids; refusing")
+  /** An avro partition value in Spark's EXTERNAL row representation
+    * (what createDataFrame expects), typed by the source column. */
+  private def avroPvToExternal(dt: DataType, v: Any,
+                               dir: String): Any = v match {
+    case null => null
+    case _ => dt match {
+      case IntegerType => Integer.valueOf(v.asInstanceOf[Number].intValue)
+      case LongType => java.lang.Long.valueOf(
+        v.asInstanceOf[Number].longValue)
+      case ShortType => java.lang.Short.valueOf(
+        v.asInstanceOf[Number].shortValue)
+      case StringType => v.toString
+      case BooleanType => v
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue))
+      case TimestampType =>
+        val us = v.asInstanceOf[Number].longValue
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        val us = v.asInstanceOf[Number].longValue
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case other => sys.error(
+        s"iceberg table at $dir: identity partition on $other is " +
+          "not supported by this reader")
     }
-    val location = str(j \ "location").getOrElse(dir)
+  }
 
-    // schemas: current + history (rename detection)
-    val schemasJ: List[JValue] = (j \ "schemas") match {
-      case JArray(ss) => ss
-      case _ => (j \ "schema") match { // v1 single-schema form
-        case o: JObject => List(o)
-        case _ => sys.error(s"iceberg table at $dir carries no schema")
-      }
+  /** A path as Spark's `_metadata.file_path` renders it (url-encoded
+    * single-slash URI form) — the broadcast join key. */
+  private def fileKeyOf(p: String,
+      hconf: org.apache.hadoop.conf.Configuration): String = {
+    val abs = new Path(p)
+    val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
+    new java.net.URI(q.getScheme, q.getAuthority,
+      q.getPath, null, null).toString
+  }
+
+  /** (field id, name, type json) of a schema's top-level fields. */
+  private def schemaFieldsOf(s: JValue): List[(Int, String, JValue)] =
+    (s \ "fields") match {
+      case JArray(fs0) => fs0.flatMap(f => for {
+        id <- lng(f \ "id")
+        nm <- str(f \ "name")
+      } yield (id.toInt, nm, f \ "type"))
+      case _ => Nil
     }
-    val currentSchemaId = lng(j \ "current-schema-id").getOrElse(
-      schemasJ.headOption.flatMap(s => lng(s \ "schema-id"))
-        .getOrElse(0L))
-    val curSchemaJ = schemasJ.find(s =>
-      lng(s \ "schema-id").contains(currentSchemaId))
-      .orElse(schemasJ.headOption)
-      .getOrElse(sys.error(s"iceberg table at $dir: no current schema"))
+
+  /** FILE column names of `curFields` (the name mapping when
+    * published, else current names) with the full rename-refusal
+    * discipline at every nesting depth — shared by the batch
+    * reader and the incremental changes reader. */
+  private def resolvePhysByName(dir: String, j: JValue,
+      schemasJ: List[JValue], curSchemaJ: JValue,
+      curFields: List[(Int, String, JValue)])
+      : Map[String, String] = {
     def fieldsOf(s: JValue): List[(Int, String, JValue)] =
-      (s \ "fields") match {
-        case JArray(fs0) => fs0.flatMap(f => for {
-          id <- lng(f \ "id")
-          nm <- str(f \ "name")
-        } yield (id.toInt, nm, f \ "type"))
-        case _ => Nil
-      }
-    val curFields = fieldsOf(curSchemaJ)
-    // v3 default values: a field carrying initial-default changes
-    // what files written BEFORE the column existed must read — this
-    // reader would serve nulls there; refuse at any nesting depth
-    curSchemaJ.filterField {
-      case ("initial-default", v) => v != JNull && v != JNothing
-      case _ => false
-    } match {
-      case Nil =>
-      case _ => sys.error(
-        s"iceberg table at $dir: a schema field declares a v3 " +
-          "initial-default — this reader would serve nulls where the " +
-          "default applies; refusing")
-    }
-    val schema = StructType(curFields.map { case (_, nm, t) =>
-      StructField(nm, sparkTypeOf(t, dir), nullable = true)
-    })
+      schemaFieldsOf(s)
     val idToName = curFields.map(f => (f._1, f._2)).toMap
-    val idToType: Map[Int, DataType] = curFields.map { case (id, _, t) =>
-      id -> sparkTypeOf(t, dir) }.toMap
-
     // FILE column names: the name mapping when published (file name ->
     // field id -> current name); else current names — refusing when
     // history shows a rename this reader would misresolve. NESTED
@@ -1472,7 +1462,7 @@ object IcebergMirror {
     val curNestedById = curNested.toMap
     val mapping = str(j \ "properties" \ "schema.name-mapping.default")
       .map(JsonMethods.parse(_))
-    val physByName: Map[String, String] = mapping match {
+    mapping match {
       case Some(JArray(entries)) =>
         def firstName(e: JValue): Option[String] = (e \ "names") match {
           case JArray(JString(x) :: _) => Some(x)
@@ -1543,6 +1533,78 @@ object IcebergMirror {
         }
         curFields.map { case (_, nm, _) => nm -> nm }.toMap
     }
+
+  }
+
+  private def readIcebergImpl(spark: SparkSession, dir: String,
+                              snapshotId: Option[Long],
+                              pruneWith: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val md = metaDir(dir)
+    val fs = LakeWriter.fsOf(spark, md)
+    val n = currentMetadataVersion(fs, md).getOrElse(
+      sys.error(s"no iceberg metadata at $dir"))
+    val j = JsonMethods.parse(new String(
+      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+    val fv = lng(j \ "format-version").getOrElse(1L)
+    require(fv <= 3L,
+      s"iceberg table at $dir is format v$fv — this reader implements " +
+        "v1/v2 and the v3 deletion-vector surface; refusing " +
+        "(later-format features would be silently dropped)")
+    // v3 acceptance is a WHITELIST: puffin deletion vectors read
+    // natively below; everything else v3 adds that would change what
+    // a read returns refuses loudly. Row lineage implies synthesized
+    // `_row_id`/`_last_updated_sequence_number` columns this reader
+    // does not serve; a field's initial-default rewrites what
+    // pre-existing files read for an added column.
+    if (fv >= 3L) {
+      require((j \ "row-lineage") != JBool(true) &&
+          (j \ "next-row-id") == JNothing,
+        s"iceberg table at $dir enables v3 row lineage — this reader " +
+          "does not maintain row ids; refusing")
+    }
+    val location = str(j \ "location").getOrElse(dir)
+
+    // schemas: current + history (rename detection)
+    val schemasJ: List[JValue] = (j \ "schemas") match {
+      case JArray(ss) => ss
+      case _ => (j \ "schema") match { // v1 single-schema form
+        case o: JObject => List(o)
+        case _ => sys.error(s"iceberg table at $dir carries no schema")
+      }
+    }
+    val currentSchemaId = lng(j \ "current-schema-id").getOrElse(
+      schemasJ.headOption.flatMap(s => lng(s \ "schema-id"))
+        .getOrElse(0L))
+    val curSchemaJ = schemasJ.find(s =>
+      lng(s \ "schema-id").contains(currentSchemaId))
+      .orElse(schemasJ.headOption)
+      .getOrElse(sys.error(s"iceberg table at $dir: no current schema"))
+    def fieldsOf(s: JValue): List[(Int, String, JValue)] =
+      schemaFieldsOf(s)
+    val curFields = fieldsOf(curSchemaJ)
+    // v3 default values: a field carrying initial-default changes
+    // what files written BEFORE the column existed must read — this
+    // reader would serve nulls there; refuse at any nesting depth
+    curSchemaJ.filterField {
+      case ("initial-default", v) => v != JNull && v != JNothing
+      case _ => false
+    } match {
+      case Nil =>
+      case _ => sys.error(
+        s"iceberg table at $dir: a schema field declares a v3 " +
+          "initial-default — this reader would serve nulls where the " +
+          "default applies; refusing")
+    }
+    val schema = StructType(curFields.map { case (_, nm, t) =>
+      StructField(nm, sparkTypeOf(t, dir), nullable = true)
+    })
+    val idToName = curFields.map(f => (f._1, f._2)).toMap
+    val idToType: Map[Int, DataType] = curFields.map { case (id, _, t) =>
+      id -> sparkTypeOf(t, dir) }.toMap
+
+    val physByName: Map[String, String] =
+      resolvePhysByName(dir, j, schemasJ, curSchemaJ, curFields)
 
     // partition specs: spec-id -> identity fields (partition field-id,
     // source field-id); non-identity transforms need no resolution
@@ -1876,41 +1938,10 @@ object IcebergMirror {
     // broadcast (file -> typed partition values); key built exactly as
     // Spark's `_metadata.file_path` renders it (url-encoded URI form),
     // LEFT join + per-row raise so an encoding regression is loud
-    def jvmToExternal(dt: DataType, v: Any): Any = v match {
-      case null => null
-      case _ => dt match {
-        case IntegerType => Integer.valueOf(v.asInstanceOf[Number].intValue)
-        case LongType => java.lang.Long.valueOf(
-          v.asInstanceOf[Number].longValue)
-        case ShortType => java.lang.Short.valueOf(
-          v.asInstanceOf[Number].shortValue)
-        case StringType => v.toString
-        case BooleanType => v
-        case DateType => java.sql.Date.valueOf(
-          java.time.LocalDate.ofEpochDay(
-            v.asInstanceOf[Number].longValue))
-        case TimestampType =>
-          val us = v.asInstanceOf[Number].longValue
-          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
-            Math.floorMod(us, 1000000L) * 1000L)
-        case TimestampNTZType =>
-          val us = v.asInstanceOf[Number].longValue
-          java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(us, 1000000L),
-            (Math.floorMod(us, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC)
-        case other => sys.error(
-          s"iceberg table at $dir: identity partition on $other is " +
-            "not supported by this reader")
-      }
-    }
+    def jvmToExternal(dt: DataType, v: Any): Any =
+      avroPvToExternal(dt, v, dir)
     val hconf = spark.sessionState.newHadoopConf()
-    def canonicalKey(p: String): String = {
-      val abs = new Path(p)
-      val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
-      new java.net.URI(q.getScheme, q.getAuthority,
-        q.getPath, null, null).toString
-    }
+    def canonicalKey(p: String): String = fileKeyOf(p, hconf)
     val pvRows: Seq[Row] = live.values.toSeq.map { lv =>
       val dv = dvByStored.get(lv.stored)
       Row.fromSeq((canonicalKey(lv.path) +: identitySources.map(src =>
@@ -2056,6 +2087,207 @@ object IcebergMirror {
           col(s"__graft_pv_${f.name}")).as(f.name)
       else col(physByName(f.name)).as(f.name)
     }.toIndexedSeq: _*)
+  }
+
+  /** INCREMENTAL CHANGELOG SCAN over an Iceberg table — the
+    * consumer's read of row-level changes between two snapshots
+    * (exclusive `fromSnapshot`, inclusive `toSnapshot`), the Iceberg
+    * twin of [[DeltaMirror.readChangeFeed]]. Resolution is exactly
+    * what Iceberg's own incremental scans consume: each in-range
+    * snapshot's manifest entries stamped with its snapshot id —
+    * status-1 adds read as "insert" rows, status-2 tombstones read
+    * their (still-on-disk) files as "delete" rows — so the cost is
+    * bounded by the CHANGED files, never table size, and graft's own
+    * mirror is incrementally consumable by construction (no extra
+    * metadata: the mirror's adds and tombstones already carry their
+    * snapshot ids). Emits the table columns plus `_change_type`,
+    * `_change_ordinal` (1-based position in the range) and
+    * `_commit_snapshot_id`.
+    *
+    * COPY-ON-WRITE scope, refused loudly otherwise: a DELETE manifest
+    * in any in-range snapshot means merge-on-read row-level deletes a
+    * file-granular changelog cannot represent. The parent chain must
+    * reach `fromSnapshot` (expired history refuses — a silently
+    * partial feed never serves). */
+  def readIcebergChanges(spark: SparkSession, dir: String,
+                         fromSnapshot: Long,
+                         toSnapshot: Long): DataFrame = {
+    val md = metaDir(dir)
+    val fs = LakeWriter.fsOf(spark, md)
+    val n = currentMetadataVersion(fs, md).getOrElse(
+      sys.error(s"no iceberg metadata at $dir"))
+    val j = JsonMethods.parse(new String(
+      readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+    val fv = lng(j \ "format-version").getOrElse(1L)
+    require(fv <= 3L,
+      s"iceberg table at $dir is format v$fv — refusing")
+    val location = str(j \ "location").getOrElse(dir)
+    def resolvePath(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) p
+      else s"${location.stripSuffix("/")}/$p"
+    }
+    val schemasJ: List[JValue] = (j \ "schemas") match {
+      case JArray(ss) => ss
+      case _ => (j \ "schema") match {
+        case o: JObject => List(o)
+        case _ => sys.error(s"iceberg table at $dir carries no schema")
+      }
+    }
+    val currentSchemaId = lng(j \ "current-schema-id").getOrElse(
+      schemasJ.headOption.flatMap(s => lng(s \ "schema-id"))
+        .getOrElse(0L))
+    val curSchemaJ = schemasJ.find(s =>
+      lng(s \ "schema-id").contains(currentSchemaId))
+      .orElse(schemasJ.headOption)
+      .getOrElse(sys.error(s"iceberg table at $dir: no current schema"))
+    val curFields = schemaFieldsOf(curSchemaJ)
+    val schema = StructType(curFields.map { case (_, nm, t) =>
+      StructField(nm, sparkTypeOf(t, dir), nullable = true)
+    })
+    val idToName = curFields.map(f => (f._1, f._2)).toMap
+    val idToType: Map[Int, DataType] = curFields.map { case (id, _, t) =>
+      id -> sparkTypeOf(t, dir) }.toMap
+    val physByName =
+      resolvePhysByName(dir, j, schemasJ, curSchemaJ, curFields)
+    val specsJ: List[JValue] = (j \ "partition-specs") match {
+      case JArray(ss) => ss
+      case _ => Nil
+    }
+    val identityOf: Map[Int, Seq[(Int, Int)]] = specsJ.flatMap { p =>
+      lng(p \ "spec-id").map { sid =>
+        sid.toInt -> ((p \ "fields") match {
+          case JArray(fs0) => fs0.flatMap { f =>
+            if (!str(f \ "transform").contains("identity")) None
+            else for {
+              fid <- lng(f \ "field-id")
+              src <- lng(f \ "source-id")
+            } yield (fid.toInt, src.toInt)
+          }
+          case _ => Nil
+        })
+      }
+    }.toMap
+    // the parent chain to..from, oldest first
+    val snapsJ: List[JValue] = (j \ "snapshots") match {
+      case JArray(ss) => ss
+      case _ => Nil
+    }
+    def snap(sid: Long): JValue = snapsJ.find(s =>
+      lng(s \ "snapshot-id").contains(sid)).getOrElse(sys.error(
+      s"iceberg table at $dir has no snapshot $sid (expired?) — the " +
+        "changelog below the retention window is gone; refusing a " +
+        "silently partial feed"))
+    val chain = scala.collection.mutable.ListBuffer[Long]()
+    var cur = toSnapshot
+    while (cur != fromSnapshot) {
+      val sj = snap(cur)
+      chain.prepend(cur)
+      cur = lng(sj \ "parent-snapshot-id").getOrElse(sys.error(
+        s"iceberg table at $dir: snapshot $cur has no parent — the " +
+          s"chain never reaches $fromSnapshot; refusing"))
+    }
+    snap(fromSnapshot): Unit // the base must exist too
+    // per in-range snapshot: its own manifest list, entries stamped
+    // with the snapshot id decide membership
+    final case class Changed(path: String, pvById: Map[Int, Any],
+        snapId: Long, ordinal: Int, insert: Boolean)
+    val changed = scala.collection.mutable.ListBuffer[Changed]()
+    chain.toSeq.zipWithIndex.foreach { case (sid, i) =>
+      val mlPath = str(snap(sid) \ "manifest-list").getOrElse(sys.error(
+        s"iceberg table at $dir: snapshot $sid carries no manifest-list"))
+      val (_, _, mlRows) = readAvroBytes(
+        readFileBytes(fs, new Path(resolvePath(mlPath))))
+      mlRows.foreach { mrec =>
+        val content = asLong(fieldById(mrec, 517, "content"))
+          .getOrElse(0L)
+        val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
+        val specId = asLong(fieldById(mrec, 502, "partition_spec_id"))
+          .getOrElse(0L).toInt
+        val ids = identityOf.getOrElse(specId, Nil)
+        val (_, _, entries) = readAvroBytes(
+          readFileBytes(fs, new Path(resolvePath(mPath))))
+        entries.foreach { e =>
+          val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
+          val esid = asLong(fieldById(e, 1, "snapshot_id"))
+            .getOrElse(-1L)
+          if (esid == sid && status != 0L) {
+            require(content == 0L,
+              s"iceberg table at $dir: snapshot $sid changes DELETE " +
+                "files — merge-on-read row-level deletes are not " +
+                "representable by a file-granular changelog; refusing")
+            val df = fieldById(e, 2, "data_file")
+              .asInstanceOf[GenericRecord]
+            val stored = asString(fieldById(df, 100, "file_path")).get
+            val pv = fieldById(df, 102, "partition") match {
+              case r: GenericRecord => ids.flatMap { case (fid, src) =>
+                idToName.get(src).map { nm =>
+                  src -> avroToJvm(fieldById(r, fid, nm))
+                }
+              }.toMap
+              case _ => Map.empty[Int, Any]
+            }
+            changed += Changed(resolvePath(stored), pv, sid, i + 1,
+              insert = status == 1L)
+          }
+        }
+      }
+    }
+    val identitySources: Seq[Int] =
+      identityOf.values.flatten.map(_._2).toSeq.distinct
+        .filter(idToName.contains).sorted
+    val identityNames = identitySources.map(idToName).toSet
+    val outFields = schema.fields.toSeq ++ Seq(
+      StructField("_change_type", StringType, true),
+      StructField("_change_ordinal", IntegerType, true),
+      StructField("_commit_snapshot_id", LongType, true))
+    if (changed.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(outFields))
+    val hconf = spark.sessionState.newHadoopConf()
+    // one scan over the distinct changed files; the broadcast meta
+    // join fans each file into every (snapshot, side) it changed in
+    val metaRows: Seq[Row] = changed.toSeq.map { c =>
+      Row.fromSeq((fileKeyOf(c.path, hconf) +:
+        identitySources.map(src =>
+          avroPvToExternal(idToType(src), c.pvById.get(src).orNull,
+            dir))) ++
+        Seq(if (c.insert) "insert" else "delete",
+          Integer.valueOf(c.ordinal),
+          java.lang.Long.valueOf(c.snapId),
+          java.lang.Boolean.TRUE))
+    }
+    val metaSchema = StructType(
+      (StructField("__graft_file", StringType, false) +:
+        identitySources.map(src => StructField(
+          s"__graft_pv_${idToName(src)}", idToType(src), true))) ++ Seq(
+        StructField("__graft_ct", StringType, false),
+        StructField("__graft_ord", IntegerType, false),
+        StructField("__graft_sid", LongType, false),
+        StructField("__graft_matched", BooleanType, true)))
+    val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
+    val readSchema = StructType(schema.fields.map(f =>
+      StructField(physByName(f.name), f.dataType, nullable = true)))
+    spark.read.schema(readSchema)
+      .parquet(changed.map(_.path).distinct.toSeq: _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .join(broadcast(metaDf), Seq("__graft_file"), "left")
+      .where(when(col("__graft_matched").isNotNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"readIcebergChanges at $dir: file "), col("__graft_file"),
+          lit(" failed to match its manifest entry (path-encoding " +
+            "regression)"))).cast("boolean")))
+      .select(outFields.map { f =>
+        if (f.name == "_change_type") col("__graft_ct").as(f.name)
+        else if (f.name == "_change_ordinal")
+          col("__graft_ord").as(f.name)
+        else if (f.name == "_commit_snapshot_id")
+          col("__graft_sid").as(f.name)
+        else if (identityNames(f.name))
+          coalesce(col(physByName(f.name)),
+            col(s"__graft_pv_${f.name}")).as(f.name)
+        else col(physByName(f.name)).as(f.name)
+      }.toIndexedSeq: _*)
   }
 
   /** Read an Iceberg table at a named REF (branch or tag — the

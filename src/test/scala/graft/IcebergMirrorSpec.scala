@@ -1142,6 +1142,45 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("incremental changelog: per-snapshot entry statuses resolve " +
+      "inserts+deletes with ordinals; MOR deletes and expired chains " +
+      "refuse") {
+    val t = buildForeignTree()
+    // (101 -> 202]: m1r tombstones fc at sid 202, m2 adds fb at 202
+    val ch = IcebergMirror.readIcebergChanges(spark, t, 101L, 202L)
+    assert(ch.columns.toSeq == Seq("doc_id", "payload", "bucket",
+      "_change_type", "_change_ordinal", "_commit_snapshot_id"))
+    val got = ch.select($"doc_id", $"bucket", $"_change_type",
+      $"_change_ordinal").as[(Long, Int, String, Int)].collect().toSet
+    val want = ((100L until 104L).map((_, 8, "delete", 1)) ++
+      (200L until 206L).map((_, 9, "insert", 1))).toSet
+    assert(got == want)
+    // empty range: from == to
+    assert(IcebergMirror.readIcebergChanges(spark, t, 202L, 202L)
+      .count() == 0L)
+    // an unknown / expired base snapshot refuses loudly
+    val e1 = intercept[RuntimeException](
+      IcebergMirror.readIcebergChanges(spark, t, 999L, 202L))
+    assert(e1.getMessage.contains("never reaches 999") ||
+      e1.getMessage.contains("no snapshot 999"))
+    // a DELETE manifest changing in-range refuses (merge-on-read rows
+    // are not file-granular)
+    val delE = foreignEntry(1, 202L, 2L, s"$t/data/fake.parquet", 7, 1L)
+    delE.get("data_file").asInstanceOf[GenericRecord]
+      .put("content", Integer.valueOf(1))
+    val mdel = s"$t/metadata/mdel.avro"
+    val mdelLen = writeAvro(mdel, foreignEntrySchema, Seq(delE))
+    val m1rLen = new java.io.File(s"$t/metadata/m1r.avro").length
+    val m2Len = new java.io.File(s"$t/metadata/m2.avro").length
+    writeAvro(s"$t/metadata/snap-202.avro", foreignListSchema, Seq(
+      foreignListRec(s"$t/metadata/m1r.avro", m1rLen, 202L, 2L),
+      foreignListRec(s"$t/metadata/m2.avro", m2Len, 202L, 2L),
+      foreignListRec(mdel, mdelLen, 202L, 2L, content = 1)))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergMirror.readIcebergChanges(spark, t, 101L, 202L))
+    assert(e2.getMessage.contains("DELETE files"))
+  }
+
   test("v3 deletion vectors: puffin blob parse + row filter, at-most-" +
       "one and CRC refusals, row-lineage/initial-default refusals") {
     val t = freshDir("graft_ice_v3dv") + "/t"
