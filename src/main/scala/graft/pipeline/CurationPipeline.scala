@@ -224,7 +224,8 @@ object CurationPipeline {
                checkpointEvery: Int = 10,
                logRetainVersions: Int = 0,
                mirrorIceberg: Boolean = false,
-               icebergRetainSnapshots: Int = 0): Long = {
+               icebergRetainSnapshots: Int = 0,
+               deltaChangeDataFeed: Boolean = false): Long = {
     val corpusTable = s"$outDir/corpus"
     val v = LakeWriter.compactSnapshot(spark, corpusTable, nFiles)
     // open-format interop rides maintenance (the reference lands every
@@ -241,7 +242,8 @@ object CurationPipeline {
     // loads otherwise mean hundreds of JSON commits per open.
     if (mirrorDelta) {
       graft.sources.DeltaMirror.mirror(spark, corpusTable,
-        checkpointEvery = checkpointEvery): Unit
+        checkpointEvery = checkpointEvery,
+        changeDataFeed = deltaChangeDataFeed): Unit
       // log retention rides maintenance too: JSON commits the newest
       // covering checkpoint supersedes AND the retention window has
       // outgrown are deleted (non-strict — a call landing between

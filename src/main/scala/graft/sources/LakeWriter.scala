@@ -1931,7 +1931,9 @@ object LakeWriter {
                             checkpointEvery: Int = 10,
                             logRetainVersions: Int = 0,
                             mirrorIceberg: Boolean = false,
-                            icebergRetainSnapshots: Int = 0): Option[Long] = {
+                            icebergRetainSnapshots: Int = 0,
+                            deltaChangeDataFeed: Boolean = false)
+      : Option[Long] = {
     // retention alignment with vacuum: an Iceberg snapshot expiring
     // SLOWER than vacuum's keepVersions window would keep serving
     // manifests whose data files vacuum reclaimed. With expiry on,
@@ -1955,8 +1957,13 @@ object LakeWriter {
     // what vacuum does for the manifest side
     def mirrorAndClean(): Unit = {
       if (mirrorDelta) {
+        // deltaChangeDataFeed rides through (sticky once enabled):
+        // the per-batch mirror then also publishes the net row
+        // changes as cdc actions + _change_data files, and cleanupLog
+        // reclaims them with their covered commits
         DeltaMirror.mirror(spark, table,
-          checkpointEvery = checkpointEvery): Unit
+          checkpointEvery = checkpointEvery,
+          changeDataFeed = deltaChangeDataFeed): Unit
         if (logRetainVersions > 0)
           DeltaMirror.cleanupLog(spark, table, logRetainVersions,
             strict = false): Unit

@@ -81,6 +81,7 @@ object GraphStream {
           checkpointEvery: Int = 10, logRetainVersions: Int = 0,
           mirrorIceberg: Boolean = false,
           icebergRetainSnapshots: Int = 0,
+          deltaChangeDataFeed: Boolean = false,
           trigger: org.apache.spark.sql.streaming.Trigger =
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -97,7 +98,7 @@ object GraphStream {
           LakeWriter.maintainSnapshotEvery(batch.sparkSession, table,
             maintainEvery, compactFiles, keepVersions, mirrorDelta,
             checkpointEvery, logRetainVersions, mirrorIceberg,
-            icebergRetainSnapshots): Unit
+            icebergRetainSnapshots, deltaChangeDataFeed): Unit
       }
       .trigger(trigger)
       .start()

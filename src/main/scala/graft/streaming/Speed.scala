@@ -472,6 +472,7 @@ object Speed extends Serializable {
                        logRetainVersions: Int = 0,
                        mirrorIceberg: Boolean = false,
                        icebergRetainSnapshots: Int = 0,
+                       deltaChangeDataFeed: Boolean = false,
                        trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -489,7 +490,8 @@ object Speed extends Serializable {
         graft.sources.LakeWriter.maintainSnapshotEvery(
           batch.sparkSession, table, maintainEvery, compactFiles,
           keepVersions, mirrorDelta, checkpointEvery,
-          logRetainVersions, mirrorIceberg, icebergRetainSnapshots): Unit
+          logRetainVersions, mirrorIceberg, icebergRetainSnapshots,
+          deltaChangeDataFeed): Unit
       }
       .trigger(trigger)
       .start()

@@ -1152,6 +1152,27 @@ class DeltaMirrorSpec extends AnyFunSuite {
       rows(LakeWriter.changesBetween(spark, t, 4, 5)))
   }
 
+  test("maintainSnapshotEvery(deltaChangeDataFeed) keeps a CDF mirror " +
+      "current per call, and the feed stays on once enabled (sticky)") {
+    val t = freshDir("graft_delta_cdf_maint") + "/t"
+    LakeWriter.commitSnapshot(docs(40), t)
+    LakeWriter.maintainSnapshotEvery(spark, t, 0, mirrorDelta = true,
+      deltaChangeDataFeed = true)
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 60)
+    LakeWriter.maintainSnapshotEvery(spark, t, 0, mirrorDelta = true,
+      deltaChangeDataFeed = true)
+    assert(rows(DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
+      .drop("_commit_version")) ==
+      rows(LakeWriter.changesBetween(spark, t, 1, 2)))
+    // sticky: a later maintenance call WITHOUT the flag must keep the
+    // feed alive (a CDF consumer must never see it silently stop)
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" < 100)
+    LakeWriter.maintainSnapshotEvery(spark, t, 0, mirrorDelta = true)
+    assert(rows(DeltaMirror.readChangeFeed(spark, t, 2, Some(2))
+      .drop("_commit_version")) ==
+      rows(LakeWriter.changesBetween(spark, t, 2, 3)))
+  }
+
   test("change data feed: partitioned tables attach partition values " +
       "from cdc partitionValues; legacy resumed mirror refuses CDF") {
     val t = freshDir("graft_delta_cdf3") + "/t"
