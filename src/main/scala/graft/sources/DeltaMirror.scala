@@ -1419,6 +1419,8 @@ object DeltaMirror {
       if (fromVersion == 0) new LogState
       else replay(spark, dir, Some(fromVersion - 1))._1
     var schemaSeen: Option[String] = st.schemaJson
+    var partColsSeen: Option[Seq[String]] =
+      if (st.metaData.isEmpty) None else Some(st.partCols)
     // (version, change-type override — None when the file carries its
     // own `_change_type` column, i.e. a cdc file —, path, pv)
     val slices = scala.collection.mutable.ListBuffer[
@@ -1472,6 +1474,18 @@ object DeltaMirror {
         s"readChangeFeed at $dir: the schema changed at commit $v " +
           "inside the requested range — a single-schema feed would " +
           "misread one side; split the range at the schema change")
+      // partitioning can change with an IDENTICAL schemaString
+      // (REPLACE TABLE ... PARTITIONED BY): the final partCols would
+      // then misattach values for pre-change slices — same refusal
+      if (partColsSeen.isEmpty && st.metaData.nonEmpty)
+        partColsSeen = Some(st.partCols)
+      else if (partColsSeen.nonEmpty)
+        require(st.partCols == partColsSeen.get,
+          s"readChangeFeed at $dir: partitionColumns changed at " +
+            s"commit $v inside the requested range (" +
+            s"${partColsSeen.get.mkString(",")} -> " +
+            s"${st.partCols.mkString(",")}) — split the range at the " +
+            "re-partitioning")
       val cdfEnabled = st.metaData.exists(md =>
         str(md \ "configuration" \ "delta.enableChangeDataFeed")
           .contains("true"))
@@ -1638,12 +1652,24 @@ object DeltaMirror {
           // leak delta-sized files forever under a streaming cadence)
           readCommit(fs, cp).foreach { j =>
             str(j \ "cdc" \ "path").foreach { p =>
-              val abs =
-                if (isAbsolutePath(p)) new org.apache.hadoop.fs.Path(
-                  java.net.URI.create(p.replace(" ", "%20")))
-                else new org.apache.hadoop.fs.Path(
-                  s"$root/${percentDecode(p)}")
-              fs.delete(abs, false): Unit
+              if (isAbsolutePath(p))
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  java.net.URI.create(p.replace(" ", "%20"))),
+                  false): Unit
+              else {
+                // relative cdc files live under the mirror's own
+                // per-commit `_change_data/v<dv>-<attempt>/` dir —
+                // reclaim the WHOLE dir (hive subdirs included), not
+                // just the parquet leaves, or a streaming cadence
+                // leaks one empty dir tree per cleaned mixed commit
+                val segs = percentDecode(p).split('/')
+                val target =
+                  if (segs.length >= 2 && segs(0) == "_change_data")
+                    segs.take(2).mkString("/")
+                  else percentDecode(p)
+                fs.delete(new org.apache.hadoop.fs.Path(
+                  s"$root/$target"), true): Unit
+              }
             }
           }
           fs.delete(cp, false): Unit

@@ -1497,8 +1497,21 @@ object IcebergMirror {
                 "nulls for the renamed member; refusing")
           }
         }
-        // nested ids the mapping does NOT cover still misresolve if
-        // history renamed them — same refusal as the no-mapping case
+        // ids the mapping does NOT cover still misresolve if history
+        // renamed them — same refusal as the no-mapping case, at the
+        // top level AND below (a writer-maintained mapping can be
+        // stale; falling back to the current name would read nulls
+        // from pre-rename files)
+        schemasJ.foreach { s =>
+          fieldsOf(s).foreach { case (id, nm, _) =>
+            if (!idToPhys.contains(id))
+              idToName.get(id).foreach(cur => require(cur == nm,
+                s"iceberg table at $dir renamed column '$nm' -> " +
+                  s"'$cur' and the name mapping carries no entry for " +
+                  "it — files written before the rename would read " +
+                  "nulls; refusing"))
+          }
+        }
         val nestedCovered = nestedMapped.map(_._1).toSet
         schemasJ.foreach { s =>
           nestedFieldsOf(s).foreach { case (id, path) =>
@@ -1694,22 +1707,37 @@ object IcebergMirror {
     }
     // manifest avro fetch+decode is I/O-bound and per-manifest
     // independent: run it on a bounded pool (the footer-sweep
-    // discipline), then FOLD serially in manifest-list order so the
-    // resolved state stays deterministic
-    val manifestEntries: Seq[(GenericRecord, Seq[GenericRecord])] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(16, mlRows.size)))
-      try mlRows.map { mrec =>
-        val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
-        mrec -> pool.submit(
-          new java.util.concurrent.Callable[Seq[GenericRecord]] {
-            def call(): Seq[GenericRecord] = readAvroBytes(
-              readFileBytes(fs, new Path(resolvePath(mPath))))._3
-          })
-      }.map { case (mrec, fut) => (mrec, fut.get()) }
-      finally pool.shutdown()
-    }
-    manifestEntries.foreach { case (mrec, entries) =>
+    // discipline) with a BOUNDED LOOKAHEAD — at most 32 decoded
+    // manifests are ever in flight, so the maxLiveFiles ceiling below
+    // stays the binding limit (a strict prefetch of every manifest
+    // would hold the whole tree's decoded entries on the driver and
+    // OOM before the guard could fire). The fold stays serial in
+    // manifest-list order, so the resolved state is deterministic.
+    val manifestPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, mlRows.size)))
+    def foldManifests(
+        handle: (GenericRecord, Seq[GenericRecord]) => Unit): Unit =
+      try {
+        val pending = scala.collection.mutable.Queue[
+          (GenericRecord,
+            java.util.concurrent.Future[Seq[GenericRecord]])]()
+        val it = mlRows.iterator
+        def submit(mrec: GenericRecord): Unit = {
+          val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
+          pending += (mrec -> manifestPool.submit(
+            new java.util.concurrent.Callable[Seq[GenericRecord]] {
+              def call(): Seq[GenericRecord] = readAvroBytes(
+                readFileBytes(fs, new Path(resolvePath(mPath))))._3
+            }))
+        }
+        while (it.hasNext && pending.size < 32) submit(it.next())
+        while (pending.nonEmpty) {
+          val (mrec, fut) = pending.dequeue()
+          handle(mrec, fut.get())
+          if (it.hasNext) submit(it.next())
+        }
+      } finally manifestPool.shutdown()
+    foldManifests { case (mrec, entries) =>
       val content = asLong(fieldById(mrec, 517, "content")).getOrElse(0L)
       val mSeq = asLong(fieldById(mrec, 515, "sequence_number"))
         .getOrElse(0L)
@@ -1896,16 +1924,29 @@ object IcebergMirror {
         s"iceberg table at $dir: data file $r carries more than one " +
           "deletion vector — format v3 allows at most one; refusing")
     }
+    val applicableDvs = dvDels.toSeq.filter(d =>
+      liveByStored.get(d.referenced).exists(lv => d.seq >= lv.dataSeq))
+    // blob fetches are independent remote reads — the bounded-pool
+    // discipline manifests already use (thousands of DVs would
+    // otherwise serialize one round trip each); parse + verify stays
+    // on the calling thread per future result
+    val dvBlobPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, applicableDvs.size)))
     val dvByStored: Map[String, (Array[Byte], String)] =
-      dvDels.toSeq.flatMap { d =>
-        liveByStored.get(d.referenced)
-          .filter(lv => d.seq >= lv.dataSeq).map { _ =>
-            val in = fs.open(new Path(d.path))
-            val blob = try {
-              in.seek(d.offset)
-              val b = new Array[Byte](d.size.toInt)
-              in.readFully(b); b
-            } finally in.close()
+      try applicableDvs.map { d =>
+        d -> dvBlobPool.submit(
+          new java.util.concurrent.Callable[Array[Byte]] {
+            def call(): Array[Byte] = {
+              val in = fs.open(new Path(d.path))
+              try {
+                in.seek(d.offset)
+                val b = new Array[Byte](d.size.toInt)
+                in.readFully(b); b
+              } finally in.close()
+            }
+          })
+      }.map { case (d, fut) =>
+            val blob = fut.get()
             require(blob.length >= 8, s"iceberg table at $dir: DV " +
               s"blob for ${d.referenced} is ${blob.length} bytes — " +
               "too short for the v3 framing; refusing")
@@ -1927,8 +1968,8 @@ object IcebergMirror {
                 s"${parsed.cardinality} rows but its manifest entry " +
                 s"declares $n — corrupt metadata, refusing"))
             d.referenced -> (data, s"${d.path}@${d.offset}")
-          }
       }.toMap
+      finally dvBlobPool.shutdown()
 
     if (identitySources.isEmpty && posDels.isEmpty && eqDels.isEmpty &&
         dvByStored.isEmpty)
@@ -2121,6 +2162,15 @@ object IcebergMirror {
     val fv = lng(j \ "format-version").getOrElse(1L)
     require(fv <= 3L,
       s"iceberg table at $dir is format v$fv — refusing")
+    // the batch reader's v3 whitelist applies here identically: a
+    // changelog serving nulls where a default applies (or dropping
+    // lineage columns) would be silently wrong, not incomplete
+    if (fv >= 3L) {
+      require((j \ "row-lineage") != JBool(true) &&
+          (j \ "next-row-id") == JNothing,
+        s"iceberg table at $dir enables v3 row lineage — this reader " +
+          "does not maintain row ids; refusing")
+    }
     val location = str(j \ "location").getOrElse(dir)
     def resolvePath(p: String): String = {
       val hp = new Path(p)
@@ -2141,6 +2191,16 @@ object IcebergMirror {
       lng(s \ "schema-id").contains(currentSchemaId))
       .orElse(schemasJ.headOption)
       .getOrElse(sys.error(s"iceberg table at $dir: no current schema"))
+    curSchemaJ.filterField {
+      case ("initial-default", v) => v != JNull && v != JNothing
+      case _ => false
+    } match {
+      case Nil =>
+      case _ => sys.error(
+        s"iceberg table at $dir: a schema field declares a v3 " +
+          "initial-default — this reader would serve nulls where the " +
+          "default applies; refusing")
+    }
     val curFields = schemaFieldsOf(curSchemaJ)
     val schema = StructType(curFields.map { case (_, nm, t) =>
       StructField(nm, sparkTypeOf(t, dir), nullable = true)
@@ -2198,37 +2258,55 @@ object IcebergMirror {
         s"iceberg table at $dir: snapshot $sid carries no manifest-list"))
       val (_, _, mlRows) = readAvroBytes(
         readFileBytes(fs, new Path(resolvePath(mlPath))))
+      // the COW refusal fires at the LIST level, before any manifest
+      // opens: a delete manifest anywhere in an in-range snapshot's
+      // list means merge-on-read rows shaped this state (applied to
+      // carried files, or changed in-range) — a file-granular
+      // changelog cannot represent them faithfully
       mlRows.foreach { mrec =>
-        val content = asLong(fieldById(mrec, 517, "content"))
-          .getOrElse(0L)
-        val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
-        val specId = asLong(fieldById(mrec, 502, "partition_spec_id"))
-          .getOrElse(0L).toInt
-        val ids = identityOf.getOrElse(specId, Nil)
-        val (_, _, entries) = readAvroBytes(
-          readFileBytes(fs, new Path(resolvePath(mPath))))
-        entries.foreach { e =>
-          val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
-          val esid = asLong(fieldById(e, 1, "snapshot_id"))
-            .getOrElse(-1L)
-          if (esid == sid && status != 0L) {
-            require(content == 0L,
-              s"iceberg table at $dir: snapshot $sid changes DELETE " +
-                "files — merge-on-read row-level deletes are not " +
-                "representable by a file-granular changelog; refusing")
-            val df = fieldById(e, 2, "data_file")
-              .asInstanceOf[GenericRecord]
-            val stored = asString(fieldById(df, 100, "file_path")).get
-            val pv = fieldById(df, 102, "partition") match {
-              case r: GenericRecord => ids.flatMap { case (fid, src) =>
-                idToName.get(src).map { nm =>
-                  src -> avroToJvm(fieldById(r, fid, nm))
-                }
-              }.toMap
-              case _ => Map.empty[Int, Any]
+        require(asLong(fieldById(mrec, 517, "content"))
+            .getOrElse(0L) == 0L,
+          s"iceberg table at $dir: snapshot $sid lists DELETE " +
+            "manifests — merge-on-read row-level deletes are not " +
+            "representable by a file-granular changelog; refusing")
+      }
+      // entries stamped with sid live ONLY in manifests the snapshot
+      // itself added (appends AND rewrites both produce a new
+      // manifest file whose added_snapshot_id is the committing
+      // snapshot) — carried manifests are never opened, so metadata
+      // IO is bounded by the CHANGED manifests, not table size
+      mlRows.foreach { mrec =>
+        val mAddedSid = asLong(fieldById(mrec, 503, "added_snapshot_id"))
+          .getOrElse(-1L)
+        if (mAddedSid == sid) {
+          val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
+          val specId = asLong(fieldById(mrec, 502, "partition_spec_id"))
+            .getOrElse(0L).toInt
+          val ids = identityOf.getOrElse(specId, Nil)
+          val (_, _, entries) = readAvroBytes(
+            readFileBytes(fs, new Path(resolvePath(mPath))))
+          entries.foreach { e =>
+            val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
+            // v2 inheritance: a null entry snapshot_id inherits the
+            // manifest's added_snapshot_id (same rule the batch
+            // reader honors for sequence numbers)
+            val esid = asLong(fieldById(e, 1, "snapshot_id"))
+              .getOrElse(mAddedSid)
+            if (esid == sid && status != 0L) {
+              val df = fieldById(e, 2, "data_file")
+                .asInstanceOf[GenericRecord]
+              val stored = asString(fieldById(df, 100, "file_path")).get
+              val pv = fieldById(df, 102, "partition") match {
+                case r: GenericRecord => ids.flatMap { case (fid, src) =>
+                  idToName.get(src).map { nm =>
+                    src -> avroToJvm(fieldById(r, fid, nm))
+                  }
+                }.toMap
+                case _ => Map.empty[Int, Any]
+              }
+              changed += Changed(resolvePath(stored), pv, sid, i + 1,
+                insert = status == 1L)
             }
-            changed += Changed(resolvePath(stored), pv, sid, i + 1,
-              insert = status == 1L)
           }
         }
       }

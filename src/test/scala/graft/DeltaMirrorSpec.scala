@@ -1139,6 +1139,11 @@ class DeltaMirrorSpec extends AnyFunSuite {
     cdc1.foreach { rel =>
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(t, rel)), s"cdc file $rel leaked")
+      // the whole per-commit _change_data dir reclaims with it — a
+      // streaming cadence must not leak one empty dir tree per commit
+      val dir = rel.split('/').take(2).mkString("/")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, dir)), s"cdc dir $dir leaked")
     }
     // the feed below the floor is gone — refuse, never partial
     val e = intercept[Exception](

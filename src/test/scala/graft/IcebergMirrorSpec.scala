@@ -1158,6 +1158,33 @@ class IcebergMirrorSpec extends AnyFunSuite {
     // empty range: from == to
     assert(IcebergMirror.readIcebergChanges(spark, t, 202L, 202L)
       .count() == 0L)
+    // v2 inheritance: an entry with NULL snapshot_id inherits the
+    // manifest's added_snapshot_id — Iceberg-core-written manifests
+    // leave it null routinely, and dropping them would be a silently
+    // partial feed
+    val (fx, nX) = {
+      spark.range(300, 304).toDF("doc_id")
+        .withColumn("payload", concat(lit("p"), $"doc_id"))
+        .coalesce(1).write.parquet(s"$t/data/fx")
+      val f = new java.io.File(s"$t/data/fx").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (f.getAbsolutePath, 4L)
+    }
+    val eNull = foreignEntry(1, 101L, 2L, fx, 7, nX)
+    eNull.put("snapshot_id", null)
+    val mx = s"$t/metadata/mx.avro"
+    val mxLen = writeAvro(mx, foreignEntrySchema, Seq(eNull))
+    val m1rLen0 = new java.io.File(s"$t/metadata/m1r.avro").length
+    val m2Len0 = new java.io.File(s"$t/metadata/m2.avro").length
+    writeAvro(s"$t/metadata/snap-202.avro", foreignListSchema, Seq(
+      foreignListRec(s"$t/metadata/m1r.avro", m1rLen0, 202L, 2L),
+      foreignListRec(s"$t/metadata/m2.avro", m2Len0, 202L, 2L),
+      foreignListRec(mx, mxLen, 202L, 2L)))
+    val got2 = IcebergMirror.readIcebergChanges(spark, t, 101L, 202L)
+      .select($"doc_id", $"_change_type").as[(Long, String)]
+      .collect().toSet
+    assert(got2 == want.map(x => (x._1, x._3)) ++
+      (300L until 304L).map((_, "insert")).toSet)
     // an unknown / expired base snapshot refuses loudly
     val e1 = intercept[RuntimeException](
       IcebergMirror.readIcebergChanges(spark, t, 999L, 202L))
@@ -1178,7 +1205,7 @@ class IcebergMirrorSpec extends AnyFunSuite {
       foreignListRec(mdel, mdelLen, 202L, 2L, content = 1)))
     val e2 = intercept[IllegalArgumentException](
       IcebergMirror.readIcebergChanges(spark, t, 101L, 202L))
-    assert(e2.getMessage.contains("DELETE files"))
+    assert(e2.getMessage.contains("DELETE manifests"))
   }
 
   test("v3 deletion vectors: puffin blob parse + row filter, at-most-" +
