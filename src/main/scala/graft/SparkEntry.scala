@@ -1908,7 +1908,9 @@ object SparkEntry {
       LakeWriter.commitSnapshot(
         docs.where(pmod(col("doc_id"), lit(40)) === 7), table, "append")
       DeltaMirror.mirror(s, table, changeDataFeed = true)
-      DeltaMirror.readChangeFeed(s, table, 0)
+      // _commit_timestamp is the mirror's wall clock — real but not
+      // oracle-derivable; the gate compares the deterministic columns
+      DeltaMirror.readChangeFeed(s, table, 0).drop("_commit_timestamp")
     }),
 
     "q_ingest_delta_cp" -> ((s, d) => {
@@ -2587,6 +2589,45 @@ object SparkEntry {
       val at = Catalog.tagCommit(s, cat, "release")
       Catalog.readTableAt(s, cat, "fact", at)
         .join(Catalog.readTableAt(s, cat, "dim", at), "lang")
+    }),
+
+    "q_catalog_branch" -> ((s, d) => {
+      // CATALOG BRANCHES through the gate (the mutable-ref half of
+      // the Nessie role): fact + dim commit on MAIN, a load branch
+      // forks, BOTH tables advance (a COW DELETE on fact, a rebuilt
+      // dim) and commit ON THE BRANCH — main still serves the
+      // pre-branch pair — then a FAST-FORWARD merge publishes the
+      // branch head's pin map as main's next commit. The served rows
+      // join fact and dim AS OF the merged main tip; the oracle
+      // re-derives the post-advance pair from raw documents, so pins
+      // lost in the branch->merge flow (or a merge that mixed branch
+      // and pre-branch versions) fail the row hash.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_catalog_br_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val fact = s"$tmp/fact"
+      val dim = s"$tmp/dim"
+      val cat = s"$tmp/cat"
+      import graft.sources.{Catalog, LakeWriter}
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+      def dimOf(f: org.apache.spark.sql.DataFrame) =
+        f.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("tot_chars"))
+      LakeWriter.commitSnapshot(docs, fact)
+      LakeWriter.commitSnapshot(dimOf(docs), dim)
+      Catalog.commit(s, cat, Map("fact" -> fact, "dim" -> dim))
+      Catalog.branch(s, cat, "load")
+      LakeWriter.deleteFromSnapshot(s, fact, col("n_chars") < 250)
+      LakeWriter.commitSnapshot(
+        dimOf(LakeWriter.readSnapshot(s, fact)), dim)
+      Catalog.commitOnBranch(s, cat, "load",
+        Map("fact" -> fact, "dim" -> dim))
+      val merged = Catalog.mergeBranch(s, cat, "load")
+      Catalog.readTableAt(s, cat, "fact", merged)
+        .join(Catalog.readTableAt(s, cat, "dim", merged), "lang")
     }),
 
     "q_snapshot_evolve" -> ((s, d) => {
@@ -5280,6 +5321,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM b WHERE doc_id % 4 = 3"""
         .stripMargin,
+
+    "q_catalog_branch" ->
+      // the MERGED (post-branch-advance) fact+dim pair re-derived
+      // from raw documents: fact = mod-3==1 docs surviving the
+      // n_chars >= 250 delete, dim = per-lang aggregates over that
+      // SAME state
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 3 = 1 AND n_chars >= 250),
+        |d AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |  FROM f GROUP BY lang)
+        |SELECT f.lang, f.doc_id, f.n_chars, d.n_docs, d.tot_chars
+        |FROM f JOIN d USING (lang)""".stripMargin,
 
     "q_ingest_iceberg_changes" ->
       // both changelog ordinals re-derived logically: a dynamic

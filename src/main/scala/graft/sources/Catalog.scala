@@ -236,4 +236,205 @@ object Catalog {
   def readTableAtTag(spark: SparkSession, catalog: String, name: String,
                      tagName: String): DataFrame =
     readTableAt(spark, catalog, name, tagCommit(spark, catalog, tagName))
+
+  // ------------------------------------------------------------------
+  // branches (the mutable-ref half of the Nessie role)
+  // ------------------------------------------------------------------
+  //
+  // A branch is its own atomic commit sequence forked from a MAIN
+  // commit: `branches/<name>/b<N>.json`, each file carrying the
+  // branch's base main-commit and a FULL pin map (complete state per
+  // commit, so resolution never replays diffs). The head is simply
+  // the highest published number — no mutable pointer file exists, so
+  // every publish is the same tmp+rename CAS as main commits and a
+  // crashed writer leaves only an invisible tmp. Merging back is
+  // FAST-FORWARD ONLY: if main advanced past the branch's base, the
+  // merge refuses loudly (a silent three-way merge of table pins
+  // could pair versions no one ever validated together).
+
+  private def branchDir(catalog: String, name: String) = {
+    require(name.nonEmpty && !name.contains('/') && !name.startsWith("."),
+      s"catalog at $catalog: bad branch name '$name'")
+    new org.apache.hadoop.fs.Path(catalog, s"branches/$name")
+  }
+  private def branchCommitName(n: Long): String = f"b$n%012d.json"
+  private val BranchCommitRe = """^b(\d{12})\.json$""".r
+
+  /** Branch-local commit numbers present, ascending (empty = no such
+    * branch or a just-created branch with no commits yet). */
+  def branchCommits(spark: SparkSession, catalog: String,
+                    name: String): Seq[Long] = {
+    val dir = branchDir(catalog, name)
+    val fs = LakeWriter.fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case BranchCommitRe(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+  }
+
+  private def readBranchCommit(spark: SparkSession, catalog: String,
+                               name: String, n: Long): JValue = {
+    val p = new org.apache.hadoop.fs.Path(branchDir(catalog, name),
+      branchCommitName(n))
+    val fs = LakeWriter.fsOf(spark, p)
+    require(fs.exists(p),
+      s"catalog at $catalog: branch '$name' has no commit $n")
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    JsonMethods.parse(body)
+  }
+
+  /** Create branch `name` forked from main commit `from` (default:
+    * the main tip). The branch starts as b0 carrying the fork point's
+    * full pin map, so it is immediately readable and its base is
+    * recorded for the fast-forward check. Existing branches refuse. */
+  def branch(spark: SparkSession, catalog: String, name: String,
+             from: Option[Long] = None): Long = {
+    val base = from.getOrElse(commits(spark, catalog).lastOption
+      .getOrElse(sys.error(
+        s"catalog at $catalog has no commits to branch from")))
+    val pins = pinsAt(spark, catalog, base) // must exist; reuse its map
+    val dir = branchDir(catalog, name)
+    val fs = LakeWriter.fsOf(spark, dir)
+    require(!fs.exists(dir),
+      s"catalog at $catalog: branch '$name' already exists")
+    publishBranchCommit(spark, catalog, name, 0L, base, pins)
+    0L
+  }
+
+  /** Commit a consistent cross-table state ONTO a branch — same
+    * all-or-nothing validation and carried-name path pinning as main
+    * commits, published as the branch's next numbered file. */
+  def commitOnBranch(spark: SparkSession, catalog: String, name: String,
+                     tables: Map[String, String],
+                     at: Map[String, Long] = Map.empty): Long = {
+    require(tables.nonEmpty, s"catalog at $catalog: empty commit")
+    at.keys.foreach(n => require(tables.contains(n),
+      s"catalog at $catalog: version pin for unknown table '$n'"))
+    val prev = branchCommits(spark, catalog, name)
+    require(prev.nonEmpty,
+      s"catalog at $catalog has no branch '$name' — create it with " +
+        "branch() first")
+    val head = prev.last
+    val hj = readBranchCommit(spark, catalog, name, head)
+    val base = lng(hj \ "base").getOrElse(sys.error(
+      s"catalog at $catalog: branch '$name' head is malformed"))
+    val old = branchPins(hj, catalog, name)
+    tables.foreach { case (n, path) =>
+      old.get(n).foreach { case (oldPath, _) =>
+        require(oldPath == path,
+          s"catalog at $catalog: table '$n' would re-point from " +
+            s"$oldPath to $path on branch '$name' — register the new " +
+            "location under a new name")
+      }
+    }
+    val pinned: Map[String, (String, Long)] =
+      tables.toSeq.sortBy(_._1).map { case (n, path) =>
+        val vs = LakeWriter.snapshotVersions(spark, path)
+        require(vs.nonEmpty,
+          s"catalog at $catalog: table '$n' at $path has no snapshots")
+        val v = at.getOrElse(n, vs.last)
+        require(vs.contains(v),
+          s"catalog at $catalog: table '$n' has no version $v " +
+            s"(have ${vs.mkString(", ")}) — refusing the whole commit")
+        n -> ((path, v))
+      }.toMap
+    publishBranchCommit(spark, catalog, name, head + 1, base, pinned)
+    head + 1
+  }
+
+  private def branchPins(j: JValue, catalog: String,
+                         name: String): Map[String, (String, Long)] =
+    j \ "tables" match {
+      case JObject(fields) => fields.map { case (n, t) =>
+        n -> ((str(t \ "path").getOrElse(sys.error(
+          s"catalog at $catalog: branch '$name' entry $n has no path")),
+          lng(t \ "version").getOrElse(sys.error(
+            s"catalog at $catalog: branch '$name' entry $n has no " +
+              "version"))))
+      }.toMap
+      case _ => sys.error(
+        s"catalog at $catalog: branch '$name' commit is malformed")
+    }
+
+  private def publishBranchCommit(spark: SparkSession, catalog: String,
+      name: String, n: Long, base: Long,
+      pins: Map[String, (String, Long)]): Unit = {
+    val dir = branchDir(catalog, name)
+    val fs = LakeWriter.fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val body = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "branch" -> JString(name),
+      "seq" -> JInt(BigInt(n)),
+      "base" -> JInt(BigInt(base)),
+      "timestamp" -> JInt(BigInt(System.currentTimeMillis())),
+      "tables" -> JObject(pins.toSeq.sortBy(_._1).map {
+        case (tn, (path, v)) =>
+          tn -> (JObject(List(
+            "path" -> JString(path),
+            "version" -> JInt(BigInt(v)))): JValue)
+      }.toList)))))
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".${branchCommitName(n)}." +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, branchCommitName(n))
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false): Unit
+      sys.error(s"catalog at $catalog: branch '$name' commit $n lost " +
+        "a publish race (concurrent committer) — retry against the " +
+        "new head")
+    }
+  }
+
+  /** The branch head's `(table -> (path, version))` pin map. */
+  def branchHeadPins(spark: SparkSession, catalog: String,
+                     name: String): Map[String, (String, Long)] = {
+    val cs = branchCommits(spark, catalog, name)
+    require(cs.nonEmpty, s"catalog at $catalog has no branch '$name'")
+    branchPins(readBranchCommit(spark, catalog, name, cs.last),
+      catalog, name)
+  }
+
+  /** Read table `name` AS OF branch `branchName`'s head — every
+    * member resolves through the same branch pin set; main is
+    * untouched by anything committed on the branch. */
+  def readTableAtBranch(spark: SparkSession, catalog: String,
+                        branchName: String, name: String): DataFrame = {
+    val pins = branchHeadPins(spark, catalog, branchName)
+    val (path, v) = pins.getOrElse(name, sys.error(
+      s"catalog at $catalog: branch '$branchName' pins no table " +
+        s"'$name' (tables: ${pins.keys.toSeq.sorted.mkString(", ")})"))
+    LakeWriter.readSnapshot(spark, path, Some(v))
+  }
+
+  /** FAST-FORWARD merge of a branch into main: publish the branch
+    * head's full pin map as the next main commit. Refuses loudly when
+    * main advanced past the branch's base — a diverged merge would
+    * pair table versions nobody validated together; rebase by
+    * branching afresh instead. Returns the new main commit id. */
+  def mergeBranch(spark: SparkSession, catalog: String,
+                  name: String): Long = {
+    val cs = branchCommits(spark, catalog, name)
+    require(cs.nonEmpty, s"catalog at $catalog has no branch '$name'")
+    val hj = readBranchCommit(spark, catalog, name, cs.last)
+    val base = lng(hj \ "base").getOrElse(sys.error(
+      s"catalog at $catalog: branch '$name' head is malformed"))
+    val mainTip = commits(spark, catalog).lastOption.getOrElse(
+      sys.error(s"catalog at $catalog has no main commits"))
+    require(mainTip == base,
+      s"catalog at $catalog: main advanced to $mainTip past branch " +
+        s"'$name''s base $base — a fast-forward is impossible and a " +
+        "silent three-way pin merge could pair versions nobody " +
+        "validated together; branch afresh from the new tip and " +
+        "re-validate")
+    val pins = branchPins(hj, catalog, name)
+    commit(spark, catalog, pins.map { case (n, (p, _)) => n -> p },
+      at = pins.map { case (n, (_, v)) => n -> v })
+  }
 }

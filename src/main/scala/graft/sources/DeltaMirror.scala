@@ -1431,9 +1431,23 @@ object DeltaMirror {
           k -> (v match { case JString(s) => Some(s); case _ => None }) }
         case _ => Seq.empty
       }
+    // per-version commit timestamp — ICT when present, else the
+    // commitInfo wall clock, else the file mtime (the
+    // readDeltaTimestamp resolution order); CDF consumers use it as
+    // `_commit_timestamp`
+    val tsByVersion = scala.collection.mutable.Map[Long, Long]()
     (fromVersion to to).foreach { v =>
-      val acts = readCommit(fs,
-        new org.apache.hadoop.fs.Path(log, commitName(v)))
+      val cp0 = new org.apache.hadoop.fs.Path(log, commitName(v))
+      val acts = readCommit(fs, cp0)
+      tsByVersion(v) = acts.view.flatMap { j =>
+        (j \ "commitInfo" \ "inCommitTimestamp") match {
+          case JInt(t) => Some(t.toLong)
+          case _ => (j \ "commitInfo" \ "timestamp") match {
+            case JInt(t) => Some(t.toLong)
+            case _ => None
+          }
+        }
+      }.headOption.getOrElse(fs.getFileStatus(cp0).getModificationTime)
       val cdcs = acts.flatMap(j => str(j \ "cdc" \ "path")
         .map(p => (p, pvOf(j \ "cdc"))))
       if (cdcs.nonEmpty) cdcs.foreach { case (p, pv) =>
@@ -1515,7 +1529,9 @@ object DeltaMirror {
       StringType, LongType, BooleanType, Metadata}
     val outFields = schema.fields.toSeq :+
       StructField("_change_type", StringType, true) :+
-      StructField("_commit_version", LongType, true)
+      StructField("_commit_version", LongType, true) :+
+      StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType, true)
     if (slices.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(outFields))
@@ -1547,6 +1563,7 @@ object DeltaMirror {
         }
         Row.fromSeq((fileKey(p) +: vals) ++
           Seq(ct.orNull, java.lang.Long.valueOf(v),
+            java.lang.Long.valueOf(tsByVersion(v)),
             java.lang.Boolean.TRUE))
       }
       val metaSchema = StructType(
@@ -1555,6 +1572,7 @@ object DeltaMirror {
             StructField(s"__graft_pv_$c", StringType, true))) ++ Seq(
           StructField("__graft_ct", StringType, true),
           StructField("__graft_ver", LongType, false),
+          StructField("__graft_ts", LongType, false),
           StructField("__graft_matched", BooleanType, true)))
       import scala.jdk.CollectionConverters._
       val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
@@ -1568,6 +1586,8 @@ object DeltaMirror {
               "regression)"))).cast("boolean")))
         .select(outFields.map { f =>
           if (f.name == "_commit_version") col("__graft_ver").as(f.name)
+          else if (f.name == "_commit_timestamp")
+            (col("__graft_ts") / 1000.0).cast("timestamp").as(f.name)
           else if (f.name == "_change_type")
             (if (withCt) coalesce(col("__graft_ct"), col("_change_type"))
              else col("__graft_ct")).as(f.name)

@@ -132,6 +132,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("re-point"))
   }
 
+  test("branches: isolated commit-on-branch, fast-forward merge, " +
+      "loud divergence refusal") {
+    val (cat, fact, dim) = fixture()
+    val c0 = Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim))
+    val mainFact = rows(LakeWriter.readSnapshot(spark, fact))
+    // fork, advance BOTH tables, commit on the branch only
+    Catalog.branch(spark, cat, "dev")
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 300)
+    LakeWriter.commitSnapshot(
+      LakeWriter.readSnapshot(spark, fact)
+        .groupBy("lang").agg(count(lit(1)).as("n")), dim)
+    Catalog.commitOnBranch(spark, cat, "dev",
+      Map("fact" -> fact, "dim" -> dim))
+    // main is untouched: its tip still serves the pre-branch state
+    assert(rows(Catalog.readTableAt(spark, cat, "fact", c0)) == mainFact)
+    assert(Catalog.commits(spark, cat) == Seq(0L))
+    // the branch head serves the new pair consistently
+    assert(rows(Catalog.readTableAtBranch(spark, cat, "dev", "fact")) ==
+      rows(LakeWriter.readSnapshot(spark, fact)))
+    assert(rows(Catalog.readTableAtBranch(spark, cat, "dev", "dim")) ==
+      rows(LakeWriter.readSnapshot(spark, dim)))
+    // fast-forward merge: main's next commit IS the branch head state
+    val c1 = Catalog.mergeBranch(spark, cat, "dev")
+    assert(c1 == 1L)
+    assert(rows(Catalog.readTableAt(spark, cat, "fact", c1)) ==
+      rows(LakeWriter.readSnapshot(spark, fact)))
+    // divergence: a second branch forked at c0 cannot merge past c1
+    val e = intercept[IllegalArgumentException](
+      Catalog.mergeBranch(spark, cat, "dev2") // unknown first
+    )
+    assert(e.getMessage.contains("no branch"))
+    Catalog.branch(spark, cat, "stale", from = Some(c0))
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 400)
+    Catalog.commitOnBranch(spark, cat, "stale", Map("fact" -> fact))
+    val e2 = intercept[IllegalArgumentException](
+      Catalog.mergeBranch(spark, cat, "stale"))
+    assert(e2.getMessage.contains("fast-forward is impossible"))
+    // re-creating an existing branch refuses
+    val e3 = intercept[IllegalArgumentException](
+      Catalog.branch(spark, cat, "dev"))
+    assert(e3.getMessage.contains("already exists"))
+  }
+
   test("tags are immutable; unknown tags and unpinned tables refuse " +
       "naming what exists") {
     val (cat, fact, dim) = fixture()

@@ -1083,17 +1083,23 @@ class DeltaMirrorSpec extends AnyFunSuite {
       val want = rows(LakeWriter.changesBetween(
         spark, t, graftVs(dv - 1), gv))
       val got = rows(DeltaMirror.readChangeFeed(spark, t,
-        dv.toLong, Some(dv.toLong)).drop("_commit_version"))
+        dv.toLong, Some(dv.toLong)).drop("_commit_version").drop("_commit_timestamp"))
       assert(got == want, s"feed at delta v$dv (graft v$gv)")
     }
     // initial commit synthesizes the full base as inserts
     assert(rows(DeltaMirror.readChangeFeed(spark, t, 0, Some(0))
-      .drop("_commit_version")) ==
+      .drop("_commit_version").drop("_commit_timestamp")) ==
       rows(base.withColumn("_change_type", lit("insert"))))
-    // whole-range read carries the per-commit versions
+    // whole-range read carries the per-commit versions and the
+    // ICT-resolved _commit_timestamp, strictly monotone per commit
     val all = DeltaMirror.readChangeFeed(spark, t, 0)
     assert(all.select("_commit_version").distinct.as[Long]
       .collect().toSet == Set(0L, 1L, 2L, 3L))
+    val ts = all.select($"_commit_version", $"_commit_timestamp")
+      .distinct.orderBy($"_commit_version").collect()
+    assert(ts.length == 4 && ts.forall(_.get(1) != null))
+    assert(ts.map(_.getTimestamp(1).getTime).sliding(2)
+      .forall(a => a.length < 2 || a(0) < a(1)))
   }
 
   test("change data feed: compaction encodes as dataChange=false and " +
@@ -1128,7 +1134,7 @@ class DeltaMirrorSpec extends AnyFunSuite {
     // exactly the net changes
     assert(DeltaMirror.readChangeFeed(spark, t, 2, Some(2)).count() == 0L)
     val f3 = DeltaMirror.readChangeFeed(spark, t, 3, Some(3))
-    assert(rows(f3.drop("_commit_version")) ==
+    assert(rows(f3.drop("_commit_version").drop("_commit_timestamp")) ==
       rows(LakeWriter.changesBetween(spark, t, 3, 4)))
     // retention-clean the early commits (checkpoint at 3 covers
     // them); the cdc files they referenced are reclaimed with them
@@ -1153,7 +1159,7 @@ class DeltaMirrorSpec extends AnyFunSuite {
     LakeWriter.deleteFromSnapshot(spark, t, $"v" < 120)
     DeltaMirror.mirror(spark, t, changeDataFeed = true)
     assert(rows(DeltaMirror.readChangeFeed(spark, t, 4, Some(4))
-      .drop("_commit_version")) ==
+      .drop("_commit_version").drop("_commit_timestamp")) ==
       rows(LakeWriter.changesBetween(spark, t, 4, 5)))
   }
 
@@ -1167,14 +1173,14 @@ class DeltaMirrorSpec extends AnyFunSuite {
     LakeWriter.maintainSnapshotEvery(spark, t, 0, mirrorDelta = true,
       deltaChangeDataFeed = true)
     assert(rows(DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
-      .drop("_commit_version")) ==
+      .drop("_commit_version").drop("_commit_timestamp")) ==
       rows(LakeWriter.changesBetween(spark, t, 1, 2)))
     // sticky: a later maintenance call WITHOUT the flag must keep the
     // feed alive (a CDF consumer must never see it silently stop)
     LakeWriter.deleteFromSnapshot(spark, t, $"v" < 100)
     LakeWriter.maintainSnapshotEvery(spark, t, 0, mirrorDelta = true)
     assert(rows(DeltaMirror.readChangeFeed(spark, t, 2, Some(2))
-      .drop("_commit_version")) ==
+      .drop("_commit_version").drop("_commit_timestamp")) ==
       rows(LakeWriter.changesBetween(spark, t, 2, 3)))
   }
 
@@ -1185,7 +1191,7 @@ class DeltaMirrorSpec extends AnyFunSuite {
     LakeWriter.deleteFromSnapshot(spark, t, $"v" < 100 && $"lang" === "en")
     DeltaMirror.mirror(spark, t, changeDataFeed = true)
     val f1 = DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
-    assert(rows(f1.drop("_commit_version")) ==
+    assert(rows(f1.drop("_commit_version").drop("_commit_timestamp")) ==
       rows(LakeWriter.changesBetween(spark, t, 1, 2)))
     // every feed row resolved its lang (partition values attached)
     assert(f1.where($"lang".isNull).count() == 0L)
