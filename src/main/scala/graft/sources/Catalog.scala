@@ -413,13 +413,22 @@ object Catalog {
     LakeWriter.readSnapshot(spark, path, Some(v))
   }
 
-  /** FAST-FORWARD merge of a branch into main: publish the branch
-    * head's full pin map as the next main commit. Refuses loudly when
-    * main advanced past the branch's base — a diverged merge would
-    * pair table versions nobody validated together; rebase by
-    * branching afresh instead. Returns the new main commit id. */
-  def mergeBranch(spark: SparkSession, catalog: String,
-                  name: String): Long = {
+  /** Merge a branch into main. Default is FAST-FORWARD only: publish
+    * the branch head's full pin map as the next main commit, refusing
+    * loudly when main advanced past the branch's base.
+    *
+    * `threeWay = true` additionally resolves a DIVERGED merge when
+    * the changes are per-table DISJOINT — for each table, compare the
+    * branch head and the main tip against the branch's BASE pins:
+    * only-one-side-changed takes the changed side, neither-changed
+    * keeps the base, tables added on exactly one side join the merged
+    * commit. A table BOTH sides changed (or dropped on one side and
+    * changed on the other) CONFLICTS and the whole merge refuses,
+    * naming the tables — a silent pick would pair versions nobody
+    * validated together, the exact failure the catalog exists to
+    * prevent. Returns the new main commit id. */
+  def mergeBranch(spark: SparkSession, catalog: String, name: String,
+                  threeWay: Boolean = false): Long = {
     val cs = branchCommits(spark, catalog, name)
     require(cs.nonEmpty, s"catalog at $catalog has no branch '$name'")
     val hj = readBranchCommit(spark, catalog, name, cs.last)
@@ -427,14 +436,49 @@ object Catalog {
       s"catalog at $catalog: branch '$name' head is malformed"))
     val mainTip = commits(spark, catalog).lastOption.getOrElse(
       sys.error(s"catalog at $catalog has no main commits"))
-    require(mainTip == base,
-      s"catalog at $catalog: main advanced to $mainTip past branch " +
-        s"'$name''s base $base — a fast-forward is impossible and a " +
-        "silent three-way pin merge could pair versions nobody " +
-        "validated together; branch afresh from the new tip and " +
-        "re-validate")
-    val pins = branchPins(hj, catalog, name)
-    commit(spark, catalog, pins.map { case (n, (p, _)) => n -> p },
-      at = pins.map { case (n, (_, v)) => n -> v })
+    val branchHead = branchPins(hj, catalog, name)
+    val merged: Map[String, (String, Long)] =
+      if (mainTip == base) branchHead
+      else if (!threeWay) sys.error(
+        s"catalog at $catalog: main advanced to $mainTip past branch " +
+          s"'$name''s base $base — a fast-forward is impossible; " +
+          "merge with threeWay = true (disjoint per-table changes " +
+          "resolve; conflicts refuse), or branch afresh and " +
+          "re-validate")
+      else {
+        val basePins = pinsAt(spark, catalog, base)
+        val mainPins = pinsAt(spark, catalog, mainTip)
+        val names =
+          (basePins.keySet ++ mainPins.keySet ++ branchHead.keySet)
+        val conflicts = scala.collection.mutable.ListBuffer[String]()
+        val out = scala.collection.mutable.LinkedHashMap[
+          String, (String, Long)]()
+        names.toSeq.sorted.foreach { n =>
+          val b0 = basePins.get(n)
+          val m = mainPins.get(n)
+          val br = branchHead.get(n)
+          val mainChanged = m != b0
+          val branchChanged = br != b0
+          (mainChanged, branchChanged) match {
+            case (false, false) => b0.foreach(out(n) = _)
+            case (true, false) => m.foreach(out(n) = _)
+            case (false, true) => br.foreach(out(n) = _)
+            case (true, true) =>
+              // both touched it — identical results are NOT a
+              // conflict (both sides validated the same pin)
+              if (m == br) m.foreach(out(n) = _)
+              else conflicts += n
+          }
+        }
+        require(conflicts.isEmpty,
+          s"catalog at $catalog: three-way merge of branch '$name' " +
+            s"conflicts on table(s) ${conflicts.mkString(", ")} — " +
+            "both main and the branch changed them since base " +
+            s"$base; a silent pick would pair versions nobody " +
+            "validated together. Resolve on the branch, then merge")
+        out.toMap
+      }
+    commit(spark, catalog, merged.map { case (n, (p, _)) => n -> p },
+      at = merged.map { case (n, (_, v)) => n -> v })
   }
 }

@@ -1418,9 +1418,11 @@ object DeltaMirror {
     val st =
       if (fromVersion == 0) new LogState
       else replay(spark, dir, Some(fromVersion - 1))._1
-    var schemaSeen: Option[String] = st.schemaJson
-    var partColsSeen: Option[Seq[String]] =
-      if (st.metaData.isEmpty) None else Some(st.partCols)
+    // the governing (schema, partitioning) of the WHOLE range is what
+    // holds after the FIRST in-range commit (a REPLACE TABLE at the
+    // range start governs its own changes); any change at a LATER
+    // commit refuses — one state must describe every slice served
+    var baseline: Option[(Option[String], Seq[String])] = None
     // (version, change-type override — None when the file carries its
     // own `_change_type` column, i.e. a cdc file —, path, pv)
     val slices = scala.collection.mutable.ListBuffer[
@@ -1483,23 +1485,24 @@ object DeltaMirror {
         }
       }
       acts.foreach(applyAction(st, _))
-      if (schemaSeen.isEmpty) schemaSeen = st.schemaJson
-      else require(st.schemaJson == schemaSeen,
-        s"readChangeFeed at $dir: the schema changed at commit $v " +
-          "inside the requested range — a single-schema feed would " +
-          "misread one side; split the range at the schema change")
-      // partitioning can change with an IDENTICAL schemaString
-      // (REPLACE TABLE ... PARTITIONED BY): the final partCols would
-      // then misattach values for pre-change slices — same refusal
-      if (partColsSeen.isEmpty && st.metaData.nonEmpty)
-        partColsSeen = Some(st.partCols)
-      else if (partColsSeen.nonEmpty)
-        require(st.partCols == partColsSeen.get,
-          s"readChangeFeed at $dir: partitionColumns changed at " +
-            s"commit $v inside the requested range (" +
-            s"${partColsSeen.get.mkString(",")} -> " +
-            s"${st.partCols.mkString(",")}) — split the range at the " +
-            "re-partitioning")
+      baseline match {
+        case None => baseline = Some((st.schemaJson, st.partCols))
+        case Some((bSchema, bParts)) =>
+          require(st.schemaJson == bSchema,
+            s"readChangeFeed at $dir: the schema changed at commit " +
+              s"$v inside the requested range — a single-schema feed " +
+              "would misread one side; split the range at the schema " +
+              "change")
+          // partitioning can change with an IDENTICAL schemaString
+          // (REPLACE TABLE ... PARTITIONED BY): the final partCols
+          // would misattach values for earlier slices — same refusal
+          require(st.partCols == bParts,
+            s"readChangeFeed at $dir: partitionColumns changed at " +
+              s"commit $v inside the requested range (" +
+              s"${bParts.mkString(",")} -> " +
+              s"${st.partCols.mkString(",")}) — split the range at " +
+              "the re-partitioning")
+      }
       val cdfEnabled = st.metaData.exists(md =>
         str(md \ "configuration" \ "delta.enableChangeDataFeed")
           .contains("true"))
@@ -1509,7 +1512,7 @@ object DeltaMirror {
           "only complete from the version CDF was enabled; refusing")
     }
     val schema = org.apache.spark.sql.types.DataType
-      .fromJson(schemaSeen.getOrElse(
+      .fromJson(st.schemaJson.getOrElse(
         sys.error(s"no metaData action in $dir's _delta_log")))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val physOf: Map[String, String] = schema.fields.map { f =>

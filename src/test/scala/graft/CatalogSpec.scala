@@ -166,13 +166,60 @@ class CatalogSpec extends AnyFunSuite {
     Catalog.branch(spark, cat, "stale", from = Some(c0))
     LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 400)
     Catalog.commitOnBranch(spark, cat, "stale", Map("fact" -> fact))
-    val e2 = intercept[IllegalArgumentException](
+    val e2 = intercept[RuntimeException](
       Catalog.mergeBranch(spark, cat, "stale"))
     assert(e2.getMessage.contains("fast-forward is impossible"))
     // re-creating an existing branch refuses
     val e3 = intercept[IllegalArgumentException](
       Catalog.branch(spark, cat, "dev"))
     assert(e3.getMessage.contains("already exists"))
+  }
+
+  test("three-way merge: disjoint per-table changes resolve, " +
+      "conflicting tables refuse by name") {
+    val (cat, fact, dim) = fixture()
+    val c0 = Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim))
+    // branch changes ONLY fact; main then changes ONLY dim
+    Catalog.branch(spark, cat, "feat", from = Some(c0))
+    val factV2 = LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 200)
+    Catalog.commitOnBranch(spark, cat, "feat",
+      Map("fact" -> fact, "dim" -> dim),
+      at = Map("fact" -> factV2, "dim" -> 1L))
+    val dimV2 = LakeWriter.commitSnapshot(
+      LakeWriter.readSnapshot(spark, dim).withColumn("n", $"n" + 1), dim)
+    Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim),
+      at = Map("fact" -> 1L, "dim" -> dimV2)) // main keeps fact@1
+    // fast-forward refuses (diverged), three-way resolves disjointly
+    val e = intercept[RuntimeException](
+      Catalog.mergeBranch(spark, cat, "feat"))
+    assert(e.getMessage.contains("threeWay"))
+    val mc = Catalog.mergeBranch(spark, cat, "feat", threeWay = true)
+    val pins = Catalog.pinsAt(spark, cat, mc)
+    assert(pins("fact")._2 == factV2) // the branch's change
+    assert(pins("dim")._2 == dimV2)   // main's change
+    // now BOTH sides change the same table (to DIFFERENT versions)
+    // -> named conflict
+    Catalog.branch(spark, cat, "feat2", from = Some(mc))
+    val factV3 = LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 300)
+    Catalog.commitOnBranch(spark, cat, "feat2",
+      Map("fact" -> fact, "dim" -> dim),
+      at = Map("fact" -> factV3, "dim" -> dimV2))
+    val factV4 = LakeWriter.deleteFromSnapshot(spark, fact, $"v" >= 500)
+    assert(factV4 != factV3)
+    Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim),
+      at = Map("fact" -> factV4, "dim" -> dimV2))
+    val e2 = intercept[IllegalArgumentException](
+      Catalog.mergeBranch(spark, cat, "feat2", threeWay = true))
+    assert(e2.getMessage.contains("conflicts on table(s) fact"))
+    // identical pins on both sides are NOT a conflict
+    Catalog.branch(spark, cat, "feat3")
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 400) // v5
+    Catalog.commitOnBranch(spark, cat, "feat3",
+      Map("fact" -> fact, "dim" -> dim))
+    Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim))
+    val mc3 = Catalog.mergeBranch(spark, cat, "feat3", threeWay = true)
+    assert(Catalog.pinsAt(spark, cat, mc3)("fact")._2 ==
+      LakeWriter.snapshotVersions(spark, fact).last)
   }
 
   test("tags are immutable; unknown tags and unpinned tables refuse " +

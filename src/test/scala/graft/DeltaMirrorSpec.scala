@@ -1184,6 +1184,39 @@ class DeltaMirrorSpec extends AnyFunSuite {
       rows(LakeWriter.changesBetween(spark, t, 2, 3)))
   }
 
+  test("change data feed: a mid-range re-partitioning with an " +
+      "identical schemaString refuses loudly") {
+    // hand-built foreign CDF log: REPLACE TABLE ... PARTITIONED BY
+    // keeps schemaString identical but changes partitionColumns — the
+    // final partCols would misattach values for pre-change slices
+    val t = freshDir("graft_delta_cdf_repart") + "/t"
+    val log = java.nio.file.Paths.get(t, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaStr = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    def meta(parts: String): String =
+      s"""{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[$parts],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1}}"""
+    // one real parquet file so the synthesized insert can scan
+    spark.range(0, 5).toDF("id").coalesce(1)
+      .write.parquet(s"$t/files")
+    val f = new java.io.File(s"$t/files").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getName
+    def add(path: String): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    java.nio.file.Files.write(log.resolve("00000000000000000000.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        meta("\"lang\""), add(s"files/$f"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    java.nio.file.Files.write(log.resolve("00000000000000000001.json"),
+      (Seq(meta(""), add(s"files/$f"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      DeltaMirror.readChangeFeed(spark, t, 0, Some(1)).collect())
+    assert(e.getMessage.contains("partitionColumns changed"))
+    // each side of the split reads fine on its own
+    assert(DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
+      .count() == 5L)
+  }
+
   test("change data feed: partitioned tables attach partition values " +
       "from cdc partitionValues; legacy resumed mirror refuses CDF") {
     val t = freshDir("graft_delta_cdf3") + "/t"
