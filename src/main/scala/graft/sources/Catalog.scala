@@ -64,6 +64,77 @@ object Catalog {
       }).sorted
   }
 
+  /** Raw read+parse of one catalog JSON file. */
+  private def readJsonAt(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): JValue = {
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    JsonMethods.parse(body)
+  }
+
+  /** The `tables` pin map of a commit/branch JSON — one parser for
+    * both (divergent copies invited silent drift). */
+  private def parsePins(j: JValue,
+                        what: String): Map[String, (String, Long)] =
+    j \ "tables" match {
+      case JObject(fields) => fields.map { case (name, t) =>
+        name -> ((str(t \ "path").getOrElse(sys.error(
+          s"$what: entry $name has no path")),
+          lng(t \ "version").getOrElse(sys.error(
+            s"$what: entry $name has no version"))))
+      }.toMap
+      case _ => sys.error(s"$what is malformed")
+    }
+
+  /** The one atomic-publish implementation every catalog write uses:
+    * per-attempt UUID tmp (racers never share staging bytes) + rename
+    * arbitration; the loser refuses with `raceMsg`. */
+  private def publishAtomically(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, destName: String, body: String,
+      raceMsg: => String): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$destName." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, destName))) {
+      fs.delete(tmp, false): Unit
+      sys.error(raceMsg)
+    }
+  }
+
+  /** Shared commit validation: no silent re-pointing of carried
+    * names, every pin resolved against the table's REAL snapshot
+    * history before anything publishes (all-or-nothing). */
+  private def validatePins(spark: SparkSession, catalog: String,
+      tables: Map[String, String], at: Map[String, Long],
+      old: Map[String, (String, Long)], where: String)
+      : Seq[(String, String, Long)] = {
+    require(tables.nonEmpty, s"catalog at $catalog: empty commit")
+    at.keys.foreach(n => require(tables.contains(n),
+      s"catalog at $catalog: version pin for unknown table '$n'"))
+    tables.foreach { case (n, path) =>
+      old.get(n).foreach { case (oldPath, _) =>
+        require(oldPath == path,
+          s"catalog at $catalog: table '$n' would re-point from " +
+            s"$oldPath to $path$where — historic AS OF reads would " +
+            "lie; register the new location under a new name")
+      }
+    }
+    tables.toSeq.sortBy(_._1).map { case (n, path) =>
+      val vs = LakeWriter.snapshotVersions(spark, path)
+      require(vs.nonEmpty,
+        s"catalog at $catalog: table '$n' at $path has no snapshots")
+      val v = at.getOrElse(n, vs.last)
+      require(vs.contains(v),
+        s"catalog at $catalog: table '$n' has no version $v " +
+          s"(have ${vs.mkString(", ")}) — refusing the whole commit")
+      (n, path, v)
+    }
+  }
+
   private def readCommitJson(spark: SparkSession, catalog: String,
                              c: Long): JValue = {
     val p = new org.apache.hadoop.fs.Path(commitsDir(catalog),
@@ -72,26 +143,14 @@ object Catalog {
     require(fs.exists(p),
       s"catalog at $catalog has no commit $c (have " +
         s"${commits(spark, catalog).mkString(", ")})")
-    val in = fs.open(p)
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    in.close()
-    JsonMethods.parse(body)
+    readJsonAt(fs, p)
   }
 
   /** The `(table name -> (path, pinned version))` map of a commit. */
   def pinsAt(spark: SparkSession, catalog: String,
              c: Long): Map[String, (String, Long)] =
-    readCommitJson(spark, catalog, c) \ "tables" match {
-      case JObject(fields) => fields.map { case (name, t) =>
-        name -> ((str(t \ "path").getOrElse(sys.error(
-          s"catalog at $catalog: commit $c entry $name has no path")),
-          lng(t \ "version").getOrElse(sys.error(
-            s"catalog at $catalog: commit $c entry $name has no " +
-              "version"))))
-      }.toMap
-      case _ => sys.error(s"catalog at $catalog: commit $c is malformed")
-    }
+    parsePins(readCommitJson(spark, catalog, c),
+      s"catalog at $catalog: commit $c")
 
   /** Atomically commit a consistent cross-table state: pin each named
     * table at `at(name)` (default: its CURRENT latest version). Every
@@ -105,37 +164,21 @@ object Catalog {
     * history stays readable at older commits). Returns the commit id. */
   def commit(spark: SparkSession, catalog: String,
              tables: Map[String, String],
-             at: Map[String, Long] = Map.empty): Long = {
-    require(tables.nonEmpty, s"catalog at $catalog: empty commit")
-    at.keys.foreach(n => require(tables.contains(n),
-      s"catalog at $catalog: version pin for unknown table '$n'"))
+             at: Map[String, Long] = Map.empty,
+             expectedParent: Option[Long] = None): Long = {
     val prev = commits(spark, catalog)
     val parent = prev.lastOption
-    // carried names must keep their paths
-    parent.foreach { p =>
-      val old = pinsAt(spark, catalog, p)
-      tables.foreach { case (n, path) =>
-        old.get(n).foreach { case (oldPath, _) =>
-          require(oldPath == path,
-            s"catalog at $catalog: table '$n' would re-point from " +
-              s"$oldPath to $path — historic AS OF reads would lie; " +
-              "register the new location under a new name")
-        }
-      }
-    }
-    // validate every pin against the table's real history FIRST:
-    // nothing publishes unless the whole set resolves
-    val pinned: Seq[(String, String, Long)] =
-      tables.toSeq.sortBy(_._1).map { case (n, path) =>
-        val vs = LakeWriter.snapshotVersions(spark, path)
-        require(vs.nonEmpty,
-          s"catalog at $catalog: table '$n' at $path has no snapshots")
-        val v = at.getOrElse(n, vs.last)
-        require(vs.contains(v),
-          s"catalog at $catalog: table '$n' has no version $v " +
-            s"(have ${vs.mkString(", ")}) — refusing the whole commit")
-        (n, path, v)
-      }
+    // a CAS for callers whose decision depended on the tip they read
+    // (mergeBranch's fast-forward check): the publish refuses if the
+    // tip moved between their read and this commit — otherwise the
+    // interloper's pins would be silently clobbered
+    expectedParent.foreach(ep => require(parent.contains(ep),
+      s"catalog at $catalog: expected to commit on top of $ep but " +
+        s"the tip is ${parent.getOrElse(-1L)} — a concurrent commit " +
+        "landed; re-validate against the new tip"))
+    val old = parent.map(pinsAt(spark, catalog, _))
+      .getOrElse(Map.empty[String, (String, Long)])
+    val pinned = validatePins(spark, catalog, tables, at, old, "")
     val c = parent.getOrElse(-1L) + 1
     val body = JsonMethods.compact(JsonMethods.render(JObject(List(
       "commit" -> JInt(BigInt(c)),
@@ -148,21 +191,10 @@ object Catalog {
           "version" -> JInt(BigInt(v)))): JValue)
       }.toList)))))
     val dir = commitsDir(catalog)
-    val fs = LakeWriter.fsOf(spark, dir)
-    fs.mkdirs(dir)
-    // per-attempt tmp: two committers racing to the same id must not
-    // interleave bytes in a shared tmp — each stages privately and
-    // only the RENAME arbitrates
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".${commitName(c)}." +
-      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val out = fs.create(tmp, true)
-    out.write(body.getBytes("UTF-8")); out.close()
-    val dest = new org.apache.hadoop.fs.Path(dir, commitName(c))
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false): Unit
-      sys.error(s"catalog at $catalog: commit $c lost a publish race " +
+    publishAtomically(LakeWriter.fsOf(spark, dir), dir, commitName(c),
+      body,
+      s"catalog at $catalog: commit $c lost a publish race " +
         "(concurrent committer) — retry against the new tip")
-    }
     c
   }
 
@@ -183,16 +215,10 @@ object Catalog {
     require(!fs.exists(dest),
       s"catalog at $catalog: tag '$name' already exists (tags are " +
         "immutable — pick a new name)")
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.json." +
-      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val out = fs.create(tmp, true)
-    out.write(JsonMethods.compact(JsonMethods.render(JObject(List(
-      "commit" -> JInt(BigInt(c)))))).getBytes("UTF-8"))
-    out.close()
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false): Unit
-      sys.error(s"catalog at $catalog: tag '$name' lost a publish race")
-    }
+    publishAtomically(fs, dir, s"$name.json",
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "commit" -> JInt(BigInt(c)))))),
+      s"catalog at $catalog: tag '$name' lost a publish race")
     c
   }
 
@@ -281,11 +307,7 @@ object Catalog {
     val fs = LakeWriter.fsOf(spark, p)
     require(fs.exists(p),
       s"catalog at $catalog: branch '$name' has no commit $n")
-    val in = fs.open(p)
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    in.close()
-    JsonMethods.parse(body)
+    readJsonAt(fs, p)
   }
 
   /** Create branch `name` forked from main commit `from` (default:
@@ -298,9 +320,10 @@ object Catalog {
       .getOrElse(sys.error(
         s"catalog at $catalog has no commits to branch from")))
     val pins = pinsAt(spark, catalog, base) // must exist; reuse its map
-    val dir = branchDir(catalog, name)
-    val fs = LakeWriter.fsOf(spark, dir)
-    require(!fs.exists(dir),
+    // existence = a PUBLISHED b0, not a directory: a crash between
+    // mkdirs and the b0 rename must not brick the name forever (the
+    // retry simply re-publishes b0; the rename still arbitrates races)
+    require(branchCommits(spark, catalog, name).isEmpty,
       s"catalog at $catalog: branch '$name' already exists")
     publishBranchCommit(spark, catalog, name, 0L, base, pins)
     0L
@@ -312,9 +335,6 @@ object Catalog {
   def commitOnBranch(spark: SparkSession, catalog: String, name: String,
                      tables: Map[String, String],
                      at: Map[String, Long] = Map.empty): Long = {
-    require(tables.nonEmpty, s"catalog at $catalog: empty commit")
-    at.keys.foreach(n => require(tables.contains(n),
-      s"catalog at $catalog: version pin for unknown table '$n'"))
     val prev = branchCommits(spark, catalog, name)
     require(prev.nonEmpty,
       s"catalog at $catalog has no branch '$name' — create it with " +
@@ -324,49 +344,22 @@ object Catalog {
     val base = lng(hj \ "base").getOrElse(sys.error(
       s"catalog at $catalog: branch '$name' head is malformed"))
     val old = branchPins(hj, catalog, name)
-    tables.foreach { case (n, path) =>
-      old.get(n).foreach { case (oldPath, _) =>
-        require(oldPath == path,
-          s"catalog at $catalog: table '$n' would re-point from " +
-            s"$oldPath to $path on branch '$name' — register the new " +
-            "location under a new name")
-      }
-    }
-    val pinned: Map[String, (String, Long)] =
-      tables.toSeq.sortBy(_._1).map { case (n, path) =>
-        val vs = LakeWriter.snapshotVersions(spark, path)
-        require(vs.nonEmpty,
-          s"catalog at $catalog: table '$n' at $path has no snapshots")
-        val v = at.getOrElse(n, vs.last)
-        require(vs.contains(v),
-          s"catalog at $catalog: table '$n' has no version $v " +
-            s"(have ${vs.mkString(", ")}) — refusing the whole commit")
-        n -> ((path, v))
-      }.toMap
+    val pinned = validatePins(spark, catalog, tables, at, old,
+      s" on branch '$name'").map { case (n, path, v) =>
+        n -> ((path, v)) }.toMap
     publishBranchCommit(spark, catalog, name, head + 1, base, pinned)
     head + 1
   }
 
   private def branchPins(j: JValue, catalog: String,
                          name: String): Map[String, (String, Long)] =
-    j \ "tables" match {
-      case JObject(fields) => fields.map { case (n, t) =>
-        n -> ((str(t \ "path").getOrElse(sys.error(
-          s"catalog at $catalog: branch '$name' entry $n has no path")),
-          lng(t \ "version").getOrElse(sys.error(
-            s"catalog at $catalog: branch '$name' entry $n has no " +
-              "version"))))
-      }.toMap
-      case _ => sys.error(
-        s"catalog at $catalog: branch '$name' commit is malformed")
-    }
+    parsePins(j, s"catalog at $catalog: branch '$name' commit")
 
   private def publishBranchCommit(spark: SparkSession, catalog: String,
       name: String, n: Long, base: Long,
       pins: Map[String, (String, Long)]): Unit = {
     val dir = branchDir(catalog, name)
     val fs = LakeWriter.fsOf(spark, dir)
-    fs.mkdirs(dir)
     val body = JsonMethods.compact(JsonMethods.render(JObject(List(
       "branch" -> JString(name),
       "seq" -> JInt(BigInt(n)),
@@ -378,18 +371,10 @@ object Catalog {
             "path" -> JString(path),
             "version" -> JInt(BigInt(v)))): JValue)
       }.toList)))))
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".${branchCommitName(n)}." +
-        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val out = fs.create(tmp, true)
-    out.write(body.getBytes("UTF-8")); out.close()
-    val dest = new org.apache.hadoop.fs.Path(dir, branchCommitName(n))
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false): Unit
-      sys.error(s"catalog at $catalog: branch '$name' commit $n lost " +
+    publishAtomically(fs, dir, branchCommitName(n), body,
+      s"catalog at $catalog: branch '$name' commit $n lost " +
         "a publish race (concurrent committer) — retry against the " +
         "new head")
-    }
   }
 
   /** The branch head's `(table -> (path, version))` pin map. */
@@ -478,7 +463,11 @@ object Catalog {
             "validated together. Resolve on the branch, then merge")
         out.toMap
       }
+    // the publish is a CAS against the tip this merge validated: a
+    // concurrent main commit between the divergence check and the
+    // publish must refuse, not be silently clobbered
     commit(spark, catalog, merged.map { case (n, (p, _)) => n -> p },
-      at = merged.map { case (n, (_, v)) => n -> v })
+      at = merged.map { case (n, (_, v)) => n -> v },
+      expectedParent = Some(mainTip))
   }
 }

@@ -1346,22 +1346,28 @@ object DeltaMirror {
     * the SURVIVING JSON commits (O(retention window), metadata-only);
     * a target below the oldest surviving commit refuses loudly like
     * any other unresolvable time travel. */
+  /** One commit's wall clock: ICT when present, else the commitInfo
+    * timestamp, else the file mtime — the resolution order both
+    * TIMESTAMP AS OF and the change feed's `_commit_timestamp` use. */
+  private def commitTsOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, acts: Seq[JValue]): Long =
+    acts.view.flatMap { j =>
+      (j \ "commitInfo" \ "inCommitTimestamp") match {
+        case JInt(t) => Some(t.toLong)
+        case _ => (j \ "commitInfo" \ "timestamp") match {
+          case JInt(t) => Some(t.toLong)
+          case _ => None
+        }
+      }
+    }.headOption.getOrElse(fs.getFileStatus(p).getModificationTime)
+
   def readDeltaTimestamp(spark: SparkSession, dir: String,
                          tsMillis: Long): DataFrame = {
     val log = logDir(dir)
     val fs = LakeWriter.fsOf(spark, log)
     val stamps: Seq[(Long, Long)] = deltaVersions(spark, dir).map { v =>
       val p = new org.apache.hadoop.fs.Path(log, commitName(v))
-      val ts = readCommit(fs, p).view.flatMap { j =>
-        (j \ "commitInfo" \ "inCommitTimestamp") match {
-          case JInt(t) => Some(t.toLong)
-          case _ => (j \ "commitInfo" \ "timestamp") match {
-            case JInt(t) => Some(t.toLong)
-            case _ => None
-          }
-        }
-      }.headOption.getOrElse(fs.getFileStatus(p).getModificationTime)
-      v -> ts
+      v -> commitTsOf(fs, p, readCommit(fs, p))
     }
     val at = stamps.filter(_._2 <= tsMillis).map(_._1).maxOption
       .getOrElse(sys.error(
@@ -1423,6 +1429,14 @@ object DeltaMirror {
     // range start governs its own changes); any change at a LATER
     // commit refuses — one state must describe every slice served
     var baseline: Option[(Option[String], Seq[String])] = None
+    // the state replayed BEFORE the range: a range-start commit that
+    // CHANGES it (REPLACE TABLE) governs its own adds/cdc files, but
+    // its dataChange REMOVES point at files written under the OLD
+    // state — synthesizing those deletes with the new schema/partCols
+    // would silently misread them, so that one shape refuses
+    val preRange: Option[(Option[String], Seq[String])] =
+      if (st.metaData.isEmpty) None
+      else Some((st.schemaJson, st.partCols))
     // (version, change-type override — None when the file carries its
     // own `_change_type` column, i.e. a cdc file —, path, pv)
     val slices = scala.collection.mutable.ListBuffer[
@@ -1441,15 +1455,7 @@ object DeltaMirror {
     (fromVersion to to).foreach { v =>
       val cp0 = new org.apache.hadoop.fs.Path(log, commitName(v))
       val acts = readCommit(fs, cp0)
-      tsByVersion(v) = acts.view.flatMap { j =>
-        (j \ "commitInfo" \ "inCommitTimestamp") match {
-          case JInt(t) => Some(t.toLong)
-          case _ => (j \ "commitInfo" \ "timestamp") match {
-            case JInt(t) => Some(t.toLong)
-            case _ => None
-          }
-        }
-      }.headOption.getOrElse(fs.getFileStatus(cp0).getModificationTime)
+      tsByVersion(v) = commitTsOf(fs, cp0, acts)
       val cdcs = acts.flatMap(j => str(j \ "cdc" \ "path")
         .map(p => (p, pvOf(j \ "cdc"))))
       if (cdcs.nonEmpty) cdcs.foreach { case (p, pv) =>
@@ -1484,9 +1490,19 @@ object DeltaMirror {
           }
         }
       }
+      val hadSynthDeletes = slices.exists(sl =>
+        sl._1 == v && sl._2.contains("delete"))
       acts.foreach(applyAction(st, _))
       baseline match {
-        case None => baseline = Some((st.schemaJson, st.partCols))
+        case None =>
+          baseline = Some((st.schemaJson, st.partCols))
+          if (preRange.nonEmpty && preRange != baseline)
+            require(!hadSynthDeletes,
+              s"readChangeFeed at $dir: commit $v replaces the " +
+                "table's schema/partitioning AND removes files " +
+                "written under the previous one — their delete rows " +
+                "cannot be synthesized with the new state; start the " +
+                "range after the replacement, or rely on its cdc files")
         case Some((bSchema, bParts)) =>
           require(st.schemaJson == bSchema,
             s"readChangeFeed at $dir: the schema changed at commit " +
@@ -1590,7 +1606,10 @@ object DeltaMirror {
         .select(outFields.map { f =>
           if (f.name == "_commit_version") col("__graft_ver").as(f.name)
           else if (f.name == "_commit_timestamp")
-            (col("__graft_ts") / 1000.0).cast("timestamp").as(f.name)
+            // exact: double division + cast truncates 1 us below the
+            // millisecond for some values; timestamp_millis is integral
+            org.apache.spark.sql.functions
+              .timestamp_millis(col("__graft_ts")).as(f.name)
           else if (f.name == "_change_type")
             (if (withCt) coalesce(col("__graft_ct"), col("_change_type"))
              else col("__graft_ct")).as(f.name)

@@ -1212,9 +1212,21 @@ class DeltaMirrorSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       DeltaMirror.readChangeFeed(spark, t, 0, Some(1)).collect())
     assert(e.getMessage.contains("partitionColumns changed"))
-    // each side of the split reads fine on its own
+    // each side of the split reads fine on its own (v1's REPLACE
+    // governs its own adds)
     assert(DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
       .count() == 5L)
+    // ... but a range-start REPLACE that also REMOVES files written
+    // under the previous partitioning refuses: their delete rows
+    // cannot be synthesized with the new state
+    java.nio.file.Files.write(log.resolve("00000000000000000002.json"),
+      (Seq(meta("\"lang\""),
+        s"""{"remove":{"path":"files/$f","deletionTimestamp":1,"dataChange":true}}""",
+        add(s"files/$f"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaMirror.readChangeFeed(spark, t, 2, Some(2)).collect())
+    assert(e2.getMessage.contains("removes files"))
   }
 
   test("change data feed: partitioned tables attach partition values " +
