@@ -1873,7 +1873,7 @@ object SparkEntry {
         val f =
           if (i == 0) LakeWriter.readSnapshot(s, table, Some(gv))
             .withColumn("_change_type", lit("insert"))
-          else LakeWriter.changesBetween(s, table, gvs(i - 1), gv)
+          else LakeWriter.changeFeedBetween(s, table, gvs(i - 1), gv)
         f.withColumn("_commit_version", lit(i.toLong))
       }.reduce(_ unionByName _)
     }),

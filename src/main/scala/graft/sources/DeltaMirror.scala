@@ -1057,8 +1057,12 @@ object DeltaMirror {
         val baseGv = prevGv.getOrElse(sys.error(
           s"delta mirror of $table: commit with removes but no " +
             "predecessor — mirror cursor corrupt"))
-        val feed = LakeWriter.changesBetween(spark, table, baseGv, gv,
-          collapse = true).persist()
+        // the CANONICAL feed derivation (net changes + update-image
+        // pairing for keyed merges) — shared with the gates so the
+        // labels a foreign CDF consumer reads are the labels graft
+        // derives
+        val feed = LakeWriter.changeFeedBetween(spark, table, baseGv,
+          gv).persist()
         try {
           if (feed.isEmpty) rowsChanged = false
           else {

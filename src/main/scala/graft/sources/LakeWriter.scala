@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, greatest,
   input_file_name, least, lit, max, min, regexp_extract, shiftleft,
-  shiftright}
+  shiftright, when}
 
 /** Sink layer: lakehouse-style table maintenance over native parquet.
   *
@@ -531,7 +531,7 @@ object LakeWriter {
     enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
       newFiles, newData.schema, fs, Seq(dataDir), colmap)
     writeManifest(spark, fs, table, version, "merge", newData.schema,
-      carry ++ newFiles, txnOverride = txn)
+      carry ++ newFiles, txnOverride = txn, mergeKeys = keyCols)
     version
   }
 
@@ -682,6 +682,48 @@ object LakeWriter {
     raw
   }
 
+  /** The CANONICAL change feed of `(fromVersion, toVersion]`'s last
+    * step — [[changesBetween]] with Delta CDF's UPDATE encoding
+    * layered on when `toVersion` was a KEYED MERGE: its recorded
+    * merge keys pair the net delete+insert rows key-for-key into
+    * `update_preimage` / `update_postimage` (rows whose key appears
+    * on only one side stay plain inserts/deletes). One derivation
+    * shared by the CDF mirror writer and the gates, so the labels a
+    * foreign consumer reads are exactly the labels graft derives —
+    * two copies of the pairing would drift. Cost: the pairing adds
+    * two delta-sized semi/anti joins on the merge keys, nothing
+    * table-sized. */
+  def changeFeedBetween(spark: SparkSession, table: String,
+                        fromVersion: Long, toVersion: Long): DataFrame = {
+    val feed = changesBetween(spark, table, fromVersion, toVersion)
+    val keys = parseManifestMergeKeys(spark, table, toVersion)
+    if (keys.isEmpty) feed
+    else {
+      val ct = col("_change_type")
+      val ins = feed.where(ct === "insert")
+      val del = feed.where(ct === "delete")
+      // keys present on BOTH sides are updates; the set is
+      // delta-bounded (never table-sized). Key columns RENAME before
+      // the join-back — a same-lineage self-join on shared attribute
+      // names is Spark's classic ambiguity trap
+      val both = feed
+        .groupBy(keys.map(col): _*)
+        .agg(
+          max(when(ct === "insert", 1).otherwise(0)).as("__has_i"),
+          max(when(ct === "delete", 1).otherwise(0)).as("__has_d"))
+        .where(col("__has_i") === 1 && col("__has_d") === 1)
+        .select(keys.map(k => col(k).as(s"__bk_$k")): _*)
+      def cond(side: DataFrame) =
+        keys.map(k => side(k) <=> both(s"__bk_$k")).reduce(_ && _)
+      ins.join(both, cond(ins), "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+        .unionByName(ins.join(both, cond(ins), "left_anti"))
+        .unionByName(del.join(both, cond(del), "left_semi")
+          .withColumn("_change_type", lit("update_preimage")))
+        .unionByName(del.join(both, cond(del), "left_anti"))
+    }
+  }
+
   /** The partitioned half of `mergeSnapshot`. The updates land FIRST,
     * hive-partitioned into their own attempt directory — their paths
     * then yield the touched partition keys through the exact
@@ -753,7 +795,7 @@ object LakeWriter {
       colmap)
     writeManifest(spark, fs, table, version, "merge", schema,
       untouched ++ carryRest ++ survFiles ++ updFiles, partCols,
-      txnOverride = txn)
+      txnOverride = txn, mergeKeys = keyCols)
     version
   }
 
@@ -1382,7 +1424,8 @@ object LakeWriter {
                             bloomCfgOverride: Option[Map[String, Long]] =
                               None,
                             txnOverride: Option[(String, Long)] =
-                              None): Unit = {
+                              None,
+                            mergeKeys: Seq[String] = Nil): Unit = {
     // ONE manifest-directory listing feeds every carry-forward field
     // below (colmap, checks, stats, blooms, txns) — previously each
     // paid its own listing, five per commit on every table
@@ -1391,6 +1434,12 @@ object LakeWriter {
     val partFields =
       if (partCols.isEmpty) ""
       else s""""partcols":"${partCols.map(enc).mkString(",")}","""
+    // the MERGE KEYS a keyed upsert used — what lets a change-feed
+    // derivation pair this commit's delete+insert rows into
+    // update_preimage/update_postimage (Delta CDF's update encoding)
+    val mergeKeysField =
+      if (mergeKeys.isEmpty) ""
+      else s""""mergekeys":"${mergeKeys.map(enc).mkString(",")}","""
     // column mapping carries forward verbatim unless this commit
     // changes it (rename/drop/overwrite)
     val colmap = colmapOverride.getOrElse(
@@ -1596,7 +1645,7 @@ object LakeWriter {
     // head placement lets it read a bounded prefix instead of the
     // whole multi-MB manifest of a large table
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},$txnsField"schema":"${enc(schema.json)}",$partFields$checksField$colmapField$statsField$bloomField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},$txnsField"schema":"${enc(schema.json)}",$partFields$mergeKeysField$checksField$colmapField$statsField$bloomField"files":[""",
       ",", "]}")
     commitManifestBody(spark, fs, table, version, body)
   }
@@ -1707,6 +1756,19 @@ object LakeWriter {
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(target))
     commitManifestBody(spark, fs, target, cloneV, newBody)
     cloneV
+  }
+
+  /** Merge keys recorded by a keyed upsert at `version` (empty for
+    * every other commit kind). */
+  private[graft] def parseManifestMergeKeys(spark: SparkSession,
+      table: String, version: Long): Seq[String] = {
+    val body = manifestBody(spark, table, version)
+    body.split("\"mergekeys\":\"") match {
+      case Array(_, rest) =>
+        val raw = rest.split("\"")(0)
+        if (raw.isEmpty) Seq.empty else raw.split(",").toSeq.map(dec)
+      case _ => Seq.empty
+    }
   }
 
   private def parseManifest(spark: SparkSession, table: String,

@@ -1077,15 +1077,29 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(kinds(1).contains("cdc"))
     assert(kinds(2).contains("cdc"))
     assert(!kinds(3).contains("cdc"))
-    // feed fidelity per version: readChangeFeed == changesBetween
+    // feed fidelity per version: readChangeFeed == the canonical
+    // derivation (update-image pairing included for the merge)
     val graftVs = Seq(v1, v2, v3, v4)
     graftVs.zipWithIndex.drop(1).foreach { case (gv, dv) =>
-      val want = rows(LakeWriter.changesBetween(
+      val want = rows(LakeWriter.changeFeedBetween(
         spark, t, graftVs(dv - 1), gv))
       val got = rows(DeltaMirror.readChangeFeed(spark, t,
         dv.toLong, Some(dv.toLong)).drop("_commit_version").drop("_commit_timestamp"))
       assert(got == want, s"feed at delta v$dv (graft v$gv)")
     }
+    // the MERGE commit (delta v1) pairs rewritten keys into update
+    // images: ids 50-59 existed and were updated (pre+post), 60-69
+    // are fresh inserts
+    val mf = DeltaMirror.readChangeFeed(spark, t, 1, Some(1))
+    val byType = mf.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.get("update_preimage").contains(10L), byType)
+    assert(byType.get("update_postimage").contains(10L), byType)
+    assert(byType.get("insert").contains(10L), byType)
+    assert(mf.where($"_change_type" === "update_postimage" &&
+      $"id" === 55L).select("v").as[Long].head() == 5500L)
+    assert(mf.where($"_change_type" === "update_preimage" &&
+      $"id" === 55L).select("v").as[Long].head() == 550L)
     // initial commit synthesizes the full base as inserts
     assert(rows(DeltaMirror.readChangeFeed(spark, t, 0, Some(0))
       .drop("_commit_version").drop("_commit_timestamp")) ==
