@@ -1845,7 +1845,9 @@ object SparkEntry {
       // the mixed commits get their NET row changes written as
       // `_change_data/` parquet referenced by spec `cdc` actions. The
       // Spark side returns the TRUE per-version feed from graft's own
-      // manifests (changesBetween — never reading the cdc files); the
+      // manifests (changeFeedBetween — the canonical derivation with
+      // update-image pairing for the keyed MERGE, never reading the
+      // cdc files); the
       // DuckDB oracle resolves the feed exactly as a conforming CDF
       // reader would — cdc actions authoritative where present,
       // insert/delete synthesis from dataChange add/removes elsewhere

@@ -1341,15 +1341,6 @@ object DeltaMirror {
   // timestamp resolution (TIMESTAMP AS OF)
   // ------------------------------------------------------------------
 
-  /** Resolve `dir` at the newest delta version whose commit timestamp
-    * is at or before `tsMillis` and read it — TIMESTAMP AS OF. Per
-    * commit the timestamp is, in spec precedence order,
-    * `commitInfo.inCommitTimestamp` (the ICT writer feature every
-    * fresh mirror enables — reliable across file copies), then
-    * `commitInfo.timestamp`, then the commit file's mtime. Scans only
-    * the SURVIVING JSON commits (O(retention window), metadata-only);
-    * a target below the oldest surviving commit refuses loudly like
-    * any other unresolvable time travel. */
   /** One commit's wall clock: ICT when present, else the commitInfo
     * timestamp, else the file mtime — the resolution order both
     * TIMESTAMP AS OF and the change feed's `_commit_timestamp` use. */
@@ -1365,6 +1356,12 @@ object DeltaMirror {
       }
     }.headOption.getOrElse(fs.getFileStatus(p).getModificationTime)
 
+  /** Resolve `dir` at the newest delta version whose commit timestamp
+    * is at or before `tsMillis` and read it — TIMESTAMP AS OF. Per
+    * commit the timestamp is [[commitTsOf]]'s spec-precedence
+    * resolution. Scans only the SURVIVING JSON commits (O(retention
+    * window), metadata-only); a target below the oldest surviving
+    * commit refuses loudly like any other unresolvable time travel. */
   def readDeltaTimestamp(spark: SparkSession, dir: String,
                          tsMillis: Long): DataFrame = {
     val log = logDir(dir)
@@ -1441,6 +1438,14 @@ object DeltaMirror {
     val preRange: Option[(Option[String], Seq[String])] =
       if (st.metaData.isEmpty) None
       else Some((st.schemaJson, st.partCols))
+    // paths ADDED so far in the range (any dataChange), in commit
+    // order: after a range-start REPLACE, a synthesized delete is
+    // faithful only when the removed instance was added by the range
+    // itself (post-replacement era) — membership is checked AT the
+    // remove, so a pre-range file re-added later never masks it
+    val addedInRange = scala.collection.mutable.Set[String]()
+    val preEraDeletes =
+      scala.collection.mutable.ListBuffer[(Long, String)]()
     // (version, change-type override — None when the file carries its
     // own `_change_type` column, i.e. a cdc file —, path, pv)
     val slices = scala.collection.mutable.ListBuffer[
@@ -1462,11 +1467,16 @@ object DeltaMirror {
       tsByVersion(v) = commitTsOf(fs, cp0, acts)
       val cdcs = acts.flatMap(j => str(j \ "cdc" \ "path")
         .map(p => (p, pvOf(j \ "cdc"))))
-      if (cdcs.nonEmpty) cdcs.foreach { case (p, pv) =>
-        slices += ((v, None, p, pv))
+      if (cdcs.nonEmpty) {
+        acts.foreach(j =>
+          str(j \ "add" \ "path").foreach(addedInRange += _))
+        cdcs.foreach { case (p, pv) =>
+          slices += ((v, None, p, pv))
+        }
       } else acts.foreach { j =>
         def dc(a: JValue): Boolean =
           (a \ "dataChange") != JBool(false)
+        str(j \ "add" \ "path").foreach(addedInRange += _)
         str(j \ "add" \ "path").foreach { p =>
           if (dc(j \ "add")) {
             require(parseDvDescriptor(j \ "add" \ "deletionVector").isEmpty,
@@ -1490,23 +1500,15 @@ object DeltaMirror {
                 case ((lp, _), info) if lp == p => info.partitionValues
               }.getOrElse(Seq.empty)
             }
+            if (!addedInRange.contains(p)) preEraDeletes += ((v, p))
             slices += ((v, Some("delete"), p, pv))
           }
         }
       }
-      val hadSynthDeletes = slices.exists(sl =>
-        sl._1 == v && sl._2.contains("delete"))
       acts.foreach(applyAction(st, _))
       baseline match {
         case None =>
           baseline = Some((st.schemaJson, st.partCols))
-          if (preRange.nonEmpty && preRange != baseline)
-            require(!hadSynthDeletes,
-              s"readChangeFeed at $dir: commit $v replaces the " +
-                "table's schema/partitioning AND removes files " +
-                "written under the previous one — their delete rows " +
-                "cannot be synthesized with the new state; start the " +
-                "range after the replacement, or rely on its cdc files")
         case Some((bSchema, bParts)) =>
           require(st.schemaJson == bSchema,
             s"readChangeFeed at $dir: the schema changed at commit " +
@@ -1530,6 +1532,22 @@ object DeltaMirror {
         s"readChangeFeed at $dir: delta.enableChangeDataFeed is not " +
           s"set in the metadata governing commit $v — the feed is " +
           "only complete from the version CDF was enabled; refusing")
+    }
+    // a range that STARTS with a schema/partitioning replacement can
+    // faithfully synthesize deletes only for files the range itself
+    // added (post-replacement era); a remove of an earlier file —
+    // whether in the replacing commit or any later one — would be
+    // read with a state it was never written under
+    if (preRange.nonEmpty && preRange != baseline) {
+      preEraDeletes.headOption.foreach { case (dv, _) =>
+        sys.error(
+          s"readChangeFeed at $dir: the range starts with a " +
+            "schema/partitioning replacement and commit " +
+            s"$dv removes files written under the previous " +
+            "state — their delete rows cannot be synthesized " +
+            "faithfully; start the range after the replacement, or " +
+            "rely on its cdc files")
+      }
     }
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(st.schemaJson.getOrElse(

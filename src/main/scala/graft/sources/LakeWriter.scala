@@ -695,10 +695,27 @@ object LakeWriter {
     * table-sized. */
   def changeFeedBetween(spark: SparkSession, table: String,
                         fromVersion: Long, toVersion: Long): DataFrame = {
-    val feed = changesBetween(spark, table, fromVersion, toVersion)
     val keys = parseManifestMergeKeys(spark, table, toVersion)
-    if (keys.isEmpty) feed
+    // the update encoding is only meaningful for the MERGE's own
+    // step: across a wider range, toVersion's keys would pair
+    // unrelated net rows from other commits into bogus update images
+    if (keys.nonEmpty) {
+      val prev = snapshotVersions(spark, table)
+        .filter(_ < toVersion).lastOption
+      require(prev.contains(fromVersion),
+        s"changeFeedBetween($table): version $toVersion is a keyed " +
+          s"merge, so the update-image pairing needs the single step " +
+          s"from its immediate predecessor ${prev.getOrElse(-1L)} — " +
+          s"got fromVersion $fromVersion; derive wider ranges step " +
+          "by step")
+    }
+    val feed0 = changesBetween(spark, table, fromVersion, toVersion)
+    if (keys.isEmpty) feed0
     else {
+      // the feed subplan (two exceptAll shuffles + file scans) feeds
+      // the key groupBy AND four semi/anti joins — checkpoint it so
+      // one materialization computes it once, not five times
+      val feed = feed0.localCheckpoint()
       val ct = col("_change_type")
       val ins = feed.where(ct === "insert")
       val del = feed.where(ct === "delete")

@@ -1238,9 +1238,44 @@ class DeltaMirrorSpec extends AnyFunSuite {
         s"""{"remove":{"path":"files/$f","deletionTimestamp":1,"dataChange":true}}""",
         add(s"files/$f"))
         .mkString("", "\n", "\n")).getBytes("UTF-8"))
-    val e2 = intercept[IllegalArgumentException](
+    val e2 = intercept[RuntimeException](
       DeltaMirror.readChangeFeed(spark, t, 2, Some(2)).collect())
     assert(e2.getMessage.contains("removes files"))
+    // ... and the hole is closed for LATER commits too: a range whose
+    // FIRST commit replaces the partitioning must also refuse when a
+    // SUBSEQUENT commit removes a pre-range file (its delete rows
+    // would read with a state it was never written under)
+    val t2 = freshDir("graft_delta_cdf_repart2") + "/t"
+    val log2 = java.nio.file.Paths.get(t2, "_delta_log")
+    java.nio.file.Files.createDirectories(log2)
+    spark.range(0, 5).toDF("id").coalesce(1)
+      .write.parquet(s"$t2/files")
+    spark.range(5, 9).toDF("id").coalesce(1)
+      .write.parquet(s"$t2/files2")
+    val g1 = new java.io.File(s"$t2/files").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getName
+    val g2 = new java.io.File(s"$t2/files2").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getName
+    java.nio.file.Files.write(log2.resolve("00000000000000000000.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        meta("\"lang\""), add(s"files/$g1"), add(s"files2/$g2"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    java.nio.file.Files.write(log2.resolve("00000000000000000001.json"),
+      (Seq(meta(""), add(s"files/$g1"))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    java.nio.file.Files.write(log2.resolve("00000000000000000002.json"),
+      (s"""{"remove":{"path":"files2/$g2","deletionTimestamp":1,"dataChange":true}}""" +
+        "\n").getBytes("UTF-8"))
+    val e3 = intercept[RuntimeException](
+      DeltaMirror.readChangeFeed(spark, t2, 1, Some(2)).collect())
+    assert(e3.getMessage.contains("removes files"))
+    // the same range is fine when the removed file was added by the
+    // range itself (post-replacement era)
+    java.nio.file.Files.write(log2.resolve("00000000000000000002.json"),
+      (s"""{"remove":{"path":"files/$g1","deletionTimestamp":1,"dataChange":true}}""" +
+        "\n").getBytes("UTF-8"))
+    assert(DeltaMirror.readChangeFeed(spark, t2, 1, Some(2))
+      .where($"_change_type" === "delete").count() == 5L)
   }
 
   test("change data feed: partitioned tables attach partition values " +
