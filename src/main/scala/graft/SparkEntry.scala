@@ -1915,6 +1915,49 @@ object SparkEntry {
       DeltaMirror.readChangeFeed(s, table, 0).drop("_commit_timestamp")
     }),
 
+    "q_stream_cdf" -> ((s, d) => {
+      // STREAMING CDF source (the r15 verdict's #2): the CDF-enabled
+      // `_delta_log` consumed as a Structured-Streaming file source
+      // (AvailableNow; commit JSONs appear atomically under durable
+      // names, drained oldest-first), each pending version's changes
+      // resolved through readChangeFeed and appended to a result
+      // snapshot with the source version stamped as an application
+      // txn ATOMICALLY with the rows. The gate then re-runs the
+      // stream on a FRESH checkpoint — the worst-case replay (cursor
+      // lost) — and every version must skip on its stamp: the
+      // accumulated feed equals the batch feed exactly once. Oracle =
+      // DuckDB resolving the same log as a conforming CDF reader
+      // (q_ingest_delta_cdf's resolution — finite stream == batch).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_stream_cdf_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"; val out = s"$tmp/out"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      LakeWriter.commitSnapshot(base, table)
+      LakeWriter.mergeSnapshot(
+        base.where(col("lang") === "de")
+          .withColumn("n_chars", col("n_chars") + lit(700L))
+          .unionByName(docs.where(pmod(col("doc_id"), lit(40)) === 9)),
+        table, Seq("doc_id"))
+      DeltaMirror.mirror(s, table, changeDataFeed = true)
+      // first drain absorbs deltas 0..1
+      DeltaMirror.streamChangeFeedInto(s, table, out, s"$tmp/ckpt1")
+      // two MORE commits land; the live checkpoint drains just them
+      LakeWriter.deleteFromSnapshot(s, table, col("n_chars") < 135)
+      LakeWriter.commitSnapshot(
+        docs.where(pmod(col("doc_id"), lit(40)) === 11), table,
+        "append")
+      DeltaMirror.mirror(s, table, changeDataFeed = true)
+      DeltaMirror.streamChangeFeedInto(s, table, out, s"$tmp/ckpt1")
+      // fresh-checkpoint replay: all four versions re-offer, all
+      // skip on their stamps — double rows would fail the row hash
+      DeltaMirror.streamChangeFeedInto(s, table, out, s"$tmp/ckpt2")
+      LakeWriter.readSnapshot(s, out)
+    }),
+
     "q_ingest_delta_cp" -> ((s, d) => {
       // GRAFT'S OWN CHECKPOINT READER through the gate: the mirror
       // checkpoints, the covered JSON commits are cleaned up, one
@@ -6441,6 +6484,12 @@ object SparkEntry {
           sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"),
       "q_ingest_delta_cdf" -> cdfResolutionSql(
         "/tmp/graft_delta_cdf_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"),
+      // the streaming consumer is held to the SAME conforming-reader
+      // resolution over its fixture's log: finite stream == batch,
+      // and a replayed (double-appended) version breaks the row hash
+      "q_stream_cdf" -> cdfResolutionSql(
+        "/tmp/graft_stream_cdf_" +
           sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/table"),
       "q_snapshot_export_delta" ->
         s"""WITH acts AS (

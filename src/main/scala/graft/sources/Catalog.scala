@@ -89,8 +89,16 @@ object Catalog {
     }
 
   /** The one atomic-publish implementation every catalog write uses:
-    * per-attempt UUID tmp (racers never share staging bytes) + rename
-    * arbitration; the loser refuses with `raceMsg`. */
+    * per-attempt UUID tmp (racers never share staging bytes) +
+    * fail-if-exists rename arbitration; the loser refuses with
+    * `raceMsg`. NOT `FileSystem.rename` — on a local filesystem that
+    * is POSIX rename(2), which silently REPLACES an existing
+    * destination (two racers would both "win" and the first pin set
+    * would be clobbered). `FileContext.rename` without
+    * Options.Rename.OVERWRITE throws on an existing destination; the
+    * JVM-wide [[LakeWriter.commitLock]] closes the local-FS
+    * check-then-rename TOCTOU for same-process racers — exactly the
+    * manifest commit discipline of LakeWriter.commitManifestBody. */
   private def publishAtomically(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, destName: String, body: String,
       raceMsg: => String): Unit = {
@@ -99,9 +107,20 @@ object Catalog {
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8")); out.close()
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, destName))) {
-      fs.delete(tmp, false): Unit
-      sys.error(raceMsg)
+    val dest = new org.apache.hadoop.fs.Path(dir, destName)
+    try {
+      LakeWriter.commitLock.synchronized {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(dest.toUri, fs.getConf)
+          .rename(tmp, dest)
+      }
+    } catch { case e: java.io.IOException =>
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => }
+      // only a rename that lost to an existing destination is the
+      // publish race; any other IO failure (disk full, permissions)
+      // rethrows as-is — calling it a conflict would claim a
+      // concurrent committer published when none did
+      if (fs.exists(dest)) sys.error(raceMsg) else throw e
     }
   }
 

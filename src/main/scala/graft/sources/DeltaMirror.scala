@@ -1649,6 +1649,91 @@ object DeltaMirror {
   }
 
   // ------------------------------------------------------------------
+  // streaming change-feed consumption
+  // ------------------------------------------------------------------
+
+  /** STREAMING consumption of the change feed — the production
+    * incremental-consumer shape (the reference's speed layer:
+    * airflow/dags/spark_code streams a CDF-enabled table): the
+    * table's `_delta_log` IS the stream. Every committed delta
+    * version is one durably-named JSON file that appears atomically
+    * via the publish rename (in-flight tmps are dot-hidden, so the
+    * Structured-Streaming file source only ever lists whole commits);
+    * each micro-batch drains its pending versions OLDEST-FIRST, and
+    * `apply(feed, v)` receives version `v`'s row-level changes
+    * through [[readChangeFeed]]'s protocol resolution (cdc actions
+    * authoritative, add/remove synthesis elsewhere). The stream
+    * checkpoint is the cursor; replay safety is the CONSUMER's
+    * contract — `apply` must be idempotent per version (stamp the
+    * version like [[streamChangeFeedInto]], the
+    * Materialized.applyDelta discipline).
+    *
+    * Runs with `Trigger.AvailableNow` and blocks until every version
+    * committed so far is absorbed; re-invoke on a live checkpoint to
+    * drain later commits. Cost per drain is bounded by the CHANGED
+    * files of the pending versions plus one metadata replay of the
+    * log head — never table size. */
+  def streamChangeFeed(spark: SparkSession, dir: String,
+                       checkpoint: String)
+                      (apply: (DataFrame, Long) => Unit): Unit = {
+    val log = logDir(dir)
+    // heavy work runs on the OUTER session (the stream's cloned
+    // session disables AQE); only the version-number collect below
+    // touches the clone — the refreshAggStream discipline
+    val commits = spark.readStream
+      .option("pathGlobFilter", "*.json")
+      .text(log.toString)
+      // the file-metadata column resolves only on the streaming scan
+      // itself — inside foreachBatch the batch is already materialized
+      .select(col("_metadata.file_path").as("p"))
+    val vRe = """(\d{20})\.json$""".r
+    val q = commits.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val versions = batch.distinct()
+          .collect().map(_.getString(0))
+          .flatMap(p => vRe.findFirstMatchIn(p).map(_.group(1).toLong))
+          .sorted
+        versions.foreach { v =>
+          apply(readChangeFeed(spark, dir, v, Some(v)), v)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private val CdfStreamTxnApp = "graft.cdf.stream"
+
+  /** [[streamChangeFeed]] with the exactly-once consumer built in:
+    * append each version's feed rows (table columns +
+    * `_change_type`, `_commit_version`) to graft snapshot table
+    * `out`, stamping the source delta version as an application
+    * transaction ATOMICALLY with the append — a crash or a fresh
+    * stream checkpoint replays versions, and every already-absorbed
+    * version SKIPS on its stamp instead of double-appending. Rows
+    * land without `_commit_timestamp` (wall-clock, not replayable).
+    * Returns the highest absorbed delta version (-1 = nothing yet). */
+  def streamChangeFeedInto(spark: SparkSession, dir: String,
+                           out: String, checkpoint: String): Long = {
+    streamChangeFeed(spark, dir, checkpoint) { (feed, v) =>
+      val absorbed = LakeWriter.lastTxnVersion(spark, out,
+        CdfStreamTxnApp).getOrElse(-1L)
+      if (v > absorbed) {
+        val rows = feed.drop("_commit_timestamp")
+        // an all-rewrite version (compaction) feeds zero rows; the
+        // stamp still advances so a replay never re-reads its files
+        LakeWriter.commitSnapshot(rows, out,
+          mode = if (LakeWriter.snapshotVersions(spark, out).isEmpty)
+            "overwrite" else "append",
+          txn = Some(CdfStreamTxnApp -> v)): Unit
+      }
+    }
+    LakeWriter.lastTxnVersion(spark, out, CdfStreamTxnApp)
+      .getOrElse(-1L)
+  }
+
+  // ------------------------------------------------------------------
   // log retention
   // ------------------------------------------------------------------
 
@@ -1725,10 +1810,19 @@ object DeltaMirror {
                 // per-commit `_change_data/v<dv>-<attempt>/` dir —
                 // reclaim the WHOLE dir (hive subdirs included), not
                 // just the parquet leaves, or a streaming cadence
-                // leaks one empty dir tree per cleaned mixed commit
+                // leaks one empty dir tree per cleaned mixed commit.
+                // The dir-wide reclaim applies ONLY to the mirror's
+                // own per-commit naming: a FOREIGN CDF table nests
+                // cdc files under hive partition dirs shared across
+                // commits (_change_data/lang=en/cdc-x.parquet) and
+                // recursively deleting that partition dir would
+                // destroy cdc files still referenced by SURVIVING
+                // commits — those reclaim file-by-file
                 val segs = percentDecode(p).split('/')
+                val ownCommitDir = """^v\d+-[0-9a-f]{8}$""".r
                 val target =
-                  if (segs.length >= 2 && segs(0) == "_change_data")
+                  if (segs.length >= 2 && segs(0) == "_change_data" &&
+                      ownCommitDir.findFirstIn(segs(1)).isDefined)
                     segs.take(2).mkString("/")
                   else percentDecode(p)
                 fs.delete(new org.apache.hadoop.fs.Path(

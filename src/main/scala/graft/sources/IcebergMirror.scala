@@ -1103,8 +1103,16 @@ object IcebergMirror {
         "sequence-number" -> seq.toString,
         "format-version" -> "2"), mlRecords))
 
+      // row-neutral rewrites (graft compaction / z-order / spec
+      // migration: files changed, rows did not) stamp the spec's
+      // "replace" operation — the signal changelog consumers (ours
+      // and Iceberg's reference scan) use to SKIP the snapshot
+      // instead of reporting the whole table deleted+reinserted
+      val rowNeutral = Set("compact", "optimize", "migrate")
+        .contains(LakeWriter.parseManifestMode(spark, table, gv))
       val op =
-        if (removedSet.isEmpty) "append"
+        if (rowNeutral && removedSet.nonEmpty) "replace"
+        else if (removedSet.isEmpty) "append"
         else if (newFiles.isEmpty) "delete"
         else "overwrite"
       st.snapshots += JObject(List(
@@ -2253,7 +2261,16 @@ object IcebergMirror {
     final case class Changed(path: String, pvById: Map[Int, Any],
         snapId: Long, ordinal: Int, insert: Boolean)
     val changed = scala.collection.mutable.ListBuffer[Changed]()
-    chain.toSeq.zipWithIndex.foreach { case (sid, i) =>
+    // REPLACE snapshots (compaction / z-order / rewrite_data_files:
+    // files changed, rows did not) are excluded, exactly as Iceberg's
+    // reference changelog scan excludes them — reporting a rewrite as
+    // the whole table deleted+reinserted would be spurious AND
+    // unbounded (the doc's cost-bounded-by-changed-files claim).
+    // Ordinals number the EMITTING snapshots consecutively.
+    val emitting = chain.toSeq.filterNot { sid =>
+      (snap(sid) \ "summary" \ "operation") == JString("replace")
+    }
+    emitting.zipWithIndex.foreach { case (sid, i) =>
       val mlPath = str(snap(sid) \ "manifest-list").getOrElse(sys.error(
         s"iceberg table at $dir: snapshot $sid carries no manifest-list"))
       val (_, _, mlRows) = readAvroBytes(

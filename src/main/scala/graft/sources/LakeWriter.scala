@@ -163,8 +163,12 @@ object LakeWriter {
   // Time travel = reading an older manifest. On stores without atomic
   // rename (S3), swap the rename for a conditional PUT.
 
-  /** Guards the manifest rename (see writeManifest). */
-  private val commitLock = new Object
+  /** Guards the manifest rename (see writeManifest) and every other
+    * sources-layer no-overwrite publish rename (Catalog commits/tags/
+    * branches): the local-FS fail-if-exists rename is check-then-
+    * rename, and this JVM-wide lock closes that TOCTOU for
+    * same-process racers. */
+  private[sources] val commitLock = new Object
 
   private[sources] def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -328,7 +332,12 @@ object LakeWriter {
   def commitSnapshot(df: DataFrame, table: String,
                      mode: String = "overwrite",
                      txn: Option[(String, Long)] = None): Long = {
-    require(Seq("overwrite", "append").contains(mode), s"bad mode $mode")
+    // "compact" IS an overwrite (full replacement of the live set)
+    // whose manifest records that rows did not change — the format
+    // mirrors stamp it operation="replace" so changelog consumers
+    // skip the rewrite instead of reporting the table re-inserted
+    require(Seq("overwrite", "append", "compact").contains(mode),
+      s"bad mode $mode")
     val spark = df.sparkSession
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val prev = snapshotVersions(spark, table)
@@ -1788,6 +1797,20 @@ object LakeWriter {
     }
   }
 
+  /** The `mode` a version's manifest was committed with ("overwrite",
+    * "append", "merge", "delete", "compact", "optimize", ...) — the
+    * format mirrors read it to tell ROW-NEUTRAL rewrites (compaction,
+    * z-order, spec migration: files changed, rows did not) from real
+    * data changes, so a changelog consumer can skip them. */
+  private[graft] def parseManifestMode(spark: SparkSession,
+      table: String, version: Long): String = {
+    val body = manifestBody(spark, table, version)
+    body.split("\"mode\":\"") match {
+      case Array(_, rest) => rest.split("\"")(0)
+      case _ => "overwrite"
+    }
+  }
+
   private def parseManifest(spark: SparkSession, table: String,
       version: Long): (Seq[String], String, Seq[String]) = {
     val body = manifestBody(spark, table, version)
@@ -1988,7 +2011,8 @@ object LakeWriter {
     * reclaim superseded data with `vacuumSnapshots`). */
   def compactSnapshot(spark: SparkSession, table: String,
                       nFiles: Int): Long =
-    commitSnapshot(readSnapshot(spark, table).repartition(nFiles), table)
+    commitSnapshot(readSnapshot(spark, table).repartition(nFiles), table,
+      mode = "compact")
 
   /** STREAMING-SINK maintenance cadence — the hook a
     * one-commit-per-micro-batch sink (GraphStream, upsertToSnapshot)

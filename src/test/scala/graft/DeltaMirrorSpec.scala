@@ -821,6 +821,49 @@ class DeltaMirrorSpec extends AnyFunSuite {
       Set("1|a=b", "3|c d", "4|p+q"))
   }
 
+  test("cleanupLog cdc reclaim is layout-safe: foreign hive-nested " +
+      "cdc files delete file-by-file (a shared partition dir " +
+      "survives); graft's own per-commit dirs reclaim whole") {
+    val t = freshDir("graft_delta_cdc_clean") + "/t"
+    val log = java.nio.file.Paths.get(s"$t/_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    // FOREIGN layout: cdc files of DIFFERENT commits share one hive
+    // partition dir. GRAFT layout: per-commit v<dv>-<8 hex> dir.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$t/_change_data/lang=en"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$t/_change_data/v0-0123abcd/lang=en"))
+    Seq("lang=en/cdc-0.parquet", "lang=en/cdc-1.parquet",
+      "v0-0123abcd/lang=en/cdc.parquet").foreach(p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$t/_change_data/$p"),
+        "x".getBytes("UTF-8")))
+    def commit(v: Long, cdcPaths: Seq[String]): Unit =
+      java.nio.file.Files.write(log.resolve(f"$v%020d.json"),
+        (Seq("""{"commitInfo":{"operation":"WRITE"}}""") ++
+          cdcPaths.map(p => s"""{"cdc":{"path":"_change_data/$p",""" +
+            """"partitionValues":{},"size":1,"dataChange":false}}"""))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    commit(0L, Seq("lang=en/cdc-0.parquet",
+      "v0-0123abcd/lang=en/cdc.parquet"))
+    commit(1L, Seq("lang=en/cdc-1.parquet"))
+    commit(2L, Seq.empty)
+    // name-discovered checkpoint at 0 (content never read by cleanup)
+    java.nio.file.Files.write(
+      log.resolve(f"${0L}%020d.checkpoint.parquet"),
+      Array.emptyByteArray)
+    // retain 2 of tip 2 => only commit 0 (covered by the cp) deletes
+    assert(DeltaMirror.cleanupLog(spark, t, retainVersions = 2) == 1)
+    def exists(p: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$t/_change_data/$p"))
+    assert(!exists("lang=en/cdc-0.parquet"), "commit 0's cdc survives")
+    assert(!exists("v0-0123abcd"), "graft per-commit dir not reclaimed")
+    // the fix: commit 1 STILL references this file — pre-fix the
+    // recursive delete of the shared lang=en dir destroyed it
+    assert(exists("lang=en/cdc-1.parquet"),
+      "a surviving commit's cdc file was destroyed by dir-wide reclaim")
+  }
+
   test("cleanupLog: deletes only covered-and-expired commits; strict refusals spell the fix") {
     val t = freshDir("graft_delta_clean") + "/t"
     LakeWriter.commitSnapshot(docs(20), t)
@@ -1114,6 +1157,44 @@ class DeltaMirrorSpec extends AnyFunSuite {
     assert(ts.length == 4 && ts.forall(_.get(1) != null))
     assert(ts.map(_.getTimestamp(1).getTime).sliding(2)
       .forall(a => a.length < 2 || a(0) < a(1)))
+  }
+
+  test("streaming CDF consumption: AvailableNow drains pending " +
+      "versions == batch feed; fresh-checkpoint replay skips on the " +
+      "txn stamp; a later commit drains incrementally") {
+    val d = freshDir("graft_delta_cdf_stream")
+    val t = s"$d/t"; val out = s"$d/out"
+    val base = docs(60)
+    LakeWriter.commitSnapshot(base, t)
+    LakeWriter.mergeSnapshot(
+      docs(70).where($"id" >= 50).withColumn("v", $"id" * 100),
+      t, Seq("id"))
+    LakeWriter.deleteFromSnapshot(spark, t, $"v" >= 5000)
+    DeltaMirror.mirror(spark, t, changeDataFeed = true)
+    // drain deltas 0..2 in one AvailableNow invocation
+    assert(DeltaMirror.streamChangeFeedInto(spark, t, out,
+      s"$d/ckpt1") == 2L)
+    val want02 = rows(DeltaMirror.readChangeFeed(spark, t, 0, Some(2))
+      .drop("_commit_timestamp"))
+    assert(rows(LakeWriter.readSnapshot(spark, out)) == want02)
+    // same checkpoint again: nothing pending, nothing double-applied
+    assert(DeltaMirror.streamChangeFeedInto(spark, t, out,
+      s"$d/ckpt1") == 2L)
+    assert(rows(LakeWriter.readSnapshot(spark, out)) == want02)
+    // FRESH checkpoint = worst-case replay (crash lost the cursor):
+    // every version replays and SKIPS on its stamp — no double rows
+    assert(DeltaMirror.streamChangeFeedInto(spark, t, out,
+      s"$d/ckpt2") == 2L)
+    assert(rows(LakeWriter.readSnapshot(spark, out)) == want02)
+    // a later commit drains incrementally on the live checkpoint
+    LakeWriter.commitSnapshot(
+      docs(80).where($"id" >= 70), t, "append")
+    DeltaMirror.mirror(spark, t, changeDataFeed = true)
+    assert(DeltaMirror.streamChangeFeedInto(spark, t, out,
+      s"$d/ckpt1") == 3L)
+    assert(rows(LakeWriter.readSnapshot(spark, out)) ==
+      rows(DeltaMirror.readChangeFeed(spark, t, 0, Some(3))
+        .drop("_commit_timestamp")))
   }
 
   test("change data feed: compaction encodes as dataChange=false and " +

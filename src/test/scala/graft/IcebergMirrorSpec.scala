@@ -1208,6 +1208,44 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("DELETE manifests"))
   }
 
+  test("changelog skips row-neutral rewrites: a mirrored graft " +
+      "compaction stamps operation=replace and contributes no " +
+      "changelog rows; real changes around it keep consecutive " +
+      "ordinals") {
+    val t = freshDir("graft_ice_chlog_replace") + "/t"
+    LakeWriter.commitSnapshot(docs(40).repartition(8), t)        // v1
+    LakeWriter.commitSnapshot(
+      docs(45).where($"id" >= 40), t, mode = "append")           // v2
+    LakeWriter.compactSnapshot(spark, t, 1)                      // v3
+    LakeWriter.commitSnapshot(
+      docs(50).where($"id" >= 45), t, mode = "append")           // v4
+    IcebergMirror.mirror(spark, t)
+    val meta = currentMetadata(t)
+    // the compaction snapshot carries the spec's replace operation
+    val ops = (meta \ "snapshots") match {
+      case JArray(ss) => ss.map(s =>
+        jlong(s \ "snapshot-id") -> jstr(s \ "summary" \ "operation"))
+      case _ => fail("no snapshots")
+    }
+    assert(ops.toMap.apply(snapshotIdOfGraft(meta, 3L)) == "replace")
+    // changelog (v1 -> v4]: the appends at v2 and v4 report; the v3
+    // compaction (whole table rewritten, zero rows changed)
+    // contributes NOTHING — pre-fix it reported the entire table
+    // deleted+reinserted. Ordinals number EMITTING snapshots
+    // consecutively: v2=1, v4=2.
+    val ch = IcebergMirror.readIcebergChanges(spark, t,
+      snapshotIdOfGraft(meta, 1L), snapshotIdOfGraft(meta, 4L))
+    val got = ch.select($"id", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, Int)].collect().toSet
+    val want = ((40L until 45L).map((_, "insert", 1)) ++
+      (45L until 50L).map((_, "insert", 2))).toSet
+    assert(got == want)
+    // compaction-only range is an EMPTY feed, not a table-sized one
+    assert(IcebergMirror.readIcebergChanges(spark, t,
+      snapshotIdOfGraft(meta, 2L), snapshotIdOfGraft(meta, 3L))
+      .count() == 0L)
+  }
+
   test("v3 deletion vectors: puffin blob parse + row filter, at-most-" +
       "one and CRC refusals, row-lineage/initial-default refusals") {
     val t = freshDir("graft_ice_v3dv") + "/t"
