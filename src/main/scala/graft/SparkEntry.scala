@@ -1958,6 +1958,42 @@ object SparkEntry {
       LakeWriter.readSnapshot(s, out)
     }),
 
+    "q_snapshot_export_delta_mor" -> ((s, d) => {
+      // MERGE-ON-READ DELETE (the r15 verdict's #4): two point-ish
+      // deletes commit DELETION VECTORS against the standing files
+      // (inline Z85 roaring bitmaps in the manifest — bytes, where
+      // COW rewrites whole files; at 100 TB that is the difference
+      // between a metadata commit and a day of IO), the second
+      // UNIONING into the first's bitmaps on shared files. The Delta
+      // mirror exports them as spec `deletionVector` descriptors with
+      // (path, dvUniqueId) re-add/remove pairing, and the SERVED rows
+      // come back through readDelta's DV resolution — the full
+      // write->export->read round trip. The in-body requires prove
+      // the MOR path actually ran (a silent COW fallback would pass
+      // the oracle without testing DVs).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_mor_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(4)) === 3)
+      LakeWriter.commitSnapshot(base.repartition(4), table)
+      val v2 = LakeWriter.deleteFromSnapshotMor(s, table,
+        col("n_chars") < 130, maxDeleteFraction = 0.9)
+      val v3 = LakeWriter.deleteFromSnapshotMor(s, table,
+        col("lang") === "zh", maxDeleteFraction = 0.9)
+      require(LakeWriter.parseManifestDvs(s, table, v2).nonEmpty &&
+        LakeWriter.parseManifestDvs(s, table, v3).nonEmpty,
+        "q_snapshot_export_delta_mor: the MOR path did not commit DVs")
+      require(LakeWriter.snapshotFiles(s, table, v3).toSet ==
+        LakeWriter.snapshotFiles(s, table, 1L).toSet,
+        "q_snapshot_export_delta_mor: a MOR delete rewrote files")
+      DeltaMirror.mirror(s, table)
+      DeltaMirror.readDelta(s, table)
+    }),
+
     "q_ingest_delta_cp" -> ((s, d) => {
       // GRAFT'S OWN CHECKPOINT READER through the gate: the mirror
       // checkpoints, the covered JSON commits are cleaned up, one
@@ -5295,6 +5331,16 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars, lang FROM documents
         |WHERE doc_id % 4 = 1 AND NOT coalesce(n_chars < 170, false)"""
         .stripMargin,
+
+    "q_snapshot_export_delta_mor" ->
+      // rows served through the full MOR round trip (graft DV commit
+      // -> Delta descriptor export -> readDelta DV resolution): the
+      // survivor set re-derived logically — a mis-serialized bitmap,
+      // a dropped (path, dvUniqueId) re-pairing, or an un-unioned
+      // second delete surfaces as extra (resurrected) or missing rows
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 4 = 3 AND NOT coalesce(n_chars < 130, false)
+        |  AND NOT coalesce(lang = 'zh', false)""".stripMargin,
 
     "q_ingest_delta_dv" ->
       // rows served through readDelta's DELETION-VECTOR resolution:

@@ -171,6 +171,57 @@ object Catalog {
     parsePins(readCommitJson(spark, catalog, c),
       s"catalog at $catalog: commit $c")
 
+  /** Tag names present (each an immutable pointer at one commit). */
+  def tags(spark: SparkSession, catalog: String): Seq[String] = {
+    val dir = tagsDir(catalog)
+    val fs = LakeWriter.fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json")).sorted
+  }
+
+  /** Branch names with at least one published commit. */
+  def branches(spark: SparkSession, catalog: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(catalog, "branches")
+    val fs = LakeWriter.fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
+      .filter(n => branchCommits(spark, catalog, n).nonEmpty).sorted
+  }
+
+  /** Every snapshot version of `tablePath` pinned ANYWHERE in this
+    * catalog — main commits, tags (they point at commits, so commits
+    * cover them) and branch commits. These are the catalog's
+    * RETENTION ROOTS: `LakeWriter.vacuumSnapshots(catalogs = ...)`
+    * never reclaims a version a commit/tag/branch still serves (the
+    * Nessie-GC role — refs are GC roots, not just names). Refuses
+    * loudly on a missing/unreadable catalog: silently treating it as
+    * "no pins" would reclaim every pinned version. */
+  def pinnedVersionsOf(spark: SparkSession, catalog: String,
+                       tablePath: String): Set[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(catalog)
+    val fs = LakeWriter.fsOf(spark, dir)
+    require(fs.exists(dir),
+      s"catalog at $catalog does not exist or is unreadable — " +
+        "refusing to treat it as pin-free (its pins are retention " +
+        "roots; vacuuming against a misspelled or unmounted catalog " +
+        "would reclaim every version it protects)")
+    val want = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(tablePath)).toString
+    def versionsIn(pins: Map[String, (String, Long)]): Seq[Long] =
+      pins.values.collect { case (p, v) if fs.makeQualified(
+        new org.apache.hadoop.fs.Path(p)).toString == want => v }.toSeq
+    val fromMain = commits(spark, catalog)
+      .flatMap(c => versionsIn(pinsAt(spark, catalog, c)))
+    val fromBranches = branches(spark, catalog).flatMap { b =>
+      branchCommits(spark, catalog, b).flatMap(n => versionsIn(
+        branchPins(readBranchCommit(spark, catalog, b, n), catalog, b)))
+    }
+    (fromMain ++ fromBranches).toSet
+  }
+
   /** Atomically commit a consistent cross-table state: pin each named
     * table at `at(name)` (default: its CURRENT latest version). Every
     * pin is validated against the table's real snapshot history

@@ -779,10 +779,20 @@ object DeltaMirror {
     var prevTxns: Map[String, Long] = Map.empty
     var nextDv: Long = 0L
     var prevIct: Long = 0L
+    val liveDv = scala.collection.mutable.LinkedHashMap[
+      String, DeletionVectors.DvDescriptor]()
+    var dvWasOn = false
     if (hasLog) {
       val (st, latest) = replay(spark, table, None)
-      // graft mirrors never write DVs, so every live key's uid is ""
       live ++= st.live.keys.map(_._1)
+      // MERGE-ON-READ state: the resumed live set's (path -> DV
+      // descriptor) pairings — removes of a DV-changed file must
+      // retire the EXACT old pairing (the spec's (path, dvUniqueId)
+      // reconciliation)
+      st.live.foreach { case ((pp, _), info) =>
+        info.dv.foreach(liveDv(pp) = _) }
+      dvWasOn = liveDv.nonEmpty ||
+        st.readerFeatures.contains("deletionVectors")
       prevIct = st.lastIct.getOrElse(0L)
       prevTxns = st.txns.toMap
       prevSchemaJson = st.schemaJson
@@ -849,6 +859,13 @@ object DeltaMirror {
     // metaData (with the CDF config) and a protocol upgrade
     var cdfMetaPending = cdfOn && !cdfWasOn
     var cdfAnnounced = cdfWasOn
+    // DELETION VECTORS: announced (protocol upgrade + metaData
+    // config) by the first mirrored version that carries one; sticky
+    // (a DV consumer must keep resolving pairings) — exactly the CDF
+    // enablement pattern
+    var dvOn = dvWasOn
+    var dvAnnounced = dvWasOn
+    var dvMetaPending = false
     val tsByVersion = LakeWriter.snapshotTimestamps(spark, table).toMap
     val todo = lastMirrored match {
       case Some(g) => versions.filter(_ > g)
@@ -905,6 +922,29 @@ object DeltaMirror {
       val rels = files.map(addPathOf)
       val adds = rels.filterNot(live.contains)
       val removes = live.toSeq.filterNot(rels.toSet.contains)
+      // MERGE-ON-READ deletion vectors of THIS graft version: a
+      // carried file whose DV changed re-ADDS under the new pairing
+      // and REMOVES the exact old one ((path, dvUniqueId)
+      // reconciliation — bytes in the log, no data rewrite, the whole
+      // point of the MOR delete at 100 TB)
+      val dvsV = LakeWriter.parseManifestDvs(spark, table, gv)
+      def descOf(rel: String): Option[DeletionVectors.DvDescriptor] =
+        dvsV.get(percentDecode(rel).split('/').last).map(d =>
+          DeletionVectors.DvDescriptor("i", d.z85, None,
+            d.sizeInBytes, d.cardinality))
+      val dvChanged = rels.filter(r => live.contains(r) &&
+        liveDv.get(r).map(_.uniqueId) != descOf(r).map(_.uniqueId))
+      if (dvsV.nonEmpty) {
+        require(ictOn,
+          s"delta mirror of $table: graft v$gv carries deletion " +
+            "vectors, which need the writer-v7 feature list, but " +
+            "this resumed mirror predates in-commit timestamps " +
+            "(legacy protocol) — start a fresh mirror")
+        dvOn = true
+        if (!dvAnnounced) dvMetaPending = true
+      }
+      val addEmit = adds ++ dvChanged
+      val removeEmit = removes ++ dvChanged
       // a partition-spec CHANGE over carried files is not
       // Delta-expressible: the carried files' add actions recorded
       // partitionValues under the OLD spec, and a conforming reader
@@ -929,11 +969,11 @@ object DeltaMirror {
         colmapV.phys(f.name) -> f.dataType).toMap
       // sizes/mtimes: bounded-parallel metadata fetches, new files only
       val meta: Map[String, (Long, Long)] =
-        if (adds.isEmpty) Map.empty
+        if (addEmit.isEmpty) Map.empty
         else {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(16, adds.size))
-          try adds.map { r =>
+            math.min(16, addEmit.size))
+          try addEmit.map { r =>
             r -> pool.submit(
               new java.util.concurrent.Callable[(Long, Long)] {
                 def call(): (Long, Long) = {
@@ -1003,23 +1043,36 @@ object DeltaMirror {
       // enabling a feature does.
       def protocolJson(cm: Boolean): JValue = JObject(List(
         "protocol" -> JObject(List(
-          "minReaderVersion" -> JInt(if (cm) 2 else 1),
+          "minReaderVersion" -> JInt(
+            if (dvOn) 3 else if (cm) 2 else 1),
           "minWriterVersion" -> JInt(
             if (ictOn) 7 else if (cm) 5 else 2)) ++
+          // reader v3 (deletion vectors) must NAME every reader
+          // feature the table uses
+          (if (dvOn) List("readerFeatures" -> (JArray(
+            ((if (cm) List("columnMapping") else Nil) :+
+              "deletionVectors").map(JString(_): JValue)): JValue))
+           else Nil) ++
           (if (ictOn) List("writerFeatures" -> (JArray(
             ((if (cm) List("columnMapping") else Nil) ++
-              (if (cdfOn) List("changeDataFeed") else Nil) :+
+              (if (cdfOn) List("changeDataFeed") else Nil) ++
+              (if (dvOn) List("deletionVectors") else Nil) :+
               "inCommitTimestamp").map(JString(_): JValue)): JValue))
            else Nil))))
-      if (dv == 0) { actions += protocolJson(needCm); cdfAnnounced = cdfOn }
-      else if ((needCm && !cmOn) || (cdfOn && !cdfAnnounced)) {
+      if (dv == 0) {
+        actions += protocolJson(needCm)
+        cdfAnnounced = cdfOn; dvAnnounced = dvOn
+      }
+      else if ((needCm && !cmOn) || (cdfOn && !cdfAnnounced) ||
+          (dvOn && !dvAnnounced)) {
         actions += protocolJson(cm = needCm || cmOn)
-        cdfAnnounced = cdfOn
+        cdfAnnounced = cdfOn; dvAnnounced = dvOn
       }
       cmOn = cmOn || needCm
       if (!prevSchemaJson.contains(schemaJson) ||
-          !prevPartCols.contains(partCols) || cdfMetaPending) {
-        cdfMetaPending = false
+          !prevPartCols.contains(partCols) || cdfMetaPending ||
+          dvMetaPending) {
+        cdfMetaPending = false; dvMetaPending = false
         actions += JObject(List("metaData" -> JObject(List(
           "id" -> JString(java.util.UUID.nameUUIDFromBytes(
             s"graft:$table".getBytes("UTF-8")).toString),
@@ -1040,6 +1093,8 @@ object DeltaMirror {
             (if (ictOn) List("delta.enableInCommitTimestamps" ->
               (JString("true"): JValue)) else Nil) ++
             (if (cdfOn) List("delta.enableChangeDataFeed" ->
+              (JString("true"): JValue)) else Nil) ++
+            (if (dvOn) List("delta.enableDeletionVectors" ->
               (JString("true"): JValue)) else Nil)),
           "createdTime" -> JInt(BigInt(ts))))))
         prevSchemaJson = Some(schemaJson); prevPartCols = Some(partCols)
@@ -1053,7 +1108,7 @@ object DeltaMirror {
       // actions (the spec's "files changed, rows did not").
       var rowsChanged = true
       val cdcActions = scala.collection.mutable.ListBuffer[JValue]()
-      if (cdfOn && adds.nonEmpty && removes.nonEmpty) {
+      if (cdfOn && addEmit.nonEmpty && removeEmit.nonEmpty) {
         val baseGv = prevGv.getOrElse(sys.error(
           s"delta mirror of $table: commit with removes but no " +
             "predecessor — mirror cursor corrupt"))
@@ -1093,13 +1148,23 @@ object DeltaMirror {
           }
         } finally feed.unpersist(): Unit
       }
-      removes.foreach { r =>
+      def dvJson(d: DeletionVectors.DvDescriptor): JValue =
+        JObject(List(
+          "storageType" -> JString(d.storageType),
+          "pathOrInlineDv" -> JString(d.pathOrInlineDv),
+          "sizeInBytes" -> JInt(BigInt(d.sizeInBytes)),
+          "cardinality" -> JInt(BigInt(d.cardinality))))
+      removeEmit.foreach { r =>
+        // the remove retires the pairing the file was LIVE under —
+        // with its old DV when it had one, bare otherwise
         actions += JObject(List("remove" -> JObject(List(
           "path" -> JString(r),
           "deletionTimestamp" -> JInt(BigInt(ts)),
-          "dataChange" -> JBool(rowsChanged)))))
+          "dataChange" -> JBool(rowsChanged)) ++
+          liveDv.get(r).map(d =>
+            "deletionVector" -> dvJson(d)).toList)))
       }
-      adds.foreach { r =>
+      addEmit.foreach { r =>
         val (len, mtime) = meta(r)
         val statsJson = stats.get(percentDecode(r).split('/').last)
           .flatMap(deltaStatsJson(_, physTypes))
@@ -1109,6 +1174,8 @@ object DeltaMirror {
           "size" -> JInt(BigInt(len)),
           "modificationTime" -> JInt(BigInt(mtime)),
           "dataChange" -> JBool(rowsChanged)) ++
+          descOf(r).map(d =>
+            "deletionVector" -> dvJson(d)).toList ++
           statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList)))
       }
       actions ++= cdcActions
@@ -1118,6 +1185,13 @@ object DeltaMirror {
       planned += (dv -> body)
       rels.foreach(live += _)
       live.filterInPlace(rels.toSet.contains)
+      // DV state follows the live set
+      liveDv.keys.filterNot(rels.toSet.contains).toSeq
+        .foreach(liveDv -= _)
+      rels.foreach(r => descOf(r) match {
+        case Some(d) => liveDv(r) = d
+        case None => liveDv -= r
+      })
       prevGv = Some(gv)
     }
     planned.foreach { case (dv, body) =>

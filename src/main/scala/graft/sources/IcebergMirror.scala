@@ -888,6 +888,14 @@ object IcebergMirror {
     val hconf = spark.sessionState.newHadoopConf()
 
     todo.foreach { gv =>
+      // MERGE-ON-READ deletion vectors are not yet writable as v3
+      // puffin blobs — mirroring the file list alone would silently
+      // RESURRECT the MOR-deleted rows for every Iceberg reader
+      require(LakeWriter.parseManifestDvs(spark, table, gv).isEmpty,
+        s"iceberg mirror of $table: graft version $gv carries " +
+          "merge-on-read deletion vectors; the v3 puffin DV write " +
+          "path is not implemented — compactSnapshot first (clears " +
+          "DVs), or mirror to Delta (which exports them natively)")
       val files = LakeWriter.snapshotFiles(spark, table, gv)
         .map(f => fs.makeQualified(new Path(f)).toString)
       val partCols = LakeWriter.snapshotPartitionCols(spark, table, gv)
@@ -1211,7 +1219,8 @@ object IcebergMirror {
     * property (schemas, specs, name mapping) carries verbatim.
     * Returns the number of snapshots expired. */
   def expireSnapshots(spark: SparkSession, table: String,
-                      retainSnapshots: Int): Long = {
+                      retainSnapshots: Int,
+                      catalogs: Seq[String] = Nil): Long = {
     require(retainSnapshots >= 1,
       "expireSnapshots: must retain at least the current snapshot")
     val md = metaDir(table)
@@ -1236,8 +1245,21 @@ object IcebergMirror {
         lng(r \ "snapshot-id") }.toSet
       case _ => Set.empty
     }
+    // catalog pins are retention roots too (the graft-catalog twin of
+    // refs — a cross-table commit/tag/branch pinning graft version gv
+    // protects its mirrored snapshot): graft versions map to snapshot
+    // ids via the mirror's deterministic id derivation
+    val catalogIds: Set[Long] =
+      if (catalogs.isEmpty) Set.empty
+      else {
+        val uuid = str(j \ "table-uuid").getOrElse(sys.error(
+          s"iceberg metadata at $table carries no table-uuid"))
+        catalogs.flatMap(c => Catalog.pinnedVersionsOf(spark, c, table))
+          .map(gv => snapshotIdOf(uuid, gv)).toSet
+      }
     val keepIds = snaps.takeRight(retainSnapshots)
-      .flatMap(s => lng(s \ "snapshot-id")).toSet ++ refIds
+      .flatMap(s => lng(s \ "snapshot-id")).toSet ++ refIds ++
+      catalogIds
     val (kept, expired) = snaps.partition(s =>
       lng(s \ "snapshot-id").exists(keepIds))
     if (expired.isEmpty) return 0L

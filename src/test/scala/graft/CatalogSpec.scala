@@ -79,6 +79,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.commits(spark, cat).isEmpty)
   }
 
+  test("catalog pins are vacuum retention roots: a tagged version " +
+      "survives vacuum, unpinned interims reclaim, an unreadable " +
+      "catalog refuses before deleting anything") {
+    val (cat, fact, dim) = fixture()                         // fact v1
+    val c0 = Catalog.commit(spark, cat, Map("fact" -> fact))
+    Catalog.tag(spark, cat, "release", Some(c0))
+    val wantV1 = rows(LakeWriter.readSnapshot(spark, fact, Some(1L)))
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 100)   // v2
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 200)   // v3
+    LakeWriter.deleteFromSnapshot(spark, fact, $"v" < 300)   // v4
+    // a BRANCH pin protects v2 the same way the main commit does v1
+    Catalog.branch(spark, cat, "dev", Some(c0))
+    Catalog.commitOnBranch(spark, cat, "dev", Map("fact" -> fact),
+      at = Map("fact" -> 2L))
+    // an unreadable catalog refuses BEFORE any deletion
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.vacuumSnapshots(spark, fact, keepLast = 1,
+        catalogs = Seq(s"$cat-nope")))
+    assert(e.getMessage.contains("retention roots"))
+    assert(LakeWriter.snapshotVersions(spark, fact) ==
+      Seq(1L, 2L, 3L, 4L))
+    // vacuum keeping only the tip — but pins v1 (tag via main commit)
+    // and v2 (branch) are roots; the unpinned interim v3 reclaims
+    LakeWriter.vacuumSnapshots(spark, fact, keepLast = 1,
+      catalogs = Seq(cat))
+    assert(LakeWriter.snapshotVersions(spark, fact) == Seq(1L, 2L, 4L))
+    // the tagged read STILL SERVES, data intact
+    assert(rows(Catalog.readTableAtTag(spark, cat, "fact", "release"))
+      == wantV1)
+    assert(rows(Catalog.readTableAtBranch(spark, cat, "dev", "fact"))
+      == rows(LakeWriter.readSnapshot(spark, fact, Some(2L))))
+    // the reclaimed interim refuses as before
+    intercept[Exception](
+      LakeWriter.readSnapshot(spark, fact, Some(3L)).collect())
+    // without roots the old semantics hold: everything below the
+    // window goes (dim is unpinned by the catalog — path-scoped)
+    LakeWriter.commitSnapshot(
+      LakeWriter.readSnapshot(spark, dim), dim) // dim v2
+    LakeWriter.vacuumSnapshots(spark, dim, keepLast = 1,
+      catalogs = Seq(cat))
+    assert(LakeWriter.snapshotVersions(spark, dim) == Seq(2L))
+  }
+
   test("crash/race injection: a stray tmp is invisible, a destination " +
       "collision refuses loudly, re-pointing a name refuses") {
     val (cat, fact, dim) = fixture()

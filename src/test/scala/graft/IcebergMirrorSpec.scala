@@ -456,6 +456,32 @@ class IcebergMirrorSpec extends AnyFunSuite {
       rows(LakeWriter.readSnapshot(spark, t)))
   }
 
+  test("expireSnapshots: catalog pins are retention roots — a graft " +
+      "version pinned by a catalog commit survives the recency " +
+      "window through its mirrored snapshot") {
+    val root = freshDir("graft_ice_catroot")
+    val t = s"$root/t"; val cat = s"$root/cat"
+    LakeWriter.commitSnapshotDynamic(docs(60), t, Seq("lang")) // v1
+    graft.sources.Catalog.commit(spark, cat, Map("t" -> t)) // pins v1
+    (1 to 4).foreach(i =>
+      LakeWriter.deleteFromSnapshot(spark, t, $"v" < (i * 100)))
+    IcebergMirror.mirror(spark, t)
+    val snaps = IcebergMirror.icebergSnapshots(spark, t)
+    val oldest = snaps.head._1 // = the mirrored graft v1
+    // recency window of 2, but the catalog pin roots v1: 2 expire
+    assert(IcebergMirror.expireSnapshots(spark, t, 2,
+      catalogs = Seq(cat)) == 2L)
+    val after = IcebergMirror.icebergSnapshots(spark, t).map(_._1)
+    assert(after == Seq(oldest) ++ snaps.takeRight(2).map(_._1))
+    assert(IcebergMirror.readIceberg(spark, t, Some(oldest))
+      .count() == 60L)
+    // an unreadable catalog refuses rather than expiring the pin
+    val e = intercept[IllegalArgumentException](
+      IcebergMirror.expireSnapshots(spark, t, 1,
+        catalogs = Seq(s"$cat-nope")))
+    assert(e.getMessage.contains("retention roots"))
+  }
+
   test("maintainSnapshotEvery(mirrorIceberg) keeps the tree current " +
       "and bounded alongside compaction + vacuum") {
     val t = freshDir("graft_ice_maint") + "/t"

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaMirror, IcebergMirror, LakeWriter}
+
+/** MERGE-ON-READ DELETE: deletion-vector commits (bytes, not file
+  * rewrites), every reader path applying them transparently, the
+  * change feed deriving row-level deltas from DV diffs, the Delta
+  * mirror exporting spec descriptors readDelta round-trips, and the
+  * honest refusal / fallback edges (COW above the fraction threshold,
+  * Iceberg mirror refusal, restore re-pinning its version's DVs). */
+class MorDeleteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def docs(n: Int) =
+    spark.range(0, n.toLong).toDF("id")
+      .withColumn("lang",
+        when(pmod($"id", lit(3)) === 0, "en")
+          .when(pmod($"id", lit(3)) === 1, "de").otherwise("fr"))
+      .withColumn("v", $"id" * 10)
+
+  test("MOR delete commits a DV, not a rewrite: file list unchanged, " +
+      "reads filtered, row count exact, second delete unions, " +
+      "full-file delete drops the file") {
+    val t = freshDir("graft_mor") + "/t"
+    LakeWriter.commitSnapshot(docs(100).repartition(4), t) // v1
+    val v1Files = LakeWriter.snapshotFiles(spark, t, 1L).toSet
+    val v2 = LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 200)
+    assert(v2 == 2L)
+    // the point of MOR: SAME files, only metadata moved
+    assert(LakeWriter.snapshotFiles(spark, t, v2).toSet == v1Files)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(100).where($"v" >= 200)))
+    // time travel still serves the pre-delete rows
+    assert(rows(LakeWriter.readSnapshot(spark, t, Some(1L))) ==
+      rows(docs(100)))
+    // metadata row count: footer rows minus DV cardinality, no scan
+    assert(LakeWriter.snapshotRowCount(spark, t) == 80L)
+    // second MOR delete UNIONS into the files' bitmaps
+    val v3 = LakeWriter.deleteFromSnapshotMor(spark, t, $"v" >= 900)
+    assert(LakeWriter.snapshotFiles(spark, t, v3).toSet == v1Files)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(100).where($"v" >= 200 && $"v" < 900)))
+    assert(LakeWriter.snapshotRowCount(spark, t) == 70L)
+    // predicate matching only already-deleted rows: no new commit
+    assert(LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 150) == v3)
+    // stat-pruned read path applies DVs too
+    assert(rows(LakeWriter.readSnapshotWhere(spark, t, $"v" < 400)) ==
+      rows(docs(100).where($"v" >= 200 && $"v" < 400)))
+    // deleting EVERY remaining row of every file drops the files
+    val v4 = LakeWriter.deleteFromSnapshotMor(spark, t, lit(true))
+    assert(LakeWriter.snapshotFiles(spark, t, v4).isEmpty)
+    assert(LakeWriter.readSnapshot(spark, t).count() == 0L)
+  }
+
+  test("change feed across MOR versions: exactly the newly-deleted " +
+      "rows, bounded by the DV diff; COW after MOR never resurrects; " +
+      "compaction clears DVs; restore re-pins its version's DVs") {
+    val t = freshDir("graft_mor_feed") + "/t"
+    LakeWriter.commitSnapshot(docs(90).repartition(3), t)      // v1
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 100)     // v2
+    // collapsed feed (v1 -> v2] = exactly the 10 deleted rows
+    val feed = LakeWriter.changesBetween(spark, t, 1L, 2L)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 10L), byType.toString)
+    assert(rows(feed.drop("_change_type")) ==
+      rows(docs(90).where($"v" < 100)))
+    // a COW delete on the DV-bearing table reads THROUGH the DVs:
+    // survivors exclude both the COW matches and the MOR-deleted rows
+    LakeWriter.deleteFromSnapshot(spark, t, $"lang" === "en") // v3
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(90).where($"v" >= 100 && $"lang" =!= "en")))
+    // compaction rewrites survivors -> DVs clear
+    LakeWriter.compactSnapshot(spark, t, 1)                   // v4
+    assert(LakeWriter.parseManifestDvs(spark, t, 4L).isEmpty)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(90).where($"v" >= 100 && $"lang" =!= "en")))
+    // restore to the MOR version re-pins ITS DV map
+    LakeWriter.restoreSnapshot(spark, t, 2L)                  // v5
+    assert(LakeWriter.parseManifestDvs(spark, t, 5L).nonEmpty)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(90).where($"v" >= 100)))
+  }
+
+  test("fraction threshold falls back to COW for the WHOLE delete; " +
+      "merge on a DV table never resurrects deleted rows") {
+    val t = freshDir("graft_mor_cow") + "/t"
+    LakeWriter.commitSnapshot(docs(40).repartition(2), t)     // v1
+    // 75% of rows deleted > default 0.5 threshold -> COW path
+    val v2 = LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 300)
+    assert(v2 == 2L)
+    assert(LakeWriter.parseManifestDvs(spark, t, v2).isEmpty,
+      "a delete above the fraction threshold must take the COW path")
+    assert(LakeWriter.snapshotFiles(spark, t, v2).toSet !=
+      LakeWriter.snapshotFiles(spark, t, 1L).toSet)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(40).where($"v" >= 300)))
+    // now a small MOR delete, then a keyed MERGE: the merge's rewrite
+    // reads through the DV (no resurrection) and clears it
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"id" === 35L) // v3
+    LakeWriter.mergeSnapshot(
+      docs(40).where($"id" === 36L).withColumn("v", lit(9999L)),
+      t, Seq("id"))                                           // v4
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(40).where($"v" >= 300 && $"id" =!= 35L && $"id" =!= 36L)
+        .unionByName(docs(40).where($"id" === 36L)
+          .withColumn("v", lit(9999L)))))
+  }
+
+  test("delta mirror exports DVs as inline spec descriptors: " +
+      "readDelta round-trips every version, protocol announces " +
+      "deletionVectors, checkpoint preserves the pairings; iceberg " +
+      "mirror refuses loudly") {
+    val t = freshDir("graft_mor_mirror") + "/t"
+    LakeWriter.commitSnapshot(docs(80).repartition(4), t)      // v1
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 100)     // v2
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" >= 700)    // v3
+    assert(DeltaMirror.mirror(spark, t) == 3L)
+    // every delta version == its graft snapshot
+    (0 to 2).foreach { dv =>
+      assert(rows(DeltaMirror.readDelta(spark, t, Some(dv.toLong))) ==
+        rows(LakeWriter.readSnapshot(spark, t, Some(dv + 1L))),
+        s"delta v$dv")
+    }
+    // the log speaks the spec: protocol reader 3 + deletionVectors,
+    // the DV-changed file re-added under its new pairing with the old
+    // one removed
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_delta_log",
+        f"${1L}%020d.json")), "UTF-8")
+    assert(log1.contains("\"deletionVectors\""))
+    assert(log1.contains("\"minReaderVersion\":3"))
+    assert(log1.contains("\"storageType\":\"i\""))
+    assert(log1.contains("\"remove\""))
+    // resume keeps pairings: another MOR delete, incremental mirror
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"id" === 40L)  // v4
+    assert(DeltaMirror.mirror(spark, t) == 1L)
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // checkpoint models the DV struct; resolution survives log cleanup
+    DeltaMirror.checkpoint(spark, t)
+    DeltaMirror.cleanupLog(spark, t, retainVersions = 1)
+    assert(rows(DeltaMirror.readDelta(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
+    // iceberg mirror refuses a DV-bearing version loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergMirror.mirror(spark, t))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{LakeWriter, Views}
+import graft.sources.{Catalog, LakeWriter, Views}
 
 /** The external SQL serving surface (the reference's Trino/Superset
   * role): a real HiveServer2-protocol endpoint over the session's
@@ -79,6 +79,52 @@ class ServingSpec extends AnyFunSuite {
           .toList
         assert(got4 == List((1L, "stale", "delete"), (1L, "a", "insert"),
           (2L, "b", "insert"), (3L, "c", "insert")))
+
+        // CATALOG SERVING (the Nessie discovery role): fact+dim
+        // pinned by one commit, tagged, then BOTH advance + a new
+        // commit — the tag views must serve the OLD pair consistently
+        // (a mixed-version fact/dim join is impossible by
+        // construction: one commit JSON resolves both pins), the
+        // bare names the new tip pair
+        val croot = java.nio.file.Files
+          .createTempDirectory("graft_serve_cat").toString
+        val fact = s"$croot/fact"; val dim = s"$croot/dim"
+        LakeWriter.commitSnapshot(
+          Seq((1L, 10L), (2L, 20L)).toDF("k", "amt"), fact)
+        LakeWriter.commitSnapshot(
+          Seq((1L, "one"), (2L, "two")).toDF("k", "nm"), dim)
+        val cat = s"$croot/cat"
+        Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim))
+        Catalog.tag(spark, cat, "release")
+        LakeWriter.commitSnapshot(
+          Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("k", "amt"), fact)
+        LakeWriter.commitSnapshot(
+          Seq((1L, "ONE"), (2L, "TWO"), (3L, "THREE")).toDF("k", "nm"),
+          dim)
+        Catalog.commit(spark, cat, Map("fact" -> fact, "dim" -> dim))
+        Views.registerCatalogGlobal(spark, cat)
+        // the tag: the OLD consistent pair through a cross-table join
+        val rs5 = st.executeQuery(
+          """SELECT f.k, f.amt, d.nm FROM global_temp.fact__release f
+            |JOIN global_temp.dim__release d ON f.k = d.k
+            |ORDER BY f.k""".stripMargin)
+        val got5 = Iterator.continually(rs5).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toList
+        assert(got5 == List((1L, 10L, "one"), (2L, 20L, "two")))
+        // the tip: the NEW pair under the bare catalog names
+        val rs6 = st.executeQuery(
+          """SELECT f.k, f.amt, d.nm FROM global_temp.fact f
+            |JOIN global_temp.dim d ON f.k = d.k ORDER BY f.k""".stripMargin)
+        val got6 = Iterator.continually(rs6).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toList
+        assert(got6 == List((1L, 11L, "ONE"), (2L, 22L, "TWO"),
+          (3L, 33L, "THREE")))
+        // discovery: SHOW TABLES lists the catalog's names
+        val rs7 = st.executeQuery("SHOW TABLES IN global_temp")
+        val shown = Iterator.continually(rs7).takeWhile(_.next())
+          .map(_.getString(2)).toSet
+        assert(Set("fact", "dim", "fact__release", "dim__release")
+          .subsetOf(shown), shown.toString)
       } finally conn.close()
     } finally server.stop()
   }
