@@ -2526,6 +2526,44 @@ object SparkEntry {
       graft.sources.IcebergMirror.readIceberg(s, dir)
     }),
 
+    "q_snapshot_export_iceberg_mor" -> ((s, d) => {
+      // v3 DELETION-VECTOR WRITE (the export direction of
+      // q_ingest_iceberg_v3dv, closing the r15 asymmetry where MOR
+      // snapshots exported to Delta but the Iceberg mirror refused):
+      // two MOR deletes commit inline DV bitmaps; the mirror exports
+      // them as PUFFIN blobs + DELETE manifests, upgrading the
+      // already-mirrored v2 tree to format v3 in place (the second
+      // delete REPLACES the first's entries on shared files — the
+      // spec's at-most-one-DV-per-file rule, add + tombstone); and
+      // the served rows come back through readIceberg's v3 DV
+      // resolution — the full write->export->read round trip. The
+      // in-body requires prove the MOR path actually ran (file list
+      // unchanged, DVs present), so a silent COW fallback cannot
+      // pass the oracle.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_iceberg_mor_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{IcebergMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(4)) === 1)
+      LakeWriter.commitSnapshot(base.repartition(4), table)
+      IcebergMirror.mirror(s, table) // v2 tree first: DVs UPGRADE it
+      val v2 = LakeWriter.deleteFromSnapshotMor(s, table,
+        col("n_chars") < 140, maxDeleteFraction = 0.9)
+      val v3 = LakeWriter.deleteFromSnapshotMor(s, table,
+        col("lang") === "es", maxDeleteFraction = 0.9)
+      require(LakeWriter.parseManifestDvs(s, table, v2).nonEmpty &&
+        LakeWriter.parseManifestDvs(s, table, v3).nonEmpty,
+        "q_snapshot_export_iceberg_mor: the MOR path did not commit DVs")
+      require(LakeWriter.snapshotFiles(s, table, v3).toSet ==
+        LakeWriter.snapshotFiles(s, table, 1L).toSet,
+        "q_snapshot_export_iceberg_mor: a MOR delete rewrote files")
+      IcebergMirror.mirror(s, table) // resume: v2 -> v3 upgrade
+      IcebergMirror.readIceberg(s, table)
+    }),
+
     "q_ingest_delta" -> ((s, d) => {
       // DELTA IMPORT direction through the gate: the table evolves
       // (partitioned base + partition overwrite + COW DELETE), the
@@ -2633,6 +2671,49 @@ object SparkEntry {
       val snaps = IcebergMirror.icebergSnapshots(s, table).map(_._1)
       IcebergMirror.readIcebergChanges(s, table, snaps.head, snaps.last)
         .drop("_commit_snapshot_id")
+    }),
+
+    "q_stream_iceberg_changes" -> ((s, d) => {
+      // STREAMING ICEBERG CHANGELOG source (the Iceberg twin of
+      // q_stream_cdf, completing the verdict's 'production
+      // incremental consumer' for BOTH open formats): the mirror's
+      // metadata dir consumed as a Structured-Streaming file source
+      // (vN.metadata.json files land atomically under durable names
+      // via the tmp+rename publish; AvailableNow drains pending
+      // versions oldest-first), each tip snapshot's row changes
+      // resolved through readIcebergChanges and appended to a result
+      // snapshot with the tip's SEQUENCE NUMBER stamped as an
+      // application txn ATOMICALLY with the rows. The gate re-runs
+      // the stream on a FRESH checkpoint — the worst-case replay —
+      // and every version must skip on its stamp: the accumulated
+      // feed equals each snapshot's changelog exactly once. Oracle =
+      // all three sequences' insert/delete sets re-derived logically
+      // (sequence 1 is the parentless full-insert feed).
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_stream_ice_changes_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"; val out = s"$tmp/out"
+      import graft.sources.{IcebergMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      LakeWriter.commitSnapshotDynamic(base, table, Seq("lang"))
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "en" && col("n_chars") >= 150),
+        table, Seq("lang"))
+      IcebergMirror.mirror(s, table)
+      // first drain absorbs sequences 1..2
+      IcebergMirror.streamIcebergChangesInto(s, table, out, s"$tmp/ck1")
+      // one MORE commit lands; the live checkpoint drains just it
+      LakeWriter.commitSnapshotDynamic(
+        base.where(col("lang") === "zh" && col("n_chars") >= 160),
+        table, Seq("lang"))
+      IcebergMirror.mirror(s, table)
+      IcebergMirror.streamIcebergChangesInto(s, table, out, s"$tmp/ck1")
+      // fresh-checkpoint replay: all three metadata versions re-offer,
+      // all skip on their stamps — double rows would fail the row hash
+      IcebergMirror.streamIcebergChangesInto(s, table, out, s"$tmp/ck2")
+      LakeWriter.readSnapshot(s, out).drop("_commit_snapshot_id")
     }),
 
     "q_catalog_asof" -> ((s, d) => {
@@ -5370,6 +5451,18 @@ object SparkEntry {
         |WHERE doc_id % 3 = 1 AND NOT coalesce(n_chars < 150, false)"""
         .stripMargin,
 
+    "q_snapshot_export_iceberg_mor" ->
+      // rows served through the full Iceberg MOR round trip (graft DV
+      // commit -> puffin blob + DELETE manifest export, v2 tree
+      // upgraded to v3 in place -> readIceberg DV resolution): the
+      // survivor set re-derived logically — a mis-framed blob, a
+      // wrong content_offset, a stale un-tombstoned first-delete
+      // entry, or a sequence-number regression surfaces as extra
+      // (resurrected) or missing rows
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 4 = 1 AND NOT coalesce(n_chars < 140, false)
+        |  AND NOT coalesce(lang = 'es', false)""".stripMargin,
+
     "q_ingest_iceberg_prune" ->
       // rows served through readIcebergWhere's FILE PRUNING (identity
       // partition values + manifest bounds): exactness re-derived
@@ -5446,6 +5539,31 @@ object SparkEntry {
         |FROM b WHERE lang = 'zh'
         |UNION ALL
         |SELECT doc_id, source, n_chars, lang, 'insert', CAST(2 AS INT)
+        |FROM b WHERE lang = 'zh' AND n_chars >= 160""".stripMargin,
+
+    "q_stream_iceberg_changes" ->
+      // the accumulated STREAMED changelog re-derived logically per
+      // sequence: 1 = the parentless full-insert feed, 2 = the 'en'
+      // partition overwrite (delete old set, insert the filtered
+      // set), 3 = the 'zh' one — a double-applied replay, a missed
+      // tombstone, or a wrong sequence stamp fails the row hash
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars, lang FROM documents
+        |  WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, n_chars, lang,
+        |  'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_sequence
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'delete', CAST(2 AS BIGINT)
+        |FROM b WHERE lang = 'en'
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'insert', CAST(2 AS BIGINT)
+        |FROM b WHERE lang = 'en' AND n_chars >= 150
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'delete', CAST(3 AS BIGINT)
+        |FROM b WHERE lang = 'zh'
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, lang, 'insert', CAST(3 AS BIGINT)
         |FROM b WHERE lang = 'zh' AND n_chars >= 160""".stripMargin,
 
     "q_catalog_asof" ->

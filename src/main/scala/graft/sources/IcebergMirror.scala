@@ -381,6 +381,22 @@ object IcebergMirror {
       addedRows: Long, existingRows: Long, deletedRows: Long,
       live: Vector[DFile])
 
+  /** One live v3 deletion-vector entry of a DELETE manifest: a puffin
+    * blob (located by offset/size) holding the deleted-row bitmap of
+    * `referenced`. `sizeInBytes` is the blob's content size (bitmap +
+    * 8 framing bytes); `cardinality` the deleted-row count. */
+  private final case class DvEntry(puffin: String, referenced: String,
+      offset: Long, sizeInBytes: Long, cardinality: Long,
+      snapshotId: Long, dataSeq: Long)
+
+  /** One DELETE manifest (content=1, v3 deletion vectors only) as
+    * listed by the current snapshot. */
+  private final case class DvmInfo(path: String, length: Long,
+      specId: Int, seq: Long, minSeq: Long, addedSnapshotId: Long,
+      addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long,
+      live: Vector[DvEntry])
+
   private final class IceState {
     var tableUuid: String = ""
     var location: String = ""
@@ -401,6 +417,8 @@ object IcebergMirror {
     var hintVersion: Int = 0                          // current vN
     val colIds = mutable.LinkedHashMap[String, Int]() // dotted phys path -> id
     var manifests = Vector[MInfo]()
+    var dvManifests = Vector[DvmInfo]()               // content=1 (v3 DVs)
+    var formatVersion: Int = 2                        // 3 once DVs mirror
   }
 
   private def snapshotIdOf(uuid: String, gv: Long): Long =
@@ -495,8 +513,18 @@ object IcebergMirror {
         readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
       val st = new IceState
       st.hintVersion = n
-      require(lng(j \ "format-version").contains(2L),
-        s"iceberg tree at $table is not format v2 — refusing to extend")
+      val fv0 = lng(j \ "format-version").getOrElse(0L)
+      require(fv0 == 2L || fv0 == 3L,
+        s"iceberg tree at $table is format v$fv0 — this writer " +
+          "extends v2 and its own v3 (deletion-vector) trees only")
+      st.formatVersion = fv0.toInt
+      // a v3 tree with ROW LINEAGE was not written by this mirror
+      // (it never assigns row ids) — extending it would silently
+      // break the lineage invariants a v3 reader relies on
+      require((j \ "row-lineage") != JBool(true) &&
+          (j \ "next-row-id") == JNothing,
+        s"iceberg tree at $table enables v3 row lineage — not a " +
+          "graft mirror; refusing to extend")
       st.tableUuid = str(j \ "table-uuid").getOrElse(
         sys.error(s"iceberg tree at $table carries no table-uuid"))
       st.location = str(j \ "location").getOrElse(table)
@@ -570,7 +598,63 @@ object IcebergMirror {
       // manifests of the current snapshot, fully (rewrites need them)
       curSnap.foreach { s =>
         val mlPath = new Path(str(s \ "manifest-list").get)
-        val (_, _, rows) = readAvroBytes(readFileBytes(fs, mlPath))
+        val (_, _, allRows) = readAvroBytes(readFileBytes(fs, mlPath))
+        val (dvRows, rows) = allRows.partition(r =>
+          asLong(fieldById(r, 517, "content")).getOrElse(0L) == 1L)
+        st.dvManifests = dvRows.map { r =>
+          val mPath = asString(fieldById(r, 500, "manifest_path")).get
+          val (_, _, entries) = readAvroBytes(
+            readFileBytes(fs, new Path(mPath)))
+          val live = entries.flatMap { e =>
+            val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
+            if (status == 2L) None
+            else {
+              val df = fieldById(e, 2, "data_file")
+                .asInstanceOf[GenericRecord]
+              val fmt = asString(fieldById(df, 101, "file_format"))
+                .getOrElse("")
+              // this writer emits only v3 puffin DVs as deletes; a
+              // position/equality delete file means a foreign MOR
+              // writer shaped this tree
+              require(fmt.equalsIgnoreCase("puffin"),
+                s"iceberg tree at $table carries a $fmt delete " +
+                  "file — not a graft mirror; refusing to extend")
+              Some(DvEntry(
+                asString(fieldById(df, 100, "file_path")).get,
+                asString(fieldById(df, 143, "referenced_data_file"))
+                  .getOrElse(sys.error(s"iceberg tree at $table: DV " +
+                    "entry without referenced_data_file — refusing")),
+                asLong(fieldById(df, 144, "content_offset")).getOrElse(
+                  sys.error(s"iceberg tree at $table: DV entry " +
+                    "without content_offset — refusing")),
+                asLong(fieldById(df, 145, "content_size_in_bytes"))
+                  .getOrElse(sys.error(s"iceberg tree at $table: DV " +
+                    "entry without content_size_in_bytes — refusing")),
+                asLong(fieldById(df, 103, "record_count")).getOrElse(0L),
+                asLong(fieldById(e, 1, "snapshot_id")).getOrElse(
+                  st.currentSnapshotId),
+                asLong(fieldById(e, 3, "sequence_number"))
+                  .getOrElse(st.lastSeq)))
+            }
+          }
+          DvmInfo(mPath,
+            asLong(fieldById(r, 501, "manifest_length")).getOrElse(0L),
+            asLong(fieldById(r, 502, "partition_spec_id"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 515, "sequence_number")).getOrElse(0L),
+            asLong(fieldById(r, 516, "min_sequence_number")).getOrElse(0L),
+            asLong(fieldById(r, 503, "added_snapshot_id")).getOrElse(0L),
+            asLong(fieldById(r, 504, "added_data_files_count"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 505, "existing_data_files_count"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 506, "deleted_data_files_count"))
+              .getOrElse(0L).toInt,
+            asLong(fieldById(r, 512, "added_rows_count")).getOrElse(0L),
+            asLong(fieldById(r, 513, "existing_rows_count")).getOrElse(0L),
+            asLong(fieldById(r, 514, "deleted_rows_count")).getOrElse(0L),
+            live)
+        }
         st.manifests = rows.map { r =>
           val mPath = asString(fieldById(r, 500, "manifest_path")).get
           val specId = asLong(fieldById(r, 502, "partition_spec_id"))
@@ -835,6 +919,143 @@ object IcebergMirror {
     r
   }
 
+  // ------------------------------------------------------------------
+  // v3 deletion-vector WRITE (puffin blobs + DELETE manifests)
+  // ------------------------------------------------------------------
+
+  /** manifest_entry schema for a DELETE manifest carrying v3 deletion
+    * vectors: the data_file struct under an UNPARTITIONED spec (a DV
+    * applies to exactly one referenced file — partition pruning rides
+    * the data manifests), plus the v3 fields 143-145 locating the
+    * blob inside its puffin file. */
+  private lazy val dvEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+      ]},"field-id":2}
+    ]}""")
+
+  private def dvEntryRecord(status: Int, snapshotId: Long,
+      dataSeq: Long, d: DvEntry): GenericRecord = {
+    val e = new GenericData.Record(dvEntrySchema)
+    e.put("status", Integer.valueOf(status))
+    e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+    e.put("sequence_number", java.lang.Long.valueOf(dataSeq))
+    e.put("file_sequence_number", java.lang.Long.valueOf(dataSeq))
+    val dfS = dvEntrySchema.getField("data_file").schema()
+    val df = new GenericData.Record(dfS)
+    df.put("content", Integer.valueOf(1))
+    df.put("file_path", d.puffin)
+    df.put("file_format", "PUFFIN")
+    df.put("partition",
+      new GenericData.Record(dfS.getField("partition").schema()))
+    df.put("record_count", java.lang.Long.valueOf(d.cardinality))
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(d.sizeInBytes))
+    df.put("referenced_data_file", d.referenced)
+    df.put("content_offset", java.lang.Long.valueOf(d.offset))
+    df.put("content_size_in_bytes", java.lang.Long.valueOf(d.sizeInBytes))
+    e.put("data_file", df)
+    e
+  }
+
+  /** Build + serialize one DELETE manifest; same carry/rewrite shape
+    * as [[buildManifest]] (path/length assigned by the caller). */
+  private def buildDvManifest(entries: Seq[(Int, Long, Long, DvEntry)],
+      specId: Int, schemaJson: String, addedSnapshotId: Long, seq: Long)
+      : (Array[Byte], DvmInfo) = {
+    val recs = entries.map { case (status, sid, dseq, d) =>
+      dvEntryRecord(status, sid, dseq, d)
+    }
+    val bytes = writeAvroBytes(dvEntrySchema, Seq(
+      "schema" -> schemaJson,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> specId.toString,
+      "format-version" -> "3", // DV manifests exist only in v3 trees
+      "content" -> "deletes"), recs)
+    val by = entries.groupBy(_._1)
+    def cnt(s: Int) = by.getOrElse(s, Nil).size
+    def rows(s: Int) = by.getOrElse(s, Nil).map(_._4.cardinality).sum
+    val live = entries.filter(_._1 != 2).map { case (_, sid, dseq, d) =>
+      d.copy(snapshotId = sid, dataSeq = dseq)
+    }.toVector
+    (bytes, DvmInfo("", bytes.length.toLong, specId, seq,
+      entries.map(_._3).minOption.getOrElse(seq), addedSnapshotId,
+      cnt(1), cnt(0), cnt(2), rows(1), rows(0), rows(2), live))
+  }
+
+  /** manifest_file record for a DELETE manifest (content=1, no
+    * partition summaries — the spec is unpartitioned). */
+  private def dvManifestFileRecord(m: DvmInfo): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", m.path)
+    r.put("manifest_length", java.lang.Long.valueOf(m.length))
+    r.put("partition_spec_id", Integer.valueOf(m.specId))
+    r.put("content", Integer.valueOf(1))
+    r.put("sequence_number", java.lang.Long.valueOf(m.seq))
+    r.put("min_sequence_number", java.lang.Long.valueOf(m.minSeq))
+    r.put("added_snapshot_id", java.lang.Long.valueOf(m.addedSnapshotId))
+    r.put("added_data_files_count", Integer.valueOf(m.addedFiles))
+    r.put("existing_data_files_count", Integer.valueOf(m.existingFiles))
+    r.put("deleted_data_files_count", Integer.valueOf(m.deletedFiles))
+    r.put("added_rows_count", java.lang.Long.valueOf(m.addedRows))
+    r.put("existing_rows_count", java.lang.Long.valueOf(m.existingRows))
+    r.put("deleted_rows_count", java.lang.Long.valueOf(m.deletedRows))
+    r
+  }
+
+  /** Serialize ONE puffin file holding a deletion-vector-v1 blob per
+    * (referenced data file, portable-roaring bitmap bytes,
+    * cardinality) — the public Puffin container (magic, blobs, JSON
+    * footer) with each blob in the v3 framing (4-byte BE length of
+    * the vector, the magic-led portable RoaringBitmapArray, 4-byte BE
+    * CRC-32 of the vector). Returns the file bytes and each blob's
+    * (content_offset, content_size_in_bytes) for the manifest. */
+  private def buildPuffin(blobs: Seq[(String, Array[Byte], Long)],
+      snapshotId: Long, seq: Long)
+      : (Array[Byte], Map[String, (Long, Long)]) = {
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(magic)
+    val located = blobs.map { case (referenced, vec, card) =>
+      val off = body.size().toLong
+      val crc = new java.util.zip.CRC32(); crc.update(vec)
+      val bb = java.nio.ByteBuffer.allocate(vec.length + 8)
+      bb.putInt(vec.length); bb.put(vec); bb.putInt(crc.getValue.toInt)
+      body.write(bb.array())
+      (referenced, off, vec.length + 8L, card)
+    }
+    def jstr(s: String): String = JsonMethods.compact(
+      JsonMethods.render(JString(s)))
+    val payload = located.map { case (referenced, off, sz, card) =>
+      s"""{"type":"deletion-vector-v1","fields":[],""" +
+        s""""snapshot-id":$snapshotId,"sequence-number":$seq,""" +
+        s""""offset":$off,"length":$sz,"properties":{""" +
+        s""""referenced-data-file":${jstr(referenced)},""" +
+        s""""cardinality":"$card"}}"""
+    }.mkString("""{"blobs":[""", ",", """],"properties":{}}""")
+      .getBytes("UTF-8")
+    val footer = java.nio.ByteBuffer.allocate(4 + payload.length + 12)
+    footer.put(magic).put(payload)
+    footer.order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length)
+    footer.putInt(0) // flags: payload uncompressed
+    footer.put(magic)
+    body.write(footer.array())
+    (body.toByteArray,
+      located.map(l => l._1 -> (l._2, l._3)).toMap)
+  }
+
   /** Row count of a parquet file from its footer (fallback for
     * pre-stats manifests) — metadata-only, no data IO. */
   private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
@@ -850,7 +1071,13 @@ object IcebergMirror {
     * tree under `<table>/metadata/` — one Iceberg snapshot per graft
     * version, zero data copies. Incremental: already-mirrored versions
     * are skipped (cursor = the `graft-version` summary property of the
-    * current snapshot). Returns the number of versions mirrored. */
+    * current snapshot). Graft MERGE-ON-READ deletion vectors mirror
+    * as format-v3 puffin blobs + DELETE manifests (one puffin per
+    * version packing every new/changed bitmap; unchanged DVs carry
+    * forward; a replaced bitmap tombstones its old entry — the spec's
+    * at-most-one-DV-per-file rule); the first DV-bearing version
+    * upgrades the tree to v3. Returns the number of versions
+    * mirrored. */
   def mirror(spark: SparkSession, table: String,
              fromVersion: Option[Long] = None): Long = {
     val versions = LakeWriter.snapshotVersions(spark, table)
@@ -885,17 +1112,19 @@ object IcebergMirror {
     // plan EVERY write before publishing any: a refusal mid-history
     // must leave the tree untouched (version-hint.text goes last)
     val planned = mutable.ListBuffer[(Path, Array[Byte])]()
+    // puffin bytes planned THIS call, by qualified path: a later
+    // version's DV carry-check must read an earlier version's blob
+    // before anything is published
+    val plannedPuffins = mutable.Map[String, Array[Byte]]()
     val hconf = spark.sessionState.newHadoopConf()
 
     todo.foreach { gv =>
-      // MERGE-ON-READ deletion vectors are not yet writable as v3
-      // puffin blobs — mirroring the file list alone would silently
-      // RESURRECT the MOR-deleted rows for every Iceberg reader
-      require(LakeWriter.parseManifestDvs(spark, table, gv).isEmpty,
-        s"iceberg mirror of $table: graft version $gv carries " +
-          "merge-on-read deletion vectors; the v3 puffin DV write " +
-          "path is not implemented — compactSnapshot first (clears " +
-          "DVs), or mirror to Delta (which exports them natively)")
+      // MERGE-ON-READ deletion vectors mirror as v3 puffin blobs +
+      // DELETE manifests below — the first DV-bearing version
+      // upgrades the tree to format v3 (a legal, monotone upgrade;
+      // prior snapshots stay valid, v3 readers read v2 manifests)
+      val dvsByBase = LakeWriter.parseManifestDvs(spark, table, gv)
+      if (dvsByBase.nonEmpty) st.formatVersion = 3
       val files = LakeWriter.snapshotFiles(spark, table, gv)
         .map(f => fs.makeQualified(new Path(f)).toString)
       val partCols = LakeWriter.snapshotPartitionCols(spark, table, gv)
@@ -1097,10 +1326,127 @@ object IcebergMirror {
       st.manifests = nextManifests.toVector
         .filter(m => m.live.nonEmpty || m.deletedFiles > 0)
 
+      // ---- v3 deletion vectors (merge-on-read deletes) ----
+      // desired state: graft's per-file inline DVs, re-keyed from
+      // base names to the mirrored absolute paths; identity check vs
+      // the previously mirrored entry is (size, cardinality), with a
+      // byte-compare read-back for the rare same-size same-count case
+      // (an unchanged bitmap must carry forward, not re-publish)
+      val byBase: Map[String, String] =
+        files.map(f => f.split('/').last -> f).toMap
+      val dvWanted: Map[String, LakeWriter.InlineDv] =
+        dvsByBase.map { case (bn, dv) =>
+          val p = byBase.getOrElse(bn, sys.error(
+            s"iceberg mirror of $table: version $gv carries a DV " +
+              s"for $bn which is not a live file — corrupt manifest"))
+          p -> dv
+        }
+      val prevDv: Map[String, DvEntry] =
+        st.dvManifests.flatMap(_.live.map(e => e.referenced -> e)).toMap
+      val blobCache = mutable.Map[(String, Long), Array[Byte]]()
+      def blobBytes(e: DvEntry): Array[Byte] =
+        blobCache.getOrElseUpdate((e.puffin, e.offset), {
+          val b = plannedPuffins.get(e.puffin) match {
+            case Some(bytes) => // planned this call, not yet on disk
+              java.util.Arrays.copyOfRange(bytes, e.offset.toInt,
+                (e.offset + e.sizeInBytes).toInt)
+            case None =>
+              val in = fs.open(new Path(e.puffin))
+              try {
+                in.seek(e.offset)
+                val buf = new Array[Byte](e.sizeInBytes.toInt)
+                in.readFully(buf); buf
+              } finally in.close()
+          }
+          java.util.Arrays.copyOfRange(b, 4, b.length - 4)
+        })
+      val changedRefs: Set[String] = dvWanted.filter { case (p, dv) =>
+        prevDv.get(p) match {
+          case None => true
+          case Some(e) =>
+            e.sizeInBytes != dv.sizeInBytes + 8L ||
+            e.cardinality != dv.cardinality ||
+            !java.util.Arrays.equals(blobBytes(e), dv.bytes)
+        }
+      }.keySet
+      // entries that must leave: the referenced file left, graft's DV
+      // is gone (restore to a pre-DV version), or a new bitmap
+      // replaces it (the spec's at-most-one-DV-per-file rule)
+      val dvGone: Set[String] = prevDv.keySet.filter(p =>
+        removedSet.contains(p) || !dvWanted.contains(p) ||
+        changedRefs.contains(p))
+      val dvChanged = changedRefs.nonEmpty || dvGone.nonEmpty
+      // DELETE manifests ride the UNPARTITIONED spec (a DV scopes to
+      // exactly one referenced file); allocated on first use, never
+      // touching the table's default spec
+      lazy val dvSpecId: Int =
+        st.specFields.zipWithIndex.collectFirst {
+          case (sf, i) if sf.isEmpty => i
+        }.getOrElse {
+          val id = st.specs.size
+          st.specFields += Vector.empty[SpecField]
+          st.specs += JObject(List(
+            "spec-id" -> JInt(BigInt(id)),
+            "fields" -> JArray(Nil)))
+          id
+        }
+      val dvListParts = mutable.ListBuffer[DvmInfo]()
+      val nextDvManifests = mutable.ListBuffer[DvmInfo]()
+      st.dvManifests.foreach { m =>
+        val hit = m.live.exists(e => dvGone.contains(e.referenced))
+        if (!hit) {
+          if (m.live.nonEmpty) {
+            nextDvManifests += m
+            dvListParts += m
+          }
+        } else {
+          val kept = m.live.filterNot(e => dvGone.contains(e.referenced))
+          val gone = m.live.filter(e => dvGone.contains(e.referenced))
+          val entries =
+            kept.map(e => (0, e.snapshotId, e.dataSeq, e)) ++
+            gone.map(e => (2, sid, e.dataSeq, e))
+          val (bytes, info0) = buildDvManifest(entries, m.specId,
+            schemaJsonStr, sid, seq)
+          val p = manifestPath()
+          planned += (p -> bytes)
+          val info = info0.copy(path = fs.makeQualified(p).toString)
+          nextDvManifests += info
+          dvListParts += info
+        }
+      }
+      if (changedRefs.nonEmpty) {
+        // one puffin per mirrored version holding every new/changed
+        // bitmap (the spec's recommended packing — a version deleting
+        // from 10k files is one metadata file, not 10k)
+        val puffinName = java.util.UUID.nameUUIDFromBytes(
+          s"${st.tableUuid}:dv:$gv".getBytes("UTF-8")).toString
+        val puffinPath = new Path(md, s"$puffinName.puffin")
+        val ordered = changedRefs.toSeq.sorted
+        val (pBytes, locs) = buildPuffin(ordered.map(p =>
+          (p, dvWanted(p).bytes, dvWanted(p).cardinality)), sid, seq)
+        planned += (puffinPath -> pBytes)
+        val qp = fs.makeQualified(puffinPath).toString
+        plannedPuffins(qp) = pBytes
+        val newEntries = ordered.map { p =>
+          val (off, sz) = locs(p)
+          (1, sid, seq,
+            DvEntry(qp, p, off, sz, dvWanted(p).cardinality, sid, seq))
+        }
+        val (bytes, info0) = buildDvManifest(newEntries, dvSpecId,
+          schemaJsonStr, sid, seq)
+        val p = manifestPath()
+        planned += (p -> bytes)
+        val info = info0.copy(path = fs.makeQualified(p).toString)
+        nextDvManifests += info
+        dvListParts += info
+      }
+      st.dvManifests = nextDvManifests.toVector
+        .filter(m => m.live.nonEmpty || m.deletedFiles > 0)
+
       // manifest list
       val mlRecords = listParts.map { case (m, fields, parts) =>
         manifestFileRecord(m, fields, parts.toSeq)
-      }.toSeq
+      }.toSeq ++ dvListParts.map(dvManifestFileRecord)
       val mlName = s"snap-$sid-1-${java.util.UUID.nameUUIDFromBytes(
         s"${st.tableUuid}:ml:$gv".getBytes("UTF-8"))}.avro"
       val mlPath = new Path(md, mlName)
@@ -1109,7 +1455,7 @@ object IcebergMirror {
         "parent-snapshot-id" ->
           (if (parent < 0) "null" else parent.toString),
         "sequence-number" -> seq.toString,
-        "format-version" -> "2"), mlRecords))
+        "format-version" -> st.formatVersion.toString), mlRecords))
 
       // row-neutral rewrites (graft compaction / z-order / spec
       // migration: files changed, rows did not) stamp the spec's
@@ -1119,9 +1465,11 @@ object IcebergMirror {
       val rowNeutral = Set("compact", "optimize", "migrate")
         .contains(LakeWriter.parseManifestMode(spark, table, gv))
       val op =
-        if (rowNeutral && removedSet.nonEmpty) "replace"
-        else if (removedSet.isEmpty) "append"
-        else if (newFiles.isEmpty) "delete"
+        if (rowNeutral && (removedSet.nonEmpty || dvChanged)) "replace"
+        else if (removedSet.isEmpty && newFiles.isEmpty && dvChanged)
+          "delete" // merge-on-read delete: files unchanged, DVs grew
+        else if (removedSet.isEmpty && !dvChanged) "append"
+        else if (newFiles.isEmpty && !dvChanged) "delete"
         else "overwrite"
       st.snapshots += JObject(List(
         "snapshot-id" -> JInt(BigInt(sid))) ++
@@ -1137,7 +1485,11 @@ object IcebergMirror {
           "added-data-files" -> JString(newFiles.size.toString),
           "deleted-data-files" -> JString(removedSet.size.toString),
           "added-records" -> JString(
-            newFiles.map(_.recordCount).sum.toString))),
+            newFiles.map(_.recordCount).sum.toString)) ++
+          (if (dvChanged) List(
+            "added-dvs" -> (JString(changedRefs.size.toString): JValue),
+            "removed-dvs" -> (JString(dvGone.size.toString): JValue))
+           else Nil)),
         "schema-id" -> JInt(BigInt(schemaId))))
       st.snapshotLog += JObject(List(
         "timestamp-ms" -> JInt(BigInt(ts)),
@@ -1153,8 +1505,12 @@ object IcebergMirror {
       st.hintVersion += 1
 
       val mapping = nameMappingJson(logical, physOfL, st.colIds)
+      // v3 once any version mirrors a deletion vector (row lineage is
+      // NOT written: this mirror never assigns row ids, and its own
+      // reader + loadState refuse lineage-bearing trees — the same
+      // whitelist posture, documented in docs/iceberg_mirror.md)
       val metaJson = JObject(List(
-        "format-version" -> JInt(2),
+        "format-version" -> JInt(BigInt(st.formatVersion)),
         "table-uuid" -> JString(st.tableUuid),
         "location" -> JString(st.location),
         "last-sequence-number" -> JInt(BigInt(st.lastSeq)),
@@ -1184,10 +1540,20 @@ object IcebergMirror {
           .getBytes("UTF-8"))
     }
 
-    // publish: every planned file, then the hint LAST (overwrite-
-    // rename) — a reader sees the old complete tree or the new one
+    // publish: every planned file via tmp + rename — each lands
+    // ATOMICALLY under its durable name (a metadata JSON is never
+    // listable half-written, which is what lets streamIcebergChanges
+    // treat the metadata dir as a file stream) — then the hint LAST
+    // (overwrite-rename): a reader sees the old complete tree or the
+    // new one
     fs.mkdirs(md)
-    planned.foreach { case (p, bytes) => writeFileBytes(fs, p, bytes) }
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      md.toUri, spark.sessionState.newHadoopConf())
+    planned.foreach { case (p, bytes) =>
+      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      writeFileBytes(fs, tmp, bytes)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     val hintTmp = new Path(md, ".version-hint.text.tmp")
     writeFileBytes(fs, hintTmp, st.hintVersion.toString.getBytes("UTF-8"))
     org.apache.hadoop.fs.FileContext.getFileContext(hintTmp.toUri,
@@ -1267,13 +1633,41 @@ object IcebergMirror {
     require(kept.exists(s => lng(s \ "snapshot-id").contains(curId)),
       s"expireSnapshots at $table would expire the CURRENT snapshot " +
         "— refusing (the retained window must include the tip)")
-    def manifestsOf(lists: Seq[JValue]): Set[String] =
+    def manifestsOf(lists: Seq[JValue]): Set[(String, Long)] =
       lists.flatMap(s => str(s \ "manifest-list")).flatMap { ml =>
         readAvroBytes(readFileBytes(fs, new Path(ml)))._3
-          .map(r => asString(fieldById(r, 500, "manifest_path")).get)
+          .map(r => (asString(fieldById(r, 500, "manifest_path")).get,
+            asLong(fieldById(r, 517, "content")).getOrElse(0L)))
       }.toSet
-    val keptManifests = manifestsOf(kept)
-    val doomedManifests = manifestsOf(expired) -- keptManifests
+    val keptWithContent = manifestsOf(kept)
+    val keptManifests = keptWithContent.map(_._1)
+    val doomedWithContent = manifestsOf(expired)
+      .filterNot(mc => keptManifests.contains(mc._1))
+    val doomedManifests = doomedWithContent.map(_._1)
+    // puffin DV files referenced ONLY by expired DELETE manifests are
+    // delete-plane metadata (the mirror writes them under metadata/);
+    // they expire with their manifests — data files are untouched.
+    // Only LIVE (status != 2) references retain: a tombstone entry is
+    // never opened by a reader, so a puffin whose every retained
+    // mention is a tombstone is reclaimable.
+    def puffinsOf(ms: Set[(String, Long)], liveOnly: Boolean)
+        : Set[String] =
+      ms.filter(_._2 == 1L).flatMap { case (m, _) =>
+        readAvroBytes(readFileBytes(fs, new Path(m)))._3.flatMap { e =>
+          val status = asLong(fieldById(e, 0, "status")).getOrElse(0L)
+          if (liveOnly && status == 2L) None
+          else {
+            val df = fieldById(e, 2, "data_file")
+              .asInstanceOf[GenericRecord]
+            asString(fieldById(df, 101, "file_format"))
+              .filter(_.equalsIgnoreCase("puffin"))
+              .flatMap(_ => asString(fieldById(df, 100, "file_path")))
+          }
+        }
+      }
+    val doomedPuffins =
+      puffinsOf(doomedWithContent, liveOnly = false) --
+        puffinsOf(keptWithContent, liveOnly = true)
     val doomedLists = expired.flatMap(s => str(s \ "manifest-list"))
     val expiredIds = expired.flatMap(s => lng(s \ "snapshot-id")).toSet
     // new metadata JSON: snapshots/snapshot-log pruned, metadata-log
@@ -1296,8 +1690,16 @@ object IcebergMirror {
         })
       case other => other
     })
-    writeFileBytes(fs, metadataJsonPath(md, n + 1),
+    // tmp + rename: the new metadata JSON lands atomically under its
+    // durable name (the streamIcebergChanges file-source contract)
+    val mjPath = metadataJsonPath(md, n + 1)
+    val mjTmp = new Path(md, s".${mjPath.getName}.tmp")
+    writeFileBytes(fs, mjTmp,
       JsonMethods.pretty(JsonMethods.render(newJ)).getBytes("UTF-8"))
+    org.apache.hadoop.fs.FileContext.getFileContext(mjTmp.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(mjTmp, mjPath,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val hintTmp = new Path(md, ".version-hint.text.tmp")
     writeFileBytes(fs, hintTmp, (n + 1).toString.getBytes("UTF-8"))
     org.apache.hadoop.fs.FileContext.getFileContext(hintTmp.toUri,
@@ -1306,7 +1708,7 @@ object IcebergMirror {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // sweep AFTER the publish: a crash here leaves orphans, never a
     // hint pointing at missing files
-    (doomedLists ++ doomedManifests).foreach(p =>
+    (doomedLists ++ doomedManifests ++ doomedPuffins).foreach(p =>
       fs.delete(new Path(p), false): Unit)
     // one listing, not a version-count walk: a long-lived stream's
     // floor grows forever while only O(retain) files actually exist
@@ -1343,17 +1745,17 @@ object IcebergMirror {
     }
   }
 
-  /** Read an Iceberg table (format v1/v2) at its current — or a named
-    * — snapshot. Implements the spec's column-projection rule for
-    * identity partitions (metadata value when the source column is
-    * absent from a data file) and v2 POSITION DELETES (merge-on-read:
-    * delete files anti-join the base on (data file, row index) with
-    * the sequence-number applicability guard — distributed, the
-    * delete rows never pass through the driver). REFUSES what it
-    * cannot serve correctly: format v3+, EQUALITY delete files,
-    * non-parquet files, and column renames on tables with no name
-    * mapping (this reader resolves file columns by name; serving a
-    * renamed column would silently read nulls). */
+  /** Read an Iceberg table (format v1/v2, plus the v3
+    * deletion-vector surface) at its current — or a named — snapshot.
+    * Implements the spec's column-projection rule for identity
+    * partitions (metadata value when the source column is absent from
+    * a data file), v2 POSITION and EQUALITY deletes, and v3 puffin
+    * DELETION VECTORS (merge-on-read, all three applied with the
+    * sequence-number guards). REFUSES what it cannot serve correctly:
+    * v4+, v3 row lineage / initial-defaults, non-parquet data files,
+    * and column renames on tables with no name mapping (this reader
+    * resolves file columns by name; serving a renamed column would
+    * silently read nulls). */
   def readIceberg(spark: SparkSession, dir: String,
                   snapshotId: Option[Long] = None): DataFrame =
     readIcebergImpl(spark, dir, snapshotId, None)
@@ -2405,6 +2807,126 @@ object IcebergMirror {
             col(s"__graft_pv_${f.name}")).as(f.name)
         else col(physByName(f.name)).as(f.name)
       }.toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // streaming changelog consumption
+  // ------------------------------------------------------------------
+
+  /** STREAMING consumption of the incremental changelog — the Iceberg
+    * twin of [[DeltaMirror.streamChangeFeed]]: the table's metadata
+    * dir IS the stream. Every committed snapshot publishes one
+    * durably-named `vN.metadata.json` (the mirror lands it atomically
+    * via tmp + rename; in-flight tmps are dot-hidden, so the
+    * Structured-Streaming file source only ever lists whole files —
+    * HadoopCatalog writers follow the same discipline). Each
+    * micro-batch drains pending metadata versions OLDEST-FIRST; for
+    * each, `apply(mkFeed, sequenceNumber, snapshotId)` receives the
+    * tip snapshot's row-level changes — [[readIcebergChanges]] from
+    * its parent (a parentless first snapshot feeds the full state as
+    * inserts), LAZILY so an already-absorbed version can skip without
+    * resolving anything (a maintenance metadata re-listing the same
+    * tip, or a replay whose parent has since expired). The stream
+    * checkpoint is only the cursor; replay safety is the CONSUMER's
+    * contract — skip on a stamp of the tip's SEQUENCE NUMBER (strictly
+    * monotone where snapshot ids are hashes), the
+    * [[streamIcebergChangesInto]] discipline.
+    *
+    * Runs with `Trigger.AvailableNow` and blocks until every metadata
+    * version on disk is offered; re-invoke on a live checkpoint to
+    * drain later commits. Cost per drain is bounded by the CHANGED
+    * files of pending snapshots plus one metadata parse per version —
+    * never table size. A fresh consumer over a table whose early
+    * history has EXPIRED refuses loudly inside `mkFeed` (a silently
+    * partial feed never serves); seed such a consumer from a full
+    * read first. */
+  def streamIcebergChanges(spark: SparkSession, dir: String,
+                           checkpoint: String)
+                          (apply: (() => DataFrame, Long, Long) => Unit)
+      : Unit = {
+    val md = metaDir(dir)
+    // heavy work runs on the OUTER session (the stream's cloned
+    // session disables AQE); only the name collect below touches the
+    // clone — the streamChangeFeed discipline
+    val metas = spark.readStream
+      .option("pathGlobFilter", "*.metadata.json")
+      .text(md.toString)
+      .select(col("_metadata.file_path").as("p"))
+    val vRe = """v(\d+)\.metadata\.json$""".r
+    val q = metas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = LakeWriter.fsOf(spark, md)
+        val versions = batch.distinct()
+          .collect().map(_.getString(0))
+          .flatMap(p => vRe.findFirstMatchIn(p).map(_.group(1).toInt))
+          .sorted
+        versions.foreach { n =>
+          val j = JsonMethods.parse(new String(
+            readFileBytes(fs, metadataJsonPath(md, n)), "UTF-8"))
+          lng(j \ "current-snapshot-id").filter(_ >= 0).foreach { tip =>
+            val snapsJ = (j \ "snapshots") match {
+              case JArray(ss) => ss
+              case _ => Nil
+            }
+            val sj = snapsJ.find(s =>
+              lng(s \ "snapshot-id").contains(tip)).getOrElse(sys.error(
+              s"streamIcebergChanges at $dir: v$n.metadata.json names " +
+                s"current snapshot $tip it does not carry — torn tree"))
+            val seqNo = lng(sj \ "sequence-number").getOrElse(sys.error(
+              s"streamIcebergChanges at $dir: snapshot $tip carries " +
+                "no sequence-number — v1 trees have no monotone " +
+                "stamp; refusing"))
+            def mkFeed(): DataFrame = lng(sj \ "parent-snapshot-id") match {
+              case Some(par) => readIcebergChanges(spark, dir, par, tip)
+              case None =>
+                // parentless first snapshot: the full state IS the feed
+                readIceberg(spark, dir, Some(tip))
+                  .withColumn("_change_type", lit("insert"))
+                  .withColumn("_change_ordinal", lit(1))
+                  .withColumn("_commit_snapshot_id", lit(tip))
+            }
+            apply(mkFeed _, seqNo, tip)
+          }
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private val IceChangesStreamTxnApp = "graft.iceberg.changes.stream"
+
+  /** [[streamIcebergChanges]] with the exactly-once consumer built
+    * in: append each snapshot's changelog rows (table columns +
+    * `_change_type`, `_commit_snapshot_id`, plus `_commit_sequence` —
+    * the replayable order stamp) to graft snapshot table `out`,
+    * stamping the sequence number as an application transaction
+    * ATOMICALLY with the append. A crash or a fresh stream checkpoint
+    * replays metadata versions and every already-absorbed sequence
+    * SKIPS on its stamp — without resolving its feed, so a
+    * maintenance re-list or an expired-parent replay costs a JSON
+    * parse, not a refusal. `_change_ordinal` (range-local, not
+    * replayable across drains) is dropped. Returns the highest
+    * absorbed sequence number (-1 = nothing yet). */
+  def streamIcebergChangesInto(spark: SparkSession, dir: String,
+                               out: String, checkpoint: String): Long = {
+    streamIcebergChanges(spark, dir, checkpoint) { (mkFeed, seqNo, _) =>
+      val absorbed = LakeWriter.lastTxnVersion(spark, out,
+        IceChangesStreamTxnApp).getOrElse(-1L)
+      if (seqNo > absorbed) {
+        val rows = mkFeed().drop("_change_ordinal")
+          .withColumn("_commit_sequence", lit(seqNo))
+        // a replace-only (compaction) snapshot feeds zero rows; the
+        // stamp still advances so a replay never re-resolves it
+        LakeWriter.commitSnapshot(rows, out,
+          mode = if (LakeWriter.snapshotVersions(spark, out).isEmpty)
+            "overwrite" else "append",
+          txn = Some(IceChangesStreamTxnApp -> seqNo)): Unit
+      }
+    }
+    LakeWriter.lastTxnVersion(spark, out, IceChangesStreamTxnApp)
+      .getOrElse(-1L)
   }
 
   /** Read an Iceberg table at a named REF (branch or tag — the

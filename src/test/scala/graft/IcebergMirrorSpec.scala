@@ -1452,4 +1452,202 @@ class IcebergMirrorSpec extends AnyFunSuite {
     // at the default ceiling the same tree serves
     assert(IcebergMirror.readIceberg(spark, t).count() == 16L)
   }
+
+  // ---- v3 deletion-vector WRITE (merge-on-read export) ----
+
+  /** Live + tombstoned DV entries of the current snapshot's DELETE
+    * manifests, by raw avro reads only: (referenced, puffin, offset,
+    * size, cardinality, status). */
+  private def resolveDvEntries(meta: JValue)
+      : Seq[(String, String, Long, Long, Long, Int)] = {
+    val sid = jlong(meta \ "current-snapshot-id")
+    val snap = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(s =>
+        jlong(s \ "snapshot-id") == sid).get
+      case _ => fail("no snapshots")
+    }
+    val (_, mlRows) = avroRecords(readBytes(jstr(snap \ "manifest-list")))
+    mlRows.filter(_.get("content").asInstanceOf[Number].intValue == 1)
+      .flatMap { m =>
+        val (_, entries) = avroRecords(readBytes(
+          m.get("manifest_path").toString))
+        entries.map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          assert(df.get("file_format").toString == "PUFFIN")
+          (df.get("referenced_data_file").toString,
+            df.get("file_path").toString,
+            df.get("content_offset").asInstanceOf[Number].longValue,
+            df.get("content_size_in_bytes").asInstanceOf[Number].longValue,
+            df.get("record_count").asInstanceOf[Number].longValue,
+            e.get("status").asInstanceOf[Number].intValue)
+        }
+      }
+  }
+
+  test("v3 DV write: MOR deletes mirror as puffin blobs + DELETE " +
+      "manifests; a second delete replaces (add+tombstone) shared " +
+      "files' entries; unchanged DVs carry forward; every snapshot " +
+      "serves its own DV state") {
+    val t = freshDir("ice_dvw_") + "/t"
+    // range-partitioned files (ids 0-149 | 150-299 | 300-449 |
+    // 450-599): deletes target specific files deterministically
+    LakeWriter.commitSnapshot(docs(600).repartitionByRange(4, $"id"), t)
+    IcebergMirror.mirror(spark, t) // plain v2 first — DVs must UPGRADE
+    assert(jlong(currentMetadata(t) \ "format-version") == 2L)
+
+    // delete #1 touches files 1 (ids<30) and 4 (ids 460-469)
+    val v2 = LakeWriter.deleteFromSnapshotMor(spark, t,
+      $"v" < 300 || ($"v" >= 4600 && $"v" < 4700))
+    assert(IcebergMirror.mirror(spark, t) == 1L) // resume onto v2 tree
+    val meta2 = currentMetadata(t)
+    assert(jlong(meta2 \ "format-version") == 3L)
+    val dv2 = resolveDvEntries(meta2)
+    assert(dv2.size == 2 && dv2.forall(_._6 == 1)) // both freshly added
+    // one puffin for the whole version, blobs at distinct offsets
+    assert(dv2.map(_._2).distinct.size == 1)
+    assert(dv2.map(_._3).distinct.size == dv2.size)
+    val snapOp2 = (meta2 \ "snapshots") match {
+      case JArray(ss) => jstr(ss.last \ "summary" \ "operation")
+      case _ => fail("no snapshots")
+    }
+    assert(snapOp2 == "delete") // files unchanged, DVs grew
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(v2))))
+
+    // delete #2 UNIONS into file 1's bitmap (ids 10-59) and leaves
+    // file 4's untouched: exactly one replaced entry, one carried
+    val v3 = LakeWriter.deleteFromSnapshotMor(spark, t,
+      $"v" >= 100 && $"v" < 600)
+    assert(IcebergMirror.mirror(spark, t) == 1L)
+    val meta3 = currentMetadata(t)
+    val dv3 = resolveDvEntries(meta3)
+    val live3 = dv3.filter(_._6 != 2)
+    // the spec's at-most-one rule: one LIVE DV per referenced file,
+    // and each replaced file shows a tombstone for its old pairing
+    assert(live3.groupBy(_._1).forall(_._2.size == 1))
+    val replaced = dv3.filter(_._6 == 2).map(_._1).toSet
+    assert(replaced.size == 1)
+    replaced.foreach { r =>
+      val l = live3.filter(_._1 == r)
+      assert(l.size == 1 && l.head._2 != dv3.filter(e =>
+        e._1 == r && e._6 == 2).head._2) // new blob, new puffin
+      // the union grew the bitmap: higher cardinality than the old
+      assert(l.head._5 > dv3.filter(e =>
+        e._1 == r && e._6 == 2).head._5)
+    }
+    // untouched files' DVs carried forward: same puffin, same offset
+    val prevByRef = dv2.map(e => e._1 -> e).toMap
+    val carried = live3.filter(e => !replaced.contains(e._1))
+    assert(carried.nonEmpty)
+    carried.foreach { e =>
+      val p = prevByRef(e._1)
+      assert(e._2 == p._2 && e._3 == p._3 && e._4 == p._4)
+    }
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(v3))))
+    // time travel: the older snapshot still serves delete-#1 state
+    val sid2 = (meta3 \ "snapshots") match {
+      case JArray(ss) => jlong(ss(ss.size - 2) \ "snapshot-id")
+      case _ => fail("no snapshots")
+    }
+    assert(rows(IcebergMirror.readIceberg(spark, t, Some(sid2))) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(v2))))
+
+    // compaction clears DVs: mirrored as replace, zero live DV
+    // entries, rows unchanged
+    val v4 = LakeWriter.compactSnapshot(spark, t, 2)
+    assert(IcebergMirror.mirror(spark, t) == 1L)
+    val meta4 = currentMetadata(t)
+    val op4 = (meta4 \ "snapshots") match {
+      case JArray(ss) => jstr(ss.last \ "summary" \ "operation")
+      case _ => fail("no snapshots")
+    }
+    assert(op4 == "replace")
+    assert(resolveDvEntries(meta4).filter(_._6 != 2).isEmpty)
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(v4))))
+  }
+
+  test("v3 DV write: a COW delete removing a DV-bearing file " +
+      "tombstones its DV entry; expireSnapshots reclaims puffins " +
+      "only expired snapshots reference") {
+    val t = freshDir("ice_dvw2_") + "/t"
+    LakeWriter.commitSnapshot(docs(400).repartition(4), t)
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 200)
+    IcebergMirror.mirror(spark, t)
+    val puffin1 = resolveDvEntries(currentMetadata(t)).head._2
+    // COW delete: rewrites every surviving file — the old files (and
+    // their DV pairings) leave the table
+    val v3 = LakeWriter.deleteFromSnapshot(spark, t, $"lang" === "de")
+    IcebergMirror.mirror(spark, t)
+    val after = resolveDvEntries(currentMetadata(t))
+    assert(after.forall(_._6 == 2)) // tombstones only, nothing live
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(v3))))
+    // expire down to the current snapshot: the puffin no retained
+    // snapshot references is swept, the tree still serves
+    assert(new java.io.File(puffin1.stripPrefix("file:")).exists)
+    IcebergMirror.expireSnapshots(spark, t, 1)
+    assert(!new java.io.File(puffin1.stripPrefix("file:")).exists)
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t, Some(v3))))
+  }
+
+  test("streamIcebergChangesInto: oldest-first drain with the " +
+      "sequence stamp, live-checkpoint incremental drain, and a " +
+      "fresh-checkpoint replay that skips absorbed sequences WITHOUT " +
+      "resolving them (expired parents never refuse)") {
+    val root = freshDir("ice_stream_")
+    val t = s"$root/t"; val out = s"$root/out"
+    LakeWriter.commitSnapshot(docs(90), t)
+    LakeWriter.commitSnapshot(docs(90).where($"lang" =!= "de"), t)
+    IcebergMirror.mirror(spark, t)
+    assert(IcebergMirror.streamIcebergChangesInto(
+      spark, t, out, s"$root/ck1") == 2L)
+    val got = LakeWriter.readSnapshot(spark, out)
+    assert(got.where($"_commit_sequence" === 1).count() == 90L)
+    assert(got.where($"_commit_sequence" === 2 &&
+      $"_change_type" === "delete").count() == 90L)
+    assert(got.where($"_commit_sequence" === 2 &&
+      $"_change_type" === "insert").count() == 60L)
+    // one more commit; the LIVE checkpoint drains just it
+    LakeWriter.commitSnapshot(docs(12), t, "append")
+    IcebergMirror.mirror(spark, t)
+    assert(IcebergMirror.streamIcebergChangesInto(
+      spark, t, out, s"$root/ck1") == 3L)
+    val n3 = LakeWriter.readSnapshot(spark, out).count()
+    assert(LakeWriter.readSnapshot(spark, out)
+      .where($"_commit_sequence" === 3).count() == 12L)
+    // EXPIRE the early history, then replay from a FRESH checkpoint:
+    // every surviving metadata version's tip is already absorbed and
+    // must skip on its stamp — lazily, since sequence 3's parent
+    // snapshot no longer exists to resolve changes against
+    IcebergMirror.expireSnapshots(spark, t, 1)
+    assert(IcebergMirror.streamIcebergChangesInto(
+      spark, t, out, s"$root/ck2") == 3L)
+    assert(LakeWriter.readSnapshot(spark, out).count() == n3)
+  }
+
+  test("v3 DV write: extending a tree that enables row lineage " +
+      "refuses (the mirror never assigns row ids)") {
+    val t = freshDir("ice_dvw3_") + "/t"
+    LakeWriter.commitSnapshot(docs(60), t)
+    IcebergMirror.mirror(spark, t)
+    // doctor the published metadata into a lineage-bearing v3 tree —
+    // the shape a foreign v3 writer would leave behind
+    val hintP = java.nio.file.Paths.get(s"$t/metadata/version-hint.text")
+    val hint = new String(java.nio.file.Files.readAllBytes(hintP),
+      "UTF-8").trim.toInt
+    val mp = java.nio.file.Paths.get(s"$t/metadata/v$hint.metadata.json")
+    val doctored = new String(java.nio.file.Files.readAllBytes(mp),
+      "UTF-8").replaceFirst("""\"format-version\"\s*:\s*2""",
+        "\"format-version\":3,\"next-row-id\":17")
+    java.nio.file.Files.write(mp, doctored.getBytes("UTF-8"))
+    // drop the Hadoop local-FS checksum sidecar the nio rewrite broke
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      s"$t/metadata/.v$hint.metadata.json.crc"))
+    LakeWriter.commitSnapshot(docs(30), t, "append")
+    val e = intercept[Exception](IcebergMirror.mirror(spark, t))
+    assert(e.getMessage.contains("row lineage"))
+  }
 }

@@ -120,7 +120,7 @@ class MorDeleteSpec extends AnyFunSuite {
   test("delta mirror exports DVs as inline spec descriptors: " +
       "readDelta round-trips every version, protocol announces " +
       "deletionVectors, checkpoint preserves the pairings; iceberg " +
-      "mirror refuses loudly") {
+      "mirror round-trips them as v3 puffin DVs") {
     val t = freshDir("graft_mor_mirror") + "/t"
     LakeWriter.commitSnapshot(docs(80).repartition(4), t)      // v1
     LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 100)     // v2
@@ -152,9 +152,11 @@ class MorDeleteSpec extends AnyFunSuite {
     DeltaMirror.cleanupLog(spark, t, retainVersions = 1)
     assert(rows(DeltaMirror.readDelta(spark, t)) ==
       rows(LakeWriter.readSnapshot(spark, t)))
-    // iceberg mirror refuses a DV-bearing version loudly
-    val e = intercept[IllegalArgumentException](
-      IcebergMirror.mirror(spark, t))
-    assert(e.getMessage.contains("deletion vectors"))
+    // the iceberg mirror exports the same DV history as v3 puffin
+    // blobs (IcebergMirrorSpec owns the tree-shape assertions; here
+    // the cross-format invariant: BOTH mirrors serve the same rows)
+    assert(IcebergMirror.mirror(spark, t) == 4L)
+    assert(rows(IcebergMirror.readIceberg(spark, t)) ==
+      rows(LakeWriter.readSnapshot(spark, t)))
   }
 }
