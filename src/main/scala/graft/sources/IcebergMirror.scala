@@ -2573,15 +2573,20 @@ object IcebergMirror {
     * bounded by the CHANGED files, never table size, and graft's own
     * mirror is incrementally consumable by construction (no extra
     * metadata: the mirror's adds and tombstones already carry their
-    * snapshot ids). Emits the table columns plus `_change_type`,
-    * `_change_ordinal` (1-based position in the range) and
-    * `_commit_snapshot_id`.
+    * snapshot ids). v3 DELETION VECTORS diff to ROW-level changes: a
+    * DV added on a live file emits exactly the newly-deleted rows
+    * (new bitmap minus the bitmap it replaced), a removed file's
+    * delete rows EXCLUDE its retired bitmap (those rows were
+    * reported when the DV appeared), and a DV retired without
+    * replacement (restore) re-inserts its rows. Emits the table
+    * columns plus `_change_type`, `_change_ordinal` (1-based
+    * position in the range) and `_commit_snapshot_id`.
     *
-    * COPY-ON-WRITE scope, refused loudly otherwise: a DELETE manifest
-    * in any in-range snapshot means merge-on-read row-level deletes a
-    * file-granular changelog cannot represent. The parent chain must
-    * reach `fromSnapshot` (expired history refuses — a silently
-    * partial feed never serves). */
+    * Position/equality delete FILES in an in-range snapshot refuse
+    * loudly (their membership is data, not metadata — a file-granular
+    * changelog cannot diff them). The parent chain must reach
+    * `fromSnapshot` (expired history refuses — a silently partial
+    * feed never serves). */
   def readIcebergChanges(spark: SparkSession, dir: String,
                          fromSnapshot: Long,
                          toSnapshot: Long): DataFrame = {
@@ -2681,9 +2686,14 @@ object IcebergMirror {
     }
     snap(fromSnapshot): Unit // the base must exist too
     // per in-range snapshot: its own manifest list, entries stamped
-    // with the snapshot id decide membership
+    // with the snapshot id decide membership. A unit may carry DV
+    // bitmaps narrowing WHICH rows of its file it emits: `inDv` =
+    // only row indexes IN this bitmap, `exDv` = minus this bitmap
+    // (both raw portable-roaring bytes riding the broadcast).
     final case class Changed(path: String, pvById: Map[Int, Any],
-        snapId: Long, ordinal: Int, insert: Boolean)
+        snapId: Long, ordinal: Int, insert: Boolean,
+        inDv: Option[(Array[Byte], String)] = None,
+        exDv: Option[(Array[Byte], String)] = None)
     val changed = scala.collection.mutable.ListBuffer[Changed]()
     // REPLACE snapshots (compaction / z-order / rewrite_data_files:
     // files changed, rows did not) are excluded, exactly as Iceberg's
@@ -2694,31 +2704,108 @@ object IcebergMirror {
     val emitting = chain.toSeq.filterNot { sid =>
       (snap(sid) \ "summary" \ "operation") == JString("replace")
     }
+    // DV blob fetch (driver-side, metadata-plane): framing + CRC
+    // verified exactly as the batch reader does; cached per blob
+    // across the range (a carried bitmap diffed by two snapshots
+    // fetches once)
+    val identitySources: Seq[Int] =
+      identityOf.values.flatten.map(_._2).toSeq.distinct
+        .filter(idToName.contains).sorted
+    val identityNames = identitySources.map(idToName).toSet
+    val blobCache = scala.collection.mutable.Map[String, Array[Byte]]()
+    // carried delete manifests decode once per range (liveness +
+    // kind validation below), keyed by resolved path
+    val carriedDeleteCache =
+      scala.collection.mutable.Map[String, Seq[String]]()
+    def fetchBlob(puffin: String, off: Long, size: Long)
+        : (Array[Byte], String) = {
+      val key = s"$puffin@$off"
+      (blobCache.getOrElseUpdate(key, {
+        val in = fs.open(new Path(puffin))
+        val blob = try {
+          in.seek(off)
+          val b = new Array[Byte](size.toInt)
+          in.readFully(b); b
+        } finally in.close()
+        require(blob.length >= 8, s"iceberg table at $dir: DV blob " +
+          s"at $key is ${blob.length} bytes — too short; refusing")
+        val len = java.nio.ByteBuffer.wrap(blob, 0, 4).getInt
+        require(len == size - 8, s"iceberg table at $dir: DV blob at " +
+          s"$key declares $len bytes but the manifest sized it " +
+          s"$size — corrupt metadata, refusing")
+        val data = java.util.Arrays.copyOfRange(blob, 4, 4 + len)
+        val crc = java.nio.ByteBuffer.wrap(blob, 4 + len, 4).getInt
+        val c = new java.util.zip.CRC32(); c.update(data)
+        require(crc == c.getValue.toInt, s"iceberg table at $dir: DV " +
+          s"checksum mismatch at $key — refusing")
+        data
+      }), key)
+    }
+    // identity partition values of a DV-referenced file: the COW path
+    // reads them from its manifest entry's partition struct, but a DV
+    // unit's data manifest is CARRIED (never opened) — resolve from
+    // the hive path segments, refusing a silent null projection
+    def pvOfPath(p: String): Map[Int, Any] =
+      identitySources.map { src =>
+        val nm = idToName(src)
+        val m = ("(?:^|/)" + java.util.regex.Pattern.quote(nm) +
+          "=([^/]*)/").r.findFirstMatchIn(p).getOrElse(sys.error(
+          s"iceberg table at $dir: changelog DV unit for $p cannot " +
+            s"resolve identity partition column $nm from the path — " +
+            "serving nulls would be silently wrong; refusing"))
+        src -> partitionJvm(idToType(src), hiveUnescape(m.group(1)))
+      }.toMap
     emitting.zipWithIndex.foreach { case (sid, i) =>
       val mlPath = str(snap(sid) \ "manifest-list").getOrElse(sys.error(
         s"iceberg table at $dir: snapshot $sid carries no manifest-list"))
       val (_, _, mlRows) = readAvroBytes(
         readFileBytes(fs, new Path(resolvePath(mlPath))))
-      // the COW refusal fires at the LIST level, before any manifest
-      // opens: a delete manifest anywhere in an in-range snapshot's
-      // list means merge-on-read rows shaped this state (applied to
-      // carried files, or changed in-range) — a file-granular
-      // changelog cannot represent them faithfully
-      mlRows.foreach { mrec =>
-        require(asLong(fieldById(mrec, 517, "content"))
-            .getOrElse(0L) == 0L,
-          s"iceberg table at $dir: snapshot $sid lists DELETE " +
-            "manifests — merge-on-read row-level deletes are not " +
-            "representable by a file-granular changelog; refusing")
-      }
       // entries stamped with sid live ONLY in manifests the snapshot
       // itself added (appends AND rewrites both produce a new
       // manifest file whose added_snapshot_id is the committing
       // snapshot) — carried manifests are never opened, so metadata
       // IO is bounded by the CHANGED manifests, not table size
+      final case class DvLoc(puffin: String, off: Long, size: Long)
+      val dataAdds = scala.collection.mutable.LinkedHashMap[
+        String, Map[Int, Any]]()
+      val dataRemoves = scala.collection.mutable.LinkedHashMap[
+        String, Map[Int, Any]]()
+      val dvAdded = scala.collection.mutable.LinkedHashMap[String, DvLoc]()
+      val dvRetired = scala.collection.mutable.LinkedHashMap[String, DvLoc]()
+      // files still covered by a CARRIED live DV this snapshot — used
+      // below to refuse a non-conforming writer that removed a data
+      // file without retiring its deletion vector (the removed file's
+      // delete rows would silently over-report)
+      val carriedLiveDv = scala.collection.mutable.Set[String]()
       mlRows.foreach { mrec =>
         val mAddedSid = asLong(fieldById(mrec, 503, "added_snapshot_id"))
           .getOrElse(-1L)
+        val mContent = asLong(fieldById(mrec, 517, "content"))
+          .getOrElse(0L)
+        if (mAddedSid != sid && mContent == 1L) {
+          // carried delete manifest: never emits, but its KIND and
+          // liveness gate safety (cached — each manifest file decodes
+          // once per range however many snapshots carry it)
+          val mPath = resolvePath(
+            asString(fieldById(mrec, 500, "manifest_path")).get)
+          carriedDeleteCache.getOrElseUpdate(mPath, {
+            readAvroBytes(readFileBytes(fs, new Path(mPath)))._3
+              .flatMap { e =>
+                val df = fieldById(e, 2, "data_file")
+                  .asInstanceOf[GenericRecord]
+                val fmt = asString(fieldById(df, 101, "file_format"))
+                  .getOrElse("")
+                require(fmt.equalsIgnoreCase("puffin"),
+                  s"iceberg table at $dir: the changelog range " +
+                    s"carries a $fmt delete file — only v3 deletion " +
+                    "vectors are changelog-representable; refusing")
+                if (asLong(fieldById(e, 0, "status"))
+                    .getOrElse(0L) == 2L) None
+                else asString(fieldById(df, 143, "referenced_data_file"))
+                  .map(resolvePath)
+              }
+          }).foreach(carriedLiveDv += _)
+        }
         if (mAddedSid == sid) {
           val mPath = asString(fieldById(mrec, 500, "manifest_path")).get
           val specId = asLong(fieldById(mrec, 502, "partition_spec_id"))
@@ -2737,25 +2824,99 @@ object IcebergMirror {
               val df = fieldById(e, 2, "data_file")
                 .asInstanceOf[GenericRecord]
               val stored = asString(fieldById(df, 100, "file_path")).get
-              val pv = fieldById(df, 102, "partition") match {
-                case r: GenericRecord => ids.flatMap { case (fid, src) =>
-                  idToName.get(src).map { nm =>
-                    src -> avroToJvm(fieldById(r, fid, nm))
-                  }
-                }.toMap
-                case _ => Map.empty[Int, Any]
+              if (mContent == 1L) {
+                // delete manifest: v3 puffin DVs diff to ROW-level
+                // changes; position/equality delete FILES stay
+                // unrepresentable (their membership is data, not
+                // metadata)
+                val fmt = asString(fieldById(df, 101, "file_format"))
+                  .getOrElse("")
+                require(fmt.equalsIgnoreCase("puffin"),
+                  s"iceberg table at $dir: snapshot $sid adds a $fmt " +
+                    "delete file — only v3 deletion vectors are " +
+                    "changelog-representable; refusing")
+                val refd = resolvePath(asString(fieldById(df, 143,
+                  "referenced_data_file")).getOrElse(sys.error(
+                  s"iceberg table at $dir: DV entry $stored carries " +
+                    "no referenced_data_file — refusing")))
+                val loc = DvLoc(resolvePath(stored),
+                  asLong(fieldById(df, 144, "content_offset"))
+                    .getOrElse(sys.error(s"iceberg table at $dir: DV " +
+                      s"entry $stored has no content_offset")),
+                  asLong(fieldById(df, 145, "content_size_in_bytes"))
+                    .getOrElse(sys.error(s"iceberg table at $dir: DV " +
+                      s"entry $stored has no content_size_in_bytes")))
+                if (status == 1L) {
+                  require(!dvAdded.contains(refd),
+                    s"iceberg table at $dir: snapshot $sid adds two " +
+                      s"deletion vectors for $refd — format v3 allows " +
+                      "at most one; refusing")
+                  dvAdded(refd) = loc
+                } else dvRetired(refd) = loc
+              } else {
+                val pv = fieldById(df, 102, "partition") match {
+                  case r: GenericRecord => ids.flatMap { case (fid, src) =>
+                    idToName.get(src).map { nm =>
+                      src -> avroToJvm(fieldById(r, fid, nm))
+                    }
+                  }.toMap
+                  case _ => Map.empty[Int, Any]
+                }
+                if (status == 1L) dataAdds(resolvePath(stored)) = pv
+                else dataRemoves(resolvePath(stored)) = pv
               }
-              changed += Changed(resolvePath(stored), pv, sid, i + 1,
-                insert = status == 1L)
             }
           }
         }
       }
+      // a removed file whose DV is STILL live in a carried manifest
+      // means the writer broke the spec's remove-DVs-with-their-files
+      // rule — its delete rows would over-report; refuse
+      dataRemoves.keySet.foreach { p =>
+        require(!carriedLiveDv.contains(p) || dvRetired.contains(p),
+          s"iceberg table at $dir: snapshot $sid removes data file " +
+            s"$p while a carried deletion vector still references " +
+            "it — non-conforming writer; the changelog cannot tell " +
+            "which rows were already reported deleted; refusing")
+      }
+      // emission per file, DV bitmaps narrowing rows:
+      //  - added file: insert its rows, minus a same-snapshot DV
+      //  - removed file: delete its rows, minus the retired DV (those
+      //    rows were reported deleted when the DV appeared)
+      //  - DV change on a live file: delete rows in (new \ old) AND
+      //    insert rows in (old \ new) — deletes normally only grow
+      //    the bitmap so the insert side is empty, but a RESTORE
+      //    re-pins a smaller one and its rows come back
+      //  - DV retired without replacement on a live file: the whole
+      //    old bitmap's rows come back — insert them
+      dataAdds.foreach { case (p, pv) =>
+        changed += Changed(p, pv, sid, i + 1, insert = true,
+          exDv = dvAdded.get(p).map(l => fetchBlob(l.puffin, l.off, l.size)))
+      }
+      dataRemoves.foreach { case (p, pv) =>
+        changed += Changed(p, pv, sid, i + 1, insert = false,
+          exDv = dvRetired.get(p).map(l => fetchBlob(l.puffin, l.off, l.size)))
+      }
+      (dvAdded.keySet -- dataAdds.keySet -- dataRemoves.keySet)
+        .toSeq.sorted.foreach { p =>
+          val l = dvAdded(p)
+          val nw = fetchBlob(l.puffin, l.off, l.size)
+          val old = dvRetired.get(p).map(o =>
+            fetchBlob(o.puffin, o.off, o.size))
+          changed += Changed(p, pvOfPath(p), sid, i + 1, insert = false,
+            inDv = Some(nw), exDv = old)
+          old.foreach { o =>
+            changed += Changed(p, pvOfPath(p), sid, i + 1, insert = true,
+              inDv = Some(o), exDv = Some(nw))
+          }
+        }
+      (dvRetired.keySet -- dvAdded.keySet -- dataRemoves.keySet)
+        .toSeq.sorted.foreach { p =>
+          val l = dvRetired(p)
+          changed += Changed(p, pvOfPath(p), sid, i + 1, insert = true,
+            inDv = Some(fetchBlob(l.puffin, l.off, l.size)))
+        }
     }
-    val identitySources: Seq[Int] =
-      identityOf.values.flatten.map(_._2).toSeq.distinct
-        .filter(idToName.contains).sorted
-    val identityNames = identitySources.map(idToName).toSet
     val outFields = schema.fields.toSeq ++ Seq(
       StructField("_change_type", StringType, true),
       StructField("_change_ordinal", IntegerType, true),
@@ -2765,16 +2926,26 @@ object IcebergMirror {
         StructType(outFields))
     val hconf = spark.sessionState.newHadoopConf()
     // one scan over the distinct changed files; the broadcast meta
-    // join fans each file into every (snapshot, side) it changed in
-    val metaRows: Seq[Row] = changed.toSeq.map { c =>
-      Row.fromSeq((fileKeyOf(c.path, hconf) +:
-        identitySources.map(src =>
-          avroPvToExternal(idToType(src), c.pvById.get(src).orNull,
-            dir))) ++
-        Seq(if (c.insert) "insert" else "delete",
-          Integer.valueOf(c.ordinal),
-          java.lang.Long.valueOf(c.snapId),
-          java.lang.Boolean.TRUE))
+    // join fans each file into every (snapshot, side, DV-window) it
+    // changed in — a unit's bitmaps ride as binary columns and filter
+    // by `_metadata.row_index` through the cached-parse DvContains
+    // kernel (cache keys carry the blob GENERATION)
+    val anyDv = changed.exists(c => c.inDv.nonEmpty || c.exDv.nonEmpty)
+    val metaRows: Seq[Row] = changed.toSeq.zipWithIndex.map {
+      case (c, unit) =>
+        Row.fromSeq((fileKeyOf(c.path, hconf) +:
+          identitySources.map(src =>
+            avroPvToExternal(idToType(src), c.pvById.get(src).orNull,
+              dir))) ++
+          Seq(if (c.insert) "insert" else "delete",
+            Integer.valueOf(c.ordinal),
+            java.lang.Long.valueOf(c.snapId),
+            Integer.valueOf(unit),
+            c.inDv.map(_._1).orNull,
+            c.inDv.map(_._2).orNull,
+            c.exDv.map(_._1).orNull,
+            c.exDv.map(_._2).orNull,
+            java.lang.Boolean.TRUE))
     }
     val metaSchema = StructType(
       (StructField("__graft_file", StringType, false) +:
@@ -2783,15 +2954,36 @@ object IcebergMirror {
         StructField("__graft_ct", StringType, false),
         StructField("__graft_ord", IntegerType, false),
         StructField("__graft_sid", LongType, false),
+        StructField("__graft_unit", IntegerType, false),
+        StructField("__graft_indv", BinaryType, true),
+        StructField("__graft_inkey", StringType, true),
+        StructField("__graft_exdv", BinaryType, true),
+        StructField("__graft_exkey", StringType, true),
         StructField("__graft_matched", BooleanType, true)))
     val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
     val readSchema = StructType(schema.fields.map(f =>
       StructField(physByName(f.name), f.dataType, nullable = true)))
-    spark.read.schema(readSchema)
+    def dvTest(dvCol: String, keyCol: String) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.DvContains(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(keyCol)),
+          org.apache.spark.sql.GraftColumnBridge.expression(col(dvCol)),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            col("__graft_ridx"))))
+    val dvKeep =
+      if (!anyDv) lit(true)
+      else (col("__graft_indv").isNull ||
+          dvTest("__graft_indv", "__graft_inkey")) &&
+        (col("__graft_exdv").isNull ||
+          !dvTest("__graft_exdv", "__graft_exkey"))
+    val base0 = spark.read.schema(readSchema)
       .parquet(changed.map(_.path).distinct.toSeq: _*)
       .withColumn("__graft_file", col("_metadata.file_path"))
+    (if (anyDv)
+      base0.withColumn("__graft_ridx", col("_metadata.row_index"))
+     else base0)
       .join(broadcast(metaDf), Seq("__graft_file"), "left")
-      .where(when(col("__graft_matched").isNotNull, lit(true))
+      .where(when(col("__graft_matched").isNotNull, dvKeep)
         .otherwise(raise_error(concat(
           lit(s"readIcebergChanges at $dir: file "), col("__graft_file"),
           lit(" failed to match its manifest entry (path-encoding " +

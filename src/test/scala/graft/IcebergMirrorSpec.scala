@@ -1216,8 +1216,8 @@ class IcebergMirrorSpec extends AnyFunSuite {
       IcebergMirror.readIcebergChanges(spark, t, 999L, 202L))
     assert(e1.getMessage.contains("never reaches 999") ||
       e1.getMessage.contains("no snapshot 999"))
-    // a DELETE manifest changing in-range refuses (merge-on-read rows
-    // are not file-granular)
+    // a parquet (position) delete file changing in-range refuses —
+    // only v3 DVs diff to a row-level feed; pos/eq membership is data
     val delE = foreignEntry(1, 202L, 2L, s"$t/data/fake.parquet", 7, 1L)
     delE.get("data_file").asInstanceOf[GenericRecord]
       .put("content", Integer.valueOf(1))
@@ -1231,7 +1231,18 @@ class IcebergMirrorSpec extends AnyFunSuite {
       foreignListRec(mdel, mdelLen, 202L, 2L, content = 1)))
     val e2 = intercept[IllegalArgumentException](
       IcebergMirror.readIcebergChanges(spark, t, 101L, 202L))
-    assert(e2.getMessage.contains("DELETE manifests"))
+    assert(e2.getMessage.contains(
+      "only v3 deletion vectors are changelog-representable"))
+    // ... and a CARRIED one (added before the range) refuses too: its
+    // rows may shape any changed file's visible state
+    writeAvro(s"$t/metadata/snap-202.avro", foreignListSchema, Seq(
+      foreignListRec(s"$t/metadata/m1r.avro", m1rLen, 202L, 2L),
+      foreignListRec(s"$t/metadata/m2.avro", m2Len, 202L, 2L),
+      foreignListRec(mdel, mdelLen, 101L, 1L, content = 1)))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergMirror.readIcebergChanges(spark, t, 101L, 202L))
+    assert(e3.getMessage.contains(
+      "only v3 deletion vectors are changelog-representable"))
   }
 
   test("changelog skips row-neutral rewrites: a mirrored graft " +
@@ -1626,6 +1637,50 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(IcebergMirror.streamIcebergChangesInto(
       spark, t, out, s"$root/ck2") == 3L)
     assert(LakeWriter.readSnapshot(spark, out).count() == n3)
+  }
+
+  test("changelog diffs deletion vectors: a MOR delete emits exactly " +
+      "the newly-deleted rows, a second delete only the union " +
+      "increment, a COW remove excludes already-reported rows, and a " +
+      "restore re-inserts the resurrected ones") {
+    val t = freshDir("ice_dvcl_") + "/t"
+    LakeWriter.commitSnapshot(docs(600).repartitionByRange(4, $"id"), t)
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 300) // ids 0-29
+    LakeWriter.deleteFromSnapshotMor(spark, t,
+      $"v" >= 100 && $"v" < 600)                           // union 0-59
+    LakeWriter.restoreSnapshot(spark, t, 2L)               // back to 0-29
+    LakeWriter.deleteFromSnapshot(spark, t, $"id" < 150)   // COW: file 1 out
+    IcebergMirror.mirror(spark, t)
+    val snaps = IcebergMirror.icebergSnapshots(spark, t).map(_._1)
+    def feed(a: Long, b: Long) =
+      IcebergMirror.readIcebergChanges(spark, t, a, b)
+    def ids(df: org.apache.spark.sql.DataFrame, ct: String): Set[Long] =
+      df.where($"_change_type" === ct).select($"id")
+        .collect().map(_.getLong(0)).toSet
+    // MOR delete #1: exactly the newly-deleted rows
+    val f12 = feed(snaps(0), snaps(1))
+    assert(ids(f12, "delete") == (0L until 30L).toSet)
+    assert(ids(f12, "insert").isEmpty)
+    // MOR delete #2: only the union INCREMENT (ids 30-59), never the
+    // already-reported 0-29; the shrink-side insert unit is empty
+    val f23 = feed(snaps(1), snaps(2))
+    assert(ids(f23, "delete") == (30L until 60L).toSet)
+    assert(ids(f23, "insert").isEmpty)
+    // RESTORE to the v2 DV state: ids 30-59 come back as inserts
+    val f34 = feed(snaps(2), snaps(3))
+    assert(ids(f34, "insert") == (30L until 60L).toSet)
+    assert(ids(f34, "delete").isEmpty)
+    // COW remove of the DV-bearing file: its delete rows EXCLUDE the
+    // rows the DV already reported (survivors 30-149 at that point)
+    val f45 = feed(snaps(3), snaps(4))
+    assert(ids(f45, "delete") == (30L until 150L).toSet)
+    // and the full range telescopes: net deletes = ids 0-149
+    val all = feed(snaps(0), snaps(4))
+    val net = all.groupBy($"id").agg(
+      sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("n"))
+    assert(net.where($"n" < 0).select($"id")
+      .collect().map(_.getLong(0)).toSet == (0L until 150L).toSet)
+    assert(net.where($"n" > 0).count() == 0L)
   }
 
   test("v3 DV write: extending a tree that enables row lineage " +

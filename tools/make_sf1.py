@@ -33,6 +33,13 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+# Seed base for the per-copy ciphers. MUST differ between chained
+# decades (sf0.1->sf1 then sf1->sf10): with the same seeds, second-hop
+# copy (j, first-hop 0) and (0, first-hop j) are the SAME cipher image
+# of the base text — 2*(COPIES-1) whole slices become exact twins, so
+# near-dup pair counts jump super-linearly and the density-preserving
+# claim (and any scale-ratio read off the fixture) breaks.
+SEED_BASE = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
 COPIES = 10
 
 ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
@@ -42,7 +49,7 @@ def cipher(k: int) -> str:
     # deterministic per-copy permutation of the alphabet (seeded rng,
     # stable across python versions for random.Random().shuffle)
     chars = list(ALPHA)
-    random.Random(1000 + k).shuffle(chars)
+    random.Random(SEED_BASE + k).shuffle(chars)
     return "".join(chars)
 
 
@@ -86,7 +93,7 @@ COPY (
               ELSE list_transform(
                 list_zip(e.embedding,
                          generate_series(1, len(e.embedding))),
-                z -> CASE WHEN hash(k.k * 1000 + z[2]) % 2 = 0
+                z -> CASE WHEN hash(k.k * {SEED_BASE} + z[2]) % 2 = 0
                           THEN z[1] ELSE -z[1] END)
          END AS embedding
   FROM read_parquet('{SRC}/embeddings.parquet') e,
