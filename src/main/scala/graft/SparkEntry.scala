@@ -812,9 +812,13 @@ object SparkEntry {
     }),
 
     "q_dedup_embed" -> ((s, d) => {
-      // embedding-space near-duplicate pairs (bucketed; rows-only)
-      Similarity.cosineNearDupPairs(T(s, d, "embeddings"), "vec_id",
-        "embedding", threshold = 0.3, bits = 6, dim = 64)
+      // embedding-space near-duplicate pairs (bucketed; rows-only).
+      // Bit count scales with the corpus so bucket population stays
+      // constant — fixed bits measured 81x CPU at 10x data (sf10)
+      val e = T(s, d, "embeddings")
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.3, bits = Similarity.adaptiveBits(e.count()),
+        dim = 64)
     }),
 
     "q_multimodal_features" -> ((s, d) => {
@@ -1365,9 +1369,13 @@ object SparkEntry {
         "fingerprint", expectedItems = 100000L)
     }),
 
-    "q_semdedup" -> ((s, d) =>
-      Similarity.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
-        nlist = 8, threshold = 0.3)),
+    "q_semdedup" -> ((s, d) => {
+      // cluster count scales with the corpus so cell population stays
+      // constant — fixed nlist measured 78x CPU at 10x data (sf10)
+      val e = T(s, d, "embeddings")
+      Similarity.semDedup(e, "vec_id", "embedding",
+        nlist = Similarity.adaptiveNlist(e.count()), threshold = 0.3)
+    }),
 
     "q_filter_cascade" -> ((s, d) =>
       // quality-filter cascade with per-doc audit: which rule dropped it
@@ -7027,7 +7035,7 @@ object SparkEntry {
       .map("q_embed_ivf_ann" -> _)
     val nearDup = {
       val cand = Similarity.bucketCandidatePairs(e, "vec_id", "embedding",
-        bits = 6, dim = 64).collect()
+        bits = Similarity.adaptiveBits(e.count()), dim = 64).collect()
       if (cand.isEmpty) None
       else Some("q_dedup_embed" ->
         s"""WITH cand(doc_a, doc_b) AS (VALUES ${pairValues(cand)})
@@ -7041,7 +7049,7 @@ object SparkEntry {
     }
     val sem = {
       val assign = Similarity.kmeansAssign(e, "vec_id", "embedding",
-        nlist = 8, iters = 2).collect()
+        nlist = Similarity.adaptiveNlist(e.count()), iters = 2).collect()
       if (assign.isEmpty) None
       else {
         val values = assign

@@ -243,12 +243,25 @@ object Dedup {
     * Jaccard as the matching-position fraction, filter by threshold.
     * The candidate frame is explicitly repartitioned first: id pairs
     * are tiny but fan into heavy per-pair work — pinning the
-    * parallelism stops AQE coalescing the estimate stage. */
+    * parallelism stops AQE coalescing the estimate stage.
+    *
+    * Both signature joins are SHUFFLE-HASH hinted: the signature
+    * table hashes per partition (perms longs/doc — corpus/1000, so a
+    * partition slice always fits) while the pair side STREAMS.
+    * Without the hint this is where the suite's one measured
+    * join-strategy cliff sat (sf10 stress, r16): at small SF AQE
+    * broadcast the sig table, past ~10x it fell back to sort-merge
+    * and sorted a pairs x 520-byte intermediate TWICE — candidate
+    * volume stayed linear (bucket probe) while CPU ran ~2x
+    * super-linear. Hash join never sorts the wide intermediate, so
+    * the estimate stage scales with pair count at every SF. */
   private def estimatePairs(cand: DataFrame, sigs: DataFrame, idCol: String,
                             perms: Int, threshold: Double): DataFrame = {
     val pinned = cand.repartition(NumPartitions, col("doc_a"))
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
+      .hint("shuffle_hash")
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+      .hint("shuffle_hash")
     val matchCount = org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.ArrayMatchCount(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),

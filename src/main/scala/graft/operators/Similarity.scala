@@ -826,6 +826,29 @@ object Similarity {
         (col("max_bench_sim") >= threshold).cast("int"))
   }
 
+  /** Cluster count that keeps the expected CELL POPULATION constant
+    * as the corpus grows — the within-cell pair stage is quadratic in
+    * cell size, so a FIXED nlist turns semantic dedup O(n²/k) (the
+    * sf10 stress measured exactly that: 78x CPU at 10x data); with
+    * k ∝ n the pair stage is O(n·targetCell), linear. The assignment
+    * scan is n·k MACs — tiny constants; past ~10M vectors feed a
+    * two-level (IVF-of-centroids) assignment instead. */
+  def adaptiveNlist(n: Long, targetCell: Int = 2048,
+                    floor: Int = 8): Int =
+    math.max(floor, ((n + targetCell - 1) / targetCell).toInt)
+
+  /** Hyperplane-LSH bit count that keeps the expected BUCKET
+    * POPULATION constant as the corpus grows (2^bits buckets): fixed
+    * bits make the within-bucket all-pairs stage O(n²/2^bits) — the
+    * sf10 stress measured 81x CPU at 10x data on 6 bits; one extra
+    * bit per doubling keeps it linear. */
+  def adaptiveBits(n: Long, targetBucket: Int = 32, floor: Int = 6)
+      : Int = {
+    var bits = floor
+    while ((n >> bits) > targetBucket && bits < 30) bits += 1
+    bits
+  }
+
   /** SemDeDup (semantic dedup, Abbas et al. 2023's shape): k-means
     * cluster the embedding space, then WITHIN each cluster drop every
     * vector that has a near-duplicate (cosine >= threshold) with a

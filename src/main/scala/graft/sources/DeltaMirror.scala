@@ -1465,17 +1465,22 @@ object DeltaMirror {
     * `dataChange=true` adds read as inserts, `dataChange=true`
     * removes read their (still-on-disk) files as deletes, and a
     * `dataChange=false` rewrite (compaction) contributes nothing.
-    * Works on graft's own CDF mirrors and on foreign CDF tables (the
-    * import twin of `mirror(changeDataFeed = true)`); the cost is
-    * bounded by the CHANGED files of the range, never table size.
+    * DELETION VECTORS synthesize as bitmap diffs: a same-path
+    * remove+add re-pairing emits delete rows in (new \ old) and
+    * insert rows in (old \ new) — deletes normally grow the bitmap so
+    * the insert side is empty, but a restore re-pins a smaller one
+    * and its rows come back; a removed DV-paired file's delete rows
+    * EXCLUDE the retired bitmap (already reported); a DV on a
+    * brand-new file narrows its insert. Works on graft's own CDF
+    * mirrors and on foreign CDF tables (the import twin of
+    * `mirror(changeDataFeed = true)`); the cost is bounded by the
+    * CHANGED files of the range, never table size.
     *
     * Refuses loudly when: a range commit's JSON was retention-cleaned
     * (cdc actions are never checkpointed, so the feed below the log
     * floor is GONE — serving a partial feed would silently lose
-    * changes); CDF is not enabled over the whole range; the schema
-    * changes mid-range (Delta's own CDF readers refuse this too); or
-    * a synthesis commit carries deletion vectors (their net rows need
-    * the bitmap algebra only `cdc` actions encode faithfully). */
+    * changes); CDF is not enabled over the whole range; or the schema
+    * changes mid-range (Delta's own CDF readers refuse this too). */
   def readChangeFeed(spark: SparkSession, dir: String,
                      fromVersion: Long,
                      toVersion: Option[Long] = None): DataFrame = {
@@ -1521,9 +1526,22 @@ object DeltaMirror {
     val preEraDeletes =
       scala.collection.mutable.ListBuffer[(Long, String)]()
     // (version, change-type override — None when the file carries its
-    // own `_change_type` column, i.e. a cdc file —, path, pv)
+    // own `_change_type` column, i.e. a cdc file —, path, pv, and the
+    // optional DV row windows: only rows whose `_metadata.row_index`
+    // is IN the first bitmap / NOT in the second are served (the
+    // deletion-vector synthesis — bitmap diffs, not whole files)
     val slices = scala.collection.mutable.ListBuffer[
-      (Long, Option[String], String, Seq[(String, Option[String])])]()
+      (Long, Option[String], String, Seq[(String, Option[String])],
+        Option[(Array[Byte], String)], Option[(Array[Byte], String)])]()
+    val rootQ = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toString
+    // bitmap bytes per descriptor uniqueId, fetched once per range
+    // (inline decode or .bin seek — CRC-verified by the kernel)
+    val dvByteCache =
+      scala.collection.mutable.Map[String, Array[Byte]]()
+    def dvWin(d: DeletionVectors.DvDescriptor): (Array[Byte], String) =
+      (dvByteCache.getOrElseUpdate(d.uniqueId,
+        DeletionVectors.readBitmapBytes(fs, rootQ, d)), d.uniqueId)
     def pvOf(a: JValue): Seq[(String, Option[String])] =
       a \ "partitionValues" match {
         case JObject(fields) => fields.map { case (k, v) =>
@@ -1545,37 +1563,78 @@ object DeltaMirror {
         acts.foreach(j =>
           str(j \ "add" \ "path").foreach(addedInRange += _))
         cdcs.foreach { case (p, pv) =>
-          slices += ((v, None, p, pv))
+          slices += ((v, None, p, pv, None, None))
         }
-      } else acts.foreach { j =>
+      } else {
         def dc(a: JValue): Boolean =
           (a \ "dataChange") != JBool(false)
-        str(j \ "add" \ "path").foreach(addedInRange += _)
-        str(j \ "add" \ "path").foreach { p =>
-          if (dc(j \ "add")) {
-            require(parseDvDescriptor(j \ "add" \ "deletionVector").isEmpty,
-              s"readChangeFeed at $dir: commit $v rewrites a deletion " +
-                "vector without cdc actions — its net rows are not " +
-                "synthesizable from add/remove alone; refusing")
-            slices += ((v, Some("insert"), p, pvOf(j \ "add")))
+        // the removed INSTANCE of any path existed BEFORE this commit
+        // — the pre-era check must see the range state as of the
+        // commit START, not this commit's own (re-)adds
+        val addedBefore = addedInRange.toSet
+        acts.foreach(j =>
+          str(j \ "add" \ "path").foreach(addedInRange += _))
+        // group THIS commit's dataChange adds/removes by path: COW
+        // never reuses a file name, so a path both removed and
+        // re-added is a DELETION-VECTOR re-pairing — its net rows are
+        // the bitmap diff (delete new\old, insert old\new), exactly
+        // what a cdc file would have carried
+        val adds = acts.flatMap { j =>
+          str(j \ "add" \ "path").filter(_ => dc(j \ "add")).map(p =>
+            p -> (pvOf(j \ "add"),
+              parseDvDescriptor(j \ "add" \ "deletionVector")))
+        }.toMap
+        val removes = acts.flatMap { j =>
+          str(j \ "remove" \ "path").filter(_ => dc(j \ "remove")).map(p =>
+            p -> (pvOf(j \ "remove"),
+              parseDvDescriptor(j \ "remove" \ "deletionVector")))
+        }.toMap
+        adds.toSeq.sortBy(_._1).foreach { case (p, (pv, dvN)) =>
+          removes.get(p) match {
+            case Some((_, dvO)) =>
+              // the re-paired instance predates this commit: under a
+              // range-start replacement its rows would read with a
+              // state they were never written under — same hazard as
+              // a plain pre-era remove
+              if (!addedBefore.contains(p)) preEraDeletes += ((v, p))
+              (dvN, dvO) match {
+                case (Some(nw), _) =>
+                  slices += ((v, Some("delete"), p, pv,
+                    Some(dvWin(nw)), dvO.map(dvWin)))
+                  dvO.foreach { o =>
+                    slices += ((v, Some("insert"), p, pv,
+                      Some(dvWin(o)), Some(dvWin(nw))))
+                  }
+                case (None, Some(o)) =>
+                  // DV retired, file re-added bare (restore): the old
+                  // bitmap's rows come back
+                  slices += ((v, Some("insert"), p, pv,
+                    Some(dvWin(o)), None))
+                case (None, None) =>
+                  // same-path identity rewrite: whole-file delete +
+                  // insert, the same net a two-file rewrite reports
+                  slices += ((v, Some("delete"), p, pv, None, None))
+                  slices += ((v, Some("insert"), p, pv, None, None))
+              }
+            case None =>
+              // plain add; a DV on a brand-new file narrows the insert
+              slices += ((v, Some("insert"), p, pv, None, dvN.map(dvWin)))
           }
         }
-        str(j \ "remove" \ "path").foreach { p =>
-          if (dc(j \ "remove")) {
-            require(
-              parseDvDescriptor(j \ "remove" \ "deletionVector").isEmpty,
-              s"readChangeFeed at $dir: commit $v removes a DV-paired " +
-                "file without cdc actions — refusing")
+        removes.toSeq.sortBy(_._1).foreach { case (p, (pv0, dvO)) =>
+          if (!adds.contains(p)) {
             // the remove action may omit partitionValues; the file's
             // own add (still live in the pre-commit state) carries them
-            val pv = pvOf(j \ "remove") match {
+            val pv = pv0 match {
               case s if s.nonEmpty => s
               case _ => st.live.collectFirst {
                 case ((lp, _), info) if lp == p => info.partitionValues
               }.getOrElse(Seq.empty)
             }
-            if (!addedInRange.contains(p)) preEraDeletes += ((v, p))
-            slices += ((v, Some("delete"), p, pv))
+            if (!addedBefore.contains(p)) preEraDeletes += ((v, p))
+            // a removed file's delete rows EXCLUDE its retired bitmap
+            // (those rows were reported deleted when the DV appeared)
+            slices += ((v, Some("delete"), p, pv, None, dvO.map(dvWin)))
           }
         }
       }
@@ -1663,23 +1722,29 @@ object DeltaMirror {
     // range commits fans out into one row per commit — the join IS
     // the fan-out, no repeated scans
     def serve(part: Seq[(Long, Option[String], String,
-        Seq[(String, Option[String])])], withCt: Boolean): DataFrame = {
+        Seq[(String, Option[String])], Option[(Array[Byte], String)],
+        Option[(Array[Byte], String)])], withCt: Boolean): DataFrame = {
       val readSchema = StructType(
         schema.fields.filterNot(f => partSet(f.name)).map(f =>
           f.copy(name = physOf(f.name), metadata = Metadata.empty)) ++
         (if (withCt)
           Seq(StructField("_change_type", StringType, true)) else Nil))
       val files = part.map(t => absOf(t._3)).distinct
-      val metaRows: Seq[Row] = part.map { case (v, ct, p, pv) =>
-        val vals = st.partCols.map { c =>
-          val pn = physOf.getOrElse(c, c)
-          pv.collectFirst {
-            case (k, ov) if k == pn || k == c => ov }.flatten.orNull
-        }
-        Row.fromSeq((fileKey(p) +: vals) ++
-          Seq(ct.orNull, java.lang.Long.valueOf(v),
-            java.lang.Long.valueOf(tsByVersion(v)),
-            java.lang.Boolean.TRUE))
+      val anyDv = part.exists(t => t._5.nonEmpty || t._6.nonEmpty)
+      val metaRows: Seq[Row] = part.zipWithIndex.map {
+        case ((v, ct, p, pv, inDv, exDv), unit) =>
+          val vals = st.partCols.map { c =>
+            val pn = physOf.getOrElse(c, c)
+            pv.collectFirst {
+              case (k, ov) if k == pn || k == c => ov }.flatten.orNull
+          }
+          Row.fromSeq((fileKey(p) +: vals) ++
+            Seq(ct.orNull, java.lang.Long.valueOf(v),
+              java.lang.Long.valueOf(tsByVersion(v)),
+              Integer.valueOf(unit),
+              inDv.map(_._1).orNull, inDv.map(_._2).orNull,
+              exDv.map(_._1).orNull, exDv.map(_._2).orNull,
+              java.lang.Boolean.TRUE))
       }
       val metaSchema = StructType(
         (StructField("__graft_file", StringType, false) +:
@@ -1688,13 +1753,37 @@ object DeltaMirror {
           StructField("__graft_ct", StringType, true),
           StructField("__graft_ver", LongType, false),
           StructField("__graft_ts", LongType, false),
+          StructField("__graft_unit",
+            org.apache.spark.sql.types.IntegerType, false),
+          StructField("__graft_indv",
+            org.apache.spark.sql.types.BinaryType, true),
+          StructField("__graft_inkey", StringType, true),
+          StructField("__graft_exdv",
+            org.apache.spark.sql.types.BinaryType, true),
+          StructField("__graft_exkey", StringType, true),
           StructField("__graft_matched", BooleanType, true)))
       import scala.jdk.CollectionConverters._
       val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
-      spark.read.schema(readSchema).parquet(files: _*)
+      def dvTest(dvCol: String, keyCol: String) =
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.DvContains(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(keyCol)),
+            org.apache.spark.sql.GraftColumnBridge.expression(col(dvCol)),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("__graft_ridx"))))
+      val dvKeep =
+        if (!anyDv) lit(true)
+        else (col("__graft_indv").isNull ||
+            dvTest("__graft_indv", "__graft_inkey")) &&
+          (col("__graft_exdv").isNull ||
+            !dvTest("__graft_exdv", "__graft_exkey"))
+      val base0 = spark.read.schema(readSchema).parquet(files: _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
+      (if (anyDv)
+        base0.withColumn("__graft_ridx", col("_metadata.row_index"))
+       else base0)
         .join(broadcast(metaDf), Seq("__graft_file"), "left")
-        .where(when(col("__graft_matched").isNotNull, lit(true))
+        .where(when(col("__graft_matched").isNotNull, dvKeep)
           .otherwise(raise_error(concat(
             lit(s"readChangeFeed at $dir: file "), col("__graft_file"),
             lit(" failed to match its commit entry (path-encoding " +

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -158,5 +160,57 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(IcebergMirror.mirror(spark, t) == 4L)
     assert(rows(IcebergMirror.readIceberg(spark, t)) ==
       rows(LakeWriter.readSnapshot(spark, t)))
+  }
+
+  test("CDF synthesis without cdc actions diffs deletion vectors: a " +
+      "re-pairing emits only the newly-deleted rows, a restore " +
+      "re-inserts the resurrected ones, a removed DV-paired file " +
+      "excludes the already-reported rows") {
+    val t = freshDir("graft_mor_cdf_synth") + "/t"
+    LakeWriter.commitSnapshot(docs(600).repartitionByRange(4, $"id"), t)
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 300) // ids 0-29
+    LakeWriter.deleteFromSnapshotMor(spark, t,
+      $"v" >= 100 && $"v" < 600)                           // union 0-59
+    LakeWriter.restoreSnapshot(spark, t, 2L)               // back to 0-29
+    LakeWriter.deleteFromSnapshot(spark, t, $"id" < 150)   // file 1 out
+    // CDF OFF: no cdc actions anywhere — the feed must SYNTHESIZE.
+    // Then doctor the metadata to the foreign-writer shape (CDF
+    // declared enabled, cdc files never written — the spec allows it;
+    // readers must synthesize)
+    DeltaMirror.mirror(spark, t)
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    java.nio.file.Files.list(logDir).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+        val body = new String(java.nio.file.Files.readAllBytes(p),
+          "UTF-8")
+        val doctored = body
+          .replace("\"configuration\":{}",
+            "\"configuration\":{\"delta.enableChangeDataFeed\":\"true\"}")
+          .replace("\"configuration\":{\"delta.enable",
+            "\"configuration\":{\"delta.enableChangeDataFeed\"" +
+              ":\"true\",\"delta.enable")
+        if (doctored != body) {
+          java.nio.file.Files.write(p, doctored.getBytes("UTF-8"))
+          java.nio.file.Files.deleteIfExists(p.resolveSibling(
+            "." + p.getFileName.toString + ".crc"))
+        }
+      }
+    def ids(v: Long, ct: String): Set[Long] =
+      DeltaMirror.readChangeFeed(spark, t, v, Some(v))
+        .where($"_change_type" === ct).select($"id")
+        .collect().map(_.getLong(0)).toSet
+    // MOR delete #1 (delta v1): exactly the newly-deleted rows
+    assert(ids(1, "delete") == (0L until 30L).toSet)
+    assert(ids(1, "insert").isEmpty)
+    // MOR delete #2: only the union increment
+    assert(ids(2, "delete") == (30L until 60L).toSet)
+    assert(ids(2, "insert").isEmpty)
+    // restore: the resurrected rows come back as inserts
+    assert(ids(3, "insert") == (30L until 60L).toSet)
+    assert(ids(3, "delete").isEmpty)
+    // COW remove of the DV-paired file: deletes exclude the retired
+    // bitmap's rows
+    assert(ids(4, "delete") == (30L until 150L).toSet)
+    assert(ids(4, "insert").isEmpty)
   }
 }
