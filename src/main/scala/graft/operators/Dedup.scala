@@ -245,23 +245,42 @@ object Dedup {
     * are tiny but fan into heavy per-pair work — pinning the
     * parallelism stops AQE coalescing the estimate stage.
     *
-    * Both signature joins are SHUFFLE-HASH hinted: the signature
-    * table hashes per partition (perms longs/doc — corpus/1000, so a
-    * partition slice always fits) while the pair side STREAMS.
-    * Without the hint this is where the suite's one measured
-    * join-strategy cliff sat (sf10 stress, r16): at small SF AQE
-    * broadcast the sig table, past ~10x it fell back to sort-merge
-    * and sorted a pairs x 520-byte intermediate TWICE — candidate
-    * volume stayed linear (bucket probe) while CPU ran ~2x
-    * super-linear. Hash join never sorts the wide intermediate, so
-    * the estimate stage scales with pair count at every SF. */
+    * Past broadcast scale the signature joins are SHUFFLE-HASH
+    * hinted: the signature table hashes per partition (perms
+    * longs/doc — corpus/1000, so a partition slice always fits) while
+    * the pair side STREAMS. Without the hint this is where the
+    * suite's one measured join-strategy cliff sat (sf10 stress, r16):
+    * at small SF the planner broadcast the sig table, past ~10x it
+    * fell back to sort-merge and sorted a pairs x 520-byte
+    * intermediate TWICE — candidate volume stayed linear (bucket
+    * probe) while CPU ran ~2x super-linear. Hash join never sorts the
+    * wide intermediate, so the estimate stage scales with pair count.
+    * The hint is SIZE-CONDITIONAL: when the signature table is
+    * PERSISTED (every eager caller's shape) its exact row count is
+    * one cheap cached scan, and a table under 2x the broadcast
+    * threshold keeps its broadcast — a blanket hint taxed the sf0.1
+    * gate ~25% CPU for nothing. An un-persisted sig plan (the lazy /
+    * lake-table production shape) skips the count and takes the
+    * scale-safe hint unconditionally; plan-stats were tried first
+    * and proved brittle (the same corpus estimated above the
+    * threshold through one gate's plan and below it through
+    * another's). */
   private def estimatePairs(cand: DataFrame, sigs: DataFrame, idCol: String,
                             perms: Int, threshold: Double): DataFrame = {
+    val spark = sigs.sparkSession
+    val bcastLikely =
+      sigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE && {
+        val bytes = sigs.count() * (perms * 8L + 48L)
+        bytes <=
+          2L * spark.sessionState.conf.autoBroadcastJoinThreshold
+      }
+    def hinted(df: DataFrame): DataFrame =
+      if (bcastLikely) df else df.hint("shuffle_hash")
     val pinned = cand.repartition(NumPartitions, col("doc_a"))
-    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
-      .hint("shuffle_hash")
-    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
-      .hint("shuffle_hash")
+    val sa = hinted(
+      sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")))
+    val sb = hinted(
+      sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")))
     val matchCount = org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.ArrayMatchCount(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sig_a")),
