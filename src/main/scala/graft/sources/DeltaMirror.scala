@@ -1731,8 +1731,8 @@ object DeltaMirror {
           Seq(StructField("_change_type", StringType, true)) else Nil))
       val files = part.map(t => absOf(t._3)).distinct
       val anyDv = part.exists(t => t._5.nonEmpty || t._6.nonEmpty)
-      val metaRows: Seq[Row] = part.zipWithIndex.map {
-        case ((v, ct, p, pv, inDv, exDv), unit) =>
+      val metaRows: Seq[Row] = part.map {
+        case (v, ct, p, pv, inDv, exDv) =>
           val vals = st.partCols.map { c =>
             val pn = physOf.getOrElse(c, c)
             pv.collectFirst {
@@ -1741,7 +1741,6 @@ object DeltaMirror {
           Row.fromSeq((fileKey(p) +: vals) ++
             Seq(ct.orNull, java.lang.Long.valueOf(v),
               java.lang.Long.valueOf(tsByVersion(v)),
-              Integer.valueOf(unit),
               inDv.map(_._1).orNull, inDv.map(_._2).orNull,
               exDv.map(_._1).orNull, exDv.map(_._2).orNull,
               java.lang.Boolean.TRUE))
@@ -1753,8 +1752,6 @@ object DeltaMirror {
           StructField("__graft_ct", StringType, true),
           StructField("__graft_ver", LongType, false),
           StructField("__graft_ts", LongType, false),
-          StructField("__graft_unit",
-            org.apache.spark.sql.types.IntegerType, false),
           StructField("__graft_indv",
             org.apache.spark.sql.types.BinaryType, true),
           StructField("__graft_inkey", StringType, true),
@@ -1845,6 +1842,12 @@ object DeltaMirror {
     // touches the clone — the refreshAggStream discipline
     val commits = spark.readStream
       .option("pathGlobFilter", "*.json")
+      // FileStreamSource silently ignores files older than
+      // maxFileAge (default 7d) relative to the newest seen — a
+      // pending commit older than that would be skipped FOREVER (the
+      // txn stamp then masks the hole); age-based eviction is wrong
+      // for a commit log, so effectively disable it
+      .option("maxFileAge", "36500d")
       .text(log.toString)
       // the file-metadata column resolves only on the streaming scan
       // itself — inside foreachBatch the batch is already materialized

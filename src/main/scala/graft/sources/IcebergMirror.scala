@@ -384,9 +384,12 @@ object IcebergMirror {
   /** One live v3 deletion-vector entry of a DELETE manifest: a puffin
     * blob (located by offset/size) holding the deleted-row bitmap of
     * `referenced`. `sizeInBytes` is the blob's content size (bitmap +
-    * 8 framing bytes); `cardinality` the deleted-row count. */
+    * 8 framing bytes); `fileSize` the whole puffin FILE's length (the
+    * spec's field 104 — a conforming reader may open the container
+    * through its footer using exactly this length); `cardinality` the
+    * deleted-row count. */
   private final case class DvEntry(puffin: String, referenced: String,
-      offset: Long, sizeInBytes: Long, cardinality: Long,
+      offset: Long, sizeInBytes: Long, fileSize: Long, cardinality: Long,
       snapshotId: Long, dataSeq: Long)
 
   /** One DELETE manifest (content=1, v3 deletion vectors only) as
@@ -630,6 +633,8 @@ object IcebergMirror {
                 asLong(fieldById(df, 145, "content_size_in_bytes"))
                   .getOrElse(sys.error(s"iceberg tree at $table: DV " +
                     "entry without content_size_in_bytes — refusing")),
+                asLong(fieldById(df, 104, "file_size_in_bytes"))
+                  .getOrElse(0L),
                 asLong(fieldById(df, 103, "record_count")).getOrElse(0L),
                 asLong(fieldById(e, 1, "snapshot_id")).getOrElse(
                   st.currentSnapshotId),
@@ -962,7 +967,7 @@ object IcebergMirror {
     df.put("partition",
       new GenericData.Record(dfS.getField("partition").schema()))
     df.put("record_count", java.lang.Long.valueOf(d.cardinality))
-    df.put("file_size_in_bytes", java.lang.Long.valueOf(d.sizeInBytes))
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(d.fileSize))
     df.put("referenced_data_file", d.referenced)
     df.put("content_offset", java.lang.Long.valueOf(d.offset))
     df.put("content_size_in_bytes", java.lang.Long.valueOf(d.sizeInBytes))
@@ -1236,13 +1241,10 @@ object IcebergMirror {
           if (partCols.isEmpty) Vector.empty
           else {
             // hive path extraction, one value per spec field (the
-            // partitionOfOpt discipline: anchored segments, %XX
-            // unescape); a missing segment means the file predates
-            // the spec and must be migrated first
-            val raws = partCols.map { c =>
-              ("(?:^|/)" + java.util.regex.Pattern.quote(c) +
-                "=([^/]*)/").r.findFirstMatchIn(f).map(_.group(1))
-            }
+            // shared partitionOfOpt primitive: anchored segments,
+            // %XX unescape); a missing segment means the file
+            // predates the spec and must be migrated first
+            val raws = partCols.map(c => LakeWriter.hiveSegmentOf(c, f))
             require(raws.forall(_.nonEmpty),
               s"iceberg mirror of $table: $f predates the " +
                 s"${partCols.mkString(",")} partition spec — run " +
@@ -1429,8 +1431,8 @@ object IcebergMirror {
         plannedPuffins(qp) = pBytes
         val newEntries = ordered.map { p =>
           val (off, sz) = locs(p)
-          (1, sid, seq,
-            DvEntry(qp, p, off, sz, dvWanted(p).cardinality, sid, seq))
+          (1, sid, seq, DvEntry(qp, p, off, sz, pBytes.length.toLong,
+            dvWanted(p).cardinality, sid, seq))
         }
         val (bytes, info0) = buildDvManifest(newEntries, dvSpecId,
           schemaJsonStr, sid, seq)
@@ -2748,12 +2750,11 @@ object IcebergMirror {
     def pvOfPath(p: String): Map[Int, Any] =
       identitySources.map { src =>
         val nm = idToName(src)
-        val m = ("(?:^|/)" + java.util.regex.Pattern.quote(nm) +
-          "=([^/]*)/").r.findFirstMatchIn(p).getOrElse(sys.error(
+        val raw = LakeWriter.hiveSegmentOf(nm, p).getOrElse(sys.error(
           s"iceberg table at $dir: changelog DV unit for $p cannot " +
             s"resolve identity partition column $nm from the path — " +
             "serving nulls would be silently wrong; refusing"))
-        src -> partitionJvm(idToType(src), hiveUnescape(m.group(1)))
+        src -> partitionJvm(idToType(src), hiveUnescape(raw))
       }.toMap
     emitting.zipWithIndex.foreach { case (sid, i) =>
       val mlPath = str(snap(sid) \ "manifest-list").getOrElse(sys.error(
@@ -2931,21 +2932,19 @@ object IcebergMirror {
     // by `_metadata.row_index` through the cached-parse DvContains
     // kernel (cache keys carry the blob GENERATION)
     val anyDv = changed.exists(c => c.inDv.nonEmpty || c.exDv.nonEmpty)
-    val metaRows: Seq[Row] = changed.toSeq.zipWithIndex.map {
-      case (c, unit) =>
-        Row.fromSeq((fileKeyOf(c.path, hconf) +:
-          identitySources.map(src =>
-            avroPvToExternal(idToType(src), c.pvById.get(src).orNull,
-              dir))) ++
-          Seq(if (c.insert) "insert" else "delete",
-            Integer.valueOf(c.ordinal),
-            java.lang.Long.valueOf(c.snapId),
-            Integer.valueOf(unit),
-            c.inDv.map(_._1).orNull,
-            c.inDv.map(_._2).orNull,
-            c.exDv.map(_._1).orNull,
-            c.exDv.map(_._2).orNull,
-            java.lang.Boolean.TRUE))
+    val metaRows: Seq[Row] = changed.toSeq.map { c =>
+      Row.fromSeq((fileKeyOf(c.path, hconf) +:
+        identitySources.map(src =>
+          avroPvToExternal(idToType(src), c.pvById.get(src).orNull,
+            dir))) ++
+        Seq(if (c.insert) "insert" else "delete",
+          Integer.valueOf(c.ordinal),
+          java.lang.Long.valueOf(c.snapId),
+          c.inDv.map(_._1).orNull,
+          c.inDv.map(_._2).orNull,
+          c.exDv.map(_._1).orNull,
+          c.exDv.map(_._2).orNull,
+          java.lang.Boolean.TRUE))
     }
     val metaSchema = StructType(
       (StructField("__graft_file", StringType, false) +:
@@ -2954,7 +2953,6 @@ object IcebergMirror {
         StructField("__graft_ct", StringType, false),
         StructField("__graft_ord", IntegerType, false),
         StructField("__graft_sid", LongType, false),
-        StructField("__graft_unit", IntegerType, false),
         StructField("__graft_indv", BinaryType, true),
         StructField("__graft_inkey", StringType, true),
         StructField("__graft_exdv", BinaryType, true),
@@ -3042,6 +3040,12 @@ object IcebergMirror {
     // clone — the streamChangeFeed discipline
     val metas = spark.readStream
       .option("pathGlobFilter", "*.metadata.json")
+      // FileStreamSource silently ignores files older than
+      // maxFileAge (default 7d) relative to the newest seen — a
+      // pending version older than that would be skipped FOREVER
+      // (the stamp then masks the hole); age-based eviction is wrong
+      // for a commit log, so effectively disable it
+      .option("maxFileAge", "36500d")
       .text(md.toString)
       .select(col("_metadata.file_path").as("p"))
     val vRe = """v(\d+)\.metadata\.json$""".r

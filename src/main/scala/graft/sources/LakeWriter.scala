@@ -232,13 +232,21 @@ object LakeWriter {
     * instead — they read correctly through the committed schema and
     * prune via their footer stats, they just have no PATH-derived
     * values). */
+  /** Raw (still-escaped) hive path segment value of `col` in `file`,
+    * anchored at a path-segment start: without the anchor, "day="
+    * would also match inside ".../birthday=5/" and extract wrong
+    * values. The single-column primitive behind [[partitionOfOpt]],
+    * the Iceberg mirror's partition extraction, and the DV
+    * changelog's partition resolution — one regex to keep correct. */
+  private[graft] def hiveSegmentOf(col: String,
+                                   file: String): Option[String] =
+    ("(?:^|/)" + java.util.regex.Pattern.quote(col) + "=([^/]*)/").r
+      .findFirstMatchIn(file).map(_.group(1))
+
   private[sources] def partitionOfOpt(partitionCols: Seq[String],
                                       file: String): Option[String] = {
     val vals = partitionCols.flatMap { c =>
-      // anchored at a path-segment start: without it, "day=" would
-      // also match inside ".../birthday=5/" and extract wrong values
-      ("(?:^|/)" + java.util.regex.Pattern.quote(c) + "=([^/]*)/").r
-        .findFirstMatchIn(file).map(m => unescapePath(m.group(1)))
+      hiveSegmentOf(c, file).map(unescapePath)
       // U+0001 cannot appear unescaped in a hive path value, so the
       // join is unambiguous: mkString("") would collide (a=1,b=11)/(a=11,b=1)
     }

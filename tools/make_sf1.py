@@ -93,7 +93,7 @@ COPY (
               ELSE list_transform(
                 list_zip(e.embedding,
                          generate_series(1, len(e.embedding))),
-                z -> CASE WHEN hash(k.k * {SEED_BASE} + z[2]) % 2 = 0
+                z -> CASE WHEN hash(k.k * 1000003 + z[2] + {SEED_BASE}) % 2 = 0
                           THEN z[1] ELSE -z[1] END)
          END AS embedding
   FROM read_parquet('{SRC}/embeddings.parquet') e,
