@@ -1197,6 +1197,35 @@ class DeltaMirrorSpec extends AnyFunSuite {
         .drop("_commit_timestamp")))
   }
 
+  test("streaming CDF: commits older than the file source's default " +
+      "7-day maxFileAge still drain (age-based eviction is disabled " +
+      "— a skipped commit would be masked by the stamp forever)") {
+    val d = freshDir("graft_delta_cdf_oldage")
+    val t = s"$d/t"; val out = s"$d/out"
+    LakeWriter.commitSnapshot(docs(40), t)
+    DeltaMirror.mirror(spark, t, changeDataFeed = true)
+    // first drain establishes a LIVE checkpoint (the first batch is
+    // exempt from maxFileAge, so the eviction only bites on later
+    // drains — exactly the shape exercised here)
+    assert(DeltaMirror.streamChangeFeedInto(spark, t, out,
+      s"$d/ckpt") == 0L)
+    // two more commits land; v1's JSON carries an mtime 30 days older
+    // than v2's — with the stock 7-day maxFileAge the live-checkpoint
+    // drain would list only v2, and the txn stamp (2 > absorbed)
+    // would hide v1 forever
+    LakeWriter.commitSnapshot(docs(50).where($"id" >= 40), t, "append")
+    LakeWriter.commitSnapshot(docs(60).where($"id" >= 50), t, "append")
+    DeltaMirror.mirror(spark, t, changeDataFeed = true)
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    assert(new java.io.File(s"$t/_delta_log", f"${1L}%020d.json")
+      .setLastModified(old))
+    assert(DeltaMirror.streamChangeFeedInto(spark, t, out,
+      s"$d/ckpt") == 2L)
+    assert(rows(LakeWriter.readSnapshot(spark, out)) ==
+      rows(DeltaMirror.readChangeFeed(spark, t, 0, Some(2))
+        .drop("_commit_timestamp")))
+  }
+
   test("change data feed: compaction encodes as dataChange=false and " +
       "contributes nothing; feed range below the log floor refuses") {
     val t = freshDir("graft_delta_cdf2") + "/t"

@@ -1683,6 +1683,57 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(net.where($"n" > 0).count() == 0L)
   }
 
+  test("property: random MOR/COW/compact/restore histories mirror " +
+      "with per-snapshot fidelity (DV carry/tombstone under every " +
+      "interleaving, incremental resume at random cut points)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val t = freshDir(s"ice_dvprop$trial") + "/t"
+      LakeWriter.commitSnapshot(
+        docs(300).repartitionByRange(3, $"id"), t)
+      var mirrored = 1
+      def maybeMirror(): Unit =
+        if (rnd.nextBoolean()) {
+          IcebergMirror.mirror(spark, t)
+          mirrored += 1
+        }
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val lo = rnd.nextInt(250) * 10
+            LakeWriter.deleteFromSnapshotMor(spark, t,
+              $"v" >= lo && $"v" < lo + 300,
+              maxDeleteFraction = 0.95): Unit
+          case 1 =>
+            LakeWriter.deleteFromSnapshot(spark, t,
+              $"id" % 97 === rnd.nextInt(97)): Unit
+          case 2 => LakeWriter.compactSnapshot(spark, t, 2): Unit
+          case 3 =>
+            val vs = LakeWriter.snapshotVersions(spark, t)
+            LakeWriter.restoreSnapshot(spark, t,
+              vs(rnd.nextInt(vs.size))): Unit
+        }
+        maybeMirror()
+      }
+      IcebergMirror.mirror(spark, t)
+      // every graft version serves identically through the tree
+      val versions = LakeWriter.snapshotVersions(spark, t)
+      val meta = currentMetadata(t)
+      val byGv: Map[Long, Long] = (meta \ "snapshots") match {
+        case JArray(ss) => ss.map(s =>
+          jstr(s \ "summary" \ "graft-version").toLong ->
+            jlong(s \ "snapshot-id")).toMap
+        case _ => fail("no snapshots")
+      }
+      versions.foreach { gv =>
+        assert(rows(IcebergMirror.readIceberg(spark, t,
+          Some(byGv(gv)))) ==
+          rows(LakeWriter.readSnapshot(spark, t, Some(gv))),
+          s"trial $trial graft v$gv")
+      }
+    }
+  }
+
   test("v3 DV write: extending a tree that enables row lineage " +
       "refuses (the mirror never assigns row ids)") {
     val t = freshDir("ice_dvw3_") + "/t"
