@@ -69,6 +69,16 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     oph.unpersist(false)
+    // hyperplane-bucket skew (the q_dedup_embed watch item): real
+    // embeddings are not uniform, so the top bucket can outgrow the
+    // constant EXPECTED population
+    val e = Tables.load(spark, d, "embeddings")
+    val n = e.count()
+    val bits = graft.operators.Similarity.adaptiveBits(n)
+    val skew = graft.operators.Similarity
+      .bucketCandidatePairs(e, "vec_id", "embedding", bits, 64)
+      .groupBy("doc_a").count().agg(max("count")).collect()(0)
+    println(s"[probe] embed n=$n bits=$bits maxPairsPerProbe=${skew.get(0)}")
     spark.stop()
   }
 }
