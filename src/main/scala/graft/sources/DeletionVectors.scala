@@ -316,33 +316,46 @@ object DeletionVectors {
     out.toByteArray
   }
 
+  // per-container encoding choice + its serialized byte size — shared
+  // between the batch serializer and [[StreamingSerializer]]
+  private sealed trait Enc { def size: Int }
+  private final case class ArrEnc(vals: Array[Int]) extends Enc {
+    def size = 2 * vals.length }
+  private final case class BmpEnc(vals: Array[Int]) extends Enc {
+    def size = 8192 }
+  private final case class RunEnc(runs: Array[(Int, Int)]) extends Enc {
+    def size = 2 + 4 * runs.length }
+
+  /** Encode ONE container's sorted-distinct low-16 values, picking
+    * array/bitset per the format rule and run form when strictly
+    * smaller (iff `runOptimize`). */
+  private def encodeContainer(vs: Array[Int], runOptimize: Boolean): Enc = {
+    val base: Enc =
+      if (vs.length <= 4096) ArrEnc(vs) else BmpEnc(vs)
+    if (!runOptimize) base else {
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var s = vs.head; var e = vs.head
+      vs.tail.foreach { v =>
+        if (v == e + 1) e = v
+        else { runs += ((s, e - s)); s = v; e = v }
+      }
+      runs += ((s, e - s))
+      val r = RunEnc(runs.toArray)
+      if (r.size < base.size) r else base
+    }
+  }
+
   private def serialize32(low32: Array[Int], runOptimize: Boolean)
       : Array[Byte] = {
     val byKey = low32.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
       .map { case (k, vs) => (k, vs.map(_ & 0xFFFF).sorted) }
-    // per-container encoding choice + its serialized byte size
-    sealed trait Enc { def size: Int }
-    case class ArrEnc(vals: Array[Int]) extends Enc {
-      def size = 2 * vals.length }
-    case class BmpEnc(vals: Array[Int]) extends Enc { def size = 8192 }
-    case class RunEnc(runs: Array[(Int, Int)]) extends Enc {
-      def size = 2 + 4 * runs.length }
-    val encs: Seq[(Int, Int, Enc)] = byKey.map { case (k, vs) =>
-      val base: Enc =
-        if (vs.length <= 4096) ArrEnc(vs) else BmpEnc(vs)
-      val enc = if (!runOptimize) base else {
-        val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-        var s = vs.head; var e = vs.head
-        vs.tail.foreach { v =>
-          if (v == e + 1) e = v
-          else { runs += ((s, e - s)); s = v; e = v }
-        }
-        runs += ((s, e - s))
-        val r = RunEnc(runs.toArray)
-        if (r.size < base.size) r else base
-      }
-      (k, vs.length, enc)
-    }
+    emitBitmap32(byKey.map { case (k, vs) =>
+      (k, vs.length, encodeContainer(vs, runOptimize)) })
+  }
+
+  /** Emit one standard-portable 32-bit RoaringBitmap from its encoded
+    * containers (ascending 16-bit keys). */
+  private def emitBitmap32(encs: Seq[(Int, Int, Enc)]): Array[Byte] = {
     val hasRuns = encs.exists(_._3.isInstanceOf[RunEnc])
     val size = encs.size
     val bos = new java.io.ByteArrayOutputStream()
@@ -380,6 +393,111 @@ object DeletionVectors {
         runs.foreach { case (s, l) => le(s, 2); le(l, 2) }
     }}
     bos.toByteArray
+  }
+
+  /** Incremental portable-RoaringBitmapArray builder for EXECUTOR-side
+    * deletion-vector construction: `add` ascending row indexes one at a
+    * time, get the exact same bytes [[serialize]] would produce —
+    * without ever materializing the index array. Memory is bounded by
+    * the serialized output (capped at `maxBytes`) plus ONE open 16-bit
+    * container (<= 64 Ki values): closed containers live only as their
+    * final encodings. A build whose serialization exceeds `maxBytes`
+    * flips to `overflowed` and frees its buffers — the caller's signal
+    * to fall back to copy-on-write — while `cardinality` keeps
+    * counting, so per-file delete counts stay exact either way.
+    *
+    * This is what lets a merge-on-read delete over a 100 TB table ship
+    * only <=`maxBytes` blobs to the driver: each scan task folds its
+    * sorted `_metadata.row_index` stream straight into serialized form
+    * (see LakeWriter.deleteFromSnapshotMor). */
+  final class StreamingSerializer(runOptimize: Boolean, maxBytes: Int) {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    // finalized high-32 bitmaps (4-byte key + emitBitmap32 bytes each)
+    private val closed = new java.io.ByteArrayOutputStream()
+    private var highCount = 0L
+    // encodings of closed containers within the open high-32 bitmap
+    private var curEncs =
+      scala.collection.mutable.ArrayBuffer[(Int, Int, Enc)]()
+    private var curEncBytes = 0L
+    // the one open container: sorted-distinct low-16 values
+    private var curVals = scala.collection.mutable.ArrayBuffer[Int]()
+    private var curHigh = 0
+    private var curKey16 = 0
+    private var open = false
+    private var last = -1L
+    private var count = 0L
+    private var over = false
+    private var done = false
+
+    /** Exact number of indexes added (still counted after overflow). */
+    def cardinality: Long = count
+
+    /** True once the serialization provably exceeds `maxBytes`. */
+    def overflowed: Boolean = over
+
+    def add(ridx: Long): Unit = {
+      require(!done, "add after result()")
+      require(ridx >= 0, s"row indexes must be non-negative, got $ridx")
+      require(ridx > last, s"row indexes must be sorted distinct at $ridx")
+      last = ridx; count += 1
+      if (over) return
+      val high = (ridx >>> 32).toInt
+      val k16 = ((ridx >>> 16) & 0xFFFF).toInt
+      if (!open) { curHigh = high; curKey16 = k16; open = true }
+      else if (high != curHigh) {
+        closeContainer(); closeHigh(); curHigh = high; curKey16 = k16
+      } else if (k16 != curKey16) { closeContainer(); curKey16 = k16 }
+      curVals += (ridx & 0xFFFF).toInt
+    }
+
+    private def closeContainer(): Unit = {
+      val enc = encodeContainer(curVals.toArray, runOptimize)
+      curEncs += ((curKey16, curVals.length, enc))
+      curEncBytes += enc.size
+      curVals.clear()
+      // lower bound on the final size: finalized bytes + payload bytes
+      // of buffered encodings (headers only add). Never a false abort;
+      // result() applies the exact check.
+      if (closed.size().toLong + curEncBytes > maxBytes.toLong) overflow()
+    }
+
+    private def closeHigh(): Unit = {
+      if (curEncs.nonEmpty) {
+        val kb = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        kb.putInt(curHigh); closed.write(kb.array())
+        closed.write(emitBitmap32(curEncs.toSeq))
+        highCount += 1
+        curEncs = scala.collection.mutable.ArrayBuffer()
+        curEncBytes = 0L
+        if (closed.size().toLong > maxBytes.toLong) overflow()
+      }
+    }
+
+    private def overflow(): Unit = {
+      over = true
+      closed.reset()
+      curEncs = scala.collection.mutable.ArrayBuffer()
+      curEncBytes = 0L
+      curVals = scala.collection.mutable.ArrayBuffer()
+    }
+
+    /** Finalize. None iff the serialization exceeds `maxBytes`. */
+    def result(): Option[Array[Byte]] = {
+      require(!done, "result() already called")
+      done = true
+      if (over) return None
+      if (open && curVals.nonEmpty) closeContainer()
+      if (open) closeHigh()
+      if (over) return None
+      val hdr = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(PortableMagic); hdr.putLong(highCount)
+      val out = new Array[Byte](12 + closed.size())
+      System.arraycopy(hdr.array(), 0, out, 0, 12)
+      System.arraycopy(closed.toByteArray, 0, out, 12, closed.size())
+      if (out.length > maxBytes) None else Some(out)
+    }
   }
 
   // ------------------------------------------------------------------

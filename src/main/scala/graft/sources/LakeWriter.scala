@@ -710,7 +710,19 @@ object LakeWriter {
     * bitmap would exceed `maxDvBytes`, sends the WHOLE delete down
     * the proven copy-on-write path instead (one policy, never a
     * half-MOR commit). Returns the new version (or the current one
-    * when nothing matches). */
+    * when nothing matches).
+    *
+    * Scale shape — two distributed passes, driver traffic is
+    * manifest-scale in BOTH: pass 1 is a per-file conditional count
+    * (one row per pruned candidate file) that alone decides the COW
+    * fallback, the fully-deleted files, and the bitmap-unchanged
+    * files; pass 2 builds each remaining file's bitmap executor-side
+    * ([[DeletionVectors.StreamingSerializer]] folds the clustered,
+    * sorted row-index stream straight into serialized roaring form,
+    * enforcing `maxDvBytes` in-flight) and ships only the <=
+    * `maxDvBytes` blobs. Raw row indexes never reach the driver — a
+    * 49%-of-5-billion-rows delete costs the driver the same few MB a
+    * point delete does. */
   def deleteFromSnapshotMor(spark: SparkSession, table: String,
                             predicate: org.apache.spark.sql.Column,
                             maxDeleteFraction: Double = 0.5,
@@ -796,50 +808,107 @@ object LakeWriter {
       }
     val flagged = joined.withColumn("__graft_del",
       oldDel || coalesce(predicate, lit(false)))
-    val perFile = flagged.groupBy(col("__graft_file"))
+    // PASS 1 — counts only. One row per candidate file reaches the
+    // driver; the COW-fallback decision (and the fully-deleted and
+    // bitmap-unchanged cases) are all decidable from counts, so a
+    // delete that is COW-bound never ships a single row index.
+    val counts = flagged.groupBy(col("__graft_file"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__total"),
-        org.apache.spark.sql.functions.sort_array(
-          org.apache.spark.sql.functions.collect_list(
-            org.apache.spark.sql.functions.when(
-              col("__graft_del"), col("__graft_ridx"))))
-          .as("__del"))
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(
+            col("__graft_del"), lit(1))).as("__del"))
       .collect()
     var fallbackCow = false
     val fullyDeleted = scala.collection.mutable.Set[String]()
-    val newEntries = scala.collection.mutable.Map[String, InlineDv]()
-    perFile.foreach { r =>
-      val f = fileOfKey.getOrElse(r.getString(0), sys.error(
+    // file-key -> expected cardinality, for files that need a bitmap
+    val needsBitmap = scala.collection.mutable.Map[String, Long]()
+    counts.foreach { r =>
+      val key = r.getString(0)
+      val f = fileOfKey.getOrElse(key, sys.error(
         s"deleteFromSnapshotMor at $table: scanned file " +
-          s"${r.getString(0)} matches no manifest entry " +
-          "(path-encoding regression)"))
+          s"$key matches no manifest entry (path-encoding regression)"))
       val bn = baseName(f)
       val total = r.getLong(1)
-      val del = r.getSeq[Long](2).toArray
-      if (del.nonEmpty && del.length.toLong != total) {
-        if (del.length.toDouble / total > maxDeleteFraction)
-          fallbackCow = true
-        else {
-          val bytes = DeletionVectors.serialize(del, runOptimize = true)
-          if (bytes.length > maxDvBytes) fallbackCow = true
-          else {
-            val padded =
-              if (bytes.length % 4 == 0) bytes
-              else java.util.Arrays.copyOf(bytes,
-                ((bytes.length + 3) / 4) * 4)
-            newEntries(bn) = InlineDv(DeletionVectors.z85Encode(padded),
-              del.length.toLong, bytes.length)
-          }
-        }
-      } else if (del.nonEmpty) fullyDeleted += bn
+      val del = r.getLong(2)
+      if (del > 0 && del != total) {
+        if (del.toDouble / total > maxDeleteFraction) fallbackCow = true
+        // del counts oldDel OR predicate, a superset of the old DV's
+        // rows — equal cardinality therefore means equal SET (the
+        // predicate only re-matched already-deleted rows): no change
+        else if (!oldDvs.get(bn).exists(_.cardinality == del))
+          needsBitmap(key) = del
+      } else if (del > 0) fullyDeleted += bn
     }
     if (fallbackCow)
       return deleteFromSnapshot(spark, table, predicate)
-    // drop files whose new bitmap equals the old one (the predicate
-    // only re-matched already-deleted rows): no change, no commit
-    val changed = newEntries.filter { case (bn, d) =>
-      !oldDvs.get(bn).contains(d) } ++
-      fullyDeleted.map(bn => bn -> InlineDv("", 0L, 0))
-    if (changed.isEmpty) return v0
+    if (needsBitmap.isEmpty && fullyDeleted.isEmpty) return v0
+    // PASS 2 — build each surviving file's roaring bitmap EXECUTOR
+    // side: cluster the deleted indexes by file, fold each file's
+    // sorted index stream through a StreamingSerializer (memory
+    // bounded by maxDvBytes + one open container), and collect only
+    // the serialized blobs — driver traffic is manifest-scale
+    // (<= maxDvBytes per changed file), never raw row indexes.
+    val newEntries = scala.collection.mutable.Map[String, InlineDv]()
+    if (needsBitmap.nonEmpty) {
+      import spark.implicits._
+      val keysDf = needsBitmap.keys.toSeq.sorted.toDF("__graft_file")
+      val maxDv = maxDvBytes
+      val blobs = flagged.filter(col("__graft_del"))
+        .join(org.apache.spark.sql.functions.broadcast(keysDf),
+          Seq("__graft_file"), "left_semi")
+        .select(col("__graft_file"), col("__graft_ridx"))
+        .as[(String, Long)]
+        .repartition(col("__graft_file"))
+        .sortWithinPartitions("__graft_file", "__graft_ridx")
+        .mapPartitions { it =>
+          // (file, cardinality, bytes); empty bytes = exceeded maxDv
+          // (a real bitmap is never empty here since cardinality > 0)
+          val acc = scala.collection.mutable
+            .ArrayBuffer[(String, Long, Array[Byte])]()
+          var cur: String = null
+          var ser: DeletionVectors.StreamingSerializer = null
+          def close(): Unit = if (cur != null)
+            acc += ((cur, ser.cardinality,
+              ser.result().getOrElse(Array.emptyByteArray)))
+          it.foreach { case (f, ridx) =>
+            if (f != cur) {
+              close(); cur = f
+              ser = new DeletionVectors.StreamingSerializer(
+                runOptimize = true, maxBytes = maxDv)
+            }
+            ser.add(ridx)
+          }
+          close()
+          acc.iterator
+        }
+        .collect()
+      blobs.foreach { case (key, card, bytes) =>
+        if (bytes.isEmpty) fallbackCow = true
+        else {
+          val expect = needsBitmap.getOrElse(key, sys.error(
+            s"deleteFromSnapshotMor at $table: bitmap pass returned " +
+              s"unexpected file $key"))
+          require(card == expect,
+            s"deleteFromSnapshotMor at $table: count pass saw $expect " +
+              s"deleted rows in $key but bitmap pass saw $card — " +
+              "non-deterministic predicate or concurrent change")
+          val bn = baseName(fileOfKey(key))
+          val padded =
+            if (bytes.length % 4 == 0) bytes
+            else java.util.Arrays.copyOf(bytes,
+              ((bytes.length + 3) / 4) * 4)
+          newEntries(bn) = InlineDv(DeletionVectors.z85Encode(padded),
+            card, bytes.length)
+        }
+      }
+      if (fallbackCow)
+        return deleteFromSnapshot(spark, table, predicate)
+      require(newEntries.size == needsBitmap.size,
+        s"deleteFromSnapshotMor at $table: count pass flagged " +
+          s"${needsBitmap.size} files but bitmap pass returned " +
+          s"${newEntries.size} — non-deterministic predicate or " +
+          "concurrent change")
+    }
     val keptFiles = files.filterNot(f => fullyDeleted(baseName(f)))
     val version = v0 + 1
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))

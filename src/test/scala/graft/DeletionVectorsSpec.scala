@@ -101,6 +101,84 @@ class DeletionVectorsSpec extends AnyFunSuite {
       !r.contains(5001L) && !r.contains(9998L))
   }
 
+  // --- StreamingSerializer (executor-side incremental build) ---
+
+  test("StreamingSerializer emits byte-identical output to serialize " +
+    "across random container mixes") {
+    val rnd = new scala.util.Random(1117)
+    for (trial <- 0 until 40) {
+      // mix of shapes: sparse singles, dense runs, >4096 bitset-sized
+      // clumps, multi-high-key values — randomly composed per trial
+      val vals = scala.collection.mutable.SortedSet[Long]()
+      val nPieces = 1 + rnd.nextInt(5)
+      for (_ <- 0 until nPieces) rnd.nextInt(4) match {
+        case 0 => // sparse singles
+          for (_ <- 0 until rnd.nextInt(200))
+            vals += rnd.nextLong(1L << 40)
+        case 1 => // a dense run (run container territory)
+          val s = rnd.nextLong(1L << 20)
+          for (v <- s until s + 1 + rnd.nextInt(8000)) vals += v
+        case 2 => // >4096 in one 16-bit key (bitset container)
+          val base = rnd.nextInt(8) * 65536L
+          for (_ <- 0 until 5000) vals += base + rnd.nextInt(65536)
+        case 3 => // high-key crossing
+          val hi = (1L + rnd.nextInt(3)) << 32
+          for (_ <- 0 until rnd.nextInt(50))
+            vals += hi + rnd.nextInt(1 << 20)
+      }
+      val arr = vals.toArray
+      for (runOpt <- Seq(false, true)) {
+        val expect = DeletionVectors.serialize(arr, runOpt)
+        val ser = new DeletionVectors.StreamingSerializer(
+          runOpt, maxBytes = Int.MaxValue)
+        arr.foreach(ser.add)
+        assert(ser.cardinality == arr.length)
+        assert(!ser.overflowed)
+        val got = ser.result().get
+        assert(got.toSeq == expect.toSeq,
+          s"trial $trial runOpt=$runOpt: streaming/batch byte mismatch " +
+            s"(${got.length} vs ${expect.length} bytes, n=${arr.length})")
+      }
+    }
+  }
+
+  test("StreamingSerializer empty build matches serialize of nothing") {
+    val ser = new DeletionVectors.StreamingSerializer(true, 1 << 20)
+    assert(ser.result().get.toSeq ==
+      DeletionVectors.serialize(Array.emptyLongArray, true).toSeq)
+  }
+
+  test("StreamingSerializer overflow frees buffers, keeps exact count, " +
+    "returns None; a fitting build of the same data succeeds") {
+    // every even value in a wide range: array/bitset containers, no
+    // run compression — serialization well over the 1 KB cap
+    val vals = (0L until 200000L by 2).toArray
+    val exact = DeletionVectors.serialize(vals, runOptimize = true)
+    assert(exact.length > 1024)
+    val small = new DeletionVectors.StreamingSerializer(true, 1024)
+    vals.foreach(small.add)
+    assert(small.overflowed)
+    assert(small.cardinality == vals.length) // counting survives overflow
+    assert(small.result().isEmpty)
+    val fits = new DeletionVectors.StreamingSerializer(true, exact.length)
+    vals.foreach(fits.add)
+    assert(!fits.overflowed)
+    assert(fits.result().get.toSeq == exact.toSeq)
+    // one byte under the exact size: the final exact check refuses
+    val under = new DeletionVectors.StreamingSerializer(
+      true, exact.length - 1)
+    vals.foreach(under.add)
+    assert(under.result().isEmpty)
+  }
+
+  test("StreamingSerializer refuses unsorted and repeated indexes") {
+    val ser = new DeletionVectors.StreamingSerializer(true, 1 << 20)
+    ser.add(5L)
+    intercept[IllegalArgumentException](ser.add(5L))
+    intercept[IllegalArgumentException](ser.add(3L))
+    intercept[IllegalArgumentException](ser.add(-1L))
+  }
+
   test("values above 2^32 land in separate high-key bitmaps") {
     val big = (1L << 32) + 5L
     val bigger = (7L << 32) + 123456L
