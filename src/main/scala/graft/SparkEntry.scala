@@ -2568,7 +2568,9 @@ object SparkEntry {
       require(LakeWriter.snapshotFiles(s, table, v3).toSet ==
         LakeWriter.snapshotFiles(s, table, 1L).toSet,
         "q_snapshot_export_iceberg_mor: a MOR delete rewrote files")
-      IcebergMirror.mirror(s, table) // resume: v2 -> v3 upgrade
+      // resume: v2 -> v3 upgrade — the EXPLICIT opt-in (this mirror
+      // writes no v3 row-lineage, so the upgrade is a choice)
+      IcebergMirror.mirror(s, table, allowV3 = true)
       IcebergMirror.readIceberg(s, table)
     }),
 

@@ -1081,10 +1081,13 @@ object IcebergMirror {
     * version packing every new/changed bitmap; unchanged DVs carry
     * forward; a replaced bitmap tombstones its old entry — the spec's
     * at-most-one-DV-per-file rule); the first DV-bearing version
-    * upgrades the tree to v3. Returns the number of versions
-    * mirrored. */
+    * upgrades the tree to v3 ONLY under `allowV3 = true` (this writer
+    * emits no v3 row-lineage fields, so spec-strict readers reject
+    * its v3 trees; the default is a loud refusal that publishes
+    * nothing). Returns the number of versions mirrored. */
   def mirror(spark: SparkSession, table: String,
-             fromVersion: Option[Long] = None): Long = {
+             fromVersion: Option[Long] = None,
+             allowV3: Boolean = false): Long = {
     val versions = LakeWriter.snapshotVersions(spark, table)
     require(versions.nonEmpty, s"no snapshot history at $table")
     val md = metaDir(table)
@@ -1127,9 +1130,29 @@ object IcebergMirror {
       // MERGE-ON-READ deletion vectors mirror as v3 puffin blobs +
       // DELETE manifests below — the first DV-bearing version
       // upgrades the tree to format v3 (a legal, monotone upgrade;
-      // prior snapshots stay valid, v3 readers read v2 manifests)
+      // prior snapshots stay valid, v3 readers read v2 manifests).
+      // The upgrade is OPT-IN: this writer does not emit the v3
+      // row-lineage fields (next-row-id / first-row-id — their
+      // assignment rules need the authoritative spec, unavailable
+      // here), so spec-strict v3 readers (e.g. Iceberg Java) reject
+      // the tree; without `allowV3` the mirror refuses loudly and
+      // publishes NOTHING rather than hand a foreign engine a tree it
+      // cannot read. An already-v3 tree carries on without the flag —
+      // the one-way choice was already made.
       val dvsByBase = LakeWriter.parseManifestDvs(spark, table, gv)
-      if (dvsByBase.nonEmpty) st.formatVersion = 3
+      if (dvsByBase.nonEmpty && st.formatVersion < 3) {
+        require(allowV3,
+          s"iceberg mirror of $table: graft version $gv carries " +
+            "merge-on-read deletion vectors, which mirror as Iceberg " +
+            "format-v3 puffin DVs — but this writer emits no v3 " +
+            "row-lineage fields (next-row-id / first-row-id), so " +
+            "spec-strict v3 readers reject the tree. Pass " +
+            "allowV3 = true to upgrade anyway (one-way, even after " +
+            "compaction clears the DVs), or clear the DVs first " +
+            "(compactSnapshot or a copy-on-write rewrite) to keep " +
+            "the mirror v2. Nothing was published.")
+        st.formatVersion = 3
+      }
       val files = LakeWriter.snapshotFiles(spark, table, gv)
         .map(f => fs.makeQualified(new Path(f)).toString)
       val partCols = LakeWriter.snapshotPartitionCols(spark, table, gv)
@@ -1336,6 +1359,20 @@ object IcebergMirror {
       // (an unchanged bitmap must carry forward, not re-publish)
       val byBase: Map[String, String] =
         files.map(f => f.split('/').last -> f).toMap
+      // a base-name collision between live files (possible across
+      // partition directories) would silently re-key a DV to the
+      // WRONG data file and delete the wrong rows — refuse instead
+      // (only DV re-keying reads byBase, so DV-less versions with a
+      // collision stay mirrorable)
+      require(dvsByBase.isEmpty || byBase.size == files.size, {
+        val dup = files.groupBy(_.split('/').last)
+          .collect { case (bn, fs) if fs.size > 1 => bn }
+        s"iceberg mirror of $table: version $gv has ${files.size} " +
+          s"live files but only ${byBase.size} distinct base names " +
+          s"(duplicates: ${dup.take(3).mkString(", ")}) — deletion " +
+          "vectors key by base name, so a collision would mis-assign " +
+          "a DV; not mirrorable"
+      })
       val dvWanted: Map[String, LakeWriter.InlineDv] =
         dvsByBase.map { case (bn, dv) =>
           val p = byBase.getOrElse(bn, sys.error(
@@ -2866,6 +2903,25 @@ object IcebergMirror {
                 if (status == 1L) dataAdds(resolvePath(stored)) = pv
                 else dataRemoves(resolvePath(stored)) = pv
               }
+            } else if (mContent == 1L && status != 2L) {
+              // EXISTING (status 0) or older-stamped live entry inside
+              // a delete manifest this snapshot itself added (a
+              // manifest REWRITE): not one of this snapshot's changes,
+              // but still a live carried DV — it must gate the
+              // dataRemoves conformance check below exactly like a
+              // carried manifest's entries, or a non-conforming
+              // remove-without-retire slips through and over-reports
+              val df = fieldById(e, 2, "data_file")
+                .asInstanceOf[GenericRecord]
+              val fmt = asString(fieldById(df, 101, "file_format"))
+                .getOrElse("")
+              require(fmt.equalsIgnoreCase("puffin"),
+                s"iceberg table at $dir: snapshot $sid rewrites a " +
+                  s"delete manifest carrying a $fmt delete file — " +
+                  "only v3 deletion vectors are " +
+                  "changelog-representable; refusing")
+              asString(fieldById(df, 143, "referenced_data_file"))
+                .map(resolvePath).foreach(carriedLiveDv += _)
             }
           }
         }
@@ -3011,16 +3067,24 @@ object IcebergMirror {
     * Structured-Streaming file source only ever lists whole files —
     * HadoopCatalog writers follow the same discipline). Each
     * micro-batch drains pending metadata versions OLDEST-FIRST; for
-    * each, `apply(mkFeed, sequenceNumber, snapshotId)` receives the
-    * tip snapshot's row-level changes — [[readIcebergChanges]] from
-    * its parent (a parentless first snapshot feeds the full state as
-    * inserts), LAZILY so an already-absorbed version can skip without
-    * resolving anything (a maintenance metadata re-listing the same
-    * tip, or a replay whose parent has since expired). The stream
-    * checkpoint is only the cursor; replay safety is the CONSUMER's
-    * contract — skip on a stamp of the tip's SEQUENCE NUMBER (strictly
-    * monotone where snapshot ids are hashes), the
-    * [[streamIcebergChangesInto]] discipline.
+    * each, `apply(mkFeed, sequenceNumber, snapshotId)` is offered
+    * EVERY snapshot on the version's tip-ancestor chain, ascending by
+    * sequence number — not just the tip. That closes the hole-masking
+    * window: if a version is offered out of order (the file source
+    * may split a drain across micro-batches, and listing order is not
+    * version order) or its metadata file was expired before first
+    * observation, the next offered version still CARRIES the missed
+    * snapshot and absorbs it in sequence — a high-water stamp can
+    * then never strand a live snapshot behind it. Each offer's feed
+    * is [[readIcebergChanges]] from its parent (a parentless first
+    * snapshot feeds the full state as inserts), LAZILY so an
+    * already-absorbed snapshot skips without resolving anything (the
+    * common case: every re-offer from a later version's chain, a
+    * maintenance re-listing, a replay whose parent has since
+    * expired). The stream checkpoint is only the cursor; replay
+    * safety is the CONSUMER's contract — skip on a stamp of the
+    * SEQUENCE NUMBER (strictly monotone where snapshot ids are
+    * hashes), the [[streamIcebergChangesInto]] discipline.
     *
     * Runs with `Trigger.AvailableNow` and blocks until every metadata
     * version on disk is offered; re-invoke on a live checkpoint to
@@ -3065,24 +3129,45 @@ object IcebergMirror {
               case JArray(ss) => ss
               case _ => Nil
             }
-            val sj = snapsJ.find(s =>
-              lng(s \ "snapshot-id").contains(tip)).getOrElse(sys.error(
+            val byId = snapsJ.flatMap(s =>
+              lng(s \ "snapshot-id").map(_ -> s)).toMap
+            require(byId.contains(tip),
               s"streamIcebergChanges at $dir: v$n.metadata.json names " +
-                s"current snapshot $tip it does not carry — torn tree"))
-            val seqNo = lng(sj \ "sequence-number").getOrElse(sys.error(
-              s"streamIcebergChanges at $dir: snapshot $tip carries " +
-                "no sequence-number — v1 trees have no monotone " +
-                "stamp; refusing"))
-            def mkFeed(): DataFrame = lng(sj \ "parent-snapshot-id") match {
-              case Some(par) => readIcebergChanges(spark, dir, par, tip)
-              case None =>
-                // parentless first snapshot: the full state IS the feed
-                readIceberg(spark, dir, Some(tip))
-                  .withColumn("_change_type", lit("insert"))
-                  .withColumn("_change_ordinal", lit(1))
-                  .withColumn("_commit_snapshot_id", lit(tip))
+                s"current snapshot $tip it does not carry — torn tree")
+            // the tip's ANCESTOR CHAIN, oldest first (a retained
+            // branch/tag snapshot off the chain is not part of main's
+            // changelog); every chain member is offered so an
+            // out-of-order or never-observed earlier version cannot
+            // leave a live snapshot stranded behind the stamp
+            val chain = scala.collection.mutable.ListBuffer[JValue]()
+            var cur: Option[Long] = Some(tip)
+            while (cur.nonEmpty) {
+              require(chain.size <= byId.size,
+                s"streamIcebergChanges at $dir: v$n.metadata.json " +
+                  "has a cyclic parent chain — corrupt tree")
+              val s = cur.flatMap(byId.get)
+              s.foreach(chain.prepend(_))
+              cur = s.flatMap(x => lng(x \ "parent-snapshot-id"))
             }
-            apply(mkFeed _, seqNo, tip)
+            chain.foreach { sj =>
+              val sid = lng(sj \ "snapshot-id").get
+              val seqNo = lng(sj \ "sequence-number").getOrElse(
+                sys.error(s"streamIcebergChanges at $dir: snapshot " +
+                  s"$sid carries no sequence-number — v1 trees have " +
+                  "no monotone stamp; refusing"))
+              def mkFeed(): DataFrame =
+                lng(sj \ "parent-snapshot-id") match {
+                  case Some(par) =>
+                    readIcebergChanges(spark, dir, par, sid)
+                  case None =>
+                    // parentless first snapshot: full state IS the feed
+                    readIceberg(spark, dir, Some(sid))
+                      .withColumn("_change_type", lit("insert"))
+                      .withColumn("_change_ordinal", lit(1))
+                      .withColumn("_commit_snapshot_id", lit(sid))
+                }
+              apply(mkFeed _, seqNo, sid)
+            }
           }
         }
       }
@@ -3107,9 +3192,16 @@ object IcebergMirror {
     * absorbed sequence number (-1 = nothing yet). */
   def streamIcebergChangesInto(spark: SparkSession, dir: String,
                                out: String, checkpoint: String): Long = {
+    // the stamp read once per drain, then tracked locally: this
+    // consumer is the only writer to `out` inside the drain, and the
+    // chain re-offers (most of them already absorbed) would otherwise
+    // re-read the out manifest per offer
+    var absorbedCache = Long.MinValue
     streamIcebergChanges(spark, dir, checkpoint) { (mkFeed, seqNo, _) =>
-      val absorbed = LakeWriter.lastTxnVersion(spark, out,
-        IceChangesStreamTxnApp).getOrElse(-1L)
+      if (absorbedCache == Long.MinValue)
+        absorbedCache = LakeWriter.lastTxnVersion(spark, out,
+          IceChangesStreamTxnApp).getOrElse(-1L)
+      val absorbed = absorbedCache
       if (seqNo > absorbed) {
         val rows = mkFeed().drop("_change_ordinal")
           .withColumn("_commit_sequence", lit(seqNo))
@@ -3119,6 +3211,7 @@ object IcebergMirror {
           mode = if (LakeWriter.snapshotVersions(spark, out).isEmpty)
             "overwrite" else "append",
           txn = Some(IceChangesStreamTxnApp -> seqNo)): Unit
+        absorbedCache = seqNo
       }
     }
     LakeWriter.lastTxnVersion(spark, out, IceChangesStreamTxnApp)

@@ -2430,7 +2430,8 @@ object LakeWriter {
                             logRetainVersions: Int = 0,
                             mirrorIceberg: Boolean = false,
                             icebergRetainSnapshots: Int = 0,
-                            deltaChangeDataFeed: Boolean = false)
+                            deltaChangeDataFeed: Boolean = false,
+                            icebergAllowV3: Boolean = false)
       : Option[Long] = {
     // retention alignment with vacuum: an Iceberg snapshot expiring
     // SLOWER than vacuum's keepVersions window would keep serving
@@ -2473,7 +2474,9 @@ object LakeWriter {
       // with expiry disabled (0) a retained-but-outlived snapshot
       // read refuses loudly on its first missing file
       if (mirrorIceberg) {
-        IcebergMirror.mirror(spark, table): Unit
+        // icebergAllowV3 rides through: a MOR-deleting stream's DVs
+        // need the explicit v3 opt-in (see IcebergMirror.mirror)
+        IcebergMirror.mirror(spark, table, allowV3 = icebergAllowV3): Unit
         if (icebergRetainSnapshots > 0)
           IcebergMirror.expireSnapshots(spark, table,
             icebergRetainSnapshots): Unit

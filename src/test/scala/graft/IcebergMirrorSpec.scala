@@ -1509,7 +1509,13 @@ class IcebergMirrorSpec extends AnyFunSuite {
     // delete #1 touches files 1 (ids<30) and 4 (ids 460-469)
     val v2 = LakeWriter.deleteFromSnapshotMor(spark, t,
       $"v" < 300 || ($"v" >= 4600 && $"v" < 4700))
-    assert(IcebergMirror.mirror(spark, t) == 1L) // resume onto v2 tree
+    // resume onto the v2 tree: the v3 upgrade is an EXPLICIT opt-in
+    // (this writer emits no row lineage) — without it, loud refusal
+    // and an untouched tree
+    val refuse = intercept[Exception](IcebergMirror.mirror(spark, t))
+    assert(refuse.getMessage.contains("allowV3"))
+    assert(jlong(currentMetadata(t) \ "format-version") == 2L)
+    assert(IcebergMirror.mirror(spark, t, allowV3 = true) == 1L)
     val meta2 = currentMetadata(t)
     assert(jlong(meta2 \ "format-version") == 3L)
     val dv2 = resolveDvEntries(meta2)
@@ -1585,7 +1591,7 @@ class IcebergMirrorSpec extends AnyFunSuite {
     val t = freshDir("ice_dvw2_") + "/t"
     LakeWriter.commitSnapshot(docs(400).repartition(4), t)
     LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 200)
-    IcebergMirror.mirror(spark, t)
+    IcebergMirror.mirror(spark, t, allowV3 = true)
     val puffin1 = resolveDvEntries(currentMetadata(t)).head._2
     // COW delete: rewrites every surviving file — the old files (and
     // their DV pairings) leave the table
@@ -1639,6 +1645,37 @@ class IcebergMirrorSpec extends AnyFunSuite {
     assert(LakeWriter.readSnapshot(spark, out).count() == n3)
   }
 
+  test("streamIcebergChangesInto absorbs a sequence whose metadata " +
+      "version was never observed: the next version's ancestor chain " +
+      "carries it — no silent hole behind the stamp") {
+    // the hole-masking scenario: v2.metadata.json disappears (swept,
+    // or simply never listed) before a consumer's first drain while
+    // its SNAPSHOT stays live in v3's tree. A tip-only consumer would
+    // absorb sequence 3 and the stamp would strand sequence 2
+    // forever, silently. The chain offer closes it.
+    val root = freshDir("ice_stream_hole_")
+    val t = s"$root/t"; val out = s"$root/out"
+    LakeWriter.commitSnapshot(docs(60), t)                    // seq 1
+    IcebergMirror.mirror(spark, t)
+    LakeWriter.commitSnapshot(docs(20), t, "append")          // seq 2
+    IcebergMirror.mirror(spark, t)
+    LakeWriter.commitSnapshot(docs(10), t, "append")          // seq 3
+    IcebergMirror.mirror(spark, t)
+    val gone = java.nio.file.Paths.get(s"$t/metadata/v2.metadata.json")
+    assert(java.nio.file.Files.deleteIfExists(gone))
+    java.nio.file.Files.deleteIfExists(
+      gone.resolveSibling(".v2.metadata.json.crc"))
+    assert(IcebergMirror.streamIcebergChangesInto(
+      spark, t, out, s"$root/ck") == 3L)
+    val got = LakeWriter.readSnapshot(spark, out)
+    // every sequence present exactly once, including the unobserved 2
+    assert(got.where($"_commit_sequence" === 1).count() == 60L)
+    assert(got.where($"_commit_sequence" === 2 &&
+      $"_change_type" === "insert").count() == 20L)
+    assert(got.where($"_commit_sequence" === 3 &&
+      $"_change_type" === "insert").count() == 10L)
+  }
+
   test("changelog diffs deletion vectors: a MOR delete emits exactly " +
       "the newly-deleted rows, a second delete only the union " +
       "increment, a COW remove excludes already-reported rows, and a " +
@@ -1650,7 +1687,7 @@ class IcebergMirrorSpec extends AnyFunSuite {
       $"v" >= 100 && $"v" < 600)                           // union 0-59
     LakeWriter.restoreSnapshot(spark, t, 2L)               // back to 0-29
     LakeWriter.deleteFromSnapshot(spark, t, $"id" < 150)   // COW: file 1 out
-    IcebergMirror.mirror(spark, t)
+    IcebergMirror.mirror(spark, t, allowV3 = true)
     val snaps = IcebergMirror.icebergSnapshots(spark, t).map(_._1)
     def feed(a: Long, b: Long) =
       IcebergMirror.readIcebergChanges(spark, t, a, b)
@@ -1694,7 +1731,7 @@ class IcebergMirrorSpec extends AnyFunSuite {
       var mirrored = 1
       def maybeMirror(): Unit =
         if (rnd.nextBoolean()) {
-          IcebergMirror.mirror(spark, t)
+          IcebergMirror.mirror(spark, t, allowV3 = true)
           mirrored += 1
         }
       (1 to 6).foreach { _ =>
@@ -1715,7 +1752,7 @@ class IcebergMirrorSpec extends AnyFunSuite {
         }
         maybeMirror()
       }
-      IcebergMirror.mirror(spark, t)
+      IcebergMirror.mirror(spark, t, allowV3 = true)
       // every graft version serves identically through the tree
       val versions = LakeWriter.snapshotVersions(spark, t)
       val meta = currentMetadata(t)
@@ -1732,6 +1769,39 @@ class IcebergMirrorSpec extends AnyFunSuite {
           s"trial $trial graft v$gv")
       }
     }
+  }
+
+  test("v3 DV write: a base-name collision between live files " +
+      "refuses — a DV keyed by base name must never re-key to the " +
+      "wrong data file") {
+    val t = freshDir("ice_dvw4_") + "/t"
+    LakeWriter.commitSnapshot(docs(100).repartition(2), t)
+    LakeWriter.deleteFromSnapshotMor(spark, t, $"v" < 100)
+    // doctor the manifest: a second live file with the SAME base name
+    // in a sibling directory (the shape a partition-dir layout can
+    // produce); its bytes are a real parquet so planning could read it
+    val mp = java.nio.file.Paths.get(s"$t/_manifests/v2.json")
+    val body = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+    val filesRe = """"files":\["([^"\]]+)"""".r
+    val first = java.net.URLDecoder.decode(
+      filesRe.findFirstMatchIn(body).get.group(1), "UTF-8")
+    val src = java.nio.file.Paths.get(
+      new java.net.URI(first).getPath)
+    val dupDir = src.getParent.resolve("dup")
+    java.nio.file.Files.createDirectories(dupDir)
+    val dup = dupDir.resolve(src.getFileName)
+    java.nio.file.Files.copy(src, dup)
+    val dupUri = "file:" + dup.toString
+    val enc = java.net.URLEncoder.encode(dupUri, "UTF-8")
+      .replace("+", "%20")
+    val doctored = body.replaceFirst(""""files":\[""",
+      s""""files":["$enc",""")
+    java.nio.file.Files.write(mp, doctored.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      mp.resolveSibling(".v2.json.crc"))
+    val e = intercept[Exception](
+      IcebergMirror.mirror(spark, t, allowV3 = true))
+    assert(e.getMessage.contains("base names"), e.getMessage)
   }
 
   test("v3 DV write: extending a tree that enables row lineage " +

@@ -211,7 +211,7 @@ class MorDeleteSpec extends AnyFunSuite {
     // the iceberg mirror exports the same DV history as v3 puffin
     // blobs (IcebergMirrorSpec owns the tree-shape assertions; here
     // the cross-format invariant: BOTH mirrors serve the same rows)
-    assert(IcebergMirror.mirror(spark, t) == 4L)
+    assert(IcebergMirror.mirror(spark, t, allowV3 = true) == 4L)
     assert(rows(IcebergMirror.readIceberg(spark, t)) ==
       rows(LakeWriter.readSnapshot(spark, t)))
   }
