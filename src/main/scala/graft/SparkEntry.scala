@@ -2002,6 +2002,57 @@ object SparkEntry {
       DeltaMirror.readDelta(s, table)
     }),
 
+    "q_snapshot_export_delta_mor_merge" -> ((s, d) => {
+      // MERGE-ON-READ MERGE (the r16 verdict's #2): an upsert where
+      // the matched old rows retire via DELETION VECTORS and the
+      // update rows (replacements AND new keys) land as ordinary
+      // appends — ONE commit, ZERO data-file rewrites. This is the
+      // reference's daily (country, datadate) upsert cadence
+      // (utils/init_spark.py write_iceberg_dynamic_partition) at the
+      // write shape a 100 TB table needs: a COW merge re-lands every
+      // unmatched row of every matched file, where this commits
+      // bitmap bytes plus the update rows themselves. The in-body
+      // requires prove MOR actually ran (DVs committed, every v1
+      // file carried verbatim, the change feed pairs retired rows
+      // with replacements exactly), and the rows are SERVED through
+      // the Delta mirror's DV export -> readDelta resolution.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_delta_mor_merge_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.{DeltaMirror, LakeWriter}
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+      val base = docs.where(pmod(col("doc_id"), lit(4)) === 3)
+      LakeWriter.commitSnapshot(base.repartition(4), table)
+      val updates = docs
+        .where((pmod(col("doc_id"), lit(4)) === 3 &&
+          col("n_chars") < 140) || pmod(col("doc_id"), lit(40)) === 0)
+        .withColumn("source", concat(lit("u_"), col("source")))
+      val v2 = LakeWriter.mergeSnapshotMor(updates, table,
+        Seq("doc_id"), maxDeleteFraction = 0.9)
+      require(LakeWriter.parseManifestDvs(s, table, v2).nonEmpty,
+        "q_snapshot_export_delta_mor_merge: the MOR path committed " +
+          "no DVs (silent COW fallback)")
+      require(LakeWriter.snapshotFiles(s, table, 1L).toSet.subsetOf(
+        LakeWriter.snapshotFiles(s, table, v2).toSet),
+        "q_snapshot_export_delta_mor_merge: the MOR merge rewrote " +
+          "or dropped standing files")
+      // the change feed derives row-level deltas from the DV diff +
+      // appended files: deletes == the matched pre-images, inserts
+      // == the update rows, nothing else
+      val feed = LakeWriter.changesBetween(s, table, 1L, v2)
+      val nDel = feed.where(col("_change_type") === "delete").count()
+      val nIns = feed.where(col("_change_type") === "insert").count()
+      val nMatched = base.where(col("n_chars") < 140).count()
+      require(nDel == nMatched && nIns == updates.count(),
+        s"q_snapshot_export_delta_mor_merge: change feed " +
+          s"($nDel deletes, $nIns inserts) does not pair the " +
+          s"DV-retired rows with their replacements")
+      DeltaMirror.mirror(s, table)
+      DeltaMirror.readDelta(s, table)
+    }),
+
     "q_ingest_delta_cp" -> ((s, d) => {
       // GRAFT'S OWN CHECKPOINT READER through the gate: the mirror
       // checkpoints, the covered JSON commits are cleaned up, one
@@ -5432,6 +5483,21 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars, lang FROM documents
         |WHERE doc_id % 4 = 3 AND NOT coalesce(n_chars < 130, false)
         |  AND NOT coalesce(lang = 'zh', false)""".stripMargin,
+
+    "q_snapshot_export_delta_mor_merge" ->
+      // rows served through the MOR MERGE round trip (matched rows
+      // retired by DV + replacements appended in one commit, exported
+      // as Delta descriptors, resolved by readDelta): survivors =
+      // unmatched base rows, plus the update rows verbatim — a
+      // resurrected pre-image (bad bitmap) or a lost replacement
+      // (dropped append) surfaces as extra/missing rows
+      """SELECT doc_id, source, n_chars, lang FROM documents
+        |WHERE doc_id % 4 = 3 AND NOT coalesce(n_chars < 140, false)
+        |UNION ALL
+        |SELECT doc_id, concat('u_', source) AS source, n_chars, lang
+        |FROM documents
+        |WHERE (doc_id % 4 = 3 AND n_chars < 140) OR doc_id % 40 = 0"""
+        .stripMargin,
 
     "q_ingest_delta_dv" ->
       // rows served through readDelta's DELETION-VECTOR resolution:

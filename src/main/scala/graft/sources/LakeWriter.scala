@@ -468,7 +468,7 @@ object LakeWriter {
       if (partCols.isEmpty)
         fs.listStatus(dataDir).toSeq
           .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-      else walk(fs, dataDir).sorted
+      else walkFreshData(fs, dataDir).sorted
     val (carried, schema) =
       if (mode == "append" && prev.nonEmpty) {
         // checked schema EVOLUTION: an append may add columns (old
@@ -621,12 +621,186 @@ object LakeWriter {
     version
   }
 
+  /** MERGE-ON-READ MERGE (upsert by key): the matched old rows retire
+    * via DELETION VECTORS while the update rows (replacements AND new
+    * keys) land as ordinary APPEND files — one commit, zero data-file
+    * rewrites. This is the write shape a recurring CDC upsert into a
+    * 100 TB table needs: copy-on-write [[mergeSnapshot]] re-lands
+    * every unmatched row of every matched file (a daily upsert
+    * touching most files rewrites most of the table), where this
+    * commits bitmap bytes + the update rows themselves.
+    *
+    * Same semantics as [[mergeSnapshot]] (exact schema, file-pruned
+    * probe, partition-pruned when every partition column is a merge
+    * key, rows land verbatim — dedupe to one row per key first), and
+    * the SAME one-policy fallback as [[deleteFromSnapshotMor]]: any
+    * file whose cumulative deleted fraction would exceed
+    * `maxDeleteFraction`, or whose bitmap would exceed `maxDvBytes`,
+    * sends the WHOLE merge down the copy-on-write path — never a
+    * half-MOR commit. The manifest stamps `mergekeys`, so the change
+    * feed pairs the DV-retired rows with their replacements as
+    * update_preimage/update_postimage exactly like a COW merge.
+    * Scale shape: the DV build is the shared two-pass kernel
+    * ([[morBuildDvs]]) — driver traffic is manifest-scale, raw row
+    * indexes never leave the executors. */
+  def mergeSnapshotMor(updates: DataFrame, table: String,
+                       keyCols: Seq[String],
+                       maxDeleteFraction: Double = 0.5,
+                       maxDvBytes: Int = 1 << 20,
+                       txn: Option[(String, Long)] = None): Long = {
+    require(keyCols.nonEmpty,
+      "mergeSnapshotMor needs at least one key column")
+    require(maxDeleteFraction > 0 && maxDeleteFraction <= 1,
+      s"maxDeleteFraction must be in (0, 1], got $maxDeleteFraction")
+    val spark = updates.sparkSession
+    val prev = snapshotVersions(spark, table)
+    if (prev.isEmpty)
+      return commitSnapshot(updates, table, "overwrite", txn)
+    val v0 = prev.last
+    val (files, schemaJson, partCols) = parseManifest(spark, table, v0)
+    if (files.isEmpty)
+      return commitSnapshot(updates, table, "overwrite", txn)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = schema.fieldNames.toSeq
+    require(updates.columns.toSet == cols.toSet,
+      s"mergeSnapshotMor schema mismatch: table has ${cols.sorted}, " +
+        s"updates have ${updates.columns.sorted.toSeq}")
+    val tblType = schema.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val drift = updates.schema.fields
+      .filter(f => f.dataType.catalogString != tblType(f.name))
+    require(drift.isEmpty,
+      "mergeSnapshotMor type mismatch: " + drift.map(f =>
+        s"${f.name}: table ${tblType(f.name)} vs updates " +
+          f.dataType.catalogString).mkString(", "))
+    require(keyCols.forall(cols.contains),
+      s"key columns ${keyCols.filterNot(cols.contains)} not in table")
+    val colmap = parseManifestColmap(spark, table, v0)
+    val oldDvs = parseManifestDvs(spark, table, v0)
+    val keyExprs = keyCols.map(col)
+    val keyD = updates.select(keyExprs: _*).distinct()
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = v0 + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    // the update rows land FIRST (they are needed in every non-COW
+    // outcome, and on a partitioned table their paths drive the
+    // partition pruning below, exactly like mergePartitioned)
+    withMicrosTimestamps(spark) {
+      val w = toPhysical(updates.select(cols.map(col): _*), colmap)
+        .write.mode("errorifexists")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(dataDir.toString)
+    }
+    val newFiles = walkFreshData(fs, dataDir).sorted
+    // candidate pruning: partition values (sound only when every
+    // partition column is a merge key), then the key-sliver probe —
+    // read THROUGH the old DVs so an already-deleted row cannot flag
+    // its file as matched
+    val partPruned =
+      if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
+        val touchedParts = newFiles.map(partitionOf(partCols, _)).toSet
+        files.filter(f =>
+          partitionOfOpt(partCols, f).forall(touchedParts))
+      } else files
+    val touched =
+      if (partPruned.isEmpty) Set.empty[String]
+      else readFiles(spark, partPruned, schema, colmap, oldDvs)
+        .select(keyExprs :+
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
+        .join(keyD, keyCols)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val candidates = partPruned.filter(f => touched(baseName(f)))
+    def commitMor(fullyDeleted: Set[String],
+                  newEntries: Map[String, InlineDv]): Long = {
+      val kept = files.filterNot(f => fullyDeleted(baseName(f)))
+      enforceChecks(spark, parseManifestChecks(spark, table, v0),
+        newFiles, schema, fs, Seq(dataDir), colmap)
+      writeManifest(spark, fs, table, version, "merge", schema,
+        kept ++ newFiles, partCols, txnOverride = txn,
+        mergeKeys = keyCols,
+        dvsOverride = Some(oldDvs ++ newEntries))
+      version
+    }
+    if (candidates.isEmpty) return commitMor(Set.empty, Map.empty)
+    val (joined, oldDel, fileOfKey) =
+      morFlaggedBase(spark, table, candidates, schema, colmap, oldDvs)
+    // matched = key membership in the updates (AQE broadcasts the
+    // typically-small distinct-key side at runtime; a genuinely huge
+    // update set shuffles, which is the right plan then)
+    val flagged = joined
+      .join(keyD.withColumn("__graft_m", lit(1)), keyCols, "left")
+      .withColumn("__graft_del", oldDel || col("__graft_m").isNotNull)
+    morBuildDvs(spark, table, flagged, fileOfKey, oldDvs,
+        maxDeleteFraction, maxDvBytes) match {
+      case MorFallbackCow =>
+        // one policy, never a half-MOR commit: drop the pre-written
+        // update files (they were never in any manifest) and run the
+        // proven copy-on-write merge instead
+        fs.delete(dataDir, true): Unit
+        mergeSnapshot(updates, table, keyCols, txn)
+      case MorNoChange => commitMor(Set.empty, Map.empty)
+      case MorDvs(fullyDeleted, newEntries) =>
+        commitMor(fullyDeleted, newEntries)
+    }
+  }
+
   /** Files are matched by BASENAME: parquet part files carry the
-    * write job's UUID, so basenames are unique table-wide, and the
-    * comparison is immune to scheme/percent-encoding differences
-    * between input_file_name() and manifest path strings. */
+    * write job's UUID, so basenames are unique table-wide — within a
+    * single output DIRECTORY by Spark's naming, and across the
+    * partition directories of one commit by [[walkFreshData]]'s
+    * rename pass — and the comparison is immune to scheme/percent-
+    * encoding differences between input_file_name() and manifest
+    * path strings. */
   private def baseName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
+
+  /** Enumerate a JUST-WRITTEN data directory, re-establishing the
+    * invariant the whole manifest layer is keyed on: basenames
+    * unique table-wide ([[baseName]] keys deletion vectors, per-file
+    * stats and blooms). Spark names a task's output
+    * `part-NNNNN-<job uuid>` in EVERY hive partition directory the
+    * task touches, so one partitioned commit writes IDENTICAL
+    * basenames under different `k=v` dirs — a basename-keyed DV (or
+    * min/max entry, or bloom) would then silently apply to all of
+    * them: rows deleted from the wrong partition's file, skipping
+    * decisions made on another file's bounds. Collided files are
+    * renamed in place with a hash of their partition-relative dir —
+    * deterministic, before the paths enter any manifest, and
+    * FileSystem.rename moves the .crc sidecars on checksummed
+    * filesystems. Unpartitioned writes (one directory) never
+    * collide and take the zero-rename fast path. */
+  private def walkFreshData(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val files = walk(fs, dir)
+    val dup = files.groupBy(baseName).filter(_._2.size > 1).keySet
+    if (dup.isEmpty) return files
+    val base = fs.makeQualified(dir).toString
+    val renamed = files.map { f =>
+      if (!dup.contains(baseName(f))) f
+      else {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val rel = f.stripPrefix(base).stripPrefix("/")
+        val dirRel = rel.substring(0, rel.length - p.getName.length)
+        val h = f"${scala.util.hashing.MurmurHash3.stringHash(dirRel)}%08x"
+        val np = new org.apache.hadoop.fs.Path(
+          p.getParent, s"p$h-${p.getName}")
+        require(fs.rename(p, np),
+          s"walkFreshData: rename failed $p -> $np")
+        np.toString
+      }
+    }
+    // two distinct partition dirs hashing alike would re-collide —
+    // vanishingly unlikely (32-bit over one commit's dirs), refused
+    // loudly rather than silently corrupted
+    require(renamed.map(baseName).distinct.size == renamed.size,
+      s"walkFreshData at $dir: basenames still collide after the " +
+        "rename pass (partition-dir hash collision)")
+    renamed
+  }
 
   /** DELETE WHERE over a snapshot table — the right-to-erasure path.
     * Copy-on-write and FILE-PRUNED like `mergeSnapshot`: only files
@@ -687,7 +861,7 @@ object LakeWriter {
       val writer = toPhysical(survivors, colmap).write.mode("errorifexists")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dataDir.toString) }
-    val newFiles = walk(fs, dataDir).sorted
+    val newFiles = walkFreshData(fs, dataDir).sorted
     writeManifest(spark, fs, table, version, "delete", schema,
       carry ++ newFiles, partCols)
     version
@@ -741,10 +915,47 @@ object LakeWriter {
     val candidates = pruneFilesByPredicate(spark, table, v0,
       predicate, files, schema, partCols, colmap)
     if (candidates.isEmpty) return v0
-    // one distributed pass over the PRUNED candidates: per file, the
-    // row count and the sorted indexes of rows that are deleted AFTER
-    // this commit — previously-DV-deleted rows included, because the
-    // committed bitmap is the UNION and bitmaps don't merge lazily
+    val (joined, oldDel, fileOfKey) =
+      morFlaggedBase(spark, table, candidates, schema, colmap, oldDvs)
+    val flagged = joined.withColumn("__graft_del",
+      oldDel || coalesce(predicate, lit(false)))
+    morBuildDvs(spark, table, flagged, fileOfKey, oldDvs,
+        maxDeleteFraction, maxDvBytes) match {
+      case MorFallbackCow =>
+        deleteFromSnapshot(spark, table, predicate)
+      case MorNoChange => v0
+      case MorDvs(fullyDeleted, newEntries) =>
+        val keptFiles = files.filterNot(f => fullyDeleted(baseName(f)))
+        val version = v0 + 1
+        val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+        writeManifest(spark, fs, table, version, "delete", schema,
+          keptFiles, partCols,
+          dvsOverride = Some(oldDvs ++ newEntries))
+        version
+    }
+  }
+
+  private sealed trait MorOutcome
+  private case object MorFallbackCow extends MorOutcome
+  private case object MorNoChange extends MorOutcome
+  private final case class MorDvs(fullyDeleted: Set[String],
+      newEntries: Map[String, InlineDv]) extends MorOutcome
+
+  /** Shared scan base for the MERGE-ON-READ writers
+    * ([[deleteFromSnapshotMor]], [[mergeSnapshotMor]]): reads the
+    * candidate files with `__graft_file`/`__graft_ridx` metadata
+    * columns under the LOGICAL schema, left-joins each file's
+    * existing deletion vector (broadcast — one row per DV-bearing
+    * file), and returns (rows, oldDel, fileKey -> manifest path).
+    * `oldDel` is true on rows the current DV already deletes —
+    * committed bitmaps are UNIONS, so every new bitmap must include
+    * them. */
+  private def morFlaggedBase(spark: SparkSession, table: String,
+      candidates: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      colmap: ColMapping,
+      oldDvs: Map[String, InlineDv])
+      : (DataFrame, org.apache.spark.sql.Column, Map[String, String]) = {
     val root = "(.*/data/v\\d+-[^/]+)/".r
     def baseOf(f: String): String =
       root.findFirstMatchIn(f).map(_.group(1)).getOrElse {
@@ -806,12 +1017,30 @@ object LakeWriter {
           org.apache.spark.sql.functions.broadcast(dvDf),
           Seq("__graft_file"), "left")
       }
-    val flagged = joined.withColumn("__graft_del",
-      oldDel || coalesce(predicate, lit(false)))
-    // PASS 1 — counts only. One row per candidate file reaches the
-    // driver; the COW-fallback decision (and the fully-deleted and
-    // bitmap-unchanged cases) are all decidable from counts, so a
-    // delete that is COW-bound never ships a single row index.
+    (joined, oldDel, fileOfKey)
+  }
+
+  /** The MERGE-ON-READ deletion-vector kernel, shared by
+    * [[deleteFromSnapshotMor]] and [[mergeSnapshotMor]]. `flagged`
+    * carries `__graft_file`, `__graft_ridx` and boolean `__graft_del`
+    * (true = deleted AFTER this commit, old-DV rows included).
+    *
+    * Two distributed passes, driver traffic manifest-scale in BOTH:
+    * pass 1 is a per-file conditional count (one row per candidate
+    * file) that alone decides the COW fallback, the fully-deleted
+    * files, and the bitmap-unchanged files; pass 2 builds each
+    * remaining file's bitmap executor-side
+    * ([[DeletionVectors.StreamingSerializer]] folds the clustered,
+    * sorted row-index stream straight into serialized roaring form,
+    * enforcing `maxDvBytes` in-flight) and ships only the <=
+    * `maxDvBytes` blobs. Raw row indexes never reach the driver. */
+  private def morBuildDvs(spark: SparkSession, table: String,
+      flagged: DataFrame, fileOfKey: Map[String, String],
+      oldDvs: Map[String, InlineDv],
+      maxDeleteFraction: Double, maxDvBytes: Int): MorOutcome = {
+    // PASS 1 -- counts only. The COW-fallback decision (and the
+    // fully-deleted and bitmap-unchanged cases) are all decidable
+    // from counts, so a COW-bound write never ships a row index.
     val counts = flagged.groupBy(col("__graft_file"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__total"),
         org.apache.spark.sql.functions.count(
@@ -825,29 +1054,27 @@ object LakeWriter {
     counts.foreach { r =>
       val key = r.getString(0)
       val f = fileOfKey.getOrElse(key, sys.error(
-        s"deleteFromSnapshotMor at $table: scanned file " +
+        s"merge-on-read at $table: scanned file " +
           s"$key matches no manifest entry (path-encoding regression)"))
       val bn = baseName(f)
       val total = r.getLong(1)
       val del = r.getLong(2)
       if (del > 0 && del != total) {
         if (del.toDouble / total > maxDeleteFraction) fallbackCow = true
-        // del counts oldDel OR predicate, a superset of the old DV's
-        // rows — equal cardinality therefore means equal SET (the
-        // predicate only re-matched already-deleted rows): no change
+        // del counts oldDel OR the new matches, a superset of the old
+        // DV's rows -- equal cardinality therefore means equal SET
+        // (only already-deleted rows re-matched): no change
         else if (!oldDvs.get(bn).exists(_.cardinality == del))
           needsBitmap(key) = del
       } else if (del > 0) fullyDeleted += bn
     }
-    if (fallbackCow)
-      return deleteFromSnapshot(spark, table, predicate)
-    if (needsBitmap.isEmpty && fullyDeleted.isEmpty) return v0
-    // PASS 2 — build each surviving file's roaring bitmap EXECUTOR
+    if (fallbackCow) return MorFallbackCow
+    if (needsBitmap.isEmpty && fullyDeleted.isEmpty) return MorNoChange
+    // PASS 2 -- build each surviving file's roaring bitmap EXECUTOR
     // side: cluster the deleted indexes by file, fold each file's
     // sorted index stream through a StreamingSerializer (memory
     // bounded by maxDvBytes + one open container), and collect only
-    // the serialized blobs — driver traffic is manifest-scale
-    // (<= maxDvBytes per changed file), never raw row indexes.
+    // the serialized blobs.
     val newEntries = scala.collection.mutable.Map[String, InlineDv]()
     if (needsBitmap.nonEmpty) {
       import spark.implicits._
@@ -886,12 +1113,12 @@ object LakeWriter {
         if (bytes.isEmpty) fallbackCow = true
         else {
           val expect = needsBitmap.getOrElse(key, sys.error(
-            s"deleteFromSnapshotMor at $table: bitmap pass returned " +
+            s"merge-on-read at $table: bitmap pass returned " +
               s"unexpected file $key"))
           require(card == expect,
-            s"deleteFromSnapshotMor at $table: count pass saw $expect " +
-              s"deleted rows in $key but bitmap pass saw $card — " +
-              "non-deterministic predicate or concurrent change")
+            s"merge-on-read at $table: count pass saw $expect " +
+              s"deleted rows in $key but bitmap pass saw $card -- " +
+              "non-deterministic input or concurrent change")
           val bn = baseName(fileOfKey(key))
           val padded =
             if (bytes.length % 4 == 0) bytes
@@ -901,21 +1128,14 @@ object LakeWriter {
             card, bytes.length)
         }
       }
-      if (fallbackCow)
-        return deleteFromSnapshot(spark, table, predicate)
+      if (fallbackCow) return MorFallbackCow
       require(newEntries.size == needsBitmap.size,
-        s"deleteFromSnapshotMor at $table: count pass flagged " +
+        s"merge-on-read at $table: count pass flagged " +
           s"${needsBitmap.size} files but bitmap pass returned " +
-          s"${newEntries.size} — non-deterministic predicate or " +
+          s"${newEntries.size} -- non-deterministic input or " +
           "concurrent change")
     }
-    val keptFiles = files.filterNot(f => fullyDeleted(baseName(f)))
-    val version = v0 + 1
-    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
-    writeManifest(spark, fs, table, version, "delete", schema,
-      keptFiles, partCols,
-      dvsOverride = Some(oldDvs ++ newEntries))
-    version
+    MorDvs(fullyDeleted.toSet, newEntries.toMap)
   }
 
   /** Row-level changes between two snapshot versions, derived from
@@ -1089,7 +1309,7 @@ object LakeWriter {
       toPhysical(updates.select(cols.map(col): _*), colmap)
         .write.mode("errorifexists")
         .partitionBy(partCols: _*).parquet(updDir.toString) }
-    val updFiles = walk(fs, updDir).sorted
+    val updFiles = walkFreshData(fs, updDir).sorted
     val touchedParts = updFiles.map(partitionOf(partCols, _)).toSet
     // partition pruning is SOUND only when every partition column is a
     // merge key: then a matched row's partition values equal the
@@ -1124,7 +1344,7 @@ object LakeWriter {
             .select(cols.map(col): _*), colmap)
             .write.mode("errorifexists").partitionBy(partCols: _*)
             .parquet(survDir.toString) }
-        walk(fs, survDir).sorted
+        walkFreshData(fs, survDir).sorted
       }
     // the committed schema stays the TABLE's schema (not the updates
     // frame's), so partition-column typing is stable across versions
@@ -1770,6 +1990,17 @@ object LakeWriter {
                             mergeKeys: Seq[String] = Nil,
                             dvsOverride: Option[Map[String, InlineDv]] =
                               None): Unit = {
+    // BACKSTOP for the invariant every per-file map below is keyed
+    // on (DVs, stats, blooms — see [[baseName]]): a collision here
+    // means a write path skipped [[walkFreshData]]'s rename pass.
+    // Refuse loudly — committing would let one file's deletion
+    // vector or bounds silently govern another partition's file
+    val collided = files.groupBy(baseName).filter(_._2.size > 1)
+    require(collided.isEmpty,
+      s"writeManifest at $table v$version: file basenames collide " +
+        s"across directories (${collided.keys.take(3).mkString(", ")}" +
+        "...) — per-file metadata is basename-keyed and the writer " +
+        "must uniquify before manifesting (walkFreshData)")
     // ONE manifest-directory listing feeds every carry-forward field
     // below (colmap, checks, stats, blooms, txns) — previously each
     // paid its own listing, five per commit on every table
@@ -2345,7 +2576,7 @@ object LakeWriter {
       toPhysical(df, colmap).write.mode("errorifexists")
         .partitionBy(partitionCols: _*)
         .parquet(dataDir.toString) }
-    val newFiles = walk(fs, dataDir).sorted
+    val newFiles = walkFreshData(fs, dataDir).sorted
     // touched partitions are derived from the files SPARK JUST WROTE,
     // so old and new partition strings go through the identical
     // formatter (hive path encoding). Deriving them from Row values
@@ -2541,7 +2772,7 @@ object LakeWriter {
         .write.mode("errorifexists")
         .partitionBy(partCols.map(colmap.phys): _*)
         .parquet(dataDir.toString) }
-    val newFiles = walk(fs, dataDir).sorted
+    val newFiles = walkFreshData(fs, dataDir).sorted
     writeManifest(spark, fs, table, version, "migrate", schema,
       conformant ++ newFiles, partCols)
     version
@@ -2611,7 +2842,7 @@ object LakeWriter {
           toPhysical(df.repartition(n, partCols.map(col): _*), colmap).write
             .mode("errorifexists").partitionBy(partCols: _*)
             .parquet(dataDir.toString) }
-        walk(fs, dataDir).sorted
+        walkFreshData(fs, dataDir).sorted
       }
     writeManifest(spark, fs, table, version, "optimize", schema,
       carry ++ newFiles, partCols)
@@ -3062,7 +3293,7 @@ object LakeWriter {
     // like writeManifest's stats sweep (serial driver IO would pay
     // one object-store round-trip per file); lengths piggyback on the
     // same status call instead of a second per-file round-trip
-    val exportFiles = walk(fs, p).sorted
+    val exportFiles = walkFreshData(fs, p).sorted
     val pooled: Seq[(String, Long, FileStats)] =
       if (exportFiles.isEmpty) Seq.empty
       else {
@@ -3145,8 +3376,12 @@ object LakeWriter {
     * delegates to Iceberg: external engines read graft tables via
     * [[exportSnapshot]], and graft adopts any engine's parquet output
     * without a rewrite — at 100 TB, conversion cost is one bounded-
-    * parallel footer sweep, not a data copy. Returns the committed
-    * version (always 1). */
+    * parallel footer sweep, not a data copy. Adoption takes
+    * OWNERSHIP: files whose basenames collide across partition dirs
+    * (any multi-partition task's output) are RENAMED in place —
+    * metadata-only, no byte moves — because the manifest's per-file
+    * metadata is basename-keyed ([[baseName]]). Returns the
+    * committed version (always 1). */
   def convertToSnapshot(spark: SparkSession, sourceDir: String,
                         table: String): Long = {
     require(snapshotVersions(spark, table).isEmpty,
@@ -3154,7 +3389,13 @@ object LakeWriter {
     val p = new org.apache.hadoop.fs.Path(sourceDir)
     val fs = fsOf(spark, p)
     val qualified = fs.makeQualified(p).toString
-    val files = walk(fs, p).filter(_.endsWith(".parquet")).sorted
+    // adoption takes OWNERSHIP of the tree: a foreign partitioned
+    // write reuses part-NNNNN-<job uuid> basenames across hive dirs,
+    // which the basename-keyed manifest metadata cannot represent —
+    // the same rename pass native commits run restores the
+    // invariant (file contents untouched; on a read-only source the
+    // rename fails loudly instead of adopting corrupt keying)
+    val files = walkFreshData(fs, p).sorted
     require(files.nonEmpty, s"no parquet files under $sourceDir")
     // partition columns from the hive layout — identical (possibly
     // empty) k=v directory chain required for every file

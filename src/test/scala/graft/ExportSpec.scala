@@ -76,16 +76,21 @@ class ExportSpec extends AnyFunSuite {
       .toDF("doc_id", "lang_free", "n_chars")
       .withColumn("lang", $"lang_free").drop("lang_free")
     docs.write.partitionBy("lang").parquet(ext)
-    val extFilesBefore = new java.io.File(ext).listFiles()
+    def listExt() = new java.io.File(ext).listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles())
       .filter(_.getName.endsWith(".parquet"))
-      .map(f => f.getPath -> f.lastModified()).toMap
+    val beforeSig = listExt().map(f => (f.length, f.lastModified()))
+      .sorted.toSeq
 
     assert(LakeWriter.convertToSnapshot(spark, ext, table) === 1L)
-    // metadata-only: no data dir materialized, source files untouched
+    // metadata-only: no data dir materialized, no byte rewritten —
+    // adoption takes OWNERSHIP and may RENAME collided basenames
+    // (the manifest's per-file metadata is basename-keyed), but a
+    // rename moves nothing: same file count, sizes and mtimes
     assert(!new java.io.File(s"$table/data").exists())
-    extFilesBefore.foreach { case (f, m) =>
-      assert(new java.io.File(f).lastModified() === m) }
+    val extAfter = listExt()
+    assert(extAfter.map(f => (f.length, f.lastModified())).sorted.toSeq
+      === beforeSig)
     // full read equals the source through the committed schema
     assert(LakeWriter.readSnapshot(spark, table)
       .select($"doc_id", $"n_chars", $"lang")
@@ -96,7 +101,7 @@ class ExportSpec extends AnyFunSuite {
     // partition pruning on ADOPTED files: corrupt the de files in
     // place — a lang='en' read must never open them, and neither may
     // the partition-scoped DELETE below
-    extFilesBefore.keys.filter(_.contains("lang=de")).foreach { f =>
+    extAfter.map(_.getPath).filter(_.contains("lang=de")).foreach { f =>
       java.nio.file.Files.write(java.nio.file.Paths.get(f),
         "corrupt".getBytes): Unit
     }

@@ -148,6 +148,112 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(LakeWriter.readSnapshot(spark, t).count() == n * 9 / 20)
   }
 
+  test("MOR MERGE: matched rows retire via DVs, updates append in " +
+      "the same commit, files never rewrite; a second merge lands " +
+      "DVs on the first merge's append files; the change feed is " +
+      "exact") {
+    val t = freshDir("graft_mor_merge") + "/t"
+    LakeWriter.commitSnapshot(docs(100).repartition(4), t) // v1
+    val v1Files = LakeWriter.snapshotFiles(spark, t, 1L).toSet
+    // upsert: replace ids 0-29 (v < 300), insert ids 100-109
+    val u1 = docs(110).where($"v" < 300 || $"id" >= 100)
+      .withColumn("lang", concat(lit("u_"), $"lang"))
+    val v2 = LakeWriter.mergeSnapshotMor(u1, t, Seq("id"))
+    assert(v2 == 2L)
+    val v2Files = LakeWriter.snapshotFiles(spark, t, v2).toSet
+    assert(v1Files.subsetOf(v2Files),
+      "MOR merge rewrote or dropped standing files")
+    assert((v2Files -- v1Files).nonEmpty, "no append files landed")
+    assert(LakeWriter.parseManifestDvs(spark, t, v2).nonEmpty)
+    val expect1 = docs(100).where($"v" >= 300 && $"id" < 100)
+      .unionByName(u1)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) == rows(expect1))
+    assert(LakeWriter.snapshotRowCount(spark, t) == 110L)
+    // collapsed feed (v1 -> v2]: deletes = exactly the replaced
+    // pre-images, inserts = exactly the update rows
+    val feed = LakeWriter.changesBetween(spark, t, 1L, 2L)
+    assert(rows(feed.where($"_change_type" === "delete")
+      .drop("_change_type")) == rows(docs(100).where($"v" < 300)))
+    assert(rows(feed.where($"_change_type" === "insert")
+      .drop("_change_type")) == rows(u1))
+    // second merge: ids 5,15,25 currently live in the FIRST merge's
+    // append files (u1 replaced them), 35..95 in original files —
+    // DVs must land on BOTH generations
+    val u2 = docs(100).where($"id" % 10 === 5)
+      .withColumn("lang", lit("zz"))
+    val v3 = LakeWriter.mergeSnapshotMor(u2, t, Seq("id"))
+    assert(LakeWriter.snapshotFiles(spark, t, v3).toSet
+      .intersect(v2Files) == v2Files)
+    val dvs3 = LakeWriter.parseManifestDvs(spark, t, v3)
+    val v1Base = v1Files.map(f => f.split('/').last)
+    assert(dvs3.keys.exists(bn => !v1Base.contains(bn)),
+      "no DV landed on a first-merge append file")
+    val expect2 = expect1
+      .where($"id" % 10 =!= 5 || $"id" >= 100).unionByName(u2)
+    assert(rows(LakeWriter.readSnapshot(spark, t)) == rows(expect2))
+    // the mirrors serve the merged state through their DV exports
+    assert(DeltaMirror.mirror(spark, t) == 3L)
+    assert(rows(DeltaMirror.readDelta(spark, t)) == rows(expect2))
+    assert(IcebergMirror.mirror(spark, t, allowV3 = true) == 3L)
+    assert(rows(IcebergMirror.readIceberg(spark, t)) == rows(expect2))
+  }
+
+  test("MOR MERGE: COW fallback above the fraction threshold leaves " +
+      "no orphan files; a pure-insert merge appends without DVs; a " +
+      "partitioned table with partition merge keys stays MOR") {
+    val t = freshDir("graft_mor_merge2") + "/t"
+    LakeWriter.commitSnapshot(docs(100).repartition(2), t) // v1
+    val v1Files = LakeWriter.snapshotFiles(spark, t, 1L).toSet
+    // 60% of rows match — over the 0.5 default: the WHOLE merge must
+    // go copy-on-write (one policy, never a half-MOR commit)
+    val u = docs(100).where($"v" < 600).withColumn("lang", lit("x"))
+    val v2 = LakeWriter.mergeSnapshotMor(u, t, Seq("id"))
+    assert(v2 == 2L)
+    assert(LakeWriter.parseManifestDvs(spark, t, v2).isEmpty)
+    assert(LakeWriter.snapshotFiles(spark, t, v2).toSet
+      .intersect(v1Files).isEmpty, "COW fallback carried a matched file")
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(100).where($"v" >= 600).unionByName(u)))
+    // no orphans: every parquet on disk belongs to some version's
+    // manifest (the MOR attempt's pre-written updates were removed)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val onDisk = LakeWriter.walk(fs,
+      new org.apache.hadoop.fs.Path(s"$t/data")).toSet
+    val referenced = LakeWriter.snapshotVersions(spark, t)
+      .flatMap(v => LakeWriter.snapshotFiles(spark, t, v)).toSet
+    assert(onDisk == referenced,
+      s"orphan data files: ${(onDisk -- referenced).take(3)}")
+    // pure insert: unseen keys only — appends, no DVs, files carried
+    val ins = docs(140).where($"id" >= 120)
+    val v3 = LakeWriter.mergeSnapshotMor(ins, t, Seq("id"))
+    assert(LakeWriter.parseManifestDvs(spark, t, v3).isEmpty)
+    assert(LakeWriter.snapshotFiles(spark, t, v2).toSet.subsetOf(
+      LakeWriter.snapshotFiles(spark, t, v3).toSet))
+    assert(rows(LakeWriter.readSnapshot(spark, t)) ==
+      rows(docs(100).where($"v" >= 600).unionByName(u)
+        .unionByName(ins)))
+    // partitioned: every partition column a merge key -> MOR commit
+    // with partition-pruned probe, partitioned appends
+    val tp = freshDir("graft_mor_merge_p") + "/t"
+    // one file per partition dir: range parallelism would otherwise
+    // scatter tiny files, some 100%-matched (legitimately dropped as
+    // fully deleted), which is not the carried-files shape under test
+    LakeWriter.commitSnapshotDynamic(docs(90).repartition(1), tp,
+      Seq("lang"))
+    val p1Files = LakeWriter.snapshotFiles(spark, tp, 1L).toSet
+    val up = docs(90).where($"lang" === "en" && $"v" < 300)
+      .withColumn("n2", $"v" * 2).drop("n2") // touch only lang=en keys
+    val pv2 = LakeWriter.mergeSnapshotMor(
+      up.withColumn("v", $"v" + 7), tp, Seq("id", "lang"))
+    assert(LakeWriter.parseManifestDvs(spark, tp, pv2).nonEmpty)
+    assert(p1Files.subsetOf(
+      LakeWriter.snapshotFiles(spark, tp, pv2).toSet))
+    assert(rows(LakeWriter.readSnapshot(spark, tp)) ==
+      rows(docs(90).where(!($"lang" === "en" && $"v" < 300))
+        .unionByName(up.withColumn("v", $"v" + 7))))
+  }
+
   test("fraction threshold falls back to COW for the WHOLE delete; " +
       "merge on a DV table never resurrects deleted rows") {
     val t = freshDir("graft_mor_cow") + "/t"
