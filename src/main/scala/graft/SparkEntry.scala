@@ -814,11 +814,15 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) => {
       // embedding-space near-duplicate pairs (bucketed; rows-only).
       // Bit count scales with the corpus so bucket population stays
-      // constant — fixed bits measured 81x CPU at 10x data (sf10)
+      // constant — fixed bits measured 81x CPU at 10x data (sf10);
+      // past 100k vectors the triangle-block salt splits hot
+      // buckets' pair work across tasks (same pair set — the sf10
+      // watch item: top bucket ~5x the mean, fanning 2.7x/decade)
       val e = T(s, d, "embeddings")
+      val n = e.count()
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.3, bits = Similarity.adaptiveBits(e.count()),
-        dim = 64)
+        threshold = 0.3, bits = Similarity.adaptiveBits(n),
+        dim = 64, salts = Similarity.adaptiveBucketSalts(n))
     }),
 
     "q_multimodal_features" -> ((s, d) => {

@@ -166,8 +166,8 @@ object Similarity {
       // expression in the same select as posexplode lands in the
       // Project ABOVE the Generate and recomputes once per EXPLODED
       // row (dim×, not 1×) — measured 11× on the PQ twin of this loop
-      val means = cvec
-        .select(cellOf(cents, col("__v")).as("cell"), col("__v"))
+      val means = withCell(cvec.select(col("__v")), col("__v"),
+          cents, "cell")
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
@@ -199,13 +199,107 @@ object Similarity {
     -best.getField("negc")
   }
 
+  /** Flat argmax stops paying past this many centroids; above it,
+    * [[withCell]] switches to the two-level IVF-of-centroids
+    * assignment. Gates run nlist ≤ 16 (flat, byte-stable results);
+    * the adaptive-nlist corpora cross 64 around ~130k vectors. */
+  private val twoLevelFlatMax = 64
+
+  /** Driver-side mirror of [[cellOf]]'s score (v·c/||c||, ties to the
+    * smallest index) for the two-level index build — pure Scala over
+    * the ALREADY-DRIVER-RESIDENT centroid array, no Spark jobs. */
+  private def argBest(sup: Array[Array[Double]],
+                      v: Array[Double]): Int = {
+    var best = 0; var bs = Double.NegativeInfinity; var i = 0
+    while (i < sup.length) {
+      val c = sup(i)
+      var d = 0.0; var n = 0.0; var j = 0
+      while (j < c.length) { d += v(j) * c(j); n += c(j) * c(j); j += 1 }
+      val s = if (n == 0.0) 0.0 else d / math.sqrt(n)
+      if (s > bs) { bs = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Group `cents` into ~√k super-groups by a tiny driver-side Lloyd
+    * over the centroids themselves (k rows — microseconds next to
+    * the corpus scan). Returns (super-centroid, member centroids)
+    * with empty groups dropped; deterministic (spread-sample init in
+    * cell order, fixed 2 iterations, tie-to-smallest). */
+  private def twoLevelIndex(cents: Array[(Int, Array[Double])])
+      : Array[(Array[Double], Array[(Int, Array[Double])])] = {
+    val g = math.max(2, math.round(math.sqrt(cents.length.toDouble)).toInt)
+    var sup = Array.tabulate(g)(i =>
+      cents((i.toLong * cents.length / g).toInt)._2)
+    for (_ <- 0 until 2) {
+      val grouped = cents.groupBy(c => argBest(sup, c._2))
+      sup = Array.tabulate(g) { i =>
+        grouped.get(i) match {
+          case Some(ms) =>
+            val dim = ms.head._2.length
+            val m = new Array[Double](dim)
+            ms.foreach { c =>
+              var j = 0; while (j < dim) { m(j) += c._2(j); j += 1 } }
+            var j = 0; while (j < dim) { m(j) /= ms.length; j += 1 }
+            m
+          case None => sup(i)
+        }
+      }
+    }
+    val byG = cents.groupBy(c => argBest(sup, c._2))
+    (0 until g).toArray.flatMap(i =>
+      byG.get(i).map(ms => (sup(i), ms.sortBy(_._1))))
+  }
+
+  /** `df` + `out` = the k-means cell of `v` under `cents`. Up to
+    * [[twoLevelFlatMax]] centroids this is the flat [[cellOf]] argmax
+    * (ONE codegen'd projection, n·k MACs). Past it — the adaptive-
+    * nlist regime where k ∝ n made flat assignment ~40 % of semDedup
+    * cost at sf10 and growing ~quadratically — assignment goes TWO-
+    * LEVEL: stage 1 argmaxes ~√k literal super-centroids (trained by
+    * [[twoLevelIndex]]); stage 2 argmaxes only the chosen group's
+    * members through a lazily-codegen'd CASE — per-row cost ~2√k·dim
+    * MACs, still zero shuffles. The super-cell lands in its OWN
+    * projection so the CASE conditions reference a computed column,
+    * not g recomputations of the stage-1 argmax. The assignment is
+    * the standard IVF approximation of the flat argmax and stays
+    * fully deterministic; semDedup's oracle embeds the assignment
+    * from the SAME path (kmeansAssign), so gate and oracle move
+    * together by construction. */
+  private def withCell(df: DataFrame, v: Column,
+                       cents: Array[(Int, Array[Double])],
+                       out: String): DataFrame =
+    if (cents.length <= twoLevelFlatMax)
+      df.withColumn(out, cellOf(cents, v))
+    else {
+      val idx = twoLevelIndex(cents)
+      val sScored = idx.zipWithIndex.map { case ((sc, _), i) =>
+        val n = math.sqrt(sc.map(x => x * x).sum)
+        val inv = if (n == 0.0) 0.0 else 1.0 / n
+        struct((VecFns.dot(v, typedlit(sc.toSeq)) * lit(inv)).as("s"),
+          lit(-i).as("negc"))
+      }
+      val staged = df.withColumn("__graft_scell",
+        -greatest(sScored.toSeq: _*).getField("negc"))
+      val cell = idx.zipWithIndex.foldRight(lit(-1)) {
+        case (((_, members), i), acc) =>
+          when(col("__graft_scell") === i, cellOf(members, v))
+            .otherwise(acc)
+      }
+      staged.withColumn(out, cell).drop("__graft_scell")
+    }
+
   /** Corpus → k-means cell assignment as ONE projection over the scan
-    * (no shuffle). Returns (idCol, cell). */
+    * (no shuffle; two projections in the two-level regime — see
+    * [[withCell]]). Returns (idCol, cell). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    nlist: Int = 16, iters: Int = 2): DataFrame = {
     val cents = trainCentroids(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v")), nlist, iters)
-    df.select(col(idCol), cellOf(cents, col(vecCol)).as("cell"))
+    withCell(df.select(col(idCol), col(vecCol).as("__v")),
+        col("__v"), cents, "cell")
+      .select(col(idCol), col("cell"))
   }
 
   /** Probed (query, corpus-cell) pair frame shared by `ivfTopK` and
@@ -216,9 +310,9 @@ object Similarity {
     val cvec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cents = trainCentroids(cvec, nlist, iters)
     // corpus → cell assignment: ONE projection over the scan
-    val corpusCells = cvec
+    val corpusCells = withCell(cvec, col("__v"), cents, "cell")
       .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
-        VecFns.norm(col("__v")).as("__cn"), cellOf(cents, col("__v")).as("cell"))
+        VecFns.norm(col("__v")).as("__cn"), col("cell"))
     // queries → top-nprobe cells each: sort the literal score array
     // ascending by (-score, cell) and keep the first nprobe — no join,
     // no window; the query side stays driver-small and broadcasts
@@ -435,34 +529,85 @@ object Similarity {
 
   // ---- embedding near-dup / SemDeDup --------------------------------
 
+  /** Triangle-block salt count for the embed bucket self-join:
+    * 1 (plain join) until the corpus is big enough for hyperplane-
+    * bucket skew to matter, then one doubling per decade — the sf10
+    * watch item measured the TOP bucket fanning ~2.7×/decade
+    * (59→159, sub-linear) while adaptiveBits holds the MEAN at
+    * targetBucket, so doubling salts per decade keeps the per-block
+    * pair work of the hot bucket bounded. */
+  def adaptiveBucketSalts(n: Long, floor: Long = 100000L): Int = {
+    var s = 1; var m = n
+    while (m >= floor && s < 16) { s *= 2; m /= 10 }
+    s
+  }
+
   /** Same-LSH-bucket (doc_a < doc_b) pair frame shared by
-    * `cosineNearDupPairs` and its oracle's candidate dump. */
+    * `cosineNearDupPairs` and its oracle's candidate dump.
+    *
+    * salts == 1: plain bucket self-join — a hot bucket's whole
+    * quadratic pair-space lands on ONE task (real embeddings cluster:
+    * the top hyperplane bucket runs ~5× the mean and grows
+    * ~2.7×/decade). salts > 1: the Dedup.candidatePairs triangle
+    * block — members split into `salts` deterministic id-hash groups
+    * and the bucket's pair-space is covered EXACTLY ONCE by the
+    * salts*(salts+1)/2 (p <= q) group blocks, each its own shuffle
+    * key, so per-task pair work drops ~salts²× for ~(salts+1)/2×
+    * more shuffle volume (here the rows carry the vectors, so salt
+    * only when skew warrants — [[adaptiveBucketSalts]]). Unlike
+    * banded minhash a doc has ONE bucket, so each pair meets in one
+    * (bucket, p, q) block and no distinct is needed: the diagonal
+    * keeps a < b, an off-diagonal block meets each pair once and
+    * least/greatest canonicalizes orientation (cosine is symmetric —
+    * the vectors need not follow the swap). */
   private def bucketJoined(df: DataFrame, idCol: String, vecCol: String,
-                           bits: Int, dim: Int): DataFrame = {
+                           bits: Int, dim: Int,
+                           salts: Int = 1): DataFrame = {
     val sig = df.select(col(idCol), col(vecCol),
       VecFns.norm(col(vecCol)).as("__n"),
       xxhash64(VecFns.lshSignature(col(vecCol), bits, dim)).as("bucket"))
-    val l = sig.select(col("bucket"), col(idCol).as("doc_a"),
-      col(vecCol).as("__qv"), col("__n").as("__qn"))
-    val r = sig.select(col("bucket"), col(idCol).as("doc_b"),
-      col(vecCol).as("__cv"), col("__n").as("__cn"))
-    l.join(r, Seq("bucket"))
-      .where(col("doc_a") < col("doc_b"))
+    if (salts <= 1) {
+      val l = sig.select(col("bucket"), col(idCol).as("doc_a"),
+        col(vecCol).as("__qv"), col("__n").as("__qn"))
+      val r = sig.select(col("bucket"), col(idCol).as("doc_b"),
+        col(vecCol).as("__cv"), col("__n").as("__cn"))
+      l.join(r, Seq("bucket"))
+        .where(col("doc_a") < col("doc_b"))
+    } else {
+      val g = sig.withColumn("__g",
+        pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
+      val l = g.select(col(idCol).as("__a"), col(vecCol).as("__qv"),
+        col("__n").as("__qn"), col("bucket"), col("__g").as("p"),
+        explode(sequence(col("__g"), lit(salts - 1))).as("q"))
+      val r = g.select(col(idCol).as("__b"), col(vecCol).as("__cv"),
+        col("__n").as("__cn"), col("bucket"),
+        explode(sequence(lit(0), col("__g"))).as("p"),
+        col("__g").as("q"))
+      l.join(r, Seq("bucket", "p", "q"))
+        .where(col("p") =!= col("q") || col("__a") < col("__b"))
+        .where(col("__a") =!= col("__b"))
+        .withColumn("doc_a", least(col("__a"), col("__b")))
+        .withColumn("doc_b", greatest(col("__a"), col("__b")))
+    }
   }
 
   /** Embedding-space near-duplicate pairs: all pairs within the same
     * LSH bucket whose cosine exceeds `threshold` (embedding-cosine
-    * near-dup dedup for training corpora). */
+    * near-dup dedup for training corpora). `salts` balances hot
+    * buckets without changing the pair set — see [[bucketJoined]]. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int,
-                         dim: Int): DataFrame =
-    bucketJoined(df, idCol, vecCol, bits, dim)
+                         dim: Int, salts: Int = 1): DataFrame =
+    bucketJoined(df, idCol, vecCol, bits, dim, salts)
       .withColumn("cos_sim", CleanFns.roundRepro(pairCos, 4))
       .where(col("cos_sim") >= threshold)
       .select("doc_a", "doc_b", "cos_sim")
 
   /** The candidate pairs `cosineNearDupPairs` verifies (pre-cosine,
-    * pre-threshold) — for the oracle's independent re-check. */
+    * pre-threshold) — for the oracle's independent re-check. The
+    * salted and plain joins produce the SAME set (the triangle
+    * covers each bucket's pair-space exactly once), so the dump
+    * never needs the salt parameter. */
   def bucketCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                            bits: Int, dim: Int): DataFrame =
     bucketJoined(df, idCol, vecCol, bits, dim).select("doc_a", "doc_b")
@@ -831,8 +976,9 @@ object Similarity {
     * cell size, so a FIXED nlist turns semantic dedup O(n²/k) (the
     * sf10 stress measured exactly that: 78x CPU at 10x data); with
     * k ∝ n the pair stage is O(n·targetCell), linear. The assignment
-    * scan is n·k MACs — tiny constants; past ~10M vectors feed a
-    * two-level (IVF-of-centroids) assignment instead. */
+    * scan is flat n·k MACs only up to [[twoLevelFlatMax]] centroids;
+    * past it [[withCell]] switches to the two-level
+    * (IVF-of-centroids) assignment, ~n·2√k. */
   def adaptiveNlist(n: Long, targetCell: Int = 2048,
                     floor: Int = 8): Int =
     math.max(floor, ((n + targetCell - 1) / targetCell).toInt)
@@ -864,9 +1010,8 @@ object Similarity {
                iters: Int = 2): DataFrame = {
     val cents = trainCentroids(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v")), nlist, iters)
-    val a = df.select(col(idCol), col(vecCol).as("__v"),
-      VecFns.norm(col(vecCol)).as("__n"),
-      cellOf(cents, col(vecCol)).as("cell"))
+    val a = withCell(df.select(col(idCol), col(vecCol).as("__v"),
+        VecFns.norm(col(vecCol)).as("__n")), col("__v"), cents, "cell")
     val l = a.select(col("cell"), col(idCol).as("__ida"),
       col("__v").as("__qv"), col("__n").as("__qn"))
     val r = a.select(col("cell"), col(idCol).as("__idb"),

@@ -145,6 +145,63 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.count() >= 1 && kept.count() <= e.count())
   }
 
+  test("two-level assignment regime: semDedup is consistent with " +
+      "kmeansAssign, cells stay in range, identical vectors still " +
+      "dedup to the smallest id") {
+    // nlist 80 > twoLevelFlatMax forces the IVF-of-centroids path in
+    // BOTH semDedup and kmeansAssign (the oracle dumps the latter —
+    // they must move together); planted identical triplet must land
+    // in one cell whatever the assignment approximation picks
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding").limit(400)
+      .unionByName(Seq(
+        (90001L, (0 until 64).map(i => (i % 7).toFloat)),
+        (90002L, (0 until 64).map(i => (i % 7).toFloat)),
+        (90003L, (0 until 64).map(i => (i % 7).toFloat)))
+        .toDF("vec_id", "embedding"))
+    val kept = Similarity.semDedup(e, "vec_id", "embedding",
+      nlist = 80, threshold = 0.999)
+    val assign = Similarity.kmeansAssign(e, "vec_id", "embedding",
+      nlist = 80)
+    assert(kept.except(assign).isEmpty,
+      "semDedup and kmeansAssign assignments diverged")
+    val cells = assign.select("cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 80))
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(keptIds.contains(90001L) && !keptIds.contains(90002L) &&
+      !keptIds.contains(90003L))
+  }
+
+  test("salted embed bucket join: same pair set as the plain join; " +
+      "the hot bucket's pair work splits across triangle blocks") {
+    // skewed fixture: 64 IDENTICAL vectors (one hot bucket, 2016
+    // pairs on a single shuffle key unsalted) + spread singletons
+    val hot = (0 until 64).map(i =>
+      (i.toLong, (0 until 64).map(j => ((j % 5) + 1).toFloat)))
+    val rest = (0 until 50).map(i => (1000L + i,
+      (0 until 64).map(j => math.sin(i * 64 + j + 1).toFloat)))
+    val df = (hot ++ rest).toDF("vec_id", "embedding")
+    val plain = Similarity.cosineNearDupPairs(df, "vec_id",
+      "embedding", threshold = 0.9, bits = 6, dim = 64)
+    val salted = Similarity.cosineNearDupPairs(df, "vec_id",
+      "embedding", threshold = 0.9, bits = 6, dim = 64, salts = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty,
+      "triangle cover changed the pair set")
+    // boundedness probe: no (p, q) block carries more than a ~1/6
+    // share of the hot bucket's 2016 pairs (perfect 16-member groups
+    // give 256; slack for hash imbalance)
+    val g = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(4)).cast("int")
+    val maxBlock = salted
+      .select(least(g($"doc_a"), g($"doc_b")).as("p"),
+        greatest(g($"doc_a"), g($"doc_b")).as("q"))
+      .groupBy("p", "q").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBlock < 500,
+      s"hot-bucket pair work not spread: max block $maxBlock of 2016")
+  }
+
   test("filterCascade reports the FIRST failing rule, in order") {
     val many = ("the and of to is in it that a an " * 5).trim // 50 stopword tokens
     val docs = Seq(
