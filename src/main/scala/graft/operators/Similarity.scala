@@ -274,6 +274,12 @@ object Similarity {
       df.withColumn(out, cellOf(cents, v))
     else {
       val idx = twoLevelIndex(cents)
+      // tightly-clustered centroids can collapse every group into one
+      // super-centroid (empty groups drop) — stage 1 then has nothing
+      // to choose and greatest() needs >= 2 args: flat-assign over
+      // the single group's members (== all centroids)
+      if (idx.length == 1)
+        return df.withColumn(out, cellOf(idx.head._2, v))
       val sScored = idx.zipWithIndex.map { case ((sc, _), i) =>
         val n = math.sqrt(sc.map(x => x * x).sum)
         val inv = if (n == 0.0) 0.0 else 1.0 / n

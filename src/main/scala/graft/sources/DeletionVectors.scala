@@ -321,7 +321,11 @@ object DeletionVectors {
   private sealed trait Enc { def size: Int }
   private final case class ArrEnc(vals: Array[Int]) extends Enc {
     def size = 2 * vals.length }
-  private final case class BmpEnc(vals: Array[Int]) extends Enc {
+  // stored as its 1024-word bitset, not the raw values: a closed
+  // container must cost its SERIALIZED size (8 KB), or a dense build
+  // buffers up to 64 Ki ints (256 KB) per container and the
+  // StreamingSerializer's documented memory bound is off by ~32×
+  private final case class BmpEnc(words: Array[Long]) extends Enc {
     def size = 8192 }
   private final case class RunEnc(runs: Array[(Int, Int)]) extends Enc {
     def size = 2 + 4 * runs.length }
@@ -331,7 +335,12 @@ object DeletionVectors {
     * smaller (iff `runOptimize`). */
   private def encodeContainer(vs: Array[Int], runOptimize: Boolean): Enc = {
     val base: Enc =
-      if (vs.length <= 4096) ArrEnc(vs) else BmpEnc(vs)
+      if (vs.length <= 4096) ArrEnc(vs)
+      else {
+        val words = new Array[Long](1024)
+        vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+        BmpEnc(words)
+      }
     if (!runOptimize) base else {
       val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       var s = vs.head; var e = vs.head
@@ -381,9 +390,7 @@ object DeletionVectors {
     }
     encs.foreach { case (_, _, e) => e match {
       case ArrEnc(vals) => vals.foreach(le(_, 2))
-      case BmpEnc(vals) =>
-        val words = new Array[Long](1024)
-        vals.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+      case BmpEnc(words) =>
         val bb = java.nio.ByteBuffer.allocate(8192)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         words.foreach(bb.putLong)

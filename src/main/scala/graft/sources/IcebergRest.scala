@@ -71,15 +71,22 @@ object IcebergRest {
     try route(spark, catalog, namespace, x)
     catch {
       case scala.util.control.NonFatal(e) =>
-        respond(x, 500, err(500, "InternalServerError",
+        // headers may already be committed (body write failed
+        // mid-stream) — the 500 is then impossible to send; swallow
+        // the secondary failure so the ORIGINAL error isn't masked
+        try respond(x, 500, err(500, "InternalServerError",
           String.valueOf(e.getMessage)))
+        catch { case scala.util.control.NonFatal(_) => () }
     } finally x.close()
 
   private def route(spark: SparkSession, catalog: String,
                     namespace: String, x: HttpExchange): Unit = {
     val method = x.getRequestMethod.toUpperCase
+    // URI.getPath already %XX-decodes per RFC 3986 and leaves '+'
+    // literal (URLDecoder would turn a '+' in a table name into a
+    // space and make it unresolvable)
     val segs = x.getRequestURI.getPath.split('/').filter(_.nonEmpty)
-      .map(s => java.net.URLDecoder.decode(s, "UTF-8")).toSeq
+      .toSeq
     if (method != "GET" && method != "HEAD") {
       respond(x, 405, err(405, "UnsupportedOperationException",
         "graft's Iceberg REST catalog is read-only: commit through " +
@@ -106,7 +113,7 @@ object IcebergRest {
               "name" -> JString(n))))))))
       case Seq("v1", "namespaces", ns, "tables", t) if ns == namespace =>
         loadTable(spark, catalog, t, x)
-      case Seq("v1", "namespaces", ns, _*) =>
+      case Seq("v1", "namespaces", ns, _*) if ns != namespace =>
         respond(x, 404, err(404, "NoSuchNamespaceException",
           s"namespace $ns not found (this catalog serves " +
             s"'$namespace')"))

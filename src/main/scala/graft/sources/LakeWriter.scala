@@ -1999,8 +1999,13 @@ object LakeWriter {
     require(collided.isEmpty,
       s"writeManifest at $table v$version: file basenames collide " +
         s"across directories (${collided.keys.take(3).mkString(", ")}" +
-        "...) — per-file metadata is basename-keyed and the writer " +
-        "must uniquify before manifesting (walkFreshData)")
+        "...) — per-file metadata (DVs, stats, blooms) is basename-" +
+        "keyed, so committing would let one file's entry govern " +
+        "another's. Either a write path skipped walkFreshData's " +
+        "rename pass (graft bug), or this table's CARRIED files " +
+        "predate the unique-basename invariant — those tables' " +
+        "per-file metadata was already unreliable; rebuild with a " +
+        "full overwrite (commitSnapshot of readSnapshot output)")
     // ONE manifest-directory listing feeds every carry-forward field
     // below (colmap, checks, stats, blooms, txns) — previously each
     // paid its own listing, five per commit on every table

@@ -172,6 +172,23 @@ class CurationSpec extends AnyFunSuite {
       !keptIds.contains(90003L))
   }
 
+  test("two-level assignment degenerate case: identical centroids " +
+      "collapse to ONE super-group and assignment falls back flat") {
+    // 70 identical vectors, nlist 70 > twoLevelFlatMax: every trained
+    // centroid is identical, the driver Lloyd collapses all groups
+    // into one (empty groups drop) — must flat-assign, not crash on a
+    // one-argument greatest()
+    val e = (0 until 70).map(i =>
+      (i.toLong, (0 until 8).map(_ => 1.0f))).toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssign(e, "vec_id", "embedding",
+      nlist = 70)
+    val cells = assign.select("cell").as[Int].collect()
+    assert(cells.length == 70)
+    // identical vectors tie on every centroid; ties break to the
+    // smallest cell everywhere
+    assert(cells.forall(_ == 0))
+  }
+
   test("salted embed bucket join: same pair set as the plain join; " +
       "the hot bucket's pair work splits across triangle blocks") {
     // skewed fixture: 64 IDENTICAL vectors (one hot bucket, 2016
