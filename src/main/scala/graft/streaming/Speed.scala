@@ -462,7 +462,18 @@ object Speed extends Serializable {
     * [[graft.sources.LakeWriter.mergeSnapshot]]: a batch touching few
     * keys rewrites few files, and every batch that lands is one time-
     * travelable version. Replay-safe: re-merging an already-applied
-    * batch replaces rows with identical ones (idempotent by value). */
+    * batch replaces rows with identical ones (idempotent by value).
+    *
+    * `morDeletes = true` applies each batch MERGE-ON-READ
+    * ([[graft.sources.LakeWriter.mergeSnapshotMor]]): matched old
+    * rows retire via deletion vectors and the batch's rows land as
+    * appends — per batch, bitmap bytes + the batch itself, where COW
+    * re-lands every unmatched row of every matched file. This is the
+    * production shape for a CDC stream into a LARGE table (the
+    * reference's daily upsert cadence); the per-file
+    * fraction/byte-size policy still falls a pathological batch back
+    * to the proven COW path, and maintenance compaction re-lands
+    * DV-laden small files through the same DV-aware read. */
   def upsertToSnapshot(stream: DataFrame, table: String, keys: Seq[String],
                        tsCol: String, tieBreak: String,
                        checkpoint: String,
@@ -473,7 +484,8 @@ object Speed extends Serializable {
                        mirrorIceberg: Boolean = false,
                        icebergRetainSnapshots: Int = 0,
                        deltaChangeDataFeed: Boolean = false,
-                       trigger: Trigger = Trigger.AvailableNow())
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       morDeletes: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -481,8 +493,14 @@ object Speed extends Serializable {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val latest = graft.operators.Analytics.latestPerKey(
           batch.toDF(), keys, col(tsCol), col(tieBreak))
-        if (!latest.isEmpty)
-          graft.sources.LakeWriter.mergeSnapshot(latest, table, keys): Unit
+        if (!latest.isEmpty) {
+          if (morDeletes)
+            graft.sources.LakeWriter.mergeSnapshotMor(latest, table,
+              keys): Unit
+          else
+            graft.sources.LakeWriter.mergeSnapshot(latest, table,
+              keys): Unit
+        }
         // every-N-versions compaction + history vacuum, IN the sink —
         // a one-commit-per-batch stream is unbounded without it;
         // mirrorDelta additionally keeps a live `_delta_log`

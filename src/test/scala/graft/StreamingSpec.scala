@@ -273,6 +273,42 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).toSet == Set("a1", "b1", "c1"))
   }
 
+  test("streaming MOR upsert: each batch retires matched rows via " +
+      "DVs and appends, standing files never rewrite") {
+    val land = java.nio.file.Files
+      .createTempDirectory("graft_upsert_mor_land_")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_upsert_mor_tbl_").toString + "/tbl"
+    Seq((1L, 10L, "a1"), (2L, 10L, "b1"), (3L, 10L, "c1"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.parquet(land.resolve("a").toString)
+    Seq((2L, 20L, "b2"), (2L, 30L, "b3"), (4L, 10L, "d1"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.parquet(land.resolve("b").toString)
+    val stream = spark.readStream.schema("k LONG, ts LONG, v STRING")
+      .option("maxFilesPerTrigger", 1).parquet(land.toString + "/*")
+    Speed.upsertToSnapshot(stream, table, Seq("k"), "ts", "v",
+      java.nio.file.Files.createTempDirectory("graft_upsert_mck_")
+        .toString,
+      morDeletes = true)
+      .awaitTermination()
+    import graft.sources.LakeWriter
+    val now = LakeWriter.readSnapshot(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(now == Map(1L -> "a1", 2L -> "b3", 3L -> "c1", 4L -> "d1"))
+    // batch B's merge was MERGE-ON-READ: v1's file carried verbatim
+    // into v2 with a deletion vector, the batch's rows appended
+    assert(LakeWriter.snapshotVersions(spark, table) == Seq(1L, 2L))
+    assert(LakeWriter.snapshotFiles(spark, table, 1L).toSet.subsetOf(
+      LakeWriter.snapshotFiles(spark, table, 2L).toSet),
+      "streaming MOR upsert rewrote a standing file")
+    assert(LakeWriter.parseManifestDvs(spark, table, 2L).nonEmpty,
+      "streaming MOR upsert committed no deletion vector")
+    // time travel intact under the DV commit
+    assert(LakeWriter.readSnapshot(spark, table, Some(1L))
+      .collect().map(_.getString(2)).toSet == Set("a1", "b1", "c1"))
+  }
+
   test("torn commit: upsert sink replays a merged-but-unmarked batch") {
     val land = java.nio.file.Files.createTempDirectory("graft_utorn_land_")
     val table = java.nio.file.Files
