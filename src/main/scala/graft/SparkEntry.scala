@@ -2057,6 +2057,40 @@ object SparkEntry {
       DeltaMirror.readDelta(s, table)
     }),
 
+    "q_snapshot_update_mor" -> ((s, d) => {
+      // MERGE-ON-READ UPDATE (completing the DML triad: DELETE and
+      // MERGE have had MOR forms since r16/r17): a broad-but-sparse
+      // SET ... WHERE — the "fix a mis-parsed field across every
+      // partition" shape — retires the matched rows via DELETION
+      // VECTORS and appends their TRANSFORMED images in ONE commit,
+      // zero data-file rewrites; set right-hand sides see the
+      // PRE-update row. The in-body requires prove MOR ran (DVs
+      // committed, every standing file carried verbatim) — a silent
+      // COW fallback would pass the oracle without testing DVs.
+      val tmp = java.nio.file.Paths.get("/tmp",
+        "graft_update_mor_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      wipeDir(tmp)
+      val table = s"$tmp/table"
+      import graft.sources.LakeWriter
+      val base = T(s, d, "documents").select(col("doc_id"),
+        col("source"), col("n_chars"), col("lang"))
+        .where(pmod(col("doc_id"), lit(4)) === 1)
+      LakeWriter.commitSnapshot(base.repartition(4), table)
+      val v2 = LakeWriter.updateSnapshotMor(s, table,
+        col("n_chars") < 140,
+        Map("lang" -> lit("xx"),
+          "n_chars" -> (col("n_chars") + lit(1000))),
+        maxDeleteFraction = 0.9)
+      require(LakeWriter.parseManifestDvs(s, table, v2).nonEmpty,
+        "q_snapshot_update_mor: the MOR path committed no DVs " +
+          "(silent COW fallback)")
+      require(LakeWriter.snapshotFiles(s, table, 1L).toSet.subsetOf(
+        LakeWriter.snapshotFiles(s, table, v2).toSet),
+        "q_snapshot_update_mor: the MOR update rewrote or dropped " +
+          "standing files")
+      LakeWriter.readSnapshot(s, table)
+    }),
+
     "q_ingest_delta_cp" -> ((s, d) => {
       // GRAFT'S OWN CHECKPOINT READER through the gate: the mirror
       // checkpoints, the covered JSON commits are cleaned up, one
@@ -5502,6 +5536,18 @@ object SparkEntry {
         |FROM documents
         |WHERE (doc_id % 4 = 3 AND n_chars < 140) OR doc_id % 40 = 0"""
         .stripMargin,
+
+    "q_snapshot_update_mor" ->
+      // rows served through the MOR UPDATE (matched rows retired by
+      // DV + transformed images appended in one commit): SQL UPDATE
+      // re-derived as a CASE per SET column over the pre-update row
+      // — a resurrected pre-image or a lost/mis-transformed image
+      // surfaces as extra/missing/wrong rows
+      """SELECT doc_id, source,
+        |  CASE WHEN n_chars < 140 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars,
+        |  CASE WHEN n_chars < 140 THEN 'xx' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 4 = 1""".stripMargin,
 
     "q_ingest_delta_dv" ->
       // rows served through readDelta's DELETION-VECTOR resolution:

@@ -867,6 +867,164 @@ object LakeWriter {
     version
   }
 
+  /** UPDATE ... SET ... WHERE over a snapshot table — copy-on-write
+    * and FILE-PRUNED like [[deleteFromSnapshot]]: only files that
+    * CONTAIN a matched row rewrite (matched rows re-land
+    * TRANSFORMED, their file-neighbors verbatim, DV-deleted rows
+    * never resurrect); every other file carries by reference.
+    *
+    * SQL UPDATE semantics: a row updates iff `predicate` is TRUE
+    * (NULL = untouched), and every `set` right-hand side evaluates
+    * against the PRE-update row (standard simultaneous-assignment —
+    * swapping two columns works). Set expressions cast to the
+    * column's committed type; CHECK constraints run against the
+    * rewritten files. An update matching nothing commits nothing. */
+  def updateSnapshot(spark: SparkSession, table: String,
+                     predicate: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column])
+      : Long = {
+    require(set.nonEmpty, "updateSnapshot needs at least one SET column")
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
+    if (files.isEmpty) return prev.last
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = schema.fieldNames.toSeq
+    require(set.keys.forall(cols.contains),
+      s"SET columns ${set.keys.filterNot(cols.contains)} not in table")
+    val colmap = parseManifestColmap(spark, table, prev.last)
+    val dvs = parseManifestDvs(spark, table, prev.last)
+    val candidates = pruneFilesByPredicate(spark, table, prev.last,
+      predicate, files, schema, partCols, colmap)
+    if (candidates.isEmpty) return prev.last
+    val matched = readFiles(spark, candidates, schema, colmap, dvs)
+      .where(predicate)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (matched.isEmpty) return prev.last
+    val (rewrite, carry) = files.partition(f => matched(baseName(f)))
+    val rewritten = readFiles(spark, rewrite, schema, colmap, dvs)
+      .select(updateProjection(schema, predicate, set): _*)
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = prev.last + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    withMicrosTimestamps(spark) {
+      val writer = toPhysical(rewritten, colmap).write.mode("errorifexists")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(dataDir.toString) }
+    val newFiles = walkFreshData(fs, dataDir).sorted
+    enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
+      newFiles, schema, fs, Seq(dataDir), colmap)
+    writeManifest(spark, fs, table, version, "update", schema,
+      carry ++ newFiles, partCols)
+    version
+  }
+
+  /** The UPDATE row projection: matched rows get their `set`
+    * expressions (all evaluated against the pre-update row), others
+    * pass through; each assignment casts to the column's committed
+    * type so the schema never drifts. */
+  private def updateProjection(
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column])
+      : Seq[org.apache.spark.sql.Column] =
+    schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) =>
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.coalesce(predicate,
+              org.apache.spark.sql.functions.lit(false)),
+            e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+
+  /** MERGE-ON-READ UPDATE: the matched rows retire via DELETION
+    * VECTORS (the shared [[morBuildDvs]] two-pass kernel — counts
+    * decide the COW fallback, bitmaps serialize executor-side) while
+    * their TRANSFORMED images land as ordinary appends — one commit,
+    * zero data-file rewrites. The write shape of a broad-but-sparse
+    * UPDATE on a 100 TB table (fix a mis-parsed field across every
+    * partition): copy-on-write re-lands every unmatched row of every
+    * matched file, where this commits bitmap bytes + the updated
+    * rows themselves. Same semantics as [[updateSnapshot]]; same
+    * one-policy fraction/byte fallback as the other MOR writers —
+    * never a half-MOR commit. */
+  def updateSnapshotMor(spark: SparkSession, table: String,
+                        predicate: org.apache.spark.sql.Column,
+                        set: Map[String, org.apache.spark.sql.Column],
+                        maxDeleteFraction: Double = 0.5,
+                        maxDvBytes: Int = 1 << 20): Long = {
+    require(set.nonEmpty,
+      "updateSnapshotMor needs at least one SET column")
+    require(maxDeleteFraction > 0 && maxDeleteFraction <= 1,
+      s"maxDeleteFraction must be in (0, 1], got $maxDeleteFraction")
+    val prev = snapshotVersions(spark, table)
+    require(prev.nonEmpty, s"no snapshots at $table")
+    val v0 = prev.last
+    val (files, schemaJson, partCols) = parseManifest(spark, table, v0)
+    if (files.isEmpty) return v0
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(set.keys.forall(schema.fieldNames.contains),
+      s"SET columns ${set.keys.filterNot(schema.fieldNames.contains)} " +
+        "not in table")
+    val colmap = parseManifestColmap(spark, table, v0)
+    val oldDvs = parseManifestDvs(spark, table, v0)
+    val candidates = pruneFilesByPredicate(spark, table, v0,
+      predicate, files, schema, partCols, colmap)
+    if (candidates.isEmpty) return v0
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
+    val version = v0 + 1
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir =
+      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
+    // the transformed images land FIRST (needed in every non-COW
+    // outcome): matched rows read THROUGH the old DVs — an
+    // already-deleted row neither re-lands nor re-retires
+    withMicrosTimestamps(spark) {
+      val w = toPhysical(
+        readFiles(spark, candidates, schema, colmap, oldDvs)
+          .where(predicate)
+          .select(updateProjection(schema, predicate, set): _*),
+        colmap).write.mode("errorifexists")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(dataDir.toString)
+    }
+    val newFiles = walkFreshData(fs, dataDir).sorted
+    if (newFiles.isEmpty) { // nothing matched
+      fs.delete(dataDir, true): Unit
+      return v0
+    }
+    val (joined, oldDel, fileOfKey) =
+      morFlaggedBase(spark, table, candidates, schema, colmap, oldDvs)
+    val flagged = joined.withColumn("__graft_del",
+      oldDel || coalesce(predicate, lit(false)))
+    morBuildDvs(spark, table, flagged, fileOfKey, oldDvs,
+        maxDeleteFraction, maxDvBytes) match {
+      case MorFallbackCow =>
+        fs.delete(dataDir, true): Unit
+        updateSnapshot(spark, table, predicate, set)
+      case MorNoChange =>
+        // unreachable when newFiles is non-empty (images read through
+        // the same DVs the count pass flags against) — defensive
+        fs.delete(dataDir, true): Unit
+        v0
+      case MorDvs(fullyDeleted, newEntries) =>
+        val kept = files.filterNot(f => fullyDeleted(baseName(f)))
+        enforceChecks(spark, parseManifestChecks(spark, table, v0),
+          newFiles, schema, fs, Seq(dataDir), colmap)
+        writeManifest(spark, fs, table, version, "update", schema,
+          kept ++ newFiles, partCols,
+          dvsOverride = Some(oldDvs ++ newEntries))
+        version
+    }
+  }
+
   /** MERGE-ON-READ DELETE: instead of rewriting every file a match
     * touches (copy-on-write — a point delete in a 100 TB table
     * rewrites whole files), commit a DELETION VECTOR per touched

@@ -254,6 +254,60 @@ class MorDeleteSpec extends AnyFunSuite {
         .unionByName(up.withColumn("v", $"v" + 7))))
   }
 
+  test("MOR UPDATE: matched rows retire via DVs, transformed images " +
+      "append, set sees the pre-update row; COW fallback and the COW " +
+      "twin transform identically") {
+    val t = freshDir("graft_mor_update") + "/t"
+    LakeWriter.commitSnapshot(docs(100).repartition(4), t) // v1
+    val v1Files = LakeWriter.snapshotFiles(spark, t, 1L).toSet
+    val v2 = LakeWriter.updateSnapshotMor(spark, t, $"v" < 300,
+      Map("lang" -> concat(lit("u_"), $"lang"), "v" -> ($"v" + $"id")))
+    assert(v2 == 2L)
+    assert(LakeWriter.parseManifestDvs(spark, t, v2).nonEmpty)
+    val v2Files = LakeWriter.snapshotFiles(spark, t, v2).toSet
+    assert(v1Files.subsetOf(v2Files), "MOR update rewrote files")
+    assert((v2Files -- v1Files).nonEmpty, "no transformed images landed")
+    // both set expressions read the PRE-update row
+    val expect = docs(100).select($"id",
+      when($"v" < 300, concat(lit("u_"), $"lang")).otherwise($"lang")
+        .as("lang"),
+      when($"v" < 300, $"v" + $"id").otherwise($"v").as("v"))
+    assert(rows(LakeWriter.readSnapshot(spark, t)) == rows(expect))
+    // time travel serves the pre-update rows
+    assert(rows(LakeWriter.readSnapshot(spark, t, Some(1L))) ==
+      rows(docs(100)))
+    // the change feed is exactly pre-images out, images in
+    val feed = LakeWriter.changesBetween(spark, t, 1L, v2)
+    assert(feed.where($"_change_type" === "delete").count() == 30L)
+    assert(feed.where($"_change_type" === "insert").count() == 30L)
+    // a no-match update commits nothing
+    assert(LakeWriter.updateSnapshotMor(spark, t, $"v" > 999999,
+      Map("lang" -> lit("z"))) == v2)
+    // 60% matched: over the default fraction -> the WHOLE update goes
+    // copy-on-write (matched files rewrite, no DVs, no orphans)
+    val t2 = freshDir("graft_mor_update2") + "/t"
+    LakeWriter.commitSnapshot(docs(100).repartition(2), t2)
+    val w1Files = LakeWriter.snapshotFiles(spark, t2, 1L).toSet
+    val w2 = LakeWriter.updateSnapshotMor(spark, t2, $"v" < 600,
+      Map("lang" -> lit("x")))
+    assert(LakeWriter.parseManifestDvs(spark, t2, w2).isEmpty)
+    assert(LakeWriter.snapshotFiles(spark, t2, w2).toSet
+      .intersect(w1Files).isEmpty,
+      "COW fallback carried a matched file")
+    assert(rows(LakeWriter.readSnapshot(spark, t2)) ==
+      rows(docs(100).select($"id",
+        when($"v" < 600, lit("x")).otherwise($"lang").as("lang"),
+        $"v")))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val onDisk = LakeWriter.walk(fs,
+      new org.apache.hadoop.fs.Path(s"$t2/data")).toSet
+    val referenced = LakeWriter.snapshotVersions(spark, t2)
+      .flatMap(v => LakeWriter.snapshotFiles(spark, t2, v)).toSet
+    assert(onDisk == referenced,
+      s"orphan data files: ${(onDisk -- referenced).take(3)}")
+  }
+
   test("fraction threshold falls back to COW for the WHOLE delete; " +
       "merge on a DV table never resurrects deleted rows") {
     val t = freshDir("graft_mor_cow") + "/t"
