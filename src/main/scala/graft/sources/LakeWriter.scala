@@ -679,7 +679,6 @@ object LakeWriter {
     val colmap = parseManifestColmap(spark, table, v0)
     val oldDvs = parseManifestDvs(spark, table, v0)
     val keyExprs = keyCols.map(col)
-    val keyD = updates.select(keyExprs: _*).distinct()
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val version = v0 + 1
     val attempt = java.util.UUID.randomUUID().toString.take(8)
@@ -695,6 +694,17 @@ object LakeWriter {
         .parquet(dataDir.toString)
     }
     val newFiles = walkFreshData(fs, dataDir).sorted
+    // the merge keys come from the files JUST WRITTEN, not the lazy
+    // `updates` plan: a non-deterministic updates frame (rand()
+    // sampling, a concurrently-changing source) would otherwise
+    // probe/retire a DIFFERENT key set than the rows that landed —
+    // reading the delta-sized output back makes retire-and-append
+    // agree by construction
+    val keyD =
+      if (newFiles.isEmpty) // zero update rows landed: empty key set
+        updates.select(keyExprs: _*).limit(0)
+      else readFiles(spark, newFiles, schema, colmap,
+        Map.empty[String, InlineDv]).select(keyExprs: _*).distinct()
     // candidate pruning: partition values (sound only when every
     // partition column is a merge key), then the key-sliver probe —
     // read THROUGH the old DVs so an already-deleted row cannot flag
@@ -978,6 +988,17 @@ object LakeWriter {
     val candidates = pruneFilesByPredicate(spark, table, v0,
       predicate, files, schema, partCols, colmap)
     if (candidates.isEmpty) return v0
+    // the COW twin's matched-file probe (predicate-pushed): narrows
+    // BOTH the image read and the DV passes from stat-pruned
+    // candidates to files that actually contain a match — a sparse
+    // UPDATE on an un-clustered column otherwise re-counts every row
+    // of every candidate file for nothing
+    val matchedF = readFiles(spark, candidates, schema, colmap, oldDvs)
+      .where(predicate)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (matchedF.isEmpty) return v0
+    val matched = candidates.filter(f => matchedF(baseName(f)))
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val version = v0 + 1
     val attempt = java.util.UUID.randomUUID().toString.take(8)
@@ -988,7 +1009,7 @@ object LakeWriter {
     // already-deleted row neither re-lands nor re-retires
     withMicrosTimestamps(spark) {
       val w = toPhysical(
-        readFiles(spark, candidates, schema, colmap, oldDvs)
+        readFiles(spark, matched, schema, colmap, oldDvs)
           .where(predicate)
           .select(updateProjection(schema, predicate, set): _*),
         colmap).write.mode("errorifexists")
@@ -996,12 +1017,8 @@ object LakeWriter {
         .parquet(dataDir.toString)
     }
     val newFiles = walkFreshData(fs, dataDir).sorted
-    if (newFiles.isEmpty) { // nothing matched
-      fs.delete(dataDir, true): Unit
-      return v0
-    }
     val (joined, oldDel, fileOfKey) =
-      morFlaggedBase(spark, table, candidates, schema, colmap, oldDvs)
+      morFlaggedBase(spark, table, matched, schema, colmap, oldDvs)
     val flagged = joined.withColumn("__graft_del",
       oldDel || coalesce(predicate, lit(false)))
     morBuildDvs(spark, table, flagged, fileOfKey, oldDvs,
@@ -1010,11 +1027,41 @@ object LakeWriter {
         fs.delete(dataDir, true): Unit
         updateSnapshot(spark, table, predicate, set)
       case MorNoChange =>
-        // unreachable when newFiles is non-empty (images read through
-        // the same DVs the count pass flags against) — defensive
+        // the probe saw a match but the count pass flagged nothing
+        // new: only a predicate that changed between jobs does this
+        morRequireDeterministic(spark, table, newFiles, schema,
+          colmap, 0L, "UPDATE")
         fs.delete(dataDir, true): Unit
         v0
       case MorDvs(fullyDeleted, newEntries) =>
+        // INVARIANT — the one hole a split image/DV evaluation
+        // leaves: the image pass and the DV pass evaluate `predicate`
+        // in SEPARATE jobs, so a non-deterministic predicate could
+        // retire rows whose images were never written (silent row
+        // loss) or append images for rows never retired (duplicates).
+        // Newly-retired live rows per file = committed cardinality −
+        // old cardinality (+ full live count for dropped files); it
+        // must equal the image rows WRITTEN, footer-counted — a
+        // metadata-only check that fails loudly instead of committing
+        // a torn update.
+        val stats = parseManifestStatsFull(spark, table, v0)
+        def oldCard(bn: String): Long =
+          oldDvs.get(bn).map(_.cardinality).getOrElse(0L)
+        def liveRows(bn: String): Long = {
+          val total = stats.get(bn).flatMap(_.rows).getOrElse {
+            val f = matched.find(p => baseName(p) == bn).get
+            footerStats(spark.sessionState.newHadoopConf(), f,
+              physSchema(schema, colmap)).rows.getOrElse(sys.error(
+              s"updateSnapshotMor at $table: no row count for $bn"))
+          }
+          total - oldCard(bn)
+        }
+        val newlyRetired =
+          newEntries.map { case (bn, dv) =>
+            dv.cardinality - oldCard(bn) }.sum +
+            fullyDeleted.toSeq.map(liveRows).sum
+        morRequireDeterministic(spark, table, newFiles, schema,
+          colmap, newlyRetired, "UPDATE")
         val kept = files.filterNot(f => fullyDeleted(baseName(f)))
         enforceChecks(spark, parseManifestChecks(spark, table, v0),
           newFiles, schema, fs, Seq(dataDir), colmap)
@@ -1023,6 +1070,30 @@ object LakeWriter {
           dvsOverride = Some(oldDvs ++ newEntries))
         version
     }
+  }
+
+  /** The torn-update guard: footer-count (metadata IO only) the
+    * image files a MOR UPDATE just wrote and require they hold
+    * EXACTLY the rows the DV pass newly retired — the two passes
+    * evaluate the predicate in separate jobs, and only a predicate
+    * that changed between them (current_timestamp(), rand(), a
+    * concurrently-mutated input) can make the counts disagree.
+    * Refusing loudly beats committing silent row loss/duplication. */
+  private def morRequireDeterministic(spark: SparkSession,
+      table: String, newFiles: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, colmap: ColMapping,
+      newlyRetired: Long, op: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val imageRows = newFiles.map(f =>
+      footerStats(conf, f, physSchema(schema, colmap)).rows
+        .getOrElse(sys.error(
+          s"$op at $table: unreadable footer for image file $f"))).sum
+    require(imageRows == newlyRetired,
+      s"merge-on-read $op at $table: wrote $imageRows transformed " +
+        s"image rows but the deletion-vector pass retired " +
+        s"$newlyRetired — the predicate evaluated differently " +
+        "between jobs (non-deterministic predicate or concurrent " +
+        "change); refusing to commit a torn update")
   }
 
   /** MERGE-ON-READ DELETE: instead of rewriting every file a match
