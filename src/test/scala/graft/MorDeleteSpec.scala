@@ -308,6 +308,38 @@ class MorDeleteSpec extends AnyFunSuite {
       s"orphan data files: ${(onDisk -- referenced).take(3)}")
   }
 
+  test("torn-update guard: a non-deterministic predicate refuses " +
+      "loudly instead of committing silent row loss") {
+    // rand() is NOT the trigger: its seed pins at Column creation and
+    // scans repartition identically, so it evaluates the same in
+    // every job. current_timestamp() IS: ComputeCurrentTime stamps a
+    // fresh literal per QUERY, and the MOR update's probe, image
+    // write, and DV passes are separate queries — hashing the row id
+    // with the per-job timestamp gives each job an uncorrelated ~50%
+    // match set, and the split-pass guards must catch the mismatch.
+    var refused = 0
+    for (i <- 1 to 3) {
+      val t = freshDir(s"graft_mor_torn$i") + "/t"
+      LakeWriter.commitSnapshot(docs(2000).repartition(4), t)
+      val perJob = pmod(
+        xxhash64($"id" + unix_micros(current_timestamp())),
+        lit(2)) === 0
+      try {
+        LakeWriter.updateSnapshotMor(spark, t, perJob,
+          Map("lang" -> lit("x")), maxDeleteFraction = 1.0)
+      } catch {
+        // either split-pass guard is the correct loud refusal: the
+        // image-vs-DV footer invariant ("torn update") or the
+        // kernel's count-vs-bitmap cross-check ("non-deterministic")
+        case e: IllegalArgumentException
+            if e.getMessage.contains("torn update") ||
+              e.getMessage.contains("non-deterministic") => refused += 1
+      }
+    }
+    assert(refused >= 1,
+      "a rand() predicate never tripped the torn-update guard")
+  }
+
   test("fraction threshold falls back to COW for the WHOLE delete; " +
       "merge on a DV table never resurrects deleted rows") {
     val t = freshDir("graft_mor_cow") + "/t"
