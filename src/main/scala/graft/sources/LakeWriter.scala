@@ -828,21 +828,43 @@ object LakeWriter {
     * `vacuumSnapshots` retiring the pre-delete versions (document
     * that two-step in any compliance workflow). */
   def deleteFromSnapshot(spark: SparkSession, table: String,
-                         predicate: org.apache.spark.sql.Column): Long = {
+                         predicate: org.apache.spark.sql.Column): Long =
+    // survivors: predicate FALSE or NULL (plain `!predicate` would
+    // also drop the NULL rows — not what DELETE means). No CHECK
+    // re-validation: surviving rows re-land from already-validated
+    // data.
+    cowRewriteByPredicate(spark, table, predicate, "delete",
+      checkNewFiles = false) { (rows, schema) =>
+      rows.where(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            predicate, org.apache.spark.sql.functions.lit(false))))
+        .select(schema.fieldNames.toSeq.map(col): _*)
+    }
+
+  /** The shared copy-on-write rewrite-commit skeleton for
+    * predicate-driven DML ([[deleteFromSnapshot]],
+    * [[updateSnapshot]]): FILE-PRUNED probe (the readSnapshotWhere
+    * pipeline — manifest stats / partition values / blooms disprove
+    * the predicate for most files of a clustered table, so a
+    * selective DML probes a sliver of the file list instead of
+    * scanning 100 TB to discover it must rewrite one day; exactness
+    * untouched — the probe's predicate still decides the actual
+    * matches), then `transform` re-lands the matched files' rows
+    * (READ THROUGH existing DVs, so already-MOR-deleted rows never
+    * resurrect) while every other file carries by reference. A
+    * predicate matching nothing commits nothing. */
+  private def cowRewriteByPredicate(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column, op: String,
+      checkNewFiles: Boolean)(
+      transform: (DataFrame, org.apache.spark.sql.types.StructType)
+        => DataFrame): Long = {
     val prev = snapshotVersions(spark, table)
     require(prev.nonEmpty, s"no snapshots at $table")
     val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
     if (files.isEmpty) return prev.last
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val cols = schema.fieldNames.toSeq
     val colmap = parseManifestColmap(spark, table, prev.last)
-    // FILE-PRUNED probe (the readSnapshotWhere pipeline): manifest
-    // stats / partition values / blooms disprove the predicate for
-    // most files of a clustered table, so a selective DELETE probes
-    // a sliver of the file list instead of scanning 100 TB to
-    // discover it must rewrite one day. Exactness is untouched: the
-    // probe's predicate still decides the actual matches.
     val dvs = parseManifestDvs(spark, table, prev.last)
     val candidates = pruneFilesByPredicate(spark, table, prev.last,
       predicate, files, schema, partCols, colmap)
@@ -853,26 +875,22 @@ object LakeWriter {
       .distinct().collect().map(_.getString(0)).toSet
     if (matched.isEmpty) return prev.last
     val (rewrite, carry) = files.partition(f => matched(baseName(f)))
-    // survivors: predicate FALSE or NULL (plain `!predicate` would
-    // also drop the NULL rows — not what DELETE means). DV-carrying
-    // rewritten files read through their DV, so already-MOR-deleted
-    // rows never resurrect in the rewrite
-    val survivors = readFiles(spark, rewrite, schema, colmap, dvs)
-      .where(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.coalesce(
-          predicate, org.apache.spark.sql.functions.lit(false))))
-      .select(cols.map(col): _*)
+    val rewritten =
+      transform(readFiles(spark, rewrite, schema, colmap, dvs), schema)
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
     val version = prev.last + 1
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir =
       new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
     withMicrosTimestamps(spark) {
-      val writer = toPhysical(survivors, colmap).write.mode("errorifexists")
+      val writer = toPhysical(rewritten, colmap).write.mode("errorifexists")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dataDir.toString) }
     val newFiles = walkFreshData(fs, dataDir).sorted
-    writeManifest(spark, fs, table, version, "delete", schema,
+    if (checkNewFiles)
+      enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
+        newFiles, schema, fs, Seq(dataDir), colmap)
+    writeManifest(spark, fs, table, version, op, schema,
       carry ++ newFiles, partCols)
     version
   }
@@ -894,43 +912,20 @@ object LakeWriter {
                      set: Map[String, org.apache.spark.sql.Column])
       : Long = {
     require(set.nonEmpty, "updateSnapshot needs at least one SET column")
+    // EAGER validation: a typo'd SET column must refuse even when the
+    // predicate matches nothing (one extra metadata-only parse)
     val prev = snapshotVersions(spark, table)
     require(prev.nonEmpty, s"no snapshots at $table")
-    val (files, schemaJson, partCols) = parseManifest(spark, table, prev.last)
-    if (files.isEmpty) return prev.last
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val cols = schema.fieldNames.toSeq
-    require(set.keys.forall(cols.contains),
-      s"SET columns ${set.keys.filterNot(cols.contains)} not in table")
-    val colmap = parseManifestColmap(spark, table, prev.last)
-    val dvs = parseManifestDvs(spark, table, prev.last)
-    val candidates = pruneFilesByPredicate(spark, table, prev.last,
-      predicate, files, schema, partCols, colmap)
-    if (candidates.isEmpty) return prev.last
-    val matched = readFiles(spark, candidates, schema, colmap, dvs)
-      .where(predicate)
-      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"))
-      .distinct().collect().map(_.getString(0)).toSet
-    if (matched.isEmpty) return prev.last
-    val (rewrite, carry) = files.partition(f => matched(baseName(f)))
-    val rewritten = readFiles(spark, rewrite, schema, colmap, dvs)
-      .select(updateProjection(schema, predicate, set): _*)
-    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(table))
-    val version = prev.last + 1
-    val attempt = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir =
-      new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt")
-    withMicrosTimestamps(spark) {
-      val writer = toPhysical(rewritten, colmap).write.mode("errorifexists")
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(dataDir.toString) }
-    val newFiles = walkFreshData(fs, dataDir).sorted
-    enforceChecks(spark, parseManifestChecks(spark, table, prev.last),
-      newFiles, schema, fs, Seq(dataDir), colmap)
-    writeManifest(spark, fs, table, version, "update", schema,
-      carry ++ newFiles, partCols)
-    version
+    val fieldNames = org.apache.spark.sql.types.DataType
+      .fromJson(parseManifest(spark, table, prev.last)._2)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    require(set.keys.forall(fieldNames.contains),
+      s"SET columns ${set.keys.filterNot(fieldNames.contains)} " +
+        "not in table")
+    cowRewriteByPredicate(spark, table, predicate, "update",
+      checkNewFiles = true) { (rows, schema) =>
+      rows.select(updateProjection(schema, predicate, set): _*)
+    }
   }
 
   /** The UPDATE row projection: matched rows get their `set`
