@@ -118,7 +118,7 @@ object Curation {
     val chunks = chunkExpr(chunkTokens)
     val src = df.select(col(idCol), normToks(col(textCol)).as("__t"))
     val p = src
-      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .transform(Dedup.spread(_, idCol))
       .select(col(idCol), chunks.as("__ps"))
       .select(col(idCol),
         posexplode_outer(col("__ps")).as(Seq("pos", "passage")))
@@ -172,7 +172,7 @@ object Curation {
       ceil(greatest(size(col("__t")) - chunkTokens, lit(0))
         .cast("double") / stride).cast("int") + 1)
     src
-      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .transform(Dedup.spread(_, idCol))
       .select(col(idCol), col("__t"),
         // sequence(0, -1) DESCENDS in Spark — empty docs must short-
         // circuit to an empty array, not fan out two bogus windows
@@ -272,7 +272,7 @@ object Curation {
     val src = df.select(col(idCol), col(domainCol).as("__dom"),
       normToks(col(textCol)).as("__t"))
     val p = src
-      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .transform(Dedup.spread(_, idCol))
       .select(col(idCol), col("__dom"), chunkExpr(chunkTokens).as("__ps"))
       .select(col(idCol), col("__dom"),
         posexplode_outer(col("__ps")).as(Seq("pos", "passage")))

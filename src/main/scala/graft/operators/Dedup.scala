@@ -42,8 +42,25 @@ object Dedup {
     val fewFiles =
       try df.inputFiles.length < NumPartitions
       catch { case _: Throwable => true }
-    if (fewFiles) df.repartition(NumPartitions, col(idCol)) else df
+    if (fewFiles && !alreadyKeyed(df, idCol))
+      df.repartition(NumPartitions, col(idCol))
+    else df
   }
+
+  /** True when `df`'s plan already contains a user repartition keyed
+    * on `idCol` — the source layer spreads single-row-group inputs on
+    * their natural key (Tables.load, r17), and re-keying on the same
+    * column here would stack a second identical exchange on every
+    * signature build. A cheap analyzed-plan walk; no physical
+    * planning, no RDD materialization. */
+  private[graft] def alreadyKeyed(df: DataFrame, idCol: String): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+        if r.partitionExpressions.collectFirst {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if a.name == idCol => a
+        }.nonEmpty => r
+    }.nonEmpty
 
   // -- exact ----------------------------------------------------------
 

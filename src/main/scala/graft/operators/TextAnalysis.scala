@@ -106,7 +106,7 @@ object TextAnalysis {
     val src = df.select(col(idCol),
       TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
     val grams = src
-      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .transform(Dedup.spread(_, idCol))
       .select(col(idCol), explode_outer(
         when(size(col("__t")) < n, array(lit(null).cast("string")))
           .otherwise(TextFns.wordNgramsFromToks(col("__t"), n))).as("__g"))
@@ -346,7 +346,7 @@ object TextAnalysis {
     val src = df.select(col(idCol),
       TextFns.tokens(TextFns.normalizeText(col(textCol))).as("__t"))
     val toks = src
-      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .transform(Dedup.spread(_, idCol))
       .select(col(idCol), explode(col("__t")).as("term"))
     val tfPlan = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -425,7 +425,7 @@ object TextAnalysis {
     val src = df.select(col(idCol),
       TextFns.normalizeText(col(textCol)).as("__norm"))
     val grams = src
-      .repartition(math.max(src.rdd.getNumPartitions, 32), col(idCol))
+      .transform(Dedup.spread(_, idCol))
       .select(col(idCol), posexplode(
         TextFns.shinglesFromNorm(col("__norm"), k)).as(Seq("pos", "__g")))
       .withColumn("__h", xxhash64(col("__g")))

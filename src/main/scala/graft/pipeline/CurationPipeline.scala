@@ -56,7 +56,6 @@ object CurationPipeline {
           textCol: String = "text", idCol: String = "doc_id",
           nearDupThreshold: Double = 0.5): Result = {
     val corpusTable = s"$outDir/corpus"
-    val n0 = batch.count()
     val versions0 = LakeWriter.snapshotVersions(spark, corpusTable)
     val corpus =
       if (versions0.nonEmpty) Some(LakeWriter.readSnapshot(spark, corpusTable))
@@ -64,6 +63,11 @@ object CurationPipeline {
 
     // ---- 1. exact dedup: one row per id, one id per fingerprint,
     //         then vs the corpus's own fingerprint column
+    // NOTE: n0 stays a dedicated count — riding it as an .observe on
+    // `batch` double-fires once a corpus exists, because
+    // bloomAntiJoin references the batch subtree twice (bloom-hit ∪
+    // bloom-miss branches)
+    val n0 = batch.count()
     val idW = Window.partitionBy(col(idCol)).orderBy(col("fp"))
     val fpW = Window.partitionBy(col("fp")).orderBy(col(idCol))
     val inBatch = batch
@@ -84,12 +88,16 @@ object CurationPipeline {
         .getOrElse(df))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n1 = exact.count()
-
-      // ---- 2. quality cascade with attrition accounting
+      // ---- 2. quality cascade with attrition accounting. The
+      // attrition collect is the load's first action over the batch:
+      // it materializes the exact-dedup cache, and — because the
+      // cascade emits exactly one row per input row — its sum IS the
+      // post-exact count, so n1 no longer pays a dedicated counting
+      // job (one fewer action per load; ledger values unchanged)
       val audit = Curation.filterCascade(exact, textCol, idCol)
       val attrition = audit.groupBy(col("first_fail")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n1 = attrition.values.sum
       val passed = exact.join(
         audit.where(col("pass") === 1).select(col(idCol)),
         Seq(idCol), "left_semi")

@@ -36,6 +36,23 @@ object Tables {
   private val schemaMemo =
     new scala.collection.concurrent.TrieMap[String, StructType]
 
+  /** REJECTED r17 optimization, kept as a warning to the next reader:
+    * hash-repartitioning the single-row-group testdata tables on
+    * their natural key right after the read (a scan-parallelism
+    * floor; every first stage otherwise plans ONE task because a row
+    * group is Spark's split atom). It parallelized the whole
+    * per-row-kernel tail, but FLIPPED TWO ORACLE ROWS
+    * (q_join_composite avg_gap 2759.2513 vs 2759.2512, q_time_bucket
+    * avg_value 36.3663 vs 36.3662): float aggregates round to 4
+    * decimals for the cross-engine compare, and rows landing ON a
+    * rounding boundary are decided by summation ORDER — which today
+    * matches DuckDB's sequential scan exactly BECAUSE the gate-SF
+    * inputs plan as one partition. Any load-level repartition breaks
+    * that implicit contract for every float aggregate at once, so
+    * parallelism floors must stay per-operator, on provably
+    * order-insensitive paths (the Dedup.spread family: integer/hash
+    * kernels). */
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name != "events") {
