@@ -1490,7 +1490,13 @@ object SparkEntry {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      // edgesDistinct: `pairs` is distinct and the reversed union is
+      // DISJOINT from it by construction (customer nodes even,
+      // supplier nodes odd — src parity differs between the halves),
+      // so pageRank's defensive dedup pass would re-shuffle 2x the
+      // edge list to remove nothing
+      operators.Graph.pageRank(edges, "src", "dst", iters = 3,
+        edgesDistinct = true)
         .select(
           when(pmod(col("node"), lit(2)) === 0,
             concat(lit("C"), expr("node div 2").cast("string")))

@@ -248,13 +248,27 @@ object Dedup {
       .as(Seq("band", "band_hash")))
 
   /** Cap pathological buckets (boilerplate) — at 100 TB a single hot
-    * bucket would otherwise produce a quadratic pair explosion. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded
-      .withColumn("__n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .where(col("__n") <= maxBucket).drop("__n")
+    * bucket would otherwise produce a quadratic pair explosion.
+    *
+    * Formulated as hot-bucket AGGREGATE + anti-join, not a window:
+    * the window count shuffled AND SORTED the full banded table
+    * (corpus × bands rows) — and the candidate self-join references
+    * the capped frame twice, so that sort ran twice per build. The
+    * aggregate's map-side partials collapse each bucket to one count
+    * row before the (reused) exchange, hot buckets are by
+    * construction ≤ rows/maxBucket and in practice a handful of
+    * boilerplate clusters, and AQE broadcasts the anti-join probe —
+    * the banded table itself is never sorted and never re-shuffled.
+    * Same rows kept: a bucket survives iff its member count stays
+    * ≤ maxBucket. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
+      .select(col("band").as("__hb"), col("band_hash").as("__hh"))
+    banded.join(hot,
+      col("band") === col("__hb") && col("band_hash") === col("__hh"),
+      "left_anti")
+  }
 
   /** Attach both signatures to (doc_a, doc_b) candidates, estimate
     * Jaccard as the matching-position fraction, filter by threshold.
@@ -555,7 +569,18 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"hammingPairs: 4x16-bit banding is complete only for " +
         s"maxHamming <= 3, got $maxHamming")
+    // the signature table is referenced by BOTH sides of the band
+    // self-join — and several callers' `sigs` is itself an expensive
+    // derivation (simhash = a full text-kernel scan; q_image_dedup's
+    // aHash = a PNG decode of every image), so without a persist the
+    // derivation re-ran once per side, and twice more when the pair
+    // table fed connectedComponents' symmetrization (measured: the
+    // image gate decoded its corpus ~4x per run). The signature rows
+    // are (id, 64-bit sig) — node-sized — and the pair table
+    // checkpoints eagerly below so the cache never outlives the call
+    // (the minhashPairs lifecycle).
     val sh = sigs.select(col(idCol), col(sigCol).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col(idCol), col("simhash"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * lit(16))
@@ -584,11 +609,14 @@ object Dedup {
             greatest(col("a"), col("b")).as("doc_b"),
             col("sh_l").as("sh_a"), col("sh_r").as("sh_b"))
       }
-    joined
+    val out = joined
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
   }
 
   // -- exact n-gram Jaccard ------------------------------------------

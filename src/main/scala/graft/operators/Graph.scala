@@ -77,6 +77,14 @@ object Graph {
       // label-sized join per round costs exactly what the saved rounds
       // buy (bench-neutral to slightly worse) — rejected. Plain
       // propagation keeps one join+agg per round.
+      // NOTE (r17): pointer jumping RESTRICTED TO THE FRONTIER
+      // (comp := least(comp, frontier-lookup(comp)) after the
+      // propagation) was measured here too: rounds 10 → 7 on the
+      // sf0.1 near-dup graph, but wall was bit-for-bit neutral
+      // (3.12 s both ways, OpProfile warm p2) — the per-round jump
+      // join costs exactly what the saved tail rounds buy, the same
+      // verdict as the r16 full-label-table variant. Rejected again;
+      // plain frontier propagation keeps the round body minimal.
       val next = labels.join(nbrMin, labels("node") === nbrMin("nbr_node"), "left")
         .select(col("node"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
@@ -238,8 +246,14 @@ object Graph {
     * rounds for k iterations, the standard distributed PageRank
     * layout; hot destinations partial-aggregate map-side.
     * Returns (node, degree, rank_micro). */
+  /** `edgesDistinct = true` skips the defensive `distinct()` when the
+    * CALLER proves the edge list is already duplicate-free (e.g. a
+    * distinct pair table unioned with its disjoint reversal) — the
+    * dedup pass is one full edge-sized exchange + aggregate, pure
+    * waste on pre-deduped input; degrees and ranks are identical by
+    * precondition. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3, edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank iters must be >= 1: $iters")
     // the iteration inputs persist once (every round re-reads them),
     // and each round's scores localCheckpoint — without the lineage
@@ -251,8 +265,8 @@ object Graph {
     // whose recompute through the unrolled lineage dominated the
     // whole operator (measured ~6x the useful work on the
     // procurement graph before the cut)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -92,10 +92,16 @@ object Linkage {
       : DataFrame = {
     val w = maxDist + 1
     val base = recs.select(col(idCol).as("__id"), col(nameCol).as("__name"))
+    // referenced THREE times below (probe side, build side, identity
+    // edges) and each reference re-derived the caller's name
+    // expression plus this groupBy's shuffle — persist for the call;
+    // released after connectedComponents has materialized every edge
+    // into its own checkpoints (name-keyed rows: node-sized)
     val names = base.groupBy(col("__name"))
       .agg(min(col("__id")).as("__rep"))
       .withColumn("__blk", blockOf(col("__name")))
       .withColumn("__lb", floor(length(col("__name")) / w).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = names.withColumn("__pb",
       explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)))
     val namePairs = probe.as("a").join(names.as("b"),
@@ -115,6 +121,8 @@ object Linkage {
       .select(col("__id").as("id_a"), col("__rep").as("id_b"))
     val comps = Graph.connectedComponents(
       namePairs.unionByName(identity), "id_a", "id_b")
+    // comps is checkpointed — the edge plans (and names) are spent
+    names.unpersist(blocking = false)
     val labeled = recs.select(col(idCol))
       .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
