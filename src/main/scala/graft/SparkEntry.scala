@@ -1061,7 +1061,16 @@ object SparkEntry {
       def ok(approx: Column, exact: Column): Column =
         when(abs(approx.cast("double") - exact) <=
           lit(5 * rsd) * exact + lit(5.0), lit(1)).otherwise(lit(0))
-      T(s, d, "events").groupBy(col("event_type"))
+      // spread the single-row-group scan before the Expand: the
+      // multi-DISTINCT aggregate multiplies the input 3x and ran on
+      // ONE core (r17 probe: ~4 CPU-s ≈ the whole wall in one task).
+      // Safe here, unlike the rejected load-level spread (see
+      // Tables.scala): every output column is ORDER-INSENSITIVE —
+      // countDistinct is exact integers and the HLL++ sketch merge is
+      // commutative — so no float-rounding boundary can flip.
+      T(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), rsd).as("au"),
           countDistinct(col("user_id")).as("exact_users"),
