@@ -1061,21 +1061,31 @@ object SparkEntry {
       def ok(approx: Column, exact: Column): Column =
         when(abs(approx.cast("double") - exact) <=
           lit(5 * rsd) * exact + lit(5.0), lit(1)).otherwise(lit(0))
-      // spread the single-row-group scan before the Expand: the
-      // multi-DISTINCT aggregate multiplies the input 3x and ran on
-      // ONE core (r17 probe: ~4 CPU-s ≈ the whole wall in one task).
-      // Safe here, unlike the rejected load-level spread (see
-      // Tables.scala): every output column is ORDER-INSENSITIVE —
-      // countDistinct is exact integers and the HLL++ sketch merge is
-      // commutative — so no float-rounding boundary can flip.
-      T(s, d, "events")
-        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
-        .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), rsd).as("au"),
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("props"), rsd).as("ap"),
+      // SPLIT aggregates (r18): one fused agg mixing exact
+      // countDistinct with approx_count_distinct plans a single
+      // Expand whose grouping keys include BOTH distinct columns,
+      // and Spark's RewriteDistinctAggregates carries the
+      // non-distinct aggregates' buffers — two rsd=0.01 HLL++
+      // sketches ≈ 24 KB — on EVERY (event_type, user_id, props,
+      // gid) group row; near-unique `props` makes that ~rowcount ×
+      // 24 KB of aggregation-buffer traffic per pass (AggSplitProbe:
+      // fused 42 CPU-s warm vs 1.1 split at sf0.1; the r17 32-way
+      // spread multiplied it further and is REVERTED — it was the
+      // round's one measured regression, 0.92× at the driver).
+      // Split, each aggregate is the cheap shape: the approx branch
+      // keeps one sketch pair per GROUP (no Expand), the exact
+      // branch's Expand carries count-only buffers. Results are
+      // bit-identical (HLL registers are max-merged — partitioning
+      // and order independent; countDistinct is exact integers) and
+      // the oracle sorts rows, so the join's output order is free.
+      val ev = T(s, d, "events")
+      val approxAgg = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd).as("au"),
+          approx_count_distinct(col("props"), rsd).as("ap"))
+      val exactAgg = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
           countDistinct(col("props")).as("exact_props"))
+      exactAgg.join(approxAgg, Seq("event_type"))
         .select(col("event_type"), col("exact_users"),
           ok(col("au"), col("exact_users")).as("users_ok"),
           ok(col("ap"), col("exact_props")).as("props_ok"))

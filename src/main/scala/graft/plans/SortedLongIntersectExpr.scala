@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -53,6 +53,60 @@ case class SortedLongIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [a, b, (A ∩ B)...] for two SORTED-ascending distinct long arrays —
+  * or the EMPTY array when the intersection is empty. The fused
+  * triangle-contribution kernel of
+  * [[graft.operators.Graph.triangleCounts]]: one merge pass per
+  * oriented edge yields the edge's endpoints AND its closing nodes in
+  * a single array, so ONE projection + posexplode replaces the former
+  * two-branch union (endpoint counts ∪ closer explode) that re-ran
+  * the adjacency probes and the merge pass TWICE per edge. Position
+  * decodes the contribution: pos ≤ 1 (the endpoints) weigh |A ∩ B|
+  * = size-2 triangles each; pos ≥ 2 (the closers) weigh 1. Sortedness
+  * contract and duplicate semantics are [[SortedLongIntersect]]'s. */
+case class SortedLongIntersectPacked(a: Expression, b: Expression,
+                                     na: Expression, nb: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = na
+  override def fourth: Expression = nb
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_long_intersect_packed"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (a.dataType == LongType && b.dataType == LongType &&
+        arr(na.dataType) && arr(nb.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (bigint, bigint, array<bigint>, " +
+        s"array<bigint>), got ${Seq(a, b, na, nb)
+          .map(_.dataType.catalogString).mkString(", ")}")
+  }
+
+  override protected def nullSafeEval(av: Any, bv: Any,
+                                      nav: Any, nbv: Any): Any =
+    SortedLongIntersect.interPacked(av.asInstanceOf[Long],
+      bv.asInstanceOf[Long], nav.asInstanceOf[ArrayData],
+      nbv.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, nav, nbv) =>
+      s"${ev.value} = graft.plans.SortedLongIntersect" +
+        s".interPacked($av, $bv, $nav, $nbv);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(a = newFirst, b = newSecond, na = newThird, nb = newFourth)
+}
+
 object SortedLongIntersect {
   private val EMPTY =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -74,6 +128,33 @@ object SortedLongIntersect {
       else { buf(k) = x; k += 1; i += 1; j += 1 }
     }
     if (k == 0) EMPTY
+    else {
+      val out = if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+  }
+
+  /** [[SortedLongIntersectPacked]]'s kernel: the merge pass of
+    * [[inter]] writing into a buffer whose first two slots carry the
+    * edge endpoints — EMPTY when no element intersects, so a
+    * posexplode drops triangle-less edges for free. */
+  def interPacked(av: Long, bv: Long, a: ArrayData, b: ArrayData)
+      : ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return EMPTY
+    val buf = new Array[Long]((if (na < nb) na else nb) + 2)
+    buf(0) = av; buf(1) = bv
+    var i = 0; var j = 0; var k = 2
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { buf(k) = x; k += 1; i += 1; j += 1 }
+    }
+    if (k == 2) EMPTY
     else {
       val out = if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k)
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

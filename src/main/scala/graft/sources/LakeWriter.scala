@@ -577,7 +577,7 @@ object LakeWriter {
     // from a leaf file but NOT in any path are legitimate schema
     // evolution (added by a later append; null on read), so the check
     // is path-presence, not bare set equality.
-    val leafCols = spark.read.parquet(files.head).columns.toSet
+    val leafCols = footerColumns(spark, files.head)
     val inPaths = (cols.toSet -- leafCols).filter(c =>
       files.head.contains("/" + c + "="))
     require(inPaths.isEmpty,
@@ -589,17 +589,24 @@ object LakeWriter {
     val dvs = parseManifestDvs(spark, table, prev.last)
     // readFiles applies the COMMITTED schema so mixed-schema file sets
     // (evolved tables) read uniformly — missing columns come back null
+    // the updates key sliver joins UN-deduplicated (r18): the probe's
+    // result rides through the __file distinct regardless of duplicate
+    // keys, and a left-anti join is duplicate-insensitive on its right
+    // side — the defensive per-join `.distinct()` cost one exchange +
+    // double aggregate (an extra AQE stage round per action) on every
+    // merge commit. Callers own the one-row-per-key contract (rows
+    // land verbatim), exactly like MERGE INTO.
     val touched = readFiles(spark, files, schema, colmap, dvs)
       .select(keyExprs :+
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
-      .join(updates.select(keyExprs: _*).distinct(), keyCols)
+      .join(updates.select(keyExprs: _*), keyCols)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
     val (rewrite, carry) = files.partition(f => touched(baseName(f)))
     val survivors =
       if (rewrite.isEmpty) None
       else Some(readFiles(spark, rewrite, schema, colmap, dvs)
-        .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti"))
+        .join(updates.select(keyExprs: _*), keyCols, "left_anti"))
     val newData = survivors
       .map(_.select(cols.map(col): _*)
         .unionByName(updates.select(cols.map(col): _*)))
@@ -1550,10 +1557,12 @@ object LakeWriter {
     val dvs = parseManifestDvs(spark, table, prevVersion)
     val probed =
       if (candidates.isEmpty) Set.empty[String]
+      // un-deduplicated key sliver — same argument as mergeSnapshot's
+      // flat probe (the __file distinct absorbs duplicates; r18)
       else readFiles(spark, candidates, schema, colmap, dvs)
         .select(keyExprs :+
           regexp_extract(input_file_name(), "[^/]+$", 0).as("__file"): _*)
-        .join(updates.select(keyExprs: _*).distinct(), keyCols)
+        .join(updates.select(keyExprs: _*), keyCols)
         .select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
     val (rewrite, carryRest) = candidates.partition(f => probed(baseName(f)))
@@ -1564,7 +1573,7 @@ object LakeWriter {
           new org.apache.hadoop.fs.Path(table, s"data/v$version-$attempt-s")
         withMicrosTimestamps(spark) {
           toPhysical(readFiles(spark, rewrite, schema, colmap, dvs)
-            .join(updates.select(keyExprs: _*).distinct(), keyCols, "left_anti")
+            .join(updates.select(keyExprs: _*), keyCols, "left_anti")
             .select(cols.map(col): _*), colmap)
             .write.mode("errorifexists").partitionBy(partCols: _*)
             .parquet(survDir.toString) }
@@ -1629,6 +1638,24 @@ object LakeWriter {
     * nulls=None everywhere. */
   private[graft] final case class FileStats(rows: Option[Long],
       cols: Map[String, ColStat])
+
+  /** Top-level column names of one parquet file from its FOOTER, on
+    * the driver — `spark.read.parquet(file).columns` ran a full
+    * schema-inference pass (one Spark job + Catalyst round per call;
+    * mergeSnapshot paid it per commit). Metadata-only and exactly the
+    * physical names the inference would return for graft-written
+    * files (single-file reads infer no path partitions). */
+  private def footerColumns(spark: SparkSession, file: String)
+      : Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sessionState.newHadoopConf()))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally reader.close()
+  }
 
   /** Per-column stats of one parquet file from its FOOTER — zero
     * data IO: row-group statistics are merged across blocks; a

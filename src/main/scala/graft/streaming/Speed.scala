@@ -32,9 +32,17 @@ object Speed extends Serializable {
     * the streaming source discovers it from the file instead of
     * assuming one. The nanos legacy conf makes the INT64-nanos variant
     * readable as long. */
+  /** Footer-schema memo (the Tables.load discipline, r18): every
+    * stream construction re-ran parquet inference on the same staged
+    * file (~80 ms + one Spark action each); the testdata files are
+    * immutable for a session. */
+  private val stagedSchemaMemo =
+    new scala.collection.concurrent.TrieMap[String, StructType]
+
   private def stagedSchema(spark: SparkSession, file: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val phys = spark.read.parquet(file).schema
+    val phys = stagedSchemaMemo.getOrElseUpdate(file,
+      spark.read.parquet(file).schema)
     // NTZ ts is requested as TimestampType at the scan itself (values
     // are UTC wall-times = UTC instants; same rationale as
     // Tables.load): no post-scan cast, ts predicates stay pushable,

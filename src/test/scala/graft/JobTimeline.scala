@@ -38,6 +38,12 @@ object JobTimeline {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .filter(_.nonEmpty)
+          // AQE stage jobs carry no callsite property; pull the first
+          // graft frame from the stage details instead
+          .orElse(e.stageInfos.headOption.flatMap(_.details.split('\n')
+            .find(l => l.contains("graft.") && !l.contains("JobTimeline"))
+            .map(_.trim.stripPrefix("at ").take(100))))
           .getOrElse("")
         j.nStages = e.stageInfos.size
         j.nTasks = e.stageInfos.map(_.numTasks).sum

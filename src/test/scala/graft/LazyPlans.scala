@@ -40,6 +40,16 @@ object LazyPlans {
     // -> signature estimate): capBuckets diff shows here
     dump("pairs_build",
       Dedup.minhashPairsFromSigs(sigs, "doc_id", threshold = 0.2))
+    // the AT-SCALE shape: past broadcast scale the candidate self-join
+    // shuffles on (band, band_hash), so the pair-table dedup and the
+    // estimate join need their own partitioning — the r18 single-
+    // exchange claim (repartition(doc_a) BEFORE the distinct serves
+    // dedup + estimate join together) is only visible here. Demo conf,
+    // plan evidence only: nothing measured under it.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    dump("pairs_build_noBroadcast",
+      Dedup.minhashPairsFromSigs(sigs, "doc_id", threshold = 0.2))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }
