@@ -170,8 +170,27 @@ object LakeWriter {
     * same-process racers. */
   private[sources] val commitLock = new Object
 
-  private[sources] def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+  /** One hadoop conf per session for FILESYSTEM ACCESS (r18):
+    * `sessionState.newHadoopConf()` clones the full configuration on
+    * every call, and fsOf runs on every manifest touch — hundreds of
+    * clones per commit cycle, pure driver CPU. FS resolution only
+    * ever reads scheme/impl keys, which do not change mid-session;
+    * read/write PLANS keep building their own fresh conf. */
+  private val fsConfMemo =
+    new java.util.WeakHashMap[SparkSession,
+      org.apache.hadoop.conf.Configuration]
+
+  private[sources] def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) = {
+    val conf = fsConfMemo.synchronized {
+      var c = fsConfMemo.get(spark)
+      if (c == null) {
+        c = spark.sessionState.newHadoopConf()
+        fsConfMemo.put(spark, c)
+      }
+      c
+    }
+    p.getFileSystem(conf)
+  }
 
   private def manifestDir(table: String) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
@@ -2563,16 +2582,42 @@ object LakeWriter {
                             version: Long): Seq[String] =
     parseManifest(spark, table, version)._3
 
+  /** Manifest-body memo (r18): one commit parses the SAME previous
+    * manifest ~7–12 times (colmap, DVs, checks, stats, bloom cfg,
+    * blooms, txns each re-read it), and read paths re-parse the
+    * current one per call — each read paying an exists + open + full
+    * read. The memo is VALIDATED, never trusted blind: entries are
+    * keyed by qualified path and checked against the file's current
+    * (mtime, length) on every hit, so a table directory that is
+    * wiped and re-created between queries (the bench fixtures do
+    * exactly this) can never be served a stale body. Bounded;
+    * cleared wholesale when oversized (manifests are KB-scale). */
+  private val manifestMemo =
+    new scala.collection.concurrent.TrieMap[String, (Long, Long, String)]
+
   private def manifestBody(spark: SparkSession, table: String,
                            version: Long): String = {
     val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"v$version.json")
     val fs = fsOf(spark, p)
-    require(fs.exists(p), s"no snapshot v$version at $table")
-    val in = fs.open(p)
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    in.close()
-    body
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        manifestMemo.remove(p.toString)
+        sys.error(s"no snapshot v$version at $table")
+      }
+    manifestMemo.get(p.toString) match {
+      case Some((m, l, body))
+          if m == st.getModificationTime && l == st.getLen => body
+      case _ =>
+        val in = fs.open(p)
+        val body = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close()
+        if (manifestMemo.size > 512) manifestMemo.clear()
+        manifestMemo.put(p.toString,
+          (st.getModificationTime, st.getLen, body))
+        body
+    }
   }
 
   /** SHALLOW CLONE (Delta parity): materialize `target` as a new
