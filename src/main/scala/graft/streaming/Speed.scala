@@ -34,15 +34,27 @@ object Speed extends Serializable {
     * readable as long. */
   /** Footer-schema memo (the Tables.load discipline, r18): every
     * stream construction re-ran parquet inference on the same staged
-    * file (~80 ms + one Spark action each); the testdata files are
-    * immutable for a session. */
+    * file (~80 ms + one Spark action each). VALIDATED per hit against
+    * the file's current (mtime, length) — a RE-STAGED file under the
+    * same path (the TsEncodingSpec encoding-flip case) must
+    * re-infer, never be served the old physical schema. */
   private val stagedSchemaMemo =
-    new scala.collection.concurrent.TrieMap[String, StructType]
+    new scala.collection.concurrent.TrieMap[String, (Long, Long, StructType)]
 
   private def stagedSchema(spark: SparkSession, file: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val phys = stagedSchemaMemo.getOrElseUpdate(file,
-      spark.read.parquet(file).schema)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p)
+    val phys = stagedSchemaMemo.get(file) match {
+      case Some((m, l, s))
+          if m == st.getModificationTime && l == st.getLen => s
+      case _ =>
+        val s = spark.read.parquet(file).schema
+        stagedSchemaMemo.put(file,
+          (st.getModificationTime, st.getLen, s))
+        s
+    }
     // NTZ ts is requested as TimestampType at the scan itself (values
     // are UTC wall-times = UTC instants; same rationale as
     // Tables.load): no post-scan cast, ts predicates stay pushable,
