@@ -105,8 +105,20 @@ object CurationPipeline {
 
       // ---- 3. PII redaction (before anything persists) — a pure
       //         projection, applied in place (no self-join on the id)
-      val clean = passed.withColumn(textCol,
+      val clean0 = passed.withColumn(textCol,
         Curation.redactText(col(textCol)))
+      // PERSISTED on the near-dup path (r18): its references there
+      // re-derive this frame up to FOUR times otherwise — the
+      // signature build, the batch-id set, and the survivor anti-join
+      // each replay the quality cascade's regex battery plus the
+      // redaction regexes over the persisted exact frame (column
+      // pruning drops the redaction but never the cascade's pass
+      // filter). Batch-sized; released once `kept` is materialized.
+      // The near-dup-disabled path has a single consumer — no cache.
+      val clean =
+        if (nearDupThreshold > 1.0) clean0
+        else clean0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // ---- 4. near-dup vs the corpus sig column + within the batch.
       //         A threshold above 1.0 is PROVABLY the identity (a
@@ -150,6 +162,9 @@ object CurationPipeline {
       val kept = deduped
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n3 = kept.count()
+      // kept is materialized — every reader of the redacted frame has
+      // run (sigs/newIds/anti-join); release it before the commit scan
+      if (nearDupThreshold <= 1.0) clean.unpersist(blocking = false)
 
       // ---- 5. the ONE commit: survivors + fingerprint + signature.
       //         The signature rides as a PURE PROJECTION over the
